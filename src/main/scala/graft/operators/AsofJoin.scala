@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** ASOF join: for each left row, attach the most recent right row with
+  * rightTs <= leftTs for the same key (ClickHouse `ASOF JOIN` semantics;
+  * reference delegates it wholesale — SURVEY.md §2.3 J5).
+  *
+  * Spark-first plan: instead of a range join (quadratic blow-up) or a
+  * per-key collect, union both sides and run one `last(_, ignoreNulls)`
+  * window per right column. Cost = ONE shuffle of (|L|+|R|) rows on the
+  * key + a sort within partitions — the same shape Spark uses for any
+  * window, so it scales to 100 TB exactly like a groupBy would (skew on
+  * the key is the only hazard, same as any keyed op).
+  *
+  * Tie rule: right rows sort before left rows at equal ts, so an exact
+  * timestamp match IS taken (matches `ON l.ts >= r.ts`).
+  */
+object AsofJoin {
+
+  /** @param left      left side (kept in full)
+    * @param right     right side; its non-key, non-ts columns are carried
+    *                  over with `rightPrefix`
+    * @param on        equi-key column names present on both sides
+    * @param leftTs    left timestamp/ordering column name
+    * @param rightTs   right timestamp/ordering column name
+    * @param inner     true: drop left rows with no match; false: keep (nulls)
+    */
+  def apply(left: DataFrame, right: DataFrame, on: Seq[String],
+            leftTs: String, rightTs: String,
+            rightPrefix: String = "r_", inner: Boolean = true): DataFrame = {
+    val leftCols  = left.columns.toSeq
+    // __matched marker survives even when every carried value is null
+    val right1    = right.withColumn("__matched", lit(true))
+    val carryCols = right1.columns.filterNot(c => on.contains(c)).toSeq
+
+    val l2 = carryCols.foldLeft(
+      left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
+    )((df, c) => df.withColumn(s"__r_$c", lit(null).cast(
+      right1.schema(c).dataType)))
+
+    val r2base = right1
+      .withColumn("__ts", col(rightTs)).withColumn("__side", lit(0))
+    val r2cols = on.map(col) ++ Seq(col("__ts"), col("__side")) ++
+      leftCols.filterNot(on.contains).map(c =>
+        lit(null).cast(left.schema(c).dataType).as(c)) ++
+      carryCols.map(c => col(c).as(s"__r_$c"))
+    val r2 = r2base.select(r2cols: _*)
+
+    val unioned = r2.unionByName(l2.select(r2.columns.map(col): _*))
+
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filled = carryCols.foldLeft(unioned)((df, c) =>
+      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w)))
+
+    val matched0 = filled.filter(col("__side") === 1)
+    val matched = if (inner) matched0.filter(col("__r___matched")) else matched0
+    matched.select(
+      (leftCols.map(col) ++
+        carryCols.filterNot(_ == "__matched")
+          .map(c => col(s"__r_$c").as(s"$rightPrefix$c"))): _*)
+  }
+}

@@ -1,0 +1,398 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.Tables.{dec, ts, avgDec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Core relational sweep: projection / filter / scalar exprs (P1-P5),
+  * aggregation (G1-G9), sort / limit / set ops (O1-O6), windows (W1).
+  *
+  * Capability set mirrors the reference's exercised SQL surface
+  * (/root/reference/test/test_suite.py:141-365 literal+numbers matrices,
+  * /root/reference/.github/workflows/test.yml:49-61 ClickBench shapes);
+  * expressed Spark-first, not ported.
+  *
+  * Numeric discipline: money/qty are cast to DECIMAL before aggregation
+  * on BOTH the Spark and DuckDB sides so results are exact and
+  * accumulation-order independent; averages are one double division of
+  * exact decimal sums, rounded. Every query carries a total ORDER BY.
+  */
+object Relational {
+
+  val qs: Seq[Q] = Seq(
+
+    // S1: numbers(N) virtual source — spark.range (test_suite.py:323-336)
+    Q("s1_numbers",
+      (s, _) => s.range(10).toDF("number"),
+      Some("SELECT range AS number FROM range(10) ORDER BY number")),
+
+    // O2: LIMIT over an ordered virtual scan
+    Q("o2_limit",
+      (s, _) => s.range(1000).toDF("number").limit(10),
+      Some("SELECT range AS number FROM range(1000) ORDER BY number LIMIT 10")),
+
+    // P1: projection with aliases + arithmetic
+    Q("p1_projection", (s, dir) => {
+      Tables.load(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity") * 2).cast("decimal(18,2)").as("qty2"),
+        (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"), 4, 2)))
+          .cast("decimal(18,4)").as("disc_price"),
+        (col("l_orderkey") % 7).as("bucket7"))
+        .orderBy("l_orderkey", "l_linenumber").limit(100)
+    }, Some("""
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity * 2 AS DECIMAL(18,2)) AS qty2,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS disc_price,
+             l_orderkey % 7 AS bucket7
+      FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""")),
+
+    // P2: integer/float arithmetic over the numbers source
+    Q("p2_arith", (s, _) => {
+      s.range(1000).select(
+        col("id").as("number"),
+        (col("id") * 2).as("twice"),
+        (col("id") % 5).as("mod5"),
+        (col("id") / 3.0).as("div3"),
+        pow(col("id").cast("double"), 2).as("sq"),
+        (col("id").cast("double") * 1.5).as("x15"))
+    }, Some("""
+      SELECT range AS number, range * 2 AS twice, range % 5 AS mod5,
+             range / 3.0 AS div3, pow(CAST(range AS DOUBLE), 2) AS sq,
+             CAST(range AS DOUBLE) * 1.5 AS x15
+      FROM range(1000) ORDER BY number""")),
+
+    // P3: WHERE with comparisons, LIKE, AND/OR, date range
+    Q("p3_filter", (s, dir) => {
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderstatus") === "O" &&
+          col("o_totalprice") > 150000.0 &&
+          (col("o_orderpriority").like("1%") || col("o_orderpriority").like("2%")) &&
+          col("o_orderdate") >= ts("1996-01-01") &&
+          col("o_orderdate") < ts("1999-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          dec(col("o_totalprice")).as("price"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      FROM orders
+      WHERE o_orderstatus = 'O' AND o_totalprice > 150000.0
+        AND (o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%')
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1999-01-01'
+      ORDER BY o_orderkey""")),
+
+    // P4: conditional — CASE/ternary (reference ?: at index.html:729),
+    // nullIf/coalesce null plumbing
+    Q("p4_conditional", (s, dir) => {
+      Tables.load(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 200000, "big")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("small").as("size_bucket"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status2"))
+        .orderBy("o_orderkey").limit(500)
+    }, Some("""
+      SELECT o_orderkey,
+             CASE WHEN o_totalprice > 200000 THEN 'big'
+                  WHEN o_totalprice > 100000 THEN 'mid'
+                  ELSE 'small' END AS size_bucket,
+             coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status2
+      FROM orders ORDER BY o_orderkey LIMIT 500""")),
+
+    // P5: CAST across types (floor first: Spark double->int truncates,
+    // DuckDB rounds — keep both on the same explicit semantics)
+    Q("p5_cast", (s, dir) => {
+      Tables.load(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_quantity")).cast("long").as("qty_int"),
+        col("l_orderkey").cast("string").as("okey_str"),
+        col("l_shipdate").cast("date").as("ship_date"),
+        col("l_linenumber").cast("double").as("ln_dbl"),
+        col("l_quantity").cast("decimal(10,2)").as("qty_dec"))
+        .orderBy("l_orderkey", "l_linenumber").limit(200)
+    }, Some("""
+      SELECT l_orderkey, l_linenumber,
+             CAST(floor(l_quantity) AS BIGINT) AS qty_int,
+             CAST(l_orderkey AS VARCHAR) AS okey_str,
+             CAST(l_shipdate AS DATE) AS ship_date,
+             CAST(l_linenumber AS DOUBLE) AS ln_dbl,
+             CAST(l_quantity AS DECIMAL(10,2)) AS qty_dec
+      FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 200""")),
+
+    // G1: COUNT(*) (test.yml:53)
+    Q("g1_count",
+      (s, dir) => Tables.load(s, dir, "lineitem").agg(count(lit(1)).as("n")),
+      Some("SELECT count(*) AS n FROM lineitem"), bench = true),
+
+    // G2/G5: TPC-H Q1-shaped scan+filter+groupBy+agg+sort — the flagship
+    Q("g2_agg_tpch1", (s, dir) => {
+      val price = dec(col("l_extendedprice"))
+      val disc  = dec(col("l_discount"), 4, 2)
+      val tax   = dec(col("l_tax"), 4, 2)
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= ts("2000-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
+          sum(price).cast("decimal(18,2)").as("sum_base_price"),
+          sum(price * (lit(1) - disc)).cast("decimal(18,4)").as("sum_disc_price"),
+          sum(price * (lit(1) - disc) * (lit(1) + tax)).cast("decimal(18,6)").as("sum_charge"),
+          avgDec(col("l_quantity")).as("avg_qty"),
+          avgDec(col("l_extendedprice")).as("avg_price"),
+          avgDec(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }, Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(18,6)) AS sum_charge,
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+             round(CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""), bench = true),
+
+    // G3: COUNT(DISTINCT) / uniqExact (ClickBench sweep shape)
+    Q("g3_count_distinct", (s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey")).as("nd_supp"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
+             count(DISTINCT l_suppkey) AS nd_supp, count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      bench = true),
+
+    // G4: approximate distinct (HLL++). No DuckDB oracle — sketch values
+    // are engine-specific; exact count rides along as a sanity column.
+    Q("g4_approx_distinct", (s, dir) => {
+      Tables.load(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+    }, None),
+
+    // G5: GROUP BY on expressions, multi-key
+    Q("g5_groupby_expr", (s, dir) => {
+      Tables.load(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast("decimal(18,2)").as("sum_price"))
+        .orderBy("yr", "o_orderstatus")
+    }, Some("""
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderstatus,
+             count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price
+      FROM orders GROUP BY 1, 2 ORDER BY yr, o_orderstatus"""), bench = true),
+
+    // G6: WITH TOTALS emulation — grouped rows + a global-total row
+    // (reference protocol constant TOTALS, main.py:61)
+    Q("g6_totals", (s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val grouped = c.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("c_acctbal"))).cast("decimal(18,2)").as("sum_bal"))
+      val totals = c.agg(count(lit(1)).as("n"),
+        sum(dec(col("c_acctbal"))).cast("decimal(18,2)").as("sum_bal"))
+        .select(lit("TOTALS").as("c_mktsegment"), col("n"), col("sum_bal"))
+      grouped.unionByName(totals).orderBy("c_mktsegment")
+    }, Some("""
+      SELECT c_mktsegment, count(*) AS n,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_bal
+      FROM customer GROUP BY c_mktsegment
+      UNION ALL
+      SELECT 'TOTALS', count(*), CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2))
+      FROM customer
+      ORDER BY c_mktsegment""")),
+
+    // G7: ROLLUP with GROUPING() disambiguation
+    Q("g7_rollup", (s, dir) => {
+      val n = Tables.load(s, dir, "nation")
+      val r = Tables.load(s, dir, "region")
+      val c = Tables.load(s, dir, "customer")
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), grouping_id().cast("int").as("gid"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("n_cust"), col("gid"))
+        .orderBy("gid", "region", "nation")
+    }, Some("""
+      SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+             count(*) AS n_cust,
+             CAST(GROUPING(r_name, n_name) AS INTEGER) AS gid
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY gid, region, nation""")),
+
+    // G8: -If combinators (countIf/sumIf/maxIf) as conditional aggregates
+    Q("g8_cond_agg", (s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(when(col("l_quantity") > 25, lit(1))).as("n_big"),
+          sum(when(col("l_discount") > 0.05, dec(col("l_quantity")))
+            .otherwise(dec(lit(0)))).cast("decimal(18,2)").as("qty_disc"),
+          max(when(col("l_linestatus") === "F", dec(col("l_extendedprice")))).as("max_f_price"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag,
+             count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+             CAST(sum(CASE WHEN l_discount > 0.05 THEN CAST(l_quantity AS DECIMAL(12,2))
+                           ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS qty_disc,
+             max(CASE WHEN l_linestatus = 'F' THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS max_f_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // G9a: any/argMin/argMax — max_by/min_by (no acctbal ties in fixture)
+    Q("g9_argminmax", (s, dir) => {
+      Tables.load(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(
+          max_by(col("c_name"), col("c_acctbal")).as("richest"),
+          min_by(col("c_name"), col("c_acctbal")).as("poorest"),
+          max(dec(col("c_acctbal"))).as("max_bal"))
+        .orderBy("c_nationkey")
+    }, Some("""
+      SELECT c_nationkey, arg_max(c_name, c_acctbal) AS richest,
+             arg_min(c_name, c_acctbal) AS poorest,
+             max(CAST(c_acctbal AS DECIMAL(12,2))) AS max_bal
+      FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    // G9b: groupArray -> sorted collect_list (array column round-trip)
+    Q("g9_group_array", (s, dir) => {
+      Tables.load(s, dir, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(sort_array(collect_list(col("n_name"))).as("names"))
+        .orderBy("n_regionkey")
+    }, Some("""
+      SELECT n_regionkey, list_sort(list(n_name)) AS names
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
+    // G9c: exact interpolated quantile (Spark percentile == quantile_cont)
+    Q("g9_quantile", (s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+             round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // O1/O3: multi-key ORDER BY + LIMIT => TakeOrderedAndProject top-k
+    Q("o3_topk", (s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          dec(col("l_extendedprice")).as("price"))
+        .orderBy(col("price").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .limit(10)
+    }, Some("""
+      SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+      FROM lineitem ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 10"""),
+      bench = true),
+
+    // O4: LIMIT n BY expr (ClickHouse per-group limit) — row_number rewrite
+    Q("o4_limit_by", (s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").asc)
+      Tables.load(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_orderdate"), col("rn"))
+        .orderBy("o_orderstatus", "rn")
+    }, Some("""
+      SELECT o_orderstatus, o_orderkey, o_orderdate, rn FROM (
+        SELECT o_orderstatus, o_orderkey, o_orderdate,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_orderdate DESC, o_orderkey) AS rn
+        FROM orders) WHERE rn <= 2
+      ORDER BY o_orderstatus, rn""")),
+
+    // O5: UNION / INTERSECT / EXCEPT
+    Q("o5_setops", (s, dir) => {
+      val c = Tables.load(s, dir, "customer").select(col("c_nationkey").as("k")).distinct()
+      val su = Tables.load(s, dir, "supplier").select(col("s_nationkey").as("k")).distinct()
+      c.intersect(su).withColumn("op", lit("intersect"))
+        .unionByName(c.exceptAll(su).withColumn("op", lit("except")))
+        .unionByName(c.union(su).distinct().withColumn("op", lit("union")))
+        .orderBy("op", "k")
+    }, Some("""
+      WITH c AS (SELECT DISTINCT c_nationkey AS k FROM customer),
+           s AS (SELECT DISTINCT s_nationkey AS k FROM supplier)
+      SELECT k, 'intersect' AS op FROM (SELECT k FROM c INTERSECT SELECT k FROM s)
+      UNION ALL
+      SELECT k, 'except' AS op FROM (SELECT k FROM c EXCEPT SELECT k FROM s)
+      UNION ALL
+      SELECT k, 'union' AS op FROM (SELECT k FROM c UNION SELECT k FROM s)
+      ORDER BY op, k""")),
+
+    // O6: DISTINCT
+    Q("o6_distinct", (s, dir) => {
+      Tables.load(s, dir, "customer")
+        .select(col("c_mktsegment")).distinct().orderBy("c_mktsegment")
+    }, Some("SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment")),
+
+    // W1: ranking + offset window functions
+    Q("w1_window_rank", (s, dir) => {
+      val byCust = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val byPrice = Window.orderBy(col("o_totalprice").desc)
+      Tables.load(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(byCust).as("rn"),
+        rank().over(byPrice).as("price_rank"),
+        lag(dec(col("o_totalprice")), 1).over(byCust).as("prev_price"),
+        lead(col("o_orderkey"), 1).over(byCust).as("next_okey"))
+        .orderBy("o_custkey", "rn")
+    }, Some("""
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+             rank() OVER (ORDER BY o_totalprice DESC) AS price_rank,
+             lag(CAST(o_totalprice AS DECIMAL(12,2)), 1)
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+             lead(o_orderkey, 1)
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_okey
+      FROM orders ORDER BY o_custkey, rn"""), bench = true),
+
+    // W1b: aggregates over window frames (running sum, frame-bounded avg)
+    Q("w2_window_agg", (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables.load(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(dec(col("o_totalprice")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("decimal(18,2)").as("running_spend"),
+        count(lit(1))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("n_so_far"),
+        ntile(4).over(Window.orderBy(col("o_orderkey"))).as("quartile"))
+        .orderBy("o_custkey", "o_orderkey")
+    }, Some("""
+      SELECT o_custkey, o_orderkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_spend,
+             count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far,
+             ntile(4) OVER (ORDER BY o_orderkey) AS quartile
+      FROM orders ORDER BY o_custkey, o_orderkey"""))
+  )
+}
