@@ -8,7 +8,8 @@ object SparkEntry {
   /** All implemented operator queries, each named after the SURVEY.md §2
     * operator it evidences. */
   def all: Seq[Q] =
-    graft.queries.Relational.qs ++ graft.queries.Joins.qs
+    graft.queries.Relational.qs ++ graft.queries.Joins.qs ++
+      graft.queries.LlmPipeline.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-shaped scan+filter+groupBy+agg+sort. */

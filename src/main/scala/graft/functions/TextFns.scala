@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives shared by the dedup / text-analysis operators.
+  *
+  * Everything is a pure column expression (codegen'd by Catalyst, no
+  * UDFs), and every hash is md5-based so the DuckDB oracle can compute
+  * bit-identical values with its own `md5()`.
+  */
+object TextFns {
+
+  /** Whitespace-collapsed, trimmed, lowercased text. */
+  def norm(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Whitespace tokens of an already-normalized text. */
+  def tokens(normed: Column): Column = split(normed, " ")
+
+  /** Distinct word w-shingles ("a b c" strings); empty array for docs
+    * shorter than w tokens (sequence() would flip direction otherwise).
+    */
+  def wordShingles(toks: Column, w: Int): Column =
+    when(size(toks) >= w,
+      array_distinct(transform(sequence(lit(0), size(toks) - w),
+        i => concat_ws(" ", slice(toks, i + 1, lit(w))))))
+      .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
+
+  /** Positional (non-distinct) word w-shingles, for winnowing. */
+  def wordShinglesPositional(toks: Column, w: Int): Column =
+    when(size(toks) >= w,
+      transform(sequence(lit(0), size(toks) - w),
+        i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
+      .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
+
+  /** Distinct character n-grams of an already-normalized text. */
+  def charNgrams(normed: Column, n: Int): Column =
+    when(length(normed) >= n,
+      array_distinct(transform(sequence(lit(1), length(normed) - (n - 1)),
+        i => normed.substr(i, lit(n)))))
+      .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
+
+  /** Exact set Jaccard of two string arrays (both sides must be
+    * distinct arrays). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** How many tokens of `toks` appear in the wordlist (with
+    * multiplicity) — the oracle side uses list_filter/list_contains. */
+  def countIn(toks: Column, words: Seq[String]): Column = {
+    val lst = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(lst, t)))
+  }
+}

@@ -1,0 +1,265 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.TextFns
+import graft.operators.{MinHashLsh, SimHash, SimilarityJoin, CosineKnn}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** LLM-training-data pipeline operators over the documents/embeddings
+  * fixtures: deduplication (exact, MinHash-LSH, SimHash, n-gram
+  * similarity join), similarity search (brute-force + LSH ANN), and
+  * text analysis (language-ID, quality, token stats, winnowing
+  * fingerprints).
+  *
+  * Oracle discipline: every hash is md5 (DuckDB computes the identical
+  * hex), every similarity is double arithmetic with a fixed fold order,
+  * every output carries a total ORDER BY. The probabilistic operators
+  * (MinHash banding) are parameterized so recall at the fixture's
+  * duplicate strength (Jaccard >= 0.96) is 1 - ~1e-13 — the exact
+  * brute-force oracle matches deterministically; SimHash banding and
+  * n-gram prefix filtering are lossless by construction.
+  */
+object LlmPipeline {
+
+  private val stopEn = Seq("the", "a", "of", "and", "to")
+  private val stopEs = Seq("el", "la", "de", "que", "y")
+  private val stopFr = Seq("le", "la", "et", "les", "des")
+  private val stopDe = Seq("der", "die", "und", "das", "ist")
+
+  private def docsWithToks(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val d = Tables.load(s, dir, "documents")
+    d.withColumn("__norm", TextFns.norm(col("text")))
+      .withColumn("__toks", TextFns.tokens(col("__norm")))
+  }
+
+  val qs: Seq[Q] = Seq(
+
+    // L1: exact dedup — hash-groupBy on normalized text, per-lang stats
+    Q("l1_exact_dedup", (s, dir) => {
+      docsWithToks(s, dir)
+        .withColumn("h", md5(col("__norm")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("h")).as("n_unique"),
+          (count(lit(1)) - countDistinct(col("h"))).as("n_dups"))
+        .orderBy("lang")
+    }, Some("""
+      SELECT lang, count(*) AS n_docs,
+             count(DISTINCT md5(lower(trim(regexp_replace(text,'\s+',' ','g'))))) AS n_unique,
+             count(*) - count(DISTINCT md5(lower(trim(regexp_replace(text,'\s+',' ','g'))))) AS n_dups
+      FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // L2: MinHash-LSH near-dup pairs, verified with exact Jaccard.
+    // Oracle = brute-force all-pairs shingle Jaccard (banding recall at
+    // the fixture's >=0.96 dup strength is 1 - ~1e-13).
+    Q("l2_minhash_neardup", (s, dir) => {
+      MinHashLsh.nearDupPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.8)
+        .orderBy("a", "b")
+    }, Some("""
+      WITH t AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') toks FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+               THEN [array_to_string(toks[i:i+2],' ') for i in range(1, len(toks)-1)]
+               ELSE [] END)) s FROM t),
+      sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+      pairs AS (SELECT x.doc_id a, y.doc_id b, count(*) inter
+                FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+      SELECT a, b, round(inter*1.0/(sa.n + sb.n - inter), 4) jac
+      FROM pairs JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+      WHERE inter*1.0/(sa.n + sb.n - inter) >= 0.8
+      ORDER BY a, b"""), bench = true),
+
+    // L3: SimHash near-dup pairs (Hamming <= 5 on 60-bit fingerprints;
+    // 6-band bucketing is lossless for dist <= 5 by pigeonhole)
+    Q("l3_simhash_neardup", (s, dir) => {
+      SimHash.nearDupPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", maxDist = 5)
+        .orderBy("a", "b")
+    }, Some("""
+      WITH t AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') toks FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+               THEN [array_to_string(toks[i:i+2],' ') for i in range(1, len(toks)-1)]
+               ELSE [] END)) s FROM t),
+      h AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) h FROM sh),
+      bits AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) c
+               FROM h, (SELECT unnest(range(60)) j) GROUP BY 1, 2),
+      fp AS (SELECT doc_id, sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) sim
+             FROM bits GROUP BY 1)
+      SELECT x.doc_id a, y.doc_id b, CAST(bit_count(xor(x.sim, y.sim)) AS INT) hamming
+      FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.sim, y.sim)) <= 5
+      ORDER BY a, b""")),
+
+    // L4: char-4-gram Jaccard similarity join, lang-blocked, prefix-
+    // filtered (lossless) — oracle is the brute-force in-block join
+    Q("l4_ngram_simjoin", (s, dir) => {
+      SimilarityJoin.ngramJaccardPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", "lang", n = 4, threshold = 0.8)
+        .orderBy("block", "a", "b")
+    }, Some("""
+      WITH t AS (SELECT doc_id, lang, lower(trim(regexp_replace(text,'\s+',' ','g'))) txt FROM documents),
+      ng AS (SELECT doc_id, lang, unnest(list_distinct(CASE WHEN len(txt) >= 4
+               THEN [substr(txt, i, 4) for i in range(1, len(txt)-2)]
+               ELSE [] END)) g FROM t),
+      sizes AS (SELECT doc_id, count(*) n FROM ng GROUP BY 1),
+      pairs AS (SELECT x.lang block, x.doc_id a, y.doc_id b, count(*) inter
+                FROM ng x JOIN ng y ON x.g = y.g AND x.lang = y.lang AND x.doc_id < y.doc_id
+                GROUP BY 1, 2, 3)
+      SELECT block, a, b, round(inter*1.0/(sa.n + sb.n - inter), 4) jac
+      FROM pairs JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+      WHERE inter*1.0/(sa.n + sb.n - inter) >= 0.8
+      ORDER BY block, a, b""")),
+
+    // L5: brute-force cosine top-5 for 10 query vectors (exact ANN
+    // baseline; corpus scanned once, queries broadcast)
+    Q("l5_cosine_topk", (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      CosineKnn.bruteForceTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .orderBy("qid", "rn")
+    }, Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 10),
+      s AS (SELECT qid, vec_id nid,
+              round(list_inner_product(qv, v) /
+                    (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))), 6) sim
+            FROM q, e WHERE vec_id <> qid),
+      r AS (SELECT qid, nid, sim,
+              CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) rn
+            FROM s)
+      SELECT qid, nid, sim, rn FROM r WHERE rn <= 5 ORDER BY qid, rn"""),
+      bench = true),
+
+    // L6: LSH-bucketed ANN (sign-LSH + Hamming-1 multiprobe + exact
+    // rerank). Approximate => no SQL oracle; recall asserted in tests.
+    Q("l6_ann_lsh", (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      CosineKnn.lshTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .orderBy("qid", "rn")
+    }, None),
+
+    // L7: language-ID by stopword-profile scoring
+    Q("l7_langid", (s, dir) => {
+      val scored = docsWithToks(s, dir).select(
+        col("doc_id"), col("lang"),
+        TextFns.countIn(col("__toks"), stopEn).as("s_en"),
+        TextFns.countIn(col("__toks"), stopEs).as("s_es"),
+        TextFns.countIn(col("__toks"), stopFr).as("s_fr"),
+        TextFns.countIn(col("__toks"), stopDe).as("s_de"))
+      scored.withColumn("pred",
+          when(col("s_en") === 0 && col("s_es") === 0 &&
+               col("s_fr") === 0 && col("s_de") === 0, "und")
+            .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&
+                  col("s_en") >= col("s_de"), "en")
+            .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_de"), "es")
+            .when(col("s_fr") >= col("s_de"), "fr")
+            .otherwise("de"))
+        .select(col("doc_id"), col("lang"), col("pred"),
+          col("s_en"), col("s_es"), col("s_fr"), col("s_de"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, lang,
+                   string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') toks
+                 FROM documents),
+      s AS (SELECT doc_id, lang,
+        CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) AS INT) s_en,
+        CAST(len(list_filter(toks, x -> list_contains(['el','la','de','que','y'], x))) AS INT) s_es,
+        CAST(len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x))) AS INT) s_fr,
+        CAST(len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x))) AS INT) s_de
+      FROM t)
+      SELECT doc_id, lang,
+             CASE WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_de = 0 THEN 'und'
+                  WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                  WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                  WHEN s_fr >= s_de THEN 'fr'
+                  ELSE 'de' END pred,
+             s_en, s_es, s_fr, s_de
+      FROM s ORDER BY doc_id""")),
+
+    // L8: per-doc quality heuristics (type-token ratio, stopword ratio,
+    // length prior) — rational arithmetic only, no transcendentals
+    Q("l8_quality", (s, dir) => {
+      docsWithToks(s, dir).select(
+          col("doc_id"),
+          size(col("__toks")).as("n_tokens"),
+          size(array_distinct(col("__toks"))).as("n_uniq"),
+          TextFns.countIn(col("__toks"), stopEn).as("n_stop"))
+        .withColumn("ttr",
+          round(col("n_uniq").cast("double") / col("n_tokens"), 4))
+        .withColumn("stop_ratio",
+          round(col("n_stop").cast("double") / col("n_tokens"), 4))
+        .withColumn("quality",
+          round(lit(0.4) * (col("n_uniq").cast("double") / col("n_tokens")) +
+                lit(0.4) * (col("n_stop").cast("double") / col("n_tokens")) +
+                lit(0.2) * (least(col("n_tokens"), lit(100)).cast("double") / 100.0), 4))
+        .select(col("doc_id"), col("n_tokens"), col("n_uniq"), col("ttr"),
+          col("stop_ratio"), col("quality"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id,
+                   string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') toks
+                 FROM documents),
+      s AS (SELECT doc_id,
+              CAST(len(toks) AS INT) n_tokens,
+              CAST(len(list_distinct(toks)) AS INT) n_uniq,
+              CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) AS INT) n_stop
+            FROM t)
+      SELECT doc_id, n_tokens, n_uniq,
+             round(CAST(n_uniq AS DOUBLE) / n_tokens, 4) ttr,
+             round(CAST(n_stop AS DOUBLE) / n_tokens, 4) stop_ratio,
+             round(0.4 * (CAST(n_uniq AS DOUBLE) / n_tokens) +
+                   0.4 * (CAST(n_stop AS DOUBLE) / n_tokens) +
+                   0.2 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0), 4) quality
+      FROM s ORDER BY doc_id""")),
+
+    // L9: corpus vocabulary — token counting via explode + groupBy
+    Q("l9_vocab", (s, dir) => {
+      docsWithToks(s, dir)
+        .select(col("doc_id"), explode(col("__toks")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_occ").desc, col("token").asc)
+        .limit(30)
+    }, Some("""
+      WITH t AS (SELECT doc_id,
+                   unnest(string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) token
+                 FROM documents)
+      SELECT token, count(*) n_occ, count(DISTINCT doc_id) n_docs
+      FROM t GROUP BY token ORDER BY n_occ DESC, token LIMIT 30""")),
+
+    // L10: winnowing document fingerprints (Schleimer et al.): min hash
+    // per sliding window of 4 positional 3-shingles, distinct mins =
+    // the doc's sketch
+    Q("l10_winnow", (s, dir) => {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.currentRow, 3)
+      docsWithToks(s, dir)
+        .select(col("doc_id"),
+          posexplode(TextFns.wordShinglesPositional(col("__toks"), 3))
+            .as(Seq("pos", "sh")))
+        .withColumn("h", substring(md5(col("sh")), 1, 16))
+        .withColumn("wmin", min(col("h")).over(w))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("wmin"))).as("sketch"))
+        .select(col("doc_id"), size(col("sketch")).as("n_fp"),
+          md5(concat_ws(",", col("sketch"))).as("fp"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id,
+                   string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') toks
+                 FROM documents),
+      t2 AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+               THEN [array_to_string(toks[i:i+2],' ') for i in range(1, len(toks)-1)]
+               ELSE [] END sh3 FROM t),
+      p AS (SELECT doc_id, unnest(generate_series(1, len(sh3))) pos, sh3 FROM t2),
+      ph AS (SELECT doc_id, pos, substr(md5(sh3[pos]), 1, 16) h FROM p),
+      w AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) wmin FROM ph),
+      sk AS (SELECT doc_id, list_sort(list(DISTINCT wmin)) sketch FROM w GROUP BY doc_id)
+      SELECT doc_id, CAST(len(sketch) AS INT) n_fp,
+             md5(array_to_string(sketch, ',')) fp
+      FROM sk ORDER BY doc_id"""))
+  )
+}
