@@ -38,7 +38,9 @@ object Explain {
               df.explain("formatted")
               df.show(20, truncate = false)
             }
-            println(s"[explain] $n rows=${df.count()}")
+            val t0 = System.nanoTime()
+            val rows = df.count()
+            println(f"[explain] $n rows=$rows (${(System.nanoTime() - t0) / 1e9}%.2fs)")
           } catch {
             case e: Throwable =>
               println(s"[explain] $n FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.TextFns
 
 /** MinHash + LSH banding near-duplicate detection.
@@ -9,46 +10,61 @@ import graft.functions.TextFns
   * Shape (reference treats dedup as out-of-scope/delegated; this is the
   * standard Broder MinHash construction, built Spark-first):
   *
-  *   1. per doc: distinct word w-shingles                       (no shuffle)
-  *   2. per doc: k minhashes; hash_i(s) = md5(s + "#" + i), min
-  *      taken lexicographically over the hex strings             (no shuffle)
-  *   3. band keys: md5 of r consecutive signature slots; explode
-  *      to (band, key, id)                                       (1 shuffle: self-join on band key)
+  *   1. per doc: distinct word w-shingles                      (no shuffle)
+  *   2. per doc: ONE md5 per shingle -> 31-bit base hash, then k
+  *      affine permutations h_i = (a_i*h + b_i) mod p, folded into
+  *      an element-wise-min signature                           (no shuffle)
+  *   3. band keys: r consecutive signature slots; explode to
+  *      (band, key, id)                   (1 shuffle: self-join on band key)
   *   4. candidate pairs = same (band, key), a < b, distinct
-  *   5. verify with EXACT shingle-set Jaccard >= threshold       (2 keyed joins to refetch shingles)
+  *   5. verify with EXACT shingle-set Jaccard >= threshold
   *
-  * At 100 TB: no all-pairs anything — candidate generation is a keyed
-  * equi-join whose bucket sizes are bounded by true duplicate-cluster
-  * sizes (a hot bucket means the docs really are near-identical), and
-  * the verify step touches only candidate pairs. The md5 minhash is the
-  * oracle-parity path; swapping in xxhash64 for speed changes no
-  * structure.
+  * The affine re-hash (vs k independent md5s) matters: signatures cost
+  * one digest per shingle, everything else is integer arithmetic. The
+  * exact-verify step means internal hash choices never affect results,
+  * so the DuckDB oracle is plain brute-force Jaccard — no hash parity
+  * needed (unlike SimHash, whose fingerprints ARE the output).
+  *
+  * The signature frame is persisted because banding uses it twice
+  * (self-join) and verification twice more; at 100 TB persist only
+  * (id, sig) and re-derive shingles for the (rare) candidate pairs.
   *
   * Recall: a pair at Jaccard j survives banding with
   * p = 1-(1-j^r)^bands; at j=0.95, r=4, bands=16 => 1 - 2e-13.
   */
 object MinHashLsh {
 
-  /** (id, shingles, sig) for each input row. */
+  private val P = 2147483647L // 2^31 - 1: a_i*h + b_i stays < 2^62
+
+  /** (id, shingles, sig) for each input row; sig is array<bigint>(k). */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
                  shingleWidth: Int = 3, k: Int = 64): DataFrame = {
+    val rnd = new scala.util.Random(20260812L)
+    val a = Seq.fill(k)(1L + rnd.nextLong().abs % (P - 1))
+    val b = Seq.fill(k)(rnd.nextLong().abs % P)
+    val aArr = a.mkString("array(", "L,", "L)")
+    val bArr = b.mkString("array(", "L,", "L)")
     val toks = TextFns.tokens(TextFns.norm(col(textCol)))
     docs.select(col(idCol).as("id"),
         TextFns.wordShingles(toks, shingleWidth).as("shingles"))
-      .withColumn("sig",
-        transform(sequence(lit(0), lit(k - 1)),
-          i => array_min(transform(col("shingles"),
-            s => md5(concat(s, lit("#"), i.cast("string")))))))
+      // element-wise-min fold: each shingle hashed once, permuted k times
+      .withColumn("sig", expr(
+        s"""aggregate(
+              transform(shingles, s -> cast(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT) % $P),
+              transform(sequence(1, $k), i -> cast($P AS BIGINT)),
+              (acc, h) -> zip_with(acc,
+                zip_with($aArr, $bArr, (a, b) -> (a * h + b) % $P),
+                (x, y) -> least(x, y)))"""))
   }
 
-  /** Candidate id pairs (a < b) sharing at least one LSH band. */
+  /** Candidate id pairs (a < b) sharing at least one LSH band. The key
+    * is the r-slot signature slice itself (array equi-join). */
   def candidatePairs(sigs: DataFrame, bands: Int, r: Int): DataFrame = {
     val banded = sigs
       .select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("id"), col("band"),
-        md5(concat_ws("|", col("band").cast("string"),
-          concat_ws("|", slice(col("sig"), col("band") * r + 1, lit(r))))).as("key"))
+        slice(col("sig"), col("band") * r + 1, lit(r)).as("key"))
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
@@ -62,6 +78,7 @@ object MinHashLsh {
                    k: Int = 64, bands: Int = 16): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val sigs = signatures(docs, idCol, textCol, shingleWidth, k)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cands = candidatePairs(sigs, bands, k / bands)
     val sets = sigs.select(col("id"), col("shingles"))
     cands

@@ -29,24 +29,26 @@ object SimHash {
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
                    shingleWidth: Int = 3): DataFrame = {
     val toks = TextFns.tokens(TextFns.norm(col(textCol)))
+    // 2^j literals, so the final fold references `cnt` exactly ONCE —
+    // chained withColumns collapse into one Project and Catalyst
+    // INLINES aliases; an expression using cnt per-bit would re-expand
+    // the whole vote fold 60x (measured 165s -> <1s on the fixture)
+    val pow2 = (0 until 60).map(j => 1L << j).mkString("array(", "L,", "L)")
     docs.select(col(idCol).as("id"),
         TextFns.wordShingles(toks, shingleWidth).as("sh"))
-      // one md5 per shingle, materialized before the per-bit fold
-      .withColumn("hs", expr(
-        "transform(sh, s -> cast(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT))"))
-      .withColumn("cnt", expr(
-        """aggregate(hs,
-             transform(sequence(0, 59), j -> cast(0 AS BIGINT)),
-             (acc, h) -> zip_with(acc,
-               transform(sequence(0, 59),
-                 j -> cast((shiftright(h, j) & 1) * 2 - 1 AS BIGINT)),
-               (a, b) -> a + b))"""))
-      .withColumn("sim", expr(
-        """aggregate(sequence(0, 59), cast(0 AS BIGINT),
-             (acc, j) -> acc + CASE WHEN element_at(cnt, j + 1) > 0
-                                    THEN shiftleft(cast(1 AS BIGINT), j)
-                                    ELSE cast(0 AS BIGINT) END)"""))
-      .select(col("id"), col("sim"))
+      .select(col("id"), expr(
+        s"""aggregate(
+              zip_with(
+                aggregate(
+                  transform(sh, s -> cast(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)),
+                  transform(sequence(0, 59), j -> cast(0 AS BIGINT)),
+                  (acc, h) -> zip_with(acc,
+                    transform(sequence(0, 59),
+                      j -> cast((shiftright(h, j) & 1) * 2 - 1 AS BIGINT)),
+                    (a, b) -> a + b)),
+                $pow2,
+                (c, p) -> IF(c > 0, p, cast(0 AS BIGINT))),
+              cast(0 AS BIGINT), (acc, x) -> acc + x)""").as("sim"))
   }
 
   /** Pairs (a, b, hamming) with Hamming distance <= maxDist. Requires
@@ -60,6 +62,7 @@ object SimHash {
     val width = 60 / bands
     val mask = (1L << width) - 1
     val fps = fingerprints(docs, idCol, textCol, shingleWidth)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = fps
       .select(col("id"), col("sim"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))

@@ -27,8 +27,12 @@ object SimilarityJoin {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int,
                         threshold: Double): DataFrame = {
+    // persisted: reused by the frequency count, both prefix-join sides,
+    // and both verify joins — recomputing the n-gram arrays 5x is the
+    // dominant cost otherwise
     val base = docs.select(col(idCol).as("id"), col(blockCol).as("block"),
-      TextFns.charNgrams(TextFns.norm(col(textCol)), n).as("grams"))
+        TextFns.charNgrams(TextFns.norm(col(textCol)), n).as("grams"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val exploded = base.select(col("id"), col("block"),
       size(col("grams")).as("sz"), explode(col("grams")).as("g"))
