@@ -71,11 +71,16 @@ object CosineKnn {
               THEN shiftleft(1, p) ELSE 0 END)"""))
       .drop("planes")
 
-  /** ANN top-k: bucket + Hamming-1 multiprobe, exact rerank within
-    * candidates. */
+  /** ANN top-k: bucket + multiprobe (all buckets within Hamming
+    * distance `probeDist` of the query's bucket), exact rerank within
+    * candidates. probeDist=2 with 4 planes probes 11/16 buckets — on
+    * uniformly random vectors (the fixture: max cosine ~0.5, i.e. no
+    * cluster structure, LSH's worst case) that yields ~0.84 recall@5;
+    * real embedding corpora cluster, so fewer probes / more planes do
+    * better. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nPlanes: Int = 4,
-              dim: Int = 64): DataFrame = {
+              dim: Int = 64, probeDist: Int = 2): DataFrame = {
     val c = withBucket(
       corpus.select(col(idCol).as("nid"), asDouble(vecCol).as("nv")),
       "nv", nPlanes, dim).withColumn("nn", sqrt(dot("nv", "nv")))
@@ -83,9 +88,10 @@ object CosineKnn {
       queries.select(col(idCol).as("qid"), asDouble(vecCol).as("qv")),
       "qv", nPlanes, dim).withColumn("qn", sqrt(dot("qv", "qv")))
       .withColumnRenamed("bucket", "qbucket")
-      // multiprobe: own bucket + flip each single bit
+      // multiprobe: every bucket within probeDist bit flips
       .withColumn("probe", explode(expr(
-        s"concat(array(qbucket), transform(sequence(0, $nPlanes - 1), p -> qbucket ^ shiftleft(1, p)))")))
+        s"""filter(sequence(0, ${(1 << nPlanes) - 1}),
+               b -> bit_count(int(b) ^ qbucket) <= $probeDist)""")))
       .drop("qbucket")
     val scored = c.join(broadcast(q), col("bucket") === col("probe"))
       .filter(col("nid") =!= col("qid"))

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{AsofJoin, MinHashLsh, SimHash, SimilarityJoin, CosineKnn}
+import graft.functions.TextFns
+
+/** Unit semantics of the custom operators on handcrafted data. */
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("TextFns.wordShingles produces ordered distinct 3-grams, [] when short") {
+    val df = Seq("a b c d", "x y").toDF("t")
+      .select(TextFns.wordShingles(TextFns.tokens(TextFns.norm(col("t"))), 3).as("sh"))
+    assert(df.collect().map(_.getSeq[String](0).toList).toList ===
+      List(List("a b c", "b c d"), Nil))
+  }
+
+  test("AsofJoin matches latest right row at-or-before left ts, per key") {
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
+      .toDF("k", "ts", "name")
+    val right = Seq((1L, 8L, "c1"), (1L, 10L, "c2"), (1L, 15L, "c3"), (2L, 9L, "c4"))
+      .toDF("k", "ts", "tag")
+    val out = AsofJoin(left, right, Seq("k"), "ts", "ts", rightPrefix = "r_")
+      .select("name", "r_tag").as[(String, String)].collect().toMap
+    // p1@10: exact-ts match c2 wins over c1; p2@20: c3; p3@5: no right<=5 -> dropped
+    assert(out === Map("p1" -> "c2", "p2" -> "c3"))
+  }
+
+  test("AsofJoin outer keeps unmatched left rows with nulls") {
+    val left = Seq((1L, 1L, "early")).toDF("k", "ts", "name")
+    val right = Seq((1L, 99L, "late")).toDF("k", "ts", "tag")
+    val out = AsofJoin(left, right, Seq("k"), "ts", "ts", inner = false)
+      .select("name", "r_tag").collect()
+    assert(out.length === 1 && out(0).getString(0) === "early" && out(0).isNullAt(1))
+  }
+
+  test("MinHashLsh finds the planted near-dup pair and nothing else") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = base.split(" ").updated(30, "CHANGED").mkString(" ")
+    val other = (1 to 60).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = MinHashLsh.nearDupPairs(docs, "doc_id", "text", threshold = 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("SimHash: identical token sequences get identical fingerprints") {
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "a  b c d e f g H"), (3L, "q r s t u v w x"))
+      .toDF("doc_id", "text") // doc2 differs only by spacing/case -> same normalized
+    val fp = SimHash.fingerprints(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+    val pairs = SimHash.nearDupPairs(docs, "doc_id", "text", maxDist = 5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && !pairs.contains((1L, 3L)))
+  }
+
+  test("SimilarityJoin prefix filter equals brute force on the fixture") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val fast = SimilarityJoin.ngramJaccardPairs(docs, "doc_id", "text", "lang", 4, 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // brute force within lang via exact set Jaccard
+    val g = docs.select(col("doc_id"), col("lang"),
+      TextFns.charNgrams(TextFns.norm(col("text")), 4).as("grams"))
+    val brute = g.as("x").join(g.as("y"),
+        col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))
+      .withColumn("jac", TextFns.jaccard(col("x.grams"), col("y.grams")))
+      .filter(col("jac") >= 0.8)
+      .select(col("x.doc_id"), col("y.doc_id")).as[(Long, Long)].collect().toSet
+    assert(fast === brute)
+  }
+
+  test("CosineKnn brute force: parallel vector ranks above orthogonal") {
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0.9f, 0.1f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f)), (4L, Array(-1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = CosineKnn.bruteForceTopK(corpus,
+        corpus.filter(col("vec_id") === 1), "vec_id", "embedding", k = 3)
+      .select("nid", "rn").as[(Long, Int)].collect().toMap
+    assert(out(2L) === 1 && out(3L) === 2 && out(4L) === 3)
+  }
+
+  test("CosineKnn LSH recall@5 >= 0.6 vs brute force on fixture embeddings") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val exact = CosineKnn.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val ann = CosineKnn.lshTopK(e, q, "vec_id", "embedding", 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+}
