@@ -1,0 +1,146 @@
+package graft.dialect
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.types._
+
+/** ClickHouse function-name surface, registered as native Catalyst
+  * expression builders (codegen'd — no UDFs).
+  *
+  * Mirrors the names the reference's own artifacts exercise —
+  * version()/now()/toString (/root/reference/test/test_suite.py:141-146,
+  * 334), toYYYYMM/intHash32 (.github/workflows/test.yml:49), range
+  * (public/index.html:729) — plus the tier-C families from SURVEY.md
+  * §2.7 scoped to common ClickHouse idioms.
+  *
+  * Hash-name mappings (intHash32, cityHash64) are distribution-parity,
+  * not byte-parity (SURVEY §2.7 F5): they hash consistently within this
+  * engine, which is what PARTITION BY / ORDER BY clustering needs.
+  */
+object ChFunctions {
+
+  /** The ClickHouse version the reference reports (SURVEY §0:
+    * /root/reference/main.py:75-78). */
+  val Version = "25.5.2"
+
+  private def cast(t: DataType)(args: Seq[Expression]): Expression =
+    Cast(args.head, t)
+
+  private def nullIfNot(cond: Expression, value: Expression): Expression =
+    If(cond, value, Literal(null))
+
+  private val builders: Map[String, Seq[Expression] => Expression] = Map(
+    // identity / time
+    "version" -> (_ => Literal(Version)),
+    "now" -> (_ => Cast(Cast(CurrentTimestamp(), LongType), TimestampType)),
+    "today" -> (_ => CurrentDate()),
+
+    // conversions (unsigned types widened per SURVEY §1.2)
+    "toString" -> cast(StringType),
+    "toInt8" -> cast(ByteType), "toInt16" -> cast(ShortType),
+    "toInt32" -> cast(IntegerType), "toInt64" -> cast(LongType),
+    "toUInt8" -> cast(ShortType), "toUInt16" -> cast(IntegerType),
+    "toUInt32" -> cast(LongType), "toUInt64" -> cast(DecimalType(20, 0)),
+    "toFloat32" -> cast(FloatType), "toFloat64" -> cast(DoubleType),
+    "toDate" -> cast(DateType), "toDateTime" -> cast(TimestampType),
+
+    // date parts
+    "toYear" -> (a => Year(a.head)), "toMonth" -> (a => Month(a.head)),
+    "toDayOfMonth" -> (a => DayOfMonth(a.head)),
+    "toHour" -> (a => Hour(a.head)), "toMinute" -> (a => Minute(a.head)),
+    "toSecond" -> (a => Second(a.head)),
+    "toYYYYMM" -> (a => Cast(DateFormatClass(Cast(a.head, TimestampType),
+      Literal("yyyyMM")), IntegerType)),
+    "toYYYYMMDD" -> (a => Cast(DateFormatClass(Cast(a.head, TimestampType),
+      Literal("yyyyMMdd")), IntegerType)),
+    "toStartOfYear" -> (a => TruncDate(Cast(a.head, DateType), Literal("year"))),
+    "toStartOfMonth" -> (a => TruncDate(Cast(a.head, DateType), Literal("month"))),
+    "toStartOfDay" -> (a => TruncTimestamp(Literal("day"), Cast(a.head, TimestampType))),
+    "toStartOfHour" -> (a => TruncTimestamp(Literal("hour"), Cast(a.head, TimestampType))),
+    "toStartOfMinute" -> (a => TruncTimestamp(Literal("minute"), Cast(a.head, TimestampType))),
+
+    // arithmetic names
+    "plus" -> (a => Add(a(0), a(1))), "minus" -> (a => Subtract(a(0), a(1))),
+    "multiply" -> (a => Multiply(a(0), a(1))),
+    "divide" -> (a => Divide(Cast(a(0), DoubleType), Cast(a(1), DoubleType))),
+    "intDiv" -> (a => IntegralDivide(a(0), a(1), evalMode = EvalMode.LEGACY)),
+    "modulo" -> (a => Remainder(a(0), a(1))),
+    "negate" -> (a => UnaryMinus(a.head)),
+
+    // hashes: distribution-parity (NOT ClickHouse byte-parity)
+    "intHash32" -> (a => Cast(BitwiseAnd(XxHash64(a, 42L), Literal(0xFFFFFFFFL)),
+      LongType)),
+    "cityHash64" -> (a => XxHash64(a, 42L)),
+    "farmFingerprint64" -> (a => XxHash64(a, 64L)),
+
+    // strings
+    "empty" -> (a => EqualTo(Length(a.head), Literal(0))),
+    "notEmpty" -> (a => GreaterThan(Length(a.head), Literal(0))),
+    "lengthUTF8" -> (a => Length(a.head)),
+    "lcase" -> (a => Lower(a.head)), "ucase" -> (a => Upper(a.head)),
+    "splitByChar" -> (a => StringSplit(a(1),
+      RegExpReplace(a(0), Literal("([^a-zA-Z0-9])"), Literal("\\\\$1")), Literal(-1))),
+    "position" -> (a => StringLocate(a(1), a(0), Literal(1))),
+    "positionCaseInsensitive" -> (a => StringLocate(Lower(a(1)), Lower(a(0)), Literal(1))),
+    "match" -> (a => RLike(a(0), a(1))),
+    "extract" -> (a => RegExpExtract(a(0), a(1), Literal(1))),
+    "replaceAll" -> (a => StringReplace(a(0), a(1), a(2))),
+    "replaceRegexpAll" -> (a => RegExpReplace(a(0), a(1), a(2))),
+    "startsWith" -> (a => StartsWith(a(0), a(1))),
+    "endsWith" -> (a => EndsWith(a(0), a(1))),
+
+    // arrays
+    "range" -> (a => a.length match {
+      case 1 => Sequence(Literal(0L), Subtract(Cast(a.head, LongType), Literal(1L)), None)
+      case _ => Sequence(Cast(a(0), LongType), Subtract(Cast(a(1), LongType), Literal(1L)), None)
+    }),
+    "arrayJoin" -> (a => Explode(a.head)),
+    "has" -> (a => ArrayContains(a(0), a(1))),
+    "indexOf" -> (a => ArrayPosition(a(0), a(1))),
+    "arrayDistinct" -> (a => ArrayDistinct(a.head)),
+    "arraySort" -> (a => new SortArray(a.head)),
+    "arrayConcat" -> (a => Concat(a)),
+    "arrayElement" -> (a => ElementAt(a(0), a(1))),
+    "arrayUniq" -> (a => Size(ArrayDistinct(a.head))),
+
+    // conditional / null — ClickHouse truthiness: any numeric (or
+    // boolean, via the double cast) condition, nonzero = true
+    "if" -> (a => If(Not(EqualTo(Cast(a(0), DoubleType), Literal(0d))), a(1), a(2))),
+    "multiIf" -> (a => {
+      val branches = a.dropRight(1).grouped(2).map(p => (p(0), p(1))).toSeq
+      CaseWhen(branches, Some(a.last))
+    }),
+    "ifNull" -> (a => Coalesce(a)),
+
+    // aggregates
+    "any" -> (a => First(a.head, ignoreNulls = true).toAggregateExpression()),
+    "anyLast" -> (a => Last(a.head, ignoreNulls = true).toAggregateExpression()),
+    "argMin" -> (a => MinBy(a(0), a(1)).toAggregateExpression()),
+    "argMax" -> (a => MaxBy(a(0), a(1)).toAggregateExpression()),
+    "uniq" -> (a => HyperLogLogPlusPlus(a.head).toAggregateExpression()),
+    "uniqHLL12" -> (a => HyperLogLogPlusPlus(a.head).toAggregateExpression()),
+    "uniqCombined" -> (a => HyperLogLogPlusPlus(a.head).toAggregateExpression()),
+    "uniqExact" -> (a => Count(a).toAggregateExpression(isDistinct = true)),
+    "groupArray" -> (a => CollectList(a.head).toAggregateExpression()),
+    "groupUniqArray" -> (a => CollectSet(a.head).toAggregateExpression()),
+    "countIf" -> (a => Count(nullIfNot(a.head, Literal(1))).toAggregateExpression()),
+    "sumIf" -> (a => Sum(nullIfNot(a(1), a(0))).toAggregateExpression()),
+    "avgIf" -> (a => Average(nullIfNot(a(1), a(0))).toAggregateExpression()),
+    "minIf" -> (a => Min(nullIfNot(a(1), a(0))).toAggregateExpression()),
+    "maxIf" -> (a => Max(nullIfNot(a(1), a(0))).toAggregateExpression())
+  )
+
+  /** Idempotently register every ClickHouse name on the session. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
+  }
+
+  def registered(spark: SparkSession): Boolean =
+    spark.sessionState.functionRegistry
+      .functionExists(FunctionIdentifier("version"))
+}

@@ -1,0 +1,187 @@
+package graft.dialect
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** ClickHouse-SQL → Spark-SQL source transpiler (SURVEY.md §7 step 1).
+  *
+  * Textual rewrites mirroring the reference's own query shapes:
+  *   - FORMAT-clause extraction (reference strips it the same way
+  *     before delegating: /root/reference/main.py:534-546)
+  *   - numbers(N) table function → range(N)
+  *     (/root/reference/test/test_suite.py:323-336)
+  *   - ternary `cond ? a : b` with ClickHouse nonzero-truthiness
+  *     (/root/reference/public/index.html:729)
+  *   - parameterized aggregates quantile(p)(x) → percentile(x, p)
+  *   - bare `count()` → `count(*)`
+  *   - ClickHouse type names in CAST (SURVEY §1.2 mapping)
+  *
+  * Function-name coverage lives in [[ChFunctions]] (registered on the
+  * session, resolved by Catalyst — no text rewrite needed for those).
+  */
+object Transpiler {
+
+  private val formatRe =
+    "(?is)\\s+FORMAT\\s+([A-Za-z0-9]+)\\s*;?\\s*$".r
+
+  /** Split off a trailing FORMAT clause; returns (sql, format). */
+  def extractFormat(sql: String): (String, Option[String]) =
+    formatRe.findFirstMatchIn(sql) match {
+      case Some(m) => (sql.substring(0, m.start), Some(m.group(1)))
+      case None => (sql.stripSuffix(";"), None)
+    }
+
+  private val typeNames = Seq(
+    "UInt8" -> "SMALLINT", "UInt16" -> "INT", "UInt32" -> "BIGINT",
+    "UInt64" -> "DECIMAL(20,0)", "Int8" -> "TINYINT", "Int16" -> "SMALLINT",
+    "Int32" -> "INT", "Int64" -> "BIGINT", "Float32" -> "FLOAT",
+    "Float64" -> "DOUBLE", "DateTime" -> "TIMESTAMP")
+
+  /** ClickHouse SQL text → Spark SQL text (FORMAT clause must already
+    * be stripped). */
+  def transpile(chSql: String): String = {
+    var s = chSql
+    s = "(?i)\\bnumbers\\s*\\(\\s*([0-9]+)\\s*\\)".r.replaceAllIn(s,
+      m => s"(SELECT id AS number FROM range(${m.group(1)}))")
+    s = "(?i)\\bcount\\s*\\(\\s*\\)".r.replaceAllIn(s, "count(*)")
+    // quantile(p)(x) / quantileExact(p)(x) -> percentile(x, p)
+    s = "(?i)\\bquantile(?:Exact)?\\s*\\(([^()]*)\\)\\s*\\(([^()]*)\\)".r
+      .replaceAllIn(s, m => s"percentile(${m.group(2)}, ${m.group(1)})")
+    // type names (word-bounded, case-sensitive like ClickHouse)
+    typeNames.foreach { case (ch, sp) =>
+      s = s.replaceAll(s"\\b$ch\\b", sp)
+    }
+    s = rewriteTernaries(s)
+    s
+  }
+
+  /** Rewrite every top-level `cond ? a : b` into if(...). The condition
+    * gets a ClickHouse-truthiness wrap (`<> 0`) unless it already looks
+    * boolean (contains a comparison/logic operator at depth 0).
+    */
+  private[dialect] def rewriteTernaries(sql: String): String = {
+    val s = sql
+    val qm = findOutsideStrings(s, '?')
+    if (qm < 0) return s
+    val colon = findAtSameDepth(s, ':', from = qm + 1)
+    if (colon < 0) return s
+    val condStart = boundaryBefore(s, qm)
+    val elseEnd = boundaryAfter(s, colon + 1)
+    val cond = s.substring(condStart, qm).trim
+    val thenB = s.substring(qm + 1, colon).trim
+    val elseB = s.substring(colon + 1, elseEnd).trim
+    val condSql = if (looksBoolean(cond)) cond else s"($cond) <> 0"
+    val rewritten = s.substring(0, condStart) +
+      s"if($condSql, $thenB, $elseB)" + s.substring(elseEnd)
+    rewriteTernaries(rewritten)
+  }
+
+  private def looksBoolean(cond: String): Boolean =
+    "(?i)(=|<|>|!=|<>|\\bLIKE\\b|\\bIN\\b|\\bAND\\b|\\bOR\\b|\\bNOT\\b|\\bIS\\b|\\bBETWEEN\\b|\\bEXISTS\\b)"
+      .r.findFirstIn(cond).isDefined
+
+  /** Index of first `ch` outside string literals (any paren depth). */
+  private def findOutsideStrings(s: String, ch: Char, from: Int = 0): Int = {
+    var inStr = false; var i = from
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == ch) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Index of first `ch` at the same paren depth as `from`, outside
+    * strings; -1 if the enclosing group closes first. */
+  private def findAtSameDepth(s: String, ch: Char, from: Int): Int = {
+    var depth = 0; var inStr = false; var i = from
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' | '[' => depth += 1
+        case ')' | ']' => if (depth == 0) return -1 else depth -= 1
+        case `ch` if depth == 0 => return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private val clauseKw =
+    Seq("SELECT", "WHERE", "WHEN", "THEN", "ELSE", "BY", "HAVING", "ON")
+
+  /** Start of the expression containing position `at`: after the last
+    * depth-0 comma / opening paren / clause keyword. */
+  private def boundaryBefore(s: String, at: Int): Int = {
+    var depth = 0; var inStr = false; var i = at - 1; var best = 0
+    while (i >= 0 && best == 0) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case ')' | ']' => depth += 1
+        case '(' | '[' => if (depth == 0) best = i + 1 else depth -= 1
+        case ',' if depth == 0 => best = i + 1
+        case _ =>
+      }
+      i -= 1
+    }
+    val prefix = s.substring(best, at)
+    val kwRe = ("(?is).*\\b(" + clauseKw.mkString("|") + ")\\b").r
+    kwRe.findFirstMatchIn(prefix) match {
+      case Some(m) => best + m.end
+      case None => best
+    }
+  }
+
+  /** End of the expression starting at `from`: first depth-0 comma,
+    * closing paren, or clause keyword (AS/FROM/ORDER/...). */
+  private def boundaryAfter(s: String, from: Int): Int = {
+    val endKw = "(?is)^\\s*(AS|FROM|ORDER|GROUP|WHERE|LIMIT|HAVING|UNION|WHEN|THEN|ELSE|END)\\b".r
+    var depth = 0; var inStr = false; var i = from
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' | '[' => depth += 1
+        case ')' | ']' => if (depth == 0) return i else depth -= 1
+        case ',' if depth == 0 => return i
+        case _ if depth == 0 && c.isWhitespace &&
+          endKw.findFirstIn(s.substring(i)).isDefined => return i
+        case _ =>
+      }
+      i += 1
+    }
+    s.length
+  }
+
+  /** Run ClickHouse-dialect SQL on a session (fixture tables must
+    * already be registered as views — see [[ChContext]]). */
+  def sql(spark: SparkSession, chSql: String): DataFrame = {
+    ChFunctions.register(spark)
+    val (bare, _) = extractFormat(chSql)
+    spark.sql(transpile(bare))
+  }
+}
+
+/** Registers the fixture parquet tables as temp views so ClickHouse-
+  * dialect SQL can reference them by name. */
+object ChContext {
+  def setup(spark: SparkSession, dir: String): Unit = {
+    ChFunctions.register(spark)
+    graft.Tables.names.foreach { t =>
+      graft.Tables.load(spark, dir, t).createOrReplaceTempView(t)
+    }
+    graft.Tables.events(spark, dir).createOrReplaceTempView("events")
+  }
+
+  def sql(spark: SparkSession, dir: String, chSql: String): DataFrame = {
+    setup(spark, dir)
+    Transpiler.sql(spark, chSql)
+  }
+}

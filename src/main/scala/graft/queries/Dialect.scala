@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.Q
+import graft.dialect.ChContext
+
+/** End-to-end ClickHouse-dialect evidence (SURVEY.md §2.2 P4/P6, §2.7
+  * F1-F8): each query is the reference's SQL shape fed through the
+  * transpiler + function registry, hash-checked against DuckDB.
+  */
+object Dialect {
+
+  private def ch(chSql: String): (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+    (s, dir) => ChContext.sql(s, dir, chSql)
+
+  val qs: Seq[Q] = Seq(
+
+    // F1/P1: literal matrix + version() (test_suite.py:141-146)
+    Q("f1_ch_literals", ch("""
+      SELECT 1 AS one, 'test' AS str, 3.14 AS pi,
+             version() AS ver, toString(42) AS s42,
+             if(1, 'y', 'n') AS cond
+      FORMAT TSV"""),
+      Some("""
+      SELECT 1 AS one, 'test' AS str, 3.14 AS pi,
+             '25.5.2' AS ver, '42' AS s42, 'y' AS cond""")),
+
+    // S1/P4/F3: numbers() + ternary truthiness + toString + intDiv
+    // (test_suite.py:323-336, index.html:729)
+    Q("f2_ch_numbers", ch("""
+      SELECT number, toString(number) AS s,
+             number % 2 ? number : NULL AS odd_or_null,
+             intDiv(number, 3) AS d3,
+             plus(number, 10) AS p10
+      FROM numbers(10) ORDER BY number"""),
+      Some("""
+      SELECT range AS number, CAST(range AS VARCHAR) AS s,
+             CASE WHEN range % 2 <> 0 THEN range END AS odd_or_null,
+             range // 3 AS d3, range + 10 AS p10
+      FROM range(10) ORDER BY number""")),
+
+    // F4: date functions over orders (toYYYYMM is the ClickBench
+    // MergeTree partition expr, test.yml:49)
+    Q("f3_ch_datetime", ch("""
+      SELECT toYYYYMM(o_orderdate) AS ym,
+             toYear(o_orderdate) AS y, toMonth(o_orderdate) AS m,
+             count() AS n
+      FROM orders GROUP BY ym, y, m ORDER BY ym"""),
+      Some("""
+      SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS INT) AS ym,
+             CAST(year(o_orderdate) AS INT) AS y,
+             CAST(month(o_orderdate) AS INT) AS m, count(*) AS n
+      FROM orders GROUP BY 1, 2, 3 ORDER BY ym""")),
+
+    // F2: string function family over customer
+    Q("f4_ch_strings", ch("""
+      SELECT c_custkey, lcase(c_name) AS lname,
+             lengthUTF8(c_name) AS len,
+             position(c_name, '0') AS pos0,
+             splitByChar('#', c_name) AS parts,
+             startsWith(c_name, 'Customer') AS is_cust,
+             replaceRegexpAll(c_name, '[0-9]', 'N') AS name_mask
+      FROM customer ORDER BY c_custkey LIMIT 200"""),
+      Some("""
+      SELECT c_custkey, lower(c_name) AS lname,
+             CAST(length(c_name) AS INT) AS len,
+             CAST(strpos(c_name, '0') AS INT) AS pos0,
+             string_split(c_name, '#') AS parts,
+             starts_with(c_name, 'Customer') AS is_cust,
+             regexp_replace(c_name, '[0-9]', 'N', 'g') AS name_mask
+      FROM customer ORDER BY c_custkey LIMIT 200""")),
+
+    // G8/G9: ClickHouse aggregate-name family incl. -If combinators
+    Q("f5_ch_aggfuncs", ch("""
+      SELECT c_nationkey,
+             uniqExact(c_custkey) AS n_exact,
+             countIf(c_acctbal > 0) AS n_pos,
+             sumIf(c_custkey, c_acctbal > 0) AS sum_pos_keys,
+             argMax(c_name, c_acctbal) AS richest,
+             arraySort(groupUniqArray(c_mktsegment)) AS segs,
+             round(quantile(0.5)(c_acctbal), 4) AS med_bal
+      FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""),
+      Some("""
+      SELECT c_nationkey,
+             count(DISTINCT c_custkey) AS n_exact,
+             count(*) FILTER (WHERE c_acctbal > 0) AS n_pos,
+             sum(c_custkey) FILTER (WHERE c_acctbal > 0) AS sum_pos_keys,
+             arg_max(c_name, c_acctbal) AS richest,
+             list_sort(list(DISTINCT c_mktsegment)) AS segs,
+             round(quantile_cont(c_acctbal, 0.5), 4) AS med_bal
+      FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    // F6: array family — range/has/indexOf/arrayConcat/arrayUniq
+    // (index.html:729 uses range(number) AS arr)
+    Q("f6_ch_arrays", ch("""
+      SELECT number, range(number % 4 + 1) AS arr,
+             has(range(number % 4 + 1), 2) AS has2,
+             indexOf(range(number % 4 + 1), 0) AS idx0,
+             arrayUniq(arrayConcat(range(2), range(2))) AS u
+      FROM numbers(8) ORDER BY number"""),
+      Some("""
+      SELECT range AS number, range(0, range % 4 + 1) AS arr,
+             list_contains(range(0, range % 4 + 1), 2) AS has2,
+             CAST(list_position(range(0, range % 4 + 1), 0) AS BIGINT) AS idx0,
+             CAST(len(list_distinct(range(0,2) || range(0,2))) AS INT) AS u
+      FROM range(8) ORDER BY number""")),
+
+    // P5: CAST with ClickHouse type names
+    Q("f7_ch_cast", ch("""
+      SELECT number, CAST(number AS UInt8) AS u8,
+             CAST(number AS Int64) AS i64,
+             CAST(number AS Float64) AS f64,
+             CAST(number * 1000000000 AS UInt64) AS u64
+      FROM numbers(5) ORDER BY number"""),
+      Some("""
+      SELECT range AS number, CAST(range AS SMALLINT) AS u8,
+             CAST(range AS BIGINT) AS i64, CAST(range AS DOUBLE) AS f64,
+             CAST(range * 1000000000 AS DECIMAL(20,0)) AS u64
+      FROM range(5) ORDER BY number"""))
+  )
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dialect.Transpiler
+
+class TranspilerSpec extends AnyFunSuite {
+
+  test("FORMAT clause is stripped and captured") {
+    assert(Transpiler.extractFormat("SELECT 1 FORMAT JSONCompact") ===
+      ("SELECT 1", Some("JSONCompact")))
+    assert(Transpiler.extractFormat("SELECT 1 FORMAT TSV;") === ("SELECT 1", Some("TSV")))
+    assert(Transpiler.extractFormat("SELECT 1;") === ("SELECT 1", None))
+    // FORMAT inside a string literal is not a clause — only trailing
+    assert(Transpiler.extractFormat("SELECT 'FORMAT TSV' AS x") ===
+      ("SELECT 'FORMAT TSV' AS x", None))
+  }
+
+  test("numbers(N) becomes a range() subquery with a `number` column") {
+    val t = Transpiler.transpile("SELECT number FROM numbers(10)")
+    assert(t.contains("FROM range(10)") && t.contains("AS number"))
+  }
+
+  test("numeric ternary gets the truthiness wrap") {
+    val t = Transpiler.transpile("SELECT number % 2 ? number : NULL AS x FROM numbers(4)")
+    assert(t.contains("if((number % 2) <> 0, number, NULL) AS x"), t)
+  }
+
+  test("boolean ternary keeps its condition") {
+    val t = Transpiler.transpile("SELECT a > 1 ? 'y' : 'n' AS x FROM t")
+    assert(t.contains("if(a > 1, 'y', 'n') AS x"), t)
+  }
+
+  test("nested ternaries rewrite inside parens") {
+    val t = Transpiler.transpile("SELECT f(x % 3 ? 1 : 0) AS a, y ? 'u' : 'v' AS b FROM t")
+    assert(t.contains("if((x % 3) <> 0, 1, 0)"), t)
+    assert(t.contains("if((y) <> 0, 'u', 'v') AS b"), t)
+  }
+
+  test("quantile(p)(x) becomes percentile(x, p)") {
+    assert(Transpiler.transpile("SELECT quantile(0.5)(v) FROM t")
+      .contains("percentile(v, 0.5)"))
+  }
+
+  test("ClickHouse type names map in CAST") {
+    val t = Transpiler.transpile("SELECT CAST(x AS UInt64), CAST(y AS Float32) FROM t")
+    assert(t.contains("DECIMAL(20,0)") && t.contains("FLOAT"))
+  }
+
+  test("count() becomes count(*)") {
+    assert(Transpiler.transpile("SELECT count() FROM t").contains("count(*)"))
+  }
+}
