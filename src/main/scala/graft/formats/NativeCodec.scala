@@ -1,0 +1,185 @@
+package graft.formats
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import java.io.{ByteArrayOutputStream, ByteArrayInputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** ClickHouse Native-format columnar block codec.
+  *
+  * Wire layout matches what the reference parses/re-emits
+  * (/root/reference/main.py:95-138 block encode, :570-654 parse,
+  * :710-814 varint/string primitives): a block is
+  *
+  *   n_columns varint, n_rows varint, then per column:
+  *     name (varint-length string), type (varint-length string),
+  *     packed column vector — fixed-width little-endian numerics,
+  *     varint-length strings, Date = UInt16 days since epoch,
+  *     DateTime = UInt32 unix seconds; Nullable(T) = a null-mask byte
+  *     per row, then the values with defaults in null slots.
+  *
+  * (The reference's own re-parser takes single-byte-varint shortcuts,
+  * main.py:573-574; this codec encodes/decodes full varints, which is
+  * strictly more compatible.)
+  */
+object NativeCodec {
+
+  // ---- primitives ----
+
+  def writeVarint(out: ByteArrayOutputStream, value: Long): Unit = {
+    var v = value
+    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+  }
+
+  def readVarint(in: ByteArrayInputStream): Long = {
+    var shift = 0; var result = 0L; var b = 0
+    while ({ b = in.read(); b >= 0x80 }) {
+      result |= (b & 0x7fL) << shift; shift += 7
+    }
+    result | (b.toLong << shift)
+  }
+
+  private def writeStr(out: ByteArrayOutputStream, s: String): Unit = {
+    val bytes = s.getBytes("UTF-8")
+    writeVarint(out, bytes.length); out.write(bytes)
+  }
+
+  private def readStr(in: ByteArrayInputStream): String = {
+    val n = readVarint(in).toInt
+    val buf = new Array[Byte](n); in.read(buf)
+    new String(buf, "UTF-8")
+  }
+
+  private def fixed(out: ByteArrayOutputStream, width: Int)(fill: ByteBuffer => Unit): Unit = {
+    val bb = ByteBuffer.allocate(width).order(ByteOrder.LITTLE_ENDIAN)
+    fill(bb); out.write(bb.array())
+  }
+
+  // ---- encode ----
+
+  /** Encode collected rows as one Native block. */
+  def encode(df: DataFrame): Array[Byte] = encode(df.schema, df.collect())
+
+  def encode(schema: StructType, rows: Array[Row]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeVarint(out, schema.fields.length)
+    writeVarint(out, rows.length)
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      writeStr(out, f.name)
+      writeStr(out, ChTypeNames.fieldName(f))
+      if (f.nullable && !f.dataType.isInstanceOf[ArrayType])
+        rows.foreach(r => out.write(if (r.isNullAt(i)) 1 else 0))
+      rows.foreach(r => writeValue(out, f.dataType, if (r.isNullAt(i)) null else r.get(i)))
+    }
+    out.toByteArray
+  }
+
+  private def writeValue(out: ByteArrayOutputStream, dt: DataType, v: Any): Unit =
+    dt match {
+      case ByteType => out.write(if (v == null) 0 else v.asInstanceOf[Byte].toInt)
+      case ShortType => fixed(out, 2)(_.putShort(if (v == null) 0 else v.asInstanceOf[Short]))
+      case IntegerType => fixed(out, 4)(_.putInt(if (v == null) 0 else v.asInstanceOf[Int]))
+      case LongType => fixed(out, 8)(_.putLong(if (v == null) 0L else v.asInstanceOf[Long]))
+      case FloatType => fixed(out, 4)(_.putFloat(if (v == null) 0f else v.asInstanceOf[Float]))
+      case DoubleType => fixed(out, 8)(_.putDouble(if (v == null) 0d else v.asInstanceOf[Double]))
+      case BooleanType => out.write(if (v != null && v.asInstanceOf[Boolean]) 1 else 0)
+      case StringType => writeStr(out, if (v == null) "" else v.toString)
+      case DateType =>
+        val days = v match {
+          case null => 0L
+          case d: java.sql.Date => d.toLocalDate.toEpochDay
+          case d: java.time.LocalDate => d.toEpochDay
+        }
+        fixed(out, 2)(_.putShort(days.toShort))
+      case _: TimestampType =>
+        val secs = v match {
+          case null => 0L
+          case t: java.sql.Timestamp => t.getTime / 1000
+          case t: java.time.Instant => t.getEpochSecond
+        }
+        fixed(out, 4)(_.putInt(secs.toInt))
+      case d: DecimalType =>
+        val unscaled = if (v == null) BigInt(0)
+          else BigInt(v.asInstanceOf[java.math.BigDecimal]
+            .setScale(d.scale).unscaledValue())
+        // Decimal(20,0) is surfaced as UInt64 (8-byte two's complement
+        // round-trip; SURVEY §1.2 UInt64 caveat)
+        if (d.precision == 20 && d.scale == 0)
+          fixed(out, 8)(_.putLong(unscaled.toLong))
+        else if (d.precision <= 9) fixed(out, 4)(_.putInt(unscaled.toInt))
+        else if (d.precision <= 18) fixed(out, 8)(_.putLong(unscaled.toLong))
+        else fixed(out, 16) { bb =>
+          bb.putLong(unscaled.toLong)
+          bb.putLong((unscaled >> 64).toLong)
+        }
+      case ArrayType(et, _) =>
+        // ClickHouse array column: offsets then flattened values; for a
+        // single value inside a block row stream we emit size + values
+        val seq: scala.collection.Seq[Any] =
+          if (v == null) Seq.empty else v.asInstanceOf[scala.collection.Seq[Any]]
+        writeVarint(out, seq.length)
+        seq.foreach(e => writeValue(out, et, e))
+      case other =>
+        writeStr(out, if (v == null) "" else v.toString)
+    }
+
+  // ---- decode (round-trip testing + native-protocol relay) ----
+
+  /** Decode one block into (columnName, chTypeName, values). */
+  def decode(bytes: Array[Byte]): Seq[(String, String, Vector[Any])] = {
+    val in = new ByteArrayInputStream(bytes)
+    val nCols = readVarint(in).toInt
+    val nRows = readVarint(in).toInt
+    (0 until nCols).map { _ =>
+      val name = readStr(in)
+      val tpe = readStr(in)
+      val (baseType, nullable) =
+        if (tpe.startsWith("Nullable(")) (tpe.stripPrefix("Nullable(").stripSuffix(")"), true)
+        else (tpe, false)
+      val nulls: Array[Boolean] =
+        if (nullable) Array.fill(nRows)(in.read() == 1) else Array.fill(nRows)(false)
+      val vals = (0 until nRows).map { r =>
+        val v = readValue(in, baseType)
+        if (nulls(r)) null else v
+      }.toVector
+      (name, tpe, vals)
+    }
+  }
+
+  private def readValue(in: ByteArrayInputStream, chType: String): Any = {
+    def buf(n: Int) = {
+      val a = new Array[Byte](n); in.read(a)
+      ByteBuffer.wrap(a).order(ByteOrder.LITTLE_ENDIAN)
+    }
+    chType match {
+      case "Int8" => in.read().toByte
+      case "Int16" => buf(2).getShort
+      case "Int32" => buf(4).getInt
+      case "Int64" => buf(8).getLong
+      case "UInt8" => in.read()
+      case "UInt16" => buf(2).getShort & 0xffff
+      case "UInt32" => buf(4).getInt & 0xffffffffL
+      case "UInt64" => buf(8).getLong
+      case "Float32" => buf(4).getFloat
+      case "Float64" => buf(8).getDouble
+      case "String" => readStr(in)
+      case "Date" => java.time.LocalDate.ofEpochDay((buf(2).getShort & 0xffff).toLong)
+      case "DateTime" => java.time.Instant.ofEpochSecond(buf(4).getInt & 0xffffffffL)
+      case t if t.startsWith("Array(") =>
+        val et = t.stripPrefix("Array(").stripSuffix(")")
+        val n = readVarint(in).toInt
+        (0 until n).map(_ => readValue(in, et)).toVector
+      case t if t.startsWith("Decimal(") =>
+        val Array(p, s) = t.stripPrefix("Decimal(").stripSuffix(")")
+          .split(",").map(_.trim.toInt)
+        val unscaled: BigInt =
+          if (p <= 9) BigInt(buf(4).getInt)
+          else if (p <= 18) BigInt(buf(8).getLong)
+          else { val bb = buf(16); val lo = bb.getLong; val hi = bb.getLong
+            (BigInt(hi) << 64) | (BigInt(lo) & ((BigInt(1) << 64) - 1)) }
+        BigDecimal(unscaled, s)
+      case _ => readStr(in)
+    }
+  }
+}

@@ -1,0 +1,114 @@
+package graft.server
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer => JdkHttpServer}
+import org.apache.spark.sql.SparkSession
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import graft.dialect.{ChFunctions, Transpiler}
+import graft.formats.{ResultFormatter, NativeCodec}
+
+/** ClickHouse-compatible HTTP endpoint (reference behavior at
+  * /root/reference/main.py:849-917):
+  *
+  *   - GET `/?query=...` and POST body queries (body + `query` param
+  *     concatenated, param first — main.py:876-882)
+  *   - `default_format` param, default TSV (main.py:853); in-query
+  *     FORMAT clause wins (main.py:534-546 order)
+  *   - `database=...` -> `USE db` before execution (main.py:860-861)
+  *   - `/ping` -> `Ok\n` (main.py:911-913)
+  *   - basic auth accepted but not enforced (main.py:816-821 accepts
+  *     any credentials); per-user catalog isolation is a non-goal here
+  *   - errors -> HTTP 400 with the engine message (main.py:863-868)
+  *
+  * Query execution = dialect transpile -> spark.sql. The server is a
+  * thin protocol shim; all heavy lifting stays distributed in Spark.
+  */
+class HttpServer(spark: SparkSession, port: Int) {
+
+  ChFunctions.register(spark)
+  private val server = JdkHttpServer.create(new InetSocketAddress(port), 0)
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+
+  server.createContext("/", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit =
+      try route(ex)
+      catch { case t: Throwable => respond(ex, 500, t.getMessage + "\n") }
+  })
+
+  private def route(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath
+    if (path == "/ping") { respond(ex, 200, "Ok\n"); return }
+
+    val params = parseParams(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8).trim
+    // param query first, then body (main.py:876-882 concatenation order)
+    val query = (params.get("query").toSeq ++ (if (body.nonEmpty) Seq(body) else Nil))
+      .mkString(" ").trim
+    if (query.isEmpty) { respond(ex, 200, "graft. Send a ?query=\n"); return }
+
+    val defaultFormat = params.getOrElse("default_format", "TSV")
+    try {
+      params.get("database").foreach(db => spark.catalog.setCurrentDatabase(db))
+      val (bare, fmtClause) = Transpiler.extractFormat(query)
+      val fmt = fmtClause.getOrElse(defaultFormat)
+      val df = spark.sql(Transpiler.transpile(bare))
+      if (fmt.equalsIgnoreCase("Native"))
+        respondBytes(ex, 200, NativeCodec.encode(df), "application/octet-stream")
+      else {
+        val contentType =
+          if (fmt.toLowerCase.startsWith("json")) "application/json" else "text/plain"
+        respondBytes(ex, 200, ResultFormatter.render(df, fmt).getBytes(UTF_8), contentType)
+      }
+    } catch {
+      case t: Throwable =>
+        // error contract: non-empty message, status 400 (main.py:863-868)
+        val msg = Option(t.getMessage).getOrElse(t.getClass.getSimpleName)
+        respond(ex, 400, msg + "\n")
+    }
+  }
+
+  private def parseParams(raw: String): Map[String, String] =
+    raw.split("&").filter(_.contains("=")).map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      URLDecoder.decode(k, UTF_8) -> URLDecoder.decode(v, UTF_8)
+    }.toMap
+
+  private def respond(ex: HttpExchange, code: Int, text: String): Unit =
+    respondBytes(ex, code, text.getBytes(UTF_8), "text/plain")
+
+  private def respondBytes(ex: HttpExchange, code: Int, bytes: Array[Byte],
+                           contentType: String): Unit = {
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    os.write(bytes); os.close()
+  }
+
+  def start(): Unit = server.start()
+  def stop(): Unit = server.stop(0)
+  def boundPort: Int = server.getAddress.getPort
+}
+
+/** `runMain graft.server.ServeMain [port] [sfDir]` — boots the engine,
+  * registers the fixture tables as views, serves the ClickHouse HTTP
+  * API. */
+object ServeMain {
+  def main(args: Array[String]): Unit = {
+    val port = args.headOption.map(_.toInt).getOrElse(8123)
+    val dir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.dialect.ChContext.setup(spark, dir)
+    val srv = new HttpServer(spark, port)
+    srv.start()
+    println(s"[graft-http] listening on :$port over $dir")
+    Thread.currentThread().join()
+  }
+}

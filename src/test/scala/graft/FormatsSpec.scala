@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.formats.{ResultFormatter, NativeCodec, ChTypeNames}
+import graft.dialect.Transpiler
+
+/** Output-format shapes mirroring the reference's expectations
+  * (test_suite.py literal matrix, index.html JSON envelope). */
+class FormatsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def q(sql: String) = {
+    graft.dialect.ChFunctions.register(spark)
+    spark.sql(Transpiler.transpile(sql))
+  }
+
+  test("TSV: SELECT 1 renders as '1\\n' (test_suite.py:126 shape)") {
+    assert(ResultFormatter.render(q("SELECT 1"), "TSV") === "1\n")
+  }
+
+  test("TSV: multi-column row with tab separation and trailing newline") {
+    val out = ResultFormatter.render(
+      q("SELECT 1 AS num, 'test' AS str, 3.14 AS pi"), "TSV")
+    assert(out === "1\ttest\t3.14\n")
+  }
+
+  test("TSV: numbers(3) with toString (test_suite.py:334)") {
+    val out = ResultFormatter.render(
+      q("SELECT number, toString(number) AS s FROM numbers(3) ORDER BY number"), "TSV")
+    assert(out === "0\t0\n1\t1\n2\t2\n")
+  }
+
+  test("TSV escapes tabs/newlines; NULL renders as \\N") {
+    val out = ResultFormatter.render(
+      q("SELECT 'a\tb' AS x, CAST(NULL AS STRING) AS y"), "TSV")
+    assert(out === "a\\tb\t\\N\n")
+  }
+
+  test("TSVWithNames has a header row") {
+    val out = ResultFormatter.render(q("SELECT 1 AS one"), "TSVWithNames")
+    assert(out === "one\n1\n")
+  }
+
+  test("CSV quotes cells containing commas") {
+    val out = ResultFormatter.render(q("SELECT 'a,b' AS x, 2 AS y"), "CSV")
+    assert(out === "\"a,b\",2\n")
+  }
+
+  test("JSON envelope carries meta/data/rows/statistics (index.html:706-712)") {
+    val out = ResultFormatter.render(q("SELECT 1 AS num, 'hi' AS s"), "JSON")
+    assert(out.contains(""""meta":[{"name":"num","type":"Int32"}"""), out)
+    assert(out.contains(""""data":[{"num":1,"s":"hi"}]"""), out)
+    assert(out.contains(""""rows":1"""))
+    assert(out.contains(""""statistics":{"elapsed":"""))
+  }
+
+  test("JSONCompact data rows are arrays; Int64 is quoted") {
+    val out = ResultFormatter.render(
+      q("SELECT number FROM numbers(2) ORDER BY number"), "JSONCompact")
+    assert(out.contains(""""data":[["0"],["1"]]"""), out)
+    assert(out.contains(""""type":"Int64""""), out)
+  }
+
+  test("ClickHouse type names map from Spark types") {
+    val df = q("SELECT 1 AS i, CAST(1 AS BIGINT) AS l, 1.5 AS d, 'x' AS s, " +
+      "CAST('2024-01-01' AS DATE) AS dt, array(1, 2) AS arr")
+    val names = df.schema.fields.map(ChTypeNames.fieldName).toSeq
+    // the DATE cast of a literal is nullable in Spark -> Nullable wrap
+    assert(names === Seq("Int32", "Int64", "Decimal(2, 1)", "String",
+      "Nullable(Date)", "Array(Int32)"))
+  }
+
+  test("Native codec round-trips a mixed-type block") {
+    val df = q("""SELECT number AS n, toString(number) AS s,
+                  number * 1.5 AS f,
+                  number % 2 ? number : NULL AS maybe
+                  FROM numbers(5) ORDER BY n""")
+    val bytes = NativeCodec.encode(df)
+    val cols = NativeCodec.decode(bytes)
+    assert(cols.map(_._1) === Seq("n", "s", "f", "maybe"))
+    assert(cols(0)._3 === Vector(0L, 1L, 2L, 3L, 4L))
+    assert(cols(1)._3 === Vector("0", "1", "2", "3", "4"))
+    assert(cols(3)._2 === "Nullable(Int64)")
+    assert(cols(3)._3 === Vector(null, 1L, null, 3L, null))
+  }
+
+  test("Native codec round-trips dates, decimals and arrays") {
+    val df = q("""SELECT CAST('2024-03-05' AS DATE) AS d,
+                  CAST(12345.67 AS DECIMAL(10,2)) AS dec,
+                  array(1, 2, 3) AS arr""")
+    val cols = NativeCodec.decode(NativeCodec.encode(df))
+    assert(cols(0)._3.head === java.time.LocalDate.parse("2024-03-05"))
+    assert(cols(1)._3.head === BigDecimal("12345.67"))
+    assert(cols(2)._3.head === Vector(1, 2, 3))
+  }
+
+  test("varint round-trips across widths") {
+    val out = new java.io.ByteArrayOutputStream()
+    val vals = Seq(0L, 1L, 127L, 128L, 300L, 65536L, Int.MaxValue.toLong, 1L << 40)
+    vals.foreach(v => NativeCodec.writeVarint(out, v))
+    val in = new java.io.ByteArrayInputStream(out.toByteArray)
+    vals.foreach(v => assert(NativeCodec.readVarint(in) === v))
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import graft.server.HttpServer
+
+/** Protocol-shape tests mirroring the reference's HTTP matrix
+  * (/root/reference/test/test_suite.py:109-179). */
+class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark = SparkTestSession.spark
+  private var server: HttpServer = _
+  private var port: Int = _
+  private val client = HttpClient.newHttpClient()
+
+  override def beforeAll(): Unit = {
+    graft.dialect.ChContext.setup(spark, "/root/testdata/sf0.001")
+    server = new HttpServer(spark, 0) // ephemeral port
+    server.start()
+    port = server.boundPort
+  }
+
+  override def afterAll(): Unit = if (server != null) server.stop()
+
+  private def get(pathAndQuery: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(
+      URI.create(s"http://localhost:$port$pathAndQuery")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def post(body: String, params: String = ""): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port/$params"))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def enc(q: String) =
+    java.net.URLEncoder.encode(q, "UTF-8")
+
+  test("/ping answers Ok (test_suite.py:113-114)") {
+    val r = get("/ping")
+    assert(r.statusCode() === 200 && r.body() === "Ok\n")
+  }
+
+  test("GET ?query=SELECT 1 answers '1' (test_suite.py:124-126)") {
+    val r = get(s"/?query=${enc("SELECT 1")}")
+    assert(r.statusCode() === 200 && r.body() === "1\n")
+  }
+
+  test("POST body query works (test_suite.py:128-134)") {
+    val r = post("SELECT 1 as num, 'test' as str")
+    assert(r.statusCode() === 200 && r.body() === "1\ttest\n")
+  }
+
+  test("version()/now() answer (test_suite.py:141-145)") {
+    assert(post("SELECT version()").body() === "25.5.2\n")
+    assert(post("SELECT now()").statusCode() === 200)
+  }
+
+  test("numbers() matrix with mixed types (test_suite.py:320-365)") {
+    val r = post("SELECT number, toString(number) AS s, number * 1.5 AS f " +
+      "FROM numbers(3) ORDER BY number")
+    assert(r.body() === "0\t0\t0.0\n1\t1\t1.5\n2\t2\t3.0\n")
+  }
+
+  test("default_format=JSONCompact returns the envelope (test_suite.py:165)") {
+    val r = post("SELECT 1 AS x", s"?default_format=JSONCompact")
+    assert(r.body().startsWith("""{"meta":[{"name":"x","type":"Int32"}],"data":[[1]]"""))
+  }
+
+  test("in-query FORMAT clause overrides default_format (main.py:534-546)") {
+    val r = post("SELECT 1 AS x FORMAT JSON", s"?default_format=CSV")
+    assert(r.body().contains(""""data":[{"x":1}]"""))
+  }
+
+  test("errors return 400 with a message (main.py:863-868)") {
+    val r = post("SELECT definitely_not_a_column FROM lineitem")
+    assert(r.statusCode() === 400 && r.body().nonEmpty)
+  }
+
+  test("queries run against registered fixture tables") {
+    val r = post("SELECT count() FROM lineitem")
+    assert(r.body().trim.toLong > 0)
+  }
+}
