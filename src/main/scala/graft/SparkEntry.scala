@@ -9,7 +9,8 @@ object SparkEntry {
     * operator it evidences. */
   def all: Seq[Q] =
     graft.queries.Relational.qs ++ graft.queries.Joins.qs ++
-      graft.queries.LlmPipeline.qs ++ graft.queries.Dialect.qs
+      graft.queries.LlmPipeline.qs ++ graft.queries.Dialect.qs ++
+      graft.queries.DdlQueries.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-shaped scan+filter+groupBy+agg+sort. */

@@ -1,0 +1,179 @@
+package graft.dialect
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.concurrent.TrieMap
+
+/** ClickHouse DDL → Spark catalog (SURVEY.md §2.1 S3-S5).
+  *
+  * Evidence shapes:
+  *   - `CREATE DATABASE IF NOT EXISTS db`
+  *     (/root/reference/test/test_suite.py:311)
+  *   - `CREATE TABLE t (id UInt32, name String) ENGINE=Memory`
+  *     (test_suite.py:312)
+  *   - `CREATE TABLE hits (...) ENGINE=MergeTree() PARTITION BY
+  *     toYYYYMM(EventDate) ORDER BY (...) SAMPLE BY ... SETTINGS ...`
+  *     (.github/workflows/test.yml:49)
+  *   - `INSERT INTO ... SELECT` (test.yml:50)
+  *
+  * Mapping: both engines become managed parquet tables (Memory's
+  * in-memory-ness is an implementation detail the reference's clients
+  * can't observe). `PARTITION BY expr` is materialized as a generated
+  * partition column `_part` appended on every INSERT...SELECT, so
+  * Spark's partition pruning fires on it (SURVEY §4); `ORDER BY` keys
+  * become sortWithinPartitions on insert (parquet min/max stats
+  * pruning); `SAMPLE BY` / `SETTINGS` are accepted and dropped.
+  */
+object Ddl {
+
+  /** partition expr + order keys per created table (lowercased name). */
+  private case class TableMeta(partitionExpr: Option[String], orderBy: Seq[String])
+  private val tables = TrieMap.empty[String, TableMeta]
+
+  private val createDbRe =
+    "(?is)^\\s*CREATE\\s+DATABASE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?(.+?)\\s*$".r
+  private val createTableRe =
+    ("(?is)^\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w`.]+)\\s*" +
+      "\\((.*)\\)\\s*ENGINE\\s*=\\s*(\\w+)\\s*(?:\\(\\s*\\))?(.*)$").r
+  private val partitionByRe =
+    "(?is)PARTITION\\s+BY\\s+(.+?)(?=(ORDER\\s+BY|SAMPLE\\s+BY|PRIMARY\\s+KEY|SETTINGS|$))".r
+  private val orderByRe =
+    "(?is)ORDER\\s+BY\\s+(\\(?[^()]*\\)?)(?=(SAMPLE\\s+BY|PRIMARY\\s+KEY|SETTINGS|PARTITION\\s+BY|$))".r
+
+  def isDdl(sql: String): Boolean =
+    "(?is)^\\s*(CREATE|DROP|USE|INSERT|TRUNCATE)\\b".r.findFirstIn(sql).isDefined
+
+  /** Execute one ClickHouse DDL/DML statement. */
+  def execute(spark: SparkSession, sql: String): DataFrame = {
+    val s = sql.trim.stripSuffix(";")
+    s match {
+      case createDbRe(ifNot, name) =>
+        spark.sql(s"CREATE DATABASE ${Option(ifNot).getOrElse("")} $name")
+      case createTableRe(ifNot, name, cols, engine, rest) =>
+        createTable(spark, Option(ifNot).isDefined, name, cols, engine, rest)
+      case _ if "(?is)^\\s*INSERT\\b".r.findFirstIn(s).isDefined =>
+        insert(spark, s)
+      case _ if "(?is)^\\s*(DROP|USE|TRUNCATE)\\b".r.findFirstIn(s).isDefined =>
+        spark.sql(s)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported DDL: $other")
+    }
+  }
+
+  private def createTable(spark: SparkSession, ifNotExists: Boolean,
+                          name: String, colDefs: String, engine: String,
+                          rest: String): DataFrame = {
+    engine.toLowerCase match {
+      case "memory" | "mergetree" | "replacingmergetree" | "summingmergetree" => ()
+      case other => throw new IllegalArgumentException(s"unsupported engine: $other")
+    }
+    val partExpr = partitionByRe.findFirstMatchIn(rest).map(_.group(1).trim)
+    val orderCols = orderByRe.findFirstMatchIn(rest)
+      .map(_.group(1).replaceAll("[()]", "").split(",").map(_.trim).toSeq)
+      .getOrElse(Nil)
+    val sparkCols = splitTopLevel(colDefs).map { d =>
+      val t = d.trim
+      val sp = t.indexOf(' ') // name, then type (type may contain spaces)
+      val (cn, ct) = (t.substring(0, sp).trim, t.substring(sp + 1).trim)
+      s"$cn ${Transpiler.mapTypeNames(ct)}"
+    }
+    val ine = if (ifNotExists) "IF NOT EXISTS " else ""
+    val ddl = partExpr match {
+      case Some(_) =>
+        s"CREATE TABLE $ine$name (${sparkCols.mkString(", ")}, `_part` INT) " +
+          "USING PARQUET PARTITIONED BY (`_part`)"
+      case None =>
+        s"CREATE TABLE $ine$name (${sparkCols.mkString(", ")}) USING PARQUET"
+    }
+    tables.put(normalize(spark, name), TableMeta(partExpr, orderCols))
+    spark.sql(ddl)
+  }
+
+  /** INSERT INTO t SELECT/VALUES — appends the materialized partition
+    * column for partitioned tables (INSERT...SELECT only). */
+  def insert(spark: SparkSession, sql: String): DataFrame = {
+    val m = "(?is)^\\s*INSERT\\s+INTO\\s+([\\w`.]+)\\s+(.*)$".r
+      .findFirstMatchIn(sql.trim.stripSuffix(";"))
+      .getOrElse(throw new IllegalArgumentException(s"bad INSERT: $sql"))
+    val (name, body) = (m.group(1), m.group(2).trim)
+    val meta = tables.get(normalize(spark, name))
+    meta.flatMap(_.partitionExpr) match {
+      case Some(pe) if body.toUpperCase.startsWith("SELECT") =>
+        // the partition expr is written against the TARGET column
+        // names; rename the source positionally first, then sort
+        // within partitions by the ORDER BY key (parquet min/max
+        // stats pruning on the sort key, SURVEY §4)
+        val src = spark.sql(Transpiler.transpile(body))
+        val targetCols = spark.table(name).columns.filterNot(_ == "_part")
+        val orderCols = meta.map(_.orderBy).getOrElse(Nil).filter(targetCols.contains)
+        var df = src.toDF(targetCols.toIndexedSeq: _*)
+          .withColumn("_part",
+            org.apache.spark.sql.functions.expr(Transpiler.transpile(pe)).cast("int"))
+        if (orderCols.nonEmpty)
+          df = df.repartition(org.apache.spark.sql.functions.col("_part"))
+            .sortWithinPartitions(orderCols.head, orderCols.tail: _*)
+        df.write.mode("append").insertInto(name.replace("`", ""))
+        spark.emptyDataFrame
+      case Some(_) =>
+        throw new IllegalArgumentException(
+          "partitioned tables support INSERT ... SELECT only")
+      case None => spark.sql(Transpiler.transpile(s"INSERT INTO $name $body"))
+    }
+  }
+
+  private def normalize(spark: SparkSession, name: String): String = {
+    val bare = name.replace("`", "").toLowerCase
+    if (bare.contains(".")) bare
+    else s"${spark.catalog.currentDatabase}.$bare"
+  }
+
+  /** Split column definitions on commas outside parens (Decimal(10,2),
+    * Nested(...)). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var start = 0
+    s.zipWithIndex.foreach { case (c, i) =>
+      c match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+    }
+    out += s.substring(start)
+    out.toSeq
+  }
+}
+
+/** Statement router: the single entry point servers/clients call with
+  * raw ClickHouse SQL (possibly `USE db; query` — the reference
+  * prefixes the database selection the same way, main.py:860-861). */
+object Engine {
+  def execute(spark: SparkSession, rawSql: String): DataFrame = {
+    ChFunctions.register(spark)
+    val statements = splitStatements(rawSql)
+    statements.map { st =>
+      if (Ddl.isDdl(st)) Ddl.execute(spark, st)
+      else {
+        val (bare, _) = Transpiler.extractFormat(st)
+        spark.sql(Transpiler.transpile(bare))
+      }
+    }.last
+  }
+
+  private def splitStatements(sql: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var inStr = false; var start = 0
+    sql.zipWithIndex.foreach { case (c, i) =>
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ';' if depth == 0 => out += sql.substring(start, i); start = i + 1
+        case _ =>
+      }
+    }
+    out += sql.substring(start)
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+}

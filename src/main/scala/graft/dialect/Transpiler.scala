@@ -36,6 +36,15 @@ object Transpiler {
     "Int32" -> "INT", "Int64" -> "BIGINT", "Float32" -> "FLOAT",
     "Float64" -> "DOUBLE", "DateTime" -> "TIMESTAMP")
 
+  /** ClickHouse type names → Spark DDL type names (word-bounded). */
+  def mapTypeNames(s: String): String = {
+    var r = s
+    "(?i)FixedString\\s*\\(\\s*\\d+\\s*\\)".r.findFirstIn(r)
+      .foreach(fs => r = r.replace(fs, "STRING"))
+    typeNames.foreach { case (ch, sp) => r = r.replaceAll(s"\\b$ch\\b", sp) }
+    r.replaceAll("\\bString\\b", "STRING")
+  }
+
   /** ClickHouse SQL text → Spark SQL text (FORMAT clause must already
     * be stripped). */
   def transpile(chSql: String): String = {

@@ -51,7 +51,7 @@ class HttpServer(spark: SparkSession, port: Int) {
       params.get("database").foreach(db => spark.catalog.setCurrentDatabase(db))
       val (bare, fmtClause) = Transpiler.extractFormat(query)
       val fmt = fmtClause.getOrElse(defaultFormat)
-      val df = spark.sql(Transpiler.transpile(bare))
+      val df = graft.dialect.Engine.execute(spark, bare)
       if (fmt.equalsIgnoreCase("Native"))
         respondBytes(ex, 200, NativeCodec.encode(df), "application/octet-stream")
       else {
@@ -102,6 +102,7 @@ object ServeMain {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

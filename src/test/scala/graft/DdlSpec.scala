@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dialect.Engine
+
+/** ClickHouse DDL lifecycle semantics + the partition-pruning plan
+  * guarantee for materialized PARTITION BY. */
+class DdlSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("Memory-engine lifecycle: create, insert values, insert select, select") {
+    graft.dialect.ChContext.setup(spark, "/root/testdata/sf0.001")
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.m")
+    Engine.execute(spark,
+      "CREATE TABLE graft_spec.m (id UInt32, name String) ENGINE=Memory")
+    Engine.execute(spark, "INSERT INTO graft_spec.m VALUES (1, 'a'), (2, 'b')")
+    Engine.execute(spark,
+      "INSERT INTO graft_spec.m SELECT number + 5, 'n' FROM numbers(2)")
+    val rows = Engine.execute(spark, "SELECT id FROM graft_spec.m ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows === Seq(1L, 2L, 5L, 6L))
+  }
+
+  test("USE db; query multi-statement prefix works (main.py:860-861)") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.u")
+    Engine.execute(spark,
+      "CREATE TABLE graft_spec.u (x Int32) ENGINE=Memory")
+    Engine.execute(spark, "INSERT INTO graft_spec.u VALUES (42)")
+    val df = Engine.execute(spark, "USE graft_spec; SELECT x FROM u")
+    assert(df.collect().head.getInt(0) === 42)
+    Engine.execute(spark, "USE default")
+  }
+
+  test("MergeTree PARTITION BY prunes partitions in the scan plan") {
+    graft.dialect.ChContext.setup(spark, "/root/testdata/sf0.001")
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.pt")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.pt (k Int64, d DateTime)
+      ENGINE=MergeTree() PARTITION BY toYYYYMM(d) ORDER BY (k)""")
+    Engine.execute(spark,
+      "INSERT INTO graft_spec.pt SELECT o_orderkey, o_orderdate FROM orders")
+    val pruned = Engine.execute(spark,
+      "SELECT count() AS n FROM graft_spec.pt WHERE _part = 199601")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("_part"), plan)
+    assert(pruned.collect().head.getLong(0) > 0)
+  }
+
+  test("FixedString and Decimal column types map in DDL") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.ty")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.ty (
+        a FixedString(3), b Decimal(10, 2), c UInt64) ENGINE=Memory""")
+    val schema = spark.table("graft_spec.ty").schema
+    assert(schema.map(_.dataType.simpleString).toSeq ===
+      Seq("string", "decimal(10,2)", "decimal(20,0)"))
+  }
+}
