@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.TextFns
-import graft.operators.{MinHashLsh, SimHash, SimilarityJoin, CosineKnn}
+import graft.operators.{MinHashLsh, SimHash, SimilarityJoin, CosineKnn, Multimodal}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -260,6 +260,23 @@ object LlmPipeline {
       sk AS (SELECT doc_id, list_sort(list(DISTINCT wmin)) sketch FROM w GROUP BY doc_id)
       SELECT doc_id, CAST(len(sketch) AS INT) n_fp,
              md5(array_to_string(sketch, ',')) fp
-      FROM sk ORDER BY doc_id"""))
+      FROM sk ORDER BY doc_id""")),
+
+    // M1: multimodal columns — binary payload + typed metadata, decode
+    // stub over mapPartitions (real batch plumbing, fake codec)
+    Q("m1_multimodal", (s, dir) => {
+      Multimodal.decodeFeatures(
+          Multimodal.attachPayload(Tables.load(s, dir, "documents")))
+        .toDF().orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id, 'image/png' AS media_type,
+             CAST(n_chars % 640 + 16 AS INT) AS width,
+             CAST(n_chars * 7 % 480 + 16 AS INT) AS height,
+             CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+             round(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) / 4294967296.0, 6) AS f0,
+             round(CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) / 4294967296.0, 6) AS f1,
+             round(CAST(('0x' || substr(md5(text), 17, 8)) AS BIGINT) / 4294967296.0, 6) AS f2,
+             round(CAST(('0x' || substr(md5(text), 25, 8)) AS BIGINT) / 4294967296.0, 6) AS f3
+      FROM documents ORDER BY doc_id"""))
   )
 }

@@ -84,6 +84,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(2L) === 1 && out(3L) === 2 && out(4L) === 3)
   }
 
+  test("Multimodal: payload/meta schema, deterministic stub features, frame sampling") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val wp = graft.operators.Multimodal.attachPayload(docs)
+    assert(wp.schema("payload").dataType.typeName === "binary")
+    assert(wp.schema("meta").dataType.typeName === "struct")
+    val feats = graft.operators.Multimodal.decodeFeatures(wp)
+    val row = feats.filter(col("doc_id") === 0).collect().head
+    val again = graft.operators.Multimodal.decodeFeatures(wp)
+      .filter(col("doc_id") === 0).collect().head
+    assert(row === again) // deterministic stub
+    assert(row.f0 >= 0.0 && row.f0 < 1.0)
+    val frames = graft.operators.Multimodal.frameSample(wp, stride = 8)
+      .filter(col("doc_id") === 0).select("n_frames", "payload").collect().head
+    assert(frames.getInt(0) === (frames.getAs[Array[Byte]](1).length + 7) / 8)
+  }
+
   test("CosineKnn LSH recall@5 >= 0.6 vs brute force on fixture embeddings") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.filter(col("vec_id") < 10)
