@@ -61,13 +61,20 @@ object NativeCodec {
   /** Encode collected rows as one Native block. */
   def encode(df: DataFrame): Array[Byte] = encode(df.schema, df.collect())
 
-  def encode(schema: StructType, rows: Array[Row]): Array[Byte] = {
+  def encode(schema: StructType, rows: Array[Row]): Array[Byte] =
+    encode(schema, rows, customSerFlag = false)
+
+  /** `customSerFlag`: the native TCP protocol inserts a
+    * custom-serialization byte (0) after each column type for client
+    * revisions >= 54454 (reference emits it at main.py:633-634). */
+  def encode(schema: StructType, rows: Array[Row], customSerFlag: Boolean): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     writeVarint(out, schema.fields.length)
     writeVarint(out, rows.length)
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       writeStr(out, f.name)
       writeStr(out, ChTypeNames.fieldName(f))
+      if (customSerFlag) out.write(0)
       if (f.nullable && !f.dataType.isInstanceOf[ArrayType])
         rows.foreach(r => out.write(if (r.isNullAt(i)) 1 else 0))
       rows.foreach(r => writeValue(out, f.dataType, if (r.isNullAt(i)) null else r.get(i)))

@@ -1,0 +1,256 @@
+package graft.server
+
+import org.apache.spark.sql.SparkSession
+import java.io.{BufferedInputStream, BufferedOutputStream, InputStream, OutputStream}
+import java.net.{ServerSocket, Socket}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.concurrent.Executors
+import graft.dialect.{ChFunctions, Engine, Transpiler}
+import graft.formats.NativeCodec
+
+/** ClickHouse native TCP protocol server (SURVEY.md §2.10 A7-A10;
+  * reference behavior at /root/reference/main.py:219-814).
+  *
+  * Packet flow per connection:
+  *   client HELLO -> server HELLO with revision-gated fields (TZ,
+  *   display name, version patch, password rules, nonce —
+  *   main.py:341-402); then a loop of QUERY (client info, settings,
+  *   stage, compression, text, parameters — main.py:437-525) answered
+  *   with DATA(BlockInfo + columnar block) + END_OF_STREAM for SELECTs,
+  *   bare END_OF_STREAM for DDL/DML (main.py:656-662), EXCEPTION with
+  *   the message on error (main.py:664-667); PING -> PONG; client DATA
+  *   blocks (external tables terminator) are read and discarded.
+  *
+  * Query execution routes through the same dialect Engine as HTTP.
+  * Compression modes beyond 0 are not accepted (SURVEY §7 non-goal).
+  */
+class NativeServer(spark: SparkSession, port: Int) {
+
+  import NativeServer._
+
+  ChFunctions.register(spark)
+  private val server = new ServerSocket(port)
+  private val pool = Executors.newCachedThreadPool()
+  @volatile private var running = false
+
+  def start(): Unit = {
+    running = true
+    pool.submit(new Runnable {
+      override def run(): Unit =
+        while (running)
+          try {
+            val sock = server.accept()
+            pool.submit(new Runnable { override def run(): Unit = serve(sock) })
+          } catch { case _: Throwable if !running => () }
+    })
+  }
+
+  def stop(): Unit = { running = false; server.close(); pool.shutdownNow() }
+  def boundPort: Int = server.getLocalPort
+
+  private def serve(sock: Socket): Unit = {
+    val in = new BufferedInputStream(sock.getInputStream)
+    val out = new BufferedOutputStream(sock.getOutputStream)
+    var clientRevision = 0L
+    try {
+      while (true) {
+        readVarint(in) match {
+          case ClientHello =>
+            readStr(in) // client name
+            readVarint(in); readVarint(in) // version major/minor
+            clientRevision = readVarint(in)
+            readStr(in); readStr(in); readStr(in) // database, user, password
+            val used = math.min(clientRevision, Revision)
+            writeVarint(out, ServerHello)
+            writeStr(out, ServerName)
+            writeVarint(out, VersionMajor); writeVarint(out, VersionMinor)
+            writeVarint(out, Revision)
+            if (used >= 54058) writeStr(out, "UTC")
+            if (used >= 54372) writeStr(out, ServerName)
+            if (used >= 54401) writeVarint(out, VersionPatch)
+            if (used >= 54461) writeVarint(out, 0) // no password rules
+            if (used >= 54462) writeFixed(out, 8)(_.putLong(0L)) // nonce
+            out.flush()
+
+          case ClientQuery =>
+            handleQuery(in, out, clientRevision)
+
+          case ClientData =>
+            // external-tables terminator: table name + (BlockInfo +
+            // empty block) — read and discard
+            readStr(in)
+            skipBlockInfo(in)
+            readVarint(in); readVarint(in) // n_cols=0, n_rows=0
+            out.flush()
+
+          case ClientPing =>
+            writeVarint(out, ServerPong); out.flush()
+
+          case ClientCancel => ()
+
+          case -1L => return
+          case _ => return // unknown packet: drop connection
+        }
+      }
+    } catch {
+      case _: java.io.EOFException => ()
+      case _: java.net.SocketException => ()
+    } finally sock.close()
+  }
+
+  private def handleQuery(in: InputStream, out: OutputStream,
+                          clientRevision: Long): Unit = {
+    readStr(in) // query id
+    if (clientRevision >= 54032) {
+      val kind = in.read()
+      if (kind != 0) {
+        readStr(in); readStr(in); readStr(in) // initial user/query_id/address
+        if (clientRevision >= 54449) readFixed(in, 8) // initial start time
+        in.read() // interface
+        readStr(in); readStr(in); readStr(in) // os_user, hostname, client name
+        readVarint(in); readVarint(in) // version major/minor
+        val infoRevision = readVarint(in)
+        if (infoRevision >= 54060) readStr(in) // quota key
+        if (infoRevision >= 54448) readVarint(in) // distributed depth
+      }
+    }
+    // settings: (name, flags, value) until empty name
+    while ({ val name = readStr(in); name.nonEmpty && { in.read(); readStr(in); true } }) ()
+    if (clientRevision >= 54441) readStr(in) // inter-server secret
+    readVarint(in) // query stage
+    val compression = readVarint(in)
+    if (compression != 0)
+      throw new UnsupportedOperationException("compressed queries not supported")
+    val query = readStr(in)
+    if (clientRevision >= 54459)
+      while ({ val name = readStr(in); name.nonEmpty && { in.read(); readStr(in); true } }) ()
+
+    try {
+      val (bare, _) = Transpiler.extractFormat(query) // native ignores FORMAT
+      val df = Engine.execute(spark, bare)
+      val isSelect = bare.trim.toUpperCase.startsWith("SELECT") ||
+        bare.trim.toUpperCase.startsWith("WITH")
+      if (isSelect) {
+        writeVarint(out, ServerData)
+        writeStr(out, "") // table name
+        writeBlockInfo(out)
+        out.write(NativeCodec.encode(df.schema, df.collect(),
+          customSerFlag = clientRevision >= 54454))
+      }
+      writeVarint(out, ServerEndOfStream)
+      out.flush()
+    } catch {
+      case t: Throwable =>
+        writeVarint(out, ServerException)
+        writeStr(out, Option(t.getMessage).getOrElse(t.getClass.getName))
+        writeVarint(out, ServerEndOfStream)
+        out.flush()
+    }
+  }
+
+  /** BlockInfo: field 1 = is_overflows(0), field 2 = bucket_num(-1),
+    * field 0 = end (main.py:562-568). */
+  private def writeBlockInfo(out: OutputStream): Unit = {
+    writeVarint(out, 1); out.write(0)
+    writeVarint(out, 2); writeFixed(out, 4)(_.putInt(-1))
+    writeVarint(out, 0)
+  }
+
+  private def skipBlockInfo(in: InputStream): Unit = {
+    var field = readVarint(in)
+    while (field != 0) {
+      field match {
+        case 1 => in.read()
+        case 2 => readFixed(in, 4)
+        case _ => return
+      }
+      field = readVarint(in)
+    }
+  }
+}
+
+object NativeServer {
+  // client packet types (main.py:40-50 enum order)
+  val ClientHello = 0L; val ClientQuery = 1L; val ClientData = 2L
+  val ClientCancel = 3L; val ClientPing = 4L
+  // server packet types (main.py:53-61)
+  val ServerHello = 0L; val ServerData = 1L; val ServerException = 2L
+  val ServerProgress = 3L; val ServerPong = 4L; val ServerEndOfStream = 5L
+
+  val ServerName = "graft"
+  val VersionMajor = 25L; val VersionMinor = 5L; val VersionPatch = 2L
+  val Revision = 54468L // protocol revision the reference reports (main.py:75-78)
+
+  def readVarint(in: InputStream): Long = {
+    var shift = 0; var result = 0L; var b = in.read()
+    if (b < 0) return -1L
+    while ((b & 0x80) != 0) {
+      result |= (b & 0x7fL) << shift; shift += 7; b = in.read()
+      if (b < 0) return -1L
+    }
+    result | (b.toLong << shift)
+  }
+
+  def writeVarint(out: OutputStream, value: Long): Unit = {
+    var v = value
+    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+  }
+
+  def readStr(in: InputStream): String = {
+    val n = readVarint(in)
+    if (n <= 0) return ""
+    val buf = new Array[Byte](n.toInt)
+    var off = 0
+    while (off < n) {
+      val k = in.read(buf, off, n.toInt - off)
+      if (k < 0) throw new java.io.EOFException()
+      off += k
+    }
+    new String(buf, "UTF-8")
+  }
+
+  def writeStr(out: OutputStream, s: String): Unit = {
+    val bytes = s.getBytes("UTF-8")
+    writeVarint(out, bytes.length); out.write(bytes)
+  }
+
+  def readFixed(in: InputStream, n: Int): ByteBuffer = {
+    val buf = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val k = in.read(buf, off, n - off)
+      if (k < 0) throw new java.io.EOFException()
+      off += k
+    }
+    ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+  }
+
+  def writeFixed(out: OutputStream, n: Int)(fill: ByteBuffer => Unit): Unit = {
+    val bb = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    fill(bb); out.write(bb.array())
+  }
+}
+
+/** `runMain graft.server.NativeServeMain [port] [sfDir]` */
+object NativeServeMain {
+  def main(args: Array[String]): Unit = {
+    val port = args.headOption.map(_.toInt).getOrElse(9000)
+    val dir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.dialect.ChContext.setup(spark, dir)
+    val srv = new NativeServer(spark, port)
+    srv.start()
+    println(s"[graft-native] listening on :$port over $dir")
+    Thread.currentThread().join()
+  }
+}

@@ -1,0 +1,181 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.io.{BufferedInputStream, BufferedOutputStream}
+import java.net.Socket
+import graft.server.{NativeServer, NativeServer => P}
+
+/** Raw-socket protocol tests mirroring the reference's hand-rolled
+  * native client (/root/reference/test/test_suite.py:181-292). */
+class NativeServerSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark = SparkTestSession.spark
+  private var server: NativeServer = _
+
+  override def beforeAll(): Unit = {
+    graft.dialect.ChContext.setup(spark, "/root/testdata/sf0.001")
+    server = new NativeServer(spark, 0)
+    server.start()
+  }
+
+  override def afterAll(): Unit = if (server != null) server.stop()
+
+  private val ClientRevision = 54468L
+
+  private def connect(): (Socket, BufferedInputStream, BufferedOutputStream) = {
+    val sock = new Socket("localhost", server.boundPort)
+    (sock, new BufferedInputStream(sock.getInputStream),
+      new BufferedOutputStream(sock.getOutputStream))
+  }
+
+  private def hello(out: BufferedOutputStream): Unit = {
+    P.writeVarint(out, P.ClientHello)
+    P.writeStr(out, "test-client")
+    P.writeVarint(out, 25); P.writeVarint(out, 5)
+    P.writeVarint(out, ClientRevision)
+    P.writeStr(out, "default"); P.writeStr(out, "default"); P.writeStr(out, "")
+    out.flush()
+  }
+
+  private def readServerHello(in: BufferedInputStream): (String, Long, Long, Long) = {
+    assert(P.readVarint(in) === P.ServerHello)
+    val name = P.readStr(in)
+    val major = P.readVarint(in); val minor = P.readVarint(in)
+    val revision = P.readVarint(in)
+    if (revision >= 54058) P.readStr(in) // timezone
+    if (revision >= 54372) P.readStr(in) // display name
+    if (revision >= 54401) P.readVarint(in) // patch
+    if (revision >= 54461) P.readVarint(in) // password rules
+    if (revision >= 54462) P.readFixed(in, 8) // nonce
+    (name, major, minor, revision)
+  }
+
+  private def sendQuery(out: BufferedOutputStream, sql: String): Unit = {
+    P.writeVarint(out, P.ClientQuery)
+    P.writeStr(out, "test-query-id")
+    // client info (kind != 0 path)
+    out.write(1)
+    P.writeStr(out, "default"); P.writeStr(out, ""); P.writeStr(out, "0.0.0.0:0")
+    P.writeFixed(out, 8)(_.putLong(0L)) // initial query start time
+    out.write(1) // interface TCP
+    P.writeStr(out, "test"); P.writeStr(out, "test-host"); P.writeStr(out, "test-client")
+    P.writeVarint(out, 25); P.writeVarint(out, 5); P.writeVarint(out, ClientRevision)
+    P.writeStr(out, "") // quota key
+    P.writeVarint(out, 0) // distributed depth
+    P.writeStr(out, "") // end of settings
+    P.writeStr(out, "") // inter-server secret
+    P.writeVarint(out, 2) // stage: complete
+    P.writeVarint(out, 0) // no compression
+    P.writeStr(out, sql)
+    P.writeStr(out, "") // end of parameters
+    out.flush()
+  }
+
+  /** Read server packets until END_OF_STREAM; returns (dataBlocks, exception). */
+  private def readResponse(in: BufferedInputStream):
+      (Seq[Seq[(String, String, Vector[Any])]], Option[String]) = {
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, String, Vector[Any])]]
+    var err: Option[String] = None
+    var done = false
+    while (!done) {
+      P.readVarint(in) match {
+        case P.ServerData =>
+          P.readStr(in) // table name
+          // BlockInfo
+          var f = P.readVarint(in)
+          while (f != 0) { if (f == 1) in.read() else if (f == 2) P.readFixed(in, 4); f = P.readVarint(in) }
+          blocks += readBlock(in)
+        case P.ServerException => err = Some(P.readStr(in))
+        case P.ServerEndOfStream => done = true
+        case other => fail(s"unexpected server packet $other")
+      }
+    }
+    (blocks.toSeq, err)
+  }
+
+  private def readBlock(in: BufferedInputStream): Seq[(String, String, Vector[Any])] = {
+    val nCols = P.readVarint(in).toInt
+    val nRows = P.readVarint(in).toInt
+    (0 until nCols).map { _ =>
+      val name = P.readStr(in)
+      val tpe = P.readStr(in)
+      in.read() // custom serialization flag (revision >= 54454)
+      val (base, nullable) =
+        if (tpe.startsWith("Nullable(")) (tpe.stripPrefix("Nullable(").stripSuffix(")"), true)
+        else (tpe, false)
+      val nulls = if (nullable) Array.fill(nRows)(in.read() == 1) else Array.fill(nRows)(false)
+      val vals = (0 until nRows).map { r =>
+        val v = base match {
+          case "Int32" => P.readFixed(in, 4).getInt
+          case "Int64" | "UInt64" => P.readFixed(in, 8).getLong
+          case "Float64" => P.readFixed(in, 8).getDouble
+          case "String" => P.readStr(in)
+          case t if t.startsWith("Decimal") =>
+            val Array(p, s) = t.stripPrefix("Decimal(").stripSuffix(")")
+              .split(",").map(_.trim.toInt)
+            val w = if (p == 20 && s == 0) 8 else if (p <= 9) 4 else if (p <= 18) 8 else 16
+            val bb = P.readFixed(in, w)
+            BigDecimal(BigInt(if (w == 4) bb.getInt.toLong else bb.getLong), s)
+          case t => fail(s"test client can't read type $t")
+        }
+        if (nulls(r)) null else v
+      }.toVector
+      (name, tpe, vals)
+    }
+  }
+
+  test("handshake: server HELLO with version and revision (test_suite.py:181-220)") {
+    val (sock, in, out) = connect()
+    try {
+      hello(out)
+      val (name, major, minor, revision) = readServerHello(in)
+      assert(name === "graft" && major === 25 && minor === 5 && revision === 54468)
+    } finally sock.close()
+  }
+
+  test("SELECT over native: DATA block then END_OF_STREAM (test_suite.py:241-292)") {
+    val (sock, in, out) = connect()
+    try {
+      hello(out); readServerHello(in)
+      sendQuery(out, "SELECT number, toString(number) AS s FROM numbers(3) ORDER BY number")
+      val (blocks, err) = readResponse(in)
+      assert(err.isEmpty, err)
+      val cols = blocks.head
+      assert(cols.map(_._1) === Seq("number", "s"))
+      assert(cols(0)._3 === Vector(0L, 1L, 2L))
+      assert(cols(1)._3 === Vector("0", "1", "2"))
+    } finally sock.close()
+  }
+
+  test("PING -> PONG (test_suite.py ping flow)") {
+    val (sock, in, out) = connect()
+    try {
+      hello(out); readServerHello(in)
+      P.writeVarint(out, P.ClientPing); out.flush()
+      assert(P.readVarint(in) === P.ServerPong)
+    } finally sock.close()
+  }
+
+  test("bad query -> EXCEPTION packet (main.py:664-667)") {
+    val (sock, in, out) = connect()
+    try {
+      hello(out); readServerHello(in)
+      sendQuery(out, "SELECT nope_col FROM lineitem")
+      val (blocks, err) = readResponse(in)
+      assert(blocks.isEmpty && err.isDefined && err.get.nonEmpty)
+    } finally sock.close()
+  }
+
+  test("multiple queries on one connection; fixture table query") {
+    val (sock, in, out) = connect()
+    try {
+      hello(out); readServerHello(in)
+      sendQuery(out, "SELECT count() AS n FROM lineitem")
+      val (b1, e1) = readResponse(in)
+      assert(e1.isEmpty && b1.head.head._3.head.asInstanceOf[Long] > 0)
+      sendQuery(out, "SELECT version() AS v")
+      val (b2, e2) = readResponse(in)
+      assert(e2.isEmpty && b2.head.head._3 === Vector("25.5.2"))
+    } finally sock.close()
+  }
+}
