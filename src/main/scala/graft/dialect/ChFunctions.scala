@@ -31,6 +31,9 @@ object ChFunctions {
   private def nullIfNot(cond: Expression, value: Expression): Expression =
     If(cond, value, Literal(null))
 
+  private def jsonPath(key: Expression): Expression =
+    Concat(Seq(Literal("$."), key))
+
   private val builders: Map[String, Seq[Expression] => Expression] = Map(
     // identity / time
     "version" -> (_ => Literal(Version)),
@@ -113,6 +116,15 @@ object ChFunctions {
       CaseWhen(branches, Some(a.last))
     }),
     "ifNull" -> (a => Coalesce(a)),
+
+    // JSON (ClickHouse key-arg style -> $.path)
+    "JSONExtractString" -> (a => GetJsonObject(a(0), jsonPath(a(1)))),
+    "JSONExtractInt" -> (a => Cast(GetJsonObject(a(0), jsonPath(a(1))), LongType)),
+    "JSONExtractFloat" -> (a => Cast(GetJsonObject(a(0), jsonPath(a(1))), DoubleType)),
+    "JSONExtractBool" -> (a => Cast(GetJsonObject(a(0), jsonPath(a(1))), BooleanType)),
+    "JSONHas" -> (a => IsNotNull(GetJsonObject(a(0), jsonPath(a(1))))),
+    "visitParamExtractString" -> (a => GetJsonObject(a(0), jsonPath(a(1)))),
+    "simpleJSONExtractString" -> (a => GetJsonObject(a(0), jsonPath(a(1)))),
 
     // aggregates
     "any" -> (a => First(a.head, ignoreNulls = true).toAggregateExpression()),

@@ -76,6 +76,7 @@ object Ddl {
       val (cn, ct) = (t.substring(0, sp).trim, t.substring(sp + 1).trim)
       s"$cn ${Transpiler.mapTypeNames(ct)}"
     }
+    cleanOrphanLocation(spark, name)
     val ine = if (ifNotExists) "IF NOT EXISTS " else ""
     val ddl = partExpr match {
       case Some(_) =>
@@ -118,6 +119,32 @@ object Ddl {
           "partitioned tables support INSERT ... SELECT only")
       case None => spark.sql(Transpiler.transpile(s"INSERT INTO $name $body"))
     }
+  }
+
+  /** The in-memory catalog forgets tables across JVMs while the
+    * warehouse directory persists — a dropped-in-a-past-process table
+    * leaves an orphan location that blocks CREATE. If the catalog does
+    * NOT know the table but its managed location exists, remove it.
+    * (A real metastore deployment never hits this path.) */
+  private def cleanOrphanLocation(spark: SparkSession, name: String): Unit = {
+    val bare = name.replace("`", "")
+    val (db, tbl) = bare.split("\\.") match {
+      case Array(d, t) => (d, t)
+      case Array(t) => (spark.catalog.currentDatabase, t)
+    }
+    val known =
+      try spark.catalog.tableExists(bare)
+      catch { case _: Throwable => false }
+    if (!known)
+      try {
+        val dbLoc = spark.sessionState.catalog.getDatabaseMetadata(db).locationUri
+        val loc = java.nio.file.Paths.get(new java.net.URI(s"$dbLoc/$tbl"))
+        if (java.nio.file.Files.exists(loc)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      } catch { case _: Throwable => () } // db missing / non-file scheme
   }
 
   private def normalize(spark: SparkSession, name: String): String = {

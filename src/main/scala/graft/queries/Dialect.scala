@@ -104,6 +104,22 @@ object Dialect {
              CAST(len(list_distinct(range(0,2) || range(0,2))) AS INT) AS u
       FROM range(8) ORDER BY number""")),
 
+    // F8: JSON extraction family over events.props
+    Q("f8_ch_json", ch("""
+      SELECT event_id,
+             JSONExtractInt(props, 'k') AS k,
+             JSONExtractString(props, 'k') AS ks,
+             JSONHas(props, 'k') AS has_k,
+             JSONHas(props, 'missing') AS has_missing
+      FROM events ORDER BY event_id LIMIT 1000"""),
+      Some("""
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             json_extract_string(props, '$.k') AS ks,
+             json_extract_string(props, '$.k') IS NOT NULL AS has_k,
+             json_extract_string(props, '$.missing') IS NOT NULL AS has_missing
+      FROM events ORDER BY event_id LIMIT 1000""")),
+
     // P5: CAST with ClickHouse type names
     Q("f7_ch_cast", ch("""
       SELECT number, CAST(number AS UInt8) AS u8,

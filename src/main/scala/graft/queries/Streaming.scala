@@ -1,0 +1,50 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.streaming.EventsStreaming
+import org.apache.spark.sql.functions._
+
+/** Streaming transforms exercised in batch mode for the correctness
+  * oracle (identical code path: the same windowedAgg/sessions run on
+  * readStream inputs — see StreamingSpec for watermark/state
+  * semantics). */
+object Streaming {
+
+  val qs: Seq[Q] = Seq(
+
+    // ST1: tumbling-window aggregation (epoch-aligned 1h windows ==
+    // DuckDB time_bucket)
+    Q("st1_window_agg", (s, dir) => {
+      EventsStreaming.windowedAgg(Tables.events(s, dir), "1 hour")
+        .orderBy("ws", "event_type")
+    }, Some("""
+      SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS ws,
+             event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY ws, event_type"""), bench = true),
+
+    // ST2: session windows per user with a 30-minute gap. DuckDB
+    // reproduces session fusion with a lag/cumulative-sum rewrite.
+    Q("st2_sessions", (s, dir) => {
+      EventsStreaming.sessions(Tables.events(s, dir), "30 minutes")
+        .orderBy("user_id", "session_start")
+    }, Some("""
+      WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, value FROM events),
+      marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         <= INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_session
+        FROM e),
+      grouped AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked)
+      SELECT min(ts) AS session_start,
+             max(ts) + INTERVAL '30 minutes' AS session_end,
+             user_id, count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS session_value
+      FROM grouped GROUP BY user_id, session_id
+      ORDER BY user_id, session_start"""))
+  )
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+import graft.streaming.EventsStreaming
+
+/** Streaming semantics driven through MemoryStream micro-batches:
+  * windowed aggregation, watermark late-data drop, stateful dedup. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed aggregation emits per-window per-type counts") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = EventsStreaming.withLateDataHandling(df, "5 minutes", "1 hour")
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (1L, ts("2026-01-01 10:05:00"), "click", 1.0),
+        (2L, ts("2026-01-01 10:55:00"), "click", 2.0),
+        (3L, ts("2026-01-01 11:05:00"), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_agg")
+        .select("ws", "event_type", "n").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(rows === Set(
+        ("2026-01-01 10:00:00.0", "click", 2L),
+        ("2026-01-01 11:00:00.0", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("watermark drops events later than the delay (append mode)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = EventsStreaming.withLateDataHandling(df, "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("late_agg")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts("2026-01-01 10:10:00"), "click", 1.0))
+      q.processAllAvailable()
+      // advance watermark well past the 10:00 window (+10 min delay)
+      input.addData((2L, ts("2026-01-01 12:30:00"), "click", 1.0))
+      q.processAllAvailable()
+      // this event is an hour behind the watermark -> dropped
+      input.addData((3L, ts("2026-01-01 10:20:00"), "click", 99.0))
+      q.processAllAvailable()
+      val closed = spark.table("late_agg")
+        .filter(col("ws") === ts("2026-01-01 10:00:00")).collect()
+      assert(closed.length === 1 && closed.head.getAs[Long]("n") === 1L)
+    } finally q.stop()
+  }
+
+  test("stateful dedup keeps first occurrence per (event_id, ts)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = EventsStreaming.dedup(df, "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2026-01-01 10:00:00"), "click", 1.0),
+        (1L, ts("2026-01-01 10:00:00"), "click", 1.0),
+        (2L, ts("2026-01-01 10:01:00"), "view", 2.0))
+      q.processAllAvailable()
+      input.addData((1L, ts("2026-01-01 10:00:00"), "click", 1.0)) // dup again
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() === 2)
+    } finally q.stop()
+  }
+
+  test("session windows fuse events within the gap (batch mode)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts("2026-01-01 10:00:00"), "c", 1.0, 7L),
+      (2L, ts("2026-01-01 10:10:00"), "c", 1.0, 7L), // same session (gap 30m)
+      (3L, ts("2026-01-01 12:00:00"), "c", 1.0, 7L), // new session
+      (4L, ts("2026-01-01 10:05:00"), "c", 1.0, 8L))
+      .toDF("event_id", "ts", "event_type", "value", "user_id")
+    val out = EventsStreaming.sessions(df, "30 minutes")
+      .orderBy("user_id", "session_start").collect()
+    assert(out.length === 3)
+    assert(out(0).getAs[Long]("n_events") === 2) // user 7 first session
+    assert(out(1).getAs[Long]("n_events") === 1)
+    assert(out(2).getAs[Long]("n_events") === 1)
+  }
+}
