@@ -178,7 +178,8 @@ object Engine {
   def execute(spark: SparkSession, rawSql: String): DataFrame = {
     ChFunctions.register(spark)
     val statements = splitStatements(rawSql)
-    statements.map { st =>
+    statements.map { st0 =>
+      val st = graft.sources.UrlTableFunction.rewrite(spark, st0)
       if (Ddl.isDdl(st)) Ddl.execute(spark, st)
       else {
         val (bare, _) = Transpiler.extractFormat(st)
