@@ -183,9 +183,43 @@ object Engine {
       if (Ddl.isDdl(st)) Ddl.execute(spark, st)
       else {
         val (bare, _) = Transpiler.extractFormat(st)
-        spark.sql(Transpiler.transpile(bare))
+        query(spark, bare)
       }
     }.last
+  }
+
+  /** One SELECT statement, handling the ClickHouse-only `LIMIT n BY`
+    * clause (SURVEY §2.6 O4) as a row_number window over the inner
+    * query's ORDER BY. */
+  private def query(spark: SparkSession, bare: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, row_number}
+    import org.apache.spark.sql.expressions.Window
+    Transpiler.limitByParts(bare) match {
+      case None => spark.sql(Transpiler.transpile(bare))
+      case Some((inner, n, byCols, outerLimit)) =>
+        val orderItems =
+          "(?is)\\bORDER\\s+BY\\s+(.+)$".r.findFirstMatchIn(inner)
+            .map(_.group(1).split(",").map(_.trim).toSeq).getOrElse(Nil)
+        def sortCols(items: Seq[String]) = items.map { it =>
+          val m = "(?is)^(.*?)\\s+(ASC|DESC)$".r.findFirstMatchIn(it)
+          m match {
+            case Some(mm) if mm.group(2).equalsIgnoreCase("DESC") =>
+              expr(Transpiler.transpile(mm.group(1))).desc
+            case Some(mm) => expr(Transpiler.transpile(mm.group(1))).asc
+            case None => expr(Transpiler.transpile(it)).asc
+          }
+        }
+        val df = spark.sql(Transpiler.transpile(inner))
+        val w = Window
+          .partitionBy(byCols.map(c => expr(Transpiler.transpile(c))): _*)
+          .orderBy((if (orderItems.nonEmpty) sortCols(orderItems)
+                    else Seq(org.apache.spark.sql.functions.lit(1).asc)): _*)
+        var out = df.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= n).drop("__rn")
+        if (orderItems.nonEmpty) out = out.orderBy(sortCols(orderItems): _*)
+        outerLimit.foreach(m => out = out.limit(m))
+        out
+    }
   }
 
   private def splitStatements(sql: String): Seq[String] = {

@@ -59,9 +59,24 @@ object Transpiler {
     typeNames.foreach { case (ch, sp) =>
       s = s.replaceAll(s"\\b$ch\\b", sp)
     }
+    // SAMPLE 0.1 -> TABLESAMPLE (10 PERCENT) (SURVEY §4 mapping)
+    s = "(?i)\\bSAMPLE\\s+(0?\\.\\d+)".r.replaceAllIn(s,
+      m => s"TABLESAMPLE (${(m.group(1).toDouble * 100).round} PERCENT)")
     s = rewriteTernaries(s)
     s
   }
+
+  private val limitByRe =
+    "(?is)^(.*?)\\s+LIMIT\\s+(\\d+)\\s+BY\\s+(.+?)(\\s+LIMIT\\s+(\\d+))?\\s*$".r
+
+  /** ClickHouse `LIMIT n BY cols`: first n rows per distinct cols,
+    * ordered by the query's ORDER BY. Returns None if the statement has
+    * no LIMIT BY clause. */
+  def limitByParts(sql: String): Option[(String, Int, Seq[String], Option[Int])] =
+    limitByRe.findFirstMatchIn(sql).map { m =>
+      val cols = m.group(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      (m.group(1), m.group(2).toInt, cols, Option(m.group(5)).map(_.toInt))
+    }
 
   /** Rewrite every top-level `cond ? a : b` into if(...). The condition
     * gets a ClickHouse-truthiness wrap (`<> 0`) unless it already looks
@@ -183,6 +198,11 @@ object Transpiler {
 object ChContext {
   def setup(spark: SparkSession, dir: String): Unit = {
     ChFunctions.register(spark)
+    setupViews(spark, dir)
+  }
+
+  /** Temp views are session-scoped — per-user sessions re-register. */
+  def setupViews(spark: SparkSession, dir: String): Unit = {
     graft.Tables.names.foreach { t =>
       graft.Tables.load(spark, dir, t).createOrReplaceTempView(t)
     }

@@ -120,6 +120,21 @@ object Dialect {
              json_extract_string(props, '$.missing') IS NOT NULL AS has_missing
       FROM events ORDER BY event_id LIMIT 1000""")),
 
+    // O4: ClickHouse-only LIMIT n BY clause through the dialect engine
+    Q("o4b_ch_limit_by", (s, dir) => {
+      graft.dialect.ChContext.setup(s, dir)
+      graft.dialect.Engine.execute(s, """
+        SELECT o_orderstatus, o_orderkey, o_orderdate
+        FROM orders ORDER BY o_orderdate DESC, o_orderkey ASC
+        LIMIT 2 BY o_orderstatus""")
+    }, Some("""
+      SELECT o_orderstatus, o_orderkey, o_orderdate FROM (
+        SELECT o_orderstatus, o_orderkey, o_orderdate,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_orderdate DESC, o_orderkey) AS rn
+        FROM orders) WHERE rn <= 2
+      ORDER BY o_orderdate DESC, o_orderkey""")),
+
     // P5: CAST with ClickHouse type names
     Q("f7_ch_cast", ch("""
       SELECT number, CAST(number AS UInt8) AS u8,

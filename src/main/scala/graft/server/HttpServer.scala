@@ -23,11 +23,33 @@ import graft.formats.{ResultFormatter, NativeCodec}
   * Query execution = dialect transpile -> spark.sql. The server is a
   * thin protocol shim; all heavy lifting stays distributed in Spark.
   */
-class HttpServer(spark: SparkSession, port: Int) {
+class HttpServer(spark: SparkSession, port: Int,
+                 fixtureDir: Option[String] = None) {
 
   ChFunctions.register(spark)
   private val server = JdkHttpServer.create(new InetSocketAddress(port), 0)
   server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+
+  /** Per-credential isolated sessions (reference: one chdb session dir
+    * per user:password hash, main.py:140-173). Any credentials are
+    * accepted (main.py:816-821); each gets its own SparkSession (own
+    * temp views) and its own default database. */
+  private val userSessions =
+    scala.collection.concurrent.TrieMap.empty[String, SparkSession]
+
+  private def sessionFor(auth: Option[String]): SparkSession = auth match {
+    case None => spark
+    case Some(credentials) =>
+      val h = java.lang.Integer.toHexString(credentials.hashCode)
+      userSessions.getOrElseUpdate(h, {
+        val s = spark.newSession()
+        ChFunctions.register(s)
+        s.sql(s"CREATE DATABASE IF NOT EXISTS graft_user_$h")
+        s.catalog.setCurrentDatabase(s"graft_user_$h")
+        fixtureDir.foreach(dir => graft.dialect.ChContext.setupViews(s, dir))
+        s
+      })
+  }
 
   server.createContext("/", new HttpHandler {
     override def handle(ex: HttpExchange): Unit =
@@ -38,6 +60,10 @@ class HttpServer(spark: SparkSession, port: Int) {
   private def route(ex: HttpExchange): Unit = {
     val path = ex.getRequestURI.getPath
     if (path == "/ping") { respond(ex, 200, "Ok\n"); return }
+    if (path == "/play") {
+      respondBytes(ex, 200, HttpServer.playHtml.getBytes(UTF_8), "text/html")
+      return
+    }
 
     val params = parseParams(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
     val body = new String(ex.getRequestBody.readAllBytes(), UTF_8).trim
@@ -46,12 +72,14 @@ class HttpServer(spark: SparkSession, port: Int) {
       .mkString(" ").trim
     if (query.isEmpty) { respond(ex, 200, "graft. Send a ?query=\n"); return }
 
+    val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+    val session = sessionFor(auth)
     val defaultFormat = params.getOrElse("default_format", "TSV")
     try {
-      params.get("database").foreach(db => spark.catalog.setCurrentDatabase(db))
+      params.get("database").foreach(db => session.catalog.setCurrentDatabase(db))
       val (bare, fmtClause) = Transpiler.extractFormat(query)
       val fmt = fmtClause.getOrElse(defaultFormat)
-      val df = graft.dialect.Engine.execute(spark, bare)
+      val df = graft.dialect.Engine.execute(session, bare)
       if (fmt.equalsIgnoreCase("Native"))
         respondBytes(ex, 200, NativeCodec.encode(df), "application/octet-stream")
       else {
@@ -89,6 +117,26 @@ class HttpServer(spark: SparkSession, port: Int) {
   def boundPort: Int = server.getAddress.getPort
 }
 
+object HttpServer {
+  /** Minimal query UI served at /play (the reference vendors the
+    * ClickHouse Play page, main.py:907-917; this is our own tiny
+    * equivalent, same endpoint contract). */
+  val playHtml: String =
+    """<!DOCTYPE html><html><head><title>graft play</title></head>
+      |<body><h3>graft</h3>
+      |<textarea id="q" rows="6" cols="80">SELECT version()</textarea><br>
+      |<button onclick="run()">Run</button>
+      |<pre id="out"></pre>
+      |<script>
+      |async function run() {
+      |  const r = await fetch('/?default_format=JSONCompact', {
+      |    method: 'POST', body: document.getElementById('q').value});
+      |  document.getElementById('out').textContent = await r.text();
+      |}
+      |</script></body></html>
+      |""".stripMargin
+}
+
 /** `runMain graft.server.ServeMain [port] [sfDir]` — boots the engine,
   * registers the fixture tables as views, serves the ClickHouse HTTP
   * API. */
@@ -107,7 +155,7 @@ object ServeMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.dialect.ChContext.setup(spark, dir)
-    val srv = new HttpServer(spark, port)
+    val srv = new HttpServer(spark, port, Some(dir))
     srv.start()
     println(s"[graft-http] listening on :$port over $dir")
     Thread.currentThread().join()

@@ -16,7 +16,7 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def beforeAll(): Unit = {
     graft.dialect.ChContext.setup(spark, "/root/testdata/sf0.001")
-    server = new HttpServer(spark, 0) // ephemeral port
+    server = new HttpServer(spark, 0, Some("/root/testdata/sf0.001"))
     server.start()
     port = server.boundPort
   }
@@ -80,5 +80,30 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("queries run against registered fixture tables") {
     val r = post("SELECT count() FROM lineitem")
     assert(r.body().trim.toLong > 0)
+  }
+
+  test("/play serves the query UI (main.py:907-917 endpoint)") {
+    val r = get("/play")
+    assert(r.statusCode() === 200 && r.body().contains("<textarea"))
+  }
+
+  test("per-credential sessions isolate unqualified tables (main.py:140-173)") {
+    def postAs(userPass: String, body: String): HttpResponse[String] = {
+      val token = java.util.Base64.getEncoder.encodeToString(userPass.getBytes)
+      client.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port/"))
+        .header("Authorization", s"Basic $token")
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    }
+    for (u <- Seq("alice:pw", "bob:pw")) {
+      assert(postAs(u, "DROP TABLE IF EXISTS iso").statusCode() === 200)
+      assert(postAs(u, "CREATE TABLE iso (v String) ENGINE=Memory").statusCode() === 200)
+    }
+    assert(postAs("alice:pw", "INSERT INTO iso VALUES ('from-alice')").statusCode() === 200)
+    assert(postAs("bob:pw", "INSERT INTO iso VALUES ('from-bob')").statusCode() === 200)
+    assert(postAs("alice:pw", "SELECT v FROM iso").body() === "from-alice\n")
+    assert(postAs("bob:pw", "SELECT v FROM iso").body() === "from-bob\n")
+    // both can still read the shared fixture views
+    assert(postAs("alice:pw", "SELECT count() FROM nation").body().trim.toLong > 0)
   }
 }

@@ -49,4 +49,17 @@ class TranspilerSpec extends AnyFunSuite {
   test("count() becomes count(*)") {
     assert(Transpiler.transpile("SELECT count() FROM t").contains("count(*)"))
   }
+
+  test("SAMPLE fraction becomes TABLESAMPLE percent") {
+    assert(Transpiler.transpile("SELECT * FROM t SAMPLE 0.1")
+      .contains("TABLESAMPLE (10 PERCENT)"))
+  }
+
+  test("LIMIT n BY parses into inner/limit/cols/outer-limit") {
+    assert(Transpiler.limitByParts("SELECT a FROM t ORDER BY b LIMIT 2 BY a") ===
+      Some(("SELECT a FROM t ORDER BY b", 2, Seq("a"), None)))
+    assert(Transpiler.limitByParts("SELECT a FROM t LIMIT 3 BY a, c LIMIT 10") ===
+      Some(("SELECT a FROM t", 3, Seq("a", "c"), Some(10))))
+    assert(Transpiler.limitByParts("SELECT a FROM t LIMIT 5") === None)
+  }
 }
