@@ -15,13 +15,18 @@ object Joins {
   val qs: Seq[Q] = Seq(
 
     // J1: 3-way inner equi-join + agg + top-k (TPC-H Q3 shape).
-    // customer is a dimension => broadcast; lineitem never shuffles twice.
+    // NO forced broadcasts: customer/orders scale with SF (at 100 TB a
+    // broadcast() hint here would OOM executors), so join strategy is
+    // left to Catalyst + AQE — it picks broadcast-hash at small SF and
+    // shuffled joins when sides outgrow the threshold. Only fixed-size
+    // dims (nation/region, 25/5 rows at ANY scale) get explicit
+    // broadcast() in this repo (see g7_rollup).
     Q("j1_join3_tpch3", (s, dir) => {
       val c = Tables.load(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = Tables.load(s, dir, "orders").filter(col("o_orderdate") < ts("1999-06-01"))
       val l = Tables.load(s, dir, "lineitem").filter(col("l_shipdate") > ts("1996-03-05"))
-      l.join(broadcast(o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
-          .select(col("o_orderkey"), col("o_orderdate"))),
+      l.join(o.join(c, col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
         .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"), 4, 2)))

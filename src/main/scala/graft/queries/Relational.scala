@@ -349,11 +349,14 @@ object Relational {
         .select(col("c_mktsegment")).distinct().orderBy("c_mktsegment")
     }, Some("SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment")),
 
-    // W1: ranking + offset window functions
+    // W1: ranking + offset window functions. Every window is
+    // PARTITIONED — a global ORDER BY window funnels all rows through
+    // one partition at scale.
     Q("w1_window_rank", (s, dir) => {
       val byCust = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
-      val byPrice = Window.orderBy(col("o_totalprice").desc)
+      val byPrice = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc)
       Tables.load(s, dir, "orders").select(
         col("o_custkey"), col("o_orderkey"),
         row_number().over(byCust).as("rn"),
@@ -364,7 +367,7 @@ object Relational {
     }, Some("""
       SELECT o_custkey, o_orderkey,
              row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
-             rank() OVER (ORDER BY o_totalprice DESC) AS price_rank,
+             rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS price_rank,
              lag(CAST(o_totalprice AS DECIMAL(12,2)), 1)
                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
              lead(o_orderkey, 1)
@@ -383,7 +386,8 @@ object Relational {
         count(lit(1))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .as("n_so_far"),
-        ntile(4).over(Window.orderBy(col("o_orderkey"))).as("quartile"))
+        ntile(4).over(Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_orderkey"))).as("quartile"))
         .orderBy("o_custkey", "o_orderkey")
     }, Some("""
       SELECT o_custkey, o_orderkey,
@@ -392,7 +396,7 @@ object Relational {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_spend,
              count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far,
-             ntile(4) OVER (ORDER BY o_orderkey) AS quartile
+             ntile(4) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS quartile
       FROM orders ORDER BY o_custkey, o_orderkey"""))
   )
 }
