@@ -10,7 +10,8 @@ object SparkEntry {
   def all: Seq[Q] =
     graft.queries.Relational.qs ++ graft.queries.Joins.qs ++
       graft.queries.LlmPipeline.qs ++ graft.queries.Dialect.qs ++
-      graft.queries.DdlQueries.qs ++ graft.queries.Streaming.qs
+      graft.queries.DdlQueries.qs ++ graft.queries.Streaming.qs ++
+      graft.queries.ClickBench.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-shaped scan+filter+groupBy+agg+sort. */

@@ -1,0 +1,72 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.Tables.{dec, avgDec}
+import org.apache.spark.sql.functions._
+
+/** ClickBench-shaped sweep (SURVEY.md §2 tier B: the reference's CI
+  * gates on the standard ClickBench queries over `hits`,
+  * /root/reference/.github/workflows/test.yml:53-61). The `events`
+  * fixture is the hits analog here: same shapes — filtered counts,
+  * top-k heavy hitters, per-key aggregates, distinct counts, LIKE
+  * scans.
+  */
+object ClickBench {
+
+  val qs: Seq[Q] = Seq(
+
+    // b1: filtered COUNT(*) (Q2 "WHERE AdvEngineID <> 0" shape)
+    Q("b1_cb_filtered_count", (s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("value") > 50.0 && col("event_type") =!= "view")
+        .agg(count(lit(1)).as("n"))
+    }, Some("""
+      SELECT count(*) AS n FROM events
+      WHERE value > 50.0 AND event_type <> 'view'"""), bench = true),
+
+    // b2: top-10 heavy hitters (Q13 "GROUP BY UserID ORDER BY c DESC
+    // LIMIT 10" shape) — partial agg + TakeOrdered, no full sort
+    Q("b2_cb_top_users", (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"), 12, 4)).cast("decimal(18,4)").as("sv"))
+        .orderBy(col("n").desc, col("user_id").asc)
+        .limit(10)
+    }, Some("""
+      SELECT user_id, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(18,4)) AS sv
+      FROM events GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10"""),
+      bench = true),
+
+    // b3: per-key averages (Q6 "AVG(UserID)" family)
+    Q("b3_cb_avg_by_type", (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), avgDec(col("value")).as("avg_value"))
+        .orderBy("event_type")
+    }, Some("""
+      SELECT event_type, count(*) AS n,
+             round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_value
+      FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // b4: distinct users per type per day (Q5 "COUNT(DISTINCT UserID)"
+    // + date bucketing shape)
+    Q("b4_cb_daily_uniques", (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(countDistinct(col("user_id")).as("uniq_users"))
+        .orderBy("day", "event_type")
+    }, Some("""
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             count(DISTINCT user_id) AS uniq_users
+      FROM events GROUP BY 1, 2 ORDER BY day, event_type""")),
+
+    // b5: LIKE substring scan (Q20 "URL LIKE '%google%'" shape)
+    Q("b5_cb_like_scan", (s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("props").like("%\"k\": 1%"))
+        .agg(count(lit(1)).as("n"))
+    }, Some("""
+      SELECT count(*) AS n FROM events WHERE props LIKE '%"k": 1%'"""))
+  )
+}

@@ -30,25 +30,9 @@ class HttpServer(spark: SparkSession, port: Int,
   private val server = JdkHttpServer.create(new InetSocketAddress(port), 0)
   server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
 
-  /** Per-credential isolated sessions (reference: one chdb session dir
-    * per user:password hash, main.py:140-173). Any credentials are
-    * accepted (main.py:816-821); each gets its own SparkSession (own
-    * temp views) and its own default database. */
-  private val userSessions =
-    scala.collection.concurrent.TrieMap.empty[String, SparkSession]
-
   private def sessionFor(auth: Option[String]): SparkSession = auth match {
     case None => spark
-    case Some(credentials) =>
-      val h = java.lang.Integer.toHexString(credentials.hashCode)
-      userSessions.getOrElseUpdate(h, {
-        val s = spark.newSession()
-        ChFunctions.register(s)
-        s.sql(s"CREATE DATABASE IF NOT EXISTS graft_user_$h")
-        s.catalog.setCurrentDatabase(s"graft_user_$h")
-        fixtureDir.foreach(dir => graft.dialect.ChContext.setupViews(s, dir))
-        s
-      })
+    case Some(credentials) => UserSessions.forKey(spark, credentials, fixtureDir)
   }
 
   server.createContext("/", new HttpHandler {
@@ -115,6 +99,29 @@ class HttpServer(spark: SparkSession, port: Int,
   def start(): Unit = server.start()
   def stop(): Unit = server.stop(0)
   def boundPort: Int = server.getAddress.getPort
+}
+
+/** Per-credential isolated sessions, shared by both protocol servers
+  * (reference: one chdb session dir per user:password hash,
+  * main.py:140-173). Any credentials are accepted (main.py:816-821);
+  * each gets its own SparkSession (own temp views) and its own default
+  * database, so unqualified tables don't collide across users. */
+object UserSessions {
+  private val sessions =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.SparkSession]
+
+  def forKey(root: org.apache.spark.sql.SparkSession, credentials: String,
+             fixtureDir: Option[String]): org.apache.spark.sql.SparkSession = {
+    val h = java.lang.Integer.toHexString(credentials.hashCode)
+    sessions.getOrElseUpdate(h, {
+      val s = root.newSession()
+      graft.dialect.ChFunctions.register(s)
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_user_$h")
+      s.catalog.setCurrentDatabase(s"graft_user_$h")
+      fixtureDir.foreach(dir => graft.dialect.ChContext.setupViews(s, dir))
+      s
+    })
+  }
 }
 
 object HttpServer {

@@ -24,7 +24,9 @@ import graft.formats.NativeCodec
   * Query execution routes through the same dialect Engine as HTTP.
   * Compression modes beyond 0 are not accepted (SURVEY §7 non-goal).
   */
-class NativeServer(spark: SparkSession, port: Int) {
+class NativeServer(spark: SparkSession, port: Int,
+                   fixtureDir: Option[String] = None,
+                   blockRows: Int = 65536) {
 
   import NativeServer._
 
@@ -52,6 +54,7 @@ class NativeServer(spark: SparkSession, port: Int) {
     val in = new BufferedInputStream(sock.getInputStream)
     val out = new BufferedOutputStream(sock.getOutputStream)
     var clientRevision = 0L
+    var session: SparkSession = spark
     try {
       while (true) {
         readVarint(in) match {
@@ -59,7 +62,11 @@ class NativeServer(spark: SparkSession, port: Int) {
             readStr(in) // client name
             readVarint(in); readVarint(in) // version major/minor
             clientRevision = readVarint(in)
-            readStr(in); readStr(in); readStr(in) // database, user, password
+            readStr(in) // database
+            val user = readStr(in); val password = readStr(in)
+            // per-credential catalog isolation (main.py:140-173)
+            if (user.nonEmpty && user != "default")
+              session = UserSessions.forKey(spark, s"$user:$password", fixtureDir)
             val used = math.min(clientRevision, Revision)
             writeVarint(out, ServerHello)
             writeStr(out, ServerName)
@@ -73,7 +80,7 @@ class NativeServer(spark: SparkSession, port: Int) {
             out.flush()
 
           case ClientQuery =>
-            handleQuery(in, out, clientRevision)
+            handleQuery(in, out, clientRevision, session)
 
           case ClientData =>
             // external-tables terminator: table name + (BlockInfo +
@@ -99,7 +106,7 @@ class NativeServer(spark: SparkSession, port: Int) {
   }
 
   private def handleQuery(in: InputStream, out: OutputStream,
-                          clientRevision: Long): Unit = {
+                          clientRevision: Long, session: SparkSession): Unit = {
     readStr(in) // query id
     if (clientRevision >= 54032) {
       val kind = in.read()
@@ -119,23 +126,34 @@ class NativeServer(spark: SparkSession, port: Int) {
     if (clientRevision >= 54441) readStr(in) // inter-server secret
     readVarint(in) // query stage
     val compression = readVarint(in)
-    if (compression != 0)
-      throw new UnsupportedOperationException("compressed queries not supported")
-    val query = readStr(in)
+    // compression modes mirror main.py:498-512: 0 = plain, 1 = zlib
+    // (varint-length zlib bytes), 2 = empty-compressed marker then a
+    // plain string
+    val query = compression match {
+      case 0 => readStr(in)
+      case 1 => readZlibStr(in)
+      case _ => readZlibStr(in); readStr(in)
+    }
     if (clientRevision >= 54459)
       while ({ val name = readStr(in); name.nonEmpty && { in.read(); readStr(in); true } }) ()
 
     try {
       val (bare, _) = Transpiler.extractFormat(query) // native ignores FORMAT
-      val df = Engine.execute(spark, bare)
+      val df = Engine.execute(session, bare)
       val isSelect = bare.trim.toUpperCase.startsWith("SELECT") ||
         bare.trim.toUpperCase.startsWith("WITH")
       if (isSelect) {
-        writeVarint(out, ServerData)
-        writeStr(out, "") // table name
-        writeBlockInfo(out)
-        out.write(NativeCodec.encode(df.schema, df.collect(),
-          customSerFlag = clientRevision >= 54454))
+        // stream the result as bounded blocks (ClickHouse block
+        // granularity), not one monolith — bounds per-packet memory
+        val rows = df.collect()
+        val chunks = if (rows.isEmpty) Seq(rows) else rows.grouped(blockRows).toSeq
+        chunks.foreach { chunk =>
+          writeVarint(out, ServerData)
+          writeStr(out, "") // table name
+          writeBlockInfo(out)
+          out.write(NativeCodec.encode(df.schema, chunk,
+            customSerFlag = clientRevision >= 54454))
+        }
       }
       writeVarint(out, ServerEndOfStream)
       out.flush()
@@ -146,6 +164,23 @@ class NativeServer(spark: SparkSession, port: Int) {
         writeVarint(out, ServerEndOfStream)
         out.flush()
     }
+  }
+
+  /** varint-length zlib-deflated string (main.py:782-804 framing). */
+  private def readZlibStr(in: InputStream): String = {
+    val n = readVarint(in)
+    if (n <= 0) return ""
+    val buf = readFixed(in, n.toInt).array()
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(buf)
+    val out = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!inflater.finished()) {
+      val k = inflater.inflate(tmp)
+      if (k == 0 && inflater.needsInput()) return new String(buf, "UTF-8")
+      out.write(tmp, 0, k)
+    }
+    new String(out.toByteArray, "UTF-8")
   }
 
   /** BlockInfo: field 1 = is_overflows(0), field 2 = bucket_num(-1),
@@ -248,7 +283,7 @@ object NativeServeMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.dialect.ChContext.setup(spark, dir)
-    val srv = new NativeServer(spark, port)
+    val srv = new NativeServer(spark, port, Some(dir))
     srv.start()
     println(s"[graft-native] listening on :$port over $dir")
     Thread.currentThread().join()

@@ -14,7 +14,8 @@ class NativeServerSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def beforeAll(): Unit = {
     graft.dialect.ChContext.setup(spark, "/root/testdata/sf0.001")
-    server = new NativeServer(spark, 0)
+    server = new NativeServer(spark, 0, Some("/root/testdata/sf0.001"),
+      blockRows = 10) // small blocks so multi-block framing is exercised
     server.start()
   }
 
@@ -164,6 +165,78 @@ class NativeServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       val (blocks, err) = readResponse(in)
       assert(blocks.isEmpty && err.isDefined && err.get.nonEmpty)
     } finally sock.close()
+  }
+
+  test("large results stream as multiple bounded DATA blocks") {
+    val (sock, in, out) = connect()
+    try {
+      hello(out); readServerHello(in)
+      sendQuery(out, "SELECT number FROM numbers(35) ORDER BY number")
+      val (blocks, err) = readResponse(in)
+      assert(err.isEmpty)
+      assert(blocks.length === 4) // 10+10+10+5 at blockRows=10
+      val all = blocks.flatMap(_.head._3)
+      assert(all === (0L until 35L).toVector)
+    } finally sock.close()
+  }
+
+  test("zlib-compressed query text (compression mode 1, main.py:782-804)") {
+    val (sock, in, out) = connect()
+    try {
+      hello(out); readServerHello(in)
+      // same as sendQuery but with compression=1 and deflated text
+      P.writeVarint(out, P.ClientQuery)
+      P.writeStr(out, "qid")
+      out.write(1)
+      P.writeStr(out, "default"); P.writeStr(out, ""); P.writeStr(out, "0.0.0.0:0")
+      P.writeFixed(out, 8)(_.putLong(0L))
+      out.write(1)
+      P.writeStr(out, "t"); P.writeStr(out, "h"); P.writeStr(out, "c")
+      P.writeVarint(out, 25); P.writeVarint(out, 5); P.writeVarint(out, ClientRevision)
+      P.writeStr(out, ""); P.writeVarint(out, 0)
+      P.writeStr(out, ""); P.writeStr(out, "")
+      P.writeVarint(out, 2)
+      P.writeVarint(out, 1) // zlib
+      val deflater = new java.util.zip.Deflater()
+      val raw = "SELECT 41 + 1 AS answer".getBytes("UTF-8")
+      deflater.setInput(raw); deflater.finish()
+      val buf = new Array[Byte](1024)
+      val n = deflater.deflate(buf)
+      P.writeVarint(out, n); out.write(buf, 0, n)
+      P.writeStr(out, "")
+      out.flush()
+      val (blocks, err) = readResponse(in)
+      assert(err.isEmpty, err)
+      assert(blocks.head.head._3 === Vector(42))
+    } finally sock.close()
+  }
+
+  test("per-credential isolation over native (main.py:140-173)") {
+    def as(user: String): (Socket, BufferedInputStream, BufferedOutputStream) = {
+      val (sock, in, out) = connect()
+      P.writeVarint(out, P.ClientHello)
+      P.writeStr(out, "c"); P.writeVarint(out, 25); P.writeVarint(out, 5)
+      P.writeVarint(out, ClientRevision)
+      P.writeStr(out, "default"); P.writeStr(out, user); P.writeStr(out, "pw")
+      out.flush(); readServerHello(in)
+      (sock, in, out)
+    }
+    val (s1, i1, o1) = as("carol")
+    val (s2, i2, o2) = as("dave")
+    try {
+      for ((i, o) <- Seq((i1, o1), (i2, o2))) {
+        sendQuery(o, "DROP TABLE IF EXISTS niso"); readResponse(i)
+        sendQuery(o, "CREATE TABLE niso (v String) ENGINE=Memory"); readResponse(i)
+      }
+      sendQuery(o1, "INSERT INTO niso VALUES ('carol-data')"); readResponse(i1)
+      sendQuery(o2, "INSERT INTO niso VALUES ('dave-data')"); readResponse(i2)
+      sendQuery(o1, "SELECT v FROM niso")
+      val (b1, _) = readResponse(i1)
+      sendQuery(o2, "SELECT v FROM niso")
+      val (b2, _) = readResponse(i2)
+      assert(b1.head.head._3 === Vector("carol-data"))
+      assert(b2.head.head._3 === Vector("dave-data"))
+    } finally { s1.close(); s2.close() }
   }
 
   test("multiple queries on one connection; fixture table query") {
