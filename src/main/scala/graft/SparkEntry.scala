@@ -11,7 +11,7 @@ object SparkEntry {
     graft.queries.Relational.qs ++ graft.queries.Joins.qs ++
       graft.queries.LlmPipeline.qs ++ graft.queries.Dialect.qs ++
       graft.queries.DdlQueries.qs ++ graft.queries.Streaming.qs ++
-      graft.queries.ClickBench.qs
+      graft.queries.ClickBench.qs ++ graft.queries.ScaleOps.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-shaped scan+filter+groupBy+agg+sort. */

@@ -107,6 +107,11 @@ object ChFunctions {
     "arrayConcat" -> (a => Concat(a)),
     "arrayElement" -> (a => ElementAt(a(0), a(1))),
     "arrayUniq" -> (a => Size(ArrayDistinct(a.head))),
+    // ClickHouse higher-order style: lambda first, array second
+    "arrayMap" -> (a => ArrayTransform(a(1), a(0))),
+    "arrayFilter" -> (a => ArrayFilter(a(1), a(0))),
+    "arrayExists" -> (a => ArrayExists(a(1), a(0))),
+    "arrayAll" -> (a => ArrayForAll(a(1), a(0))),
 
     // conditional / null — ClickHouse truthiness: any numeric (or
     // boolean, via the double cast) condition, nonzero = true

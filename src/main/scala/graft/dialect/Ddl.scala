@@ -126,7 +126,7 @@ object Ddl {
     * leaves an orphan location that blocks CREATE. If the catalog does
     * NOT know the table but its managed location exists, remove it.
     * (A real metastore deployment never hits this path.) */
-  private def cleanOrphanLocation(spark: SparkSession, name: String): Unit = {
+  def cleanOrphanLocation(spark: SparkSession, name: String): Unit = {
     val bare = name.replace("`", "")
     val (db, tbl) = bare.split("\\.") match {
       case Array(d, t) => (d, t)

@@ -135,6 +135,21 @@ object Dialect {
         FROM orders) WHERE rn <= 2
       ORDER BY o_orderdate DESC, o_orderkey""")),
 
+    // F8b: ClickHouse lambda higher-order functions (lambda-first arg
+    // order; Spark parses the `x -> ...` lambda syntax natively)
+    Q("f9_ch_lambda", ch("""
+      SELECT number,
+             arrayMap(x -> x * 2, range(number + 1)) AS doubled,
+             arrayFilter(x -> x % 2 = 0, range(number + 1)) AS evens,
+             arrayExists(x -> x = 3, range(number + 1)) AS has3
+      FROM numbers(6) ORDER BY number"""),
+      Some("""
+      SELECT range AS number,
+             list_transform(range(0, range + 1), x -> x * 2) AS doubled,
+             list_filter(range(0, range + 1), x -> x % 2 = 0) AS evens,
+             len(list_filter(range(0, range + 1), x -> x = 3)) > 0 AS has3
+      FROM range(6) ORDER BY number""")),
+
     // P5: CAST with ClickHouse type names
     Q("f7_ch_cast", ch("""
       SELECT number, CAST(number AS UInt8) AS u8,
