@@ -207,6 +207,24 @@ object ChContext {
       graft.Tables.load(spark, dir, t).createOrReplaceTempView(t)
     }
     graft.Tables.events(spark, dir).createOrReplaceTempView("events")
+    setupSystemTables(spark)
+  }
+
+  /** Minimal `system.*` surface ClickHouse clients probe (the Play UI
+    * reads server settings, reference index.html; SURVEY §7 scopes this
+    * to stubs). */
+  def setupSystemTables(spark: SparkSession): Unit = {
+    spark.sql("CREATE DATABASE IF NOT EXISTS system")
+    if (!spark.catalog.tableExists("system.one"))
+      spark.sql("CREATE OR REPLACE VIEW system.one AS SELECT 0 AS dummy")
+    if (!spark.catalog.tableExists("system.settings"))
+      spark.sql("""
+        CREATE OR REPLACE VIEW system.settings AS
+        SELECT * FROM VALUES
+          ('max_threads', '32', ''),
+          ('session_timezone', 'UTC', ''),
+          ('readonly', '0', '')
+        AS t(name, value, description)""")
   }
 
   def sql(spark: SparkSession, dir: String, chSql: String): DataFrame = {

@@ -33,7 +33,35 @@ object ScaleOps {
     }
   }
 
+  /** Two-phase (salted) aggregation: phase 1 aggregates on
+    * (key, salt) — splitting any hot key across `salts` reducers —
+    * phase 2 merges partials per key. Result is identical to the
+    * direct aggregate (the oracle), cost is one extra small shuffle;
+    * at 100 TB this is the standard fix when one key holds a double-
+    * digit share of rows and a plain groupBy stalls on one task. */
+  def saltedAgg(df: org.apache.spark.sql.DataFrame, key: String,
+                valueCol: String, saltFrom: String,
+                salts: Int): org.apache.spark.sql.DataFrame =
+    df.withColumn("__salt", pmod(xxhash64(col(saltFrom)), lit(salts)))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__n"),
+        sum(dec(col(valueCol), 12, 4)).as("__s"))
+      .groupBy(col(key))
+      .agg(sum(col("__n")).as("n"),
+        sum(col("__s")).cast("decimal(18,4)").as("sum_value"))
+
   val qs: Seq[Q] = Seq(
+
+    // G10: salted two-phase aggregation — same answer as the direct
+    // groupBy, skew-immune plan
+    Q("g10_salted_agg", (s, dir) => {
+      saltedAgg(Tables.events(s, dir), "event_type", "value",
+          saltFrom = "event_id", salts = 16)
+        .orderBy("event_type")
+    }, Some("""
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(18,4)) AS sum_value
+      FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // S5b: co-located join over bucketed tables — same result as the
     // plain join, zero join-side shuffles in the plan

@@ -83,13 +83,14 @@ object UrlTableFunction {
   }
 
   private val urlCallRe =
-    "(?i)url\\s*\\(\\s*'([^']+)'\\s*,\\s*'([A-Za-z]+)'\\s*\\)".r
+    "(?i)\\b(url|file)\\s*\\(\\s*'([^']+)'\\s*,\\s*'([A-Za-z]+)'\\s*\\)".r
 
-  /** Replace every url('addr','FMT') in the SQL with a registered temp
-    * view over the fetched data. */
+  /** Replace every url('addr','FMT') / file('path','FMT') in the SQL
+    * with a registered temp view over the fetched data (file() is the
+    * local-path variant, SURVEY §2.1 S8). */
   def rewrite(spark: SparkSession, sql: String): String =
     urlCallRe.replaceAllIn(sql, m => {
-      val (addr, fmt) = (m.group(1), m.group(2))
+      val (addr, fmt) = (m.group(2), m.group(3))
       val view = s"url_${Integer.toHexString(java.util.Objects.hash(addr, fmt))}"
       read(spark, addr, fmt).createOrReplaceTempView(view)
       view

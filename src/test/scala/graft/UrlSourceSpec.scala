@@ -49,6 +49,21 @@ class UrlSourceSpec extends AnyFunSuite {
     assert(n === 3L)
   }
 
+  test("file() local-path variant reads without a scheme") {
+    val f = writeTsv(Seq("9\tnine"))
+    val df = Engine.execute(spark, s"SELECT * FROM file('$f', 'TSV')")
+    assert(df.collect().head.getInt(0) === 9)
+  }
+
+  test("system.one and system.settings answer client probes") {
+    graft.dialect.ChContext.setup(spark, "/root/testdata/sf0.001")
+    assert(Engine.execute(spark, "SELECT dummy FROM system.one")
+      .collect().head.getInt(0) === 0)
+    assert(Engine.execute(spark,
+      "SELECT value FROM system.settings WHERE name = 'session_timezone'")
+      .collect().head.getString(0) === "UTC")
+  }
+
   test("url() with .gz decompresses via the JDK") {
     val f = writeTsv(Seq("5\tzz"))
     val gz = Files.createTempFile("urlspec_", ".tsv.gz")
