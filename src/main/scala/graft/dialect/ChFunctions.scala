@@ -72,6 +72,9 @@ object ChFunctions {
     "modulo" -> (a => Remainder(a(0), a(1))),
     "negate" -> (a => UnaryMinus(a.head)),
 
+    // custom codegen'd Expression: 60-bit md5 prefix (dedup hot path)
+    "md5Prefix60" -> (a => graft.functions.Md5Prefix60(Cast(a.head, BinaryType))),
+
     // hashes: distribution-parity (NOT ClickHouse byte-parity)
     "intHash32" -> (a => Cast(BitwiseAnd(XxHash64(a, 42L), Literal(0xFFFFFFFFL)),
       LongType)),

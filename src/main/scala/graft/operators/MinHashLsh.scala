@@ -44,13 +44,14 @@ object MinHashLsh {
     val b = Seq.fill(k)(rnd.nextLong().abs % P)
     val aArr = a.mkString("array(", "L,", "L)")
     val bArr = b.mkString("array(", "L,", "L)")
+    graft.dialect.ChFunctions.register(docs.sparkSession) // md5Prefix60
     val toks = TextFns.tokens(TextFns.norm(col(textCol)))
     docs.select(col(idCol).as("id"),
         TextFns.wordShingles(toks, shingleWidth).as("shingles"))
       // element-wise-min fold: each shingle hashed once, permuted k times
       .withColumn("sig", expr(
         s"""aggregate(
-              transform(shingles, s -> cast(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT) % $P),
+              transform(shingles, s -> md5Prefix60(s) % $P),
               transform(sequence(1, $k), i -> cast($P AS BIGINT)),
               (acc, h) -> zip_with(acc,
                 zip_with($aArr, $bArr, (a, b) -> (a * h + b) % $P),

@@ -28,6 +28,7 @@ object SimHash {
     * vote sum is positive. */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
                    shingleWidth: Int = 3): DataFrame = {
+    graft.dialect.ChFunctions.register(docs.sparkSession) // md5Prefix60
     val toks = TextFns.tokens(TextFns.norm(col(textCol)))
     // 2^j literals, so the final fold references `cnt` exactly ONCE —
     // chained withColumns collapse into one Project and Catalyst
@@ -40,7 +41,7 @@ object SimHash {
         s"""aggregate(
               zip_with(
                 aggregate(
-                  transform(sh, s -> cast(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)),
+                  transform(sh, s -> md5Prefix60(s)),
                   transform(sequence(0, 59), j -> cast(0 AS BIGINT)),
                   (acc, h) -> zip_with(acc,
                     transform(sequence(0, 59),

@@ -84,6 +84,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(2L) === 1 && out(3L) === 2 && out(4L) === 3)
   }
 
+  test("Md5Prefix60 equals the conv(substr(md5)) reference semantics") {
+    graft.dialect.ChFunctions.register(spark)
+    val df = Seq("", "a", "hello world", "the quick brown fox", "éü中")
+      .toDF("s")
+      .selectExpr("md5Prefix60(s) AS fused",
+        "cast(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT) AS chained")
+    df.collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("Multimodal: payload/meta schema, deterministic stub features, frame sampling") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val wp = graft.operators.Multimodal.attachPayload(docs)
