@@ -59,6 +59,11 @@ object Transpiler {
     typeNames.foreach { case (ch, sp) =>
       s = s.replaceAll(s"\\b$ch\\b", sp)
     }
+    // GROUP BY k WITH TOTALS -> GROUPING SETS ((k), ()) — the totals
+    // row is the empty grouping set (reference protocol TOTALS packet,
+    // main.py:61; SURVEY §2.4 G6)
+    s = "(?is)GROUP\\s+BY\\s+(.+?)\\s+WITH\\s+TOTALS".r.replaceAllIn(s,
+      m => s"GROUP BY GROUPING SETS ((${m.group(1)}), ())")
     // SAMPLE 0.1 -> TABLESAMPLE (10 PERCENT) (SURVEY §4 mapping)
     s = "(?i)\\bSAMPLE\\s+(0?\\.\\d+)".r.replaceAllIn(s,
       m => s"TABLESAMPLE (${(m.group(1).toDouble * 100).round} PERCENT)")

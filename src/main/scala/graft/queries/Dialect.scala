@@ -120,6 +120,17 @@ object Dialect {
              json_extract_string(props, '$.missing') IS NOT NULL AS has_missing
       FROM events ORDER BY event_id LIMIT 1000""")),
 
+    // G6b: WITH TOTALS through the dialect (totals row = empty
+    // grouping set, NULL group key)
+    Q("g6b_ch_totals", ch("""
+      SELECT c_mktsegment, count() AS n
+      FROM customer GROUP BY c_mktsegment WITH TOTALS
+      ORDER BY c_mktsegment"""),
+      Some("""
+      SELECT c_mktsegment, count(*) AS n
+      FROM customer GROUP BY GROUPING SETS ((c_mktsegment), ())
+      ORDER BY c_mktsegment""")),
+
     // O4: ClickHouse-only LIMIT n BY clause through the dialect engine
     Q("o4b_ch_limit_by", (s, dir) => {
       graft.dialect.ChContext.setup(s, dir)

@@ -50,6 +50,11 @@ class TranspilerSpec extends AnyFunSuite {
     assert(Transpiler.transpile("SELECT count() FROM t").contains("count(*)"))
   }
 
+  test("WITH TOTALS becomes an empty grouping set") {
+    assert(Transpiler.transpile("SELECT k, count() FROM t GROUP BY k WITH TOTALS")
+      .contains("GROUP BY GROUPING SETS ((k), ())"))
+  }
+
   test("SAMPLE fraction becomes TABLESAMPLE percent") {
     assert(Transpiler.transpile("SELECT * FROM t SAMPLE 0.1")
       .contains("TABLESAMPLE (10 PERCENT)"))
