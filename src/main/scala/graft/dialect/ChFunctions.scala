@@ -34,6 +34,18 @@ object ChFunctions {
   private def jsonPath(key: Expression): Expression =
     Concat(Seq(Literal("$."), key))
 
+  /** ClickHouse strftime-style tokens → Java time pattern (literal
+    * formats only; the common subset). */
+  private def chFormatToJava(fmt: Expression): Expression = fmt match {
+    case Literal(s, StringType) =>
+      val j = s.toString
+        .replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")
+        .replace("%H", "HH").replace("%M", "mm").replace("%i", "mm")
+        .replace("%S", "ss").replace("%F", "yyyy-MM-dd").replace("%T", "HH:mm:ss")
+      Literal(j)
+    case other => other
+  }
+
   private val builders: Map[String, Seq[Expression] => Expression] = Map(
     // identity / time
     "version" -> (_ => Literal(Version)),
@@ -63,6 +75,17 @@ object ChFunctions {
     "toStartOfDay" -> (a => TruncTimestamp(Literal("day"), Cast(a.head, TimestampType))),
     "toStartOfHour" -> (a => TruncTimestamp(Literal("hour"), Cast(a.head, TimestampType))),
     "toStartOfMinute" -> (a => TruncTimestamp(Literal("minute"), Cast(a.head, TimestampType))),
+    // ClickHouse toDayOfWeek: Monday=1..Sunday=7 (Spark: Sunday=1)
+    "toDayOfWeek" -> (a => Add(Remainder(Add(DayOfWeek(a.head), Literal(5)),
+      Literal(7)), Literal(1))),
+    "addDays" -> (a => DateAdd(a(0), a(1))),
+    "subtractDays" -> (a => DateSub(a(0), a(1))),
+    "addMonths" -> (a => AddMonths(a(0), a(1))),
+    // NOTE: dateDiff('unit',...) is rewritten by the Transpiler to
+    // timestampdiff(UNIT,...) — Spark's parser special-cases the name
+    // before the function registry is consulted.
+    "formatDateTime" -> (a => DateFormatClass(Cast(a(0), TimestampType),
+      chFormatToJava(a(1)))),
 
     // arithmetic names
     "plus" -> (a => Add(a(0), a(1))), "minus" -> (a => Subtract(a(0), a(1))),
@@ -115,6 +138,11 @@ object ChFunctions {
     "arrayFilter" -> (a => ArrayFilter(a(1), a(0))),
     "arrayExists" -> (a => ArrayExists(a(1), a(0))),
     "arrayAll" -> (a => ArrayForAll(a(1), a(0))),
+
+    // maps
+    "mapKeys" -> (a => MapKeys(a.head)),
+    "mapValues" -> (a => MapValues(a.head)),
+    "mapContains" -> (a => ArrayContains(MapKeys(a(0)), a(1))),
 
     // conditional / null — ClickHouse truthiness: any numeric (or
     // boolean, via the double cast) condition, nonzero = true

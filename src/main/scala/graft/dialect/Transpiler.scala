@@ -59,6 +59,10 @@ object Transpiler {
     typeNames.foreach { case (ch, sp) =>
       s = s.replaceAll(s"\\b$ch\\b", sp)
     }
+    // dateDiff('day', a, b) -> timestampdiff(DAY, a, b) (the parser
+    // special-cases the dateDiff name before registry lookup)
+    s = "(?i)\\bdateDiff\\s*\\(\\s*'(\\w+)'\\s*,".r.replaceAllIn(s,
+      m => s"timestampdiff(${m.group(1).toUpperCase},")
     // GROUP BY k WITH TOTALS -> GROUPING SETS ((k), ()) — the totals
     // row is the empty grouping set (reference protocol TOTALS packet,
     // main.py:61; SURVEY §2.4 G6)

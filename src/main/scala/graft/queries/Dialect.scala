@@ -120,6 +120,24 @@ object Dialect {
              json_extract_string(props, '$.missing') IS NOT NULL AS has_missing
       FROM events ORDER BY event_id LIMIT 1000""")),
 
+    // F4b: date arithmetic / formatting family
+    Q("f10_ch_datefns", ch("""
+      SELECT o_orderkey,
+             addDays(o_orderdate, 3) AS plus3,
+             subtractDays(o_orderdate, 1) AS minus1,
+             dateDiff('day', o_orderdate, addDays(o_orderdate, 10)) AS dd,
+             formatDateTime(o_orderdate, '%Y-%m-%d') AS fmt,
+             toDayOfWeek(o_orderdate) AS dow
+      FROM orders ORDER BY o_orderkey LIMIT 300"""),
+      Some("""
+      SELECT o_orderkey,
+             CAST(o_orderdate + INTERVAL 3 DAY AS DATE) AS plus3,
+             CAST(o_orderdate - INTERVAL 1 DAY AS DATE) AS minus1,
+             datediff('day', o_orderdate, o_orderdate + INTERVAL 10 DAY) AS dd,
+             strftime(o_orderdate, '%Y-%m-%d') AS fmt,
+             CAST(isodow(o_orderdate) AS INT) AS dow
+      FROM orders ORDER BY o_orderkey LIMIT 300""")),
+
     // G6b: WITH TOTALS through the dialect (totals row = empty
     // grouping set, NULL group key)
     Q("g6b_ch_totals", ch("""
