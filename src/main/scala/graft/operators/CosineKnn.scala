@@ -71,6 +71,46 @@ object CosineKnn {
               THEN shiftleft(1, p) ELSE 0 END)"""))
       .drop("planes")
 
+  /** IVF-style ANN: a KMeans coarse quantizer partitions the corpus
+    * into nLists inverted lists; each query probes the nProbe nearest
+    * centroids and reranks exactly within those lists. The 100 TB
+    * shape: centroids are tiny (broadcast), the corpus is scanned once
+    * to assign lists and thereafter only probed lists are read —
+    * with a list-partitioned layout that's partition pruning.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nLists: Int = 16,
+              nProbe: Int = 6): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = corpus.select(col(idCol).as("nid"), asDouble(vecCol).as("nv"))
+      .withColumn("features", array_to_vector(col("nv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val km = new KMeans().setK(nLists).setSeed(42L).setMaxIter(10).fit(c)
+    val lists = km.transform(c).select(col("nid"), col("nv"),
+        col("prediction").as("list"))
+      .withColumn("nn", sqrt(dot("nv", "nv")))
+    val centers = typedlit(km.clusterCenters.map(_.toArray))
+    val q = queries.select(col(idCol).as("qid"), asDouble(vecCol).as("qv"))
+      .withColumn("qn", sqrt(dot("qv", "qv")))
+      .withColumn("__centers", centers)
+      // nProbe nearest centroids by squared L2 (struct sort on dist)
+      .withColumn("probe", explode(expr(
+        s"""transform(slice(array_sort(
+              transform(sequence(0, $nLists - 1), i -> struct(
+                aggregate(zip_with(qv, element_at(__centers, i + 1),
+                  (x, y) -> (x - y) * (x - y)), cast(0 AS DOUBLE), (a, x) -> a + x) AS d,
+                i AS idx))), 1, $nProbe), s -> s.idx)""")))
+      .drop("__centers")
+    val scored = lists.join(broadcast(q), col("list") === col("probe"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("sim", round(dot("qv", "nv") / (col("qn") * col("nn")), 6))
+    scored.withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("sim"), col("rn"))
+  }
+
   /** ANN top-k: bucket + multiprobe (all buckets within Hamming
     * distance `probeDist` of the query's bucket), exact rerank within
     * candidates. probeDist=2 with 4 planes probes 11/16 buckets — on

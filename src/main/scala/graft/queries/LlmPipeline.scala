@@ -140,6 +140,15 @@ object LlmPipeline {
         .orderBy("qid", "rn")
     }, None),
 
+    // L6b: IVF ANN (KMeans coarse quantizer + multiprobe + exact
+    // rerank). Approximate => rows-only check; recall in tests.
+    Q("l11_ann_ivf", (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      CosineKnn.ivfTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .orderBy("qid", "rn")
+    }, None),
+
     // L7: language-ID by stopword-profile scoring
     Q("l7_langid", (s, dir) => {
       val scored = docsWithToks(s, dir).select(

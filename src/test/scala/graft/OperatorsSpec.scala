@@ -119,4 +119,15 @@ class OperatorsSpec extends AnyFunSuite {
     val recall = (exact & ann).size.toDouble / exact.size
     assert(recall >= 0.6, s"recall=$recall")
   }
+
+  test("CosineKnn IVF recall@5 >= 0.4 vs brute force (uniform data is IVF's worst case)") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val exact = CosineKnn.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val ivf = CosineKnn.ivfTopK(e, q, "vec_id", "embedding", 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall=$recall")
+  }
 }

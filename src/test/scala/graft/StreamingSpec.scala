@@ -79,6 +79,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source stream over the events fixture matches the batch aggregate") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = EventsStreaming.windowedAgg(Tables.events(spark, dir), "1 hour")
+      .collect().map(_.toString).toSet
+    val schema = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = EventsStreaming.withLateDataHandling(stream, "1 minute", "1 hour")
+      .writeStream.format("memory").queryName("file_stream_agg")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000)
+      val streamed = spark.table("file_stream_agg").collect().map(_.toString).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("session windows fuse events within the gap (batch mode)") {
     import spark.implicits._
     val df = Seq(
