@@ -24,12 +24,12 @@ object Relational {
 
     // S1: numbers(N) virtual source — spark.range (test_suite.py:323-336)
     Q("s1_numbers",
-      (s, _) => s.range(10).toDF("number"),
+      (s, _) => s.range(10).toDF("number").orderBy("number"),
       Some("SELECT range AS number FROM range(10) ORDER BY number")),
 
     // O2: LIMIT over an ordered virtual scan
     Q("o2_limit",
-      (s, _) => s.range(1000).toDF("number").limit(10),
+      (s, _) => s.range(1000).toDF("number").orderBy("number").limit(10),
       Some("SELECT range AS number FROM range(1000) ORDER BY number LIMIT 10")),
 
     // P1: projection with aliases + arithmetic
@@ -58,6 +58,7 @@ object Relational {
         (col("id") / 3.0).as("div3"),
         pow(col("id").cast("double"), 2).as("sq"),
         (col("id").cast("double") * 1.5).as("x15"))
+        .orderBy("number")
     }, Some("""
       SELECT range AS number, range * 2 AS twice, range % 5 AS mod5,
              range / 3.0 AS div3, pow(CAST(range AS DOUBLE), 2) AS sq,
