@@ -180,15 +180,24 @@ object ChFunctions {
     "maxIf" -> (a => Max(nullIfNot(a(1), a(0))).toAggregateExpression())
   )
 
-  /** Idempotently register every ClickHouse name on the session. */
+  /** Idempotently register every ClickHouse name on the session.
+    * Skips (and never races) when the session is already set up —
+    * Engine.execute calls this per statement, possibly from many
+    * server threads. */
   def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    builders.foreach { case (name, b) =>
-      reg.createOrReplaceTempFunction(name, b, "built-in")
+    if (registered(spark)) return
+    spark.synchronized {
+      if (registered(spark)) return
+      val reg = spark.sessionState.functionRegistry
+      builders.foreach { case (name, b) =>
+        reg.createOrReplaceTempFunction(name, b, "built-in")
+      }
     }
   }
 
   def registered(spark: SparkSession): Boolean =
+    // a name that only this registry provides (Spark has its own
+    // builtin `version`, so that is NOT a usable sentinel)
     spark.sessionState.functionRegistry
-      .functionExists(FunctionIdentifier("version"))
+      .functionExists(FunctionIdentifier("toYYYYMM"))
 }

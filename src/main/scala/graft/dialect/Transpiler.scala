@@ -210,13 +210,18 @@ object ChContext {
     setupViews(spark, dir)
   }
 
-  /** Temp views are session-scoped — per-user sessions re-register. */
+  /** Temp views are session-scoped — per-user sessions re-register.
+    * Re-registration for the SAME dir is skipped (queries call setup
+    * per run; re-creating 10 views each time is pure overhead). */
   def setupViews(spark: SparkSession, dir: String): Unit = {
+    val marker = "graft.views.dir"
+    if (spark.conf.getOption(marker).contains(dir)) return
     graft.Tables.names.foreach { t =>
       graft.Tables.load(spark, dir, t).createOrReplaceTempView(t)
     }
     graft.Tables.events(spark, dir).createOrReplaceTempView("events")
     setupSystemTables(spark)
+    spark.conf.set(marker, dir)
   }
 
   /** Minimal `system.*` surface ClickHouse clients probe (the Play UI

@@ -82,6 +82,17 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.body().trim.toLong > 0)
   }
 
+  test("concurrent queries on one server answer correctly") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = (1 to 12).map { i =>
+      Future(post(s"SELECT $i * 10 AS x").body().trim)
+    }
+    val results = Await.result(Future.sequence(futures), 120.seconds)
+    assert(results === (1 to 12).map(i => (i * 10).toString))
+  }
+
   test("/play serves the query UI (main.py:907-917 endpoint)") {
     val r = get("/play")
     assert(r.statusCode() === 200 && r.body().contains("<textarea"))
