@@ -175,8 +175,21 @@ object Ddl {
   * raw ClickHouse SQL (possibly `USE db; query` — the reference
   * prefixes the database selection the same way, main.py:860-861). */
 object Engine {
+  // "INSERT INTO t [(cols)] FORMAT TSV\n<data rows>" — the ClickHouse
+  // bulk-load shape every CLI/driver uses over HTTP. Matched BEFORE
+  // statement splitting (the payload may contain anything).
+  private val insertDataRe =
+    "(?is)^\\s*INSERT\\s+INTO\\s+([\\w`.]+)\\s*(\\(([^)]*)\\))?\\s*FORMAT\\s+(\\w+)\\s*\\n(.+)$".r
+
   def execute(spark: SparkSession, rawSql: String): DataFrame = {
     ChFunctions.register(spark)
+    insertDataRe.findFirstMatchIn(rawSql) match {
+      case Some(m) =>
+        val cols = Option(m.group(3))
+          .map(_.split(",").map(_.trim.replace("`", "")).toSeq)
+        return insertWithData(spark, m.group(1), cols, m.group(4), m.group(5))
+      case None => ()
+    }
     val statements = splitStatements(rawSql)
     statements.map { st0 =>
       val st = graft.sources.UrlTableFunction.rewrite(spark, st0)
@@ -237,5 +250,40 @@ object Engine {
     }
     out += sql.substring(start)
     out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Parse the inline payload per format against the target table's
+    * schema and append. `VALUES` data routes back through SQL. */
+  private def insertWithData(spark: SparkSession, table: String,
+                             cols: Option[Seq[String]], format: String,
+                             data: String): DataFrame = {
+    import spark.implicits._
+    if (format.equalsIgnoreCase("Values"))
+      return Ddl.insert(spark, s"INSERT INTO $table VALUES $data")
+    val full = spark.table(table).schema
+    val target = cols match {
+      case Some(cs) => org.apache.spark.sql.types.StructType(
+        cs.map(c => full(full.fieldIndex(c))))
+      case None => org.apache.spark.sql.types.StructType(
+        full.fields.filterNot(_.name == "_part"))
+    }
+    val lines = data.trim.split("\n").toIndexedSeq.toDS()
+    val parsed = format.toLowerCase match {
+      case "tsv" | "tabseparated" =>
+        spark.read.option("sep", "\t").schema(target).csv(lines)
+      case "csv" => spark.read.schema(target).csv(lines)
+      case "jsoneachrow" | "ndjson" => spark.read.schema(target).json(lines)
+      case other =>
+        throw new IllegalArgumentException(s"INSERT FORMAT $other not supported")
+    }
+    // fill unlisted columns with NULLs, emit in table column order
+    val out = full.fields.filterNot(_.name == "_part").map { f =>
+      if (parsed.columns.contains(f.name))
+        org.apache.spark.sql.functions.col(f.name)
+      else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+    }
+    parsed.select(out.toIndexedSeq: _*).write.mode("append")
+      .insertInto(table.replace("`", ""))
+    spark.emptyDataFrame
   }
 }

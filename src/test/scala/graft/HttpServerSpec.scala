@@ -93,6 +93,21 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(results === (1 to 12).map(i => (i * 10).toString))
   }
 
+  test("INSERT ... FORMAT TSV with inline payload bulk-loads over HTTP") {
+    assert(post("CREATE DATABASE IF NOT EXISTS graft_spec").statusCode() === 200)
+    assert(post("DROP TABLE IF EXISTS graft_spec.bulk").statusCode() === 200)
+    assert(post("CREATE TABLE graft_spec.bulk (id UInt32, name String) ENGINE=Memory")
+      .statusCode() === 200)
+    val r = post("INSERT INTO graft_spec.bulk FORMAT TSV\n1\talpha\n2\tbeta\n3\tgamma")
+    assert(r.statusCode() === 200, r.body())
+    assert(post("SELECT id, name FROM graft_spec.bulk ORDER BY id").body() ===
+      "1\talpha\n2\tbeta\n3\tgamma\n")
+    // column-list variant with reordering
+    val r2 = post("INSERT INTO graft_spec.bulk (name, id) FORMAT CSV\ndelta,4")
+    assert(r2.statusCode() === 200, r2.body())
+    assert(post("SELECT name FROM graft_spec.bulk WHERE id = 4").body() === "delta\n")
+  }
+
   test("/play serves the query UI (main.py:907-917 endpoint)") {
     val r = get("/play")
     assert(r.statusCode() === 200 && r.body().contains("<textarea"))
