@@ -95,6 +95,14 @@ class FormatsSpec extends AnyFunSuite {
     assert(cols(2)._3.head === Vector(1, 2, 3))
   }
 
+  test("QueryRunner one-shot call mirrors the reference Lambda defaults") {
+    val out = graft.QueryRunner.runOnce(spark)
+    assert(out.contains(""""data":[["25.5.2"]]"""), out)
+    val tsv = graft.QueryRunner.runOnce(spark,
+      "/root/testdata/sf0.001", "SELECT count() FROM nation", "TSV")
+    assert(tsv === "25\n")
+  }
+
   test("varint round-trips across widths") {
     val out = new java.io.ByteArrayOutputStream()
     val vals = Seq(0L, 1L, 127L, 128L, 300L, 65536L, Int.MaxValue.toLong, 1L << 40)
