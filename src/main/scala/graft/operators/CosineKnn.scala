@@ -71,6 +71,27 @@ object CosineKnn {
               THEN shiftleft(1, p) ELSE 0 END)"""))
       .drop("planes")
 
+  /** Embedding near-duplicate pairs: all (a < b) with cosine >= the
+    * threshold. Exact block-join formulation — normalize once, join,
+    * dot of unit vectors. Cosine thresholds admit no lossless bucketing
+    * (unlike SimHash/prefix filtering), so the exact variant is
+    * inherently quadratic: use it for bounded corpora/blocks, and the
+    * LSH/IVF paths when approximate recall is acceptable at scale.
+    * Ranking/filter uses the ROUNDED similarity so results are
+    * engine-independent. */
+  def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double): DataFrame = {
+    val u = corpus.select(col(idCol).as("id"), asDouble(vecCol).as("v"))
+      .withColumn("n", sqrt(dot("v", "v")))
+      .select(col("id"), expr("transform(v, x -> x / n)").as("u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    u.select(col("id").as("a"), col("u").as("ua"))
+      .join(u.select(col("id").as("b"), col("u").as("ub")), col("a") < col("b"))
+      .withColumn("sim", round(dot("ua", "ub"), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("a"), col("b"), col("sim"))
+  }
+
   /** IVF-style ANN: a KMeans coarse quantizer partitions the corpus
     * into nLists inverted lists; each query probes the nProbe nearest
     * centroids and reranks exactly within those lists. The 100 TB

@@ -149,6 +149,21 @@ object LlmPipeline {
         .orderBy("qid", "rn")
     }, None),
 
+    // L12: embedding-cosine near-dup pairs (exact; the fixture's max
+    // cosine is ~0.51 so 0.45 yields a small deterministic pair set)
+    Q("l12_cosine_neardup", (s, dir) => {
+      CosineKnn.nearDupPairs(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.45)
+        .orderBy("a", "b")
+    }, Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      u AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_inner_product(v, v))) uv FROM e)
+      SELECT a.vec_id a, b.vec_id b,
+             round(list_inner_product(a.uv, b.uv), 6) sim
+      FROM u a JOIN u b ON a.vec_id < b.vec_id
+      WHERE round(list_inner_product(a.uv, b.uv), 6) >= 0.45
+      ORDER BY a, b""")),
+
     // L7: language-ID by stopword-profile scoring
     Q("l7_langid", (s, dir) => {
       val scored = docsWithToks(s, dir).select(
