@@ -124,6 +124,35 @@ object Joins {
       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
       ORDER BY c_custkey""")),
 
+    // J1d: 5-way star join (TPC-H Q5 shape) — fixed-size dims
+    // broadcast, fact tables left to AQE
+    Q("j6_join5_tpch5", (s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      val l = Tables.load(s, dir, "lineitem")
+      val n = Tables.load(s, dir, "nation")
+      val r = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey").isNotNull)
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"), 4, 2)))
+          .cast("decimal(18,4)").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }, Some("""
+      SELECT n_name,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY n_name ORDER BY revenue DESC, n_name""")),
+
     // J5: ASOF join — for each purchase, latest click at-or-before it by
     // the same user (custom operator, single keyed shuffle)
     Q("j5_asof", (s, dir) => {

@@ -297,6 +297,77 @@ object Relational {
              round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // W3: RANGE frame — orders within 10000 price units of each row
+    // (integer order key on both sides: floor first — Spark truncates
+    // double->long casts, DuckDB rounds)
+    Q("w3_range_frame", (s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(floor(col("o_totalprice")).cast("long").asc)
+        .rangeBetween(-10000L, 10000L)
+      Tables.load(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        count(lit(1)).over(w).as("n_near"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus,
+             count(*) OVER (PARTITION BY o_orderstatus
+                            ORDER BY CAST(floor(o_totalprice) AS BIGINT)
+                            RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS n_near
+      FROM orders ORDER BY o_orderkey""")),
+
+    // W4: first/last/nth value windows
+    Q("w4_value_windows", (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.load(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_okey"),
+        last(col("o_orderkey")).over(w).as("last_okey"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_okey"))
+        .orderBy("o_custkey", "o_orderkey")
+    }, Some("""
+      SELECT o_custkey, o_orderkey,
+             first_value(o_orderkey) OVER w AS first_okey,
+             last_value(o_orderkey) OVER w AS last_okey,
+             nth_value(o_orderkey, 2) OVER w AS second_okey
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_custkey, o_orderkey""")),
+
+    // G7b: CUBE over two keys with grouping id
+    Q("g7b_cube", (s, dir) => {
+      Tables.load(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), grouping_id().cast("int").as("gid"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("gid"))
+        .orderBy("gid", "status", "priority")
+    }, Some("""
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             count(*) AS n,
+             CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY gid, status, priority""")),
+
+    // O5b: INTERSECT ALL / EXCEPT ALL (bag semantics)
+    Q("o5b_setops_all", (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .orderBy("l_orderkey", "l_linenumber").limit(2000)
+      val a = li.select(col("l_suppkey").as("k"))
+      val b = li.select(col("l_partkey").as("k"))
+      a.intersectAll(b).groupBy("k").agg(count(lit(1)).as("n")).orderBy("k")
+    }, Some("""
+      WITH a AS (SELECT l_suppkey AS k FROM (SELECT l_suppkey FROM lineitem
+                 ORDER BY l_orderkey, l_linenumber LIMIT 2000)),
+           b AS (SELECT l_partkey AS k FROM (SELECT l_partkey FROM lineitem
+                 ORDER BY l_orderkey, l_linenumber LIMIT 2000))
+      SELECT k, count(*) AS n FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+      GROUP BY k ORDER BY k""")),
+
     // O1/O3: multi-key ORDER BY + LIMIT => TakeOrderedAndProject top-k
     Q("o3_topk", (s, dir) => {
       Tables.load(s, dir, "lineitem")
