@@ -36,6 +36,10 @@ object ResultFormatter {
       case "csvwithnames" => delimited(schema, rows, ",", header = true, csvQuote = true)
       case "json" => jsonEnvelope(schema, rows, elapsed, compact = false)
       case "jsoncompact" => jsonEnvelope(schema, rows, elapsed, compact = true)
+      case "jsoneachrow" | "ndjson" =>
+        rows.map(r => schema.fields.indices
+          .map(i => s"${jsonString(schema.fields(i).name)}:${jsonValue(r.get(i), schema.fields(i).dataType)}")
+          .mkString("{", ",", "}")).mkString("", "\n", "\n")
       case "pretty" | "prettycompact" => pretty(schema, rows)
       case other => throw new IllegalArgumentException(s"unknown format: $other")
     }

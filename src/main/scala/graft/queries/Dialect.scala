@@ -179,6 +179,37 @@ object Dialect {
              len(list_filter(range(0, range + 1), x -> x = 3)) > 0 AS has3
       FROM range(6) ORDER BY number""")),
 
+    // F8c: arrayJoin as a row generator in the projection
+    // (ClickHouse's lateral explode; index.html:729 family)
+    Q("f11_ch_arrayjoin", ch("""
+      SELECT number, arrayJoin(range(number % 3 + 1)) AS j
+      FROM numbers(5) ORDER BY number, j"""),
+      Some("""
+      SELECT range AS number, unnest(range(0, range % 3 + 1)) AS j
+      FROM range(5) ORDER BY number, j""")),
+
+    // G5b: HAVING through the dialect
+    Q("g11_ch_having", ch("""
+      SELECT o_custkey, count() AS n,
+             sum(CAST(o_totalprice AS Decimal(12,2))) AS spend
+      FROM orders GROUP BY o_custkey HAVING count() >= 12
+      ORDER BY o_custkey"""),
+      Some("""
+      SELECT o_custkey, count(*) AS n,
+             sum(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
+      FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+      ORDER BY o_custkey""")),
+
+    // P7: correlated scalar subquery
+    Q("p7_ch_subquery", ch("""
+      SELECT c_custkey,
+             (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+      FROM customer ORDER BY c_custkey LIMIT 500"""),
+      Some("""
+      SELECT c_custkey,
+             (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+      FROM customer ORDER BY c_custkey LIMIT 500""")),
+
     // P5: CAST with ClickHouse type names
     Q("f7_ch_cast", ch("""
       SELECT number, CAST(number AS UInt8) AS u8,

@@ -38,6 +38,7 @@ object UrlTableFunction {
         spark.read.option("header", "true").option("inferSchema", "true").csv(local)
       case "jsoneachrow" | "ndjson" | "json" => spark.read.json(local)
       case "parquet" => spark.read.parquet(local)
+      case "orc" => spark.read.orc(local)
       case other => throw new IllegalArgumentException(s"url(): unsupported format $other")
     }
   }

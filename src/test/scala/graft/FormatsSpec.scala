@@ -95,6 +95,13 @@ class FormatsSpec extends AnyFunSuite {
     assert(cols(2)._3.head === Vector(1, 2, 3))
   }
 
+  test("JSONEachRow renders one object per line") {
+    val out = ResultFormatter.render(
+      q("SELECT number, toString(number) AS s FROM numbers(2) ORDER BY number"),
+      "JSONEachRow")
+    assert(out === "{\"number\":\"0\",\"s\":\"0\"}\n{\"number\":\"1\",\"s\":\"1\"}\n")
+  }
+
   test("QueryRunner one-shot call mirrors the reference Lambda defaults") {
     val out = graft.QueryRunner.runOnce(spark)
     assert(out.contains(""""data":[["25.5.2"]]"""), out)
