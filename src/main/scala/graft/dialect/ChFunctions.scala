@@ -119,6 +119,18 @@ object ChFunctions {
     "replaceRegexpAll" -> (a => RegExpReplace(a(0), a(1), a(2))),
     "startsWith" -> (a => StartsWith(a(0), a(1))),
     "endsWith" -> (a => EndsWith(a(0), a(1))),
+    "lowerUTF8" -> (a => Lower(a.head)), "upperUTF8" -> (a => Upper(a.head)),
+    "substringUTF8" -> (a => Substring(a(0), a(1), a(2))),
+    "repeat" -> (a => StringRepeat(a(0), a(1))),
+    "leftPad" -> (a => new StringLPad(a(0), a(1), a(2))),
+    "rightPad" -> (a => StringRPad(a(0), a(1), a(2))),
+    "trimBoth" -> (a => new StringTrim(a.head)),
+    "trimLeft" -> (a => new StringTrimLeft(a.head)),
+    "trimRight" -> (a => new StringTrimRight(a.head)),
+    "reverse" -> (a => Reverse(a.head)),
+    "arrayStringConcat" -> (a =>
+      if (a.length > 1) ArrayJoin(a(0), a(1), None)
+      else ArrayJoin(a(0), Literal(""), None)),
 
     // arrays
     "range" -> (a => a.length match {

@@ -179,6 +179,24 @@ object Dialect {
              len(list_filter(range(0, range + 1), x -> x = 3)) > 0 AS has3
       FROM range(6) ORDER BY number""")),
 
+    // F2b: second string family — pads/repeat/reverse/arrayStringConcat
+    Q("f12_ch_strings2", ch("""
+      SELECT number,
+             leftPad(toString(number), 5, '0') AS padded,
+             repeat('ab', CAST(number % 3 AS Int32)) AS rep,
+             reverse(toString(number * 111)) AS rev,
+             arrayStringConcat(range(number % 3 + 1), '-') AS joined,
+             trimBoth('  x  ') AS trimmed
+      FROM numbers(6) ORDER BY number"""),
+      Some("""
+      SELECT range AS number,
+             lpad(CAST(range AS VARCHAR), 5, '0') AS padded,
+             repeat('ab', CAST(range % 3 AS INT)) AS rep,
+             reverse(CAST(range * 111 AS VARCHAR)) AS rev,
+             array_to_string(range(0, range % 3 + 1), '-') AS joined,
+             trim('  x  ') AS trimmed
+      FROM range(6) ORDER BY number""")),
+
     // F8c: arrayJoin as a row generator in the projection
     // (ClickHouse's lateral explode; index.html:729 family)
     Q("f11_ch_arrayjoin", ch("""
