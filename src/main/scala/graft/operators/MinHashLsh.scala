@@ -73,6 +73,42 @@ object MinHashLsh {
       .distinct()
   }
 
+  /** Dedup decision per document: connected components over the
+    * near-dup pair graph, each cluster represented by its minimum id;
+    * a doc is kept iff it IS its cluster's representative.
+    *
+    * Components via iterative min-propagation (label = min(label of
+    * self + neighbors)), run `iters` rounds — enough for the small
+    * cluster diameters near-dup graphs have (diameter d needs ceil(
+    * log2 d) rounds; 5 covers d=32). Each round is one keyed join of
+    * the label frame against the (small) pair list — no all-pairs
+    * anything, scales like any iterative graph step on Spark.
+    */
+  def dedupAssignments(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, iters: Int = 5): DataFrame = {
+    val pairs = nearDupPairs(docs, idCol, textCol, threshold)
+      .select(col("a"), col("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // undirected edges, both directions
+    val edges = pairs.unionByName(
+        pairs.select(col("b").as("a"), col("a").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = docs.select(col(idCol).as("id"))
+      .withColumn("rep", col("id"))
+    for (_ <- 1 to iters) {
+      val viaNeighbors = edges
+        .join(labels.select(col("id").as("b"), col("rep").as("nrep")), "b")
+        .groupBy(col("a")).agg(min(col("nrep")).as("minNrep"))
+      labels = labels
+        .join(viaNeighbors.select(col("a").as("id"), col("minNrep")),
+          Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("minNrep"), col("rep"))).as("rep"))
+    }
+    labels.select(col("id"), col("rep"),
+      (col("id") === col("rep")).as("is_kept"))
+  }
+
   /** Full pipeline: verified near-dup pairs with exact Jaccard. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double, shingleWidth: Int = 3,

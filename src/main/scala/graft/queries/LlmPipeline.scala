@@ -70,6 +70,35 @@ object LlmPipeline {
       WHERE inter*1.0/(sa.n + sb.n - inter) >= 0.8
       ORDER BY a, b"""), bench = true),
 
+    // L13: the dedup DECISION — connected components over the near-dup
+    // graph, keep each cluster's min-id representative. Oracle computes
+    // the same transitive closure with a recursive CTE.
+    Q("l13_dedup_keep", (s, dir) => {
+      MinHashLsh.dedupAssignments(Tables.load(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.8)
+        .orderBy("id")
+    }, Some("""
+      WITH RECURSIVE t AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') toks FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+               THEN [array_to_string(toks[i:i+2],' ') for i in range(1, len(toks)-1)]
+               ELSE [] END)) s FROM t),
+      sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+      pairs AS (SELECT x.doc_id a, y.doc_id b, count(*) inter
+                FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+      good AS (SELECT a, b FROM pairs
+               JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+               WHERE inter*1.0/(sa.n + sb.n - inter) >= 0.8),
+      edges AS (SELECT a, b FROM good UNION ALL SELECT b, a FROM good),
+      reach AS (
+        SELECT doc_id AS id, doc_id AS r FROM documents
+        UNION
+        SELECT e.a AS id, reach.r
+        FROM reach JOIN edges e ON e.b = reach.id),
+      rep AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+      SELECT id, rep, id = rep AS is_kept
+      FROM rep ORDER BY id"""))
+      ,
+
     // L3: SimHash near-dup pairs (Hamming <= 5 on 60-bit fingerprints;
     // 6-band bucketing is lossless for dist <= 5 by pigeonhole)
     Q("l3_simhash_neardup", (s, dir) => {
