@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the ONE bare JSON line printed by graft.Bench /
+// graft.Verify from stdout. sbt's default output strategy routes the
+// forked process through its logger, prefixing every line with
+// "[info] " — which breaks that parse (BENCH_r01/r02: parsed=null).
+// StdoutOutput passes the child's stdout/stderr straight through.
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

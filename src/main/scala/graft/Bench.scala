@@ -35,21 +35,30 @@ object Bench {
       catch { case _: Throwable => () }
     }
     // best-of-3: ambient machine load skews single shots 2-3x; the
-    // minimum is the engine's actual throughput
+    // minimum is the engine's actual throughput. A run that throws is a
+    // FAILURE, not a fast run — reported as -1, never summed.
     val results = names.map { name =>
-      val times = (1 to 3).map { _ =>
+      val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
-        try byName(name).run(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          byName(name).run(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            None
+        }
       }
-      name -> times.min
+      name -> times.minOption
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map {
+      case (k, Some(v)) => "\"" + k + "\":" + f"$v%.3f"
+      case (k, None)    => "\"" + k + "\":-1"
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, None) => "\"" + k + "\"" }
+    val total = results.flatMap(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
