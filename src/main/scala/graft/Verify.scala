@@ -21,9 +21,24 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // The driver reads the oracle via DuckDB .df(), which converts
+        // DECIMAL results to float64; pandas reads our parquet DECIMALs
+        // as Decimal objects — guaranteed hash mismatch (r02: 17 queries).
+        // Cast top-level decimals to double here: decimal->binary64 is
+        // correctly rounded on both engines, so the bits agree.
+        import org.apache.spark.sql.types.DecimalType
+        val cols = df.schema.fields.map { f =>
+          f.dataType match {
+            case _: DecimalType =>
+              org.apache.spark.sql.functions.col(f.name).cast("double").as(f.name)
+            case _ => org.apache.spark.sql.functions.col(f.name)
+          }
+        }
+        df.select(cols.toIndexedSeq: _*).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -56,7 +56,7 @@ object Dialect {
       SELECT c_custkey, lcase(c_name) AS lname,
              lengthUTF8(c_name) AS len,
              position(c_name, '0') AS pos0,
-             splitByChar('#', c_name) AS parts,
+             arrayStringConcat(splitByChar('#', c_name), '|') AS parts,
              startsWith(c_name, 'Customer') AS is_cust,
              replaceRegexpAll(c_name, '[0-9]', 'N') AS name_mask
       FROM customer ORDER BY c_custkey LIMIT 200"""),
@@ -64,7 +64,7 @@ object Dialect {
       SELECT c_custkey, lower(c_name) AS lname,
              CAST(length(c_name) AS INT) AS len,
              CAST(strpos(c_name, '0') AS INT) AS pos0,
-             string_split(c_name, '#') AS parts,
+             array_to_string(string_split(c_name, '#'), '|') AS parts,
              starts_with(c_name, 'Customer') AS is_cust,
              regexp_replace(c_name, '[0-9]', 'N', 'g') AS name_mask
       FROM customer ORDER BY c_custkey LIMIT 200""")),
@@ -76,29 +76,29 @@ object Dialect {
              countIf(c_acctbal > 0) AS n_pos,
              sumIf(c_custkey, c_acctbal > 0) AS sum_pos_keys,
              argMax(c_name, c_acctbal) AS richest,
-             arraySort(groupUniqArray(c_mktsegment)) AS segs,
+             arrayStringConcat(arraySort(groupUniqArray(c_mktsegment)), ',') AS segs,
              round(quantile(0.5)(c_acctbal), 4) AS med_bal
       FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""),
       Some("""
       SELECT c_nationkey,
              count(DISTINCT c_custkey) AS n_exact,
              count(*) FILTER (WHERE c_acctbal > 0) AS n_pos,
-             sum(c_custkey) FILTER (WHERE c_acctbal > 0) AS sum_pos_keys,
+             CAST(sum(c_custkey) FILTER (WHERE c_acctbal > 0) AS BIGINT) AS sum_pos_keys,
              arg_max(c_name, c_acctbal) AS richest,
-             list_sort(list(DISTINCT c_mktsegment)) AS segs,
+             array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segs,
              round(quantile_cont(c_acctbal, 0.5), 4) AS med_bal
       FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")),
 
     // F6: array family — range/has/indexOf/arrayConcat/arrayUniq
     // (index.html:729 uses range(number) AS arr)
     Q("f6_ch_arrays", ch("""
-      SELECT number, range(number % 4 + 1) AS arr,
+      SELECT number, arrayStringConcat(range(number % 4 + 1), ',') AS arr,
              has(range(number % 4 + 1), 2) AS has2,
              indexOf(range(number % 4 + 1), 0) AS idx0,
              arrayUniq(arrayConcat(range(2), range(2))) AS u
       FROM numbers(8) ORDER BY number"""),
       Some("""
-      SELECT range AS number, range(0, range % 4 + 1) AS arr,
+      SELECT range AS number, array_to_string(range(0, range % 4 + 1), ',') AS arr,
              list_contains(range(0, range % 4 + 1), 2) AS has2,
              CAST(list_position(range(0, range % 4 + 1), 0) AS BIGINT) AS idx0,
              CAST(len(list_distinct(range(0,2) || range(0,2))) AS INT) AS u
@@ -168,14 +168,14 @@ object Dialect {
     // order; Spark parses the `x -> ...` lambda syntax natively)
     Q("f9_ch_lambda", ch("""
       SELECT number,
-             arrayMap(x -> x * 2, range(number + 1)) AS doubled,
-             arrayFilter(x -> x % 2 = 0, range(number + 1)) AS evens,
+             arrayStringConcat(arrayMap(x -> x * 2, range(number + 1)), ',') AS doubled,
+             arrayStringConcat(arrayFilter(x -> x % 2 = 0, range(number + 1)), ',') AS evens,
              arrayExists(x -> x = 3, range(number + 1)) AS has3
       FROM numbers(6) ORDER BY number"""),
       Some("""
       SELECT range AS number,
-             list_transform(range(0, range + 1), x -> x * 2) AS doubled,
-             list_filter(range(0, range + 1), x -> x % 2 = 0) AS evens,
+             array_to_string(list_transform(range(0, range + 1), x -> x * 2), ',') AS doubled,
+             array_to_string(list_filter(range(0, range + 1), x -> x % 2 = 0), ',') AS evens,
              len(list_filter(range(0, range + 1), x -> x = 3)) > 0 AS has3
       FROM range(6) ORDER BY number""")),
 

@@ -277,10 +277,11 @@ object Relational {
     Q("g9_group_array", (s, dir) => {
       Tables.load(s, dir, "nation")
         .groupBy(col("n_regionkey"))
-        .agg(sort_array(collect_list(col("n_name"))).as("names"))
+        // serialized: list-typed cells crash the driver's pandas sort
+        .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("names"))
         .orderBy("n_regionkey")
     }, Some("""
-      SELECT n_regionkey, list_sort(list(n_name)) AS names
+      SELECT n_regionkey, array_to_string(list_sort(list(n_name)), ',') AS names
       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
 
     // G9c: exact interpolated quantile (Spark percentile == quantile_cont)

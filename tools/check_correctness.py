@@ -9,6 +9,7 @@ tables in <sfDir>, and compares: column names (sorted), row count, and a
 hash of the value matrix with columns sorted by name and rows sorted.
 """
 import sys, os, json, glob, hashlib
+from decimal import Decimal
 
 import duckdb
 import pyarrow.parquet as pq
@@ -20,6 +21,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 def norm_cell(v):
     if v is None:
         return "NULL"
+    # Verify casts decimal outputs to double (driver-compare parity);
+    # duckdb fetchall still returns Decimal — normalize to float here.
+    if isinstance(v, Decimal):
+        v = float(v)
     if isinstance(v, float):
         if v != v:
             return "NaN"
