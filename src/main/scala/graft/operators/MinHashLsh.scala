@@ -77,15 +77,20 @@ object MinHashLsh {
     * near-dup pair graph, each cluster represented by its minimum id;
     * a doc is kept iff it IS its cluster's representative.
     *
-    * Components via iterative min-propagation (label = min(label of
-    * self + neighbors)), run `iters` rounds — enough for the small
-    * cluster diameters near-dup graphs have (diameter d needs ceil(
-    * log2 d) rounds; 5 covers d=32). Each round is one keyed join of
-    * the label frame against the (small) pair list — no all-pairs
-    * anything, scales like any iterative graph step on Spark.
+    * Each round does (1) one-hop min-propagation — label = min(label of
+    * self + neighbors) — and (2) pointer jumping (path halving):
+    * rep := rep(rep), a self-join of the label frame. Propagation alone
+    * needs diameter-many rounds; the jump step roughly doubles covered
+    * distance per round, so rounds are logarithmic in component
+    * diameter. The loop runs to an exact FIXPOINT (stop when no label
+    * changes), so long chains of templated near-dups — arbitrarily deep
+    * at corpus scale — still collapse to one representative. Every step
+    * is a keyed join against the (small) pair list; no all-pairs work.
+    * Label frames are localCheckpoint'ed each round to truncate the
+    * iterative lineage (on a real cluster use reliable checkpoint).
     */
   def dedupAssignments(docs: DataFrame, idCol: String, textCol: String,
-                       threshold: Double, iters: Int = 5): DataFrame = {
+                       threshold: Double, maxRounds: Int = 25): DataFrame = {
     val pairs = nearDupPairs(docs, idCol, textCol, threshold)
       .select(col("a"), col("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -95,15 +100,32 @@ object MinHashLsh {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = docs.select(col(idCol).as("id"))
       .withColumn("rep", col("id"))
-    for (_ <- 1 to iters) {
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      round += 1
+      // (1) one-hop min-propagation along edges
       val viaNeighbors = edges
         .join(labels.select(col("id").as("b"), col("rep").as("nrep")), "b")
         .groupBy(col("a")).agg(min(col("nrep")).as("minNrep"))
-      labels = labels
+      val propagated = labels
         .join(viaNeighbors.select(col("a").as("id"), col("minNrep")),
           Seq("id"), "left")
         .select(col("id"),
           least(col("rep"), coalesce(col("minNrep"), col("rep"))).as("rep"))
+        .localCheckpoint(true)
+      // (2) pointer jumping: rep := rep(rep)
+      val next = propagated
+        .join(propagated.select(col("id").as("rep"), col("rep").as("rep2")),
+          Seq("rep"), "left")
+        .select(col("id"), coalesce(col("rep2"), col("rep")).as("rep"))
+        .localCheckpoint(true)
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.rep") =!= col("o.rep"))
+        .isEmpty
+      labels = next
     }
     labels.select(col("id"), col("rep"),
       (col("id") === col("rep")).as("is_kept"))

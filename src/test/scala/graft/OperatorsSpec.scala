@@ -46,6 +46,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("dedupAssignments collapses a >5-hop near-dup chain to one keeper") {
+    // Sliding 60-word windows stepping by 2: adjacent docs have shingle
+    // Jaccard 56/60 ~ 0.933 (>= 0.9), two apart 54/62 ~ 0.871 (< 0.9) —
+    // a pure path graph of diameter 13, well past one-hop-per-round
+    // coverage. Connected components must still collapse it to doc 0.
+    val words = (0 until 100).map(i => s"w$i")
+    val docs = (0 until 14).map { d =>
+      (d.toLong, words.slice(2 * d, 2 * d + 60).mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = MinHashLsh.dedupAssignments(docs, "doc_id", "text", threshold = 0.9)
+      .select("id", "rep", "is_kept").as[(Long, Long, Boolean)].collect()
+    assert(out.length === 14)
+    assert(out.forall(_._2 === 0L), s"all reps must be 0: ${out.mkString(",")}")
+    assert(out.count(_._3) === 1)
+  }
+
   test("SimHash: identical token sequences get identical fingerprints") {
     val docs = Seq((1L, "a b c d e f g h"), (2L, "a  b c d e f g H"), (3L, "q r s t u v w x"))
       .toDF("doc_id", "text") // doc2 differs only by spacing/case -> same normalized
