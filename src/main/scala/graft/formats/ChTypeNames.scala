@@ -35,8 +35,10 @@ object ChTypeNames {
     if (f.nullable && nullableWrappable(f.dataType)) s"Nullable(${name(f.dataType)})"
     else name(f.dataType)
 
-  /** ClickHouse can't wrap composite types in Nullable. */
-  private def nullableWrappable(dt: DataType): Boolean = dt match {
+  /** ClickHouse can't wrap composite types in Nullable. The Native
+    * codec shares this predicate: a null-mask is emitted exactly when
+    * the declared type says Nullable(...), or the stream desyncs. */
+  def nullableWrappable(dt: DataType): Boolean = dt match {
     case _: ArrayType | _: MapType | _: StructType => false
     case _ => true
   }

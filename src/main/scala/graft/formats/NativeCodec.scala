@@ -75,7 +75,9 @@ object NativeCodec {
       writeStr(out, f.name)
       writeStr(out, ChTypeNames.fieldName(f))
       if (customSerFlag) out.write(0)
-      if (f.nullable && !f.dataType.isInstanceOf[ArrayType])
+      // mask iff the header says Nullable(...) — same predicate as
+      // ChTypeNames.fieldName (Array/Map/Tuple are never wrapped)
+      if (f.nullable && ChTypeNames.nullableWrappable(f.dataType))
         rows.foreach(r => out.write(if (r.isNullAt(i)) 1 else 0))
       rows.foreach(r => writeValue(out, f.dataType, if (r.isNullAt(i)) null else r.get(i)))
     }

@@ -95,6 +95,21 @@ class FormatsSpec extends AnyFunSuite {
     assert(cols(2)._3.head === Vector(1, 2, 3))
   }
 
+  test("Native codec: nullable Map column emits no mask and stays in sync") {
+    // ChTypeNames never wraps Map/Tuple in Nullable(...), so encode must
+    // not emit a mask for them either — a desync here corrupts every
+    // later column in the block.
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("m", MapType(StringType, LongType), nullable = true),
+      StructField("tail", LongType, nullable = false)))
+    val rows = Array(Row(Map("a" -> 0L), 0L), Row(null, 1L), Row(Map("a" -> 2L), 2L))
+    val cols = NativeCodec.decode(NativeCodec.encode(schema, rows))
+    assert(cols(0)._2 === "Map(String, Int64)")
+    assert(cols(1)._2 === "Int64" && cols(1)._3 === Vector(0L, 1L, 2L))
+  }
+
   test("JSONEachRow renders one object per line") {
     val out = ResultFormatter.render(
       q("SELECT number, toString(number) AS s FROM numbers(2) ORDER BY number"),
