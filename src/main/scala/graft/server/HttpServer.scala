@@ -57,10 +57,24 @@ class HttpServer(spark: SparkSession, port: Int,
     if (query.isEmpty) { respond(ex, 200, "graft. Send a ?query=\n"); return }
 
     val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
-    val session = sessionFor(auth)
+    val baseSession = sessionFor(auth)
     val defaultFormat = params.getOrElse("default_format", "TSV")
     try {
-      params.get("database").foreach(db => session.catalog.setCurrentDatabase(db))
+      // database= is request-scoped, like the reference's per-query
+      // `USE db;` prefix (main.py:860-861). Mutating the shared
+      // session's current database would race concurrent requests and
+      // leak into later ones, so such requests run on a derived session:
+      // same persistent catalog (DDL tables), own current-database and
+      // (re-registered, lazy) fixture views.
+      val session = params.get("database") match {
+        case None => baseSession
+        case Some(db) =>
+          val s2 = baseSession.newSession()
+          ChFunctions.register(s2)
+          fixtureDir.foreach(dir => graft.dialect.ChContext.setupViews(s2, dir))
+          s2.catalog.setCurrentDatabase(db)
+          s2
+      }
       val (bare, fmtClause) = Transpiler.extractFormat(query)
       val fmt = fmtClause.getOrElse(defaultFormat)
       val df = graft.dialect.Engine.execute(session, bare)
@@ -110,10 +124,15 @@ object UserSessions {
   private val sessions =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.SparkSession]
 
+  /** Map key = the full credentials string — a 32-bit hash key would
+    * merge colliding credentials into one session and leak one user's
+    * catalog to another. The SHA-256 hex only names the database. */
   def forKey(root: org.apache.spark.sql.SparkSession, credentials: String,
-             fixtureDir: Option[String]): org.apache.spark.sql.SparkSession = {
-    val h = java.lang.Integer.toHexString(credentials.hashCode)
-    sessions.getOrElseUpdate(h, {
+             fixtureDir: Option[String]): org.apache.spark.sql.SparkSession =
+    sessions.getOrElseUpdate(credentials, {
+      val h = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(credentials.getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString
       val s = root.newSession()
       graft.dialect.ChFunctions.register(s)
       s.sql(s"CREATE DATABASE IF NOT EXISTS graft_user_$h")
@@ -121,7 +140,6 @@ object UserSessions {
       fixtureDir.foreach(dir => graft.dialect.ChContext.setupViews(s, dir))
       s
     })
-  }
 }
 
 object HttpServer {

@@ -113,6 +113,21 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.statusCode() === 200 && r.body().contains("<textarea"))
   }
 
+  test("database= param is request-scoped, not sticky (main.py:860-861)") {
+    get(s"/?query=${enc("CREATE DATABASE IF NOT EXISTS dbscope")}")
+    get(s"/?query=${enc("CREATE TABLE IF NOT EXISTS dbscope.tscope (id Int64) ENGINE=Memory")}")
+    get(s"/?query=${enc("INSERT INTO dbscope.tscope SELECT 7")}")
+    // unqualified name resolves inside database=dbscope
+    val scoped = get(s"/?query=${enc("SELECT id FROM tscope")}&database=dbscope")
+    assert(scoped.statusCode() === 200 && scoped.body() === "7\n")
+    // a later request WITHOUT the param must not inherit dbscope:
+    // unqualified tscope should fail, and fixture views still resolve
+    val after = get(s"/?query=${enc("SELECT id FROM tscope")}")
+    assert(after.statusCode() === 400)
+    val fixture = get(s"/?query=${enc("SELECT count() FROM nation")}")
+    assert(fixture.statusCode() === 200 && fixture.body() === "25\n")
+  }
+
   test("per-credential sessions isolate unqualified tables (main.py:140-173)") {
     def postAs(userPass: String, body: String): HttpResponse[String] = {
       val token = java.util.Base64.getEncoder.encodeToString(userPass.getBytes)
