@@ -34,6 +34,28 @@ object ChFunctions {
   private def jsonPath(key: Expression): Expression =
     Concat(Seq(Literal("$."), key))
 
+  /** ClickHouse truthiness: nonzero numeric (or true boolean) is true. */
+  private def chTruthy(e: Expression): Expression =
+    Not(EqualTo(Cast(e, DoubleType), Literal(0d)))
+
+  /** Fold a user lambda over an array with ArrayAggregate. The analyzer
+    * only accepts user-written lambdas when the registered builder's
+    * top-level result IS a HigherOrderFunction (Size(ArrayFilter(...))
+    * is rejected with INVALID_LAMBDA_FUNCTION_CALL), so count/sum-style
+    * combinators are expressed as a single aggregate fold whose merge
+    * lambda re-uses the user lambda's own variable — resolution then
+    * binds the user's body naturally. */
+  private def lambdaFold(userLambda: Expression, arr: Expression,
+                         zero: Expression,
+                         step: (Expression, Expression) => Expression): Expression = {
+    val lf = userLambda.asInstanceOf[LambdaFunction]
+    val acc = UnresolvedNamedLambdaVariable(Seq("__graft_acc"))
+    val out = UnresolvedNamedLambdaVariable(Seq("__graft_out"))
+    ArrayAggregate(arr, zero,
+      LambdaFunction(step(acc, lf.function), Seq(acc, lf.arguments.head)),
+      LambdaFunction(out, Seq(out)))
+  }
+
   /** ClickHouse strftime-style tokens → Java time pattern (literal
     * formats only; the common subset). */
   private def chFormatToJava(fmt: Expression): Expression = fmt match {
@@ -98,9 +120,11 @@ object ChFunctions {
     // custom codegen'd Expression: 60-bit md5 prefix (dedup hot path)
     "md5Prefix60" -> (a => graft.functions.Md5Prefix60(Cast(a.head, BinaryType))),
 
-    // hashes: distribution-parity (NOT ClickHouse byte-parity)
-    "intHash32" -> (a => Cast(BitwiseAnd(XxHash64(a, 42L), Literal(0xFFFFFFFFL)),
-      LongType)),
+    // integer hashes: the published ClickHouse algorithms (Hash.h),
+    // codegen'd — see graft.functions.IntHash provenance note
+    "intHash32" -> (a => graft.functions.IntHash32Expr(Cast(a.head, LongType))),
+    "intHash64" -> (a => graft.functions.IntHash64Expr(Cast(a.head, LongType))),
+    // string hashes: distribution-parity stand-ins (NOT byte-parity)
     "cityHash64" -> (a => XxHash64(a, 42L)),
     "farmFingerprint64" -> (a => XxHash64(a, 64L)),
 
@@ -150,11 +174,39 @@ object ChFunctions {
     "arrayFilter" -> (a => ArrayFilter(a(1), a(0))),
     "arrayExists" -> (a => ArrayExists(a(1), a(0))),
     "arrayAll" -> (a => ArrayForAll(a(1), a(0))),
+    "arrayCount" -> (a =>
+      if (a.length >= 2)
+        lambdaFold(a(0), a(1), Literal(0L),
+          (acc, body) => Add(acc, If(chTruthy(body), Literal(1L), Literal(0L))))
+      else { // arrayCount(arr): count truthy elements
+        val x = UnresolvedNamedLambdaVariable(Seq("__graft_x"))
+        Size(ArrayFilter(a.head, LambdaFunction(chTruthy(x), Seq(x))))
+      }),
+    "arraySum" -> (a =>
+      if (a.length >= 2)
+        lambdaFold(a(0), a(1), Literal(0d),
+          (acc, body) => Add(acc, Cast(body, DoubleType)))
+      else {
+        val x = UnresolvedNamedLambdaVariable(Seq("__graft_x"))
+        val out = UnresolvedNamedLambdaVariable(Seq("__graft_out"))
+        ArrayAggregate(a.head, Literal(0d),
+          LambdaFunction(Add(UnresolvedNamedLambdaVariable(Seq("__graft_acc")),
+            Cast(x, DoubleType)),
+            Seq(UnresolvedNamedLambdaVariable(Seq("__graft_acc")), x)),
+          LambdaFunction(out, Seq(out)))
+      }),
 
-    // maps
+    // maps / tuples
     "mapKeys" -> (a => MapKeys(a.head)),
     "mapValues" -> (a => MapValues(a.head)),
     "mapContains" -> (a => ArrayContains(MapKeys(a(0)), a(1))),
+    "tuple" -> (a => CreateStruct(a)),
+    "tupleElement" -> (a => a(1) match {
+      case Literal(i: Int, IntegerType) => GetStructField(a(0), i - 1)
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(a(0), other)
+    }),
+    "toJSONString" -> (a => StructsToJson(Map.empty[String, String], a.head)),
 
     // conditional / null — ClickHouse truthiness: any numeric (or
     // boolean, via the double cast) condition, nonzero = true

@@ -36,19 +36,55 @@ object Transpiler {
     "Int32" -> "INT", "Int64" -> "BIGINT", "Float32" -> "FLOAT",
     "Float64" -> "DOUBLE", "DateTime" -> "TIMESTAMP")
 
-  /** ClickHouse type names → Spark DDL type names (word-bounded). */
+  /** ClickHouse type names → Spark DDL type names (word-bounded).
+    * Composite wrappers are converted structurally: Array(T) →
+    * ARRAY<T>, Map(K,V) → MAP<K,V>, Tuple(a T, ...) → STRUCT<a: T, ...>,
+    * Nullable(T) → T (Spark fields are nullable by default). */
   def mapTypeNames(s: String): String = {
     var r = s
     "(?i)FixedString\\s*\\(\\s*\\d+\\s*\\)".r.findFirstIn(r)
       .foreach(fs => r = r.replace(fs, "STRING"))
+    r = rewriteCompositeTypes(r)
     typeNames.foreach { case (ch, sp) => r = r.replaceAll(s"\\b$ch\\b", sp) }
     r.replaceAll("\\bString\\b", "STRING")
+  }
+
+  /** Structural Array(..)/Map(..)/Tuple(..)/Nullable(..) → Spark DDL
+    * angle-bracket syntax, innermost-first so nesting works. */
+  private def rewriteCompositeTypes(s: String): String = {
+    val re = "(?i)\\b(Array|Map|Tuple|Nullable)\\s*\\(([^()]*)\\)".r
+    var r = s
+    var changed = true
+    while (changed) {
+      changed = false
+      r = re.replaceAllIn(r, m => {
+        changed = true
+        val inner = m.group(2).trim
+        java.util.regex.Matcher.quoteReplacement(m.group(1).toLowerCase match {
+          case "array" => s"ARRAY<$inner>"
+          case "map" => s"MAP<$inner>"
+          case "nullable" => inner
+          case "tuple" =>
+            val fields = inner.split(",").map(_.trim).zipWithIndex.map {
+              case (f, i) =>
+                // "name Type" or bare "Type" (positional -> _1, _2 ...)
+                val parts = f.split("\\s+", 2)
+                if (parts.length == 2) s"${parts(0)}: ${parts(1)}"
+                else s"_${i + 1}: $f"
+            }
+            s"STRUCT<${fields.mkString(", ")}>"
+        })
+      })
+    }
+    r
   }
 
   /** ClickHouse SQL text → Spark SQL text (FORMAT clause must already
     * be stripped). */
   def transpile(chSql: String): String = {
     var s = chSql
+    s = rewriteBracketArrays(s)
+    s = rewriteCasts(s)
     s = "(?i)\\bnumbers\\s*\\(\\s*([0-9]+)\\s*\\)".r.replaceAllIn(s,
       m => s"(SELECT id AS number FROM range(${m.group(1)}))")
     s = "(?i)\\bcount\\s*\\(\\s*\\)".r.replaceAllIn(s, "count(*)")
@@ -73,6 +109,124 @@ object Transpiler {
       m => s"TABLESAMPLE (${(m.group(1).toDouble * 100).round} PERCENT)")
     s = rewriteTernaries(s)
     s
+  }
+
+  /** `['a', 'b']` array literals → `array('a', 'b')`. A `[` directly
+    * after an identifier/closing paren/bracket/string is a subscript
+    * (`m['key']`, `arr[1]`) and is left alone. */
+  private[dialect] def rewriteBracketArrays(s: String): String = {
+    val sb = new StringBuilder
+    val stack = scala.collection.mutable.Stack[Boolean]() // true = converted
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { sb.append(c); if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true; sb.append(c)
+        case '[' =>
+          // subscripts (`m['k']`, `arr[1]`) directly follow their base
+          // expression with no whitespace; array literals don't
+          val p = if (sb.nonEmpty) sb.charAt(sb.length - 1) else ' '
+          val subscript = p.isLetterOrDigit || p == '_' || p == ')' || p == ']' || p == '\''
+          stack.push(!subscript)
+          if (subscript) sb.append('[') else sb.append("array(")
+        case ']' =>
+          if (stack.nonEmpty && stack.pop()) sb.append(')') else sb.append(']')
+        case other => sb.append(other)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Index of the `)`/`]` closing the opener at `open`; -1 if none. */
+  private def matchingParen(s: String, open: Int): Int = {
+    var depth = 0; var inStr = false; var i = open
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Split at top-level (depth-0, outside strings) occurrences of `sep`. */
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var inStr = false; var start = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case `sep` if depth == 0 => parts += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    parts += s.substring(start)
+    parts.toSeq
+  }
+
+  /** Start index of the last top-level ` AS ` inside a CAST body. */
+  private def lastTopLevelAs(s: String): Int = {
+    var depth = 0; var inStr = false; var i = 0; var last = -1
+    while (i < s.length - 3) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case _ =>
+          if (depth == 0 && c.isWhitespace &&
+            s.regionMatches(true, i + 1, "AS", 0, 2) &&
+            i + 3 < s.length && s.charAt(i + 3).isWhitespace) last = i
+      }
+      i += 1
+    }
+    last
+  }
+
+  /** Rewrite CAST targets: composite ClickHouse types become Spark DDL
+    * syntax, and the ClickHouse tuple-of-arrays-to-Map idiom
+    * `CAST((keys, values) AS Map(K, V))` (reference Play sample,
+    * index.html:729) becomes `map_from_arrays(keys, values)` with an
+    * element-wise map cast. */
+  private[dialect] def rewriteCasts(sql: String): String = {
+    val m = "(?i)\\bCAST\\s*\\(".r.findFirstMatchIn(sql)
+    m match {
+      case None => sql
+      case Some(mm) =>
+        val open = mm.end - 1
+        val close = matchingParen(sql, open)
+        if (close < 0) return sql
+        val inner = rewriteCasts(sql.substring(open + 1, close))
+        val asIdx = lastTopLevelAs(inner)
+        val rebuilt =
+          if (asIdx < 0) s"CAST($inner)"
+          else {
+            val expr = inner.substring(0, asIdx).trim
+            val tpe = rewriteCompositeTypes(inner.substring(asIdx + 4).trim)
+            if (tpe.toUpperCase.startsWith("MAP<") &&
+                expr.startsWith("(") && expr.endsWith(")")) {
+              val parts = splitTopLevel(expr.substring(1, expr.length - 1), ',')
+              if (parts.length == 2)
+                s"CAST(map_from_arrays(${parts(0).trim}, ${parts(1).trim}) AS $tpe)"
+              else s"CAST($expr AS $tpe)"
+            } else s"CAST($expr AS $tpe)"
+          }
+        sql.substring(0, mm.start) + rebuilt + rewriteCasts(sql.substring(close + 1))
+    }
   }
 
   private val limitByRe =

@@ -170,13 +170,17 @@ object Dialect {
       SELECT number,
              arrayStringConcat(arrayMap(x -> x * 2, range(number + 1)), ',') AS doubled,
              arrayStringConcat(arrayFilter(x -> x % 2 = 0, range(number + 1)), ',') AS evens,
-             arrayExists(x -> x = 3, range(number + 1)) AS has3
+             arrayExists(x -> x = 3, range(number + 1)) AS has3,
+             arrayCount(x -> x % 2 = 1, range(number + 1)) AS n_odd,
+             arraySum(x -> x * x, range(number + 1)) AS sum_sq
       FROM numbers(6) ORDER BY number"""),
       Some("""
       SELECT range AS number,
              array_to_string(list_transform(range(0, range + 1), x -> x * 2), ',') AS doubled,
              array_to_string(list_filter(range(0, range + 1), x -> x % 2 = 0), ',') AS evens,
-             len(list_filter(range(0, range + 1), x -> x = 3)) > 0 AS has3
+             len(list_filter(range(0, range + 1), x -> x = 3)) > 0 AS has3,
+             CAST(len(list_filter(range(0, range + 1), x -> x % 2 = 1)) AS BIGINT) AS n_odd,
+             CAST(list_sum(list_transform(range(0, range + 1), x -> x * x)) AS DOUBLE) AS sum_sq
       FROM range(6) ORDER BY number""")),
 
     // F2b: second string family — pads/repeat/reverse/arrayStringConcat
@@ -227,6 +231,20 @@ object Dialect {
       SELECT c_custkey,
              (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
       FROM customer ORDER BY c_custkey LIMIT 500""")),
+
+    // P1b: Map/tuple literals — the Play kitchen-sink shapes
+    // (index.html:729), serialized to JSON for the compare
+    Q("f13_ch_map", ch("""
+      SELECT number,
+             toJSONString(CAST((['hello', 'world'], [number, number % 2])
+                          AS Map(String, UInt64))) AS mj,
+             tupleElement(tuple(number, toString(number)), 2) AS ts
+      FROM numbers(10) ORDER BY number"""),
+      Some("""
+      SELECT range AS number,
+             CAST(to_json(map(['hello', 'world'], [range, range % 2])) AS VARCHAR) AS mj,
+             CAST(range AS VARCHAR) AS ts
+      FROM range(10) ORDER BY number""")),
 
     // P5: CAST with ClickHouse type names
     Q("f7_ch_cast", ch("""

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ClickHouse lambda combinators that need the ArrayAggregate fold
+  * (the analyzer rejects non-HOF builder results for lambda calls). */
+class ChHofSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def one(sql: String): Any = {
+    graft.dialect.ChFunctions.register(spark)
+    spark.sql(graft.dialect.Transpiler.transpile(sql)).collect().head.get(0)
+  }
+
+  test("arrayCount(lambda, arr) counts satisfying elements") {
+    assert(one("SELECT arrayCount(x -> x % 2 = 0, array(1,2,3,4,5,6))") === 3L)
+    assert(one("SELECT arrayCount(x -> x > 10, array(1,2,3))") === 0L)
+  }
+
+  test("arrayCount(arr) counts truthy (ClickHouse nonzero) elements") {
+    assert(one("SELECT arrayCount(array(0, 1, 2, 0, 5))") === 3)
+  }
+
+  test("arraySum with and without lambda") {
+    assert(one("SELECT arraySum(array(1, 2, 3))") === 6.0)
+    assert(one("SELECT arraySum(x -> x * 2, array(1, 2, 3))") === 12.0)
+  }
+
+  test("Play kitchen-sink query runs end-to-end (index.html:729)") {
+    graft.dialect.ChFunctions.register(spark)
+    val df = graft.dialect.Transpiler.sql(spark,
+      """SELECT number, toString(number) AS str,
+               number % 2 ? number : NULL AS nullable,
+               range(number) AS arr,
+               CAST((['hello', 'world'], [number, number % 2]) AS Map(String, UInt64)) AS map
+         FROM numbers(10)""")
+    val rows = df.orderBy("number").collect()
+    assert(rows.length === 10)
+    assert(rows(2).isNullAt(2) && rows(3).getLong(2) === 3L)
+    assert(rows(3).getSeq[Long](3) === Seq(0L, 1L, 2L))
+    val m = rows(3).getMap[String, java.math.BigDecimal](4)
+    assert(m("hello").longValue === 3L && m("world").longValue === 1L)
+  }
+
+  test("intHash32/intHash64: SQL path matches the algorithm, sane range/distribution") {
+    graft.dialect.ChFunctions.register(spark)
+    val rows = spark.sql(graft.dialect.Transpiler.transpile(
+      "SELECT number, intHash32(number) AS h32, intHash64(number) AS h64 FROM numbers(1000)"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) === graft.functions.IntHash.intHash32(r.getLong(0)))
+      assert(r.getLong(2) === graft.functions.IntHash.intHash64(r.getLong(0)))
+      assert(r.getLong(1) >= 0L && r.getLong(1) <= 0xffffffffL)
+    }
+    assert(rows.map(_.getLong(1)).distinct.length === 1000)
+    assert(rows.map(_.getLong(2)).distinct.length === 1000)
+  }
+
+  test("tuple/tupleElement construct and extract") {
+    assert(one("SELECT tupleElement(tuple(7, 'x'), 2)") === "x")
+    assert(one("SELECT tupleElement(tuple(7, 'x'), 1)") === 7)
+  }
+
+  test("arrayCount lambda referencing an outer column") {
+    graft.dialect.ChFunctions.register(spark)
+    val rows = spark.sql(graft.dialect.Transpiler.transpile(
+      """SELECT number, arrayCount(x -> x >= number, range(5)) AS n
+         FROM numbers(3) ORDER BY number"""))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq === Seq((0L, 5L), (1L, 4L), (2L, 3L)))
+  }
+}

@@ -60,6 +60,27 @@ class TranspilerSpec extends AnyFunSuite {
       .contains("TABLESAMPLE (10 PERCENT)"))
   }
 
+  test("bracket array literals become array(); subscripts survive") {
+    val t = Transpiler.transpile("SELECT ['a', 'b'] AS arr, m['k'] AS v, arr[1] AS e")
+    assert(t.contains("array('a', 'b')"))
+    assert(t.contains("m['k']") && t.contains("arr[1]"))
+  }
+
+  test("tuple-of-arrays Map cast becomes map_from_arrays (index.html:729)") {
+    val t = Transpiler.transpile(
+      "SELECT CAST((['hello', 'world'], [number, number % 2]) AS Map(String, UInt64)) AS map")
+    assert(t.contains("map_from_arrays(array('hello', 'world'), array(number, number % 2))"), t)
+    assert(t.contains("AS MAP<String, DECIMAL(20,0)>"), t)
+  }
+
+  test("composite CAST types: Array/Tuple/Nullable") {
+    val t = Transpiler.transpile("SELECT CAST(x AS Array(UInt32)) AS a, " +
+      "CAST(y AS Tuple(k String, v Int64)) AS t2, CAST(z AS Nullable(Int32)) AS n")
+    assert(t.contains("ARRAY<BIGINT>"), t)
+    assert(t.contains("STRUCT<k: String, v: BIGINT>"), t)
+    assert(t.contains("CAST(z AS INT)"), t)
+  }
+
   test("LIMIT n BY parses into inner/limit/cols/outer-limit") {
     assert(Transpiler.limitByParts("SELECT a FROM t ORDER BY b LIMIT 2 BY a") ===
       Some(("SELECT a FROM t ORDER BY b", 2, Seq("a"), None)))
