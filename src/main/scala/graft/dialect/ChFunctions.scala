@@ -237,6 +237,25 @@ object ChFunctions {
     "uniqExact" -> (a => Count(a).toAggregateExpression(isDistinct = true)),
     "groupArray" -> (a => CollectList(a.head).toAggregateExpression()),
     "groupUniqArray" -> (a => CollectSet(a.head).toAggregateExpression()),
+    // -State/-Merge combinators (SURVEY §2.4 G8): partial-aggregate
+    // states exposed as values, re-aggregable at a coarser grouping —
+    // ClickHouse's two-phase pattern, mapped onto Spark's own
+    // partial/final machinery. Exact aggregates use their natural
+    // state (count state = count, merged by summing); uniqState is a
+    // DataSketches HLL sketch (binary, mergeable across groups, the
+    // 100 TB-friendly way to count distincts in two phases).
+    "countState" -> (a =>
+      Count(if (a.isEmpty) Seq(Literal(1)) else a).toAggregateExpression()),
+    "countMerge" -> (a => Sum(a.head).toAggregateExpression()),
+    "sumState" -> (a => Sum(a.head).toAggregateExpression()),
+    "sumMerge" -> (a => Sum(a.head).toAggregateExpression()),
+    "minState" -> (a => Min(a.head).toAggregateExpression()),
+    "minMerge" -> (a => Min(a.head).toAggregateExpression()),
+    "maxState" -> (a => Max(a.head).toAggregateExpression()),
+    "maxMerge" -> (a => Max(a.head).toAggregateExpression()),
+    "uniqState" -> (a => new HllSketchAgg(a.head).toAggregateExpression()),
+    "uniqMerge" -> (a =>
+      HllSketchEstimate(new HllUnionAgg(a.head).toAggregateExpression())),
     "countIf" -> (a => Count(nullIfNot(a.head, Literal(1))).toAggregateExpression()),
     "sumIf" -> (a => Sum(nullIfNot(a(1), a(0))).toAggregateExpression()),
     "avgIf" -> (a => Average(nullIfNot(a(1), a(0))).toAggregateExpression()),

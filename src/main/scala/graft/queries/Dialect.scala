@@ -246,6 +246,38 @@ object Dialect {
              CAST(range AS VARCHAR) AS ts
       FROM range(10) ORDER BY number""")),
 
+    // G8b: -State/-Merge two-phase aggregation — states computed at a
+    // fine grouping, merged at a coarser one (the scalable two-level
+    // pattern; exact combinators so DuckDB can oracle it)
+    Q("g12_state_merge", ch("""
+      SELECT l_returnflag,
+             countMerge(cs) AS n,
+             sumMerge(ss) AS qty,
+             minMerge(ms) AS min_qty,
+             maxMerge(xs) AS max_qty
+      FROM (
+        SELECT l_returnflag, l_linestatus,
+               countState() AS cs,
+               sumState(CAST(l_quantity AS Decimal(12,2))) AS ss,
+               minState(CAST(l_quantity AS Decimal(12,2))) AS ms,
+               maxState(CAST(l_quantity AS Decimal(12,2))) AS xs
+        FROM lineitem GROUP BY l_returnflag, l_linestatus)
+      GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      Some("""
+      SELECT l_returnflag,
+             CAST(sum(cs) AS BIGINT) AS n,
+             CAST(sum(ss) AS DOUBLE) AS qty,
+             CAST(min(ms) AS DOUBLE) AS min_qty,
+             CAST(max(xs) AS DOUBLE) AS max_qty
+      FROM (
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS cs,
+               sum(CAST(l_quantity AS DECIMAL(12,2))) AS ss,
+               min(CAST(l_quantity AS DECIMAL(12,2))) AS ms,
+               max(CAST(l_quantity AS DECIMAL(12,2))) AS xs
+        FROM lineitem GROUP BY l_returnflag, l_linestatus)
+      GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // P5: CAST with ClickHouse type names
     Q("f7_ch_cast", ch("""
       SELECT number, CAST(number AS UInt8) AS u8,

@@ -143,9 +143,23 @@ class NativeServer(spark: SparkSession, port: Int,
       val isSelect = bare.trim.toUpperCase.startsWith("SELECT") ||
         bare.trim.toUpperCase.startsWith("WITH")
       if (isSelect) {
+        val t0 = System.nanoTime()
         // stream the result as bounded blocks (ClickHouse block
         // granularity), not one monolith — bounds per-packet memory
         val rows = df.collect()
+        // PROGRESS before the data (additive: the reference defines the
+        // constant, main.py:57, but never emits one; field order/gates
+        // follow the public wire protocol). Bytes are an estimate — a
+        // progress indicator, not an invariant.
+        val used = math.min(clientRevision, Revision)
+        val approxBytes = rows.length.toLong * df.schema.fields.length * 8
+        writeVarint(out, ServerProgress)
+        writeVarint(out, rows.length.toLong) // read_rows
+        writeVarint(out, approxBytes)        // read_bytes
+        if (used >= 51554) writeVarint(out, rows.length.toLong) // total_rows_to_read
+        if (used >= 54463) writeVarint(out, approxBytes) // total_bytes_to_read
+        if (used >= 54420) { writeVarint(out, 0); writeVarint(out, 0) } // written rows/bytes
+        if (used >= 54460) writeVarint(out, System.nanoTime() - t0) // elapsed_ns
         val chunks = if (rows.isEmpty) Seq(rows) else rows.grouped(blockRows).toSeq
         chunks.foreach { chunk =>
           writeVarint(out, ServerData)

@@ -56,6 +56,27 @@ class ChHofSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).distinct.length === 1000)
   }
 
+  test("uniqState/uniqMerge: HLL sketches merge across groups") {
+    graft.dialect.ChFunctions.register(spark)
+    val est = spark.sql(graft.dialect.Transpiler.transpile(
+      """SELECT uniqMerge(st) AS u FROM (
+           SELECT number % 7 AS g, uniqState(number) AS st
+           FROM numbers(5000) GROUP BY g)"""))
+      .collect().head.getLong(0)
+    // DataSketches HLL at default lgK=12 is well within 2% at n=5000
+    assert(math.abs(est - 5000L) <= 100L, s"estimate $est")
+  }
+
+  test("exact -State/-Merge equals one-shot aggregation") {
+    graft.dialect.ChFunctions.register(spark)
+    val merged = spark.sql(graft.dialect.Transpiler.transpile(
+      """SELECT countMerge(cs) AS n, sumMerge(ss) AS s FROM (
+           SELECT number % 5 AS g, countState() AS cs, sumState(number) AS ss
+           FROM numbers(1000) GROUP BY g)"""))
+      .collect().head
+    assert(merged.getLong(0) === 1000L && merged.getLong(1) === 499500L)
+  }
+
   test("tuple/tupleElement construct and extract") {
     assert(one("SELECT tupleElement(tuple(7, 'x'), 2)") === "x")
     assert(one("SELECT tupleElement(tuple(7, 'x'), 1)") === 7)

@@ -86,6 +86,13 @@ class NativeServerSpec extends AnyFunSuite with BeforeAndAfterAll {
           var f = P.readVarint(in)
           while (f != 0) { if (f == 1) in.read() else if (f == 2) P.readFixed(in, 4); f = P.readVarint(in) }
           blocks += readBlock(in)
+        case P.ServerProgress =>
+          lastProgressRows = P.readVarint(in) // read_rows
+          P.readVarint(in) // read_bytes
+          P.readVarint(in) // total_rows_to_read (revision >= 51554)
+          if (ClientRevision >= 54463) P.readVarint(in) // total_bytes_to_read
+          if (ClientRevision >= 54420) { P.readVarint(in); P.readVarint(in) }
+          if (ClientRevision >= 54460) P.readVarint(in) // elapsed_ns
         case P.ServerException => err = Some(P.readStr(in))
         case P.ServerEndOfStream => done = true
         case other => fail(s"unexpected server packet $other")
@@ -93,6 +100,9 @@ class NativeServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     (blocks.toSeq, err)
   }
+
+  /** read_rows of the most recent PROGRESS packet. */
+  private var lastProgressRows: Long = -1L
 
   private def readBlock(in: BufferedInputStream): Seq[(String, String, Vector[Any])] = {
     val nCols = P.readVarint(in).toInt
@@ -145,6 +155,8 @@ class NativeServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(cols.map(_._1) === Seq("number", "s"))
       assert(cols(0)._3 === Vector(0L, 1L, 2L))
       assert(cols(1)._3 === Vector("0", "1", "2"))
+      // a PROGRESS packet precedes the data (read by readResponse)
+      assert(lastProgressRows === 3L)
     } finally sock.close()
   }
 
