@@ -104,6 +104,20 @@ object Transpiler {
     // main.py:61; SURVEY §2.4 G6)
     s = "(?is)GROUP\\s+BY\\s+(.+?)\\s+WITH\\s+TOTALS".r.replaceAllIn(s,
       m => s"GROUP BY GROUPING SETS ((${m.group(1)}), ())")
+    // PREWHERE is ClickHouse's manual pushdown hint; Catalyst pushes
+    // predicates itself, so it merges into WHERE (both present -> AND)
+    "(?is)\\bPREWHERE\\s+(.+?)(\\s+WHERE\\s+)(.+?)(\\s+GROUP\\s+BY|\\s+ORDER\\s+BY|\\s+LIMIT|\\s*$)".r
+      .findFirstMatchIn(s).foreach { m =>
+        s = s.substring(0, m.start) +
+          s" WHERE (${m.group(1).trim}) AND (${m.group(3).trim})" + m.group(4) +
+          s.substring(m.end)
+      }
+    s = "(?i)\\bPREWHERE\\b".r.replaceAllIn(s, "WHERE")
+    // FINAL (merge-on-read de-dup hint) and GLOBAL (distributed-join
+    // modifier) are storage/topology hints with no Spark analog — drop
+    s = "(?i)\\bFINAL\\b(?=\\s|$)".r.replaceAllIn(s, " ")
+    s = "(?i)\\bGLOBAL\\s+(?=(ANY\\s+|ALL\\s+)?(INNER|LEFT|RIGHT|FULL|CROSS|JOIN|IN|NOT))".r
+      .replaceAllIn(s, "")
     // SAMPLE 0.1 -> TABLESAMPLE (10 PERCENT) (SURVEY §4 mapping)
     s = "(?i)\\bSAMPLE\\s+(0?\\.\\d+)".r.replaceAllIn(s,
       m => s"TABLESAMPLE (${(m.group(1).toDouble * 100).round} PERCENT)")

@@ -32,8 +32,12 @@ object ResultFormatter {
       case "tsv" | "tabseparated" => delimited(schema, rows, "\t", header = false)
       case "tsvwithnames" | "tabseparatedwithnames" =>
         delimited(schema, rows, "\t", header = true)
+      case "tsvwithnamesandtypes" | "tabseparatedwithnamesandtypes" =>
+        delimited(schema, rows, "\t", header = true, typesRow = true)
       case "csv" => delimited(schema, rows, ",", header = false, csvQuote = true)
       case "csvwithnames" => delimited(schema, rows, ",", header = true, csvQuote = true)
+      case "csvwithnamesandtypes" =>
+        delimited(schema, rows, ",", header = true, csvQuote = true, typesRow = true)
       case "json" => jsonEnvelope(schema, rows, elapsed, compact = false)
       case "jsoncompact" => jsonEnvelope(schema, rows, elapsed, compact = true)
       case "jsoneachrow" | "ndjson" =>
@@ -91,9 +95,12 @@ object ResultFormatter {
     else s
 
   private def delimited(schema: StructType, rows: Array[Row], sep: String,
-                        header: Boolean, csvQuote: Boolean = false): String = {
+                        header: Boolean, csvQuote: Boolean = false,
+                        typesRow: Boolean = false): String = {
     val sb = new StringBuilder
     if (header) sb.append(schema.fieldNames.mkString(sep)).append('\n')
+    if (typesRow) // ...AndTypes: second header row with ClickHouse type names
+      sb.append(schema.fields.map(ChTypeNames.fieldName).mkString(sep)).append('\n')
     rows.foreach { r =>
       val cells = schema.fields.indices.map { i =>
         if (r.isNullAt(i)) { if (csvQuote) "\\N" else "\\N" }

@@ -78,6 +78,9 @@ class HttpServer(spark: SparkSession, port: Int,
       val (bare, fmtClause) = Transpiler.extractFormat(query)
       val fmt = fmtClause.getOrElse(defaultFormat)
       val df = graft.dialect.Engine.execute(session, bare)
+      // response headers ClickHouse clients read
+      ex.getResponseHeaders.set("X-ClickHouse-Format", fmt)
+      ex.getResponseHeaders.set("X-ClickHouse-Timezone", "UTC")
       if (fmt.equalsIgnoreCase("Native"))
         respondBytes(ex, 200, NativeCodec.encode(df), "application/octet-stream")
       else {

@@ -110,6 +110,16 @@ class FormatsSpec extends AnyFunSuite {
     assert(cols(1)._2 === "Int64" && cols(1)._3 === Vector(0L, 1L, 2L))
   }
 
+  test("TSVWithNamesAndTypes: names row then ClickHouse type names row") {
+    val out = ResultFormatter.render(
+      q("SELECT number, toString(number) AS s FROM numbers(2) ORDER BY number"),
+      "TSVWithNamesAndTypes")
+    val lines = out.split("\n")
+    assert(lines(0) === "number\ts")
+    assert(lines(1).endsWith("String") && lines(1).contains("Int64"))
+    assert(lines(2) === "0\t0" && lines(3) === "1\t1")
+  }
+
   test("JSONEachRow renders one object per line") {
     val out = ResultFormatter.render(
       q("SELECT number, toString(number) AS s FROM numbers(2) ORDER BY number"),

@@ -81,6 +81,18 @@ class TranspilerSpec extends AnyFunSuite {
     assert(t.contains("CAST(z AS INT)"), t)
   }
 
+  test("PREWHERE merges into WHERE; FINAL and GLOBAL drop") {
+    val merged = Transpiler.transpile(
+      "SELECT a FROM t PREWHERE x > 1 WHERE y < 2 ORDER BY a")
+    assert(merged.contains("WHERE (x > 1) AND (y < 2)"), merged)
+    val alone = Transpiler.transpile("SELECT a FROM t PREWHERE x > 1")
+    assert(alone.contains("WHERE x > 1"), alone)
+    val fin = Transpiler.transpile("SELECT a FROM t FINAL WHERE x = 1")
+    assert(!fin.toUpperCase.contains("FINAL"), fin)
+    val gj = Transpiler.transpile("SELECT a FROM t GLOBAL JOIN u ON t.k = u.k")
+    assert(!gj.toUpperCase.contains("GLOBAL"), gj)
+  }
+
   test("LIMIT n BY parses into inner/limit/cols/outer-limit") {
     assert(Transpiler.limitByParts("SELECT a FROM t ORDER BY b LIMIT 2 BY a") ===
       Some(("SELECT a FROM t ORDER BY b", 2, Seq("a"), None)))
