@@ -67,6 +67,44 @@ object ClickBench {
         .filter(col("props").like("%\"k\": 1%"))
         .agg(count(lit(1)).as("n"))
     }, Some("""
-      SELECT count(*) AS n FROM events WHERE props LIKE '%"k": 1%'"""))
+      SELECT count(*) AS n FROM events WHERE props LIKE '%"k": 1%'""")),
+
+    // b6: regexp extraction + group (Q28 REGEXP_REPLACE(Referer) shape)
+    Q("b6_cb_regex_extract", (s, dir) => {
+      Tables.events(s, dir)
+        .select(regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+          .cast("int").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .orderBy("k")
+    }, Some("""
+      SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k,
+             count(*) AS n
+      FROM events GROUP BY 1 ORDER BY k""")),
+
+    // b7: time bucketing by minute-of-hour (Q39 time-series shape)
+    Q("b7_cb_minute_histo", (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(minute(col("ts")).as("m"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"), 12, 4)).cast("decimal(18,4)").as("sv"))
+        .orderBy("m")
+    }, Some("""
+      SELECT CAST(minute(ts) AS INT) AS m, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(18,4)) AS sv
+      FROM events GROUP BY 1 ORDER BY m""")),
+
+    // b8: two-key heavy hitters with HAVING (Q32 shape) — partial agg,
+    // filter on the aggregate, top-k without a full sort
+    Q("b8_cb_user_type_topk", (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 3)
+        .orderBy(col("n").desc, col("user_id").asc, col("event_type").asc)
+        .limit(20)
+    }, Some("""
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type HAVING count(*) >= 3
+      ORDER BY n DESC, user_id, event_type LIMIT 20"""))
   )
 }

@@ -23,6 +23,15 @@ object Streaming {
              CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY ws, event_type"""), bench = true),
 
+    // ST3: exactly-once dedup by (event_id, ts) within the watermark
+    // horizon — same transform a streaming source runs (state bounded
+    // by watermark eviction); the batch oracle is DISTINCT
+    Q("st3_stream_dedup", (s, dir) => {
+      EventsStreaming.dedup(Tables.events(s, dir))
+        .agg(count(lit(1)).as("n"))
+    }, Some("""
+      SELECT count(*) AS n FROM (SELECT DISTINCT event_id, ts FROM events)""")),
+
     // ST2: session windows per user with a 30-minute gap. DuckDB
     // reproduces session fusion with a lag/cumulative-sum rewrite.
     Q("st2_sessions", (s, dir) => {
