@@ -235,6 +235,16 @@ object ChFunctions {
     "uniqHLL12" -> (a => HyperLogLogPlusPlus(a.head).toAggregateExpression()),
     "uniqCombined" -> (a => HyperLogLogPlusPlus(a.head).toAggregateExpression()),
     "uniqExact" -> (a => Count(a).toAggregateExpression(isDistinct = true)),
+    // topK(k)(x): the transpiler rewrites the parameterized form to
+    // topKAgg(x, k); space-saving sketch, see graft.functions.TopKSketch
+    "topKAgg" -> (a => {
+      val k = a(1) match {
+        case Literal(i: Int, IntegerType) => i
+        case Literal(l: Long, LongType) => l.toInt
+        case other => throw new IllegalArgumentException(s"topK k must be a literal, got $other")
+      }
+      graft.functions.TopKSketch(Cast(a.head, StringType), k).toAggregateExpression()
+    }),
     "groupArray" -> (a => CollectList(a.head).toAggregateExpression()),
     "groupUniqArray" -> (a => CollectSet(a.head).toAggregateExpression()),
     // -State/-Merge combinators (SURVEY §2.4 G8): partial-aggregate

@@ -203,10 +203,16 @@ object Engine {
 
   /** One SELECT statement, handling the ClickHouse-only `LIMIT n BY`
     * clause (SURVEY §2.6 O4) as a row_number window over the inner
-    * query's ORDER BY. */
+    * query's ORDER BY, and `ORDER BY ... WITH FILL` via the
+    * gap-filling operator. */
   private def query(spark: SparkSession, bare: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, row_number}
     import org.apache.spark.sql.expressions.Window
+    Transpiler.withFillParts(bare) match {
+      case Some((inner, fillCol, from, to, step)) =>
+        return graft.operators.WithFill(query(spark, inner), fillCol, from, to, step)
+      case None => ()
+    }
     Transpiler.limitByParts(bare) match {
       case None => spark.sql(Transpiler.transpile(bare))
       case Some((inner, n, byCols, outerLimit)) =>

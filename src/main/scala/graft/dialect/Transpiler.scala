@@ -91,6 +91,21 @@ object Transpiler {
     // quantile(p)(x) / quantileExact(p)(x) -> percentile(x, p)
     s = "(?i)\\bquantile(?:Exact)?\\s*\\(([^()]*)\\)\\s*\\(([^()]*)\\)".r
       .replaceAllIn(s, m => s"percentile(${m.group(2)}, ${m.group(1)})")
+    // topK(k)(x) -> topKAgg(x, k) (space-saving sketch aggregate);
+    // paren-matched so x may nest arbitrarily
+    val topKRe = "(?i)\\btopK\\s*\\(\\s*(\\d+)\\s*\\)\\s*\\(".r
+    var tk = topKRe.findFirstMatchIn(s)
+    while (tk.isDefined) {
+      val m = tk.get
+      val close = matchingParen(s, m.end - 1)
+      if (close < 0) tk = None
+      else {
+        val arg = s.substring(m.end, close)
+        s = s.substring(0, m.start) + s"topKAgg($arg, ${m.group(1)})" +
+          s.substring(close + 1)
+        tk = topKRe.findFirstMatchIn(s)
+      }
+    }
     // type names (word-bounded, case-sensitive like ClickHouse)
     typeNames.foreach { case (ch, sp) =>
       s = s.replaceAll(s"\\b$ch\\b", sp)
@@ -104,6 +119,15 @@ object Transpiler {
     // main.py:61; SURVEY §2.4 G6)
     s = "(?is)GROUP\\s+BY\\s+(.+?)\\s+WITH\\s+TOTALS".r.replaceAllIn(s,
       m => s"GROUP BY GROUPING SETS ((${m.group(1)}), ())")
+    // ARRAY JOIN clause (ClickHouse lateral flatten; arrayJoin()-the-
+    // function is handled by the registry) -> LATERAL VIEW explode;
+    // LEFT ARRAY JOIN keeps empty-array rows -> explode_outer
+    s = "(?is)\\b(LEFT\\s+)?ARRAY\\s+JOIN\\s+(.+?)\\s+AS\\s+(\\w+)".r
+      .replaceAllIn(s, m => {
+        val fn = if (m.group(1) != null) "explode_outer" else "explode"
+        java.util.regex.Matcher.quoteReplacement(
+          s"LATERAL VIEW $fn(${m.group(2)}) graft_aj AS ${m.group(3)}")
+      })
     // PREWHERE is ClickHouse's manual pushdown hint; Catalyst pushes
     // predicates itself, so it merges into WHERE (both present -> AND)
     "(?is)\\bPREWHERE\\s+(.+?)(\\s+WHERE\\s+)(.+?)(\\s+GROUP\\s+BY|\\s+ORDER\\s+BY|\\s+LIMIT|\\s*$)".r
@@ -242,6 +266,19 @@ object Transpiler {
         sql.substring(0, mm.start) + rebuilt + rewriteCasts(sql.substring(close + 1))
     }
   }
+
+  private val withFillRe =
+    ("(?is)^(.*\\bORDER\\s+BY\\s+)([\\w`.]+)\\s+WITH\\s+FILL\\s+" +
+      "FROM\\s+(-?\\d+)\\s+TO\\s+(-?\\d+)(?:\\s+STEP\\s+(-?\\d+))?\\s*$").r
+
+  /** `ORDER BY col WITH FILL FROM a TO b [STEP s]`: returns
+    * (sql with the WITH FILL clause stripped, col, from, to, step). */
+  def withFillParts(sql: String): Option[(String, String, Long, Long, Long)] =
+    withFillRe.findFirstMatchIn(sql).map { m =>
+      (m.group(1) + m.group(2), m.group(2).replace("`", ""),
+        m.group(3).toLong, m.group(4).toLong,
+        Option(m.group(5)).map(_.toLong).getOrElse(1L))
+    }
 
   private val limitByRe =
     "(?is)^(.*?)\\s+LIMIT\\s+(\\d+)\\s+BY\\s+(.+?)(\\s+LIMIT\\s+(\\d+))?\\s*$".r

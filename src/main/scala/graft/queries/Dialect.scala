@@ -210,6 +210,31 @@ object Dialect {
       SELECT range AS number, unnest(range(0, range % 3 + 1)) AS j
       FROM range(5) ORDER BY number, j""")),
 
+    // O7: ORDER BY ... WITH FILL — ClickHouse gap-filling sort (no
+    // Spark analog; custom operator, graft.operators.WithFill)
+    Q("o7_with_fill", (s, dir) => {
+      graft.dialect.ChContext.setup(s, dir)
+      graft.dialect.Engine.execute(s, """
+        SELECT yr, n FROM (
+          SELECT toYear(o_orderdate) AS yr, count() AS n
+          FROM orders GROUP BY yr)
+        ORDER BY yr WITH FILL FROM 1990 TO 2010""")
+    }, Some("""
+      WITH c AS (SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n
+                 FROM orders GROUP BY 1),
+           g AS (SELECT CAST(unnest(generate_series(1990, 2009)) AS INT) AS yr)
+      SELECT g.yr AS yr, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+      FROM g LEFT JOIN c USING (yr) ORDER BY yr""")),
+
+    // F8d: ARRAY JOIN clause form (lateral flatten; the arrayJoin()
+    // function form is f11)
+    Q("f14_ch_arrayjoin_clause", ch("""
+      SELECT number, j FROM numbers(5) ARRAY JOIN range(number % 3 + 1) AS j
+      ORDER BY number, j"""),
+      Some("""
+      SELECT range AS number, unnest(range(0, range % 3 + 1)) AS j
+      FROM range(5) ORDER BY number, j""")),
+
     // G5b: HAVING through the dialect
     Q("g11_ch_having", ch("""
       SELECT o_custkey, count() AS n,
@@ -277,6 +302,23 @@ object Dialect {
                max(CAST(l_quantity AS DECIMAL(12,2))) AS xs
         FROM lineitem GROUP BY l_returnflag, l_linestatus)
       GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // G9d: topK heavy hitters — space-saving sketch (exact here:
+    // cardinality 5 << sketch capacity, so the oracle is the true
+    // count-ordered top 3 per group)
+    Q("g13_topk", ch("""
+      SELECT o_orderstatus,
+             arrayStringConcat(topK(3)(o_orderpriority), ',') AS top_prio
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+      Some("""
+      WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+                 FROM orders GROUP BY 1, 2),
+           r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                   ORDER BY cnt DESC, o_orderpriority) AS rn FROM c)
+      SELECT o_orderstatus,
+             array_to_string(list(o_orderpriority ORDER BY cnt DESC, o_orderpriority), ',') AS top_prio
+      FROM r WHERE rn <= 3
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
     // P5: CAST with ClickHouse type names
     Q("f7_ch_cast", ch("""

@@ -77,6 +77,23 @@ class ChHofSpec extends AnyFunSuite {
     assert(merged.getLong(0) === 1000L && merged.getLong(1) === 499500L)
   }
 
+  test("topK: exact when cardinality fits; heavy hitter survives overflow") {
+    graft.dialect.ChFunctions.register(spark)
+    // small cardinality -> exact, ordered by count desc then value
+    val exact = spark.sql(graft.dialect.Transpiler.transpile(
+      """SELECT topK(2)(CASE WHEN number % 10 < 6 THEN 'a'
+                             WHEN number % 10 < 9 THEN 'b' ELSE 'c' END) AS t
+         FROM numbers(1000)""")).collect().head.getSeq[String](0)
+    assert(exact === Seq("a", "b"))
+    // 500 distinct values + one value at 30% frequency: the sketch
+    // overflows its 512-entry capacity but the heavy hitter must survive
+    val skew = spark.sql(graft.dialect.Transpiler.transpile(
+      """SELECT topK(1)(CASE WHEN number % 10 < 3 THEN 'HOT'
+                             ELSE toString(number % 5000) END) AS t
+         FROM numbers(20000)""")).collect().head.getSeq[String](0)
+    assert(skew === Seq("HOT"))
+  }
+
   test("tuple/tupleElement construct and extract") {
     assert(one("SELECT tupleElement(tuple(7, 'x'), 2)") === "x")
     assert(one("SELECT tupleElement(tuple(7, 'x'), 1)") === 7)

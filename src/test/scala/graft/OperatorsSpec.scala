@@ -62,6 +62,14 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.count(_._3) === 1)
   }
 
+  test("WithFill synthesizes default rows for missing grid points only") {
+    val df = Seq((2L, "b", 10.0), (5L, "e", 20.0)).toDF("k", "s", "v")
+    val out = graft.operators.WithFill(df, "k", 1L, 7L, 2L) // grid 1,3,5
+      .as[(Long, String, Double)].collect().toList
+    // original rows kept (2 and 5), grid points 1 and 3 synthesized
+    assert(out === List((1L, "", 0.0), (2L, "b", 10.0), (3L, "", 0.0), (5L, "e", 20.0)))
+  }
+
   test("SimHash: identical token sequences get identical fingerprints") {
     val docs = Seq((1L, "a b c d e f g h"), (2L, "a  b c d e f g H"), (3L, "q r s t u v w x"))
       .toDF("doc_id", "text") // doc2 differs only by spacing/case -> same normalized
