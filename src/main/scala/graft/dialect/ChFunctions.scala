@@ -208,6 +208,20 @@ object ChFunctions {
     }),
     "toJSONString" -> (a => StructsToJson(Map.empty[String, String], a.head)),
 
+    // URL family (ClickHouse URL functions -> Spark's codegen'd
+    // ParseUrl; SURVEY §2.7 tier C)
+    "protocol" -> (a => Lower(new ParseUrl(Seq(a.head, Literal("PROTOCOL"))))),
+    "domain" -> (a => new ParseUrl(Seq(a.head, Literal("HOST")))),
+    "domainWithoutWWW" -> (a => RegExpReplace(
+      new ParseUrl(Seq(a.head, Literal("HOST"))), Literal("^www\\."), Literal(""))),
+    "topLevelDomain" -> (a => RegExpExtract(
+      new ParseUrl(Seq(a.head, Literal("HOST"))), Literal("\\.([^.]+)$"), Literal(1))),
+    "path" -> (a => new ParseUrl(Seq(a.head, Literal("PATH")))),
+    "queryString" -> (a => new ParseUrl(Seq(a.head, Literal("QUERY")))),
+    "fragment" -> (a => new ParseUrl(Seq(a.head, Literal("REF")))),
+    "extractURLParameter" -> (a =>
+      new ParseUrl(Seq(a.head, Literal("QUERY"), a(1)))),
+
     // conditional / null — ClickHouse truthiness: any numeric (or
     // boolean, via the double cast) condition, nonzero = true
     "if" -> (a => If(Not(EqualTo(Cast(a(0), DoubleType), Literal(0d))), a(1), a(2))),

@@ -39,6 +39,10 @@ object Ddl {
   private val orderByRe =
     "(?is)ORDER\\s+BY\\s+(\\(?[^()]*\\)?)(?=(SAMPLE\\s+BY|PRIMARY\\s+KEY|SETTINGS|PARTITION\\s+BY|$))".r
 
+  private val createViewRe =
+    ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?(MATERIALIZED\\s+)?VIEW\\s+" +
+      "(IF\\s+NOT\\s+EXISTS\\s+)?([\\w`.]+)\\s+AS\\s+(.+)$").r
+
   def isDdl(sql: String): Boolean =
     "(?is)^\\s*(CREATE|DROP|USE|INSERT|TRUNCATE)\\b".r.findFirstIn(sql).isDefined
 
@@ -48,6 +52,18 @@ object Ddl {
     s match {
       case createDbRe(ifNot, name) =>
         spark.sql(s"CREATE DATABASE ${Option(ifNot).getOrElse("")} $name")
+      case createViewRe(orReplace, _, ifNot, name, body) =>
+        // Session-scoped: persistent Spark views cannot reference the
+        // temp-registered dialect functions (INVALID_TEMP_OBJ_REFERENCE),
+        // so views live per session under their bare name — matching
+        // the per-credential session model. MATERIALIZED degrades to a
+        // plain view (Spark recomputes on read); callers wanting real
+        // materialization use INSERT INTO ... SELECT.
+        val bare = name.substring(name.lastIndexOf('.') + 1).replace("`", "")
+        val df = spark.sql(Transpiler.transpile(body))
+        if (Option(ifNot).isDefined &&
+            spark.catalog.tableExists(bare)) df
+        else { df.createOrReplaceTempView(bare); df }
       case createTableRe(ifNot, name, cols, engine, rest) =>
         createTable(spark, Option(ifNot).isDefined, name, cols, engine, rest)
       case _ if "(?is)^\\s*INSERT\\b".r.findFirstIn(s).isDefined =>

@@ -94,6 +94,20 @@ class ChHofSpec extends AnyFunSuite {
     assert(skew === Seq("HOT"))
   }
 
+  test("URL function family parses protocol/domain/path/params") {
+    graft.dialect.ChFunctions.register(spark)
+    val r = spark.sql(graft.dialect.Transpiler.transpile(
+      """SELECT protocol(u) AS pr, domain(u) AS d, domainWithoutWWW(u) AS dw,
+                topLevelDomain(u) AS tld, path(u) AS p,
+                queryString(u) AS qs, extractURLParameter(u, 'q') AS qp
+         FROM (SELECT 'https://www.example.com/search/deep?q=spark&n=10' AS u)"""))
+      .collect().head
+    assert(r.getString(0) === "https" && r.getString(1) === "www.example.com")
+    assert(r.getString(2) === "example.com" && r.getString(3) === "com")
+    assert(r.getString(4) === "/search/deep")
+    assert(r.getString(5) === "q=spark&n=10" && r.getString(6) === "spark")
+  }
+
   test("tuple/tupleElement construct and extract") {
     assert(one("SELECT tupleElement(tuple(7, 'x'), 2)") === "x")
     assert(one("SELECT tupleElement(tuple(7, 'x'), 1)") === 7)

@@ -60,4 +60,17 @@ class DdlSpec extends AnyFunSuite {
     assert(schema.map(_.dataType.simpleString).toSeq ===
       Seq("string", "decimal(10,2)", "decimal(20,0)"))
   }
+
+  test("CREATE VIEW with ClickHouse-dialect body (session-scoped)") {
+    Engine.execute(spark, """
+      CREATE OR REPLACE VIEW v_n AS
+      SELECT number, toString(number) AS s FROM numbers(4)""")
+    val rows = spark.sql("SELECT count(*) FROM v_n").collect()
+    assert(rows.head.getLong(0) === 4L)
+    // MATERIALIZED degrades to a plain view
+    Engine.execute(spark, """
+      CREATE MATERIALIZED VIEW IF NOT EXISTS v_m AS
+      SELECT number * 2 AS d FROM numbers(3)""")
+    assert(spark.sql("SELECT sum(d) FROM v_m").collect().head.getLong(0) === 6L)
+  }
 }
