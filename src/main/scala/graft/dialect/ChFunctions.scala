@@ -38,6 +38,16 @@ object ChFunctions {
   private def chTruthy(e: Expression): Expression =
     Not(EqualTo(Cast(e, DoubleType), Literal(0d)))
 
+  /** Per-row sum of an array's elements as double (ArrayAggregate). */
+  private def elementSum(arr: Expression): Expression = {
+    val x = UnresolvedNamedLambdaVariable(Seq("__graft_x"))
+    val acc = UnresolvedNamedLambdaVariable(Seq("__graft_acc"))
+    val out = UnresolvedNamedLambdaVariable(Seq("__graft_out"))
+    ArrayAggregate(arr, Literal(0d),
+      LambdaFunction(Add(acc, Cast(x, DoubleType)), Seq(acc, x)),
+      LambdaFunction(out, Seq(out)))
+  }
+
   /** Fold a user lambda over an array with ArrayAggregate. The analyzer
     * only accepts user-written lambdas when the registered builder's
     * top-level result IS a HigherOrderFunction (Size(ArrayFilter(...))
@@ -186,15 +196,7 @@ object ChFunctions {
       if (a.length >= 2)
         lambdaFold(a(0), a(1), Literal(0d),
           (acc, body) => Add(acc, Cast(body, DoubleType)))
-      else {
-        val x = UnresolvedNamedLambdaVariable(Seq("__graft_x"))
-        val out = UnresolvedNamedLambdaVariable(Seq("__graft_out"))
-        ArrayAggregate(a.head, Literal(0d),
-          LambdaFunction(Add(UnresolvedNamedLambdaVariable(Seq("__graft_acc")),
-            Cast(x, DoubleType)),
-            Seq(UnresolvedNamedLambdaVariable(Seq("__graft_acc")), x)),
-          LambdaFunction(out, Seq(out)))
-      }),
+      else elementSum(a.head)),
 
     // maps / tuples
     "mapKeys" -> (a => MapKeys(a.head)),
@@ -280,6 +282,15 @@ object ChFunctions {
     "uniqState" -> (a => new HllSketchAgg(a.head).toAggregateExpression()),
     "uniqMerge" -> (a =>
       HllSketchEstimate(new HllUnionAgg(a.head).toAggregateExpression())),
+    // -Array combinators: aggregate over all elements of an array
+    // column across rows (SURVEY §2.4 G8 "-Array" -> flatten-then-agg)
+    "countArray" -> (a => Sum(Size(a.head)).toAggregateExpression()),
+    "sumArray" -> (a => Sum(elementSum(a.head)).toAggregateExpression()),
+    "avgArray" -> (a => Divide(
+      Sum(elementSum(a.head)).toAggregateExpression(),
+      Cast(Sum(Size(a.head)).toAggregateExpression(), DoubleType))),
+    "uniqArray" -> (a => Size(ArrayDistinct(Flatten(
+      CollectList(a.head).toAggregateExpression())))),
     "countIf" -> (a => Count(nullIfNot(a.head, Literal(1))).toAggregateExpression()),
     "sumIf" -> (a => Sum(nullIfNot(a(1), a(0))).toAggregateExpression()),
     "avgIf" -> (a => Average(nullIfNot(a(1), a(0))).toAggregateExpression()),

@@ -142,6 +142,13 @@ object Transpiler {
     s = "(?i)\\bFINAL\\b(?=\\s|$)".r.replaceAllIn(s, " ")
     s = "(?i)\\bGLOBAL\\s+(?=(ANY\\s+|ALL\\s+)?(INNER|LEFT|RIGHT|FULL|CROSS|JOIN|IN|NOT))".r
       .replaceAllIn(s, "")
+    // trailing SETTINGS name=value[, ...] — per-query knobs clients
+    // append; engine-specific, accepted and dropped
+    s = "(?is)\\bSETTINGS\\s+\\w+\\s*=\\s*[^,\\s]+(\\s*,\\s*\\w+\\s*=\\s*[^,\\s]+)*\\s*$".r
+      .replaceAllIn(s, "")
+    // ClickHouse `LIMIT offset, n` -> standard LIMIT n OFFSET offset
+    s = "(?i)\\bLIMIT\\s+(\\d+)\\s*,\\s*(\\d+)".r
+      .replaceAllIn(s, m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
     // SAMPLE 0.1 -> TABLESAMPLE (10 PERCENT) (SURVEY §4 mapping)
     s = "(?i)\\bSAMPLE\\s+(0?\\.\\d+)".r.replaceAllIn(s,
       m => s"TABLESAMPLE (${(m.group(1).toDouble * 100).round} PERCENT)")

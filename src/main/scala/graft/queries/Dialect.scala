@@ -235,6 +235,34 @@ object Dialect {
       SELECT range AS number, unnest(range(0, range % 3 + 1)) AS j
       FROM range(5) ORDER BY number, j""")),
 
+    // O2b: ClickHouse LIMIT offset,n + trailing SETTINGS (dropped)
+    Q("o8_ch_limit_offset", ch("""
+      SELECT number FROM numbers(100) ORDER BY number
+      LIMIT 10, 5 SETTINGS max_threads = 4"""),
+      Some("""
+      SELECT range AS number FROM range(100) ORDER BY number
+      LIMIT 5 OFFSET 10""")),
+
+    // G8c: -Array combinators — flatten-then-aggregate across rows
+    Q("g14_array_combinators", ch("""
+      SELECT number % 2 AS g,
+             countArray(range(number + 1)) AS total_elems,
+             max(arraySum(range(number + 1))) AS per_row_demo,
+             sumArray(range(number + 1)) AS total_sum,
+             round(avgArray(range(number + 1)), 6) AS avg_elem
+      FROM numbers(6) GROUP BY g ORDER BY g"""),
+      Some("""
+      SELECT g,
+             CAST(sum(n_elems) AS BIGINT) AS total_elems,
+             CAST(max(row_sum) AS DOUBLE) AS per_row_demo,
+             CAST(sum(row_sum) AS DOUBLE) AS total_sum,
+             round(sum(row_sum) / sum(n_elems), 6) AS avg_elem
+      FROM (SELECT range % 2 AS g,
+                   len(range(0, range + 1)) AS n_elems,
+                   CAST(list_sum(list_transform(range(0, range + 1), x -> x)) AS DOUBLE) AS row_sum
+            FROM range(6))
+      GROUP BY g ORDER BY g""")),
+
     // G5b: HAVING through the dialect
     Q("g11_ch_having", ch("""
       SELECT o_custkey, count() AS n,
