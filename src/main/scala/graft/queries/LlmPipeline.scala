@@ -315,6 +315,34 @@ object LlmPipeline {
              md5(array_to_string(sketch, ',')) fp
       FROM sk ORDER BY doc_id""")),
 
+    // L14: the composed training-data pipeline — quality filter (token
+    // floor) -> exact dedup (md5 hash-group, min-id keeper) -> per-
+    // language corpus stats. One pass, one window shuffle on the hash,
+    // one agg shuffle on lang; every stage is the operator proven
+    // individually above.
+    Q("l14_pipeline", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      docs.select(col("doc_id"), col("lang"), col("text"),
+          size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+        .filter(col("n_tokens") >= 20)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(md5(col("text").cast("binary"))).orderBy("doc_id")))
+        .filter(col("rn") === 1)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy("lang")
+    }, Some("""
+      SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM (
+        SELECT lang, n_tokens,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM (SELECT doc_id, lang, text,
+                     CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens
+              FROM documents)
+        WHERE n_tokens >= 20)
+      WHERE rn = 1 GROUP BY lang ORDER BY lang""")),
+
     // M1: multimodal columns — binary payload + typed metadata, decode
     // stub over mapPartitions (real batch plumbing, fake codec)
     Q("m1_multimodal", (s, dir) => {
