@@ -279,10 +279,17 @@ object Transpiler {
       "FROM\\s+(-?\\d+)\\s+TO\\s+(-?\\d+)(?:\\s+STEP\\s+(-?\\d+))?\\s*$").r
 
   /** `ORDER BY col WITH FILL FROM a TO b [STEP s]`: returns
-    * (sql with the WITH FILL clause stripped, col, from, to, step). */
+    * (inner sql, col, from, to, step). The fill operator re-sorts
+    * after the union, so a single-key ORDER BY is stripped from the
+    * inner query entirely — sorting twice is pure waste at scale. */
   def withFillParts(sql: String): Option[(String, String, Long, Long, Long)] =
     withFillRe.findFirstMatchIn(sql).map { m =>
-      (m.group(1) + m.group(2), m.group(2).replace("`", ""),
+      val soleSortRe = "(?is)\\s*\\bORDER\\s+BY\\s*$".r
+      val inner = soleSortRe.findFirstMatchIn(m.group(1)) match {
+        case Some(om) => m.group(1).substring(0, om.start) // single-key sort: drop
+        case None => m.group(1) + m.group(2) // multi-key: keep conservative
+      }
+      (inner, m.group(2).replace("`", ""),
         m.group(3).toLong, m.group(4).toLong,
         Option(m.group(5)).map(_.toLong).getOrElse(1L))
     }

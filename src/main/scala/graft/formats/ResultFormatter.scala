@@ -44,6 +44,10 @@ object ResultFormatter {
         rows.map(r => schema.fields.indices
           .map(i => s"${jsonString(schema.fields(i).name)}:${jsonValue(r.get(i), schema.fields(i).dataType)}")
           .mkString("{", ",", "}")).mkString("", "\n", "\n")
+      case "jsoncompacteachrow" =>
+        rows.map(r => schema.fields.indices
+          .map(i => jsonValue(r.get(i), schema.fields(i).dataType))
+          .mkString("[", ",", "]")).mkString("", "\n", "\n")
       case "pretty" | "prettycompact" => pretty(schema, rows)
       case other => throw new IllegalArgumentException(s"unknown format: $other")
     }

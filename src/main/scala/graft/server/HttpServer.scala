@@ -126,12 +126,29 @@ class HttpServer(spark: SparkSession, port: Int,
 object UserSessions {
   private val sessions =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.SparkSession]
+  private val lastAccess = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Idle-session TTL, matching the reference's SESSION_TTL contract
+    * (README.md:30: 3600 s). Without eviction the per-credential map
+    * grows unboundedly under rotating credentials. */
+  val TtlMillis: Long =
+    sys.env.getOrElse("SESSION_TTL", "3600").toLong * 1000L
+
+  private def evictExpired(): Unit = {
+    val cutoff = System.currentTimeMillis() - TtlMillis
+    lastAccess.filterInPlace { (key, at) =>
+      if (at >= cutoff) true
+      else { sessions.remove(key); false } // SparkSession shares the context; nothing to close
+    }
+  }
 
   /** Map key = the full credentials string — a 32-bit hash key would
     * merge colliding credentials into one session and leak one user's
     * catalog to another. The SHA-256 hex only names the database. */
   def forKey(root: org.apache.spark.sql.SparkSession, credentials: String,
-             fixtureDir: Option[String]): org.apache.spark.sql.SparkSession =
+             fixtureDir: Option[String]): org.apache.spark.sql.SparkSession = {
+    evictExpired()
+    lastAccess.put(credentials, System.currentTimeMillis())
     sessions.getOrElseUpdate(credentials, {
       val h = java.security.MessageDigest.getInstance("SHA-256")
         .digest(credentials.getBytes("UTF-8"))
@@ -143,6 +160,7 @@ object UserSessions {
       fixtureDir.foreach(dir => graft.dialect.ChContext.setupViews(s, dir))
       s
     })
+  }
 }
 
 object HttpServer {

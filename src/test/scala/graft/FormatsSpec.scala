@@ -127,6 +127,13 @@ class FormatsSpec extends AnyFunSuite {
     assert(out === "{\"number\":\"0\",\"s\":\"0\"}\n{\"number\":\"1\",\"s\":\"1\"}\n")
   }
 
+  test("JSONCompactEachRow renders one array per line") {
+    val out = ResultFormatter.render(
+      q("SELECT number, toString(number) AS s FROM numbers(2) ORDER BY number"),
+      "JSONCompactEachRow")
+    assert(out === "[\"0\",\"0\"]\n[\"1\",\"1\"]\n")
+  }
+
   test("QueryRunner one-shot call mirrors the reference Lambda defaults") {
     val out = graft.QueryRunner.runOnce(spark)
     assert(out.contains(""""data":[["25.5.2"]]"""), out)
