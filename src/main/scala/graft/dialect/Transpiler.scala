@@ -445,11 +445,21 @@ object ChContext {
 
   /** Minimal `system.*` surface ClickHouse clients probe (the Play UI
     * reads server settings, reference index.html; SURVEY §7 scopes this
-    * to stubs). */
+    * to stubs). databases/tables are snapshots taken at setup time —
+    * enough for client handshake probes, not a live catalog. */
   def setupSystemTables(spark: SparkSession): Unit = {
     spark.sql("CREATE DATABASE IF NOT EXISTS system")
     if (!spark.catalog.tableExists("system.one"))
       spark.sql("CREATE OR REPLACE VIEW system.one AS SELECT 0 AS dummy")
+    import spark.implicits._
+    // snapshots materialize as tiny managed tables (persistent views
+    // cannot reference the temp catalog state they are built from)
+    spark.catalog.listDatabases().select("name")
+      .write.mode("overwrite").saveAsTable("system.databases")
+    spark.sql("SHOW TABLES").select("namespace", "tableName")
+      .withColumnRenamed("namespace", "database")
+      .withColumnRenamed("tableName", "name")
+      .write.mode("overwrite").saveAsTable("system.tables")
     if (!spark.catalog.tableExists("system.settings"))
       spark.sql("""
         CREATE OR REPLACE VIEW system.settings AS

@@ -79,7 +79,7 @@ object ClickBench {
     }, Some("""
       SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k,
              count(*) AS n
-      FROM events GROUP BY 1 ORDER BY k""")),
+      FROM events GROUP BY 1 ORDER BY k"""), bench = true),
 
     // b7: time bucketing by minute-of-hour (Q39 time-series shape)
     Q("b7_cb_minute_histo", (s, dir) => {

@@ -346,7 +346,7 @@ object Dialect {
       SELECT o_orderstatus,
              array_to_string(list(o_orderpriority ORDER BY cnt DESC, o_orderpriority), ',') AS top_prio
       FROM r WHERE rn <= 3
-      GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""), bench = true),
 
     // P5: CAST with ClickHouse type names
     Q("f7_ch_cast", ch("""

@@ -113,6 +113,13 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.statusCode() === 200 && r.body().contains("<textarea"))
   }
 
+  test("system.databases / system.tables answer client probes") {
+    val dbs = get(s"/?query=${enc("SELECT name FROM system.databases ORDER BY name")}")
+    assert(dbs.statusCode() === 200 && dbs.body().contains("system"), dbs.body())
+    val one = get(s"/?query=${enc("SELECT dummy FROM system.one")}")
+    assert(one.statusCode() === 200 && one.body() === "0\n")
+  }
+
   test("database= param is request-scoped, not sticky (main.py:860-861)") {
     get(s"/?query=${enc("CREATE DATABASE IF NOT EXISTS dbscope")}")
     get(s"/?query=${enc("CREATE TABLE IF NOT EXISTS dbscope.tscope (id Int64) ENGINE=Memory")}")
