@@ -451,15 +451,28 @@ object ChContext {
     spark.sql("CREATE DATABASE IF NOT EXISTS system")
     if (!spark.catalog.tableExists("system.one"))
       spark.sql("CREATE OR REPLACE VIEW system.one AS SELECT 0 AS dummy")
-    import spark.implicits._
     // snapshots materialize as tiny managed tables (persistent views
-    // cannot reference the temp catalog state they are built from)
-    spark.catalog.listDatabases().select("name")
-      .write.mode("overwrite").saveAsTable("system.databases")
-    spark.sql("SHOW TABLES").select("namespace", "tableName")
+    // cannot reference the temp catalog state they are built from);
+    // drop stale metadata AND leftover warehouse dirs from prior JVMs
+    // (the in-memory catalog forgets them, the location survives)
+    def snapshot(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS system.$name")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        s"system.db/$name")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+      df.write.mode("overwrite").saveAsTable(s"system.$name")
+    }
+    snapshot("databases", spark.catalog.listDatabases().select("name"))
+    snapshot("tables", spark.sql("SHOW TABLES").select("namespace", "tableName")
       .withColumnRenamed("namespace", "database")
-      .withColumnRenamed("tableName", "name")
-      .write.mode("overwrite").saveAsTable("system.tables")
+      .withColumnRenamed("tableName", "name"))
     if (!spark.catalog.tableExists("system.settings"))
       spark.sql("""
         CREATE OR REPLACE VIEW system.settings AS
