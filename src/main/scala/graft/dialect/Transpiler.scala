@@ -44,6 +44,9 @@ object Transpiler {
     var r = s
     "(?i)FixedString\\s*\\(\\s*\\d+\\s*\\)".r.findFirstIn(r)
       .foreach(fs => r = r.replace(fs, "STRING"))
+    r = "(?i)\\bDateTime64\\s*\\(\\s*\\d+\\s*(?:,\\s*'[^']*'\\s*)?\\)".r
+      .replaceAllIn(r, "TIMESTAMP")
+    r = r.replaceAll("\\bDate32\\b", "DATE")
     r = rewriteCompositeTypes(r)
     typeNames.foreach { case (ch, sp) => r = r.replaceAll(s"\\b$ch\\b", sp) }
     r.replaceAll("\\bString\\b", "STRING")
@@ -106,7 +109,11 @@ object Transpiler {
         tk = topKRe.findFirstMatchIn(s)
       }
     }
-    // type names (word-bounded, case-sensitive like ClickHouse)
+    // type names (word-bounded, case-sensitive like ClickHouse);
+    // parameterized DateTime64(p[,tz]) first (word-boundary can't see it)
+    s = "(?i)\\bDateTime64\\s*\\(\\s*\\d+\\s*(?:,\\s*'[^']*'\\s*)?\\)".r
+      .replaceAllIn(s, "TIMESTAMP")
+    s = s.replaceAll("\\bDate32\\b", "DATE")
     typeNames.foreach { case (ch, sp) =>
       s = s.replaceAll(s"\\b$ch\\b", sp)
     }

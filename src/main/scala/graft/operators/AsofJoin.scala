@@ -27,10 +27,16 @@ object AsofJoin {
     * @param leftTs    left timestamp/ordering column name
     * @param rightTs   right timestamp/ordering column name
     * @param inner     true: drop left rows with no match; false: keep (nulls)
+    * @param forward   false (default): most recent right with
+    *                  rightTs <= leftTs (ClickHouse `>=` form); true:
+    *                  nearest following right with rightTs >= leftTs
+    *                  (`<=` form) — same one-shuffle plan, scan order
+    *                  reversed
     */
   def apply(left: DataFrame, right: DataFrame, on: Seq[String],
             leftTs: String, rightTs: String,
-            rightPrefix: String = "r_", inner: Boolean = true): DataFrame = {
+            rightPrefix: String = "r_", inner: Boolean = true,
+            forward: Boolean = false): DataFrame = {
     val leftCols  = left.columns.toSeq
     // __matched marker survives even when every carried value is null
     val right1    = right.withColumn("__matched", lit(true))
@@ -51,8 +57,9 @@ object AsofJoin {
 
     val unioned = r2.unionByName(l2.select(r2.columns.map(col): _*))
 
+    val tsOrder = if (forward) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(on.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(tsOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val filled = carryCols.foldLeft(unioned)((df, c) =>

@@ -172,6 +172,28 @@ object Joins {
       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
         ON p.user_id = c.user_id AND p.ts >= c.ts
-      ORDER BY p.event_id"""), bench = true)
+      ORDER BY p.event_id"""), bench = true),
+
+    // J5b: forward ASOF — nearest FOLLOWING click per purchase
+    // (ClickHouse `ASOF JOIN ... ON l.ts <= r.ts` form)
+    Q("j5b_asof_forward", (s, dir) => {
+      val e = Tables.events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"))
+      AsofJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
+          rightPrefix = "c_", forward = true)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("c_click_id").as("click_id"), col("c_ts").as("click_ts"))
+        .orderBy("event_id")
+    }, Some("""
+      SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+             c.event_id AS click_id, CAST(c.ts AS TIMESTAMP) AS click_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts <= c.ts
+      ORDER BY p.event_id"""))
   )
 }

@@ -416,6 +416,17 @@ object Relational {
       SELECT k, 'union' AS op FROM (SELECT k FROM c UNION SELECT k FROM s)
       ORDER BY op, k""")),
 
+    // O1b: explicit null ordering — Spark's ASC default is NULLS FIRST,
+    // DuckDB's is NULLS LAST, so portable sorts must pin it
+    Q("o9_nulls_order", (s, dir) => {
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), nullif(col("o_orderstatus"), lit("O")).as("st"))
+        .orderBy(col("st").asc_nulls_last, col("o_orderkey").asc)
+        .limit(50)
+    }, Some("""
+      SELECT o_orderkey, nullif(o_orderstatus, 'O') AS st
+      FROM orders ORDER BY st ASC NULLS LAST, o_orderkey LIMIT 50""")),
+
     // O6: DISTINCT
     Q("o6_distinct", (s, dir) => {
       Tables.load(s, dir, "customer")
