@@ -43,8 +43,14 @@ object Ddl {
     ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?(MATERIALIZED\\s+)?VIEW\\s+" +
       "(IF\\s+NOT\\s+EXISTS\\s+)?([\\w`.]+)\\s+AS\\s+(.+)$").r
 
+  private val alterDeleteRe =
+    "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+DELETE\\s+WHERE\\s+(.+)$".r
+  private val alterUpdateRe =
+    "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+UPDATE\\s+(.+?)\\s+WHERE\\s+(.+)$".r
+
   def isDdl(sql: String): Boolean =
-    "(?is)^\\s*(CREATE|DROP|USE|INSERT|TRUNCATE)\\b".r.findFirstIn(sql).isDefined
+    "(?is)^\\s*(CREATE|DROP|USE|INSERT|TRUNCATE|ALTER|OPTIMIZE)\\b".r
+      .findFirstIn(sql).isDefined
 
   /** Execute one ClickHouse DDL/DML statement. */
   def execute(spark: SparkSession, sql: String): DataFrame = {
@@ -68,11 +74,50 @@ object Ddl {
         createTable(spark, Option(ifNot).isDefined, name, cols, engine, rest)
       case _ if "(?is)^\\s*INSERT\\b".r.findFirstIn(s).isDefined =>
         insert(spark, s)
+      case alterDeleteRe(name, cond) =>
+        mutate(spark, name, df => df.filter(
+          org.apache.spark.sql.functions.not(
+            org.apache.spark.sql.functions.expr(Transpiler.transpile(cond)))))
+      case alterUpdateRe(name, assignments, cond) =>
+        // ALTER TABLE t UPDATE a = expr, b = expr WHERE cond
+        val sets = splitTopLevel(assignments).map { a =>
+          val Array(c, e) = a.split("=", 2)
+          c.trim.replace("`", "") -> Transpiler.transpile(e.trim)
+        }
+        mutate(spark, name, { df =>
+          import org.apache.spark.sql.functions.{expr, when, col}
+          val condC = expr(Transpiler.transpile(cond))
+          sets.foldLeft(df) { case (d, (c, e)) =>
+            d.withColumn(c, when(condC, expr(e)).otherwise(col(c)))
+          }
+        })
+      case _ if "(?is)^\\s*OPTIMIZE\\s+TABLE\\b".r.findFirstIn(s).isDefined =>
+        // merge/compaction hint — storage detail with no user-visible
+        // result contract; accepted as a no-op
+        spark.emptyDataFrame
       case _ if "(?is)^\\s*(DROP|USE|TRUNCATE)\\b".r.findFirstIn(s).isDefined =>
         spark.sql(s)
       case other =>
         throw new IllegalArgumentException(s"unsupported DDL: $other")
     }
+  }
+
+  /** ClickHouse mutations (ALTER DELETE/UPDATE) as copy-on-write: read,
+    * transform, overwrite — the same full-rewrite semantics ClickHouse
+    * mutations have, expressed as one distributed job. */
+  private def mutate(spark: SparkSession, name: String,
+                     f: DataFrame => DataFrame): DataFrame = {
+    val bare = name.replace("`", "")
+    // stage to a scratch location first: caching is not enough (TRUNCATE
+    // invalidates dependent caches and the plan would re-read the
+    // now-empty table), and Spark refuses overwrite-while-reading
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_mutation").toString
+    f(spark.table(bare)).write.mode("overwrite").parquet(tmp)
+    val staged = spark.read.parquet(tmp)
+    spark.sql(s"TRUNCATE TABLE $bare")
+    staged.write.mode("append").insertInto(bare)
+    spark.emptyDataFrame
   }
 
   private def createTable(spark: SparkSession, ifNotExists: Boolean,

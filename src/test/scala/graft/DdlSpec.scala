@@ -61,6 +61,24 @@ class DdlSpec extends AnyFunSuite {
       Seq("string", "decimal(10,2)", "decimal(20,0)"))
   }
 
+  test("ALTER TABLE DELETE / UPDATE mutations and OPTIMIZE no-op") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.mut")
+    Engine.execute(spark,
+      "CREATE TABLE graft_spec.mut (id Int64, v Int64) ENGINE=Memory")
+    Engine.execute(spark,
+      "INSERT INTO graft_spec.mut SELECT id, id * 10 FROM range(10)")
+    Engine.execute(spark, "ALTER TABLE graft_spec.mut DELETE WHERE id >= 7")
+    assert(spark.table("graft_spec.mut").count() === 7L)
+    Engine.execute(spark,
+      "ALTER TABLE graft_spec.mut UPDATE v = v + 1 WHERE id < 3")
+    val vs = spark.table("graft_spec.mut").orderBy("id")
+      .collect().map(_.getLong(1)).toSeq
+    assert(vs === Seq(1L, 11L, 21L, 30L, 40L, 50L, 60L))
+    Engine.execute(spark, "OPTIMIZE TABLE graft_spec.mut FINAL") // no-op
+    assert(spark.table("graft_spec.mut").count() === 7L)
+  }
+
   test("CREATE VIEW with ClickHouse-dialect body (session-scoped)") {
     Engine.execute(spark, """
       CREATE OR REPLACE VIEW v_n AS
