@@ -15,9 +15,11 @@ import org.apache.spark.sql.types._
   * (public/index.html:729) — plus the tier-C families from SURVEY.md
   * §2.7 scoped to common ClickHouse idioms.
   *
-  * Hash-name mappings (intHash32, cityHash64) are distribution-parity,
-  * not byte-parity (SURVEY §2.7 F5): they hash consistently within this
-  * engine, which is what PARTITION BY / ORDER BY clustering needs.
+  * Integer hashes (intHash32/intHash64) implement the published
+  * ClickHouse algorithms (graft.functions.IntHash); string hashes
+  * (cityHash64, farmFingerprint64) remain distribution-parity
+  * stand-ins (SURVEY §2.7 F5) — consistent within this engine, which
+  * is what PARTITION BY / ORDER BY clustering needs.
   */
 object ChFunctions {
 
@@ -137,6 +139,25 @@ object ChFunctions {
     // string hashes: distribution-parity stand-ins (NOT byte-parity)
     "cityHash64" -> (a => XxHash64(a, 42L)),
     "farmFingerprint64" -> (a => XxHash64(a, 64L)),
+
+    // multi-search / substring-count family
+    "positionCaseInsensitive" -> (a => new StringLocate(Lower(a(1)), Lower(a(0)))),
+    "countSubstrings" -> (a => Cast(Divide(
+      Subtract(Length(a(0)), Length(StringReplace(a(0), a(1), Literal("")))),
+      Length(a(1))), LongType)),
+    "multiSearchAny" -> (a => {
+      val x = UnresolvedNamedLambdaVariable(Seq("__graft_x"))
+      ArrayExists(a(1), LambdaFunction(Contains(a(0), x), Seq(x)))
+    }),
+    "replaceOne" -> (a => {
+      // first occurrence only (regexp_replace replaces all)
+      val loc = new StringLocate(a(1), a(0))
+      If(EqualTo(loc, Literal(0)), a(0), Concat(Seq(
+        Substring(a(0), Literal(1), Subtract(loc, Literal(1))),
+        a(2),
+        Substring(a(0), Add(loc, Length(a(1))), Literal(Int.MaxValue)))))
+    }),
+    "replaceAll" -> (a => StringReplace(a(0), a(1), a(2))),
 
     // strings
     "empty" -> (a => EqualTo(Length(a.head), Literal(0))),

@@ -43,6 +43,8 @@ object Ddl {
     ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?(MATERIALIZED\\s+)?VIEW\\s+" +
       "(IF\\s+NOT\\s+EXISTS\\s+)?([\\w`.]+)\\s+AS\\s+(.+)$").r
 
+  private val alterAddColRe =
+    "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+ADD\\s+COLUMN\\s+(IF\\s+NOT\\s+EXISTS\\s+)?(.+)$".r
   private val alterDeleteRe =
     "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+DELETE\\s+WHERE\\s+(.+)$".r
   private val alterUpdateRe =
@@ -91,6 +93,14 @@ object Ddl {
             d.withColumn(c, when(condC, expr(e)).otherwise(col(c)))
           }
         })
+      case alterAddColRe(name, ifNot, colDef) =>
+        val t = colDef.trim
+        val sp = t.indexOf(' ')
+        val (cn, ct) = (t.substring(0, sp).trim, t.substring(sp + 1).trim)
+        val exists = Option(ifNot).isDefined && spark.table(name.replace("`", ""))
+          .columns.exists(_.equalsIgnoreCase(cn.replace("`", "")))
+        if (exists) spark.emptyDataFrame
+        else spark.sql(s"ALTER TABLE $name ADD COLUMNS ($cn ${Transpiler.mapTypeNames(ct)})")
       case _ if "(?is)^\\s*OPTIMIZE\\s+TABLE\\b".r.findFirstIn(s).isDefined =>
         // merge/compaction hint — storage detail with no user-visible
         // result contract; accepted as a no-op

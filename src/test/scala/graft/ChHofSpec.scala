@@ -94,6 +94,20 @@ class ChHofSpec extends AnyFunSuite {
     assert(skew === Seq("HOT"))
   }
 
+  test("multi-search / substring-count / replace family") {
+    graft.dialect.ChFunctions.register(spark)
+    val r = spark.sql(graft.dialect.Transpiler.transpile(
+      """SELECT positionCaseInsensitive('Hello World', 'world') AS p,
+                countSubstrings('abcabcabc', 'bc') AS c,
+                multiSearchAny('haystack', ['zz', 'stack']) AS any1,
+                multiSearchAny('haystack', ['zz', 'qq']) AS any0,
+                replaceOne('aXbXc', 'X', '-') AS r1,
+                replaceAll('aXbXc', 'X', '-') AS ra""")).collect().head
+    assert(r.getInt(0) === 7 && r.getLong(1) === 3L)
+    assert(r.getBoolean(2) === true && r.getBoolean(3) === false)
+    assert(r.getString(4) === "a-bXc" && r.getString(5) === "a-b-c")
+  }
+
   test("URL function family parses protocol/domain/path/params") {
     graft.dialect.ChFunctions.register(spark)
     val r = spark.sql(graft.dialect.Transpiler.transpile(

@@ -79,6 +79,15 @@ class DdlSpec extends AnyFunSuite {
     assert(spark.table("graft_spec.mut").count() === 7L)
   }
 
+  test("ALTER TABLE ADD COLUMN with ClickHouse type") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.addc")
+    Engine.execute(spark, "CREATE TABLE graft_spec.addc (id Int64) ENGINE=Memory")
+    Engine.execute(spark, "ALTER TABLE graft_spec.addc ADD COLUMN tag String")
+    Engine.execute(spark, "ALTER TABLE graft_spec.addc ADD COLUMN IF NOT EXISTS tag String")
+    assert(spark.table("graft_spec.addc").schema.map(_.name) === Seq("id", "tag"))
+  }
+
   test("CREATE VIEW with ClickHouse-dialect body (session-scoped)") {
     Engine.execute(spark, """
       CREATE OR REPLACE VIEW v_n AS
