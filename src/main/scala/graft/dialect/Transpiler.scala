@@ -91,24 +91,31 @@ object Transpiler {
     s = "(?i)\\bnumbers\\s*\\(\\s*([0-9]+)\\s*\\)".r.replaceAllIn(s,
       m => s"(SELECT id AS number FROM range(${m.group(1)}))")
     s = "(?i)\\bcount\\s*\\(\\s*\\)".r.replaceAllIn(s, "count(*)")
-    // quantile(p)(x) / quantileExact(p)(x) -> percentile(x, p)
-    s = "(?i)\\bquantile(?:Exact)?\\s*\\(([^()]*)\\)\\s*\\(([^()]*)\\)".r
-      .replaceAllIn(s, m => s"percentile(${m.group(2)}, ${m.group(1)})")
-    // topK(k)(x) -> topKAgg(x, k) (space-saving sketch aggregate);
-    // paren-matched so x may nest arbitrarily
-    val topKRe = "(?i)\\btopK\\s*\\(\\s*(\\d+)\\s*\\)\\s*\\(".r
-    var tk = topKRe.findFirstMatchIn(s)
-    while (tk.isDefined) {
-      val m = tk.get
-      val close = matchingParen(s, m.end - 1)
-      if (close < 0) tk = None
-      else {
-        val arg = s.substring(m.end, close)
-        s = s.substring(0, m.start) + s"topKAgg($arg, ${m.group(1)})" +
-          s.substring(close + 1)
-        tk = topKRe.findFirstMatchIn(s)
+    // parameterized aggregates fn(param)(arg) -> plain two-arg calls;
+    // the arg group is paren-matched so it may nest arbitrarily
+    def rewriteParameterized(sql0: String, chName: String,
+                             emit: (String, String) => String): String = {
+      val re = s"(?i)\\b$chName\\s*\\(([^()]*)\\)\\s*\\(".r
+      var sql = sql0
+      var m = re.findFirstMatchIn(sql)
+      while (m.isDefined) {
+        val mm = m.get
+        val close = matchingParen(sql, mm.end - 1)
+        if (close < 0) m = None
+        else {
+          val arg = sql.substring(mm.end, close)
+          sql = sql.substring(0, mm.start) + emit(mm.group(1).trim, arg) +
+            sql.substring(close + 1)
+          m = re.findFirstMatchIn(sql)
+        }
       }
+      sql
     }
+    // quantile(p)(x) / quantileExact(p)(x) -> percentile(x, p)
+    s = rewriteParameterized(s, "quantile(?:Exact)?",
+      (p, arg) => s"percentile($arg, $p)")
+    // topK(k)(x) -> topKAgg(x, k) (space-saving sketch aggregate)
+    s = rewriteParameterized(s, "topK", (k, arg) => s"topKAgg($arg, $k)")
     // type names (word-bounded, case-sensitive like ClickHouse);
     // parameterized DateTime64(p[,tz]) first (word-boundary can't see it)
     s = "(?i)\\bDateTime64\\s*\\(\\s*\\d+\\s*(?:,\\s*'[^']*'\\s*)?\\)".r
