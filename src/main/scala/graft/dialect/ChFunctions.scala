@@ -200,6 +200,15 @@ object ChFunctions {
     "arrayConcat" -> (a => Concat(a)),
     "arrayElement" -> (a => ElementAt(a(0), a(1))),
     "arrayUniq" -> (a => Size(ArrayDistinct(a.head))),
+    "arrayReverse" -> (a => Reverse(a.head)),
+    "arraySlice" -> (a =>
+      if (a.length >= 3) Slice(a(0), a(1), a(2))
+      else Slice(a(0), a(1), Subtract(Add(Size(a(0)), Literal(1)), a(1)))),
+    "arrayZip" -> (a => ArraysZip(a)),
+    "arrayEnumerate" -> (a =>
+      Sequence(Literal(1), Size(a.head), None)),
+    "hasAny" -> (a => ArraysOverlap(a(0), a(1))),
+    "hasAll" -> (a => EqualTo(Size(ArrayExcept(a(1), a(0))), Literal(0))),
     // ClickHouse higher-order style: lambda first, array second
     "arrayMap" -> (a => ArrayTransform(a(1), a(0))),
     "arrayFilter" -> (a => ArrayFilter(a(1), a(0))),
@@ -280,7 +289,7 @@ object ChFunctions {
         case Literal(l: Long, LongType) => l.toInt
         case other => throw new IllegalArgumentException(s"topK k must be a literal, got $other")
       }
-      graft.functions.TopKSketch(Cast(a.head, StringType), k).toAggregateExpression()
+      graft.functions.TopKSketch(a.head, k).toAggregateExpression()
     }),
     "groupArray" -> (a => CollectList(a.head).toAggregateExpression()),
     "groupUniqArray" -> (a => CollectSet(a.head).toAggregateExpression()),

@@ -276,9 +276,13 @@ object Engine {
     * clause (SURVEY §2.6 O4) as a row_number window over the inner
     * query's ORDER BY, and `ORDER BY ... WITH FILL` via the
     * gap-filling operator. */
-  private def query(spark: SparkSession, bare: String): DataFrame = {
+  private def query(spark: SparkSession, bare0: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, row_number}
     import org.apache.spark.sql.expressions.Window
+    // ClickHouse EXPLAIN kinds (SYNTAX/AST/PLAN/PIPELINE/...) all map
+    // to Spark's EXPLAIN (one plan-text column)
+    val bare = "(?is)^\\s*EXPLAIN\\s+(SYNTAX|AST|PLAN|PIPELINE|ESTIMATE|QUERY\\s+TREE)\\s+".r
+      .replaceFirstIn(bare0, "EXPLAIN ")
     Transpiler.withFillParts(bare) match {
       case Some((inner, fillCol, from, to, step)) =>
         return graft.operators.WithFill(query(spark, inner), fillCol, from, to, step)

@@ -23,8 +23,11 @@ import scala.collection.mutable
   * global sort, no full distinct materialization: the 100 TB-friendly
   * heavy-hitters path. Exact whenever true cardinality <= capacity.
   *
-  * Input is the child rendered as a string (builder casts); result is
-  * Array(String) ordered by descending count, ties broken by value.
+  * Counters key on the value's string rendering (exact for atomic
+  * Catalyst values); eval converts keys back, so the result is an
+  * array of the CHILD's type (ClickHouse contract), ordered by
+  * descending count with ties broken by key. Unsupported child types
+  * degrade to Array(String).
   */
 case class TopKSketch(
     child: Expression,
@@ -37,8 +40,32 @@ case class TopKSketch(
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "topK"
+
+  private def typePreserved: Boolean = child.dataType match {
+    case StringType | LongType | IntegerType | ShortType | ByteType |
+         DoubleType | FloatType | BooleanType | DateType |
+         _: TimestampType | _: DecimalType => true
+    case _ => false
+  }
+
+  override def dataType: DataType = ArrayType(
+    if (typePreserved) child.dataType else StringType, containsNull = false)
+
+  /** Inverse of the `toString` used in update() — exact round-trip for
+    * the supported atomic Catalyst values. */
+  private def fromKey(s: String): Any = child.dataType match {
+    case StringType => UTF8String.fromString(s)
+    case LongType | _: TimestampType => s.toLong
+    case IntegerType | DateType => s.toInt
+    case ShortType => s.toShort
+    case ByteType => s.toByte
+    case DoubleType => s.toDouble
+    case FloatType => s.toFloat
+    case BooleanType => s.toBoolean
+    case _: DecimalType => org.apache.spark.sql.types.Decimal(s)
+    case _ => UTF8String.fromString(s)
+  }
 
   override def createAggregationBuffer(): mutable.LinkedHashMap[String, (Long, Long)] =
     mutable.LinkedHashMap.empty
@@ -73,7 +100,7 @@ case class TopKSketch(
     val top = buf.toSeq
       .sortBy { case (v, (c, _)) => (-c, v) }
       .take(k)
-      .map { case (v, _) => UTF8String.fromString(v) }
+      .map { case (v, _) => fromKey(v) }
     new GenericArrayData(top.toArray[Any])
   }
 

@@ -92,6 +92,11 @@ class ChHofSpec extends AnyFunSuite {
                              ELSE toString(number % 5000) END) AS t
          FROM numbers(20000)""")).collect().head.getSeq[String](0)
     assert(skew === Seq("HOT"))
+    // result preserves the argument's type (ClickHouse contract)
+    val nums = spark.sql(graft.dialect.Transpiler.transpile(
+      """SELECT topK(2)(number % 4) AS t
+         FROM numbers(100) WHERE number % 4 <= 1""")).collect().head.getSeq[Long](0)
+    assert(nums.toSet === Set(0L, 1L))
   }
 
   test("multi-search / substring-count / replace family") {
@@ -106,6 +111,29 @@ class ChHofSpec extends AnyFunSuite {
     assert(r.getInt(0) === 7 && r.getLong(1) === 3L)
     assert(r.getBoolean(2) === true && r.getBoolean(3) === false)
     assert(r.getString(4) === "a-bXc" && r.getString(5) === "a-b-c")
+  }
+
+  test("array helpers: reverse/slice/zip/enumerate/hasAny/hasAll") {
+    graft.dialect.ChFunctions.register(spark)
+    val r = spark.sql(graft.dialect.Transpiler.transpile(
+      """SELECT arrayStringConcat(arrayReverse(array(1,2,3)), ',') AS rev,
+                arrayStringConcat(arraySlice(array(1,2,3,4,5), 2, 2), ',') AS sl,
+                arrayStringConcat(arraySlice(array(1,2,3,4,5), 3), ',') AS sl2,
+                arrayStringConcat(arrayEnumerate(array(9,9,9)), ',') AS en,
+                hasAny(array(1,2), array(2,3)) AS ha,
+                hasAll(array(1,2,3), array(1,3)) AS hall,
+                hasAll(array(1,2), array(1,9)) AS hnot""")).collect().head
+    assert(r.getString(0) === "3,2,1" && r.getString(1) === "2,3")
+    assert(r.getString(2) === "3,4,5" && r.getString(3) === "1,2,3")
+    assert(r.getBoolean(4) && r.getBoolean(5) && !r.getBoolean(6))
+  }
+
+  test("EXPLAIN (SYNTAX/PLAN) returns a plan-text column") {
+    graft.dialect.ChContext.setup(spark, "/root/testdata/sf0.001")
+    val out = graft.dialect.Engine.execute(spark,
+      "EXPLAIN SYNTAX SELECT count() FROM nation")
+    val txt = out.collect().map(_.getString(0)).mkString("\n")
+    assert(txt.contains("Aggregate") || txt.contains("HashAggregate"), txt)
   }
 
   test("URL function family parses protocol/domain/path/params") {
