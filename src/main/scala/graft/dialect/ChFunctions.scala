@@ -281,6 +281,7 @@ object ChFunctions {
     "uniqHLL12" -> (a => HyperLogLogPlusPlus(a.head).toAggregateExpression()),
     "uniqCombined" -> (a => HyperLogLogPlusPlus(a.head).toAggregateExpression()),
     "uniqExact" -> (a => Count(a).toAggregateExpression(isDistinct = true)),
+    "median" -> (a => new Percentile(a.head, Literal(0.5d)).toAggregateExpression()),
     // topK(k)(x): the transpiler rewrites the parameterized form to
     // topKAgg(x, k); space-saving sketch, see graft.functions.TopKSketch
     "topKAgg" -> (a => {

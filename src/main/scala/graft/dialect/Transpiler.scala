@@ -111,6 +111,9 @@ object Transpiler {
       }
       sql
     }
+    // quantiles(p1,p2,..)(x) -> percentile(x, array(p1,p2,..))
+    s = rewriteParameterized(s, "quantiles(?:Exact)?",
+      (ps, arg) => s"percentile($arg, array($ps))")
     // quantile(p)(x) / quantileExact(p)(x) -> percentile(x, p)
     s = rewriteParameterized(s, "quantile(?:Exact)?",
       (p, arg) => s"percentile($arg, $p)")

@@ -128,6 +128,15 @@ class ChHofSpec extends AnyFunSuite {
     assert(r.getBoolean(4) && r.getBoolean(5) && !r.getBoolean(6))
   }
 
+  test("quantiles (plural) and median") {
+    graft.dialect.ChFunctions.register(spark)
+    val r = spark.sql(graft.dialect.Transpiler.transpile(
+      """SELECT quantiles(0.25, 0.75)(number) AS qs, median(number) AS med
+         FROM numbers(101)""")).collect().head
+    assert(r.getSeq[Double](0) === Seq(25.0, 75.0))
+    assert(r.getDouble(1) === 50.0)
+  }
+
   test("EXPLAIN (SYNTAX/PLAN) returns a plan-text column") {
     graft.dialect.ChContext.setup(spark, "/root/testdata/sf0.001")
     val out = graft.dialect.Engine.execute(spark,
