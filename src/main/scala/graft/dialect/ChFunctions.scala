@@ -282,6 +282,17 @@ object ChFunctions {
     "uniqCombined" -> (a => HyperLogLogPlusPlus(a.head).toAggregateExpression()),
     "uniqExact" -> (a => Count(a).toAggregateExpression(isDistinct = true)),
     "median" -> (a => new Percentile(a.head, Literal(0.5d)).toAggregateExpression()),
+    "quantileTDigest" -> (a => // approx sketch variant -> approx percentile
+      new ApproximatePercentile(a(1), a(0)).toAggregateExpression()),
+    // statistical moments (ClickHouse camelCase -> Spark aggregates)
+    "stddevPop" -> (a => StddevPop(Cast(a.head, DoubleType)).toAggregateExpression()),
+    "stddevSamp" -> (a => StddevSamp(Cast(a.head, DoubleType)).toAggregateExpression()),
+    "varPop" -> (a => VariancePop(Cast(a.head, DoubleType)).toAggregateExpression()),
+    "varSamp" -> (a => VarianceSamp(Cast(a.head, DoubleType)).toAggregateExpression()),
+    "covarPop" -> (a => CovPopulation(Cast(a(0), DoubleType),
+      Cast(a(1), DoubleType)).toAggregateExpression()),
+    "covarSamp" -> (a => CovSample(Cast(a(0), DoubleType),
+      Cast(a(1), DoubleType)).toAggregateExpression()),
     // topK(k)(x): the transpiler rewrites the parameterized form to
     // topKAgg(x, k); space-saving sketch, see graft.functions.TopKSketch
     "topKAgg" -> (a => {

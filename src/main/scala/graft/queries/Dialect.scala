@@ -348,6 +348,25 @@ object Dialect {
       FROM r WHERE rn <= 3
       GROUP BY o_orderstatus ORDER BY o_orderstatus"""), bench = true),
 
+    // G9e: statistical aggregate family (rounded: double moments are
+    // accumulation-order dependent across parallel partials)
+    Q("g15_stats", ch("""
+      SELECT l_returnflag,
+             round(stddevPop(CAST(l_quantity AS Float64)), 6) AS sd_pop,
+             round(stddevSamp(CAST(l_quantity AS Float64)), 6) AS sd_samp,
+             round(varPop(CAST(l_quantity AS Float64)), 4) AS v_pop,
+             round(covarPop(CAST(l_quantity AS Float64),
+                            CAST(l_discount AS Float64)), 6) AS cv_pop
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      Some("""
+      SELECT l_returnflag,
+             round(stddev_pop(CAST(l_quantity AS DOUBLE)), 6) AS sd_pop,
+             round(stddev_samp(CAST(l_quantity AS DOUBLE)), 6) AS sd_samp,
+             round(var_pop(CAST(l_quantity AS DOUBLE)), 4) AS v_pop,
+             round(covar_pop(CAST(l_quantity AS DOUBLE),
+                             CAST(l_discount AS DOUBLE)), 6) AS cv_pop
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // P5: CAST with ClickHouse type names
     Q("f7_ch_cast", ch("""
       SELECT number, CAST(number AS UInt8) AS u8,
