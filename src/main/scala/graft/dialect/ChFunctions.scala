@@ -128,6 +128,23 @@ object ChFunctions {
     "intDiv" -> (a => IntegralDivide(a(0), a(1), evalMode = EvalMode.LEGACY)),
     "modulo" -> (a => Remainder(a(0), a(1))),
     "negate" -> (a => UnaryMinus(a.head)),
+    "exp2" -> (a => Pow(Literal(2d), Cast(a.head, DoubleType))),
+    "intExp2" -> (a => ShiftLeft(Literal(1L), Cast(a.head, IntegerType))),
+
+    // bit manipulation
+    "bitAnd" -> (a => BitwiseAnd(a(0), a(1))),
+    "bitOr" -> (a => BitwiseOr(a(0), a(1))),
+    "bitXor" -> (a => BitwiseXor(a(0), a(1))),
+    "bitNot" -> (a => BitwiseNot(a.head)),
+    "bitShiftLeft" -> (a => ShiftLeft(a(0), Cast(a(1), IntegerType))),
+    "bitShiftRight" -> (a => ShiftRight(a(0), Cast(a(1), IntegerType))),
+    "bitTest" -> (a => Cast(BitwiseAnd(
+      ShiftRight(Cast(a(0), LongType), Cast(a(1), IntegerType)), Literal(1L)),
+      ShortType)),
+
+    // unix time conversions
+    "toUnixTimestamp" -> (a => Cast(Cast(a.head, TimestampType), LongType)),
+    "fromUnixTimestamp" -> (a => Cast(Cast(a.head, LongType), TimestampType)),
 
     // custom codegen'd Expression: 60-bit md5 prefix (dedup hot path)
     "md5Prefix60" -> (a => graft.functions.Md5Prefix60(Cast(a.head, BinaryType))),
@@ -322,6 +339,9 @@ object ChFunctions {
     "maxState" -> (a => Max(a.head).toAggregateExpression()),
     "maxMerge" -> (a => Max(a.head).toAggregateExpression()),
     "uniqState" -> (a => new HllSketchAgg(a.head).toAggregateExpression()),
+    "groupBitAnd" -> (a => BitAndAgg(a.head).toAggregateExpression()),
+    "groupBitOr" -> (a => BitOrAgg(a.head).toAggregateExpression()),
+    "groupBitXor" -> (a => BitXorAgg(a.head).toAggregateExpression()),
     "uniqMerge" -> (a =>
       HllSketchEstimate(new HllUnionAgg(a.head).toAggregateExpression())),
     // -Array combinators: aggregate over all elements of an array

@@ -128,6 +128,24 @@ class ChHofSpec extends AnyFunSuite {
     assert(r.getBoolean(4) && r.getBoolean(5) && !r.getBoolean(6))
   }
 
+  test("bit functions and unix-time conversions") {
+    graft.dialect.ChFunctions.register(spark)
+    val r = spark.sql(graft.dialect.Transpiler.transpile(
+      """SELECT bitAnd(12, 10) AS ba, bitOr(12, 10) AS bo, bitXor(12, 10) AS bx,
+                bitShiftLeft(1, 4) AS sl, bitShiftRight(16, 2) AS sr,
+                bitTest(5, 0) AS bt1, bitTest(5, 1) AS bt0,
+                exp2(10) AS e2, intExp2(10) AS ie2,
+                toUnixTimestamp(toDateTime('1970-01-02 00:00:00')) AS ut,
+                groupBitOr(number) AS gbo
+         FROM numbers(8)""")).collect().head
+    assert(r.getInt(0) === 8 && r.getInt(1) === 14 && r.getInt(2) === 6)
+    assert(r.getInt(3) === 16 && r.getInt(4) === 4)
+    assert(r.getShort(5) === 1.toShort && r.getShort(6) === 0.toShort)
+    assert(r.getDouble(7) === 1024.0 && r.getLong(8) === 1024L)
+    assert(r.getLong(9) === 86400L)
+    assert(r.getLong(10) === 7L)
+  }
+
   test("quantiles (plural) and median") {
     graft.dialect.ChFunctions.register(spark)
     val r = spark.sql(graft.dialect.Transpiler.transpile(
