@@ -224,6 +224,23 @@ object ChFunctions {
     "arrayZip" -> (a => ArraysZip(a)),
     "arrayEnumerate" -> (a =>
       Sequence(Literal(1), Size(a.head), None)),
+    "arrayIntersect" -> (a => a.reduceLeft(ArrayIntersect(_, _))),
+    "arrayFlatten" -> (a => Flatten(a.head)),
+    "arrayCompact" -> (a => {
+      // collapse CONSECUTIVE duplicates (distinct from arrayDistinct);
+      // zero = a zero-length slice of the input, so element types line
+      // up without knowing them at build time
+      val acc = UnresolvedNamedLambdaVariable(Seq("__graft_acc"))
+      val x = UnresolvedNamedLambdaVariable(Seq("__graft_x"))
+      val out = UnresolvedNamedLambdaVariable(Seq("__graft_out"))
+      ArrayAggregate(a.head, Slice(a.head, Literal(1), Literal(0)),
+        LambdaFunction(
+          If(And(GreaterThan(Size(acc), Literal(0)),
+              EqualTo(ElementAt(acc, Literal(-1)), x)),
+            acc, Concat(Seq(acc, CreateArray(Seq(x))))),
+          Seq(acc, x)),
+        LambdaFunction(out, Seq(out)))
+    }),
     "hasAny" -> (a => ArraysOverlap(a(0), a(1))),
     "hasAll" -> (a => EqualTo(Size(ArrayExcept(a(1), a(0))), Literal(0))),
     // ClickHouse higher-order style: lambda first, array second

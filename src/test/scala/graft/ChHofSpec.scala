@@ -128,6 +128,17 @@ class ChHofSpec extends AnyFunSuite {
     assert(r.getBoolean(4) && r.getBoolean(5) && !r.getBoolean(6))
   }
 
+  test("arrayIntersect/arrayFlatten/arrayCompact") {
+    graft.dialect.ChFunctions.register(spark)
+    val r = spark.sql(graft.dialect.Transpiler.transpile(
+      """SELECT arrayStringConcat(arraySort(arrayIntersect(array(1,2,3), array(2,3,4))), ',') AS ai,
+                arrayStringConcat(arrayFlatten(array(array(1,2), array(3))), ',') AS fl,
+                arrayStringConcat(arrayCompact(array(1,1,2,2,2,1,3,3)), ',') AS ac""")).collect().head
+    assert(r.getString(0) === "2,3")
+    assert(r.getString(1) === "1,2,3")
+    assert(r.getString(2) === "1,2,1,3")
+  }
+
   test("bit functions and unix-time conversions") {
     graft.dialect.ChFunctions.register(spark)
     val r = spark.sql(graft.dialect.Transpiler.transpile(
