@@ -392,6 +392,17 @@ object ChFunctions {
     }
   }
 
+  /** Register every dialect function through the standard extensions
+    * plug-in point (see [[graft.GraftExtensions]]): sessions built with
+    * `spark.sql.extensions=graft.GraftExtensions` get the full registry
+    * at construction. */
+  def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    builders.foreach { case (name, b) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.dialect.ChFunctions", name),
+        (children: Seq[Expression]) => b(children)))
+    }
+
   def registered(spark: SparkSession): Boolean =
     // a name that only this registry provides (Spark has its own
     // builtin `version`, so that is NOT a usable sentinel)

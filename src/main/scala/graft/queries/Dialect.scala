@@ -263,6 +263,22 @@ object Dialect {
             FROM range(6))
       GROUP BY g ORDER BY g""")),
 
+    // F7b: URL function family — parse a constructed URL and compare
+    // against the directly-constructed truth
+    Q("f16_ch_url", ch("""
+      SELECT doc_id,
+             domain(concat('https://www.', lang, '.example.com/p/',
+                           toString(doc_id), '?q=', lang)) AS d,
+             path(concat('https://www.', lang, '.example.com/p/',
+                         toString(doc_id), '?q=', lang)) AS p,
+             extractURLParameter(concat('https://www.', lang, '.example.com/p/',
+                                        toString(doc_id), '?q=', lang), 'q') AS qp
+      FROM documents ORDER BY doc_id LIMIT 100"""),
+      Some("""
+      SELECT doc_id, 'www.' || lang || '.example.com' AS d,
+             '/p/' || CAST(doc_id AS VARCHAR) AS p, lang AS qp
+      FROM documents ORDER BY doc_id LIMIT 100""")),
+
     // G5b: HAVING through the dialect
     Q("g11_ch_having", ch("""
       SELECT o_custkey, count() AS n,

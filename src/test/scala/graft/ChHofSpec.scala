@@ -128,6 +128,27 @@ class ChHofSpec extends AnyFunSuite {
     assert(r.getBoolean(4) && r.getBoolean(5) && !r.getBoolean(6))
   }
 
+  test("GraftExtensions registers the dialect at session construction") {
+    val orig = spark // ensure shared session (and its SparkContext) exist
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      // spark.sql.extensions is a static conf read at SparkContext
+      // launch; in this shared-context JVM exercise the same hook via
+      // withExtensions (what the conf invokes on a fresh cluster)
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.GraftExtensions())
+        .getOrCreate()
+      val ym = s2.sql("SELECT toYYYYMM(CAST('2024-03-05' AS DATE)) AS ym")
+        .collect().head.getInt(0)
+      assert(ym === 202403)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(orig)
+      org.apache.spark.sql.SparkSession.setActiveSession(orig)
+    }
+  }
+
   test("arrayIntersect/arrayFlatten/arrayCompact") {
     graft.dialect.ChFunctions.register(spark)
     val r = spark.sql(graft.dialect.Transpiler.transpile(
