@@ -157,8 +157,8 @@ object ChFunctions {
     "cityHash64" -> (a => XxHash64(a, 42L)),
     "farmFingerprint64" -> (a => XxHash64(a, 64L)),
 
-    // multi-search / substring-count family
-    "positionCaseInsensitive" -> (a => new StringLocate(Lower(a(1)), Lower(a(0)))),
+    // multi-search / substring-count family (positionCaseInsensitive
+    // and replaceAll live in the strings section below)
     "countSubstrings" -> (a => Cast(Divide(
       Subtract(Length(a(0)), Length(StringReplace(a(0), a(1), Literal("")))),
       Length(a(1))), LongType)),
@@ -174,7 +174,6 @@ object ChFunctions {
         a(2),
         Substring(a(0), Add(loc, Length(a(1))), Literal(Int.MaxValue)))))
     }),
-    "replaceAll" -> (a => StringReplace(a(0), a(1), a(2))),
 
     // strings
     "empty" -> (a => EqualTo(Length(a.head), Literal(0))),
@@ -183,6 +182,13 @@ object ChFunctions {
     "lcase" -> (a => Lower(a.head)), "ucase" -> (a => Upper(a.head)),
     "splitByChar" -> (a => StringSplit(a(1),
       RegExpReplace(a(0), Literal("([^a-zA-Z0-9])"), Literal("\\\\$1")), Literal(-1))),
+    "splitByString" -> (a => StringSplit(a(1),
+      RegExpReplace(a(0), Literal("([^a-zA-Z0-9])"), Literal("\\\\$1")), Literal(-1))),
+    "alphaTokens" -> (a => ArrayFilter(
+      StringSplit(a.head, Literal("[^a-zA-Z]+"), Literal(-1)), {
+        val x = UnresolvedNamedLambdaVariable(Seq("__graft_x"))
+        LambdaFunction(GreaterThan(Length(x), Literal(0)), Seq(x))
+      })),
     "position" -> (a => StringLocate(a(1), a(0), Literal(1))),
     "positionCaseInsensitive" -> (a => StringLocate(Lower(a(1)), Lower(a(0)), Literal(1))),
     "match" -> (a => RLike(a(0), a(1))),

@@ -128,6 +128,16 @@ class ChHofSpec extends AnyFunSuite {
     assert(r.getBoolean(4) && r.getBoolean(5) && !r.getBoolean(6))
   }
 
+  test("splitByString and alphaTokens") {
+    graft.dialect.ChFunctions.register(spark)
+    val r = spark.sql(graft.dialect.Transpiler.transpile(
+      """SELECT arrayStringConcat(splitByString('::', 'a::b::c'), ',') AS sp,
+                arrayStringConcat(alphaTokens('ab12cd,ef'), ',') AS at"""))
+      .collect().head
+    assert(r.getString(0) === "a,b,c")
+    assert(r.getString(1) === "ab,cd,ef")
+  }
+
   test("GraftExtensions registers the dialect at session construction") {
     val orig = spark // ensure shared session (and its SparkContext) exist
     org.apache.spark.sql.SparkSession.clearActiveSession()
