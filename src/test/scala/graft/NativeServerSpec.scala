@@ -160,6 +160,23 @@ class NativeServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sock.close()
   }
 
+  test("edge-case literal matrix (test_suite.py:353-365)") {
+    val (sock, in, out) = connect()
+    try {
+      hello(out); readServerHello(in)
+      val cases: Seq[(String, Any)] = Seq(
+        ("SELECT ''", ""), ("SELECT 'hello world'", "hello world"),
+        ("SELECT 0", 0), ("SELECT 255", 255),
+        ("SELECT 65535", 65535), ("SELECT 4294967295", 4294967295L))
+      cases.foreach { case (q, expected) =>
+        sendQuery(out, q)
+        val (blocks, err) = readResponse(in)
+        assert(err.isEmpty, s"$q -> $err")
+        assert(blocks.head.head._3.head === expected, q)
+      }
+    } finally sock.close()
+  }
+
   test("PING -> PONG (test_suite.py ping flow)") {
     val (sock, in, out) = connect()
     try {
