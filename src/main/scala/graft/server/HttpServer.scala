@@ -54,7 +54,11 @@ class HttpServer(spark: SparkSession, port: Int,
     // param query first, then body (main.py:876-882 concatenation order)
     val query = (params.get("query").toSeq ++ (if (body.nonEmpty) Seq(body) else Nil))
       .mkString(" ").trim
-    if (query.isEmpty) { respond(ex, 200, "graft. Send a ?query=\n"); return }
+    if (query.isEmpty) {
+      // no query -> serve the query UI, like the reference (main.py:856-857)
+      respondBytes(ex, 200, HttpServer.playHtml.getBytes(UTF_8), "text/html")
+      return
+    }
 
     val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
     val baseSession = sessionFor(auth)
