@@ -55,8 +55,12 @@ class HttpServer(spark: SparkSession, port: Int,
     val query = (params.get("query").toSeq ++ (if (body.nonEmpty) Seq(body) else Nil))
       .mkString(" ").trim
     if (query.isEmpty) {
-      // no query -> serve the query UI, like the reference (main.py:856-857)
-      respondBytes(ex, 200, HttpServer.playHtml.getBytes(UTF_8), "text/html")
+      // GET with no query serves the query UI (main.py:856-857); POST
+      // with no query is an error (main.py:892-893)
+      if (ex.getRequestMethod == "POST")
+        respond(ex, 400, "Error: no query parameter provided\n")
+      else
+        respondBytes(ex, 200, HttpServer.playHtml.getBytes(UTF_8), "text/html")
       return
     }
 

@@ -113,6 +113,13 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.statusCode() === 200 && r.body().contains("<textarea"))
   }
 
+  test("GET / serves the UI; empty POST is a 400 (main.py:856,892)") {
+    val ui = get("/")
+    assert(ui.statusCode() === 200 && ui.body().contains("<html"))
+    val err = post("")
+    assert(err.statusCode() === 400 && err.body().startsWith("Error: no query"))
+  }
+
   test("system.databases / system.tables answer client probes") {
     val dbs = get(s"/?query=${enc("SELECT name FROM system.databases ORDER BY name")}")
     assert(dbs.statusCode() === 200 && dbs.body().contains("system"), dbs.body())
