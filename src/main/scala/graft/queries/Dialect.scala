@@ -279,6 +279,19 @@ object Dialect {
              '/p/' || CAST(doc_id AS VARCHAR) AS p, lang AS qp
       FROM documents ORDER BY doc_id LIMIT 100""")),
 
+    // F9c: bit-manipulation family over the numbers source
+    Q("f17_ch_bitops", ch("""
+      SELECT number,
+             bitAnd(number, 12) AS ba, bitOr(number, 5) AS bo,
+             bitXor(number, 9) AS bx, bitShiftLeft(number, 2) AS sl,
+             bitShiftRight(number, 1) AS sr
+      FROM numbers(50) ORDER BY number"""),
+      Some("""
+      SELECT range AS number,
+             range & 12 AS ba, range | 5 AS bo,
+             xor(range, 9) AS bx, range << 2 AS sl, range >> 1 AS sr
+      FROM range(50) ORDER BY number""")),
+
     // G5b: HAVING through the dialect
     Q("g11_ch_having", ch("""
       SELECT o_custkey, count() AS n,
