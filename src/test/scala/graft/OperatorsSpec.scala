@@ -28,6 +28,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out === Map("p1" -> "c2", "p2" -> "c3"))
   }
 
+  test("AsofJoin forward matches earliest right row at-or-after left ts") {
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 99L, "p3"))
+      .toDF("k", "ts", "name")
+    val right = Seq((1L, 10L, "c1"), (1L, 15L, "c2"), (1L, 25L, "c3"), (2L, 5L, "c4"))
+      .toDF("k", "ts", "tag")
+    val out = AsofJoin(left, right, Seq("k"), "ts", "ts",
+      rightPrefix = "r_", forward = true)
+      .select("name", "r_tag").as[(String, String)].collect().toMap
+    // p1@10: exact match c1; p2@20: next is c3@25; p3@99: nothing after -> dropped
+    assert(out === Map("p1" -> "c1", "p2" -> "c3"))
+  }
+
   test("AsofJoin outer keeps unmatched left rows with nulls") {
     val left = Seq((1L, 1L, "early")).toDF("k", "ts", "name")
     val right = Seq((1L, 99L, "late")).toDF("k", "ts", "tag")
