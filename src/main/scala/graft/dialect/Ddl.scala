@@ -266,11 +266,28 @@ object Engine {
       val st = graft.sources.UrlTableFunction.rewrite(spark, st0)
       if (Ddl.isDdl(st)) Ddl.execute(spark, st)
       else {
-        val (bare, _) = Transpiler.extractFormat(st)
-        query(spark, bare)
+        val (noFmt, fmt) = Transpiler.extractFormat(st)
+        outfileRe.findFirstMatchIn(noFmt) match {
+          case Some(m) =>
+            // `SELECT ... INTO OUTFILE 'f' [FORMAT x]` — render the
+            // result in the requested format (TSV default, matching
+            // the reference's default_format, main.py:853) and write
+            // it client-side in one pass; the rows still return.
+            val df = query(spark, m.group(1))
+            val text = graft.formats.ResultFormatter.render(
+              df, fmt.getOrElse("TSV"))
+            val p = java.nio.file.Paths.get(m.group(2))
+            if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+            java.nio.file.Files.write(p, text.getBytes("UTF-8"))
+            df
+          case None => query(spark, noFmt)
+        }
       }
     }.last
   }
+
+  private val outfileRe =
+    "(?is)^(.*?)\\s+INTO\\s+OUTFILE\\s+'([^']+)'\\s*$".r
 
   /** One SELECT statement, handling the ClickHouse-only `LIMIT n BY`
     * clause (SURVEY §2.6 O4) as a row_number window over the inner
@@ -284,8 +301,9 @@ object Engine {
     val bare = "(?is)^\\s*EXPLAIN\\s+(SYNTAX|AST|PLAN|PIPELINE|ESTIMATE|QUERY\\s+TREE)\\s+".r
       .replaceFirstIn(bare0, "EXPLAIN ")
     Transpiler.withFillParts(bare) match {
-      case Some((inner, fillCol, from, to, step)) =>
-        return graft.operators.WithFill(query(spark, inner), fillCol, from, to, step)
+      case Some((inner, prefix, fillCol, from, to, step)) =>
+        return graft.operators.WithFill(
+          query(spark, inner), prefix, fillCol, from, to, step)
       case None => ()
     }
     Transpiler.limitByParts(bare) match {

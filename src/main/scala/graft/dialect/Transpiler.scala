@@ -136,15 +136,14 @@ object Transpiler {
     // main.py:61; SURVEY §2.4 G6)
     s = "(?is)GROUP\\s+BY\\s+(.+?)\\s+WITH\\s+TOTALS".r.replaceAllIn(s,
       m => s"GROUP BY GROUPING SETS ((${m.group(1)}), ())")
-    // ARRAY JOIN clause (ClickHouse lateral flatten; arrayJoin()-the-
-    // function is handled by the registry) -> LATERAL VIEW explode;
-    // LEFT ARRAY JOIN keeps empty-array rows -> explode_outer
-    s = "(?is)\\b(LEFT\\s+)?ARRAY\\s+JOIN\\s+(.+?)\\s+AS\\s+(\\w+)".r
-      .replaceAllIn(s, m => {
-        val fn = if (m.group(1) != null) "explode_outer" else "explode"
-        java.util.regex.Matcher.quoteReplacement(
-          s"LATERAL VIEW $fn(${m.group(2)}) graft_aj AS ${m.group(3)}")
-      })
+    s = rewriteArrayJoin(s)
+    // `* EXCEPT col` (paren-less ClickHouse form) -> `* EXCEPT (col)`;
+    // the parenthesized form is Spark-native syntax and passes through.
+    // Negative lookahead keeps the EXCEPT set operator (followed by
+    // SELECT/ALL/DISTINCT or an opening paren) untouched.
+    s = "(?i)\\*\\s+EXCEPT\\s+(?!\\(|SELECT\\b|ALL\\b|DISTINCT\\b)(`?\\w+`?)".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"* EXCEPT (${m.group(1)})"))
     // PREWHERE is ClickHouse's manual pushdown hint; Catalyst pushes
     // predicates itself, so it merges into WHERE (both present -> AND)
     "(?is)\\bPREWHERE\\s+(.+?)(\\s+WHERE\\s+)(.+?)(\\s+GROUP\\s+BY|\\s+ORDER\\s+BY|\\s+LIMIT|\\s*$)".r
@@ -172,6 +171,44 @@ object Transpiler {
     s = rewriteTernaries(s)
     s
   }
+
+  private val arrayJoinRe =
+    ("(?is)\\b(LEFT\\s+)?ARRAY\\s+JOIN\\s+(.+?)" +
+      "(?=\\s+(WHERE|PREWHERE|GROUP|ORDER|LIMIT|HAVING|SETTINGS|UNION)\\b|\\s*$)").r
+
+  /** ClickHouse `[LEFT] ARRAY JOIN e1 AS n1[, e2 AS n2 ...]`
+    * (lateral flatten; the arrayJoin()-the-function form is handled by
+    * the registry). One array → LATERAL VIEW explode (explode_outer
+    * for LEFT, which keeps empty-array rows). Several arrays →
+    * ClickHouse zip semantics (parallel iteration, all arrays sized
+    * like the first): LATERAL VIEW inline over an array of
+    * named_structs built per index, so each alias becomes a generated
+    * column with no reference rewriting. */
+  private[dialect] def rewriteArrayJoin(sql: String): String =
+    arrayJoinRe.replaceAllIn(sql, m => {
+      val outer = m.group(1) != null
+      val itemRe = "(?is)^(.+?)\\s+AS\\s+(\\w+)$".r
+      val items = splitTopLevel(m.group(2).trim, ',').map(_.trim)
+        .map { it => itemRe.findFirstMatchIn(it).map(x => (x.group(1), x.group(2))) }
+      if (items.exists(_.isEmpty)) m.matched // bare form unsupported: leave as-is
+      else {
+        val cols = items.flatten
+        val rewritten =
+          if (cols.length == 1) {
+            val fn = if (outer) "explode_outer" else "explode"
+            s"LATERAL VIEW $fn(${cols.head._1}) graft_aj AS ${cols.head._2}"
+          } else {
+            val fn = if (outer) "inline_outer" else "inline"
+            val fields = cols.map { case (e, n) => s"'$n', ($e)[graft_i]" }
+            val zipped = s"transform(sequence(0, size(${cols.head._1}) - 1), " +
+              s"graft_i -> named_struct(${fields.mkString(", ")}))"
+            // sequence(0, -1) counts DOWN; guard the empty-array case
+            s"LATERAL VIEW $fn(if(size(${cols.head._1}) < 1, " +
+              s"array(), $zipped)) graft_aj"
+          }
+        java.util.regex.Matcher.quoteReplacement(rewritten)
+      }
+    })
 
   /** `['a', 'b']` array literals → `array('a', 'b')`. A `[` directly
     * after an identifier/closing paren/bracket/string is a subscript
@@ -292,23 +329,27 @@ object Transpiler {
   }
 
   private val withFillRe =
-    ("(?is)^(.*\\bORDER\\s+BY\\s+)([\\w`.]+)\\s+WITH\\s+FILL\\s+" +
+    ("(?is)^(.*)\\bORDER\\s+BY\\s+([\\w`.,\\s]+?)\\s+WITH\\s+FILL\\s+" +
       "FROM\\s+(-?\\d+)\\s+TO\\s+(-?\\d+)(?:\\s+STEP\\s+(-?\\d+))?\\s*$").r
 
-  /** `ORDER BY col WITH FILL FROM a TO b [STEP s]`: returns
-    * (inner sql, col, from, to, step). The fill operator re-sorts
-    * after the union, so a single-key ORDER BY is stripped from the
-    * inner query entirely — sorting twice is pure waste at scale. */
-  def withFillParts(sql: String): Option[(String, String, Long, Long, Long)] =
-    withFillRe.findFirstMatchIn(sql).map { m =>
-      val soleSortRe = "(?is)\\s*\\bORDER\\s+BY\\s*$".r
-      val inner = soleSortRe.findFirstMatchIn(m.group(1)) match {
-        case Some(om) => m.group(1).substring(0, om.start) // single-key sort: drop
-        case None => m.group(1) + m.group(2) // multi-key: keep conservative
-      }
-      (inner, m.group(2).replace("`", ""),
+  /** `ORDER BY [k1, k2, ...,] col WITH FILL FROM a TO b [STEP s]`:
+    * returns (inner sql, prefix keys, fill col, from, to, step). WITH
+    * FILL attaches to the last sort key; keys before it become
+    * per-group prefixes (ClickHouse fills the grid within every
+    * distinct prefix combination). The fill operator re-sorts after
+    * the union, so the ORDER BY is stripped from the inner query
+    * entirely — sorting twice is pure waste at scale. Only plain
+    * column keys qualify (expressions fall through to the
+    * single-statement path and fail loudly rather than mis-fill). */
+  def withFillParts(sql: String)
+      : Option[(String, Seq[String], String, Long, Long, Long)] =
+    withFillRe.findFirstMatchIn(sql).flatMap { m =>
+      val keys = m.group(2).split(",").map(_.trim.replace("`", ""))
+        .map(k => "(?i)\\s+(ASC|DESC)$".r.replaceAllIn(k, "")).toSeq
+      if (keys.exists(k => !k.matches("[\\w.]+"))) None
+      else Some((m.group(1), keys.init, keys.last,
         m.group(3).toLong, m.group(4).toLong,
-        Option(m.group(5)).map(_.toLong).getOrElse(1L))
+        Option(m.group(5)).map(_.toLong).getOrElse(1L)))
     }
 
   private val limitByRe =

@@ -19,25 +19,41 @@ import org.apache.spark.sql.types._
 object WithFill {
 
   def apply(df: DataFrame, orderCol: String, from: Long, to: Long,
-            step: Long = 1L): DataFrame = {
+            step: Long): DataFrame =
+    apply(df, Nil, orderCol, from, to, step)
+
+  /** Gap-fill `orderCol` over [from, to) within every distinct
+    * combination of `prefixCols` (ClickHouse multi-key `ORDER BY k1,
+    * ..., col WITH FILL`; empty prefix = global fill). The grid is
+    * distinct-prefixes × range — both sides distributed; the range
+    * side is broadcast (its size is (to-from)/step, input-independent). */
+  def apply(df: DataFrame, prefixCols: Seq[String], orderCol: String,
+            from: Long, to: Long, step: Long = 1L): DataFrame = {
     require(step != 0, "WITH FILL STEP must be nonzero")
     val spark = df.sparkSession
     val colType = df.schema(orderCol).dataType
-    val grid = spark.range(from, to, step)
+    val gridRange = spark.range(from, to, step)
       .select(col("id").cast(colType).as(orderCol))
-    val missing = grid.join(df.select(col(orderCol)).distinct(),
-      Seq(orderCol), "left_anti")
-    val defaults = df.schema.fields.filter(_.name != orderCol).map { f =>
-      val d = f.dataType match {
-        case _: NumericType => lit(0).cast(f.dataType)
-        case StringType => lit("")
-        case BooleanType => lit(false)
-        case other => lit(null).cast(other)
+    val keyCols = prefixCols :+ orderCol
+    val grid =
+      if (prefixCols.isEmpty) gridRange
+      else df.select(prefixCols.map(col): _*).distinct()
+        .crossJoin(broadcast(gridRange))
+    val missing = grid.join(df.select(keyCols.map(col): _*).distinct(),
+      keyCols, "left_anti")
+    val defaults = df.schema.fields.filterNot(f => keyCols.contains(f.name))
+      .map { f =>
+        val d = f.dataType match {
+          case _: NumericType => lit(0).cast(f.dataType)
+          case StringType => lit("")
+          case BooleanType => lit(false)
+          case other => lit(null).cast(other)
+        }
+        d.as(f.name)
       }
-      d.as(f.name)
-    }
-    val fillRows = missing.select(col(orderCol) +: defaults.toIndexedSeq: _*)
+    val fillRows = missing.select(
+      keyCols.map(col) ++ defaults.toIndexedSeq: _*)
     df.unionByName(fillRows.select(df.columns.toIndexedSeq.map(col): _*))
-      .orderBy(orderCol)
+      .orderBy(keyCols.map(col): _*)
   }
 }

@@ -226,6 +226,43 @@ object Dialect {
       SELECT g.yr AS yr, CAST(coalesce(c.n, 0) AS BIGINT) AS n
       FROM g LEFT JOIN c USING (yr) ORDER BY yr""")),
 
+    // O7b: multi-key WITH FILL — the grid fills within every distinct
+    // prefix-key combination (ClickHouse per-group fill semantics)
+    Q("o7b_with_fill_multi", (s, dir) => {
+      graft.dialect.ChContext.setup(s, dir)
+      graft.dialect.Engine.execute(s, """
+        SELECT g, m, n FROM (
+          SELECT number % 2 AS g, number % 5 AS m, count() AS n
+          FROM numbers(20) WHERE number % 7 != 0 GROUP BY g, m)
+        ORDER BY g, m WITH FILL FROM 0 TO 6""")
+    }, Some("""
+      WITH c AS (SELECT range % 2 AS g, range % 5 AS m, count(*) AS n
+                 FROM range(20) WHERE range % 7 <> 0 GROUP BY 1, 2),
+           grid AS (SELECT DISTINCT c.g AS g, gs.m AS m
+                    FROM c, (SELECT unnest(generate_series(0, 5)) AS m) gs)
+      SELECT grid.g AS g, grid.m AS m, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+      FROM grid LEFT JOIN c USING (g, m) ORDER BY g, m""")),
+
+    // P1b: `SELECT * EXCEPT col` star modifier (paren-less ClickHouse
+    // form; the parenthesized form is Spark-native)
+    Q("p8_star_except", ch("""
+      SELECT * EXCEPT text FROM documents ORDER BY doc_id LIMIT 50"""),
+      Some("""
+      SELECT doc_id, lang, source, n_chars FROM documents
+      ORDER BY doc_id LIMIT 50""")),
+
+    // F8e: ARRAY JOIN of multiple parallel arrays (zip semantics —
+    // all arrays iterate in lockstep, sized like the first)
+    Q("f14b_ch_arrayjoin_zip", ch("""
+      SELECT number, a, b FROM numbers(4)
+      ARRAY JOIN range(number + 1) AS a,
+                 arrayMap(x -> x * 10 + 1, range(number + 1)) AS b
+      ORDER BY number, a"""),
+      Some("""
+      SELECT range AS number, unnest(range(0, range + 1)) AS a,
+             unnest(list_transform(range(0, range + 1), x -> x * 10 + 1)) AS b
+      FROM range(4) ORDER BY number, a""")),
+
     // F8d: ARRAY JOIN clause form (lateral flatten; the arrayJoin()
     // function form is f11)
     Q("f14_ch_arrayjoin_clause", ch("""

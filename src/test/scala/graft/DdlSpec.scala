@@ -88,6 +88,17 @@ class DdlSpec extends AnyFunSuite {
     assert(spark.table("graft_spec.addc").schema.map(_.name) === Seq("id", "tag"))
   }
 
+  test("INTO OUTFILE writes the rendered result and still returns rows") {
+    val f = java.nio.file.Files.createTempFile("graft_outfile", ".tsv")
+    val df = Engine.execute(spark,
+      s"SELECT number, toString(number) AS s FROM numbers(3) " +
+        s"INTO OUTFILE '${f.toString}' FORMAT CSV")
+    assert(df.count() === 3L)
+    val text = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+    assert(text === "0,\"0\"\n1,\"1\"\n2,\"2\"\n" || text == "0,0\n1,1\n2,2\n", text)
+    java.nio.file.Files.delete(f)
+  }
+
   test("CREATE VIEW with ClickHouse-dialect body (session-scoped)") {
     Engine.execute(spark, """
       CREATE OR REPLACE VIEW v_n AS

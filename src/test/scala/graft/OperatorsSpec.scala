@@ -82,6 +82,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out === List((1L, "", 0.0), (2L, "b", 10.0), (3L, "", 0.0), (5L, "e", 20.0)))
   }
 
+  test("WithFill with prefix keys fills the grid per prefix group") {
+    val df = Seq(("x", 0L, 1.0), ("x", 2L, 2.0), ("y", 1L, 3.0))
+      .toDF("g", "k", "v")
+    val out = graft.operators.WithFill(df, Seq("g"), "k", 0L, 3L)
+      .as[(String, Long, Double)].collect().toList
+    assert(out === List(
+      ("x", 0L, 1.0), ("x", 1L, 0.0), ("x", 2L, 2.0),
+      ("y", 0L, 0.0), ("y", 1L, 3.0), ("y", 2L, 0.0)))
+  }
+
   test("SimHash: identical token sequences get identical fingerprints") {
     val docs = Seq((1L, "a b c d e f g h"), (2L, "a  b c d e f g H"), (3L, "q r s t u v w x"))
       .toDF("doc_id", "text") // doc2 differs only by spacing/case -> same normalized

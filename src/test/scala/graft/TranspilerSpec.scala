@@ -93,6 +93,38 @@ class TranspilerSpec extends AnyFunSuite {
     assert(!gj.toUpperCase.contains("GLOBAL"), gj)
   }
 
+  test("* EXCEPT col gets parens; set-operator EXCEPT is untouched") {
+    val t = Transpiler.transpile("SELECT * EXCEPT text FROM documents")
+    assert(t.contains("* EXCEPT (text)"), t)
+    val kept = Transpiler.transpile("SELECT * EXCEPT (a, b) FROM t")
+    assert(kept.contains("* EXCEPT (a, b)"), kept)
+    val setop = Transpiler.transpile("SELECT a FROM t EXCEPT SELECT a FROM u")
+    assert(!setop.contains("EXCEPT ("), setop)
+  }
+
+  test("multi-array ARRAY JOIN zips via inline; single array explodes") {
+    val one = Transpiler.transpile("SELECT x FROM t ARRAY JOIN arr AS x ORDER BY x")
+    assert(one.contains("LATERAL VIEW explode(arr) graft_aj AS x"), one)
+    val two = Transpiler.transpile(
+      "SELECT a, b FROM t ARRAY JOIN xs AS a, ys AS b WHERE a > 0")
+    assert(two.contains("LATERAL VIEW inline("), two)
+    assert(two.contains("'a', (xs)[graft_i]") && two.contains("'b', (ys)[graft_i]"), two)
+    assert(two.contains("WHERE a > 0"), two)
+    val left = Transpiler.transpile("SELECT a, b FROM t LEFT ARRAY JOIN xs AS a, ys AS b")
+    assert(left.contains("inline_outer("), left)
+  }
+
+  test("WITH FILL parses prefix keys; expression keys fall through") {
+    assert(Transpiler.withFillParts(
+      "SELECT g, m FROM t ORDER BY g, m WITH FILL FROM 0 TO 6") ===
+      Some(("SELECT g, m FROM t ", Seq("g"), "m", 0L, 6L, 1L)))
+    assert(Transpiler.withFillParts(
+      "SELECT k FROM t ORDER BY k WITH FILL FROM 1 TO 9 STEP 2") ===
+      Some(("SELECT k FROM t ", Nil, "k", 1L, 9L, 2L)))
+    assert(Transpiler.withFillParts(
+      "SELECT k FROM t ORDER BY k + 1 WITH FILL FROM 1 TO 9") === None)
+  }
+
   test("LIMIT n BY parses into inner/limit/cols/outer-limit") {
     assert(Transpiler.limitByParts("SELECT a FROM t ORDER BY b LIMIT 2 BY a") ===
       Some(("SELECT a FROM t ORDER BY b", 2, Seq("a"), None)))
