@@ -269,16 +269,28 @@ object Engine {
         val (noFmt, fmt) = Transpiler.extractFormat(st)
         outfileRe.findFirstMatchIn(noFmt) match {
           case Some(m) =>
-            // `SELECT ... INTO OUTFILE 'f' [FORMAT x]` — render the
-            // result in the requested format (TSV default, matching
-            // the reference's default_format, main.py:853) and write
-            // it client-side in one pass; the rows still return.
+            // `SELECT ... INTO OUTFILE 'f' [APPEND|TRUNCATE] [FORMAT x]`
+            // — render the result in the requested format (TSV default,
+            // matching the reference's default_format, main.py:853) and
+            // write it client-side; the rows still return. Like the
+            // reference, an existing file is refused unless APPEND or
+            // TRUNCATE is given.
             val df = query(spark, m.group(1))
             val text = graft.formats.ResultFormatter.render(
               df, fmt.getOrElse("TSV"))
             val p = java.nio.file.Paths.get(m.group(2))
             if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-            java.nio.file.Files.write(p, text.getBytes("UTF-8"))
+            import java.nio.file.StandardOpenOption._
+            val opts = Option(m.group(3)).map(_.toUpperCase) match {
+              case Some("APPEND") => Seq(CREATE, APPEND)
+              case Some("TRUNCATE") => Seq(CREATE, TRUNCATE_EXISTING)
+              case _ =>
+                if (java.nio.file.Files.exists(p))
+                  throw new IllegalArgumentException(
+                    s"File ${m.group(2)} exists; use INTO OUTFILE ... APPEND or TRUNCATE")
+                Seq(CREATE_NEW)
+            }
+            java.nio.file.Files.write(p, text.getBytes("UTF-8"), opts: _*)
             df
           case None => query(spark, noFmt)
         }
@@ -287,7 +299,7 @@ object Engine {
   }
 
   private val outfileRe =
-    "(?is)^(.*?)\\s+INTO\\s+OUTFILE\\s+'([^']+)'\\s*$".r
+    "(?is)^(.*?)\\s+INTO\\s+OUTFILE\\s+'([^']+)'(?:\\s+(APPEND|TRUNCATE))?\\s*$".r
 
   /** One SELECT statement, handling the ClickHouse-only `LIMIT n BY`
     * clause (SURVEY §2.6 O4) as a row_number window over the inner
@@ -301,9 +313,9 @@ object Engine {
     val bare = "(?is)^\\s*EXPLAIN\\s+(SYNTAX|AST|PLAN|PIPELINE|ESTIMATE|QUERY\\s+TREE)\\s+".r
       .replaceFirstIn(bare0, "EXPLAIN ")
     Transpiler.withFillParts(bare) match {
-      case Some((inner, prefix, fillCol, from, to, step)) =>
+      case Some((inner, prefix, fillKey, from, to, step)) =>
         return graft.operators.WithFill(
-          query(spark, inner), prefix, fillCol, from, to, step)
+          query(spark, inner), prefix, fillKey, from, to, step)
       case None => ()
     }
     Transpiler.limitByParts(bare) match {

@@ -176,6 +176,32 @@ object Transpiler {
     ("(?is)\\b(LEFT\\s+)?ARRAY\\s+JOIN\\s+(.+?)" +
       "(?=\\s+(WHERE|PREWHERE|GROUP|ORDER|LIMIT|HAVING|SETTINGS|UNION)\\b|\\s*$)").r
 
+  /** Cut `s` at the first unbalanced ')' or depth-0 relational-JOIN
+    * keyword — the ARRAY JOIN clause ends there when it sits inside a
+    * subquery (`FROM (SELECT ... ARRAY JOIN a AS x) s`) or is followed
+    * by a table join. Returns (clause, untouched tail). */
+  private def splitClauseTail(s: String): (String, String) = {
+    val joinKw = "(?is)^(?:(?:INNER|LEFT|RIGHT|FULL|CROSS|SEMI|ANTI)\\s+)?JOIN\\b".r
+    var depth = 0; var inStr = false; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' | '[' => depth += 1
+        case ')' | ']' =>
+          if (depth == 0) return (s.substring(0, i), s.substring(i))
+          depth -= 1
+        case _ if depth == 0 && c.isWhitespace &&
+          joinKw.findFirstIn(s.substring(i + 1)).isDefined =>
+          return (s.substring(0, i), s.substring(i))
+        case _ =>
+      }
+      i += 1
+    }
+    (s, "")
+  }
+
   /** ClickHouse `[LEFT] ARRAY JOIN e1 AS n1[, e2 AS n2 ...]`
     * (lateral flatten; the arrayJoin()-the-function form is handled by
     * the registry). One array → LATERAL VIEW explode (explode_outer
@@ -187,8 +213,9 @@ object Transpiler {
   private[dialect] def rewriteArrayJoin(sql: String): String =
     arrayJoinRe.replaceAllIn(sql, m => {
       val outer = m.group(1) != null
+      val (clause, tail) = splitClauseTail(m.group(2))
       val itemRe = "(?is)^(.+?)\\s+AS\\s+(\\w+)$".r
-      val items = splitTopLevel(m.group(2).trim, ',').map(_.trim)
+      val items = splitTopLevel(clause.trim, ',').map(_.trim)
         .map { it => itemRe.findFirstMatchIn(it).map(x => (x.group(1), x.group(2))) }
       if (items.exists(_.isEmpty)) m.matched // bare form unsupported: leave as-is
       else {
@@ -198,15 +225,24 @@ object Transpiler {
             val fn = if (outer) "explode_outer" else "explode"
             s"LATERAL VIEW $fn(${cols.head._1}) graft_aj AS ${cols.head._2}"
           } else {
+            // ClickHouse zip semantics, all arrays indexed like the
+            // first. The first array is evaluated ONCE (bound as a
+            // lambda variable — Catalyst inlines plain aliases and
+            // would re-evaluate a heavy expression per reference);
+            // shorter/longer later arrays null-pad/truncate where
+            // ClickHouse raises a size-mismatch error (documented
+            // divergence: the fill value is NULL, not an error).
             val fn = if (outer) "inline_outer" else "inline"
-            val fields = cols.map { case (e, n) => s"'$n', ($e)[graft_i]" }
-            val zipped = s"transform(sequence(0, size(${cols.head._1}) - 1), " +
-              s"graft_i -> named_struct(${fields.mkString(", ")}))"
+            val restFields = cols.tail.map { case (e, n) => s"'$n', ($e)[graft_i]" }
+            val fields = (s"'${cols.head._2}', graft_a[graft_i]" +: restFields)
+              .mkString(", ")
+            val zipped = s"transform(sequence(0, size(graft_a) - 1), " +
+              s"graft_i -> named_struct($fields))"
             // sequence(0, -1) counts DOWN; guard the empty-array case
-            s"LATERAL VIEW $fn(if(size(${cols.head._1}) < 1, " +
-              s"array(), $zipped)) graft_aj"
+            s"LATERAL VIEW $fn(transform(array(${cols.head._1}), " +
+              s"graft_a -> if(size(graft_a) < 1, array(), $zipped))[0]) graft_aj"
           }
-        java.util.regex.Matcher.quoteReplacement(rewritten)
+        java.util.regex.Matcher.quoteReplacement(rewritten + tail)
       }
     })
 
@@ -333,20 +369,26 @@ object Transpiler {
       "FROM\\s+(-?\\d+)\\s+TO\\s+(-?\\d+)(?:\\s+STEP\\s+(-?\\d+))?\\s*$").r
 
   /** `ORDER BY [k1, k2, ...,] col WITH FILL FROM a TO b [STEP s]`:
-    * returns (inner sql, prefix keys, fill col, from, to, step). WITH
-    * FILL attaches to the last sort key; keys before it become
-    * per-group prefixes (ClickHouse fills the grid within every
-    * distinct prefix combination). The fill operator re-sorts after
-    * the union, so the ORDER BY is stripped from the inner query
-    * entirely — sorting twice is pure waste at scale. Only plain
-    * column keys qualify (expressions fall through to the
-    * single-statement path and fail loudly rather than mis-fill). */
+    * returns (inner sql, prefix keys with asc flag, (fill col, asc),
+    * from, to, step). WITH FILL attaches to the last sort key; keys
+    * before it become per-group prefixes (ClickHouse fills the grid
+    * within every distinct prefix combination). Each key keeps its
+    * ASC/DESC direction — the fill operator re-sorts after the union,
+    * so the ORDER BY is stripped from the inner query entirely
+    * (sorting twice is pure waste at scale). Only plain column keys
+    * qualify (expressions fall through to the single-statement path
+    * and fail loudly rather than mis-fill). */
   def withFillParts(sql: String)
-      : Option[(String, Seq[String], String, Long, Long, Long)] =
+      : Option[(String, Seq[(String, Boolean)], (String, Boolean), Long, Long, Long)] =
     withFillRe.findFirstMatchIn(sql).flatMap { m =>
-      val keys = m.group(2).split(",").map(_.trim.replace("`", ""))
-        .map(k => "(?i)\\s+(ASC|DESC)$".r.replaceAllIn(k, "")).toSeq
-      if (keys.exists(k => !k.matches("[\\w.]+"))) None
+      val dirRe = "(?i)\\s+(ASC|DESC)$".r
+      val keys = m.group(2).split(",").map(_.trim.replace("`", "")).toSeq
+        .map { k =>
+          val asc = !dirRe.findFirstMatchIn(k)
+            .exists(_.group(1).equalsIgnoreCase("DESC"))
+          (dirRe.replaceAllIn(k, ""), asc)
+        }
+      if (keys.exists { case (k, _) => !k.matches("[\\w.]+") }) None
       else Some((m.group(1), keys.init, keys.last,
         m.group(3).toLong, m.group(4).toLong,
         Option(m.group(5)).map(_.toLong).getOrElse(1L)))

@@ -20,17 +20,27 @@ object WithFill {
 
   def apply(df: DataFrame, orderCol: String, from: Long, to: Long,
             step: Long): DataFrame =
-    apply(df, Nil, orderCol, from, to, step)
+    apply(df, Nil, (orderCol, true), from, to, step)
 
-  /** Gap-fill `orderCol` over [from, to) within every distinct
-    * combination of `prefixCols` (ClickHouse multi-key `ORDER BY k1,
-    * ..., col WITH FILL`; empty prefix = global fill). The grid is
-    * distinct-prefixes × range — both sides distributed; the range
-    * side is broadcast (its size is (to-from)/step, input-independent). */
   def apply(df: DataFrame, prefixCols: Seq[String], orderCol: String,
-            from: Long, to: Long, step: Long = 1L): DataFrame = {
+            from: Long, to: Long, step: Long = 1L): DataFrame =
+    apply(df, prefixCols.map(_ -> true), (orderCol, true), from, to, step)
+
+  /** Gap-fill the fill key over [from, to) within every distinct
+    * combination of `prefixKeys` (ClickHouse multi-key `ORDER BY k1,
+    * ..., col WITH FILL`; empty prefix = global fill). Each key
+    * carries its ASC/DESC flag, honored in the final sort. The grid is
+    * distinct-prefixes × range — both sides distributed; the range
+    * side is broadcast (its size is (to-from)/step, input-independent).
+    * The anti-join uses null-safe equality: a NULL prefix group must
+    * match its own grid rows, not re-emit the whole grid as fills. */
+  def apply(df: DataFrame, prefixKeys: Seq[(String, Boolean)],
+            orderKey: (String, Boolean), from: Long, to: Long,
+            step: Long): DataFrame = {
     require(step != 0, "WITH FILL STEP must be nonzero")
     val spark = df.sparkSession
+    val (orderCol, _) = orderKey
+    val prefixCols = prefixKeys.map(_._1)
     val colType = df.schema(orderCol).dataType
     val gridRange = spark.range(from, to, step)
       .select(col("id").cast(colType).as(orderCol))
@@ -39,8 +49,10 @@ object WithFill {
       if (prefixCols.isEmpty) gridRange
       else df.select(prefixCols.map(col): _*).distinct()
         .crossJoin(broadcast(gridRange))
-    val missing = grid.join(df.select(keyCols.map(col): _*).distinct(),
-      keyCols, "left_anti")
+    val missing = grid.alias("g").join(
+      df.select(keyCols.map(col): _*).distinct().alias("d"),
+      keyCols.map(k => col(s"g.$k") <=> col(s"d.$k")).reduce(_ && _),
+      "left_anti")
     val defaults = df.schema.fields.filterNot(f => keyCols.contains(f.name))
       .map { f =>
         val d = f.dataType match {
@@ -53,7 +65,11 @@ object WithFill {
       }
     val fillRows = missing.select(
       keyCols.map(col) ++ defaults.toIndexedSeq: _*)
+    val sortKeys = (prefixKeys :+ orderKey).map {
+      case (k, true) => col(k).asc
+      case (k, false) => col(k).desc
+    }
     df.unionByName(fillRows.select(df.columns.toIndexedSeq.map(col): _*))
-      .orderBy(keyCols.map(col): _*)
+      .orderBy(sortKeys: _*)
   }
 }

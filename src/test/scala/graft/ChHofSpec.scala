@@ -26,6 +26,23 @@ class ChHofSpec extends AnyFunSuite {
     assert(one("SELECT arraySum(x -> x * 2, array(1, 2, 3))") === 12.0)
   }
 
+  test("ARRAY JOIN inside a subquery executes end-to-end (ADVICE r4)") {
+    graft.dialect.ChFunctions.register(spark)
+    val df = graft.dialect.Transpiler.sql(spark,
+      """SELECT s.x FROM (
+           SELECT x FROM (SELECT array(1, 2, 3) AS arr) t ARRAY JOIN arr AS x
+         ) s ORDER BY s.x""")
+    assert(df.collect().map(_.getInt(0)).toSeq === Seq(1, 2, 3))
+    // multi-array zip in a subquery; first array bound once
+    val zip = graft.dialect.Transpiler.sql(spark,
+      """SELECT s.a, s.b FROM (
+           SELECT a, b FROM (SELECT array(1, 2) AS xs, array(10, 20) AS ys) t
+           ARRAY JOIN xs AS a, ys AS b
+         ) s ORDER BY s.a""")
+    assert(zip.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq ===
+      Seq((1, 10), (2, 20)))
+  }
+
   test("Play kitchen-sink query runs end-to-end (index.html:729)") {
     graft.dialect.ChFunctions.register(spark)
     val df = graft.dialect.Transpiler.sql(spark,

@@ -90,12 +90,25 @@ class DdlSpec extends AnyFunSuite {
 
   test("INTO OUTFILE writes the rendered result and still returns rows") {
     val f = java.nio.file.Files.createTempFile("graft_outfile", ".tsv")
+    java.nio.file.Files.delete(f) // fresh path: default mode refuses existing
     val df = Engine.execute(spark,
       s"SELECT number, toString(number) AS s FROM numbers(3) " +
         s"INTO OUTFILE '${f.toString}' FORMAT CSV")
     assert(df.count() === 3L)
     val text = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
     assert(text === "0,\"0\"\n1,\"1\"\n2,\"2\"\n" || text == "0,0\n1,1\n2,2\n", text)
+    // existing file is refused unless APPEND/TRUNCATE (reference default)
+    val err = intercept[IllegalArgumentException] {
+      Engine.execute(spark,
+        s"SELECT number FROM numbers(1) INTO OUTFILE '${f.toString}'")
+    }
+    assert(err.getMessage.contains("exists"), err.getMessage)
+    Engine.execute(spark,
+      s"SELECT number FROM numbers(2) INTO OUTFILE '${f.toString}' TRUNCATE FORMAT CSV")
+    assert(new String(java.nio.file.Files.readAllBytes(f), "UTF-8") === "0\n1\n")
+    Engine.execute(spark,
+      s"SELECT number FROM numbers(1) INTO OUTFILE '${f.toString}' APPEND FORMAT CSV")
+    assert(new String(java.nio.file.Files.readAllBytes(f), "UTF-8") === "0\n1\n0\n")
     java.nio.file.Files.delete(f)
   }
 

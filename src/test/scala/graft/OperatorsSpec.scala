@@ -92,6 +92,29 @@ class OperatorsSpec extends AnyFunSuite {
       ("y", 0L, 0.0), ("y", 1L, 3.0), ("y", 2L, 0.0)))
   }
 
+  test("WithFill: NULL prefix groups fill once, not per grid point (ADVICE r4)") {
+    val df = Seq((Option("x"), 0L, 1.0), (None, 1L, 3.0))
+      .toDF("g", "k", "v")
+    val out = graft.operators.WithFill(df, Seq("g"), "k", 0L, 3L)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getDouble(2)))
+      .toList
+    // the null group keeps its real row at k=1 and fills only 0 and 2;
+    // with SQL-null equality every null grid point would be "missing"
+    // and k=1 would appear twice
+    assert(out.count { case (g, k, _) => g.isEmpty && k == 1L } === 1, out)
+    assert(out.count(_._1.isEmpty) === 3, out)
+    assert(out.count(_._1.contains("x")) === 3, out)
+  }
+
+  test("WithFill honors DESC sort keys (ADVICE r4)") {
+    val df = Seq(("x", 0L, 1.0), ("y", 1L, 3.0)).toDF("g", "k", "v")
+    val out = graft.operators.WithFill(
+        df, Seq(("g", false)), ("k", true), 0L, 2L, 1L)
+      .as[(String, Long, Double)].collect().toList
+    assert(out === List(
+      ("y", 0L, 0.0), ("y", 1L, 3.0), ("x", 0L, 1.0), ("x", 1L, 0.0)))
+  }
+
   test("SimHash: identical token sequences get identical fingerprints") {
     val docs = Seq((1L, "a b c d e f g h"), (2L, "a  b c d e f g H"), (3L, "q r s t u v w x"))
       .toDF("doc_id", "text") // doc2 differs only by spacing/case -> same normalized

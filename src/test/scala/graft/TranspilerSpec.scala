@@ -108,21 +108,41 @@ class TranspilerSpec extends AnyFunSuite {
     val two = Transpiler.transpile(
       "SELECT a, b FROM t ARRAY JOIN xs AS a, ys AS b WHERE a > 0")
     assert(two.contains("LATERAL VIEW inline("), two)
-    assert(two.contains("'a', (xs)[graft_i]") && two.contains("'b', (ys)[graft_i]"), two)
+    // first array is bound once as a lambda var, later arrays subscript
+    assert(two.contains("'a', graft_a[graft_i]") && two.contains("'b', (ys)[graft_i]"), two)
+    assert(two.contains("transform(array(xs), graft_a ->"), two)
     assert(two.contains("WHERE a > 0"), two)
     val left = Transpiler.transpile("SELECT a, b FROM t LEFT ARRAY JOIN xs AS a, ys AS b")
     assert(left.contains("inline_outer("), left)
   }
 
+  test("ARRAY JOIN inside a subquery stops at the closing paren (ADVICE r4)") {
+    val t = Transpiler.transpile(
+      "SELECT s.x FROM (SELECT x FROM t ARRAY JOIN arr AS x) s")
+    assert(t.contains("LATERAL VIEW explode(arr) graft_aj AS x) s"), t)
+    val j = Transpiler.transpile(
+      "SELECT x, u.v FROM t ARRAY JOIN arr AS x JOIN u ON t.k = u.k")
+    assert(j.contains("LATERAL VIEW explode(arr) graft_aj AS x JOIN u ON t.k = u.k"), j)
+  }
+
   test("WITH FILL parses prefix keys; expression keys fall through") {
     assert(Transpiler.withFillParts(
       "SELECT g, m FROM t ORDER BY g, m WITH FILL FROM 0 TO 6") ===
-      Some(("SELECT g, m FROM t ", Seq("g"), "m", 0L, 6L, 1L)))
+      Some(("SELECT g, m FROM t ", Seq(("g", true)), ("m", true), 0L, 6L, 1L)))
     assert(Transpiler.withFillParts(
       "SELECT k FROM t ORDER BY k WITH FILL FROM 1 TO 9 STEP 2") ===
-      Some(("SELECT k FROM t ", Nil, "k", 1L, 9L, 2L)))
+      Some(("SELECT k FROM t ", Nil, ("k", true), 1L, 9L, 2L)))
     assert(Transpiler.withFillParts(
       "SELECT k FROM t ORDER BY k + 1 WITH FILL FROM 1 TO 9") === None)
+  }
+
+  test("WITH FILL preserves per-key ASC/DESC (ADVICE r4)") {
+    assert(Transpiler.withFillParts(
+      "SELECT g, m FROM t ORDER BY g DESC, m WITH FILL FROM 0 TO 6") ===
+      Some(("SELECT g, m FROM t ", Seq(("g", false)), ("m", true), 0L, 6L, 1L)))
+    assert(Transpiler.withFillParts(
+      "SELECT m FROM t ORDER BY m DESC WITH FILL FROM 0 TO 6") ===
+      Some(("SELECT m FROM t ", Nil, ("m", false), 0L, 6L, 1L)))
   }
 
   test("LIMIT n BY parses into inner/limit/cols/outer-limit") {
