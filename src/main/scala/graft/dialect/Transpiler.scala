@@ -39,7 +39,11 @@ object Transpiler {
   /** ClickHouse type names → Spark DDL type names (word-bounded).
     * Composite wrappers are converted structurally: Array(T) →
     * ARRAY<T>, Map(K,V) → MAP<K,V>, Tuple(a T, ...) → STRUCT<a: T, ...>,
-    * Nullable(T) → T (Spark fields are nullable by default). */
+    * Nullable(T) → T (Spark fields are nullable by default),
+    * LowCardinality(T) → T (a dictionary-encoding hint; parquet
+    * dictionary-encodes automatically). Enum8/Enum16 ('a' = 1, ...)
+    * store the string labels (SURVEY §1.2): the name→code map is a
+    * storage detail clients never see in results. */
   def mapTypeNames(s: String): String = {
     var r = s
     "(?i)FixedString\\s*\\(\\s*\\d+\\s*\\)".r.findFirstIn(r)
@@ -47,15 +51,37 @@ object Transpiler {
     r = "(?i)\\bDateTime64\\s*\\(\\s*\\d+\\s*(?:,\\s*'[^']*'\\s*)?\\)".r
       .replaceAllIn(r, "TIMESTAMP")
     r = r.replaceAll("\\bDate32\\b", "DATE")
+    r = stripCallLike(r, "Enum(?:8|16)?", _ => "STRING")
     r = rewriteCompositeTypes(r)
     typeNames.foreach { case (ch, sp) => r = r.replaceAll(s"\\b$ch\\b", sp) }
+    r = r.replaceAll("\\bUUID\\b", "STRING")
+    r = r.replaceAll("\\bBool\\b", "BOOLEAN")
     r.replaceAll("\\bString\\b", "STRING")
+  }
+
+  /** Replace every `name(...)` (parens balanced, strings respected)
+    * with `emit(inner)`. Used for type forms whose argument list may
+    * contain nested parens or quoted literals (Enum values). */
+  private def stripCallLike(s0: String, name: String,
+                            emit: String => String): String = {
+    val re = s"(?i)\\b$name\\s*\\(".r
+    var s = s0
+    var m = re.findFirstMatchIn(s)
+    while (m.isDefined) {
+      val mm = m.get
+      val close = matchingParen(s, mm.end - 1)
+      if (close < 0) return s
+      s = s.substring(0, mm.start) + emit(s.substring(mm.end, close)) +
+        s.substring(close + 1)
+      m = re.findFirstMatchIn(s)
+    }
+    s
   }
 
   /** Structural Array(..)/Map(..)/Tuple(..)/Nullable(..) → Spark DDL
     * angle-bracket syntax, innermost-first so nesting works. */
   private def rewriteCompositeTypes(s: String): String = {
-    val re = "(?i)\\b(Array|Map|Tuple|Nullable)\\s*\\(([^()]*)\\)".r
+    val re = "(?i)\\b(Array|Map|Tuple|Nullable|LowCardinality)\\s*\\(([^()]*)\\)".r
     var r = s
     var changed = true
     while (changed) {
@@ -66,7 +92,7 @@ object Transpiler {
         java.util.regex.Matcher.quoteReplacement(m.group(1).toLowerCase match {
           case "array" => s"ARRAY<$inner>"
           case "map" => s"MAP<$inner>"
-          case "nullable" => inner
+          case "nullable" | "lowcardinality" => inner
           case "tuple" =>
             val fields = inner.split(",").map(_.trim).zipWithIndex.map {
               case (f, i) =>
@@ -82,12 +108,29 @@ object Transpiler {
     r
   }
 
+  /** Nested-column prefixes registered by DDL (lowercased bare name).
+    * `ParsedParams Nested(Key1 String, ...)` expands to parallel array
+    * columns literally named `ParsedParams.Key1` (SURVEY §1.2 mapping,
+    * reference hits DDL test.yml:49); ClickHouse query text keeps the
+    * dotted access, which Spark would resolve as a struct path — known
+    * nested refs are backticked into a single identifier instead. */
+  private[graft] val nestedColumns =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  private def rewriteNestedRefs(s: String): String =
+    if (nestedColumns.isEmpty) s
+    else "(?<![`\\w.])(\\w+)\\.(\\w+)".r.replaceAllIn(s, m =>
+      if (nestedColumns.contains(m.group(1).toLowerCase))
+        java.util.regex.Matcher.quoteReplacement(s"`${m.group(1)}.${m.group(2)}`")
+      else m.matched)
+
   /** ClickHouse SQL text → Spark SQL text (FORMAT clause must already
     * be stripped). */
   def transpile(chSql: String): String = {
     var s = chSql
     s = rewriteBracketArrays(s)
     s = rewriteCasts(s)
+    s = rewriteNestedRefs(s)
     s = "(?i)\\bnumbers\\s*\\(\\s*([0-9]+)\\s*\\)".r.replaceAllIn(s,
       m => s"(SELECT id AS number FROM range(${m.group(1)}))")
     s = "(?i)\\bcount\\s*\\(\\s*\\)".r.replaceAllIn(s, "count(*)")
