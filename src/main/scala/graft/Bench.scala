@@ -26,6 +26,8 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val byName = SparkEntry.all.map(q => q.name -> q).toMap
     val names = SparkEntry.benchNames
+    val loadStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     // full warm-up pass: JVM/codegen/file-listing costs are one-time
     // session costs, not per-query engine throughput — measure the
     // steady state (standard bench discipline; cold-start is reported
@@ -58,7 +60,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
     val total = results.flatMap(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    // ambient machine load at start and end of the run: co-scheduled
+    // work skews wall-clock 2-3x, and without this the numbers can't be
+    // read honestly (r4/r5 driver runs were re-diagnosed by hand)
+    val loadEnd = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","loadavg":$loadEnd%.2f,"loadavg_start":$loadStart%.2f,"queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

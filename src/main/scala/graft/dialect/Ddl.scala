@@ -25,9 +25,18 @@ import scala.collection.concurrent.TrieMap
   */
 object Ddl {
 
-  /** partition expr + order keys per created table (lowercased name). */
-  private case class TableMeta(partitionExpr: Option[String], orderBy: Seq[String])
+  /** partition expr + order keys + sampling key per created table
+    * (lowercased name). */
+  private case class TableMeta(partitionExpr: Option[String],
+                               orderBy: Seq[String],
+                               sampleBy: Option[String] = None)
   private val tables = TrieMap.empty[String, TableMeta]
+
+  /** SAMPLE BY expression for a created table, if any — consulted by
+    * the read path to turn `SAMPLE k` into the deterministic keyed
+    * subset ClickHouse computes (reference DDL test.yml:49). */
+  def sampleKey(spark: SparkSession, name: String): Option[String] =
+    tables.get(normalize(spark, name)).flatMap(_.sampleBy)
 
   private val createDbRe =
     "(?is)^\\s*CREATE\\s+DATABASE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?(.+?)\\s*$".r
@@ -36,8 +45,14 @@ object Ddl {
       "\\((.*)\\)\\s*ENGINE\\s*=\\s*(\\w+)\\s*(?:\\(\\s*\\))?(.*)$").r
   private val partitionByRe =
     "(?is)PARTITION\\s+BY\\s+(.+?)(?=(ORDER\\s+BY|SAMPLE\\s+BY|PRIMARY\\s+KEY|SETTINGS|$))".r
+  // the key list may contain one level of calls: (CounterID, EventDate,
+  // intHash32(UserID)) — the reference's own hits DDL (test.yml:49)
   private val orderByRe =
-    "(?is)ORDER\\s+BY\\s+(\\(?[^()]*\\)?)(?=(SAMPLE\\s+BY|PRIMARY\\s+KEY|SETTINGS|PARTITION\\s+BY|$))".r
+    ("(?is)ORDER\\s+BY\\s+(\\((?:[^()]|\\([^()]*\\))*\\)|[^()\\s](?:[^()]|\\([^()]*\\))*?)" +
+      "\\s*(?=(SAMPLE\\s+BY|PRIMARY\\s+KEY|SETTINGS|PARTITION\\s+BY|$))").r
+  private val sampleByRe =
+    ("(?is)SAMPLE\\s+BY\\s+((?:[^()\\s]|\\([^()]*\\))+)" +
+      "\\s*(?=(ORDER\\s+BY|PRIMARY\\s+KEY|SETTINGS|PARTITION\\s+BY|$))").r
 
   private val createViewRe =
     ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?(MATERIALIZED\\s+)?VIEW\\s+" +
