@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional third arg: comma-separated name prefixes (local iteration)
+    val keep: String => Boolean = args.lift(2) match {
+      case Some(p) => val ps = p.split(","); n => ps.exists(n.startsWith)
+      case None => _ => true
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -20,7 +25,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         // The driver reads the oracle via DuckDB .df(), which converts
@@ -28,12 +33,15 @@ object Verify {
         // as Decimal objects — guaranteed hash mismatch (r02: 17 queries).
         // Cast top-level decimals to double here: decimal->binary64 is
         // correctly rounded on both engines, so the bits agree.
+        // names are backticked: hits' Nested expansion yields literal
+        // dots in column names (`ParsedParams.Key1`), which bare col()
+        // would mis-read as struct paths
         import org.apache.spark.sql.types.DecimalType
         val cols = df.schema.fields.map { f =>
           f.dataType match {
             case _: DecimalType =>
-              org.apache.spark.sql.functions.col(f.name).cast("double").as(f.name)
-            case _ => org.apache.spark.sql.functions.col(f.name)
+              org.apache.spark.sql.functions.col(s"`${f.name}`").cast("double").as(f.name)
+            case _ => org.apache.spark.sql.functions.col(s"`${f.name}`")
           }
         }
         df.select(cols.toIndexedSeq: _*).coalesce(1).write.mode("overwrite")

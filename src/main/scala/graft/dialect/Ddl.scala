@@ -20,8 +20,14 @@ import scala.collection.concurrent.TrieMap
   * can't observe). `PARTITION BY expr` is materialized as a generated
   * partition column `_part` appended on every INSERT...SELECT, so
   * Spark's partition pruning fires on it (SURVEY §4); `ORDER BY` keys
-  * become sortWithinPartitions on insert (parquet min/max stats
-  * pruning); `SAMPLE BY` / `SETTINGS` are accepted and dropped.
+  * (plain columns or expressions like `intHash32(UserID)`) become
+  * sortWithinPartitions on insert (parquet min/max stats pruning);
+  * `SAMPLE BY expr` is stored and consulted by the `SAMPLE k` read
+  * rewrite (deterministic keyed subset, ClickHouse semantics);
+  * `Nested(f1 T1, ...)` columns expand to parallel array columns
+  * literally named `` `col.f1` ARRAY<T1> `` — ClickHouse's own
+  * physical model — and the prefix is registered so dotted query
+  * access keeps working; `SETTINGS` is accepted and dropped.
   */
 object Ddl {
 
@@ -153,14 +159,39 @@ object Ddl {
       case other => throw new IllegalArgumentException(s"unsupported engine: $other")
     }
     val partExpr = partitionByRe.findFirstMatchIn(rest).map(_.group(1).trim)
+    // keys may be expressions (hits DDL: ORDER BY (CounterID, EventDate,
+    // intHash32(UserID)), test.yml:49) — strip only the OUTER parens and
+    // split paren-aware so call arguments survive intact. NOTE: orderByRe
+    // matches one paren-nesting level; a two-level key like
+    // cityHash64(toString(x)) falls out of the match and the sort-on-
+    // insert optimization is silently skipped (correctness unaffected).
     val orderCols = orderByRe.findFirstMatchIn(rest)
-      .map(_.group(1).replaceAll("[()]", "").split(",").map(_.trim).toSeq)
+      .map { m =>
+        val inner0 = m.group(1).trim
+        val inner = if (inner0.startsWith("(") && inner0.endsWith(")") &&
+          Transpiler.matchingParen(inner0, 0) == inner0.length - 1)
+          inner0.substring(1, inner0.length - 1) else inner0
+        splitTopLevel(inner).map(_.trim).filter(_.nonEmpty)
+      }
       .getOrElse(Nil)
-    val sparkCols = splitTopLevel(colDefs).map { d =>
+    val sampleBy = sampleByRe.findFirstMatchIn(rest).map(_.group(1).trim)
+    val sparkCols = splitTopLevel(colDefs).flatMap { d =>
       val t = d.trim
       val sp = t.indexOf(' ') // name, then type (type may contain spaces)
       val (cn, ct) = (t.substring(0, sp).trim, t.substring(sp + 1).trim)
-      s"$cn ${Transpiler.mapTypeNames(ct)}"
+      if (ct.matches("(?is)^Nested\\s*\\(.*\\)$")) {
+        // ClickHouse stores Nested as parallel per-field arrays with
+        // dotted physical names; queries keep writing `col.field`
+        // (rewritten to one backticked identifier by the transpiler)
+        val inner = ct.substring(ct.indexOf('(') + 1, ct.lastIndexOf(')'))
+        Transpiler.nestedColumns.put(cn.replace("`", "").toLowerCase, ())
+        splitTopLevel(inner).map { f0 =>
+          val f = f0.trim
+          val fsp = f.indexOf(' ')
+          val (fn, ft) = (f.substring(0, fsp).trim, f.substring(fsp + 1).trim)
+          s"`${cn.replace("`", "")}.$fn` ARRAY<${Transpiler.mapTypeNames(ft)}>"
+        }
+      } else Seq(s"$cn ${Transpiler.mapTypeNames(ct)}")
     }
     cleanOrphanLocation(spark, name)
     val ine = if (ifNotExists) "IF NOT EXISTS " else ""
@@ -171,7 +202,7 @@ object Ddl {
       case None =>
         s"CREATE TABLE $ine$name (${sparkCols.mkString(", ")}) USING PARQUET"
     }
-    tables.put(normalize(spark, name), TableMeta(partExpr, orderCols))
+    tables.put(normalize(spark, name), TableMeta(partExpr, orderCols, sampleBy))
     spark.sql(ddl)
   }
 
@@ -191,13 +222,19 @@ object Ddl {
         // stats pruning on the sort key, SURVEY §4)
         val src = spark.sql(Transpiler.transpile(body))
         val targetCols = spark.table(name).columns.filterNot(_ == "_part")
-        val orderCols = meta.map(_.orderBy).getOrElse(Nil).filter(targetCols.contains)
+        // plain keys sort by column; expression keys (hits DDL:
+        // intHash32(UserID)) sort by the transpiled expression — both
+        // feed parquet min/max stats on the physical sort prefix
+        val sortCols = meta.map(_.orderBy).getOrElse(Nil).map { k =>
+          if (targetCols.contains(k)) org.apache.spark.sql.functions.col(k)
+          else org.apache.spark.sql.functions.expr(Transpiler.transpile(k))
+        }
         var df = src.toDF(targetCols.toIndexedSeq: _*)
           .withColumn("_part",
             org.apache.spark.sql.functions.expr(Transpiler.transpile(pe)).cast("int"))
-        if (orderCols.nonEmpty)
+        if (sortCols.nonEmpty)
           df = df.repartition(org.apache.spark.sql.functions.col("_part"))
-            .sortWithinPartitions(orderCols.head, orderCols.tail: _*)
+            .sortWithinPartitions(sortCols: _*)
         df.write.mode("append").insertInto(name.replace("`", ""))
         spark.emptyDataFrame
       case Some(_) =>
@@ -316,6 +353,31 @@ object Engine {
   private val outfileRe =
     "(?is)^(.*?)\\s+INTO\\s+OUTFILE\\s+'([^']+)'(?:\\s+(APPEND|TRUNCATE))?\\s*$".r
 
+  // `FROM t SAMPLE 0.1` on a table created with SAMPLE BY key
+  private val sampleRe =
+    "(?i)\\bFROM\\s+([\\w`.]+)\\s+SAMPLE\\s+(0?\\.\\d+)".r
+
+  /** ClickHouse `SAMPLE k` on a keyed table: the deterministic subset
+    * `pmod(key, 1000) < k*1000` (0.1% bucket granularity). Like the
+    * reference, repeated queries see the SAME rows (the property
+    * SAMPLE BY exists for — consistent subsets across queries, unlike
+    * Bernoulli TABLESAMPLE); at scale the filter is a cheap codegen'd
+    * predicate pushed to the scan, no shuffle. Keyless tables fall
+    * through to the transpiler's TABLESAMPLE mapping. */
+  private def rewriteSample(spark: org.apache.spark.sql.SparkSession,
+                            sql: String): String =
+    sampleRe.replaceAllIn(sql, m => {
+      Ddl.sampleKey(spark, m.group(1)) match {
+        case Some(key) =>
+          val thr = math.round(m.group(2).toDouble * 1000)
+          val alias = m.group(1).substring(m.group(1).lastIndexOf('.') + 1)
+            .replace("`", "")
+          java.util.regex.Matcher.quoteReplacement(
+            s"FROM (SELECT * FROM ${m.group(1)} WHERE pmod($key, 1000) < $thr) $alias")
+        case None => m.matched
+      }
+    })
+
   /** One SELECT statement, handling the ClickHouse-only `LIMIT n BY`
     * clause (SURVEY §2.6 O4) as a row_number window over the inner
     * query's ORDER BY, and `ORDER BY ... WITH FILL` via the
@@ -326,7 +388,7 @@ object Engine {
     // ClickHouse EXPLAIN kinds (SYNTAX/AST/PLAN/PIPELINE/...) all map
     // to Spark's EXPLAIN (one plan-text column)
     val bare = "(?is)^\\s*EXPLAIN\\s+(SYNTAX|AST|PLAN|PIPELINE|ESTIMATE|QUERY\\s+TREE)\\s+".r
-      .replaceFirstIn(bare0, "EXPLAIN ")
+      .replaceFirstIn(rewriteSample(spark, bare0), "EXPLAIN ")
     Transpiler.withFillParts(bare) match {
       case Some((inner, prefix, fillKey, from, to, step)) =>
         return graft.operators.WithFill(

@@ -170,6 +170,13 @@ object Transpiler {
     typeNames.foreach { case (ch, sp) =>
       s = s.replaceAll(s"\\b$ch\\b", sp)
     }
+    // EXTRACT(unit FROM ts) -> date_part('unit', ts): ClickHouse has
+    // BOTH extract(haystack, re) (regex, in the registry) and the SQL
+    // EXTRACT(part FROM date) form, disambiguated by its parser; the
+    // registry name shadows Spark's grammar form, so the date form is
+    // rewritten away before parsing
+    s = "(?i)\\bextract\\s*\\(\\s*(\\w+)\\s+FROM\\s+".r.replaceAllIn(s,
+      m => s"date_part('${m.group(1).toUpperCase}', ")
     // dateDiff('day', a, b) -> timestampdiff(DAY, a, b) (the parser
     // special-cases the dateDiff name before registry lookup)
     s = "(?i)\\bdateDiff\\s*\\(\\s*'(\\w+)'\\s*,".r.replaceAllIn(s,
@@ -208,7 +215,9 @@ object Transpiler {
     // ClickHouse `LIMIT offset, n` -> standard LIMIT n OFFSET offset
     s = "(?i)\\bLIMIT\\s+(\\d+)\\s*,\\s*(\\d+)".r
       .replaceAllIn(s, m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
-    // SAMPLE 0.1 -> TABLESAMPLE (10 PERCENT) (SURVEY §4 mapping)
+    // SAMPLE 0.1 -> TABLESAMPLE (10 PERCENT) (SURVEY §4 mapping).
+    // Fallback for tables with no SAMPLE BY key: Engine.query rewrites
+    // keyed tables to the deterministic subset BEFORE this runs.
     s = "(?i)\\bSAMPLE\\s+(0?\\.\\d+)".r.replaceAllIn(s,
       m => s"TABLESAMPLE (${(m.group(1).toDouble * 100).round} PERCENT)")
     s = rewriteTernaries(s)
@@ -319,7 +328,7 @@ object Transpiler {
   }
 
   /** Index of the `)`/`]` closing the opener at `open`; -1 if none. */
-  private def matchingParen(s: String, open: Int): Int = {
+  private[dialect] def matchingParen(s: String, open: Int): Int = {
     var depth = 0; var inStr = false; var i = open
     while (i < s.length) {
       val c = s.charAt(i)

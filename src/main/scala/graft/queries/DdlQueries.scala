@@ -50,6 +50,49 @@ object DdlQueries {
       SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS INT) AS ym,
              count(*) AS n,
              sum(CAST(o_totalprice AS DECIMAL(12,2))) AS sum_price
-      FROM orders GROUP BY 1 ORDER BY ym"""))
+      FROM orders GROUP BY 1 ORDER BY ym""")),
+
+    // S4: SAMPLE BY key + SAMPLE k read — the deterministic keyed
+    // subset (pmod(key,1000) < k*1000), reproduced verbatim by DuckDB
+    Q("s6_sample_by", (s, dir) => {
+      ChContext.setup(s, dir)
+      Engine.execute(s, "CREATE DATABASE IF NOT EXISTS graft_t")
+      Engine.execute(s, "DROP TABLE IF EXISTS graft_t.sord")
+      Engine.execute(s, """
+        CREATE TABLE graft_t.sord (
+          o_orderkey Int64, o_custkey Int64, o_totalprice Float64)
+        ENGINE=MergeTree() ORDER BY (o_orderkey) SAMPLE BY o_custkey""")
+      Engine.execute(s, """
+        INSERT INTO graft_t.sord
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders""")
+      Engine.execute(s, """
+        SELECT count() AS n,
+               sum(CAST(o_totalprice AS Decimal(14,2))) AS sp
+        FROM graft_t.sord SAMPLE 0.25""")
+    }, Some("""
+      SELECT count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(14,2))) AS sp
+      FROM orders WHERE o_custkey % 1000 < 250""")),
+
+    // S3+P5: Enum8 / LowCardinality / UUID / Bool column types land as
+    // their SURVEY §1.2 mappings and round-trip values
+    Q("s7_ddl_enum", (s, dir) => {
+      ChContext.setup(s, dir)
+      Engine.execute(s, "CREATE DATABASE IF NOT EXISTS graft_t")
+      Engine.execute(s, "DROP TABLE IF EXISTS graft_t.et")
+      Engine.execute(s, """
+        CREATE TABLE graft_t.et (
+          id UInt32, status Enum8('new' = 1, 'done' = 2, 'failed' = 3),
+          tag LowCardinality(String), uid UUID, ok Bool) ENGINE=Memory""")
+      Engine.execute(s, """
+        INSERT INTO graft_t.et VALUES
+        (1, 'new', 'a', '00000000-0000-0000-0000-000000000001', true),
+        (2, 'done', 'b', '00000000-0000-0000-0000-000000000002', false),
+        (3, 'new', 'a', '00000000-0000-0000-0000-000000000003', true)""")
+      Engine.execute(s, """
+        SELECT status, count() AS n, max(ok) AS anyok
+        FROM graft_t.et GROUP BY status ORDER BY status""")
+    }, Some("""
+      SELECT * FROM (VALUES ('done', 1, false), ('new', 2, true))
+        t(status, n, anyok) ORDER BY status"""))
   )
 }

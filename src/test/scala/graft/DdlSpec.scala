@@ -112,6 +112,78 @@ class DdlSpec extends AnyFunSuite {
     java.nio.file.Files.delete(f)
   }
 
+  test("reference hits DDL (test.yml:49) round-trips: Nested expansion + SAMPLE BY") {
+    import graft.dialect.{Ddl, HitsFixture}
+    HitsFixture.ensure(spark)
+    val schema = spark.table("clickbench.hits").schema
+    // every physical column in DDL order, Nested expanded to the
+    // parallel dotted-array columns, plus the materialized _part
+    assert(schema.map(_.name).filterNot(_ == "_part") === HitsFixture.columnNames)
+    assert(schema("ParsedParams.Key1").dataType.simpleString === "array<string>")
+    assert(schema("ParsedParams.ValueDouble").dataType.simpleString === "array<double>")
+    assert(Ddl.sampleKey(spark, "clickbench.hits") === Some("intHash32(UserID)"))
+    assert(spark.table("clickbench.hits").count() === HitsFixture.N.toLong)
+    // dotted Nested access in ClickHouse query text resolves to the
+    // expanded array column (transpiler backticks known prefixes)
+    val k = Engine.execute(spark,
+      "SELECT ParsedParams.Key1 AS k FROM clickbench.hits WHERE WatchID = 900000007")
+      .collect().head.getSeq[String](0)
+    assert(k === Seq("k2"))
+    // the July range-filter scans only the 201307 partition's files
+    val jul = Engine.execute(spark, """
+      SELECT count() AS n FROM clickbench.hits
+      WHERE _part = 201307 AND EventDate >= '2013-07-01'""")
+    assert(jul.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
+
+  test("ORDER BY with call expressions sorts on insert (hits ORDER BY shape)") {
+    graft.dialect.ChContext.setup(spark, "/root/testdata/sf0.001")
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.oexp")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.oexp (k Int64, u Int64, d DateTime)
+      ENGINE=MergeTree() PARTITION BY toYYYYMM(d)
+      ORDER BY (k, intHash32(u)) SETTINGS index_granularity=8192""")
+    Engine.execute(spark,
+      "INSERT INTO graft_spec.oexp SELECT o_orderkey, o_custkey, o_orderdate FROM orders")
+    val n = Engine.execute(spark, "SELECT count() AS n FROM graft_spec.oexp")
+      .collect().head.getLong(0)
+    assert(n === spark.table("orders").count())
+  }
+
+  test("SAMPLE BY key: SAMPLE k reads the deterministic keyed subset") {
+    import graft.dialect.Ddl
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.smp")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.smp (k Int64, u Int64)
+      ENGINE=MergeTree() ORDER BY (k) SAMPLE BY u""")
+    assert(Ddl.sampleKey(spark, "graft_spec.smp") === Some("u"))
+    Engine.execute(spark,
+      "INSERT INTO graft_spec.smp SELECT number, number FROM numbers(1000)")
+    // u % 1000 < 100: exactly u in [0, 100) — and the SAME subset on
+    // every query (the consistency SAMPLE BY promises)
+    val r = Engine.execute(spark,
+      "SELECT count() AS n, sum(u) AS s FROM graft_spec.smp SAMPLE 0.1")
+      .collect().head
+    assert(r.getLong(0) === 100L)
+    assert(r.getLong(1) === (0 until 100).sum.toLong)
+  }
+
+  test("Enum8/Enum16/LowCardinality/UUID/Bool/Nested types map in DDL") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.ty2")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.ty2 (
+        a Enum8('x' = 1, 'y' = 2), b LowCardinality(String), c UUID,
+        d Bool, e Enum16('p' = 1, 'q' = 2), f Nested(k String, v Float64))
+      ENGINE=Memory""")
+    val schema = spark.table("graft_spec.ty2").schema
+    assert(schema.map(f => f.name -> f.dataType.simpleString).toSeq === Seq(
+      "a" -> "string", "b" -> "string", "c" -> "string", "d" -> "boolean",
+      "e" -> "string", "f.k" -> "array<string>", "f.v" -> "array<double>"))
+  }
+
   test("CREATE VIEW with ClickHouse-dialect body (session-scoped)") {
     Engine.execute(spark, """
       CREATE OR REPLACE VIEW v_n AS

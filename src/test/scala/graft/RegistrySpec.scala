@@ -12,7 +12,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("every query name carries a SURVEY §2 tier prefix") {
-    val ok = "^(st|s|p|j|g|w|o|f|a|l|m|b)[0-9]+[a-z0-9_]*_".r
+    val ok = "^(st|s|p|j|g|w|o|f|a|l|m|b|cb)[0-9]+[a-z0-9_]*_".r
     SparkEntry.all.foreach(q =>
       assert(ok.findPrefixOf(q.name).isDefined, s"bad name: ${q.name}"))
   }
