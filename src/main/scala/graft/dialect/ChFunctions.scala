@@ -80,7 +80,8 @@ object ChFunctions {
     case other => other
   }
 
-  private val builders: Map[String, Seq[Expression] => Expression] = Map(
+  private val builders: Map[String, Seq[Expression] => Expression] =
+    Map[String, Seq[Expression] => Expression](
     // identity / time
     "version" -> (_ => Literal(Version)),
     "now" -> (_ => Cast(Cast(CurrentTimestamp(), LongType), TimestampType)),
@@ -153,6 +154,8 @@ object ChFunctions {
     // codegen'd — see graft.functions.IntHash provenance note
     "intHash32" -> (a => graft.functions.IntHash32Expr(Cast(a.head, LongType))),
     "intHash64" -> (a => graft.functions.IntHash64Expr(Cast(a.head, LongType))),
+    // SipHash-2-4, zero key (published algorithm — see SipHash.scala)
+    "sipHash64" -> (a => graft.functions.SipHash64Expr(Cast(a.head, StringType))),
     // string hashes: distribution-parity stand-ins (NOT byte-parity)
     "cityHash64" -> (a => XxHash64(a, 42L)),
     "farmFingerprint64" -> (a => XxHash64(a, 64L)),
@@ -381,7 +384,258 @@ object ChFunctions {
     "avgIf" -> (a => Average(nullIfNot(a(1), a(0))).toAggregateExpression()),
     "minIf" -> (a => Min(nullIfNot(a(1), a(0))).toAggregateExpression()),
     "maxIf" -> (a => Max(nullIfNot(a(1), a(0))).toAggregateExpression())
-  )
+  ) ++ orConversions ++ tier2Builders
+
+  /** ClickHouse type-name → Spark type for the OrZero/OrNull
+    * conversion families (unsigned widened per SURVEY §1.2). */
+  private lazy val convTypes: Map[String, DataType] = Map(
+    "Int8" -> ByteType, "Int16" -> ShortType, "Int32" -> IntegerType,
+    "Int64" -> LongType, "UInt8" -> ShortType, "UInt16" -> IntegerType,
+    "UInt32" -> LongType, "UInt64" -> DecimalType(20, 0),
+    "Float32" -> FloatType, "Float64" -> DoubleType,
+    "Date" -> DateType, "DateTime" -> TimestampType)
+
+  private def tryCastTo(e: Expression, dt: DataType): Expression =
+    Cast(e, dt, None, EvalMode.TRY)
+
+  /** to<T>OrNull (try-cast) and to<T>OrZero (try-cast else the type's
+    * zero; dates get epoch) — the whole family, generated. */
+  private lazy val orConversions: Map[String, Seq[Expression] => Expression] =
+    convTypes.flatMap { case (n, dt) =>
+      val zero: Expression = dt match {
+        case DateType => Cast(Literal(0), DateType) // 1970-01-01
+        case TimestampType => Cast(Literal(0L), TimestampType)
+        case d: DecimalType => Literal(Decimal(0, d.precision, d.scale), d)
+        case other => Literal.default(other)
+      }
+      Map[String, Seq[Expression] => Expression](
+        s"to${n}OrNull" -> (a => tryCastTo(a.head, dt)),
+        s"to${n}OrZero" -> (a => Coalesce(Seq(tryCastTo(a.head, dt), zero))))
+    }
+
+  /** Second tier of common ClickHouse names (date/time, math, string,
+    * array, null-handling, IP, URL-cut, aggregate) — still all native
+    * Catalyst, still codegen'd. */
+  private lazy val tier2Builders: Map[String, Seq[Expression] => Expression] = {
+    // floor a DateTime to an n-second grid (toStartOf*Minutes, timeSlot)
+    def toGrid(secs: Long): Seq[Expression] => Expression = a =>
+      Cast(Multiply(IntegralDivide(Cast(Cast(a.head, TimestampType),
+        LongType), Literal(secs), EvalMode.LEGACY), Literal(secs)), TimestampType)
+    def tsPlusSeconds(a: Seq[Expression], secsPerUnit: Long): Expression =
+      Cast(Add(Cast(Cast(a(0), TimestampType), LongType),
+        Multiply(Cast(a(1), LongType), Literal(secsPerUnit))), TimestampType)
+    def tsMinusSeconds(a: Seq[Expression], secsPerUnit: Long): Expression =
+      tsPlusSeconds(Seq(a(0), UnaryMinus(a(1))), secsPerUnit)
+    val posInf = Literal(Double.PositiveInfinity)
+    val negInf = Literal(Double.NegativeInfinity)
+    def ipOctet(x: Expression, shift: Int): Expression =
+      Cast(BitwiseAnd(ShiftRight(Cast(x, LongType), Literal(shift)),
+        Literal(255L)), StringType)
+
+    Map(
+      // ---- date & time ----
+      "toQuarter" -> (a => Quarter(a.head)),
+      "toDayOfYear" -> (a => DayOfYear(a.head)),
+      "toISOWeek" -> (a => WeekOfYear(a.head)),
+      "toStartOfQuarter" -> (a => TruncDate(Cast(a.head, DateType), Literal("quarter"))),
+      "toMonday" -> (a => TruncDate(Cast(a.head, DateType), Literal("week"))),
+      // ClickHouse default mode 0 = week starts Sunday; mode 1 = Monday
+      "toStartOfWeek" -> (a =>
+        if (a.length > 1 && a(1).semanticEquals(Literal(1)))
+          TruncDate(Cast(a.head, DateType), Literal("week"))
+        else DateSub(TruncDate(DateAdd(Cast(a.head, DateType), Literal(1)),
+          Literal("week")), Literal(1))),
+      "toStartOfFiveMinutes" -> toGrid(300),
+      "toStartOfTenMinutes" -> toGrid(600),
+      "toStartOfFifteenMinutes" -> toGrid(900),
+      "timeSlot" -> toGrid(1800),
+      "yesterday" -> (_ => DateSub(CurrentDate(), Literal(1))),
+      "addHours" -> (a => tsPlusSeconds(a, 3600)),
+      "addMinutes" -> (a => tsPlusSeconds(a, 60)),
+      "addSeconds" -> (a => tsPlusSeconds(a, 1)),
+      "addWeeks" -> (a => DateAdd(a(0), Multiply(a(1), Literal(7)))),
+      "addYears" -> (a => AddMonths(a(0), Multiply(a(1), Literal(12)))),
+      "subtractHours" -> (a => tsMinusSeconds(a, 3600)),
+      "subtractMinutes" -> (a => tsMinusSeconds(a, 60)),
+      "subtractSeconds" -> (a => tsMinusSeconds(a, 1)),
+      "subtractWeeks" -> (a => DateSub(a(0), Multiply(a(1), Literal(7)))),
+      "subtractMonths" -> (a => AddMonths(a(0), UnaryMinus(a(1)))),
+      "subtractYears" -> (a => AddMonths(a(0), Multiply(a(1), Literal(-12)))),
+      "parseDateTimeBestEffort" -> (a => Coalesce(Seq(
+        tryCastTo(a.head, TimestampType),        // ISO & friends
+        Cast(tryCastTo(a.head, LongType), TimestampType)))), // unix seconds
+      "parseDateTimeBestEffortOrNull" -> (a => Coalesce(Seq(
+        tryCastTo(a.head, TimestampType),
+        Cast(tryCastTo(a.head, LongType), TimestampType)))),
+
+      // ---- math ----
+      "exp10" -> (a => Pow(Literal(10d), Cast(a.head, DoubleType))),
+      "intExp10" -> (a => Cast(Round(Pow(Literal(10d),
+        Cast(a.head, DoubleType)), Literal(0)), LongType)),
+      "roundBankers" -> (a => BRound(Cast(a.head, DoubleType),
+        if (a.length > 1) a(1) else Literal(0))),
+      "bitCount" -> (a => BitwiseCount(a.head)),
+
+      // ---- null / float classification (ClickHouse call forms) ----
+      "isNull" -> (a => IsNull(a.head)),
+      "isNotNull" -> (a => IsNotNull(a.head)),
+      "assumeNotNull" -> (a => a.head),
+      "toNullable" -> (a => a.head),
+      "isNaN" -> (a => IsNaN(Cast(a.head, DoubleType))),
+      "isInfinite" -> (a => Or(
+        EqualTo(Cast(a.head, DoubleType), posInf),
+        EqualTo(Cast(a.head, DoubleType), negInf))),
+      "isFinite" -> (a => And(Not(IsNaN(Cast(a.head, DoubleType))),
+        And(Not(EqualTo(Cast(a.head, DoubleType), posInf)),
+          Not(EqualTo(Cast(a.head, DoubleType), negInf))))),
+
+      // ---- string ----
+      "mid" -> (a => Substring(a(0), a(1), a(2))),
+      "base64Encode" -> (a => Base64(Cast(a.head, BinaryType))),
+      "base64Decode" -> (a => Cast(UnBase64(a.head), StringType)),
+      "splitByWhitespace" -> (a => StringSplit(a.head, Literal("\\s+"), Literal(-1))),
+      "countMatches" -> (a => RegExpCount(a(0), a(1))),
+      "cutQueryString" -> (a => RegExpReplace(a.head, Literal("\\?.*$"), Literal(""))),
+      "cutFragment" -> (a => RegExpReplace(a.head, Literal("#.*$"), Literal(""))),
+      "cutQueryStringAndFragment" ->
+        (a => RegExpReplace(a.head, Literal("[?#].*$"), Literal(""))),
+
+      // ---- IPv4 ----
+      "IPv4NumToString" -> (a => ConcatWs(Literal(".") +:
+        Seq(24, 16, 8, 0).map(s => ipOctet(a.head, s)))),
+      "IPv4StringToNum" -> { a =>
+        val parts = StringSplit(a.head, Literal("\\."), Literal(-1))
+        def oct(i: Int, mul: Long) =
+          Multiply(Cast(ElementAt(parts, Literal(i)), LongType), Literal(mul))
+        Add(Add(oct(1, 16777216L), oct(2, 65536L)), Add(oct(3, 256L), oct(4, 1L)))
+      },
+
+      // ---- arrays (tier 2) ----
+      "arrayMin" -> (a => ArrayMin(a.head)),
+      "arrayMax" -> (a => ArrayMax(a.head)),
+      "arrayAvg" -> (a => Divide(elementSum(a.head), Cast(Size(a.head), DoubleType))),
+      "arrayProduct" -> { a =>
+        val x = UnresolvedNamedLambdaVariable(Seq("__graft_px"))
+        val acc = UnresolvedNamedLambdaVariable(Seq("__graft_pacc"))
+        val out = UnresolvedNamedLambdaVariable(Seq("__graft_pout"))
+        ArrayAggregate(a.head, Literal(1d),
+          LambdaFunction(Multiply(acc, Cast(x, DoubleType)), Seq(acc, x)),
+          LambdaFunction(out, Seq(out)))
+      },
+      "arrayPushBack" -> (a => Concat(Seq(a(0), CreateArray(Seq(a(1)))))),
+      "arrayPushFront" -> (a => Concat(Seq(CreateArray(Seq(a(1))), a(0)))),
+      "arrayPopBack" -> (a => Slice(a.head, Literal(1),
+        Greatest(Seq(Subtract(Size(a.head), Literal(1)), Literal(0))))),
+      "arrayPopFront" -> (a => Slice(a.head, Literal(2),
+        Greatest(Seq(Subtract(Size(a.head), Literal(1)), Literal(0))))),
+      // first/last/firstIndex take the lambda FIRST (ClickHouse order).
+      // Expressed as single ArrayAggregate folds — the analyzer only
+      // resolves user lambdas when the builder's top-level result IS a
+      // HigherOrderFunction (see lambdaFold). The accumulator is a
+      // 0/1-element array of the source's own element type (seeded with
+      // an empty slice), so no type must be named statically.
+      "arrayFirst" -> { a =>
+        val lf = a(0).asInstanceOf[LambdaFunction]
+        val acc = UnresolvedNamedLambdaVariable(Seq("__graft_facc"))
+        val out = UnresolvedNamedLambdaVariable(Seq("__graft_fout"))
+        ArrayAggregate(a(1), Slice(a(1), Literal(1), Literal(0)),
+          LambdaFunction(If(And(EqualTo(Size(acc), Literal(0)), lf.function),
+            CreateArray(Seq(lf.arguments.head)), acc),
+            Seq(acc, lf.arguments.head)),
+          LambdaFunction(If(EqualTo(Size(out), Literal(0)), Literal(null),
+            ElementAt(out, Literal(1))), Seq(out)))
+      },
+      "arrayLast" -> { a =>
+        val lf = a(0).asInstanceOf[LambdaFunction]
+        val acc = UnresolvedNamedLambdaVariable(Seq("__graft_lacc"))
+        val out = UnresolvedNamedLambdaVariable(Seq("__graft_lout"))
+        ArrayAggregate(a(1), Slice(a(1), Literal(1), Literal(0)),
+          LambdaFunction(If(lf.function,
+            CreateArray(Seq(lf.arguments.head)), acc),
+            Seq(acc, lf.arguments.head)),
+          LambdaFunction(If(EqualTo(Size(out), Literal(0)), Literal(null),
+            ElementAt(out, Literal(1))), Seq(out)))
+      },
+      // accumulator [foundIndex, cursor]; 0 = no match (ClickHouse)
+      "arrayFirstIndex" -> { a =>
+        val lf = a(0).asInstanceOf[LambdaFunction]
+        val acc = UnresolvedNamedLambdaVariable(Seq("__graft_iacc"))
+        val out = UnresolvedNamedLambdaVariable(Seq("__graft_iout"))
+        def fnd(e: Expression) = ElementAt(e, Literal(1))
+        def cur(e: Expression) = ElementAt(e, Literal(2))
+        ArrayAggregate(a(1), CreateArray(Seq(Literal(0L), Literal(0L))),
+          LambdaFunction(If(And(EqualTo(fnd(acc), Literal(0L)), lf.function),
+            CreateArray(Seq(Add(cur(acc), Literal(1L)),
+              Add(cur(acc), Literal(1L)))),
+            CreateArray(Seq(fnd(acc), Add(cur(acc), Literal(1L))))),
+            Seq(acc, lf.arguments.head)),
+          LambdaFunction(fnd(out), Seq(out)))
+      },
+      // dense ids in first-appearance order
+      "arrayEnumerateDense" -> { a =>
+        val x = UnresolvedNamedLambdaVariable(Seq("__graft_dx"))
+        ArrayTransform(a.head,
+          LambdaFunction(ArrayPosition(ArrayDistinct(a.head), x), Seq(x)))
+      },
+      // per-element occurrence number among equal values (1-based)
+      "arrayEnumerateUniq" -> { a =>
+        val i = UnresolvedNamedLambdaVariable(Seq("__graft_ui"))
+        val x = UnresolvedNamedLambdaVariable(Seq("__graft_ux"))
+        ArrayTransform(Sequence(Literal(1), Size(a.head), None),
+          LambdaFunction(Size(ArrayFilter(
+            Slice(a.head, Literal(1), i),
+            LambdaFunction(EqualTo(x, ElementAt(a.head, i)), Seq(x)))), Seq(i)))
+      },
+      // [0, a2-a1, a3-a2, ...] (ClickHouse keeps the first slot 0)
+      "arrayDifference" -> { a =>
+        val i = UnresolvedNamedLambdaVariable(Seq("__graft_di"))
+        ArrayTransform(Sequence(Literal(1), Size(a.head), None),
+          LambdaFunction(If(EqualTo(i, Literal(1)),
+            Multiply(ElementAt(a.head, i), Literal(0)),
+            Subtract(ElementAt(a.head, i),
+              ElementAt(a.head, Subtract(i, Literal(1))))), Seq(i)))
+      },
+      // running prefix sums, one O(n) fold building the result array
+      "arrayCumSum" -> { a =>
+        val x = UnresolvedNamedLambdaVariable(Seq("__graft_cx"))
+        val acc = UnresolvedNamedLambdaVariable(Seq("__graft_cacc"))
+        val out = UnresolvedNamedLambdaVariable(Seq("__graft_cout"))
+        ArrayAggregate(a.head,
+          Cast(CreateArray(Seq.empty, useStringTypeWhenEmpty = false),
+            ArrayType(DoubleType)),
+          LambdaFunction(Concat(Seq(acc, CreateArray(Seq(Add(
+            If(EqualTo(Size(acc), Literal(0)), Literal(0d),
+              ElementAt(acc, Literal(-1))),
+            Cast(x, DoubleType)))))), Seq(acc, x)),
+          LambdaFunction(out, Seq(out)))
+      },
+
+      // ---- aggregates (tier 2) ----
+      "avgWeighted" -> (a => Divide(
+        Sum(Multiply(Cast(a(0), DoubleType), Cast(a(1), DoubleType)))
+          .toAggregateExpression(),
+        Sum(Cast(a(1), DoubleType)).toAggregateExpression())),
+      // (quantile/quantileExact/quantiles parametric forms are rewritten
+      // to Spark `percentile` by the Transpiler before the registry)
+      "sumKahan" -> (a => Sum(Cast(a.head, DoubleType)).toAggregateExpression()),
+      "skewPop" -> (a => Skewness(Cast(a.head, DoubleType)).toAggregateExpression()),
+      "kurtPop" -> (a => Kurtosis(Cast(a.head, DoubleType)).toAggregateExpression())
+    )
+  }
+
+  /** (name, isAggregate) inventory for `system.functions` — the Play
+    * UI's autocomplete probe. Classification is runtime-accurate: each
+    * builder is probed with literal args and checked for an
+    * AggregateExpression (no hand-maintained agg list to drift). */
+  def functionInventory: Seq[(String, Boolean)] =
+    builders.toSeq.map { case (n, b) =>
+      val agg = (1 to 3).exists { k =>
+        try b(Seq.fill(k)(Literal(1)))
+          .isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression]
+        catch { case _: Throwable => false }
+      }
+      (n, agg)
+    }.sortBy(_._1)
 
   /** Idempotently register every ClickHouse name on the session.
     * Skips (and never races) when the session is already set up —

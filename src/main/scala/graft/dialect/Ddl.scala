@@ -328,8 +328,6 @@ object Engine {
             // reference, an existing file is refused unless APPEND or
             // TRUNCATE is given.
             val df = query(spark, m.group(1))
-            val text = graft.formats.ResultFormatter.render(
-              df, fmt.getOrElse("TSV"))
             val p = java.nio.file.Paths.get(m.group(2))
             if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
             import java.nio.file.StandardOpenOption._
@@ -342,7 +340,12 @@ object Engine {
                     s"File ${m.group(2)} exists; use INTO OUTFILE ... APPEND or TRUNCATE")
                 Seq(CREATE_NEW)
             }
-            java.nio.file.Files.write(p, text.getBytes("UTF-8"), opts: _*)
+            // stream rows to the file (toLocalIterator inside write) —
+            // an export never materializes on the driver
+            val w = java.nio.file.Files.newBufferedWriter(
+              p, java.nio.charset.StandardCharsets.UTF_8, opts: _*)
+            try graft.formats.ResultFormatter.write(df, fmt.getOrElse("TSV"), w)
+            finally w.close()
             df
           case None => query(spark, noFmt)
         }

@@ -625,6 +625,29 @@ object ChContext {
     snapshot("tables", spark.sql("SHOW TABLES").select("namespace", "tableName")
       .withColumnRenamed("namespace", "database")
       .withColumnRenamed("tableName", "name"))
+    // per-column catalog (ClickHouse system.columns shape the Play UI
+    // and DBeaver-style clients probe for completion). Catalog metadata
+    // only — a handful of driver-side rows, not data.
+    import spark.implicits._
+    val tableRows = spark.sql("SHOW TABLES")
+      .select("namespace", "tableName").collect()
+    val colRows = tableRows.toSeq.flatMap { r =>
+      val db = r.getString(0)
+      val t = r.getString(1)
+      val full = if (db.isEmpty) t else s"$db.$t"
+      try spark.table(full).schema.fields.toSeq.zipWithIndex.map {
+        case (f, i) =>
+          (if (db.isEmpty) "default" else db, t, f.name,
+            graft.formats.ChTypeNames.fieldName(f), (i + 1).toLong)
+      } catch { case _: Throwable => Seq.empty }
+    }
+    snapshot("columns",
+      colRows.toDF("database", "table", "name", "type", "position"))
+    // function inventory (Play UI autocomplete: SELECT name FROM
+    // system.functions)
+    snapshot("functions", ChFunctions.functionInventory
+      .map { case (n, agg) => (n, if (agg) 1 else 0) }
+      .toDF("name", "is_aggregate"))
     if (!spark.catalog.tableExists("system.settings"))
       spark.sql("""
         CREATE OR REPLACE VIEW system.settings AS

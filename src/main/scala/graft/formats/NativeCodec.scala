@@ -58,8 +58,40 @@ object NativeCodec {
 
   // ---- encode ----
 
-  /** Encode collected rows as one Native block. */
-  def encode(df: DataFrame): Array[Byte] = encode(df.schema, df.collect())
+  /** Encode a whole result as one Native block — a convenience for
+    * tests and known-small results. Servers stream bounded blocks with
+    * [[writeBlocks]] instead. */
+  def encode(df: DataFrame): Array[Byte] = {
+    import scala.jdk.CollectionConverters._
+    encode(df.schema, df.toLocalIterator().asScala.toArray)
+  }
+
+  /** Stream `rows` into `out` as a sequence of Native blocks of at most
+    * `blockRows` rows each (the scale-safe result boundary: driver
+    * memory is bounded by one block + one partition, not the result).
+    * `frame` runs before each block for protocol packet headers.
+    * Always emits at least one block — an empty result is a zero-row
+    * block carrying the schema, which is how clients learn the column
+    * types. Returns the row count. */
+  def writeBlocks(out: java.io.OutputStream, schema: StructType,
+                  rows: Iterator[Row], blockRows: Int,
+                  customSerFlag: Boolean = false,
+                  frame: Int => Unit = _ => ()): Long = {
+    var n = 0L
+    var any = false
+    rows.grouped(blockRows).foreach { chunk =>
+      val block = chunk.toArray
+      frame(block.length)
+      out.write(encode(schema, block, customSerFlag))
+      n += block.length
+      any = true
+    }
+    if (!any) {
+      frame(0)
+      out.write(encode(schema, Array.empty[Row], customSerFlag))
+    }
+    n
+  }
 
   def encode(schema: StructType, rows: Array[Row]): Array[Byte] =
     encode(schema, rows, customSerFlag = false)
@@ -136,8 +168,12 @@ object NativeCodec {
   // ---- decode (round-trip testing + native-protocol relay) ----
 
   /** Decode one block into (columnName, chTypeName, values). */
-  def decode(bytes: Array[Byte]): Seq[(String, String, Vector[Any])] = {
-    val in = new ByteArrayInputStream(bytes)
+  def decode(bytes: Array[Byte]): Seq[(String, String, Vector[Any])] =
+    decode(new ByteArrayInputStream(bytes))
+
+  /** Decode one block from a stream positioned at a block boundary —
+    * call repeatedly to read a multi-block stream ([[writeBlocks]]). */
+  def decode(in: ByteArrayInputStream): Seq[(String, String, Vector[Any])] = {
     val nCols = readVarint(in).toInt
     val nRows = readVarint(in).toInt
     (0 until nCols).map { _ =>

@@ -12,9 +12,13 @@ import java.time.ZoneOffset
   * lambda/lambda.py:10), Pretty, and the binary Native block codec
   * ([[NativeCodec]]).
   *
-  * Driver-side by design: formats exist to answer protocol/API
-  * responses (bounded result sets), not bulk export — bulk data moves
-  * through parquet sinks.
+  * Streaming by design: rows are pulled with `toLocalIterator()` (one
+  * partition resident on the driver at a time, never the whole result)
+  * and appended to the caller's sink incrementally, so a large export
+  * is bounded by partition size, not result size. Every format is
+  * row-streamable except Pretty, which needs column widths and so
+  * buffers — capped at ClickHouse's own interactive display limit
+  * (output_format_pretty_max_rows = 10000).
   */
 object ResultFormatter {
 
@@ -22,36 +26,61 @@ object ResultFormatter {
   private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
     .withZone(ZoneOffset.UTC)
 
-  /** Render collected rows in the named format (text formats). */
+  /** Convenience: render to an in-memory String (tests, small results).
+    * Servers and OUTFILE call [[write]] with their own sink instead. */
   def render(df: DataFrame, format: String): String = {
+    val sb = new java.lang.StringBuilder
+    write(df, format, sb)
+    sb.toString
+  }
+
+  /** Stream-render `df` into `out` in the named text format; returns
+    * the row count. Rows arrive via `toLocalIterator()` — the scale-
+    * safe result boundary (a 100 TB SELECT streams through, it does
+    * not `collect()` onto the driver). */
+  def write(df: DataFrame, format: String, out: Appendable): Long = {
     val t0 = System.nanoTime()
-    val schema = df.schema
-    val rows = df.collect()
-    val elapsed = (System.nanoTime() - t0) / 1e9
+    import scala.jdk.CollectionConverters._
+    writeRows(df.schema, df.toLocalIterator().asScala, format, out,
+      () => (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Iterator-driven core shared by [[write]] and the HTTP server. */
+  def writeRows(schema: StructType, rows: Iterator[Row], format: String,
+                out: Appendable, elapsed: () => Double = () => 0d): Long =
     format.toLowerCase match {
-      case "tsv" | "tabseparated" => delimited(schema, rows, "\t", header = false)
+      case "tsv" | "tabseparated" => delimited(schema, rows, "\t", out, header = false)
       case "tsvwithnames" | "tabseparatedwithnames" =>
-        delimited(schema, rows, "\t", header = true)
+        delimited(schema, rows, "\t", out, header = true)
       case "tsvwithnamesandtypes" | "tabseparatedwithnamesandtypes" =>
-        delimited(schema, rows, "\t", header = true, typesRow = true)
-      case "csv" => delimited(schema, rows, ",", header = false, csvQuote = true)
-      case "csvwithnames" => delimited(schema, rows, ",", header = true, csvQuote = true)
+        delimited(schema, rows, "\t", out, header = true, typesRow = true)
+      case "csv" => delimited(schema, rows, ",", out, header = false, csvQuote = true)
+      case "csvwithnames" => delimited(schema, rows, ",", out, header = true, csvQuote = true)
       case "csvwithnamesandtypes" =>
-        delimited(schema, rows, ",", header = true, csvQuote = true, typesRow = true)
-      case "json" => jsonEnvelope(schema, rows, elapsed, compact = false)
-      case "jsoncompact" => jsonEnvelope(schema, rows, elapsed, compact = true)
+        delimited(schema, rows, ",", out, header = true, csvQuote = true, typesRow = true)
+      case "json" => jsonEnvelope(schema, rows, out, elapsed, compact = false)
+      case "jsoncompact" => jsonEnvelope(schema, rows, out, elapsed, compact = true)
       case "jsoneachrow" | "ndjson" =>
-        rows.map(r => schema.fields.indices
-          .map(i => s"${jsonString(schema.fields(i).name)}:${jsonValue(r.get(i), schema.fields(i).dataType)}")
-          .mkString("{", ",", "}")).mkString("", "\n", "\n")
+        var n = 0L
+        rows.foreach { r =>
+          out.append(schema.fields.indices
+            .map(i => s"${jsonString(schema.fields(i).name)}:${jsonValue(r.get(i), schema.fields(i).dataType)}")
+            .mkString("{", ",", "}")).append('\n')
+          n += 1
+        }
+        n
       case "jsoncompacteachrow" =>
-        rows.map(r => schema.fields.indices
-          .map(i => jsonValue(r.get(i), schema.fields(i).dataType))
-          .mkString("[", ",", "]")).mkString("", "\n", "\n")
-      case "pretty" | "prettycompact" => pretty(schema, rows)
+        var n = 0L
+        rows.foreach { r =>
+          out.append(schema.fields.indices
+            .map(i => jsonValue(r.get(i), schema.fields(i).dataType))
+            .mkString("[", ",", "]")).append('\n')
+          n += 1
+        }
+        n
+      case "pretty" | "prettycompact" => pretty(schema, rows, out)
       case other => throw new IllegalArgumentException(s"unknown format: $other")
     }
-  }
 
   // ---- text value rendering (ClickHouse text-format rules) ----
 
@@ -98,24 +127,26 @@ object ResultFormatter {
       "\"" + s.replace("\"", "\"\"") + "\""
     else s
 
-  private def delimited(schema: StructType, rows: Array[Row], sep: String,
-                        header: Boolean, csvQuote: Boolean = false,
-                        typesRow: Boolean = false): String = {
-    val sb = new StringBuilder
-    if (header) sb.append(schema.fieldNames.mkString(sep)).append('\n')
+  private def delimited(schema: StructType, rows: Iterator[Row], sep: String,
+                        out: Appendable, header: Boolean,
+                        csvQuote: Boolean = false,
+                        typesRow: Boolean = false): Long = {
+    if (header) out.append(schema.fieldNames.mkString(sep)).append('\n')
     if (typesRow) // ...AndTypes: second header row with ClickHouse type names
-      sb.append(schema.fields.map(ChTypeNames.fieldName).mkString(sep)).append('\n')
+      out.append(schema.fields.map(ChTypeNames.fieldName).mkString(sep)).append('\n')
+    var n = 0L
     rows.foreach { r =>
       val cells = schema.fields.indices.map { i =>
-        if (r.isNullAt(i)) { if (csvQuote) "\\N" else "\\N" }
+        if (r.isNullAt(i)) "\\N"
         else {
           val raw = textValue(r.get(i), schema.fields(i).dataType)
           if (csvQuote) csvQuoteStr(raw) else tsvEscape(raw)
         }
       }
-      sb.append(cells.mkString(sep)).append('\n')
+      out.append(cells.mkString(sep)).append('\n')
+      n += 1
     }
-    sb.toString
+    n
   }
 
   // ---- JSON envelope ----
@@ -159,33 +190,55 @@ object ResultFormatter {
     case other => jsonString(textValue(other, dt))
   }
 
-  private def jsonEnvelope(schema: StructType, rows: Array[Row],
-                           elapsed: Double, compact: Boolean): String = {
+  /** The `{meta, data, rows, statistics}` envelope streams too: `rows`
+    * and `statistics` come AFTER `data` in the ClickHouse layout, so
+    * the count is known by the time it's needed. */
+  private def jsonEnvelope(schema: StructType, rows: Iterator[Row],
+                           out: Appendable, elapsed: () => Double,
+                           compact: Boolean): Long = {
     val meta = schema.fields.map(f =>
       s"""{"name":${jsonString(f.name)},"type":${jsonString(ChTypeNames.fieldName(f))}}""")
       .mkString("[", ",", "]")
-    val data =
-      if (compact)
-        rows.map(r => schema.fields.indices
-          .map(i => jsonValue(r.get(i), schema.fields(i).dataType))
-          .mkString("[", ",", "]")).mkString("[", ",", "]")
-      else
-        rows.map(r => schema.fields.indices
-          .map(i => s"${jsonString(schema.fields(i).name)}:${jsonValue(r.get(i), schema.fields(i).dataType)}")
-          .mkString("{", ",", "}")).mkString("[", ",", "]")
-    val stats = f"""{"elapsed":$elapsed%.6f,"rows_read":${rows.length},"bytes_read":0}"""
-    s"""{"meta":$meta,"data":$data,"rows":${rows.length},"statistics":$stats}"""
+    out.append("{\"meta\":").append(meta).append(",\"data\":[")
+    var n = 0L
+    rows.foreach { r =>
+      if (n > 0) out.append(',')
+      val cells = schema.fields.indices.map { i =>
+        if (compact) jsonValue(r.get(i), schema.fields(i).dataType)
+        else s"${jsonString(schema.fields(i).name)}:${jsonValue(r.get(i), schema.fields(i).dataType)}"
+      }
+      out.append(cells.mkString(if (compact) "[" else "{", ",",
+        if (compact) "]" else "}"))
+      n += 1
+    }
+    val stats = f"""{"elapsed":${elapsed()}%.6f,"rows_read":$n,"bytes_read":0}"""
+    out.append(s"""],"rows":$n,"statistics":$stats}""")
+    n
   }
 
-  private def pretty(schema: StructType, rows: Array[Row]): String = {
+  /** Pretty needs column widths, so it buffers — capped at ClickHouse's
+    * own interactive default (output_format_pretty_max_rows = 10000);
+    * the overflow count is reported like the CLI does. */
+  private def pretty(schema: StructType, rows: Iterator[Row],
+                     out: Appendable): Long = {
+    val maxRows = 10000
+    val buffered = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var extra = 0L
+    rows.foreach { r =>
+      if (buffered.length < maxRows) buffered += r else extra += 1
+    }
     val header = schema.fieldNames
-    val cells = rows.map(r => schema.fields.indices
+    val cells = buffered.toArray.map(r => schema.fields.indices
       .map(i => textValue(r.get(i), schema.fields(i).dataType)).toArray)
     val widths = header.indices.map(i =>
       (cells.map(_(i).length) :+ header(i).length).max)
     def line(c: Array[String]) =
       c.zip(widths).map { case (s, w) => s.padTo(w, ' ') }.mkString("| ", " | ", " |")
     val bar = widths.map("-" * _).mkString("+-", "-+-", "-+")
-    (Seq(bar, line(header.toArray), bar) ++ cells.map(line) :+ bar).mkString("", "\n", "\n")
+    out.append((Seq(bar, line(header.toArray), bar) ++ cells.map(line) :+ bar)
+      .mkString("", "\n", "\n"))
+    if (extra > 0)
+      out.append(s"Showed first $maxRows of ${maxRows + extra} rows.\n")
+    buffered.length + extra
   }
 }

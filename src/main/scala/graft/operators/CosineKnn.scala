@@ -72,19 +72,87 @@ object CosineKnn {
       .drop("planes")
 
   /** Embedding near-duplicate pairs: all (a < b) with cosine >= the
-    * threshold. Exact block-join formulation — normalize once, join,
-    * dot of unit vectors. Cosine thresholds admit no lossless bucketing
-    * (unlike SimHash/prefix filtering), so the exact variant is
-    * inherently quadratic: use it for bounded corpora/blocks, and the
-    * LSH/IVF paths when approximate recall is acceptable at scale.
-    * Ranking/filter uses the ROUNDED similarity so results are
-    * engine-independent. */
+    * threshold. Exact — cosine thresholds admit no lossless bucketing
+    * (unlike SimHash/prefix filtering), so O(n²) COMPUTE is inherent;
+    * what is NOT inherent is the naive `a < b` theta self-join's plan
+    * (BroadcastNestedLoopJoin: whole corpus broadcast, driver/executor
+    * OOM at scale). This formulation distributes the quadratic work as
+    * an EQUI-join on block pairs: rows are hashed into `blocks`
+    * id-blocks; every unordered row pair meets in exactly one of the
+    * B(B+1)/2 (i<=j) block-pair tasks, each a bounded
+    * block-size×block-size cartesian. Replication factor ~B/2 on the
+    * shuffle; per-task memory is one block, tunable independently of
+    * corpus size. Ranking/filter uses the ROUNDED similarity so
+    * results are engine-independent. */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                   threshold: Double): DataFrame = {
+                   threshold: Double, blocks: Int = 8): DataFrame = {
     val u = corpus.select(col(idCol).as("id"), asDouble(vecCol).as("v"))
       .withColumn("n", sqrt(dot("v", "v")))
       .select(col("id"), expr("transform(v, x -> x / n)").as("u"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("blk", pmod(xxhash64(col("id")), lit(blocks)).cast("int"))
+    // a row in block k is the LEFT side of tasks (k, j>=k) and the
+    // RIGHT side of tasks (i<=k, k)
+    val lhs = u.withColumn("pj", explode(expr(s"sequence(blk, ${blocks - 1})")))
+      .select(col("id").as("ia"), col("u").as("ua"),
+        col("blk").as("pi"), col("pj"))
+    val rhs = u.withColumn("pi", explode(expr("sequence(0, blk)")))
+      .select(col("id").as("ib"), col("u").as("ub"),
+        col("pi"), col("blk").as("pj"))
+    lhs.join(rhs, Seq("pi", "pj"))
+      // same-block pairs meet twice (both orders): keep one; cross-block
+      // pairs meet exactly once in whichever order the blocks fell
+      .filter(col("pi") =!= col("pj") || col("ia") < col("ib"))
+      .filter(col("ia") =!= col("ib"))
+      .withColumn("sim", round(dot("ua", "ub"), 6))
+      .filter(col("sim") >= threshold)
+      .select(least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"), col("sim"))
+  }
+
+  /** Approximate near-dup pairs for realistic high thresholds — the
+    * 100 TB path when O(n²) compute is off the table. Candidates are
+    * generated by `nTables` independent sign-LSH tables of `nPlanes`
+    * hyperplanes each (a pair is a candidate iff it collides in ANY
+    * table — an equi-join on (table, bucket)); candidates are reranked
+    * with the exact unit-vector dot so every emitted pair is exact.
+    * Recall is probabilistic: at cosine >= 0.9 (angle <= 26°) per-plane
+    * agreement is >= 0.86, so 4 tables × 8 planes miss a true pair with
+    * p < 1% — asserted vs brute force in OperatorsSpec. Use
+    * [[nearDupPairs]] when exactness is required and the corpus is
+    * bounded. */
+  def lshNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, nPlanes: Int = 8, nTables: Int = 4,
+                      dim: Int = 64): DataFrame = {
+    val u = corpus.select(col(idCol).as("id"), asDouble(vecCol).as("v"))
+      .withColumn("n", sqrt(dot("v", "v")))
+      .select(col("id"), expr("transform(v, x -> x / n)").as("u"))
+    val h = u.withColumn("planes", planesLit(nPlanes * nTables, dim))
+      .withColumn("t", explode(expr(s"sequence(0, ${nTables - 1})")))
+      .withColumn("bucket", expr(
+        s"""aggregate(sequence(0, ${nPlanes - 1}), 0,
+              (acc, p) -> acc + CASE WHEN
+                aggregate(zip_with(u, element_at(planes, t * $nPlanes + p + 1),
+                  (x, h) -> x * h), cast(0 AS DOUBLE), (a, x) -> a + x) > 0
+              THEN shiftleft(1, p) ELSE 0 END)"""))
+      .select(col("id"), col("u"), col("t"), col("bucket"))
+    h.select(col("id").as("a"), col("u").as("ua"), col("t"), col("bucket"))
+      .join(h.select(col("id").as("b"), col("u").as("ub"),
+        col("t"), col("bucket")), Seq("t", "bucket"))
+      .filter(col("a") < col("b"))
+      .dropDuplicates("a", "b") // collided in >1 table
+      .withColumn("sim", round(dot("ua", "ub"), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("a"), col("b"), col("sim"))
+  }
+
+  /** Reference formulation of [[nearDupPairs]] — the naive `a < b`
+    * theta self-join. Used by specs as the in-engine oracle; do not use
+    * at scale (BroadcastNestedLoopJoin). */
+  def nearDupPairsBruteForce(corpus: DataFrame, idCol: String,
+                             vecCol: String, threshold: Double): DataFrame = {
+    val u = corpus.select(col(idCol).as("id"), asDouble(vecCol).as("v"))
+      .withColumn("n", sqrt(dot("v", "v")))
+      .select(col("id"), expr("transform(v, x -> x / n)").as("u"))
     u.select(col("id").as("a"), col("u").as("ua"))
       .join(u.select(col("id").as("b"), col("u").as("ub")), col("a") < col("b"))
       .withColumn("sim", round(dot("ua", "ub"), 6))

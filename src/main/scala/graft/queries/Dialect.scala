@@ -444,6 +444,145 @@ object Dialect {
       SELECT range AS number, CAST(range AS SMALLINT) AS u8,
              CAST(range AS BIGINT) AS i64, CAST(range AS DOUBLE) AS f64,
              CAST(range * 1000000000 AS DECIMAL(20,0)) AS u64
-      FROM range(5) ORDER BY number"""))
+      FROM range(5) ORDER BY number""")),
+
+    // F18: tier-2 date/time family (quarter/weekday grids, ts arithmetic)
+    Q("f18_ch_datetime2", ch("""
+      SELECT number,
+             toInt64(toQuarter(addDays(toDate('2024-01-01'), toInt32(number * 40)))) AS q,
+             toInt64(toDayOfYear(addDays(toDate('2024-01-01'), toInt32(number * 40)))) AS doy,
+             toMonday(addDays(toDate('2024-01-01'), toInt32(number * 40))) AS mon,
+             toStartOfQuarter(addDays(toDate('2024-01-01'), toInt32(number * 40))) AS soq,
+             toStartOfWeek(addDays(toDate('2024-01-01'), toInt32(number * 40))) AS sow,
+             addHours(toDateTime('2024-03-01 10:00:00'), number) AS ah,
+             subtractMinutes(toDateTime('2024-03-01 10:00:00'), number * 7) AS sm,
+             toStartOfFiveMinutes(addMinutes(toDateTime('2024-03-01 10:01:00'),
+                                             number * 3)) AS s5,
+             yesterday() < today() AS y
+      FROM numbers(20) ORDER BY number"""),
+      Some("""
+      WITH n AS (SELECT range AS num FROM range(20)),
+      d AS (SELECT num, DATE '2024-01-01' + INTERVAL (num * 40) DAY AS dd FROM n)
+      SELECT num AS number,
+             CAST(quarter(dd) AS BIGINT) AS q,
+             CAST(dayofyear(dd) AS BIGINT) AS doy,
+             CAST(date_trunc('week', dd) AS DATE) AS mon,
+             CAST(date_trunc('quarter', dd) AS DATE) AS soq,
+             CAST(date_trunc('week', dd + INTERVAL 1 DAY) - INTERVAL 1 DAY AS DATE) AS sow,
+             TIMESTAMP '2024-03-01 10:00:00' + INTERVAL (num) HOUR AS ah,
+             TIMESTAMP '2024-03-01 10:00:00' - INTERVAL (num * 7) MINUTE AS sm,
+             make_timestamp((CAST(epoch(TIMESTAMP '2024-03-01 10:01:00'
+               + INTERVAL (num * 3) MINUTE) AS BIGINT) // 300) * 300 * 1000000) AS s5,
+             true AS y
+      FROM d ORDER BY number""")),
+
+    // F19: OrZero/OrNull try-conversions + parseDateTimeBestEffort
+    Q("f19_ch_typeconv", ch("""
+      SELECT number,
+             toInt32OrNull(if(number % 3 = 0, 'x', toString(number))) AS i_n,
+             toInt64OrZero(if(number % 3 = 0, 'x', toString(number))) AS i_z,
+             toFloat64OrNull(concat(toString(number), '.5')) AS f_n,
+             toString(toDateOrNull(if(number % 2 = 0, '2024-01-15', 'nope'))) AS d_n,
+             parseDateTimeBestEffort(toString(1700000000 + number)) AS ts_u,
+             parseDateTimeBestEffortOrNull('2024-02-29 12:30:00') AS ts_iso
+      FROM numbers(12) ORDER BY number"""),
+      Some("""
+      WITH n AS (SELECT range AS num FROM range(12))
+      SELECT num AS number,
+             TRY_CAST(CASE WHEN num % 3 = 0 THEN 'x'
+                           ELSE CAST(num AS VARCHAR) END AS INTEGER) AS i_n,
+             COALESCE(TRY_CAST(CASE WHEN num % 3 = 0 THEN 'x'
+                               ELSE CAST(num AS VARCHAR) END AS BIGINT), 0) AS i_z,
+             TRY_CAST(CAST(num AS VARCHAR) || '.5' AS DOUBLE) AS f_n,
+             CAST(TRY_CAST(CASE WHEN num % 2 = 0 THEN '2024-01-15'
+                           ELSE 'nope' END AS DATE) AS VARCHAR) AS d_n,
+             make_timestamp((1700000000 + num) * 1000000) AS ts_u,
+             TIMESTAMP '2024-02-29 12:30:00' AS ts_iso
+      FROM n ORDER BY number""")),
+
+    // F20: tier-2 array family (min/max/avg/product, push/pop,
+    // cumulative sums, differences) — arrays serialized for the compare
+    Q("f20_ch_arrays2", ch("""
+      SELECT number,
+             toInt64(arrayMin(range(1, number + 2))) AS mn,
+             toInt64(arrayMax(range(1, number + 2))) AS mx,
+             round(arrayAvg(range(1, number + 2)), 6) AS av,
+             round(arrayProduct(range(1, number + 2)), 2) AS pr,
+             arrayStringConcat(arrayMap(x -> toString(x),
+               arrayPushBack(range(3), number)), ',') AS pb,
+             arrayStringConcat(arrayMap(x -> toString(x),
+               arrayPopFront(range(1, number + 2))), ',') AS pf,
+             arrayStringConcat(arrayMap(x -> toString(toInt64(x)),
+               arrayCumSum(range(1, number + 2))), ',') AS cs,
+             arrayStringConcat(arrayMap(x -> toString(x),
+               arrayDifference(range(1, number + 2))), ',') AS df
+      FROM numbers(8) ORDER BY number"""),
+      Some("""
+      WITH n AS (SELECT range AS num FROM range(8)),
+      a AS (SELECT num, range(1, num + 2) AS l FROM n)
+      SELECT num AS number,
+             CAST(list_min(l) AS BIGINT) AS mn,
+             CAST(list_max(l) AS BIGINT) AS mx,
+             round(list_avg(l), 6) AS av,
+             round(CAST(list_product(l) AS DOUBLE), 2) AS pr,
+             array_to_string(list_append(range(3), num), ',') AS pb,
+             COALESCE(array_to_string(l[2:], ','), '') AS pf,
+             array_to_string(list_transform(range(1, len(l) + 1),
+               i -> CAST(list_sum(l[1:i]) AS BIGINT)), ',') AS cs,
+             array_to_string(list_transform(range(1, len(l) + 1),
+               i -> CASE WHEN i = 1 THEN 0 ELSE l[i] - l[i-1] END), ',') AS df
+      FROM a ORDER BY number""")),
+
+    // F21: tier-2 strings + IPv4 + URL-cut
+    Q("f21_ch_strings3", ch("""
+      SELECT number,
+             mid('hello world', 2, 5) AS m,
+             base64Encode(toString(number * 1000)) AS b64,
+             base64Decode(base64Encode('graft')) AS rt,
+             arrayStringConcat(splitByWhitespace('a  b c'), '|') AS sw,
+             toInt64(countMatches(concat('a,b,c,', toString(number)), ',')) AS cm,
+             IPv4NumToString(toUInt32(16909060 + number)) AS ip,
+             IPv4StringToNum('1.2.3.4') AS ipn,
+             cutQueryString(concat('http://x.com/p?q=', toString(number))) AS cq,
+             cutQueryStringAndFragment(concat('http://x.com/p?q=1#f',
+                                              toString(number))) AS cqf
+      FROM numbers(5) ORDER BY number"""),
+      Some("""
+      WITH n AS (SELECT range AS num FROM range(5))
+      SELECT num AS number,
+             substring('hello world', 2, 5) AS m,
+             to_base64(CAST(CAST(num * 1000 AS VARCHAR) AS BLOB)) AS b64,
+             'graft' AS rt,
+             'a|b|c' AS sw,
+             CAST(len(regexp_extract_all('a,b,c,' || CAST(num AS VARCHAR), ','))
+                  AS BIGINT) AS cm,
+             CAST((16909060 + num) // 16777216 % 256 AS VARCHAR) || '.' ||
+             CAST((16909060 + num) // 65536 % 256 AS VARCHAR) || '.' ||
+             CAST((16909060 + num) // 256 % 256 AS VARCHAR) || '.' ||
+             CAST((16909060 + num) % 256 AS VARCHAR) AS ip,
+             16909060 AS ipn,
+             'http://x.com/p' AS cq,
+             'http://x.com/p' AS cqf
+      FROM n ORDER BY number""")),
+
+    // F22: tier-2 aggregates (weighted mean, Kahan sum, popcount;
+    // skewPop via DuckDB's sample-skew correction factor)
+    Q("f22_ch_aggs2", ch("""
+      SELECT l_returnflag,
+             round(avgWeighted(CAST(l_extendedprice AS Float64),
+                               CAST(l_quantity AS Float64)), 4) AS aw,
+             round(sumKahan(l_discount), 4) AS sk,
+             round(skewPop(CAST(l_quantity AS Float64)), 4) AS sp,
+             toInt64(bitCount(count())) AS bc
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      Some("""
+      SELECT l_returnflag,
+             round(sum(CAST(l_extendedprice AS DOUBLE) * CAST(l_quantity AS DOUBLE))
+                   / sum(CAST(l_quantity AS DOUBLE)), 4) AS aw,
+             round(sum(CAST(l_discount AS DOUBLE)), 4) AS sk,
+             round(skewness(CAST(l_quantity AS DOUBLE))
+                   * (count(*) - 2) / sqrt(count(*) * (count(*) - 1.0)), 4) AS sp,
+             CAST(bit_count(count(*)) AS BIGINT) AS bc
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -193,6 +193,18 @@ object LlmPipeline {
       WHERE round(list_inner_product(a.uv, b.uv), 6) >= 0.45
       ORDER BY a, b""")),
 
+    // L15: LSH-candidate near-dup pairs (multi-table sign-LSH + exact
+    // rerank) — the approximate 100 TB path beside exact l12. The
+    // fixture's threshold is low (uniform vectors, LSH's worst case),
+    // so rows are a superset-recall sample; recall itself is asserted
+    // in OperatorsSpec on clustered data => no SQL oracle.
+    Q("l15_cosine_neardup_lsh", (s, dir) => {
+      CosineKnn.lshNearDupPairs(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.45,
+          nPlanes = 4, nTables = 6)
+        .orderBy("a", "b")
+    }, None),
+
     // L7: language-ID by stopword-profile scoring
     Q("l7_langid", (s, dir) => {
       val scored = docsWithToks(s, dir).select(

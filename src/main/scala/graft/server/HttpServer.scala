@@ -89,18 +89,38 @@ class HttpServer(spark: SparkSession, port: Int,
       // response headers ClickHouse clients read
       ex.getResponseHeaders.set("X-ClickHouse-Format", fmt)
       ex.getResponseHeaders.set("X-ClickHouse-Timezone", "UTC")
-      if (fmt.equalsIgnoreCase("Native"))
-        respondBytes(ex, 200, NativeCodec.encode(df), "application/octet-stream")
-      else {
+      // Results stream to the socket chunked (length 0) through
+      // toLocalIterator — driver memory stays bounded by one partition
+      // regardless of result size. Parse/analysis errors were already
+      // raised above (Spark analyzes eagerly), so the 400 contract
+      // holds; a mid-stream runtime failure truncates the body, the
+      // same visible behavior as ClickHouse's own streamed HTTP.
+      if (fmt.equalsIgnoreCase("Native")) {
+        ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
+        ex.sendResponseHeaders(200, 0)
+        val os = new java.io.BufferedOutputStream(ex.getResponseBody, 1 << 16)
+        import scala.jdk.CollectionConverters._
+        NativeCodec.writeBlocks(os, df.schema,
+          df.toLocalIterator().asScala, blockRows = 65536)
+        os.close()
+      } else {
         val contentType =
           if (fmt.toLowerCase.startsWith("json")) "application/json" else "text/plain"
-        respondBytes(ex, 200, ResultFormatter.render(df, fmt).getBytes(UTF_8), contentType)
+        ex.getResponseHeaders.set("Content-Type", contentType)
+        ex.sendResponseHeaders(200, 0)
+        val w = new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(ex.getResponseBody, UTF_8), 1 << 16)
+        ResultFormatter.write(df, fmt, w)
+        w.close()
       }
     } catch {
       case t: Throwable =>
-        // error contract: non-empty message, status 400 (main.py:863-868)
+        // error contract: non-empty message, status 400 (main.py:863-868).
+        // If streaming already started the headers are gone — close the
+        // connection to truncate the body (client sees a short read).
         val msg = Option(t.getMessage).getOrElse(t.getClass.getSimpleName)
-        respond(ex, 400, msg + "\n")
+        try respond(ex, 400, msg + "\n")
+        catch { case _: Throwable => ex.close() }
     }
   }
 
@@ -172,21 +192,88 @@ object UserSessions {
 }
 
 object HttpServer {
-  /** Minimal query UI served at /play (the reference vendors the
-    * ClickHouse Play page, main.py:907-917; this is our own tiny
-    * equivalent, same endpoint contract). */
+  /** Query UI served at /play — our own implementation of the contract
+    * the reference's vendored ClickHouse Play page exercises
+    * (main.py:907-917 serves it; it POSTs the query to `/` with
+    * `default_format=JSONCompact` and renders the `{meta, data, rows,
+    * statistics}` envelope, index.html:706-712). Same wire behavior,
+    * independent page: editor with Ctrl+Enter, tabular results with
+    * column types, row/elapsed stats, error surface, and a table
+    * browser fed by the system.tables/system.columns probes. */
   val playHtml: String =
-    """<!DOCTYPE html><html><head><title>graft play</title></head>
-      |<body><h3>graft</h3>
-      |<textarea id="q" rows="6" cols="80">SELECT version()</textarea><br>
-      |<button onclick="run()">Run</button>
-      |<pre id="out"></pre>
+    """<!DOCTYPE html><html><head><meta charset="utf-8">
+      |<title>graft play</title>
+      |<style>
+      |:root { --bg:#fff; --fg:#1a1a1a; --mut:#777; --line:#ddd; --acc:#e6a23c; }
+      |@media (prefers-color-scheme: dark) {
+      |  :root { --bg:#1e1e1e; --fg:#ddd; --mut:#999; --line:#444; --acc:#e6a23c; } }
+      |body { background:var(--bg); color:var(--fg);
+      |  font:14px/1.4 system-ui,sans-serif; margin:0; padding:12px; }
+      |h1 { font-size:16px; margin:0 0 8px; }
+      |h1 span { color:var(--acc); }
+      |#q { width:100%; box-sizing:border-box; height:110px;
+      |  background:var(--bg); color:var(--fg); border:1px solid var(--line);
+      |  font:13px/1.4 ui-monospace,monospace; padding:8px; resize:vertical; }
+      |#bar { margin:8px 0; display:flex; gap:12px; align-items:center; }
+      |button { background:var(--acc); border:0; padding:6px 18px;
+      |  font-weight:600; cursor:pointer; border-radius:3px; }
+      |#stats { color:var(--mut); font-size:12px; }
+      |#err { color:#d33; white-space:pre-wrap; font-family:monospace; }
+      |table { border-collapse:collapse; font-size:13px; }
+      |th,td { border:1px solid var(--line); padding:3px 8px; text-align:left;
+      |  font-family:ui-monospace,monospace; white-space:pre; }
+      |th { cursor:default; } th small { color:var(--mut); font-weight:400; }
+      |#tables { color:var(--mut); font-size:12px; margin-top:10px; }
+      |#tables code { cursor:pointer; margin-right:8px; }
+      |</style></head><body>
+      |<h1><span>graft</span> play</h1>
+      |<textarea id="q" spellcheck="false">SELECT version()</textarea>
+      |<div id="bar"><button onclick="run()">Run (Ctrl+Enter)</button>
+      |<span id="stats"></span></div>
+      |<div id="err"></div><div id="out"></div><div id="tables"></div>
       |<script>
-      |async function run() {
-      |  const r = await fetch('/?default_format=JSONCompact', {
-      |    method: 'POST', body: document.getElementById('q').value});
-      |  document.getElementById('out').textContent = await r.text();
+      |const $ = id => document.getElementById(id);
+      |function esc(s) { return String(s).replace(/[&<>]/g,
+      |  c => ({'&':'&amp;','<':'&lt;','>':'&gt;'}[c])); }
+      |async function q(sql) {
+      |  const r = await fetch('/?default_format=JSONCompact',
+      |    {method:'POST', body: sql});
+      |  const text = await r.text();
+      |  if (!r.ok) throw new Error(text);
+      |  return JSON.parse(text);
       |}
+      |async function run() {
+      |  $('err').textContent = ''; $('out').innerHTML = '';
+      |  $('stats').textContent = '…';
+      |  try {
+      |    const t0 = performance.now();
+      |    const j = await q($('q').value);
+      |    const ms = (performance.now() - t0).toFixed(0);
+      |    $('stats').textContent = j.rows + ' rows, ' + ms + ' ms (server ' +
+      |      (j.statistics.elapsed * 1000).toFixed(0) + ' ms)';
+      |    let h = '<table><tr>' + j.meta.map(m => '<th>' + esc(m.name) +
+      |      '<br><small>' + esc(m.type) + '</small></th>').join('') + '</tr>';
+      |    for (const row of j.data.slice(0, 1000))
+      |      h += '<tr>' + row.map(v => '<td>' +
+      |        (v === null ? '<i>NULL</i>' : esc(typeof v === 'object' ?
+      |          JSON.stringify(v) : v)) + '</td>').join('') + '</tr>';
+      |    $('out').innerHTML = h + '</table>' + (j.data.length > 1000 ?
+      |      '<p>showing first 1000 of ' + j.rows + ' rows</p>' : '');
+      |  } catch (e) { $('stats').textContent = ''; $('err').textContent = e.message; }
+      |}
+      |$('q').addEventListener('keydown', e => {
+      |  if (e.key === 'Enter' && (e.ctrlKey || e.metaKey)) run(); });
+      |(async () => {
+      |  try {
+      |    const j = await q('SELECT database, name FROM system.tables ' +
+      |      "WHERE database NOT IN ('system') ORDER BY database, name");
+      |    $('tables').innerHTML = 'tables: ' + j.data.map(r =>
+      |      '<code>' + esc(r[1]) + '</code>').join('');
+      |    for (const c of $('tables').querySelectorAll('code'))
+      |      c.onclick = () => { $('q').value =
+      |        'SELECT * FROM ' + c.textContent + ' LIMIT 100'; run(); };
+      |  } catch (e) {}
+      |})();
       |</script></body></html>
       |""".stripMargin
 }

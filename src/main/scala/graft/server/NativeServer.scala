@@ -144,30 +144,34 @@ class NativeServer(spark: SparkSession, port: Int,
         bare.trim.toUpperCase.startsWith("WITH")
       if (isSelect) {
         val t0 = System.nanoTime()
-        // stream the result as bounded blocks (ClickHouse block
-        // granularity), not one monolith — bounds per-packet memory
-        val rows = df.collect()
-        // PROGRESS before the data (additive: the reference defines the
-        // constant, main.py:57, but never emits one; field order/gates
-        // follow the public wire protocol). Bytes are an estimate — a
-        // progress indicator, not an invariant.
+        // Stream the result as bounded blocks through toLocalIterator —
+        // driver memory is one partition + one block, never the whole
+        // result (the scale-safe boundary; a collect() here is the
+        // 100 TB driver-OOM). A delta PROGRESS packet precedes each
+        // DATA block (additive: the reference defines the constant,
+        // main.py:57, but never emits one; field order/gates follow the
+        // public wire protocol; ClickHouse progress is incremental).
+        // Bytes are an estimate — a progress indicator, not an
+        // invariant; totals are 0 = unknown while streaming.
         val used = math.min(clientRevision, Revision)
-        val approxBytes = rows.length.toLong * df.schema.fields.length * 8
-        writeVarint(out, ServerProgress)
-        writeVarint(out, rows.length.toLong) // read_rows
-        writeVarint(out, approxBytes)        // read_bytes
-        if (used >= 51554) writeVarint(out, rows.length.toLong) // total_rows_to_read
-        if (used >= 54463) writeVarint(out, approxBytes) // total_bytes_to_read
-        if (used >= 54420) { writeVarint(out, 0); writeVarint(out, 0) } // written rows/bytes
-        if (used >= 54460) writeVarint(out, System.nanoTime() - t0) // elapsed_ns
-        val chunks = if (rows.isEmpty) Seq(rows) else rows.grouped(blockRows).toSeq
-        chunks.foreach { chunk =>
-          writeVarint(out, ServerData)
-          writeStr(out, "") // table name
-          writeBlockInfo(out)
-          out.write(NativeCodec.encode(df.schema, chunk,
-            customSerFlag = clientRevision >= 54454))
-        }
+        val nCols = df.schema.fields.length
+        import scala.jdk.CollectionConverters._
+        NativeCodec.writeBlocks(out, df.schema,
+          df.toLocalIterator().asScala, blockRows,
+          customSerFlag = clientRevision >= 54454,
+          frame = { blockLen =>
+            val approxBytes = blockLen.toLong * nCols * 8
+            writeVarint(out, ServerProgress)
+            writeVarint(out, blockLen.toLong) // read_rows (delta)
+            writeVarint(out, approxBytes)     // read_bytes (delta)
+            if (used >= 51554) writeVarint(out, 0) // total_rows_to_read: unknown
+            if (used >= 54463) writeVarint(out, 0) // total_bytes_to_read: unknown
+            if (used >= 54420) { writeVarint(out, 0); writeVarint(out, 0) } // written rows/bytes
+            if (used >= 54460) writeVarint(out, System.nanoTime() - t0) // elapsed_ns
+            writeVarint(out, ServerData)
+            writeStr(out, "") // table name
+            writeBlockInfo(out)
+          })
       }
       writeVarint(out, ServerEndOfStream)
       out.flush()

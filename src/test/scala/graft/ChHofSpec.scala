@@ -249,4 +249,67 @@ class ChHofSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(rows.toSeq === Seq((0L, 5L), (1L, 4L), (2L, 3L)))
   }
+
+  test("arrayEnumerateDense/Uniq number duplicates the ClickHouse way") {
+    // dense: ids in first-appearance order; uniq: per-value occurrence #
+    assert(one("SELECT toString(arrayEnumerateDense([10,20,10,30]))")
+      === "[1, 2, 1, 3]")
+    assert(one("SELECT toString(arrayEnumerateUniq([10,20,10,10]))")
+      === "[1, 1, 2, 3]")
+  }
+
+  test("arrayFirst/arrayLast/arrayFirstIndex take the lambda first") {
+    assert(one("SELECT arrayFirst(x -> x > 2, [1,2,3,4])") === 3)
+    assert(one("SELECT arrayLast(x -> x > 2, [1,2,3,4])") === 4)
+    assert(one("SELECT arrayFirstIndex(x -> x > 2, [1,2,3,4])") === 3L)
+    assert(one("SELECT arrayFirstIndex(x -> x > 9, [1,2,3,4])") === 0L)
+  }
+
+  test("float classification: isNaN/isInfinite/isFinite") {
+    assert(one("SELECT isNaN(sqrt(-1))") === true)
+    assert(one("SELECT isInfinite(toFloat64OrNull('Infinity'))") === true)
+    assert(one("SELECT isFinite(1.5)") === true)
+    assert(one("SELECT isFinite(toFloat64OrNull('-Infinity'))") === false)
+  }
+
+  test("toStartOfWeek mode 1 is Monday; default mode is Sunday") {
+    // 2024-03-06 is a Wednesday
+    assert(one("SELECT toString(toStartOfWeek(toDate('2024-03-06'), 1))")
+      === "2024-03-04")
+    assert(one("SELECT toString(toStartOfWeek(toDate('2024-03-06')))")
+      === "2024-03-03")
+  }
+
+  test("roundBankers rounds half to even") {
+    assert(one("SELECT roundBankers(2.5)") === 2.0d)
+    assert(one("SELECT roundBankers(3.5)") === 4.0d)
+    assert(one("SELECT roundBankers(2.345, 2)") === 2.34d)
+  }
+
+  test("sipHash64 matches the SipHash-2-4 paper test vectors") {
+    // reference vectors (Aumasson & Bernstein, public-domain impl):
+    // key = 00..0f (k0/k1 little-endian), input = 00 01 .. (len-1)
+    val k0 = 0x0706050403020100L
+    val k1 = 0x0f0e0d0c0b0a0908L
+    def in(len: Int) = Array.tabulate[Byte](len)(_.toByte)
+    assert(graft.functions.SipHash.sipHash64Keyed(k0, k1, in(0))
+      === 0x726fdb47dd0e0e31L)
+    assert(graft.functions.SipHash.sipHash64Keyed(k0, k1, in(8))
+      === 0x93f5f5799a932462L)
+    assert(graft.functions.SipHash.sipHash64Keyed(k0, k1, in(15))
+      === 0xa129ca6149be45e5L)
+    // the SQL surface: zero-key variant, deterministic and non-trivial
+    assert(one("SELECT sipHash64('a') != sipHash64('b')") === true)
+    assert(one("SELECT sipHash64('graft') = sipHash64('graft')") === true)
+    assert(one("SELECT sipHash64(toString(42)) = sipHash64('42')") === true)
+  }
+
+  test("kurtPop is population excess kurtosis") {
+    // [1,2,3,4,5]: m2=2, m4=6.8 -> 6.8/4 - 3 = -1.3
+    graft.dialect.ChFunctions.register(spark)
+    val v = spark.sql(graft.dialect.Transpiler.transpile(
+      "SELECT round(kurtPop(toFloat64(number + 1)), 6) AS k FROM numbers(5)"))
+      .collect().head.getDouble(0)
+    assert(v === -1.3d)
+  }
 }

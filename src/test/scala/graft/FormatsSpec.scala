@@ -149,4 +149,40 @@ class FormatsSpec extends AnyFunSuite {
     val in = new java.io.ByteArrayInputStream(out.toByteArray)
     vals.foreach(v => assert(NativeCodec.readVarint(in) === v))
   }
+
+  test("writeBlocks streams bounded multi-block Native via toLocalIterator") {
+    import scala.jdk.CollectionConverters._
+    val df = spark.range(10).selectExpr("id", "cast(id AS string) AS s")
+    val bos = new java.io.ByteArrayOutputStream()
+    var frames = List.empty[Int]
+    val n = NativeCodec.writeBlocks(bos, df.schema,
+      df.toLocalIterator().asScala, blockRows = 3,
+      frame = len => frames = frames :+ len)
+    assert(n === 10)
+    assert(frames.sum === 10)
+    assert(frames.forall(_ <= 3)) // no block exceeds the bound
+    // the concatenation decodes back to all 10 rows, block by block
+    val in = new java.io.ByteArrayInputStream(bos.toByteArray)
+    val ids = frames.flatMap { _ =>
+      val block = NativeCodec.decode(in)
+      assert(block.map(_._1) === Seq("id", "s"))
+      block.head._3
+    }
+    assert(ids === (0L until 10L).toList)
+  }
+
+  test("writeBlocks on an empty result emits one zero-row schema block") {
+    import scala.jdk.CollectionConverters._
+    val df = spark.range(5).filter("id < 0").selectExpr("id")
+    val bos = new java.io.ByteArrayOutputStream()
+    var frames = List.empty[Int]
+    val n = NativeCodec.writeBlocks(bos, df.schema,
+      df.toLocalIterator().asScala, blockRows = 3,
+      frame = len => frames = frames :+ len)
+    assert(n === 0)
+    assert(frames === List(0))
+    val block = NativeCodec.decode(bos.toByteArray)
+    assert(block.map(_._1) === Seq("id")) // clients still learn the schema
+    assert(block.head._3.isEmpty)
+  }
 }

@@ -127,6 +127,20 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one.statusCode() === 200 && one.body() === "0\n")
   }
 
+  test("system.columns / system.functions answer completion probes") {
+    val cols = get(s"/?query=${enc(
+      "SELECT name, type FROM system.columns WHERE table = 'nation' ORDER BY position")}")
+    assert(cols.statusCode() === 200, cols.body())
+    assert(cols.body().contains("n_nationkey"), cols.body())
+    val fns = get(s"/?query=${enc(
+      "SELECT name FROM system.functions WHERE is_aggregate = 1 ORDER BY name")}")
+    assert(fns.statusCode() === 200, fns.body())
+    assert(fns.body().contains("uniq"), fns.body())
+    val scalar = get(s"/?query=${enc(
+      "SELECT name FROM system.functions WHERE is_aggregate = 0")}")
+    assert(scalar.body().contains("toYYYYMM"), scalar.body().take(500))
+  }
+
   test("database= param is request-scoped, not sticky (main.py:860-861)") {
     get(s"/?query=${enc("CREATE DATABASE IF NOT EXISTS dbscope")}")
     get(s"/?query=${enc("CREATE TABLE IF NOT EXISTS dbscope.tscope (id Int64) ENGINE=Memory")}")

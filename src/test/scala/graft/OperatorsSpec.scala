@@ -199,4 +199,48 @@ class OperatorsSpec extends AnyFunSuite {
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.4, s"recall=$recall")
   }
+
+  test("CosineKnn block-pair nearDupPairs == brute force, with no nested-loop join") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val blocked = CosineKnn.nearDupPairs(e, "vec_id", "embedding", 0.40, blocks = 4)
+    val brute = CosineKnn.nearDupPairsBruteForce(e, "vec_id", "embedding", 0.40)
+    val got = blocked.select("a", "b", "sim")
+      .as[(Long, Long, Double)].collect().toSet
+    val want = brute.select("a", "b", "sim")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === want)
+    assert(want.nonEmpty) // threshold low enough that the test bites
+    // the scale property: the quadratic work rides an equi-join on
+    // block pairs, never a BroadcastNestedLoopJoin/CartesianProduct
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("CosineKnn lshNearDupPairs: every pair exact, recall >= 0.9 on clustered data") {
+    // clustered corpus — 20 bases x 5 jittered copies (deterministic),
+    // the regime LSH near-dup is built for (pairs at cosine ~0.99)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dim = 16
+    def vec(base: Int, j: Int): Array[Float] = Array.tabulate(dim) { d =>
+      val h = ((base * 31 + d) * 2654435761L & 0x7fffffff).toFloat / Int.MaxValue
+      (h - 0.5f) + (if (j == 0) 0f else ((j * 131 + d) % 7 - 3) * 0.004f)
+    }
+    val rows = for (b <- 0 until 20; j <- 0 until 5)
+      yield Row((b * 5 + j).toLong, vec(b, j).toSeq)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 4),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val want = CosineKnn.nearDupPairsBruteForce(df, "vec_id", "embedding", 0.95)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val got = CosineKnn.lshNearDupPairs(df, "vec_id", "embedding", 0.95,
+        nPlanes = 8, nTables = 4, dim = dim)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(want.size >= 100, s"fixture should pair within clusters, got ${want.size}")
+    assert((got -- want).isEmpty, "rerank is exact: no false positives")
+    val recall = (got & want).size.toDouble / want.size
+    assert(recall >= 0.9, s"recall=$recall")
+  }
 }
