@@ -165,6 +165,37 @@ object NativeCodec {
         writeStr(out, if (v == null) "" else v.toString)
     }
 
+  /** RowBinary / RowBinaryWithNamesAndTypes (public ClickHouse wire
+    * format): rows sequentially, each value with the same primitive
+    * encodings as Native; a Nullable value is prefixed with one flag
+    * byte (1 = NULL, nothing follows; 0 = the value follows). The
+    * WithNamesAndTypes header is column count + names + type names,
+    * varint/string framed. Streams — bounded by one partition. */
+  def writeRowBinary(out: java.io.OutputStream, schema: StructType,
+                     rows: Iterator[Row],
+                     withNamesAndTypes: Boolean): Long = {
+    val buf = new ByteArrayOutputStream()
+    if (withNamesAndTypes) {
+      writeVarint(buf, schema.fields.length)
+      schema.fields.foreach(f => writeStr(buf, f.name))
+      schema.fields.foreach(f => writeStr(buf, ChTypeNames.fieldName(f)))
+      out.write(buf.toByteArray); buf.reset()
+    }
+    var n = 0L
+    rows.foreach { r =>
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
+        if (f.nullable && ChTypeNames.nullableWrappable(f.dataType)) {
+          if (r.isNullAt(i)) buf.write(1)
+          else { buf.write(0); writeValue(buf, f.dataType, r.get(i)) }
+        } else writeValue(buf, f.dataType,
+          if (r.isNullAt(i)) null else r.get(i))
+      }
+      out.write(buf.toByteArray); buf.reset()
+      n += 1
+    }
+    n
+  }
+
   // ---- decode (round-trip testing + native-protocol relay) ----
 
   /** Decode one block into (columnName, chTypeName, values). */

@@ -79,8 +79,32 @@ object ResultFormatter {
         }
         n
       case "pretty" | "prettycompact" => pretty(schema, rows, out)
+      case "values" =>
+        // ClickHouse Values: (v1,v2),(v3,v4) — strings/dates quoted
+        // with the array-element rules, NULL bare
+        var n = 0L
+        rows.foreach { r =>
+          if (n > 0) out.append(',')
+          out.append(schema.fields.indices.map { i =>
+            if (r.isNullAt(i)) "NULL"
+            else valuesCell(r.get(i), schema.fields(i).dataType)
+          }.mkString("(", ",", ")"))
+          n += 1
+        }
+        if (n > 0) out.append('\n')
+        n
       case other => throw new IllegalArgumentException(s"unknown format: $other")
     }
+
+  /** Values-format cell: scalar strings/dates quote like array
+    * elements; containers already render with quoted elements. */
+  private def valuesCell(v: Any, dt: DataType): String = v match {
+    case _: String | _: java.sql.Date | _: java.time.LocalDate |
+         _: java.sql.Timestamp | _: java.time.Instant =>
+      arrayElement(v, dt)
+    case b: Array[Byte] => arrayElement(new String(b, "UTF-8"), dt)
+    case other => textValue(other, dt)
+  }
 
   // ---- text value rendering (ClickHouse text-format rules) ----
 

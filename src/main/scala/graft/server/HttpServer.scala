@@ -95,13 +95,19 @@ class HttpServer(spark: SparkSession, port: Int,
       // raised above (Spark analyzes eagerly), so the 400 contract
       // holds; a mid-stream runtime failure truncates the body, the
       // same visible behavior as ClickHouse's own streamed HTTP.
-      if (fmt.equalsIgnoreCase("Native")) {
+      val fmtLower = fmt.toLowerCase
+      if (fmtLower == "native" || fmtLower.startsWith("rowbinary")) {
         ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
         ex.sendResponseHeaders(200, 0)
         val os = new java.io.BufferedOutputStream(ex.getResponseBody, 1 << 16)
         import scala.jdk.CollectionConverters._
-        NativeCodec.writeBlocks(os, df.schema,
-          df.toLocalIterator().asScala, blockRows = 65536)
+        if (fmtLower == "native")
+          NativeCodec.writeBlocks(os, df.schema,
+            df.toLocalIterator().asScala, blockRows = 65536)
+        else
+          NativeCodec.writeRowBinary(os, df.schema,
+            df.toLocalIterator().asScala,
+            withNamesAndTypes = fmtLower == "rowbinarywithnamesandtypes")
         os.close()
       } else {
         val contentType =

@@ -171,6 +171,47 @@ class FormatsSpec extends AnyFunSuite {
     assert(ids === (0L until 10L).toList)
   }
 
+  test("RowBinary encodes fixed-width LE values with nullable flag bytes") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType, nullable = true)))
+    val df = spark.createDataFrame(
+      Seq(Row(7L, "ab"), Row(8L, null)).asJava, schema)
+    val bos = new java.io.ByteArrayOutputStream()
+    val n = NativeCodec.writeRowBinary(bos, df.schema,
+      df.toLocalIterator().asScala, withNamesAndTypes = false)
+    assert(n === 2)
+    val b = bos.toByteArray
+    // row 1: 8 LE bytes of 7, flag 0, varint len 2, 'a', 'b'
+    assert(b.take(8).toSeq === Seq[Byte](7, 0, 0, 0, 0, 0, 0, 0))
+    assert(b(8) === 0 && b(9) === 2 && b(10) === 'a'.toByte && b(11) === 'b'.toByte)
+    // row 2: 8 LE bytes of 8, flag 1, nothing follows
+    assert(b.slice(12, 20).toSeq === Seq[Byte](8, 0, 0, 0, 0, 0, 0, 0))
+    assert(b(20) === 1 && b.length === 21)
+  }
+
+  test("RowBinaryWithNamesAndTypes leads with the column header") {
+    import scala.jdk.CollectionConverters._
+    val df = spark.range(1).selectExpr("cast(id AS int) AS i")
+    val bos = new java.io.ByteArrayOutputStream()
+    NativeCodec.writeRowBinary(bos, df.schema,
+      df.toLocalIterator().asScala, withNamesAndTypes = true)
+    val b = bos.toByteArray
+    // ncols=1, name "i", type "Nullable(Int32)" (range output is nullable
+    // after the cast), then the row
+    assert(b(0) === 1 && b(1) === 1 && b(2) === 'i'.toByte)
+  }
+
+  test("Values format renders quoted tuples") {
+    val out = ResultFormatter.render(
+      spark.sql("SELECT * FROM VALUES (1, 'a'), (2, NULL) AS t(n, s)")
+        .orderBy("n"), "Values")
+    assert(out === "(1,'a'),(2,NULL)\n")
+  }
+
   test("writeBlocks on an empty result emits one zero-row schema block") {
     import scala.jdk.CollectionConverters._
     val df = spark.range(5).filter("id < 0").selectExpr("id")
