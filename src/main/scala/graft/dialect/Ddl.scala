@@ -72,7 +72,8 @@ object Ddl {
     "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+UPDATE\\s+(.+?)\\s+WHERE\\s+(.+)$".r
 
   def isDdl(sql: String): Boolean =
-    "(?is)^\\s*(CREATE|DROP|USE|INSERT|TRUNCATE|ALTER|OPTIMIZE)\\b".r
+    ("(?is)^\\s*(CREATE|DROP|USE|INSERT|TRUNCATE|ALTER|OPTIMIZE" +
+      "|SHOW|DESCRIBE|DESC|EXISTS)\\b").r
       .findFirstIn(sql).isDefined
 
   /** Execute one ClickHouse DDL/DML statement. */
@@ -126,11 +127,55 @@ object Ddl {
         // merge/compaction hint — storage detail with no user-visible
         // result contract; accepted as a no-op
         spark.emptyDataFrame
+      // ---- client-compat introspection (ClickHouse output shapes:
+      // drivers and UIs read these columns by NAME) ----
+      case showDatabasesRe() =>
+        spark.sql("SHOW DATABASES")
+          .select(org.apache.spark.sql.functions.col("namespace").as("name"))
+          .orderBy("name")
+      case showTablesRe(db) =>
+        val scope = Option(db).map(d => s"IN ${d.trim}").getOrElse("")
+        spark.sql(s"SHOW TABLES $scope")
+          .select(org.apache.spark.sql.functions.col("tableName").as("name"))
+          .orderBy("name")
+      case showCreateRe(name) =>
+        spark.sql(s"SHOW CREATE TABLE ${name.replace("`", "")}")
+          .select(org.apache.spark.sql.functions.col("createtab_stmt")
+            .as("statement"))
+      case describeRe(name) => describeTable(spark, name)
+      case existsRe(name) =>
+        val ok =
+          try spark.catalog.tableExists(name.replace("`", ""))
+          catch { case _: Throwable => false }
+        import spark.implicits._
+        Seq(if (ok) 1 else 0).toDF("result")
+          .select(org.apache.spark.sql.functions.col("result").cast("smallint"))
       case _ if "(?is)^\\s*(DROP|USE|TRUNCATE)\\b".r.findFirstIn(s).isDefined =>
         spark.sql(s)
       case other =>
         throw new IllegalArgumentException(s"unsupported DDL: $other")
     }
+  }
+
+  private val showDatabasesRe = "(?is)^\\s*SHOW\\s+DATABASES\\s*$".r
+  private val showTablesRe =
+    "(?is)^\\s*SHOW\\s+TABLES(?:\\s+(?:FROM|IN)\\s+([\\w`.]+))?\\s*$".r
+  private val showCreateRe =
+    "(?is)^\\s*SHOW\\s+CREATE\\s+(?:TABLE\\s+)?([\\w`.]+)\\s*$".r
+  private val describeRe =
+    "(?is)^\\s*(?:DESCRIBE|DESC)\\s+(?:TABLE\\s+)?([\\w`.]+)\\s*$".r
+  private val existsRe =
+    "(?is)^\\s*EXISTS\\s+(?:TABLE\\s+)?([\\w`.]+)\\s*$".r
+
+  /** `DESCRIBE TABLE t` in the ClickHouse 7-column shape (clients read
+    * name/type; the rest are empty here — no defaults/codecs/TTLs). */
+  private def describeTable(spark: SparkSession, name: String): DataFrame = {
+    import spark.implicits._
+    spark.table(name.replace("`", "")).schema.fields.toSeq
+      .map(f => (f.name, graft.formats.ChTypeNames.fieldName(f),
+        "", "", "", "", ""))
+      .toDF("name", "type", "default_type", "default_expression",
+        "comment", "codec_expression", "ttl_expression")
   }
 
   /** ClickHouse mutations (ALTER DELETE/UPDATE) as copy-on-write: read,

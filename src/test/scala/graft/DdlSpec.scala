@@ -196,4 +196,35 @@ class DdlSpec extends AnyFunSuite {
       SELECT number * 2 AS d FROM numbers(3)""")
     assert(spark.sql("SELECT sum(d) FROM v_m").collect().head.getLong(0) === 6L)
   }
+
+  test("SHOW/DESCRIBE/EXISTS answer in ClickHouse output shapes") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_intro")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_intro.it")
+    Engine.execute(spark,
+      "CREATE TABLE graft_intro.it (id UInt32, name String) ENGINE=Memory")
+
+    val dbs = Engine.execute(spark, "SHOW DATABASES")
+    assert(dbs.columns.toSeq === Seq("name"))
+    assert(dbs.collect().map(_.getString(0)).contains("graft_intro"))
+
+    val tabs = Engine.execute(spark, "SHOW TABLES FROM graft_intro")
+    assert(tabs.columns.toSeq === Seq("name"))
+    assert(tabs.collect().map(_.getString(0)).contains("it"))
+
+    val desc = Engine.execute(spark, "DESCRIBE TABLE graft_intro.it")
+    assert(desc.columns.take(2).toSeq === Seq("name", "type"))
+    val byName = desc.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byName("id") === "Nullable(Int64)" || byName("id") === "Int64",
+      byName.toString) // UInt32 widens to Int64 (SURVEY §1.2)
+    assert(byName("name").contains("String"))
+
+    assert(Engine.execute(spark, "EXISTS TABLE graft_intro.it")
+      .collect().head.getShort(0) === 1)
+    assert(Engine.execute(spark, "EXISTS TABLE graft_intro.nope")
+      .collect().head.getShort(0) === 0)
+
+    val stmt = Engine.execute(spark, "SHOW CREATE TABLE graft_intro.it")
+    assert(stmt.columns.toSeq === Seq("statement"))
+    assert(stmt.collect().head.getString(0).toLowerCase.contains("create table"))
+  }
 }
