@@ -49,16 +49,61 @@ object Ddl {
   private val createTableRe =
     ("(?is)^\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w`.]+)\\s*" +
       "\\((.*)\\)\\s*ENGINE\\s*=\\s*(\\w+)\\s*(?:\\(\\s*\\))?(.*)$").r
-  private val partitionByRe =
-    "(?is)PARTITION\\s+BY\\s+(.+?)(?=(ORDER\\s+BY|SAMPLE\\s+BY|PRIMARY\\s+KEY|SETTINGS|$))".r
-  // the key list may contain one level of calls: (CounterID, EventDate,
-  // intHash32(UserID)) — the reference's own hits DDL (test.yml:49)
-  private val orderByRe =
-    ("(?is)ORDER\\s+BY\\s+(\\((?:[^()]|\\([^()]*\\))*\\)|[^()\\s](?:[^()]|\\([^()]*\\))*?)" +
-      "\\s*(?=(SAMPLE\\s+BY|PRIMARY\\s+KEY|SETTINGS|PARTITION\\s+BY|$))").r
-  private val sampleByRe =
-    ("(?is)SAMPLE\\s+BY\\s+((?:[^()\\s]|\\([^()]*\\))+)" +
-      "\\s*(?=(ORDER\\s+BY|PRIMARY\\s+KEY|SETTINGS|PARTITION\\s+BY|$))").r
+  /** MergeTree table-suffix clauses, parsed with a paren/quote-aware
+    * scan (keywords match only at nesting depth 0, so ORDER BY keys may
+    * nest calls arbitrarily — `cityHash64(toString(x))` works; the old
+    * regexes stopped at one level). Returns keyword → clause body. */
+  private val suffixKeywords = Seq(
+    "PARTITION BY", "ORDER BY", "SAMPLE BY", "PRIMARY KEY", "SETTINGS")
+  private[graft] def suffixClauses(rest: String): Map[String, String] = {
+    // keyword match at i, whitespace-flexible between words
+    def matchKw(i: Int, kw: String): Int = { // -1 or end index
+      var pos = i
+      val words = kw.split(" ")
+      var w = 0
+      while (w < words.length) {
+        val word = words(w)
+        if (!rest.regionMatches(true, pos, word, 0, word.length)) return -1
+        // word boundaries on both sides
+        if (pos > 0 && Character.isLetterOrDigit(rest.charAt(pos - 1))) return -1
+        val after = pos + word.length
+        if (after < rest.length && Character.isLetterOrDigit(rest.charAt(after))
+            && w == words.length - 1) return -1
+        pos = after
+        if (w < words.length - 1) {
+          if (pos >= rest.length || !rest.charAt(pos).isWhitespace) return -1
+          while (pos < rest.length && rest.charAt(pos).isWhitespace) pos += 1
+        }
+        w += 1
+      }
+      pos
+    }
+    var i = 0
+    var depth = 0
+    var inStr = false
+    val hits = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+    while (i < rest.length) {
+      val c = rest.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      else c match {
+        case '\'' => inStr = true; i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case _ if depth == 0 =>
+          val hit = suffixKeywords.iterator
+            .map(kw => kw -> matchKw(i, kw)).find(_._2 >= 0)
+          hit match {
+            case Some((kw, end)) => hits += ((kw, i, end)); i = end
+            case None => i += 1
+          }
+        case _ => i += 1
+      }
+    }
+    hits.toSeq.zipWithIndex.map { case ((kw, _, end), k) =>
+      val until = if (k + 1 < hits.length) hits(k + 1)._2 else rest.length
+      kw -> rest.substring(end, until).trim
+    }.toMap
+  }
 
   private val createViewRe =
     ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?(MATERIALIZED\\s+)?VIEW\\s+" +
@@ -203,23 +248,21 @@ object Ddl {
       case "memory" | "mergetree" | "replacingmergetree" | "summingmergetree" => ()
       case other => throw new IllegalArgumentException(s"unsupported engine: $other")
     }
-    val partExpr = partitionByRe.findFirstMatchIn(rest).map(_.group(1).trim)
+    val clauses = suffixClauses(rest)
+    val partExpr = clauses.get("PARTITION BY")
     // keys may be expressions (hits DDL: ORDER BY (CounterID, EventDate,
     // intHash32(UserID)), test.yml:49) — strip only the OUTER parens and
-    // split paren-aware so call arguments survive intact. NOTE: orderByRe
-    // matches one paren-nesting level; a two-level key like
-    // cityHash64(toString(x)) falls out of the match and the sort-on-
-    // insert optimization is silently skipped (correctness unaffected).
-    val orderCols = orderByRe.findFirstMatchIn(rest)
-      .map { m =>
-        val inner0 = m.group(1).trim
+    // split paren-aware so call arguments survive intact; the depth-0
+    // clause scan means calls may nest arbitrarily.
+    val orderCols = clauses.get("ORDER BY")
+      .map { inner0 =>
         val inner = if (inner0.startsWith("(") && inner0.endsWith(")") &&
           Transpiler.matchingParen(inner0, 0) == inner0.length - 1)
           inner0.substring(1, inner0.length - 1) else inner0
         splitTopLevel(inner).map(_.trim).filter(_.nonEmpty)
       }
       .getOrElse(Nil)
-    val sampleBy = sampleByRe.findFirstMatchIn(rest).map(_.group(1).trim)
+    val sampleBy = clauses.get("SAMPLE BY")
     val sparkCols = splitTopLevel(colDefs).flatMap { d =>
       val t = d.trim
       val sp = t.indexOf(' ') // name, then type (type may contain spaces)

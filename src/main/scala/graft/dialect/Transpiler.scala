@@ -126,8 +126,81 @@ object Transpiler {
 
   /** ClickHouse SQL text → Spark SQL text (FORMAT clause must already
     * be stripped). */
+  /** ClickHouse's scalar WITH form — `WITH <expr> AS <ident>, ...
+    * SELECT ...` — aliases an expression, not a subquery (the standard
+    * `ident AS (subquery)` CTE form passes through untouched, and both
+    * may mix in one clause). Spark has no equivalent, so scalar items
+    * are substituted textually: every word-boundary occurrence of the
+    * alias outside string literals becomes `(expr)`. */
+  private def rewriteScalarWith(sql: String): String = {
+    val m = "(?is)^(\\s*)WITH\\s+".r.findFirstMatchIn(sql).getOrElse(return sql)
+    // split the clause items at top level (quote/paren aware) and find
+    // where the WITH clause ends (the top-level SELECT keyword)
+    var i = m.end
+    var depth = 0
+    var inStr = false
+    val items = scala.collection.mutable.ArrayBuffer.empty[String]
+    var itemStart = i
+    var selectAt = -1
+    while (i < sql.length && selectAt < 0) {
+      val c = sql.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 =>
+          items += sql.substring(itemStart, i); itemStart = i + 1
+        case 's' | 'S' if depth == 0 &&
+            sql.regionMatches(true, i, "SELECT", 0, 6) &&
+            (i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1))) &&
+            (i + 6 >= sql.length || !Character.isLetterOrDigit(sql.charAt(i + 6))) =>
+          selectAt = i
+        case _ => ()
+      }
+      i += 1
+    }
+    if (selectAt < 0) return sql // not a WITH ... SELECT; leave as-is
+    items += sql.substring(itemStart, selectAt)
+    val cteRe = "(?is)^\\s*[\\w`]+\\s+AS\\s*\\(.*\\)\\s*$".r
+    val scalarRe = "(?is)^\\s*(.*\\S)\\s+AS\\s+`?(\\w+)`?\\s*$".r
+    val (ctes, scalars) = items.partition(it => cteRe.findFirstIn(it).isDefined)
+    if (scalars.isEmpty) return sql
+    // substitute outside string literals only
+    def subst(in: String, alias: String, expr: String): String = {
+      val parts = in.split("'", -1)
+      parts.indices.foreach { k =>
+        if (k % 2 == 0)
+          parts(k) = parts(k).replaceAll(
+            "\\b" + java.util.regex.Pattern.quote(alias) + "\\b",
+            java.util.regex.Matcher.quoteReplacement(s"($expr)"))
+      }
+      parts.mkString("'")
+    }
+    // earlier scalar aliases are visible in later scalar exprs
+    val subs = scalars.foldLeft(Vector.empty[(String, String)]) { (acc, it) =>
+      it match {
+        case scalarRe(expr0, alias) =>
+          val expr = acc.foldLeft(expr0.trim) {
+            case (e, (a2, e2)) => subst(e, a2, e2)
+          }
+          acc :+ (alias -> expr)
+        case _ => return sql // unrecognized item; don't half-rewrite
+      }
+    }
+    var rest = sql.substring(selectAt)
+    var kept = ctes.map(_.trim)
+    subs.foreach { case (alias, expr) =>
+      rest = subst(rest, alias, expr)
+      kept = kept.map(subst(_, alias, expr)) // and in later CTE bodies
+    }
+    m.group(1) +
+      (if (kept.nonEmpty) s"WITH ${kept.mkString(", ")} " else "") + rest
+  }
+
   def transpile(chSql: String): String = {
     var s = chSql
+    s = rewriteScalarWith(s)
     s = rewriteBracketArrays(s)
     s = rewriteCasts(s)
     s = rewriteNestedRefs(s)

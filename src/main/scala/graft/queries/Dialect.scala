@@ -565,6 +565,17 @@ object Dialect {
              'http://x.com/p' AS cqf
       FROM n ORDER BY number""")),
 
+    // F23: ClickHouse scalar WITH (expr AS ident) + mixed standard CTE
+    Q("f23_ch_scalar_with", ch("""
+      WITH 3 AS k, k * 10 AS lim,
+           big AS (SELECT number FROM numbers(100) WHERE number >= lim)
+      SELECT k AS kk, count(*) AS n_small, (SELECT count(*) FROM big) AS n_big
+      FROM numbers(100) WHERE number < k"""),
+      Some("""
+      SELECT 3 AS kk,
+             (SELECT count(*) FROM range(100) WHERE range < 3) AS n_small,
+             (SELECT count(*) FROM range(100) WHERE range >= 30) AS n_big""")),
+
     // F22: tier-2 aggregates (weighted mean, Kahan sum, popcount;
     // skewPop via DuckDB's sample-skew correction factor)
     Q("f22_ch_aggs2", ch("""

@@ -95,11 +95,21 @@ class HttpServer(spark: SparkSession, port: Int,
       // raised above (Spark analyzes eagerly), so the 400 contract
       // holds; a mid-stream runtime failure truncates the body, the
       // same visible behavior as ClickHouse's own streamed HTTP.
+      // gzip the stream when the client advertises it (ClickHouse
+      // compresses HTTP responses the same way under
+      // enable_http_compression; the formats themselves are unchanged)
+      val gzip = Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
+        .exists(_.toLowerCase.contains("gzip"))
+      def body(): java.io.OutputStream = {
+        ex.sendResponseHeaders(200, 0)
+        val raw = new java.io.BufferedOutputStream(ex.getResponseBody, 1 << 16)
+        if (gzip) new java.util.zip.GZIPOutputStream(raw, 1 << 16, true) else raw
+      }
+      if (gzip) ex.getResponseHeaders.set("Content-Encoding", "gzip")
       val fmtLower = fmt.toLowerCase
       if (fmtLower == "native" || fmtLower.startsWith("rowbinary")) {
         ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
-        ex.sendResponseHeaders(200, 0)
-        val os = new java.io.BufferedOutputStream(ex.getResponseBody, 1 << 16)
+        val os = body()
         import scala.jdk.CollectionConverters._
         if (fmtLower == "native")
           NativeCodec.writeBlocks(os, df.schema,
@@ -111,11 +121,10 @@ class HttpServer(spark: SparkSession, port: Int,
         os.close()
       } else {
         val contentType =
-          if (fmt.toLowerCase.startsWith("json")) "application/json" else "text/plain"
+          if (fmtLower.startsWith("json")) "application/json" else "text/plain"
         ex.getResponseHeaders.set("Content-Type", contentType)
-        ex.sendResponseHeaders(200, 0)
         val w = new java.io.BufferedWriter(
-          new java.io.OutputStreamWriter(ex.getResponseBody, UTF_8), 1 << 16)
+          new java.io.OutputStreamWriter(body(), UTF_8), 1 << 16)
         ResultFormatter.write(df, fmt, w)
         w.close()
       }

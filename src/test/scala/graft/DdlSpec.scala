@@ -151,6 +151,33 @@ class DdlSpec extends AnyFunSuite {
     assert(n === spark.table("orders").count())
   }
 
+  test("suffix clause scan: nested calls in ORDER BY, any clause order") {
+    import graft.dialect.Ddl
+    // two-level nesting (the old one-level regex silently dropped this)
+    val c1 = Ddl.suffixClauses(
+      "PARTITION BY toYYYYMM(d) ORDER BY (k, cityHash64(toString(u))) " +
+        "SAMPLE BY intHash32(u) SETTINGS index_granularity=8192")
+    assert(c1("ORDER BY") === "(k, cityHash64(toString(u)))")
+    assert(c1("SAMPLE BY") === "intHash32(u)")
+    assert(c1("PARTITION BY") === "toYYYYMM(d)")
+    // clause order is free; keywords inside parens don't split clauses
+    val c2 = Ddl.suffixClauses(
+      "ORDER BY (if(a > 0, a, b), k) PARTITION BY toDate(d)")
+    assert(c2("ORDER BY") === "(if(a > 0, a, b), k)")
+    assert(c2("PARTITION BY") === "toDate(d)")
+    // end-to-end: a two-level ORDER BY key creates and inserts
+    graft.dialect.ChContext.setup(spark, "/root/testdata/sf0.001")
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.oexp2")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.oexp2 (k Int64, u Int64)
+      ENGINE=MergeTree() ORDER BY (k, cityHash64(toString(u)))""")
+    Engine.execute(spark,
+      "INSERT INTO graft_spec.oexp2 SELECT o_orderkey, o_custkey FROM orders")
+    assert(Engine.execute(spark, "SELECT count() AS n FROM graft_spec.oexp2")
+      .collect().head.getLong(0) === spark.table("orders").count())
+  }
+
   test("SAMPLE BY key: SAMPLE k reads the deterministic keyed subset") {
     import graft.dialect.Ddl
     Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")

@@ -127,6 +127,24 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one.statusCode() === 200 && one.body() === "0\n")
   }
 
+  test("Accept-Encoding: gzip compresses the streamed response") {
+    val r = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://localhost:$port/?query=${enc(
+          "SELECT number FROM numbers(1000)")}"))
+      .header("Accept-Encoding", "gzip").GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(r.statusCode() === 200)
+    assert(r.headers().firstValue("Content-Encoding").orElse("") === "gzip")
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(r.body()))
+    val text = new String(in.readAllBytes(), "UTF-8")
+    assert(text.linesIterator.size === 1000)
+    assert(text.startsWith("0\n1\n"))
+    // without the header the body is plain
+    val plain = get(s"/?query=${enc("SELECT 1")}")
+    assert(plain.body() === "1\n")
+  }
+
   test("system.columns / system.functions answer completion probes") {
     val cols = get(s"/?query=${enc(
       "SELECT name, type FROM system.columns WHERE table = 'nation' ORDER BY position")}")

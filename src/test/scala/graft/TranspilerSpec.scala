@@ -152,4 +152,25 @@ class TranspilerSpec extends AnyFunSuite {
       Some(("SELECT a FROM t", 3, Seq("a", "c"), Some(10))))
     assert(Transpiler.limitByParts("SELECT a FROM t LIMIT 5") === None)
   }
+
+  test("scalar WITH aliases substitute; subquery CTEs pass through") {
+    // plain scalar alias
+    assert(Transpiler.transpile("WITH 5 AS x SELECT x + 1 AS y")
+      .contains("SELECT (5) + 1 AS y"))
+    // chained scalars: later items see earlier aliases
+    assert(Transpiler.transpile("WITH 2 AS a, a * 3 AS b SELECT b AS v")
+      .contains("SELECT ((2) * 3) AS v"))
+    // alias inside a string literal is untouched
+    assert(Transpiler.transpile("WITH 5 AS x SELECT 'x marks', x AS v")
+      .contains("'x marks'"))
+    // mixed: the standard CTE stays, the scalar substitutes into it
+    val mixed = Transpiler.transpile(
+      "WITH 10 AS lim, t AS (SELECT number FROM numbers(lim)) SELECT count(*) FROM t")
+    assert(mixed.contains("WITH t AS"), mixed)
+    assert(mixed.contains("range((10))") || mixed.contains("numbers((10))"), mixed)
+    // expression with a function call and quotes
+    assert(Transpiler.transpile(
+      "WITH toDate('2024-01-02') AS d SELECT d + 1 AS nxt")
+      .contains("(toDate('2024-01-02')) + 1 AS nxt"))
+  }
 }
