@@ -206,6 +206,11 @@ object Transpiler {
     s = rewriteNestedRefs(s)
     s = "(?i)\\bnumbers\\s*\\(\\s*([0-9]+)\\s*\\)".r.replaceAllIn(s,
       m => s"(SELECT id AS number FROM range(${m.group(1)}))")
+    // the "infinite" system.numbers table: a long lazy Range — LIMIT
+    // pushes into the scan (LocalLimit over Range reads only what it
+    // needs), matching the only sane way clients use it
+    s = "(?i)\\bsystem\\.numbers\\b".r.replaceAllIn(s,
+      "(SELECT id AS number FROM range(9223372036854775807))")
     s = "(?i)\\bcount\\s*\\(\\s*\\)".r.replaceAllIn(s, "count(*)")
     // parameterized aggregates fn(param)(arg) -> plain two-arg calls;
     // the arg group is paren-matched so it may nest arbitrarily

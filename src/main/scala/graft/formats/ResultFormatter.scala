@@ -79,6 +79,12 @@ object ResultFormatter {
         }
         n
       case "pretty" | "prettycompact" => pretty(schema, rows, out)
+      case "null" =>
+        // FORMAT Null: execute fully, emit nothing — the benchmark
+        // format ClickBench drives with (output cost excluded)
+        var n = 0L
+        rows.foreach(_ => n += 1)
+        n
       case "values" =>
         // ClickHouse Values: (v1,v2),(v3,v4) — strings/dates quoted
         // with the array-element rules, NULL bare

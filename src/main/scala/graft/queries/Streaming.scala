@@ -54,6 +54,41 @@ object Streaming {
              user_id, count(*) AS n_events,
              CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS session_value
       FROM grouped GROUP BY user_id, session_id
-      ORDER BY user_id, session_start"""))
+      ORDER BY user_id, session_start""")),
+
+    // ST4: custom-state sessionization (flatMapGroupsWithState,
+    // event-time timeout). In batch mode state starts empty and
+    // timeouts never fire, so exactly the sessions CLOSED by a
+    // following gap emit — which the oracle reproduces by dropping
+    // each user's last session. total_value is spec-asserted
+    // (StreamingSpec); the oracle row keeps the exact columns.
+    Q("st4_stateful_sessions", (s, dir) => {
+      EventsStreaming.statefulSessions(
+          Tables.events(s, dir).select("user_id", "ts", "value"),
+          gapMs = 30 * 60 * 1000L)
+        .toDF()
+        .select("user_id", "n_events", "session_start", "session_end")
+        .orderBy("user_id", "session_start")
+    }, Some("""
+      WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events),
+      marked AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         <= INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_session
+        FROM e),
+      grouped AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked),
+      sess AS (
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM grouped GROUP BY user_id, session_id),
+      last AS (SELECT user_id, max(session_id) AS max_sid FROM sess GROUP BY user_id)
+      SELECT s.user_id, s.n_events, s.session_start, s.session_end
+      FROM sess s JOIN last l
+        ON s.user_id = l.user_id AND s.session_id < l.max_sid
+      ORDER BY s.user_id, session_start"""))
   )
 }

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming over the `events` stream shape (SURVEY.md §2.8:
   * the reference is batch-only; this is the additive north-star path —
@@ -36,6 +37,77 @@ object EventsStreaming {
   def dedup(stream: DataFrame, delay: String = "10 minutes"): DataFrame =
     stream.withWatermark("ts", delay)
       .dropDuplicates("event_id", "ts")
+
+  /** One in-flight session per user, carried across micro-batches.
+    * Timestamps live as MICROS — java.sql.Timestamp.getTime is
+    * millisecond-truncating and the fixture has microsecond data. */
+  case class SessionAcc(nEvents: Long, totalValue: Double,
+                        startUs: Long, lastUs: Long)
+
+  private def toMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def fromMicros(us: Long): java.sql.Timestamp = {
+    val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    ts
+  }
+  /** A closed session, emitted when the watermark passes `gap` beyond
+    * the session's last event. */
+  case class ClosedSession(user_id: Long, n_events: Long,
+                           total_value: Double,
+                           session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp)
+
+  /** Custom-state sessionization with flatMapGroupsWithState (the
+    * mapGroupsWithState surface SURVEY §2.8 scopes): unlike the
+    * declarative [[sessions]] (session_window), this variant owns its
+    * state record — one `SessionAcc` per live user — and emits a
+    * ClosedSession exactly when the event-time timeout fires (watermark
+    * past last event + gap), the shape a pipeline needs to act on
+    * completed sessions. State is per-key and watermark-evicted:
+    * bounded at any corpus scale by the number of users active inside
+    * one watermark horizon, never by history. Input columns:
+    * (user_id Long, ts Timestamp, value Double). */
+  def statefulSessions(events: DataFrame, delay: String = "10 minutes",
+                       gapMs: Long = 30 * 60 * 1000L): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.selectExpr("user_id", "ts",
+        "cast(value AS double) AS value")
+      .withWatermark("ts", delay)
+      .as[(Long, java.sql.Timestamp, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAcc, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows, state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(userId, s.nEvents, s.totalValue,
+              fromMicros(s.startUs), fromMicros(s.lastUs)))
+          } else {
+            // merge the batch's events into the running session; a gap
+            // INSIDE one batch closes the earlier session immediately
+            val sorted = rows.toSeq.sortBy(r => toMicros(r._2))
+            var acc = state.getOption.orNull
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            val gapUs = gapMs * 1000L
+            sorted.foreach { case (_, t, v) =>
+              val us = toMicros(t)
+              if (acc == null) acc = SessionAcc(1L, v, us, us)
+              else if (us - acc.lastUs > gapUs) {
+                closed += ClosedSession(userId, acc.nEvents, acc.totalValue,
+                  fromMicros(acc.startUs), fromMicros(acc.lastUs))
+                acc = SessionAcc(1L, v, us, us)
+              } else acc = SessionAcc(acc.nEvents + 1, acc.totalValue + v,
+                acc.startUs, us)
+            }
+            state.update(acc)
+            state.setTimeoutTimestamp(acc.lastUs / 1000L + gapMs)
+            closed.iterator
+          }
+      }
+  }
 
   /** Session windows per user: events within `gap` of each other fuse
     * into one session. */

@@ -205,6 +205,17 @@ class FormatsSpec extends AnyFunSuite {
     assert(b(0) === 1 && b(1) === 1 && b(2) === 'i'.toByte)
   }
 
+  test("FORMAT Null executes fully and emits nothing") {
+    assert(ResultFormatter.render(spark.range(5).toDF(), "Null") === "")
+  }
+
+  test("system.numbers with LIMIT stops early (lazy Range scan)") {
+    graft.dialect.ChFunctions.register(spark)
+    val df = spark.sql(graft.dialect.Transpiler.transpile(
+      "SELECT number FROM system.numbers LIMIT 5"))
+    assert(df.collect().map(_.getLong(0)).toSeq === (0L until 5L))
+  }
+
   test("Values format renders quoted tuples") {
     val out = ResultFormatter.render(
       spark.sql("SELECT * FROM VALUES (1, 'a'), (2, NULL) AS t(n, s)")

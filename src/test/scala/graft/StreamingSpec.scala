@@ -59,6 +59,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessions close on event-time timeout") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val df = input.toDF().toDF("user_id", "ts", "value")
+    val q = EventsStreaming.statefulSessions(df, "1 minute",
+        gapMs = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("state_sessions")
+      .outputMode("append").start()
+    try {
+      // user 7: two events 5 min apart -> one session
+      input.addData(
+        (7L, ts("2026-01-01 10:00:00"), 1.0),
+        (7L, ts("2026-01-01 10:05:00"), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("state_sessions").count() === 0) // still open
+      // watermark jumps past 10:05 + 10 min gap -> session closes
+      input.addData((8L, ts("2026-01-01 11:00:00"), 9.0))
+      q.processAllAvailable()
+      input.addData((8L, ts("2026-01-01 12:00:00"), 9.0)) // push watermark again
+      q.processAllAvailable()
+      val closed = spark.table("state_sessions")
+        .filter(col("user_id") === 7L).collect()
+      assert(closed.length === 1)
+      assert(closed.head.getAs[Long]("n_events") === 2L)
+      assert(closed.head.getAs[Double]("total_value") === 3.0)
+      assert(closed.head.getAs[Timestamp]("session_start") === ts("2026-01-01 10:00:00"))
+      assert(closed.head.getAs[Timestamp]("session_end") === ts("2026-01-01 10:05:00"))
+    } finally q.stop()
+  }
+
+  test("statefulSessions closes an intra-batch gap immediately") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val df = input.toDF().toDF("user_id", "ts", "value")
+    val q = EventsStreaming.statefulSessions(df, "1 minute",
+        gapMs = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("state_sessions2")
+      .outputMode("append").start()
+    try {
+      // one batch, 30-minute hole between events -> first session closes
+      input.addData(
+        (5L, ts("2026-01-01 09:00:00"), 1.0),
+        (5L, ts("2026-01-01 09:02:00"), 1.0),
+        (5L, ts("2026-01-01 09:40:00"), 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("state_sessions2").collect()
+      assert(rows.length === 1)
+      assert(rows.head.getAs[Long]("n_events") === 2L)
+      assert(rows.head.getAs[Timestamp]("session_end") === ts("2026-01-01 09:02:00"))
+    } finally q.stop()
+  }
+
   test("stateful dedup keeps first occurrence per (event_id, ts)") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
