@@ -31,11 +31,14 @@ import scala.collection.concurrent.TrieMap
   */
 object Ddl {
 
-  /** partition expr + order keys + sampling key per created table
-    * (lowercased name). */
+  /** partition expr + order keys + sampling key + engine per created
+    * table (lowercased name). `replacingVer` is Some(verColOrEmpty)
+    * for ReplacingMergeTree — the version column name, or "" when the
+    * engine was declared without one. */
   private case class TableMeta(partitionExpr: Option[String],
                                orderBy: Seq[String],
-                               sampleBy: Option[String] = None)
+                               sampleBy: Option[String] = None,
+                               replacingVer: Option[String] = None)
   private val tables = TrieMap.empty[String, TableMeta]
 
   /** SAMPLE BY expression for a created table, if any — consulted by
@@ -44,11 +47,40 @@ object Ddl {
   def sampleKey(spark: SparkSession, name: String): Option[String] =
     tables.get(normalize(spark, name)).flatMap(_.sampleBy)
 
+  /** For a ReplacingMergeTree table: (sorting key, version column or
+    * "") — the inputs of the merge-on-read dedup `FINAL` applies. */
+  def replacingMeta(spark: SparkSession,
+                    name: String): Option[(Seq[String], String)] =
+    tables.get(normalize(spark, name))
+      .flatMap(m => m.replacingVer.map(v => (m.orderBy, v)))
+
+  /** The keep-latest dedup a ReplacingMergeTree merge performs: one row
+    * per sorting key; with a version column the max version wins,
+    * without one ClickHouse itself keeps an unspecified row — here the
+    * tie-break is the row's md5 fingerprint, so results are
+    * deterministic across runs. One window shuffle on the key. */
+  private[dialect] def replacingDedup(df: DataFrame, keys: Seq[String],
+                                      ver: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val orderCol =
+      if (ver.nonEmpty) col(ver).desc
+      else md5(to_json(struct(df.columns.map(col).toIndexedSeq: _*))).asc
+    // sorting keys may be expressions (intHash32(u)) — transpile those
+    val keyCols = keys.map { k =>
+      if (df.columns.contains(k)) col(k)
+      else org.apache.spark.sql.functions.expr(Transpiler.transpile(k))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols: _*).orderBy(orderCol)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   private val createDbRe =
     "(?is)^\\s*CREATE\\s+DATABASE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?(.+?)\\s*$".r
   private val createTableRe =
     ("(?is)^\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w`.]+)\\s*" +
-      "\\((.*)\\)\\s*ENGINE\\s*=\\s*(\\w+)\\s*(?:\\(\\s*\\))?(.*)$").r
+      "\\((.*)\\)\\s*ENGINE\\s*=\\s*(\\w+)\\s*(?:\\(\\s*([^)]*)\\))?(.*)$").r
   /** MergeTree table-suffix clauses, parsed with a paren/quote-aware
     * scan (keywords match only at nesting depth 0, so ORDER BY keys may
     * nest calls arbitrarily — `cityHash64(toString(x))` works; the old
@@ -139,8 +171,9 @@ object Ddl {
         if (Option(ifNot).isDefined &&
             spark.catalog.tableExists(bare)) df
         else { df.createOrReplaceTempView(bare); df }
-      case createTableRe(ifNot, name, cols, engine, rest) =>
-        createTable(spark, Option(ifNot).isDefined, name, cols, engine, rest)
+      case createTableRe(ifNot, name, cols, engine, engineArgs, rest) =>
+        createTable(spark, Option(ifNot).isDefined, name, cols, engine,
+          Option(engineArgs).map(_.trim).getOrElse(""), rest)
       case _ if "(?is)^\\s*INSERT\\b".r.findFirstIn(s).isDefined =>
         insert(spark, s)
       case alterDeleteRe(name, cond) =>
@@ -169,9 +202,17 @@ object Ddl {
         if (exists) spark.emptyDataFrame
         else spark.sql(s"ALTER TABLE $name ADD COLUMNS ($cn ${Transpiler.mapTypeNames(ct)})")
       case _ if "(?is)^\\s*OPTIMIZE\\s+TABLE\\b".r.findFirstIn(s).isDefined =>
-        // merge/compaction hint — storage detail with no user-visible
-        // result contract; accepted as a no-op
-        spark.emptyDataFrame
+        // For ReplacingMergeTree, OPTIMIZE ... FINAL forces the merge
+        // that applies keep-latest dedup — materialize it (copy-on-
+        // write, like the mutations). For other engines it is a
+        // compaction hint with no visible result contract: no-op.
+        val om = "(?is)^\\s*OPTIMIZE\\s+TABLE\\s+([\\w`.]+)".r
+          .findFirstMatchIn(s).get
+        replacingMeta(spark, om.group(1)) match {
+          case Some((keys, ver)) if keys.nonEmpty =>
+            mutate(spark, om.group(1), df => replacingDedup(df, keys, ver))
+          case _ => spark.emptyDataFrame
+        }
       // ---- client-compat introspection (ClickHouse output shapes:
       // drivers and UIs read these columns by NAME) ----
       case showDatabasesRe() =>
@@ -243,11 +284,17 @@ object Ddl {
 
   private def createTable(spark: SparkSession, ifNotExists: Boolean,
                           name: String, colDefs: String, engine: String,
-                          rest: String): DataFrame = {
+                          engineArgs: String, rest: String): DataFrame = {
     engine.toLowerCase match {
       case "memory" | "mergetree" | "replacingmergetree" | "summingmergetree" => ()
       case other => throw new IllegalArgumentException(s"unsupported engine: $other")
     }
+    // ReplacingMergeTree[(ver)]: remember the version column so FINAL
+    // and OPTIMIZE ... FINAL can apply keep-latest dedup
+    val replacingVer =
+      if (engine.equalsIgnoreCase("replacingmergetree"))
+        Some(engineArgs.replace("`", ""))
+      else None
     val clauses = suffixClauses(rest)
     val partExpr = clauses.get("PARTITION BY")
     // keys may be expressions (hits DDL: ORDER BY (CounterID, EventDate,
@@ -290,7 +337,8 @@ object Ddl {
       case None =>
         s"CREATE TABLE $ine$name (${sparkCols.mkString(", ")}) USING PARQUET"
     }
-    tables.put(normalize(spark, name), TableMeta(partExpr, orderCols, sampleBy))
+    tables.put(normalize(spark, name),
+      TableMeta(partExpr, orderCols, sampleBy, replacingVer))
     spark.sql(ddl)
   }
 
@@ -469,6 +517,25 @@ object Engine {
       }
     })
 
+  private val finalRe = "(?i)\\bFROM\\s+([\\w`.]+)\\s+FINAL\\b".r
+
+  /** `FROM t FINAL` on a ReplacingMergeTree applies merge-on-read
+    * keep-latest dedup: the deduped frame registers as a temp view and
+    * the reference is substituted. On any other table FINAL is a
+    * no-op hint (the Transpiler drops the keyword). */
+  private def rewriteFinal(spark: SparkSession, sql: String): String =
+    finalRe.replaceAllIn(sql, m => {
+      Ddl.replacingMeta(spark, m.group(1)) match {
+        case Some((keys, ver)) if keys.nonEmpty =>
+          val bare = m.group(1).replace("`", "")
+          val view = "__graft_final_" + bare.replace(".", "_")
+          Ddl.replacingDedup(spark.table(bare), keys, ver)
+            .createOrReplaceTempView(view)
+          java.util.regex.Matcher.quoteReplacement(s"FROM $view")
+        case _ => m.matched
+      }
+    })
+
   /** One SELECT statement, handling the ClickHouse-only `LIMIT n BY`
     * clause (SURVEY §2.6 O4) as a row_number window over the inner
     * query's ORDER BY, and `ORDER BY ... WITH FILL` via the
@@ -479,7 +546,8 @@ object Engine {
     // ClickHouse EXPLAIN kinds (SYNTAX/AST/PLAN/PIPELINE/...) all map
     // to Spark's EXPLAIN (one plan-text column)
     val bare = "(?is)^\\s*EXPLAIN\\s+(SYNTAX|AST|PLAN|PIPELINE|ESTIMATE|QUERY\\s+TREE)\\s+".r
-      .replaceFirstIn(rewriteSample(spark, bare0), "EXPLAIN ")
+      .replaceFirstIn(rewriteFinal(spark, rewriteSample(spark, bare0)),
+        "EXPLAIN ")
     Transpiler.withFillParts(bare) match {
       case Some((inner, prefix, fillKey, from, to, step)) =>
         return graft.operators.WithFill(

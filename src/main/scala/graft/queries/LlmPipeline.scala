@@ -327,6 +327,47 @@ object LlmPipeline {
              md5(array_to_string(sketch, ',')) fp
       FROM sk ORDER BY doc_id""")),
 
+    // L16: PII-style redaction — the standard training-data scrub.
+    // The fixture text has no contact strings, so deterministic fake
+    // ones are appended (same expression both engines), then URLs,
+    // emails and phones are counted and replaced with tags, in that
+    // order (URLs can contain '@'). Per-row, embarrassingly parallel.
+    Q("l16_redaction", (s, dir) => {
+      val urlRe = "https?://[^\\s]+"
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\+\\d[\\d-]{7,}"
+      Tables.load(s, dir, "documents")
+        .withColumn("raw", concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" via https://example.org/d/"), col("doc_id").cast("string")))
+        .select(col("doc_id"),
+          regexp_count(col("raw"), lit(urlRe)).cast("long").as("n_urls"),
+          regexp_count(col("raw"), lit(emailRe)).cast("long").as("n_emails"),
+          regexp_count(col("raw"), lit(phoneRe)).cast("long").as("n_phones"),
+          md5(regexp_replace(regexp_replace(regexp_replace(col("raw"),
+            urlRe, "<URL>"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+            .cast("binary")).as("redacted_fp"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH r AS (SELECT doc_id,
+          text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+          '@example.com or +1-555-' ||
+          lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+          ' via https://example.org/d/' || CAST(doc_id AS VARCHAR) AS raw
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(raw, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+             CAST(len(regexp_extract_all(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(raw, '\+\d[\d-]{7,}')) AS BIGINT) AS n_phones,
+             md5(regexp_replace(regexp_replace(regexp_replace(raw,
+               'https?://[^\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+\d[\d-]{7,}', '<PHONE>', 'g')) AS redacted_fp
+      FROM r ORDER BY doc_id""")),
+
     // L14: the composed training-data pipeline — quality filter (token
     // floor) -> exact dedup (md5 hash-group, min-id keeper) -> per-
     // language corpus stats. One pass, one window shuffle on the hash,

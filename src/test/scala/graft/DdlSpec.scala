@@ -224,6 +224,32 @@ class DdlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT sum(d) FROM v_m").collect().head.getLong(0) === 6L)
   }
 
+  test("ReplacingMergeTree: FINAL dedups on read, OPTIMIZE FINAL materializes") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.rmt")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.rmt (id Int64, v Int64, payload String)
+      ENGINE=ReplacingMergeTree(v) ORDER BY id""")
+    Engine.execute(spark, """
+      INSERT INTO graft_spec.rmt VALUES
+      (1, 1, 'old'), (1, 2, 'new'), (2, 1, 'only'), (3, 2, 'b'), (3, 1, 'a')""")
+    // plain read sees all parts (ClickHouse pre-merge behavior)
+    assert(Engine.execute(spark, "SELECT count() AS n FROM graft_spec.rmt")
+      .collect().head.getLong(0) === 5L)
+    // FINAL applies keep-latest (max version per sorting key)
+    val fin = Engine.execute(spark, """
+      SELECT id, payload FROM graft_spec.rmt FINAL ORDER BY id""")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(fin === Seq((1L, "new"), (2L, "only"), (3L, "b")))
+    // OPTIMIZE ... FINAL materializes the merge
+    Engine.execute(spark, "OPTIMIZE TABLE graft_spec.rmt FINAL")
+    assert(Engine.execute(spark, "SELECT count() AS n FROM graft_spec.rmt")
+      .collect().head.getLong(0) === 3L)
+    assert(Engine.execute(spark,
+      "SELECT payload FROM graft_spec.rmt WHERE id = 1")
+      .collect().head.getString(0) === "new")
+  }
+
   test("SHOW/DESCRIBE/EXISTS answer in ClickHouse output shapes") {
     Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_intro")
     Engine.execute(spark, "DROP TABLE IF EXISTS graft_intro.it")
