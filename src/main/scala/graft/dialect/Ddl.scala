@@ -38,7 +38,8 @@ object Ddl {
   private case class TableMeta(partitionExpr: Option[String],
                                orderBy: Seq[String],
                                sampleBy: Option[String] = None,
-                               replacingVer: Option[String] = None)
+                               replacingVer: Option[String] = None,
+                               summingCols: Option[Seq[String]] = None)
   private val tables = TrieMap.empty[String, TableMeta]
 
   /** SAMPLE BY expression for a created table, if any — consulted by
@@ -53,6 +54,38 @@ object Ddl {
                     name: String): Option[(Seq[String], String)] =
     tables.get(normalize(spark, name))
       .flatMap(m => m.replacingVer.map(v => (m.orderBy, v)))
+
+  /** For a SummingMergeTree table: (sorting key, explicit sum columns
+    * or empty = every numeric non-key column). */
+  def summingMeta(spark: SparkSession,
+                  name: String): Option[(Seq[String], Seq[String])] =
+    tables.get(normalize(spark, name))
+      .flatMap(m => m.summingCols.map(c => (m.orderBy, c)))
+
+  /** The merge a SummingMergeTree performs: rows with an equal sorting
+    * key collapse to one — listed (or all numeric non-key) columns sum,
+    * every other column takes a deterministic first value (ClickHouse
+    * keeps "any"). Result types stay the declared ones. One aggregation
+    * shuffle on the key; map-side partial aggregation applies. */
+  private[dialect] def summingMerge(df: DataFrame, keys: Seq[String],
+                                    explicitCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.NumericType
+    // summing semantics need plain-column keys (the ClickHouse usage);
+    // expression keys fall back to no merge rather than guessing
+    if (!keys.forall(df.columns.contains)) return df
+    val sumCols =
+      if (explicitCols.nonEmpty) explicitCols
+      else df.schema.fields.filter(f => !keys.contains(f.name) &&
+        f.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
+    val aggs = df.columns.filterNot(keys.contains).toSeq.map { c =>
+      if (sumCols.contains(c))
+        sum(col(c)).cast(df.schema(c).dataType).as(c)
+      else first(col(c)).as(c)
+    }
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
 
   /** The keep-latest dedup a ReplacingMergeTree merge performs: one row
     * per sorting key; with a version column the max version wins,
@@ -208,9 +241,11 @@ object Ddl {
         // compaction hint with no visible result contract: no-op.
         val om = "(?is)^\\s*OPTIMIZE\\s+TABLE\\s+([\\w`.]+)".r
           .findFirstMatchIn(s).get
-        replacingMeta(spark, om.group(1)) match {
-          case Some((keys, ver)) if keys.nonEmpty =>
+        (replacingMeta(spark, om.group(1)), summingMeta(spark, om.group(1))) match {
+          case (Some((keys, ver)), _) if keys.nonEmpty =>
             mutate(spark, om.group(1), df => replacingDedup(df, keys, ver))
+          case (_, Some((keys, cols))) if keys.nonEmpty =>
+            mutate(spark, om.group(1), df => summingMerge(df, keys, cols))
           case _ => spark.emptyDataFrame
         }
       // ---- client-compat introspection (ClickHouse output shapes:
@@ -289,11 +324,16 @@ object Ddl {
       case "memory" | "mergetree" | "replacingmergetree" | "summingmergetree" => ()
       case other => throw new IllegalArgumentException(s"unsupported engine: $other")
     }
-    // ReplacingMergeTree[(ver)]: remember the version column so FINAL
-    // and OPTIMIZE ... FINAL can apply keep-latest dedup
+    // ReplacingMergeTree[(ver)] / SummingMergeTree[(cols)]: remember
+    // the merge inputs so FINAL and OPTIMIZE ... FINAL apply them
     val replacingVer =
       if (engine.equalsIgnoreCase("replacingmergetree"))
         Some(engineArgs.replace("`", ""))
+      else None
+    val summingCols =
+      if (engine.equalsIgnoreCase("summingmergetree"))
+        Some(engineArgs.replace("`", "").split(",")
+          .map(_.trim).filter(_.nonEmpty).toSeq)
       else None
     val clauses = suffixClauses(rest)
     val partExpr = clauses.get("PARTITION BY")
@@ -338,7 +378,7 @@ object Ddl {
         s"CREATE TABLE $ine$name (${sparkCols.mkString(", ")}) USING PARQUET"
     }
     tables.put(normalize(spark, name),
-      TableMeta(partExpr, orderCols, sampleBy, replacingVer))
+      TableMeta(partExpr, orderCols, sampleBy, replacingVer, summingCols))
     spark.sql(ddl)
   }
 
@@ -517,21 +557,27 @@ object Engine {
       }
     })
 
-  private val finalRe = "(?i)\\bFROM\\s+([\\w`.]+)\\s+FINAL\\b".r
+  private val finalRe = "(?i)\\b(FROM|JOIN)\\s+([\\w`.]+)\\s+FINAL\\b".r
 
-  /** `FROM t FINAL` on a ReplacingMergeTree applies merge-on-read
-    * keep-latest dedup: the deduped frame registers as a temp view and
-    * the reference is substituted. On any other table FINAL is a
+  /** `FROM t FINAL` on a Replacing/SummingMergeTree applies the
+    * engine's merge on read: the merged frame registers as a temp view
+    * and the reference is substituted. On any other table FINAL is a
     * no-op hint (the Transpiler drops the keyword). */
   private def rewriteFinal(spark: SparkSession, sql: String): String =
     finalRe.replaceAllIn(sql, m => {
-      Ddl.replacingMeta(spark, m.group(1)) match {
-        case Some((keys, ver)) if keys.nonEmpty =>
-          val bare = m.group(1).replace("`", "")
-          val view = "__graft_final_" + bare.replace(".", "_")
-          Ddl.replacingDedup(spark.table(bare), keys, ver)
-            .createOrReplaceTempView(view)
-          java.util.regex.Matcher.quoteReplacement(s"FROM $view")
+      val kw = m.group(1).toUpperCase
+      val bare = m.group(2).replace("`", "")
+      val view = "__graft_final_" + bare.replace(".", "_")
+      def sub(df: DataFrame): String = {
+        df.createOrReplaceTempView(view)
+        java.util.regex.Matcher.quoteReplacement(s"$kw $view")
+      }
+      (Ddl.replacingMeta(spark, m.group(2)),
+        Ddl.summingMeta(spark, m.group(2))) match {
+        case (Some((keys, ver)), _) if keys.nonEmpty =>
+          sub(Ddl.replacingDedup(spark.table(bare), keys, ver))
+        case (_, Some((keys, cols))) if keys.nonEmpty =>
+          sub(Ddl.summingMerge(spark.table(bare), keys, cols))
         case _ => m.matched
       }
     })

@@ -93,6 +93,33 @@ object DdlQueries {
         FROM graft_t.et GROUP BY status ORDER BY status""")
     }, Some("""
       SELECT * FROM (VALUES ('done', 1, false), ('new', 2, true))
-        t(status, n, anyok) ORDER BY status"""))
+        t(status, n, anyok) ORDER BY status""")),
+
+    // S4b: Replacing/SummingMergeTree merge semantics — FINAL applies
+    // keep-latest / per-key sums on read
+    Q("s8_final_merge", (s, dir) => {
+      ChContext.setup(s, dir)
+      Engine.execute(s, "CREATE DATABASE IF NOT EXISTS graft_t")
+      Engine.execute(s, "DROP TABLE IF EXISTS graft_t.fr")
+      Engine.execute(s, "DROP TABLE IF EXISTS graft_t.fs")
+      Engine.execute(s, """
+        CREATE TABLE graft_t.fr (id Int64, v Int64, payload String)
+        ENGINE=ReplacingMergeTree(v) ORDER BY id""")
+      Engine.execute(s, """
+        INSERT INTO graft_t.fr VALUES
+        (1, 1, 'old'), (1, 2, 'new'), (2, 1, 'only')""")
+      Engine.execute(s, """
+        CREATE TABLE graft_t.fs (id Int64, hits Int64)
+        ENGINE=SummingMergeTree() ORDER BY id""")
+      Engine.execute(s, """
+        INSERT INTO graft_t.fs VALUES (1, 10), (1, 5), (2, 7)""")
+      Engine.execute(s, """
+        SELECT r.id AS id, r.payload AS payload, s.hits AS hits
+        FROM graft_t.fr FINAL AS r
+        JOIN graft_t.fs FINAL AS s ON r.id = s.id
+        ORDER BY id""")
+    }, Some("""
+      SELECT * FROM (VALUES (1, 'new', 15), (2, 'only', 7))
+        t(id, payload, hits) ORDER BY id"""))
   )
 }

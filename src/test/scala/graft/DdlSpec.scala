@@ -250,6 +250,35 @@ class DdlSpec extends AnyFunSuite {
       .collect().head.getString(0) === "new")
   }
 
+  test("SummingMergeTree: FINAL sums numerics per key, others keep a value") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.smt")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.smt (k Int64, hits Int64, amt Float64, tag String)
+      ENGINE=SummingMergeTree() ORDER BY k""")
+    Engine.execute(spark, """
+      INSERT INTO graft_spec.smt VALUES
+      (1, 10, 1.5, 'a'), (1, 5, 0.5, 'a'), (2, 7, 2.0, 'b')""")
+    val fin = Engine.execute(spark, """
+      SELECT k, hits, amt FROM graft_spec.smt FINAL ORDER BY k""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(fin === Seq((1L, 15L, 2.0d), (2L, 7L, 2.0d)))
+    // OPTIMIZE FINAL materializes; declared types survive the sum
+    Engine.execute(spark, "OPTIMIZE TABLE graft_spec.smt FINAL")
+    assert(Engine.execute(spark, "SELECT count() AS n FROM graft_spec.smt")
+      .collect().head.getLong(0) === 2L)
+    // explicit column list: only `hits` sums
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.smt2")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.smt2 (k Int64, hits Int64, amt Float64)
+      ENGINE=SummingMergeTree(hits) ORDER BY k""")
+    Engine.execute(spark,
+      "INSERT INTO graft_spec.smt2 VALUES (1, 1, 9.0), (1, 2, 9.0)")
+    val r2 = Engine.execute(spark,
+      "SELECT hits, amt FROM graft_spec.smt2 FINAL").collect().head
+    assert(r2.getLong(0) === 3L && r2.getDouble(1) === 9.0d)
+  }
+
   test("SHOW/DESCRIBE/EXISTS answer in ClickHouse output shapes") {
     Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_intro")
     Engine.execute(spark, "DROP TABLE IF EXISTS graft_intro.it")
