@@ -359,11 +359,14 @@ object Ddl {
         // dotted physical names; queries keep writing `col.field`
         // (rewritten to one backticked identifier by the transpiler)
         val inner = ct.substring(ct.indexOf('(') + 1, ct.lastIndexOf(')'))
-        Transpiler.nestedColumns.put(cn.replace("`", "").toLowerCase, ())
-        splitTopLevel(inner).map { f0 =>
+        val fields = splitTopLevel(inner).map { f0 =>
           val f = f0.trim
           val fsp = f.indexOf(' ')
-          val (fn, ft) = (f.substring(0, fsp).trim, f.substring(fsp + 1).trim)
+          (f.substring(0, fsp).trim, f.substring(fsp + 1).trim)
+        }
+        Transpiler.nestedColumns.put(cn.replace("`", "").toLowerCase,
+          fields.map(_._1))
+        fields.map { case (fn, ft) =>
           s"`${cn.replace("`", "")}.$fn` ARRAY<${Transpiler.mapTypeNames(ft)}>"
         }
       } else Seq(s"$cn ${Transpiler.mapTypeNames(ct)}")

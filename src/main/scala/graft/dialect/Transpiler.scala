@@ -114,8 +114,12 @@ object Transpiler {
     * reference hits DDL test.yml:49); ClickHouse query text keeps the
     * dotted access, which Spark would resolve as a struct path — known
     * nested refs are backticked into a single identifier instead. */
+  /** Nested prefix (lowercased) → its field names in declaration
+    * order. Registered by Ddl.createTable at Nested(...) expansion;
+    * consulted by rewriteNestedRefs and by ARRAY JOIN prefix
+    * expansion. */
   private[graft] val nestedColumns =
-    scala.collection.concurrent.TrieMap.empty[String, Unit]
+    scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
 
   private def rewriteNestedRefs(s: String): String =
     if (nestedColumns.isEmpty) s
@@ -340,16 +344,86 @@ object Transpiler {
     * like the first): LATERAL VIEW inline over an array of
     * named_structs built per index, so each alias becomes a generated
     * column with no reference rewriting. */
-  private[dialect] def rewriteArrayJoin(sql: String): String =
-    arrayJoinRe.replaceAllIn(sql, m => {
+  private[dialect] def rewriteArrayJoin(sql: String): String = {
+    // loop (not replaceAllIn): bare items need reference qualification
+    // in the surrounding text, outside the matched clause
+    var out = sql
+    var start = 0
+    var m = arrayJoinRe.findFirstMatchIn(out)
+    var guard = 0
+    while (m.isDefined && guard < 16) {
+      guard += 1
+      val (replaced, subs) = rewriteOneArrayJoin(m.get)
+      if (replaced == m.get.matched) { start = m.get.end; m = None }
+      else {
+        var before = out.substring(0, m.get.start)
+        var after = out.substring(m.get.start + m.get.matched.length)
+        subs.foreach { case (re, rep) =>
+          val qr = java.util.regex.Matcher.quoteReplacement(rep)
+          before = substOutsideStrings(before, re, qr)
+          after = substOutsideStrings(after, re, qr)
+        }
+        out = before + replaced + after
+        start = before.length + replaced.length
+      }
+      m = arrayJoinRe.findFirstMatchIn(out)
+        .filter(_.start >= start) // don't re-visit what we produced
+    }
+    out
+  }
+
+  /** Regex-substitute outside single-quoted string literals. */
+  private def substOutsideStrings(in: String, re: String, rep: String): String = {
+    val parts = in.split("'", -1)
+    parts.indices.foreach { k =>
+      if (k % 2 == 0) parts(k) = parts(k).replaceAll(re, rep)
+    }
+    parts.mkString("'")
+  }
+
+  /** One ARRAY JOIN clause → (replacement text, reference
+    * substitutions to apply OUTSIDE the clause). Forms:
+    *   - `expr AS alias, ...`  — no substitutions needed
+    *   - bare column `X`       — explode under the lateral-view alias;
+    *     outside references qualify as `graft_aj.X` (a same-named
+    *     generated column is AMBIGUOUS_REFERENCE otherwise)
+    *   - bare Nested prefix    — expands to the prefix's parallel
+    *     `` `X.f` `` arrays (zip semantics, ClickHouse's own model);
+    *     dotted refs qualify as `` graft_aj.`X.f` `` */
+  private def rewriteOneArrayJoin(m: scala.util.matching.Regex.Match)
+      : (String, Seq[(String, String)]) = {
       val outer = m.group(1) != null
       val (clause, tail) = splitClauseTail(m.group(2))
       val itemRe = "(?is)^(.+?)\\s+AS\\s+(\\w+)$".r
+      val bareRe = "(?is)^`?(\\w+)`?$".r
+      val subs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
       val items = splitTopLevel(clause.trim, ',').map(_.trim)
-        .map { it => itemRe.findFirstMatchIn(it).map(x => (x.group(1), x.group(2))) }
-      if (items.exists(_.isEmpty)) m.matched // bare form unsupported: leave as-is
+        .map { it =>
+          itemRe.findFirstMatchIn(it)
+            .map(x => Seq((x.group(1), x.group(2))))
+            .orElse(bareRe.findFirstMatchIn(it).map { x =>
+              val name = x.group(1)
+              nestedColumns.get(name.toLowerCase) match {
+                case Some(fields) =>
+                  fields.foreach { f =>
+                    subs += (("(?<!\\.)" +
+                      java.util.regex.Pattern.quote(s"`$name.$f`"),
+                      s"graft_aj.`$name.$f`"))
+                  }
+                  fields.map(f => (s"`$name.$f`", s"$name.$f"))
+                case None =>
+                  // skip qualified refs (x.name), backticked spans, and
+                  // alias definitions (AS name) — those declare, not use
+                  subs += (("(?<![.\\w`])(?<!(?i:\\bAS)\\s{1,20})" +
+                    java.util.regex.Pattern.quote(name) + "\\b(?!\\s*`)",
+                    s"graft_aj.$name"))
+                  Seq((name, name))
+              }
+            })
+        }
+      if (items.exists(_.isEmpty)) (m.matched, Nil) // unsupported: leave as-is
       else {
-        val cols = items.flatten
+        val cols = items.flatten.flatten
         val rewritten =
           if (cols.length == 1) {
             val fn = if (outer) "explode_outer" else "explode"
@@ -372,9 +446,9 @@ object Transpiler {
             s"LATERAL VIEW $fn(transform(array(${cols.head._1}), " +
               s"graft_a -> if(size(graft_a) < 1, array(), $zipped))[0]) graft_aj"
           }
-        java.util.regex.Matcher.quoteReplacement(rewritten + tail)
+        (rewritten + tail, subs.toSeq)
       }
-    })
+  }
 
   /** `['a', 'b']` array literals → `array('a', 'b')`. A `[` directly
     * after an identifier/closing paren/bracket/string is a subscript

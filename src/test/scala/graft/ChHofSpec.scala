@@ -286,6 +286,32 @@ class ChHofSpec extends AnyFunSuite {
     assert(one("SELECT roundBankers(2.345, 2)") === 2.34d)
   }
 
+  test("bare ARRAY JOIN explodes a column and qualifies its references") {
+    graft.dialect.ChFunctions.register(spark)
+    val rows = spark.sql(graft.dialect.Transpiler.transpile(
+      """SELECT arr, arr * 2 AS d
+         FROM (SELECT array(1, 2, 3) AS arr) t ARRAY JOIN arr
+         WHERE arr > 1 ORDER BY arr"""))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(rows.toSeq === Seq((2, 4), (3, 6)))
+  }
+
+  test("bare ARRAY JOIN on a Nested prefix zips the parallel arrays") {
+    graft.dialect.ChFunctions.register(spark)
+    graft.dialect.Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_aj")
+    graft.dialect.Engine.execute(spark, "DROP TABLE IF EXISTS graft_aj.nt")
+    graft.dialect.Engine.execute(spark, """
+      CREATE TABLE graft_aj.nt (id Int64,
+        pp Nested(k String, v Int64)) ENGINE=Memory""")
+    graft.dialect.Engine.execute(spark, """
+      INSERT INTO graft_aj.nt SELECT 1, array('a', 'b'), array(10, 20)""")
+    val rows = graft.dialect.Engine.execute(spark, """
+      SELECT id, pp.k AS k, pp.v AS v FROM graft_aj.nt ARRAY JOIN pp
+      ORDER BY v""").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq === Seq((1L, "a", 10L), (1L, "b", 20L)))
+  }
+
   test("sipHash64 matches the SipHash-2-4 paper test vectors") {
     // reference vectors (Aumasson & Bernstein, public-domain impl):
     // key = 00..0f (k0/k1 little-endian), input = 00 01 .. (len-1)
