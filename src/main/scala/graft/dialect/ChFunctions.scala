@@ -450,6 +450,34 @@ object ChFunctions {
       "toStartOfFifteenMinutes" -> toGrid(900),
       "timeSlot" -> toGrid(1800),
       "yesterday" -> (_ => DateSub(CurrentDate(), Literal(1))),
+      // toStartOfInterval(ts, INTERVAL n unit) — the dashboard
+      // time-bucket. Spark parses the literal as a day-time (micros)
+      // or year-month (months) interval; day-time floors on the
+      // epoch-seconds grid, year-month floors months-since-epoch.
+      "toStartOfInterval" -> { a =>
+        a(1) match {
+          case Literal(us: Long, _: DayTimeIntervalType) =>
+            val secs = math.max(us / 1000000L, 1L)
+            Cast(Multiply(IntegralDivide(Cast(Cast(a(0), TimestampType),
+              LongType), Literal(secs), EvalMode.LEGACY), Literal(secs)),
+              TimestampType)
+          case Literal(m: Int, _: YearMonthIntervalType) =>
+            val d = Cast(a(0), DateType)
+            // months since 1970-01 floored to the m-grid
+            val months = Add(Multiply(Subtract(Year(d), Literal(1970)),
+              Literal(12)), Subtract(Month(d), Literal(1)))
+            val fl = Multiply(IntegralDivide(months, Literal(m),
+              EvalMode.LEGACY), Literal(m))
+            MakeDate(Add(Literal(1970), Cast(IntegralDivide(fl, Literal(12),
+              EvalMode.LEGACY), IntegerType)),
+              Add(Cast(Remainder(fl, Literal(12)), IntegerType), Literal(1)),
+              Literal(1))
+          case other => throw new IllegalArgumentException(
+            s"toStartOfInterval expects an INTERVAL literal, got $other")
+        }
+      },
+      "now64" -> (_ => Cast(Cast(CurrentTimestamp(), LongType), TimestampType)),
+      "toDateTime64" -> (a => Cast(a.head, TimestampType)),
       "addHours" -> (a => tsPlusSeconds(a, 3600)),
       "addMinutes" -> (a => tsPlusSeconds(a, 60)),
       "addSeconds" -> (a => tsPlusSeconds(a, 1)),

@@ -210,6 +210,11 @@ object Transpiler {
     s = rewriteNestedRefs(s)
     s = "(?i)\\bnumbers\\s*\\(\\s*([0-9]+)\\s*\\)".r.replaceAllIn(s,
       m => s"(SELECT id AS number FROM range(${m.group(1)}))")
+    // interval units Spark lacks: QUARTER → months, WEEK → days
+    s = "(?i)\\bINTERVAL\\s+(\\d+)\\s+QUARTER(S)?\\b".r.replaceAllIn(s,
+      m => s"INTERVAL ${m.group(1).toLong * 3} MONTH")
+    s = "(?i)\\bINTERVAL\\s+(\\d+)\\s+WEEK(S)?\\b".r.replaceAllIn(s,
+      m => s"INTERVAL ${m.group(1).toLong * 7} DAY")
     // the "infinite" system.numbers table: a long lazy Range — LIMIT
     // pushes into the scan (LocalLimit over Range reads only what it
     // needs), matching the only sane way clients use it

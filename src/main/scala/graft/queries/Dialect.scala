@@ -576,6 +576,32 @@ object Dialect {
              (SELECT count(*) FROM range(100) WHERE range < 3) AS n_small,
              (SELECT count(*) FROM range(100) WHERE range >= 30) AS n_big""")),
 
+    // F24: toStartOfInterval time-buckets (day-time + year-month
+    // grids) vs DuckDB's time_bucket
+    Q("f24_ch_interval", ch("""
+      SELECT number,
+             toStartOfInterval(addMinutes(toDateTime('2024-03-01 00:02:00'),
+               number * 11), INTERVAL 15 MINUTE) AS m15,
+             toStartOfInterval(addHours(toDateTime('2024-03-01 00:02:00'),
+               number * 7), INTERVAL 6 HOUR) AS h6,
+             toStartOfInterval(addDays(toDate('2024-01-15'),
+               toInt32(number * 23)), INTERVAL 2 MONTH) AS mo2,
+             toStartOfInterval(addDays(toDate('2024-01-15'),
+               toInt32(number * 45)), INTERVAL 1 QUARTER) AS q1
+      FROM numbers(16) ORDER BY number"""),
+      Some("""
+      WITH n AS (SELECT range AS num FROM range(16))
+      SELECT num AS number,
+             time_bucket(INTERVAL 15 MINUTE,
+               TIMESTAMP '2024-03-01 00:02:00' + INTERVAL (num * 11) MINUTE) AS m15,
+             time_bucket(INTERVAL 6 HOUR,
+               TIMESTAMP '2024-03-01 00:02:00' + INTERVAL (num * 7) HOUR) AS h6,
+             CAST(time_bucket(INTERVAL 2 MONTH,
+               DATE '2024-01-15' + INTERVAL (num * 23) DAY) AS DATE) AS mo2,
+             CAST(time_bucket(INTERVAL 3 MONTH,
+               DATE '2024-01-15' + INTERVAL (num * 45) DAY) AS DATE) AS q1
+      FROM n ORDER BY number""")),
+
     // F22: tier-2 aggregates (weighted mean, Kahan sum, popcount;
     // skewPop via DuckDB's sample-skew correction factor)
     Q("f22_ch_aggs2", ch("""
