@@ -604,7 +604,20 @@ object Engine {
       case None => ()
     }
     Transpiler.limitByParts(bare) match {
-      case None => spark.sql(Transpiler.transpile(bare))
+      case None =>
+        try spark.sql(Transpiler.transpile(bare))
+        catch {
+          // ClickHouse resolves select aliases in WHERE/HAVING; Spark
+          // does not. Retry once with the aliases inlined — only an
+          // already-failing query ever takes this path, so resolvable
+          // queries keep Spark semantics untouched.
+          case e: org.apache.spark.sql.AnalysisException
+              if Option(e.getCondition).exists(_.startsWith("UNRESOLVED_COLUMN")) =>
+            Transpiler.substituteSelectAliases(bare) match {
+              case Some(rew) => spark.sql(Transpiler.transpile(rew))
+              case None => throw e
+            }
+        }
       case Some((inner, n, byCols, outerLimit)) =>
         val orderItems =
           "(?is)\\bORDER\\s+BY\\s+(.+)$".r.findFirstMatchIn(inner)

@@ -311,6 +311,56 @@ object Transpiler {
     s
   }
 
+  /** ClickHouse resolves SELECT-list aliases everywhere in the
+    * statement (`SELECT round(x,2) AS y FROM t WHERE y > 0`); Spark
+    * resolves them in GROUP/ORDER but not WHERE/HAVING-with-aggregate.
+    * This produces the alias-substituted form: every computed
+    * `expr AS alias` from the TOP-LEVEL select list is inlined as
+    * `(expr)` into the clause tail (after FROM, outside strings,
+    * unqualified references only). Returns None when there is nothing
+    * to substitute. Callers use it as an UNRESOLVED_COLUMN retry, so a
+    * query Spark already resolves never changes meaning. */
+  private[graft] def substituteSelectAliases(sql: String): Option[String] = {
+    val head = "(?is)^(\\s*SELECT\\s+(?:DISTINCT\\s+)?)".r
+      .findFirstMatchIn(sql).getOrElse(return None)
+    // top-level FROM ends the select list
+    val body = sql.substring(head.end)
+    var i = 0
+    var depth = 0
+    var inStr = false
+    var fromAt = -1
+    while (i < body.length && fromAt < 0) {
+      val c = body.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'f' | 'F' if depth == 0 &&
+            body.regionMatches(true, i, "FROM", 0, 4) &&
+            (i == 0 || !Character.isLetterOrDigit(body.charAt(i - 1))) &&
+            (i + 4 >= body.length || !Character.isLetterOrDigit(body.charAt(i + 4))) =>
+          fromAt = i
+        case _ => ()
+      }
+      i += 1
+    }
+    if (fromAt < 0) return None
+    val selectList = body.substring(0, fromAt)
+    var tail = body.substring(fromAt)
+    val aliasRe = "(?is)^(.*\\S)\\s+AS\\s+`?(\\w+)`?\\s*$".r
+    val pairs = splitTopLevel(selectList, ',').map(_.trim).flatMap { it =>
+      aliasRe.findFirstMatchIn(it).map(x => (x.group(2), x.group(1).trim))
+    }.filter { case (a, e) => !e.equalsIgnoreCase(a) } // computed only
+    if (pairs.isEmpty) return None
+    pairs.foreach { case (alias, expr) =>
+      tail = substOutsideStrings(tail,
+        "(?<![.\\w`])" + java.util.regex.Pattern.quote(alias) + "\\b(?!\\s*\\()",
+        java.util.regex.Matcher.quoteReplacement(s"($expr)"))
+    }
+    Some(sql.substring(0, head.end) + selectList + tail)
+  }
+
   private val arrayJoinRe =
     ("(?is)\\b(LEFT\\s+)?ARRAY\\s+JOIN\\s+(.+?)" +
       "(?=\\s+(WHERE|PREWHERE|GROUP|ORDER|LIMIT|HAVING|SETTINGS|UNION)\\b|\\s*$)").r

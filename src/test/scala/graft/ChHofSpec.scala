@@ -286,6 +286,25 @@ class ChHofSpec extends AnyFunSuite {
     assert(one("SELECT roundBankers(2.345, 2)") === 2.34d)
   }
 
+  test("select aliases resolve in WHERE and HAVING (ClickHouse scoping)") {
+    graft.dialect.ChFunctions.register(spark)
+    import graft.dialect.Engine
+    val w = Engine.execute(spark, """
+      SELECT number + 10 AS y FROM numbers(5) WHERE y >= 12 ORDER BY y""")
+      .collect().map(_.getLong(0))
+    assert(w.toSeq === Seq(12L, 13L, 14L))
+    val h = Engine.execute(spark, """
+      SELECT number % 2 AS g, sum(number) AS s FROM numbers(10)
+      GROUP BY g HAVING s > 20 ORDER BY g""")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(h.toSeq === Seq((1L, 25L)))
+    // strings containing the alias name stay untouched
+    val lit = Engine.execute(spark, """
+      SELECT number * 2 AS d, 'd marks' AS tag FROM numbers(3)
+      WHERE d = 4""").collect()
+    assert(lit.length === 1 && lit.head.getString(1) === "d marks")
+  }
+
   test("bare ARRAY JOIN explodes a column and qualifies its references") {
     graft.dialect.ChFunctions.register(spark)
     val rows = spark.sql(graft.dialect.Transpiler.transpile(
