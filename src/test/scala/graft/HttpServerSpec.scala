@@ -127,6 +127,25 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one.statusCode() === 200 && one.body() === "0\n")
   }
 
+  test("reference CI flow over HTTP: hits DDL + INSERT + count (test.yml:48-56)") {
+    import graft.dialect.HitsFixture
+    // the reference CI drives these statements through curl; same wire
+    post("CREATE DATABASE IF NOT EXISTS clickbench")
+    post("DROP TABLE IF EXISTS clickbench.hits_http")
+    val mk = post(HitsFixture.ddl
+      .replace("clickbench.hits", "clickbench.hits_http"))
+    assert(mk.statusCode() === 200, mk.body())
+    val ins = post(HitsFixture.insertSql
+      .replace("clickbench.hits", "clickbench.hits_http")
+      .replace(HitsFixture.N.toString, "1000")) // small slice over HTTP
+    assert(ins.statusCode() === 200, ins.body())
+    val n = post("SELECT count() FROM clickbench.hits_http")
+    assert(n.statusCode() === 200 && n.body() === "1000\n", n.body())
+    val lim = post("SELECT WatchID FROM clickbench.hits_http LIMIT 1")
+    assert(lim.statusCode() === 200 && lim.body().trim.nonEmpty)
+    post("DROP TABLE IF EXISTS clickbench.hits_http")
+  }
+
   test("Accept-Encoding: gzip compresses the streamed response") {
     val r = client.send(HttpRequest.newBuilder(
         URI.create(s"http://localhost:$port/?query=${enc(
