@@ -639,6 +639,10 @@ object ChFunctions {
       },
 
       // ---- aggregates (tier 2) ----
+      // sumMap(keys, values): per-key sums over parallel arrays — the
+      // Nested-metrics aggregate (custom mergeable state, SumMap.scala)
+      "sumMap" -> (a =>
+        graft.functions.SumMapAgg(a(0), a(1)).toAggregateExpression()),
       "avgWeighted" -> (a => Divide(
         Sum(Multiply(Cast(a(0), DoubleType), Cast(a(1), DoubleType)))
           .toAggregateExpression(),

@@ -602,6 +602,26 @@ object Dialect {
                DATE '2024-01-15' + INTERVAL (num * 45) DAY) AS DATE) AS q1
       FROM n ORDER BY number""")),
 
+    // F25: sumMap per-key array aggregation (serialized for compare;
+    // DuckDB reproduces via zipped unnest + group + ordered string_agg)
+    Q("f25_ch_summap", ch("""
+      SELECT number % 4 AS g,
+             arrayStringConcat(arrayMap(x -> toString(x),
+               tupleElement(sumMap(
+                 [number % 3, number % 5 + 10], [1, 2]), 1)), ',') AS ks,
+             arrayStringConcat(arrayMap(x -> toString(x),
+               tupleElement(sumMap(
+                 [number % 3, number % 5 + 10], [1, 2]), 2)), ',') AS vs
+      FROM numbers(40) GROUP BY g ORDER BY g"""),
+      Some("""
+      WITH n AS (SELECT range AS num FROM range(40)),
+      p AS (SELECT num % 4 AS g, unnest([num % 3, num % 5 + 10]) AS k,
+                   unnest([1, 2]) AS v FROM n),
+      s AS (SELECT g, k, sum(v) AS sv FROM p GROUP BY g, k)
+      SELECT g, string_agg(CAST(k AS VARCHAR), ',' ORDER BY k) AS ks,
+             string_agg(CAST(sv AS VARCHAR), ',' ORDER BY k) AS vs
+      FROM s GROUP BY g ORDER BY g""")),
+
     // F22: tier-2 aggregates (weighted mean, Kahan sum, popcount;
     // skewPop via DuckDB's sample-skew correction factor)
     Q("f22_ch_aggs2", ch("""

@@ -349,6 +349,23 @@ class ChHofSpec extends AnyFunSuite {
     assert(one("SELECT sipHash64(toString(42)) = sipHash64('42')") === true)
   }
 
+  test("sumMap sums values per key, result sorted by key") {
+    graft.dialect.ChFunctions.register(spark)
+    val r = spark.sql(graft.dialect.Transpiler.transpile(
+      """SELECT toString(tupleElement(sumMap(k, v), 1)) AS ks,
+                toString(tupleElement(sumMap(k, v), 2)) AS vs
+         FROM (SELECT array('b', 'a') AS k, array(1, 2) AS v
+               UNION ALL SELECT array('a', 'c'), array(10, 5))"""))
+      .collect().head
+    assert(r.getString(0) === "[a, b, c]")
+    assert(r.getString(1) === "[12, 1, 5]")
+    // fractional values widen to double
+    val d = spark.sql(graft.dialect.Transpiler.transpile(
+      "SELECT toString(tupleElement(sumMap(array(1), array(0.5)), 2))"))
+      .collect().head.getString(0)
+    assert(d === "[0.5]")
+  }
+
   test("kurtPop is population excess kurtosis") {
     // [1,2,3,4,5]: m2=2, m4=6.8 -> 6.8/4 - 3 = -1.3
     graft.dialect.ChFunctions.register(spark)
