@@ -643,6 +643,10 @@ object ChFunctions {
       // Nested-metrics aggregate (custom mergeable state, SumMap.scala)
       "sumMap" -> (a =>
         graft.functions.SumMapAgg(a(0), a(1)).toAggregateExpression()),
+      "minMap" -> (a =>
+        graft.functions.SumMapAgg(a(0), a(1), "min").toAggregateExpression()),
+      "maxMap" -> (a =>
+        graft.functions.SumMapAgg(a(0), a(1), "max").toAggregateExpression()),
       "avgWeighted" -> (a => Divide(
         Sum(Multiply(Cast(a(0), DoubleType), Cast(a(1), DoubleType)))
           .toAggregateExpression(),

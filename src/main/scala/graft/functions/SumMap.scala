@@ -26,13 +26,20 @@ import scala.collection.mutable
 case class SumMapAgg(
     keys: Expression,
     values: Expression,
+    op: String = "sum", // sum | min | max (ClickHouse sumMap/minMap/maxMap)
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[mutable.HashMap[String, Double]] {
 
   override def children: Seq[Expression] = Seq(keys, values)
   override def nullable: Boolean = false
-  override def prettyName: String = "sumMap"
+  override def prettyName: String = s"${op}Map"
+
+  private def combine(a: Double, b: Double): Double = op match {
+    case "min" => math.min(a, b)
+    case "max" => math.max(a, b)
+    case _ => a + b
+  }
 
   private def keyType: DataType = keys.dataType match {
     case ArrayType(et, _) => et
@@ -92,7 +99,7 @@ case class SumMapAgg(
           case d: Decimal => d.toDouble
           case other => other.toString.toDouble
         }
-        buf.update(k, buf.getOrElse(k, 0d) + v)
+        buf.update(k, buf.get(k).map(combine(_, v)).getOrElse(v))
       }
       i += 1
     }
@@ -101,7 +108,8 @@ case class SumMapAgg(
 
   override def merge(buf: mutable.HashMap[String, Double],
                      other: mutable.HashMap[String, Double]): mutable.HashMap[String, Double] = {
-    other.foreach { case (k, v) => buf.update(k, buf.getOrElse(k, 0d) + v) }
+    other.foreach { case (k, v) =>
+      buf.update(k, buf.get(k).map(combine(_, v)).getOrElse(v)) }
     buf
   }
 

@@ -364,6 +364,14 @@ class ChHofSpec extends AnyFunSuite {
       "SELECT toString(tupleElement(sumMap(array(1), array(0.5)), 2))"))
       .collect().head.getString(0)
     assert(d === "[0.5]")
+    // minMap / maxMap keep the extreme per key
+    val mm = spark.sql(graft.dialect.Transpiler.transpile(
+      """SELECT toString(tupleElement(minMap(k, v), 2)) AS mn,
+                toString(tupleElement(maxMap(k, v), 2)) AS mx
+         FROM (SELECT array('a') AS k, array(5) AS v
+               UNION ALL SELECT array('a'), array(2))"""))
+      .collect().head
+    assert(mm.getString(0) === "[2]" && mm.getString(1) === "[5]")
   }
 
   test("kurtPop is population excess kurtosis") {
