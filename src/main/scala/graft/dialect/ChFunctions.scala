@@ -450,6 +450,11 @@ object ChFunctions {
       "toStartOfFifteenMinutes" -> toGrid(900),
       "timeSlot" -> toGrid(1800),
       "yesterday" -> (_ => DateSub(CurrentDate(), Literal(1))),
+      // ClickHouse rand() is uniform UInt32, rand64() uniform UInt64
+      // (bit pattern as Long) — nondeterministic, spec-ranged
+      "rand" -> (_ => Cast(Multiply(new Rand(), Literal(4294967296d)), LongType)),
+      "rand64" -> (_ => Cast(Multiply(Subtract(new Rand(), Literal(0.5d)),
+        Literal(1.8446744073709552e19)), LongType)),
       // toStartOfInterval(ts, INTERVAL n unit) — the dashboard
       // time-bucket. Spark parses the literal as a day-time (micros)
       // or year-month (months) interval; day-time floors on the

@@ -519,12 +519,30 @@ object Engine {
                     s"File ${m.group(2)} exists; use INTO OUTFILE ... APPEND or TRUNCATE")
                 Seq(CREATE_NEW)
             }
-            // stream rows to the file (toLocalIterator inside write) —
-            // an export never materializes on the driver
-            val w = java.nio.file.Files.newBufferedWriter(
-              p, java.nio.charset.StandardCharsets.UTF_8, opts: _*)
-            try graft.formats.ResultFormatter.write(df, fmt.getOrElse("TSV"), w)
-            finally w.close()
+            if (fmt.exists(_.equalsIgnoreCase("Parquet"))) {
+              // columnar export: executors write parquet directly (no
+              // driver serialization at all); like ClickHouse the
+              // target is ONE file, so the single part-file is moved
+              // into place from a scratch dir
+              if (Option(m.group(3)).exists(_.equalsIgnoreCase("APPEND")))
+                throw new IllegalArgumentException(
+                  "INTO OUTFILE ... FORMAT Parquet supports TRUNCATE, not APPEND")
+              val tmp = java.nio.file.Files
+                .createTempDirectory("graft_outfile").toString
+              df.coalesce(1).write.mode("overwrite").parquet(tmp)
+              val part = new java.io.File(tmp).listFiles()
+                .find(_.getName.endsWith(".parquet"))
+                .getOrElse(throw new IllegalStateException("no parquet part written"))
+              java.nio.file.Files.deleteIfExists(p)
+              java.nio.file.Files.move(part.toPath, p)
+            } else {
+              // stream rows to the file (toLocalIterator inside write) —
+              // an export never materializes on the driver
+              val w = java.nio.file.Files.newBufferedWriter(
+                p, java.nio.charset.StandardCharsets.UTF_8, opts: _*)
+              try graft.formats.ResultFormatter.write(df, fmt.getOrElse("TSV"), w)
+              finally w.close()
+            }
             df
           case None => query(spark, noFmt)
         }

@@ -331,6 +331,16 @@ class ChHofSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq((1L, "a", 10L), (1L, "b", 20L)))
   }
 
+  test("rand()/rand64() produce in-range varying integers") {
+    graft.dialect.ChFunctions.register(spark)
+    val r = spark.sql(graft.dialect.Transpiler.transpile(
+      "SELECT rand() AS a, rand64() AS b FROM numbers(100)"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.forall { case (a, _) => a >= 0L && a < 4294967296L })
+    assert(r.map(_._1).distinct.length > 50) // varies per row
+    assert(r.map(_._2).distinct.length > 50)
+  }
+
   test("sipHash64 matches the SipHash-2-4 paper test vectors") {
     // reference vectors (Aumasson & Bernstein, public-domain impl):
     // key = 00..0f (k0/k1 little-endian), input = 00 01 .. (len-1)

@@ -250,6 +250,21 @@ class DdlSpec extends AnyFunSuite {
       .collect().head.getString(0) === "new")
   }
 
+  test("INTO OUTFILE FORMAT Parquet exports one readable parquet file") {
+    graft.dialect.ChContext.setup(spark, "/root/testdata/sf0.001")
+    val out = java.nio.file.Files.createTempDirectory("graft_pq")
+      .resolve("nation.parquet").toString
+    Engine.execute(spark,
+      s"SELECT n_nationkey, n_name FROM nation INTO OUTFILE '$out' FORMAT Parquet")
+    val back = spark.read.parquet(out)
+    assert(back.count() === spark.table("nation").count())
+    assert(back.columns.toSeq === Seq("n_nationkey", "n_name"))
+    // APPEND is refused for a columnar single-file target
+    val e = intercept[Exception] { Engine.execute(spark,
+      s"SELECT 1 AS x INTO OUTFILE '$out' APPEND FORMAT Parquet") }
+    assert(e.getMessage.contains("TRUNCATE, not APPEND"))
+  }
+
   test("SummingMergeTree: FINAL sums numerics per key, others keep a value") {
     Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
     Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.smt")
