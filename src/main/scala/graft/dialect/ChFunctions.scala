@@ -522,6 +522,35 @@ object ChFunctions {
         And(Not(EqualTo(Cast(a.head, DoubleType), posInf)),
           Not(EqualTo(Cast(a.head, DoubleType), negInf))))),
 
+      // ---- JSON (tier 2) ----
+      "JSONLength" -> (a => LengthOfJsonArray(
+        if (a.length > 1) GetJsonObject(a(0), jsonPath(a(1))) else a(0))),
+      "JSONExtractKeys" -> (a => JsonObjectKeys(
+        if (a.length > 1) GetJsonObject(a(0), jsonPath(a(1))) else a(0))),
+
+      // ---- date parse ----
+      // parseDateTime(s, '%Y-%m-%d ...') — MySQL-style tokens, same
+      // mapping formatDateTime uses in reverse
+      "parseDateTime" -> (a => new ParseToTimestamp(a(0), chFormatToJava(a(1)))),
+      "parseDateTimeOrNull" -> (a => TryToTimestampExpressionBuilder.build(
+        "parseDateTimeOrNull", Seq(a(0), chFormatToJava(a(1))))),
+
+      // ---- geo ----
+      // great-circle distance in meters (haversine, R = 6371 km — the
+      // published formula ClickHouse documents for greatCircleDistance)
+      "greatCircleDistance" -> { a =>
+        def rad(e: Expression) = Multiply(Cast(e, DoubleType),
+          Literal(math.Pi / 180d))
+        val (lon1, lat1, lon2, lat2) = (rad(a(0)), rad(a(1)), rad(a(2)), rad(a(3)))
+        val dLat = Subtract(lat2, lat1)
+        val dLon = Subtract(lon2, lon1)
+        val h = Add(
+          Multiply(Sin(Divide(dLat, Literal(2d))), Sin(Divide(dLat, Literal(2d)))),
+          Multiply(Multiply(Cos(lat1), Cos(lat2)),
+            Multiply(Sin(Divide(dLon, Literal(2d))), Sin(Divide(dLon, Literal(2d))))))
+        Multiply(Literal(2d * 6371000d), Asin(Sqrt(h)))
+      },
+
       // ---- string ----
       "mid" -> (a => Substring(a(0), a(1), a(2))),
       "base64Encode" -> (a => Base64(Cast(a.head, BinaryType))),

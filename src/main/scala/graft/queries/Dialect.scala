@@ -622,6 +622,28 @@ object Dialect {
              string_agg(CAST(sv AS VARCHAR), ',' ORDER BY k) AS vs
       FROM s GROUP BY g ORDER BY g""")),
 
+    // F26: JSON introspection + MySQL-token date parsing
+    Q("f26_ch_json2", ch("""
+      SELECT number,
+             toInt64(JSONLength(concat('[1,2,', toString(number), ']'))) AS jl,
+             arrayStringConcat(JSONExtractKeys(
+               concat('{"a":1,"k', toString(number), '":2}')), ',') AS jk,
+             parseDateTime(concat('2024-03-0', toString(number % 9 + 1),
+               ' 10:30:00'), '%Y-%m-%d %H:%M:%S') AS pd,
+             parseDateTimeOrNull('garbage', '%Y-%m-%d') AS bad
+      FROM numbers(6) ORDER BY number"""),
+      Some("""
+      WITH n AS (SELECT range AS num FROM range(6))
+      SELECT num AS number,
+             CAST(json_array_length('[1,2,' || CAST(num AS VARCHAR) || ']')
+                  AS BIGINT) AS jl,
+             array_to_string(json_keys('{"a":1,"k' || CAST(num AS VARCHAR) ||
+               '":2}'), ',') AS jk,
+             strptime('2024-03-0' || CAST(num % 9 + 1 AS VARCHAR) ||
+               ' 10:30:00', '%Y-%m-%d %H:%M:%S') AS pd,
+             CAST(NULL AS TIMESTAMP) AS bad
+      FROM n ORDER BY number""")),
+
     // F22: tier-2 aggregates (weighted mean, Kahan sum, popcount;
     // skewPop via DuckDB's sample-skew correction factor)
     Q("f22_ch_aggs2", ch("""

@@ -331,6 +331,15 @@ class ChHofSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq((1L, "a", 10L), (1L, "b", 20L)))
   }
 
+  test("greatCircleDistance matches a known city pair within 0.5%") {
+    graft.dialect.ChFunctions.register(spark)
+    // Paris (2.3522, 48.8566) -> Berlin (13.4050, 52.5200): ~877.46 km
+    val d = spark.sql(graft.dialect.Transpiler.transpile(
+      "SELECT greatCircleDistance(2.3522, 48.8566, 13.4050, 52.5200)"))
+      .collect().head.getDouble(0)
+    assert(math.abs(d - 877460) / 877460 < 0.005, s"d=$d")
+  }
+
   test("rand()/rand64() produce in-range varying integers") {
     graft.dialect.ChFunctions.register(spark)
     val r = spark.sql(graft.dialect.Transpiler.transpile(
