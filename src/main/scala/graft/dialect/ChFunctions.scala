@@ -453,8 +453,13 @@ object ChFunctions {
       // ClickHouse rand() is uniform UInt32, rand64() uniform UInt64
       // (bit pattern as Long) — nondeterministic, spec-ranged
       "rand" -> (_ => Cast(Multiply(new Rand(), Literal(4294967296d)), LongType)),
-      "rand64" -> (_ => Cast(Multiply(Subtract(new Rand(), Literal(0.5d)),
-        Literal(1.8446744073709552e19)), LongType)),
+      // two independent 32-bit draws fill all 64 bits uniformly (one
+      // double draw only reaches ~2^53 coarse values and saturates the
+      // extremes under cast)
+      "rand64" -> (_ => BitwiseOr(
+        ShiftLeft(Cast(Multiply(new Rand(), Literal(4294967296d)), LongType),
+          Literal(32)),
+        Cast(Multiply(new Rand(), Literal(4294967296d)), LongType))),
       // toStartOfInterval(ts, INTERVAL n unit) — the dashboard
       // time-bucket. Spark parses the literal as a day-time (micros)
       // or year-month (months) interval; day-time floors on the

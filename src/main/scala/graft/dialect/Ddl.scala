@@ -121,7 +121,11 @@ object Ddl {
   private val suffixKeywords = Seq(
     "PARTITION BY", "ORDER BY", "SAMPLE BY", "PRIMARY KEY", "SETTINGS")
   private[graft] def suffixClauses(rest: String): Map[String, String] = {
-    // keyword match at i, whitespace-flexible between words
+    // keyword match at i, whitespace-flexible between words; '_' and '`'
+    // count as identifier chars (\b semantics) so a column named
+    // `user_settings` never false-matches SETTINGS
+    def identChar(c: Char): Boolean =
+      Character.isLetterOrDigit(c) || c == '_' || c == '`'
     def matchKw(i: Int, kw: String): Int = { // -1 or end index
       var pos = i
       val words = kw.split(" ")
@@ -130,9 +134,9 @@ object Ddl {
         val word = words(w)
         if (!rest.regionMatches(true, pos, word, 0, word.length)) return -1
         // word boundaries on both sides
-        if (pos > 0 && Character.isLetterOrDigit(rest.charAt(pos - 1))) return -1
+        if (pos > 0 && identChar(rest.charAt(pos - 1))) return -1
         val after = pos + word.length
-        if (after < rest.length && Character.isLetterOrDigit(rest.charAt(after))
+        if (after < rest.length && identChar(rest.charAt(after))
             && w == words.length - 1) return -1
         pos = after
         if (w < words.length - 1) {

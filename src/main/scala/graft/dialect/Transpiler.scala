@@ -170,13 +170,16 @@ object Transpiler {
     val scalarRe = "(?is)^\\s*(.*\\S)\\s+AS\\s+`?(\\w+)`?\\s*$".r
     val (ctes, scalars) = items.partition(it => cteRe.findFirstIn(it).isDefined)
     if (scalars.isEmpty) return sql
-    // substitute outside string literals only
+    // substitute outside string literals only; guard like
+    // substituteSelectAliases: no qualified refs (t.k), no backticked
+    // occurrences, and never a function-call name (alias followed by '(')
     def subst(in: String, alias: String, expr: String): String = {
       val parts = in.split("'", -1)
       parts.indices.foreach { k =>
         if (k % 2 == 0)
           parts(k) = parts(k).replaceAll(
-            "\\b" + java.util.regex.Pattern.quote(alias) + "\\b",
+            "(?<![.\\w`])" + java.util.regex.Pattern.quote(alias) +
+              "\\b(?![`(])(?!\\s*\\()",
             java.util.regex.Matcher.quoteReplacement(s"($expr)"))
       }
       parts.mkString("'")

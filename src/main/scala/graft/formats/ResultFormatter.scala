@@ -45,6 +45,17 @@ object ResultFormatter {
       () => (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Format names [[writeRows]] renders (lowercased) — lets callers
+    * validate before any response bytes go out (the HTTP 400 contract
+    * requires rejecting unknown formats before headers are sent). */
+  val knownTextFormats: Set[String] = Set(
+    "tsv", "tabseparated", "tsvwithnames", "tabseparatedwithnames",
+    "tsvwithnamesandtypes", "tabseparatedwithnamesandtypes",
+    "csv", "csvwithnames", "csvwithnamesandtypes",
+    "json", "jsoncompact", "jsoneachrow", "ndjson", "jsoncompacteachrow",
+    "pretty", "prettycompact", "null", "values")
+  def isKnown(format: String): Boolean = knownTextFormats(format.toLowerCase)
+
   /** Iterator-driven core shared by [[write]] and the HTTP server. */
   def writeRows(schema: StructType, rows: Iterator[Row], format: String,
                 out: Appendable, elapsed: () => Double = () => 0d): Long =

@@ -21,7 +21,11 @@ import scala.collection.mutable
   * through their string rendering (exact for atomic types, same
   * technique as [[TopKSketch]]); sums are Long for integral value
   * children and Double for fractional ones, matching how ClickHouse
-  * widens.
+  * widens. Integral sums accumulate in a Long all the way through
+  * (ClickHouse sumMap on Int64 is exact beyond 2^53, so a Double
+  * intermediate would silently lose precision); the buffer value is
+  * `java.lang.Long` when `integralSums` and `java.lang.Double`
+  * otherwise, fixed per instance by the input type.
   */
 case class SumMapAgg(
     keys: Expression,
@@ -29,17 +33,28 @@ case class SumMapAgg(
     op: String = "sum", // sum | min | max (ClickHouse sumMap/minMap/maxMap)
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[mutable.HashMap[String, Double]] {
+    extends TypedImperativeAggregate[mutable.HashMap[String, Any]] {
 
   override def children: Seq[Expression] = Seq(keys, values)
   override def nullable: Boolean = false
   override def prettyName: String = s"${op}Map"
 
-  private def combine(a: Double, b: Double): Double = op match {
-    case "min" => math.min(a, b)
-    case "max" => math.max(a, b)
-    case _ => a + b
-  }
+  private def combine(a: Any, b: Any): Any =
+    if (integralSums) {
+      val (x, y) = (a.asInstanceOf[Long], b.asInstanceOf[Long])
+      op match {
+        case "min" => math.min(x, y)
+        case "max" => math.max(x, y)
+        case _ => x + y
+      }
+    } else {
+      val (x, y) = (a.asInstanceOf[Double], b.asInstanceOf[Double])
+      op match {
+        case "min" => math.min(x, y)
+        case "max" => math.max(x, y)
+        case _ => x + y
+      }
+    }
 
   private def keyType: DataType = keys.dataType match {
     case ArrayType(et, _) => et
@@ -80,11 +95,11 @@ case class SumMapAgg(
     case _ => Ordering.String
   }
 
-  override def createAggregationBuffer(): mutable.HashMap[String, Double] =
+  override def createAggregationBuffer(): mutable.HashMap[String, Any] =
     mutable.HashMap.empty
 
-  override def update(buf: mutable.HashMap[String, Double],
-                      input: InternalRow): mutable.HashMap[String, Double] = {
+  override def update(buf: mutable.HashMap[String, Any],
+                      input: InternalRow): mutable.HashMap[String, Any] = {
     val ks = keys.eval(input).asInstanceOf[ArrayData]
     val vs = values.eval(input).asInstanceOf[ArrayData]
     if (ks == null || vs == null) return buf
@@ -94,11 +109,16 @@ case class SumMapAgg(
     while (i < n) {
       if (!ks.isNullAt(i) && !vs.isNullAt(i)) {
         val k = ks.get(i, keyType).toString
-        val v = vs.get(i, vt) match {
-          case x: java.lang.Number => x.doubleValue()
-          case d: Decimal => d.toDouble
-          case other => other.toString.toDouble
-        }
+        val v: Any =
+          if (integralSums) vs.get(i, vt) match {
+            case x: java.lang.Number => x.longValue()
+            case other => other.toString.toLong
+          }
+          else vs.get(i, vt) match {
+            case x: java.lang.Number => x.doubleValue()
+            case d: Decimal => d.toDouble
+            case other => other.toString.toDouble
+          }
         buf.update(k, buf.get(k).map(combine(_, v)).getOrElse(v))
       }
       i += 1
@@ -106,35 +126,40 @@ case class SumMapAgg(
     buf
   }
 
-  override def merge(buf: mutable.HashMap[String, Double],
-                     other: mutable.HashMap[String, Double]): mutable.HashMap[String, Double] = {
+  override def merge(buf: mutable.HashMap[String, Any],
+                     other: mutable.HashMap[String, Any]): mutable.HashMap[String, Any] = {
     other.foreach { case (k, v) =>
       buf.update(k, buf.get(k).map(combine(_, v)).getOrElse(v)) }
     buf
   }
 
-  override def eval(buf: mutable.HashMap[String, Double]): Any = {
+  override def eval(buf: mutable.HashMap[String, Any]): Any = {
     val sorted = buf.toSeq.sortBy(_._1)(keyOrdering)
     val ks = new GenericArrayData(sorted.map(e => fromKey(e._1)).toArray[Any])
-    val vs = new GenericArrayData(sorted.map { e =>
-      if (integralSums) e._2.toLong: Any else e._2: Any
-    }.toArray[Any])
+    val vs = new GenericArrayData(sorted.map(_._2).toArray[Any])
     new GenericInternalRow(Array[Any](ks, vs))
   }
 
-  override def serialize(buf: mutable.HashMap[String, Double]): Array[Byte] = {
+  override def serialize(buf: mutable.HashMap[String, Any]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (k, v) => out.writeUTF(k); out.writeDouble(v) }
+    buf.foreach { case (k, v) =>
+      out.writeUTF(k)
+      if (integralSums) out.writeLong(v.asInstanceOf[Long])
+      else out.writeDouble(v.asInstanceOf[Double])
+    }
     out.flush(); bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Double] = {
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Any] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val buf = mutable.HashMap.empty[String, Double]
-    (0 until n).foreach(_ => buf.update(in.readUTF(), in.readDouble()))
+    val buf = mutable.HashMap.empty[String, Any]
+    (0 until n).foreach { _ =>
+      val k = in.readUTF()
+      buf.update(k, if (integralSums) in.readLong(): Any else in.readDouble(): Any)
+    }
     buf
   }
 

@@ -107,7 +107,13 @@ class HttpServer(spark: SparkSession, port: Int,
       }
       if (gzip) ex.getResponseHeaders.set("Content-Encoding", "gzip")
       val fmtLower = fmt.toLowerCase
-      if (fmtLower == "native" || fmtLower.startsWith("rowbinary")) {
+      val binaryFmt = fmtLower == "native" || fmtLower == "rowbinary" ||
+        fmtLower == "rowbinarywithnamesandtypes"
+      // validate the format BEFORE body() commits the 200 headers —
+      // an unknown FORMAT must be a 400 with a message, not an empty 200
+      if (!binaryFmt && !ResultFormatter.isKnown(fmt))
+        throw new IllegalArgumentException(s"unknown format: $fmt")
+      if (binaryFmt) {
         ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
         val os = body()
         import scala.jdk.CollectionConverters._

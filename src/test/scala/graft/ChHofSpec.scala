@@ -348,6 +348,13 @@ class ChHofSpec extends AnyFunSuite {
     assert(r.forall { case (a, _) => a >= 0L && a < 4294967296L })
     assert(r.map(_._1).distinct.length > 50) // varies per row
     assert(r.map(_._2).distinct.length > 50)
+    // rand64 fills all 64 bits: low 32 bits vary (a single double draw
+    // only reaches ~2^53 coarse values, leaving low bits degenerate)
+    val low = r.map(_._2 & 0xffffffffL).distinct
+    assert(low.length > 50, s"low 32 bits degenerate: ${low.length} distinct")
+    // and extremes are not saturated pile-ups at Long.MaxValue/MinValue
+    assert(r.count(_._2 == Long.MaxValue) <= 1)
+    assert(r.count(_._2 == Long.MinValue) <= 1)
   }
 
   test("sipHash64 matches the SipHash-2-4 paper test vectors") {
@@ -383,6 +390,15 @@ class ChHofSpec extends AnyFunSuite {
       "SELECT toString(tupleElement(sumMap(array(1), array(0.5)), 2))"))
       .collect().head.getString(0)
     assert(d === "[0.5]")
+    // Int64 sums stay exact beyond 2^53 (Long accumulator, not Double:
+    // 2^53 + 1 + 1 would round to 2^53 in a double intermediate)
+    val big = spark.sql(graft.dialect.Transpiler.transpile(
+      """SELECT toString(tupleElement(sumMap(k, v), 2)) AS s
+         FROM (SELECT array('x') AS k, array(9007199254740992) AS v
+               UNION ALL SELECT array('x'), array(1)
+               UNION ALL SELECT array('x'), array(1))"""))
+      .collect().head.getString(0)
+    assert(big === "[9007199254740994]", s"lost precision: $big")
     // minMap / maxMap keep the extreme per key
     val mm = spark.sql(graft.dialect.Transpiler.transpile(
       """SELECT toString(tupleElement(minMap(k, v), 2)) AS mn,

@@ -165,6 +165,15 @@ class DdlSpec extends AnyFunSuite {
       "ORDER BY (if(a > 0, a, b), k) PARTITION BY toDate(d)")
     assert(c2("ORDER BY") === "(if(a > 0, a, b), k)")
     assert(c2("PARTITION BY") === "toDate(d)")
+    // '_' is an identifier char: a column named user_settings must not
+    // false-match SETTINGS (which would truncate the ORDER BY key)
+    val c3 = Ddl.suffixClauses(
+      "ORDER BY user_settings SETTINGS index_granularity=8192")
+    assert(c3("ORDER BY") === "user_settings")
+    assert(c3("SETTINGS") === "index_granularity=8192")
+    val c4 = Ddl.suffixClauses("ORDER BY `my_order` PARTITION BY partition_id")
+    assert(c4("ORDER BY") === "`my_order`")
+    assert(c4("PARTITION BY") === "partition_id")
     // end-to-end: a two-level ORDER BY key creates and inserts
     graft.dialect.ChContext.setup(spark, "/root/testdata/sf0.001")
     Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")

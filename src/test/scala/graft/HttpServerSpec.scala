@@ -77,6 +77,12 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.statusCode() === 400 && r.body().nonEmpty)
   }
 
+  test("unknown FORMAT is a 400 with message, not an empty 200") {
+    val r = post("SELECT 1 FORMAT NoSuchFormat")
+    assert(r.statusCode() === 400, s"got ${r.statusCode()}: ${r.body()}")
+    assert(r.body().toLowerCase.contains("unknown format"), r.body())
+  }
+
   test("queries run against registered fixture tables") {
     val r = post("SELECT count() FROM lineitem")
     assert(r.body().trim.toLong > 0)

@@ -172,5 +172,15 @@ class TranspilerSpec extends AnyFunSuite {
     assert(Transpiler.transpile(
       "WITH toDate('2024-01-02') AS d SELECT d + 1 AS nxt")
       .contains("(toDate('2024-01-02')) + 1 AS nxt"))
+    // qualified references (t.k) and backticked identifiers are NOT the
+    // alias — substituting them would produce invalid SQL (ADVICE r7)
+    val qual = Transpiler.transpile(
+      "WITH 5 AS k SELECT t.k, `k`, k AS v FROM tbl t")
+    assert(qual.contains("t.k"), qual)
+    assert(qual.contains("`k`"), qual)
+    assert(qual.contains("(5) AS v"), qual)
+    // an alias sharing a function's name doesn't clobber the call
+    assert(Transpiler.transpile("WITH 3 AS abs SELECT abs(-1), abs AS v")
+      .contains("abs(-1)"))
   }
 }
