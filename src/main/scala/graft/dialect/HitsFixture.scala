@@ -260,8 +260,10 @@ object HitsFixture {
   }
 
   /** The bulk load, via the same dialect path a client uses. */
-  def insertSql: String =
-    s"INSERT INTO $table SELECT\n${cols.map(_._2.spark).mkString(",\n")}\nFROM numbers($N)"
+  def insertSql: String = insertSqlFor(table, N)
+
+  private def insertSqlFor(tbl: String, n: Int): String =
+    s"INSERT INTO $tbl SELECT\n${cols.map(_._2.spark).mkString(",\n")}\nFROM numbers($n)"
 
   /** DuckDB twin of the table (incl. the materialized `_part`
     * partition column) — prefixed onto every sweep oracle so the
@@ -297,5 +299,41 @@ object HitsFixture {
     }
     if (!spark.catalog.tableExists("hits"))
       spark.table(table).createOrReplaceTempView("hits")
+  }
+
+  /** Bench-scale prime row counts (same no-rounding-tie argument as
+    * [[N]]): ~10× the correctness fixture, the scale VERDICT r7 asked
+    * the sweep to be timed at. */
+  val BenchN = 2999999
+
+  /** Build the same fixture at `n` rows as `clickbench.hits_bench` and
+    * point the `hits` view at it — the bench twin of [[ensure]] (same
+    * DDL text, same generators, same INSERT...SELECT dialect path, so
+    * partitioning/ORDER BY clustering match what a real client's load
+    * would produce). Persisted in the warehouse across JVMs; rebuilt
+    * only when the stored row count differs. Marks the fixture ready so
+    * a subsequent [[ensure]] (from the query entries) keeps the bench
+    * view. */
+  def ensureScaled(spark: SparkSession, n: Int = BenchN): Unit = synchronized {
+    ChFunctions.register(spark)
+    val tbl = s"$db.hits_bench"
+    Engine.execute(spark, s"CREATE DATABASE IF NOT EXISTS $db")
+    val loaded =
+      try spark.catalog.tableExists(tbl) && spark.table(tbl).count() == n
+      catch { case _: Throwable => false }
+    if (!loaded) {
+      Engine.execute(spark, s"DROP TABLE IF EXISTS $tbl")
+      Engine.execute(spark, ddl.replace(table, tbl))
+      Engine.execute(spark, insertSqlFor(tbl, n))
+    }
+    spark.table(tbl).createOrReplaceTempView("hits")
+    ready = true
+  }
+
+  /** Undo [[ensureScaled]] for test isolation: drop the `hits` view so
+    * the next [[ensure]] re-registers the correctness-scale table. */
+  private[graft] def reset(spark: SparkSession): Unit = synchronized {
+    spark.catalog.dropTempView("hits")
+    ready = false
   }
 }

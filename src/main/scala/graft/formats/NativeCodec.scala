@@ -58,14 +58,6 @@ object NativeCodec {
 
   // ---- encode ----
 
-  /** Encode a whole result as one Native block — a convenience for
-    * tests and known-small results. Servers stream bounded blocks with
-    * [[writeBlocks]] instead. */
-  def encode(df: DataFrame): Array[Byte] = {
-    import scala.jdk.CollectionConverters._
-    encode(df.schema, df.toLocalIterator().asScala.toArray)
-  }
-
   /** Stream `rows` into `out` as a sequence of Native blocks of at most
     * `blockRows` rows each (the scale-safe result boundary: driver
     * memory is bounded by one block + one partition, not the result).
@@ -221,6 +213,50 @@ object NativeCodec {
       }.toVector
       (name, tpe, vals)
     }
+  }
+
+  /** Decode every block of a Native stream (a bulk INSERT payload) into
+    * column names + row tuples. Values carry the decoded JVM types of
+    * [[readValue]]; [[graft.dialect.Engine]] coerces them to the target
+    * table's Spark schema. */
+  def decodeAll(bytes: Array[Byte]): (Seq[String], Seq[Seq[Any]]) = {
+    val in = new ByteArrayInputStream(bytes)
+    var names: Seq[String] = Nil
+    val rows = Vector.newBuilder[Seq[Any]]
+    while (in.available() > 0) {
+      val cols = decode(in)
+      if (names.isEmpty) names = cols.map(_._1)
+      val nRows = cols.headOption.map(_._3.length).getOrElse(0)
+      (0 until nRows).foreach(r => rows += cols.map(_._3(r)))
+    }
+    (names, rows.result())
+  }
+
+  /** Decode a RowBinary / RowBinaryWithNamesAndTypes INSERT payload.
+    * Plain RowBinary has no header, so the caller passes the target
+    * table's (name, ClickHouse type) pairs — the same announced types
+    * [[writeRowBinary]] would emit for that table, making the
+    * encode→INSERT round-trip symmetric. */
+  def decodeRowBinary(bytes: Array[Byte], withNamesAndTypes: Boolean,
+                      tableTypes: => Seq[(String, String)]): (Seq[String], Seq[Seq[Any]]) = {
+    val in = new ByteArrayInputStream(bytes)
+    val (names, types) =
+      if (withNamesAndTypes) {
+        val n = readVarint(in).toInt
+        val nm = (0 until n).map(_ => readStr(in))
+        val tp = (0 until n).map(_ => readStr(in))
+        (nm, tp)
+      } else { val tt = tableTypes; (tt.map(_._1), tt.map(_._2)) }
+    val rows = Vector.newBuilder[Seq[Any]]
+    while (in.available() > 0) {
+      rows += types.map { t =>
+        if (t.startsWith("Nullable(")) {
+          val base = t.stripPrefix("Nullable(").stripSuffix(")")
+          if (in.read() == 1) null else readValue(in, base)
+        } else readValue(in, t)
+      }
+    }
+    (names, rows.result())
   }
 
   private def readValue(in: ByteArrayInputStream, chType: String): Any = {

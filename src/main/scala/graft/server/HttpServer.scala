@@ -30,6 +30,11 @@ class HttpServer(spark: SparkSession, port: Int,
   private val server = JdkHttpServer.create(new InetSocketAddress(port), 0)
   server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
 
+  // "INSERT INTO t [(cols)] FORMAT RowBinary|RowBinaryWithNamesAndTypes|Native"
+  private val binaryInsertRe =
+    ("(?is)^\\s*INSERT\\s+INTO\\s+[\\w`.]+\\s*(\\([^)]*\\))?\\s*FORMAT\\s+" +
+      "(RowBinary|RowBinaryWithNamesAndTypes|Native)\\s*$").r
+
   private def sessionFor(auth: Option[String]): SparkSession = auth match {
     case None => spark
     case Some(credentials) => UserSessions.forKey(spark, credentials, fixtureDir)
@@ -50,7 +55,41 @@ class HttpServer(spark: SparkSession, port: Int,
     }
 
     val params = parseParams(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
-    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8).trim
+    val bodyBytes = ex.getRequestBody.readAllBytes()
+    // Binary bulk INSERT (RowBinary / Native): the payload must never
+    // round-trip through UTF-8. Two client shapes: the statement in the
+    // `query` param with the body as raw payload (how clickhouse
+    // drivers POST bulk data), or a whole-body request whose first line
+    // is the INSERT header.
+    val headerFromParam = params.get("query").filter(q =>
+      binaryInsertRe.findFirstMatchIn(q).isDefined && bodyBytes.nonEmpty)
+    val headerFromBody =
+      if (headerFromParam.isDefined) None
+      else {
+        val nl = bodyBytes.indexOf('\n'.toByte)
+        if (nl < 0) None
+        else Some(new String(bodyBytes, 0, nl, UTF_8))
+          .filter(h => binaryInsertRe.findFirstMatchIn(h).isDefined)
+      }
+    if (headerFromParam.isDefined || headerFromBody.isDefined) {
+      val auth0 = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      val session = sessionFor(auth0)
+      try {
+        val (header, payload) = headerFromParam match {
+          case Some(h) => (h, bodyBytes)
+          case None =>
+            val nl = bodyBytes.indexOf('\n'.toByte)
+            (headerFromBody.get, java.util.Arrays.copyOfRange(bodyBytes, nl + 1, bodyBytes.length))
+        }
+        graft.dialect.Engine.executeInsertPayload(session, header, payload)
+        respond(ex, 200, "")
+      } catch {
+        case t: Throwable =>
+          respond(ex, 400, Option(t.getMessage).getOrElse(t.getClass.getSimpleName) + "\n")
+      }
+      return
+    }
+    val body = new String(bodyBytes, UTF_8).trim
     // param query first, then body (main.py:876-882 concatenation order)
     val query = (params.get("query").toSeq ++ (if (body.nonEmpty) Seq(body) else Nil))
       .mkString(" ").trim

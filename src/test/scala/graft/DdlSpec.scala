@@ -136,6 +136,34 @@ class DdlSpec extends AnyFunSuite {
     assert(jul.queryExecution.executedPlan.toString.contains("PartitionFilters"))
   }
 
+  test("date predicates prune partitions through toYYYYMM (PartitionPruneFromDate)") {
+    import graft.dialect.HitsFixture
+    HitsFixture.ensure(spark)
+    // the ClickBench July queries filter EventDate only — the optimizer
+    // rule must derive the _part bounds (ClickHouse prunes parts through
+    // the monotonic partition expression; a full scan here reads every
+    // month at 100 TB)
+    val df = Engine.execute(spark, """
+      SELECT count() AS n FROM hits
+      WHERE EventDate >= '2013-07-01' AND EventDate <= '2013-07-31'""")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*_part[^\\]]*201307".r
+      .findFirstIn(plan).isDefined, plan)
+    // prune must not change results: explicit-_part query agrees
+    val n = df.collect().head.getLong(0)
+    val expect = Engine.execute(spark, """
+      SELECT count() AS n FROM hits
+      WHERE _part = 201307 AND EventDate >= '2013-07-01' AND EventDate <= '2013-07-31'""")
+      .collect().head.getLong(0)
+    assert(n === expect && n > 0)
+    // a single-day equality filter prunes to that month
+    val day = Engine.execute(spark,
+      "SELECT count() AS n FROM hits WHERE EventDate = '2013-06-05'")
+    assert("PartitionFilters: \\[[^\\]]*_part[^\\]]*201306".r
+      .findFirstIn(day.queryExecution.executedPlan.toString).isDefined)
+    assert(day.collect().head.getLong(0) > 0)
+  }
+
   test("ORDER BY with call expressions sorts on insert (hits ORDER BY shape)") {
     graft.dialect.ChContext.setup(spark, "/root/testdata/sf0.001")
     Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")

@@ -15,6 +15,11 @@ class FormatsSpec extends AnyFunSuite {
     spark.sql(Transpiler.transpile(sql))
   }
 
+  /** Whole-result single-block encode — test-only; production paths
+    * stream bounded blocks via NativeCodec.writeBlocks. */
+  private def encodeDf(df: org.apache.spark.sql.DataFrame): Array[Byte] =
+    NativeCodec.encode(df.schema, df.collect())
+
   test("TSV: SELECT 1 renders as '1\\n' (test_suite.py:126 shape)") {
     assert(ResultFormatter.render(q("SELECT 1"), "TSV") === "1\n")
   }
@@ -76,7 +81,7 @@ class FormatsSpec extends AnyFunSuite {
                   number * 1.5 AS f,
                   number % 2 ? number : NULL AS maybe
                   FROM numbers(5) ORDER BY n""")
-    val bytes = NativeCodec.encode(df)
+    val bytes = encodeDf(df)
     val cols = NativeCodec.decode(bytes)
     assert(cols.map(_._1) === Seq("n", "s", "f", "maybe"))
     assert(cols(0)._3 === Vector(0L, 1L, 2L, 3L, 4L))
@@ -89,7 +94,7 @@ class FormatsSpec extends AnyFunSuite {
     val df = q("""SELECT CAST('2024-03-05' AS DATE) AS d,
                   CAST(12345.67 AS DECIMAL(10,2)) AS dec,
                   array(1, 2, 3) AS arr""")
-    val cols = NativeCodec.decode(NativeCodec.encode(df))
+    val cols = NativeCodec.decode(encodeDf(df))
     assert(cols(0)._3.head === java.time.LocalDate.parse("2024-03-05"))
     assert(cols(1)._3.head === BigDecimal("12345.67"))
     assert(cols(2)._3.head === Vector(1, 2, 3))
@@ -207,6 +212,62 @@ class FormatsSpec extends AnyFunSuite {
 
   test("FORMAT Null executes fully and emits nothing") {
     assert(ResultFormatter.render(spark.range(5).toDF(), "Null") === "")
+  }
+
+  test("RowBinary INSERT round-trip: emit, bulk-load, select back") {
+    import scala.jdk.CollectionConverters._
+    import graft.dialect.Engine
+    graft.dialect.ChFunctions.register(spark)
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_fmt")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_fmt.rb")
+    Engine.execute(spark, """
+      CREATE TABLE graft_fmt.rb (id Int64, s String, d Date, v Float64)
+      ENGINE=Memory""")
+    // what our own SELECT ... FORMAT RowBinary emits for this schema
+    val src = spark.table("graft_fmt.rb").schema
+    val df = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1L, "a", java.sql.Date.valueOf("2024-01-02"), 1.5),
+      org.apache.spark.sql.Row(2L, "b", java.sql.Date.valueOf("2024-03-04"), -2.25)
+    ).asJava, src)
+    val bos = new java.io.ByteArrayOutputStream()
+    NativeCodec.writeRowBinary(bos, src, df.toLocalIterator().asScala,
+      withNamesAndTypes = false)
+    Engine.executeInsertPayload(spark,
+      "INSERT INTO graft_fmt.rb FORMAT RowBinary", bos.toByteArray)
+    val back = Engine.execute(spark,
+      "SELECT id, s, toString(d) AS d, v FROM graft_fmt.rb ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3)))
+    assert(back.toSeq === Seq((1L, "a", "2024-01-02", 1.5), (2L, "b", "2024-03-04", -2.25)))
+    // WithNamesAndTypes variant: header names drive column resolution
+    val bos2 = new java.io.ByteArrayOutputStream()
+    NativeCodec.writeRowBinary(bos2, src, spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(3L, "c", java.sql.Date.valueOf("2025-05-06"), 0.125)
+    ).asJava, src).toLocalIterator().asScala, withNamesAndTypes = true)
+    Engine.executeInsertPayload(spark,
+      "INSERT INTO graft_fmt.rb FORMAT RowBinaryWithNamesAndTypes", bos2.toByteArray)
+    assert(Engine.execute(spark, "SELECT count() AS n FROM graft_fmt.rb")
+      .collect().head.getLong(0) === 3L)
+  }
+
+  test("Native INSERT round-trip: multi-block stream bulk-loads") {
+    import scala.jdk.CollectionConverters._
+    import graft.dialect.Engine
+    graft.dialect.ChFunctions.register(spark)
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_fmt")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_fmt.nat")
+    Engine.execute(spark,
+      "CREATE TABLE graft_fmt.nat (n Int64, s String) ENGINE=Memory")
+    val df = spark.range(10).selectExpr("id AS n", "cast(id AS string) AS s")
+    val bos = new java.io.ByteArrayOutputStream()
+    NativeCodec.writeBlocks(bos, df.schema,
+      df.toLocalIterator().asScala, blockRows = 3) // forces 4 blocks
+    Engine.executeInsertPayload(spark,
+      "INSERT INTO graft_fmt.nat FORMAT Native", bos.toByteArray)
+    val back = Engine.execute(spark,
+      "SELECT n, s FROM graft_fmt.nat ORDER BY n").collect()
+    assert(back.length === 10)
+    assert(back.map(_.getLong(0)).toSeq === (0L until 10L))
+    assert(back.map(_.getString(1)).toSeq === (0 until 10).map(_.toString))
   }
 
   test("system.numbers with LIMIT stops early (lazy Range scan)") {

@@ -83,6 +83,32 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.body().toLowerCase.contains("unknown format"), r.body())
   }
 
+  test("INSERT ... FORMAT RowBinary with a binary body bulk-loads") {
+    import scala.jdk.CollectionConverters._
+    import graft.dialect.Engine
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_http")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_http.rb")
+    Engine.execute(spark,
+      "CREATE TABLE graft_http.rb (id Int64, s String) ENGINE=Memory")
+    // payload = what this server's own SELECT FORMAT RowBinary emits
+    val src = spark.table("graft_http.rb").schema
+    val df = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(41L, "x"),
+      org.apache.spark.sql.Row(42L, "é€") // non-ASCII survives (no UTF-8 decode)
+    ).asJava, src)
+    val bos = new java.io.ByteArrayOutputStream()
+    graft.formats.NativeCodec.writeRowBinary(bos, src,
+      df.toLocalIterator().asScala, withNamesAndTypes = false)
+    // driver shape: statement in the query param, body is raw payload
+    val r = client.send(HttpRequest.newBuilder(URI.create(
+      s"http://localhost:$port/?query=${enc("INSERT INTO graft_http.rb FORMAT RowBinary")}"))
+      .POST(HttpRequest.BodyPublishers.ofByteArray(bos.toByteArray)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() === 200, r.body())
+    val back = post("SELECT id, s FROM graft_http.rb ORDER BY id")
+    assert(back.body() === "41\tx\n42\té€\n", back.body())
+  }
+
   test("queries run against registered fixture tables") {
     val r = post("SELECT count() FROM lineitem")
     assert(r.body().trim.toLong > 0)
