@@ -637,11 +637,51 @@ object Engine {
       }
     })
 
+  private lazy val settingsTimer = {
+    val t = new java.util.Timer("graft-settings-timeout", true)
+    t
+  }
+
+  /** Honor the useful subset of per-query SETTINGS instead of silently
+    * dropping them (reference relays all of them to chdb, main.py:190):
+    *   - `max_result_rows` with `result_overflow_mode=break` truncates
+    *     the result (the non-break default mode is `throw`, which would
+    *     need a count per query — still dropped);
+    *   - `max_execution_time` (seconds) cancels the query's job group
+    *     when the budget expires. Execution happens on the calling
+    *     thread in every production path (servers stream immediately),
+    *     so the thread-scoped group catches the right jobs.
+    * Unknown settings remain accepted and ignored. */
+  private def applySettings(spark: SparkSession, df: DataFrame,
+                            st: Map[String, String]): DataFrame = {
+    if (st.isEmpty) return df
+    var out = df
+    if (st.contains("max_result_rows") &&
+        st.get("result_overflow_mode").contains("break"))
+      out = out.limit(st("max_result_rows").toInt)
+    st.get("max_execution_time").foreach { secs =>
+      val group = "graft-timeout-" + java.util.UUID.randomUUID()
+      spark.sparkContext.setJobGroup(group,
+        s"max_execution_time=$secs", interruptOnCancel = true)
+      val sc = spark.sparkContext
+      settingsTimer.schedule(new java.util.TimerTask {
+        override def run(): Unit =
+          try sc.cancelJobGroup(group) catch { case _: Throwable => () }
+      }, math.max(1L, (secs.toDouble * 1000).toLong))
+    }
+    out
+  }
+
   /** One SELECT statement, handling the ClickHouse-only `LIMIT n BY`
     * clause (SURVEY §2.6 O4) as a row_number window over the inner
     * query's ORDER BY, and `ORDER BY ... WITH FILL` via the
     * gap-filling operator. */
-  private def query(spark: SparkSession, bare0: String): DataFrame = {
+  private def query(spark: SparkSession, bare00: String): DataFrame = {
+    val (bare0, settings) = Transpiler.extractSettings(bare00)
+    applySettings(spark, queryInner(spark, bare0), settings)
+  }
+
+  private def queryInner(spark: SparkSession, bare0: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, row_number}
     import org.apache.spark.sql.expressions.Window
     // ClickHouse EXPLAIN kinds (SYNTAX/AST/PLAN/PIPELINE/...) all map

@@ -299,9 +299,9 @@ object Transpiler {
     s = "(?i)\\bGLOBAL\\s+(?=(ANY\\s+|ALL\\s+)?(INNER|LEFT|RIGHT|FULL|CROSS|JOIN|IN|NOT))".r
       .replaceAllIn(s, "")
     // trailing SETTINGS name=value[, ...] — per-query knobs clients
-    // append; engine-specific, accepted and dropped
-    s = "(?is)\\bSETTINGS\\s+\\w+\\s*=\\s*[^,\\s]+(\\s*,\\s*\\w+\\s*=\\s*[^,\\s]+)*\\s*$".r
-      .replaceAllIn(s, "")
+    // append; a useful subset is honored upstream (Engine.query calls
+    // extractSettings first), the rest accepted and dropped here
+    s = settingsRe.replaceAllIn(s, "")
     // ClickHouse `LIMIT offset, n` -> standard LIMIT n OFFSET offset
     s = "(?i)\\bLIMIT\\s+(\\d+)\\s*,\\s*(\\d+)".r
       .replaceAllIn(s, m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
@@ -313,6 +313,25 @@ object Transpiler {
     s = rewriteTernaries(s)
     s
   }
+
+  private val settingsRe =
+    "(?is)\\bSETTINGS\\s+\\w+\\s*=\\s*[^,\\s]+(\\s*,\\s*\\w+\\s*=\\s*[^,\\s]+)*\\s*$".r
+
+  /** Split a trailing `SETTINGS k=v[, ...]` clause off a statement:
+    * (sql without the clause, lowercased name → unquoted value).
+    * ClickHouse passes these to the engine (reference relays them to
+    * chdb, main.py:190); [[graft.dialect.Engine]] honors a subset. */
+  def extractSettings(sql: String): (String, Map[String, String]) =
+    settingsRe.findFirstMatchIn(sql) match {
+      case Some(m) =>
+        val kvs = m.matched.replaceFirst("(?is)^\\s*SETTINGS\\s+", "")
+          .split(",").iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
+            val Array(k, v) = kv.split("=", 2).map(_.trim)
+            k.toLowerCase -> v.stripPrefix("'").stripSuffix("'")
+          }.toMap
+        (sql.substring(0, m.start) + sql.substring(m.end), kvs)
+      case None => (sql, Map.empty)
+    }
 
   /** ClickHouse resolves SELECT-list aliases everywhere in the
     * statement (`SELECT round(x,2) AS y FROM t WHERE y > 0`); Spark

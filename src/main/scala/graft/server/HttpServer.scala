@@ -216,6 +216,11 @@ object UserSessions {
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.SparkSession]
   private val lastAccess = scala.collection.concurrent.TrieMap.empty[String, Long]
 
+  // reference parity: per-session scratch state dies with the process
+  // (SIGINT/SIGTERM handlers at main.py:934-952)
+  Runtime.getRuntime.addShutdownHook(
+    new Thread(() => purgeAll(), "graft-usersessions-purge"))
+
   /** Idle-session TTL, matching the reference's SESSION_TTL contract
     * (README.md:30: 3600 s). Without eviction the per-credential map
     * grows unboundedly under rotating credentials. */
@@ -230,6 +235,13 @@ object UserSessions {
     }
   }
 
+  private def dbNameFor(credentials: String): String = {
+    val h = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(credentials.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+    s"graft_user_$h"
+  }
+
   /** Map key = the full credentials string — a 32-bit hash key would
     * merge colliding credentials into one session and leak one user's
     * catalog to another. The SHA-256 hex only names the database. */
@@ -238,16 +250,37 @@ object UserSessions {
     evictExpired()
     lastAccess.put(credentials, System.currentTimeMillis())
     sessions.getOrElseUpdate(credentials, {
-      val h = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(credentials.getBytes("UTF-8"))
-        .take(8).map(b => f"$b%02x").mkString
+      val db = dbNameFor(credentials)
       val s = root.newSession()
       graft.dialect.ChFunctions.register(s)
-      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_user_$h")
-      s.catalog.setCurrentDatabase(s"graft_user_$h")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      s.catalog.setCurrentDatabase(db)
       fixtureDir.foreach(dir => graft.dialect.ChContext.setupViews(s, dir))
       s
     })
+  }
+
+  /** Remove every per-credential scratch database — catalog entry AND
+    * on-disk warehouse directory (the reference purges per-session
+    * /tmp state on SIGINT/SIGTERM, main.py:934-952). Servers call this
+    * from their shutdown hook; idempotent. */
+  def purgeAll(): Unit = synchronized {
+    sessions.foreach { case (credentials, s) =>
+      val db = dbNameFor(credentials)
+      try {
+        val loc = java.nio.file.Paths.get(new java.net.URI(
+          s.sessionState.catalog.getDatabaseMetadata(db).locationUri.toString))
+        s.catalog.setCurrentDatabase("default")
+        s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+        if (java.nio.file.Files.exists(loc)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      } catch { case _: Throwable => () } // shutdown path: best-effort
+    }
+    sessions.clear()
+    lastAccess.clear()
   }
 }
 
@@ -358,6 +391,10 @@ object ServeMain {
     graft.dialect.ChContext.setup(spark, dir)
     val srv = new HttpServer(spark, port, Some(dir))
     srv.start()
+    // close the listener and purge per-credential scratch on SIGTERM
+    // (UserSessions registers its own purge hook; this adds the socket)
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => srv.stop(), "graft-http-stop"))
     println(s"[graft-http] listening on :$port over $dir")
     Thread.currentThread().join()
   }

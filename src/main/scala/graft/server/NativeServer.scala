@@ -303,6 +303,10 @@ object NativeServeMain {
     graft.dialect.ChContext.setup(spark, dir)
     val srv = new NativeServer(spark, port, Some(dir))
     srv.start()
+    // close the listener on SIGTERM; UserSessions' own hook purges the
+    // per-credential scratch databases (main.py:934-952 parity)
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => srv.stop(), "graft-native-stop"))
     println(s"[graft-native] listening on :$port over $dir")
     Thread.currentThread().join()
   }

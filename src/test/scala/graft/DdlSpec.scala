@@ -164,6 +164,39 @@ class DdlSpec extends AnyFunSuite {
     assert(day.collect().head.getLong(0) > 0)
   }
 
+  test("SETTINGS max_result_rows=break truncates; unknown settings ignored") {
+    graft.dialect.ChFunctions.register(spark)
+    val r = Engine.execute(spark, """
+      SELECT number FROM numbers(100)
+      SETTINGS max_result_rows = 5, result_overflow_mode = 'break',
+               some_unknown_knob = 1""").collect()
+    assert(r.length === 5)
+    // without break mode the limit is not applied (non-break default
+    // is throw, which stays dropped)
+    assert(Engine.execute(spark,
+      "SELECT number FROM numbers(100) SETTINGS max_result_rows = 5")
+      .collect().length === 100)
+    // unknown-only settings still execute
+    assert(Engine.execute(spark,
+      "SELECT 1 AS x SETTINGS max_threads = 4").collect().head.getInt(0) === 1)
+  }
+
+  test("SETTINGS max_execution_time cancels an over-budget query") {
+    graft.dialect.ChFunctions.register(spark)
+    // ~minutes of codegen work on this box without the cancel
+    val t0 = System.nanoTime()
+    val e = intercept[Throwable] {
+      Engine.execute(spark, """
+        SELECT count() AS n FROM numbers(800000000000)
+        SETTINGS max_execution_time = 1""").collect()
+    }
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(elapsed < 60, s"cancel did not fire, ran ${elapsed}s")
+    assert(Option(e.getMessage).exists(_.toLowerCase.contains("cancel")),
+      s"${e.getClass}: ${e.getMessage}")
+    spark.sparkContext.clearJobGroup()
+  }
+
   test("ORDER BY with call expressions sorts on insert (hits ORDER BY shape)") {
     graft.dialect.ChContext.setup(spark, "/root/testdata/sf0.001")
     Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")

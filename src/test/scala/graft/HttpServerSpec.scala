@@ -244,4 +244,25 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     // both can still read the shared fixture views
     assert(postAs("alice:pw", "SELECT count() FROM nation").body().trim.toLong > 0)
   }
+
+  test("shutdown purge removes per-credential scratch warehouses (main.py:934-952)") {
+    import graft.server.UserSessions
+    val s = UserSessions.forKey(spark, "carol:pw", None)
+    graft.dialect.Engine.execute(s, "DROP TABLE IF EXISTS scratch")
+    graft.dialect.Engine.execute(s,
+      "CREATE TABLE scratch (v String) ENGINE=Memory")
+    graft.dialect.Engine.execute(s, "INSERT INTO scratch VALUES ('x')")
+    val db = s.catalog.currentDatabase
+    assert(db.startsWith("graft_user_"))
+    val loc = java.nio.file.Paths.get(new java.net.URI(
+      s.sessionState.catalog.getDatabaseMetadata(db).locationUri.toString))
+    assert(java.nio.file.Files.exists(loc), s"warehouse dir missing: $loc")
+    UserSessions.purgeAll()
+    assert(!java.nio.file.Files.exists(loc), s"scratch dir survived: $loc")
+    assert(!spark.catalog.databaseExists(db))
+    // purge is idempotent and the server keeps serving new sessions
+    UserSessions.purgeAll()
+    val s2 = UserSessions.forKey(spark, "carol:pw", None)
+    assert(s2.catalog.currentDatabase === db)
+  }
 }
