@@ -109,6 +109,45 @@ object CosineKnn {
         greatest(col("ia"), col("ib")).as("b"), col("sim"))
   }
 
+  /** Exact top-k cosine when the query side is too large to broadcast —
+    * the large-|Q| companion of [[bruteForceTopK]] (r7 VERDICT's one
+    * open design item). The full |Q|×|C| compute is inherent for an
+    * exact answer; the plan distributes it as an EQUI-join on
+    * (corpus-block, query-block): corpus rows replicate `queryBlocks`
+    * times, query rows `corpusBlocks` times, every (q, c) pair meets in
+    * exactly one of the Bc×Bq bounded tasks — no broadcast, no
+    * BroadcastNestedLoopJoin, no CartesianProduct (OperatorsSpec
+    * asserts the plan).
+    *
+    * The per-query reduction happens in two stages: a window over
+    * (ci, qj, qid) runs WITHOUT an extra exchange (the join's hash
+    * partitioning on (ci, qj) already clusters it) and keeps k rows per
+    * corpus-block, so only |Q|·Bc·k candidate rows shuffle into the
+    * final per-qid top-k — not the |Q|×|C| scored product. */
+  def blockTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, corpusBlocks: Int = 8,
+                queryBlocks: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"), asDouble(vecCol).as("nv"))
+      .withColumn("nn", sqrt(dot("nv", "nv")))
+      .withColumn("ci", pmod(xxhash64(col("nid")), lit(corpusBlocks)).cast("int"))
+      .withColumn("qj", explode(expr(s"sequence(0, ${queryBlocks - 1})")))
+    val q = queries.select(col(idCol).as("qid"), asDouble(vecCol).as("qv"))
+      .withColumn("qn", sqrt(dot("qv", "qv")))
+      .withColumn("qj", pmod(xxhash64(col("qid")), lit(queryBlocks)).cast("int"))
+      .withColumn("ci", explode(expr(s"sequence(0, ${corpusBlocks - 1})")))
+    val scored = c.join(q, Seq("ci", "qj"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("sim", round(dot("qv", "nv") / (col("qn") * col("nn")), 6))
+    val localTopK = scored.withColumn("rn", row_number().over(
+        Window.partitionBy(col("ci"), col("qj"), col("qid"))
+          .orderBy(col("sim").desc, col("nid").asc)))
+      .filter(col("rn") <= k).drop("rn")
+    localTopK.withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("sim"), col("rn"))
+  }
+
   /** Approximate near-dup pairs for realistic high thresholds — the
     * 100 TB path when O(n²) compute is off the table. Candidates are
     * generated by `nTables` independent sign-LSH tables of `nPlanes`

@@ -160,6 +160,27 @@ object LlmPipeline {
       SELECT qid, nid, sim, rn FROM r WHERE rn <= 5 ORDER BY qid, rn"""),
       bench = true),
 
+    // L17: exact cosine top-k at LARGE |Q| — the query side is the
+    // whole corpus (nothing broadcastable), distributed as the
+    // block-pair equi-join (CosineKnn.blockTopK; no BNLJ/cartesian,
+    // plan-asserted in OperatorsSpec)
+    Q("l17_cosine_topk_blocked", (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      CosineKnn.blockTopK(e, e.filter(col("vec_id") < 200),
+          "vec_id", "embedding", k = 3)
+        .orderBy("qid", "rn")
+    }, Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 200),
+      s AS (SELECT qid, vec_id nid,
+              round(list_inner_product(qv, v) /
+                    (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))), 6) sim
+            FROM q, e WHERE vec_id <> qid),
+      r AS (SELECT qid, nid, sim,
+              CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) rn
+            FROM s)
+      SELECT qid, nid, sim, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""")),
+
     // L6: LSH-bucketed ANN (sign-LSH + Hamming-1 multiprobe + exact
     // rerank). Approximate => no SQL oracle; recall asserted in tests.
     Q("l6_ann_lsh", (s, dir) => {

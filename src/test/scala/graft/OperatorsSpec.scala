@@ -217,6 +217,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("CosineKnn blockTopK == bruteForceTopK at large |Q|, no broadcast/nested-loop") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // query side = the whole corpus: the regime where broadcast is off
+    // the table and the block-pair equi-join is the only scale path
+    val blocked = CosineKnn.blockTopK(e, e, "vec_id", "embedding", 5,
+      corpusBlocks = 4, queryBlocks = 3)
+    val brute = CosineKnn.bruteForceTopK(e, e, "vec_id", "embedding", 5)
+    val got = blocked.select("qid", "nid", "sim", "rn")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val want = brute.select("qid", "nid", "sim", "rn")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // the local top-k window runs inside the join's partitioning: only
+    // |Q|*Bc*k candidates reach the final per-query exchange, so the
+    // plan carries exactly one exchange keyed by qid alone
+    val qidExchanges = "hashpartitioning\\(qid".r.findAllIn(plan).length
+    assert(qidExchanges === 1, s"expected 1 qid exchange:\n${plan.take(3000)}")
+  }
+
   test("CosineKnn lshNearDupPairs: every pair exact, recall >= 0.9 on clustered data") {
     // clustered corpus — 20 bases x 5 jittered copies (deterministic),
     // the regime LSH near-dup is built for (pairs at cosine ~0.99)
