@@ -323,6 +323,9 @@ object ChFunctions {
     "uniq" -> (a => HyperLogLogPlusPlus(a.head).toAggregateExpression()),
     "uniqHLL12" -> (a => HyperLogLogPlusPlus(a.head).toAggregateExpression()),
     "uniqCombined" -> (a => HyperLogLogPlusPlus(a.head).toAggregateExpression()),
+    "uniqCombined64" -> (a => HyperLogLogPlusPlus(a.head).toAggregateExpression()),
+    // theta-sketch flavor: same approx-distinct contract, HLL++ backend
+    "uniqTheta" -> (a => HyperLogLogPlusPlus(a.head).toAggregateExpression()),
     "uniqExact" -> (a => Count(a).toAggregateExpression(isDistinct = true)),
     "median" -> (a => new Percentile(a.head, Literal(0.5d)).toAggregateExpression()),
     "quantileTDigest" -> (a => // approx sketch variant -> approx percentile
@@ -445,6 +448,33 @@ object ChFunctions {
           TruncDate(Cast(a.head, DateType), Literal("week"))
         else DateSub(TruncDate(DateAdd(Cast(a.head, DateType), Literal(1)),
           Literal("week")), Literal(1))),
+      // human-readable renderers (published ClickHouse output shapes:
+      // two decimals, binary suffixes for size, short scale for
+      // quantity; values below the first threshold keep the bare %.2f)
+      "formatReadableSize" -> { a =>
+        val x = Cast(a.head, DoubleType)
+        val units = Seq("B", "KiB", "MiB", "GiB", "TiB", "PiB", "EiB")
+        val branches = units.init.zipWithIndex.map { case (u, i) =>
+          val scale = math.pow(1024d, i.toDouble)
+          (LessThan(Abs(x, failOnError = false), Literal(scale * 1024d)),
+            FormatString(Literal(s"%.2f $u"),
+              Divide(x, Literal(scale))): Expression)
+        }
+        CaseWhen(branches, Some(FormatString(Literal("%.2f EiB"),
+          Divide(x, Literal(math.pow(1024d, 6d))))))
+      },
+      "formatReadableQuantity" -> { a =>
+        val x = Cast(a.head, DoubleType)
+        val units = Seq("" -> 1d, " thousand" -> 1e3, " million" -> 1e6,
+          " billion" -> 1e9, " trillion" -> 1e12)
+        val branches = units.init.map { case (u, scale) =>
+          (LessThan(Abs(x, failOnError = false), Literal(scale * 1000d)),
+            FormatString(Literal(s"%.2f$u"),
+              Divide(x, Literal(scale))): Expression)
+        }
+        CaseWhen(branches, Some(FormatString(Literal("%.2f trillion"),
+          Divide(x, Literal(1e12)))))
+      },
       "toStartOfFiveMinutes" -> toGrid(300),
       "toStartOfTenMinutes" -> toGrid(600),
       "toStartOfFifteenMinutes" -> toGrid(900),

@@ -357,6 +357,30 @@ class ChHofSpec extends AnyFunSuite {
     assert(r.count(_._2 == Long.MinValue) <= 1)
   }
 
+  test("formatReadableSize/Quantity render the published output shapes") {
+    graft.dialect.ChFunctions.register(spark)
+    def one(sql: String): String = spark.sql(
+      graft.dialect.Transpiler.transpile(sql)).collect().head.getString(0)
+    assert(one("SELECT formatReadableSize(1)") === "1.00 B")
+    assert(one("SELECT formatReadableSize(1024)") === "1.00 KiB")
+    assert(one("SELECT formatReadableSize(1045)") === "1.02 KiB")
+    assert(one("SELECT formatReadableSize(1048576)") === "1.00 MiB")
+    assert(one("SELECT formatReadableSize(1099511627776)") === "1.00 TiB")
+    assert(one("SELECT formatReadableQuantity(123)") === "123.00")
+    assert(one("SELECT formatReadableQuantity(1024)") === "1.02 thousand")
+    assert(one("SELECT formatReadableQuantity(1234000)") === "1.23 million")
+    assert(one("SELECT formatReadableQuantity(2500000000)") === "2.50 billion")
+  }
+
+  test("uniqTheta/uniqCombined64 approximate distinct like uniq") {
+    graft.dialect.ChFunctions.register(spark)
+    val r = spark.sql(graft.dialect.Transpiler.transpile(
+      """SELECT uniqTheta(number % 100) AS t, uniqCombined64(number % 100) AS c
+         FROM numbers(10000)""")).collect().head
+    assert(math.abs(r.getLong(0) - 100L) <= 5)
+    assert(math.abs(r.getLong(1) - 100L) <= 5)
+  }
+
   test("sipHash64 matches the SipHash-2-4 paper test vectors") {
     // reference vectors (Aumasson & Bernstein, public-domain impl):
     // key = 00..0f (k0/k1 little-endian), input = 00 01 .. (len-1)
