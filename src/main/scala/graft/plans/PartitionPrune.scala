@@ -38,11 +38,15 @@ import org.apache.spark.sql.types.DateType
 object PartitionPruneFromDate extends Rule[LogicalPlan] {
 
   private val yyyymmRe =
-    "(?i)^\\s*toYYYYMM\\s*\\(\\s*`?([A-Za-z_]\\w*)`?\\s*\\)\\s*$".r
+    "(?i)^\\s*(toYYYYMM|toYYYYMMDD)\\s*\\(\\s*`?([A-Za-z_]\\w*)`?\\s*\\)\\s*$".r
 
-  private def yyyymm(epochDays: Int): Int = {
+  private def monthFn(epochDays: Int): Int = {
     val d = java.time.LocalDate.ofEpochDay(epochDays.toLong)
     d.getYear * 100 + d.getMonthValue
+  }
+  private def dayFn(epochDays: Int): Int = {
+    val d = java.time.LocalDate.ofEpochDay(epochDays.toLong)
+    (d.getYear * 100 + d.getMonthValue) * 100 + d.getDayOfMonth
   }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -58,15 +62,19 @@ object PartitionPruneFromDate extends Rule[LogicalPlan] {
       val id = rel.catalogTable.get.identifier
       val key = s"${id.database.getOrElse("default")}.${id.table}"
       graft.dialect.Ddl.partitionExprOf(key) match {
-        case Some(yyyymmRe(colName)) =>
+        case Some(yyyymmRe(fn, colName)) =>
+          // both partition functions are order-preserving in the date,
+          // which is exactly what makes bound derivation sound
+          val partFn: Int => Int =
+            if (fn.equalsIgnoreCase("toYYYYMMDD")) dayFn else monthFn
           val part = rel.output.find(_.name == "_part").get
           rel.output.find(a =>
             a.name.equalsIgnoreCase(colName) && a.dataType == DateType) match {
             case Some(src) =>
               var lo = Option.empty[Int]
               var hi = Option.empty[Int]
-              def low(d: Int): Unit = { val m = yyyymm(d); lo = Some(lo.fold(m)(math.max(m, _))) }
-              def high(d: Int): Unit = { val m = yyyymm(d); hi = Some(hi.fold(m)(math.min(m, _))) }
+              def low(d: Int): Unit = { val m = partFn(d); lo = Some(lo.fold(m)(math.max(m, _))) }
+              def high(d: Int): Unit = { val m = partFn(d); hi = Some(hi.fold(m)(math.min(m, _))) }
               conjuncts(cond).foreach {
                 case GreaterThanOrEqual(a: AttributeReference, Literal(d: Int, DateType)) if a.semanticEquals(src) => low(d)
                 case GreaterThan(a: AttributeReference, Literal(d: Int, DateType)) if a.semanticEquals(src) => low(d)

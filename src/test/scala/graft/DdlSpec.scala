@@ -162,6 +162,20 @@ class DdlSpec extends AnyFunSuite {
     assert("PartitionFilters: \\[[^\\]]*_part[^\\]]*201306".r
       .findFirstIn(day.queryExecution.executedPlan.toString).isDefined)
     assert(day.collect().head.getLong(0) > 0)
+    // toYYYYMMDD partitioning derives day-granular bounds
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.byday")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.byday (k Int64, d Date)
+      ENGINE=MergeTree() PARTITION BY toYYYYMMDD(d) ORDER BY k""")
+    Engine.execute(spark, "INSERT INTO graft_spec.byday SELECT o_orderkey, o_orderdate FROM orders")
+    val dd = Engine.execute(spark, """
+      SELECT count() AS n FROM graft_spec.byday
+      WHERE d >= '1996-01-02' AND d < '1996-01-03'""")
+    assert("PartitionFilters: \\[[^\\]]*_part[^\\]]*19960102".r
+      .findFirstIn(dd.queryExecution.executedPlan.toString).isDefined,
+      dd.queryExecution.executedPlan.toString.take(1500))
+    assert(dd.collect().head.getLong(0) > 0)
   }
 
   test("SETTINGS max_result_rows=break truncates; unknown settings ignored") {
