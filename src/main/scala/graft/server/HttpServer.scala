@@ -73,7 +73,17 @@ class HttpServer(spark: SparkSession, port: Int,
       }
     if (headerFromParam.isDefined || headerFromBody.isDefined) {
       val auth0 = Option(ex.getRequestHeaders.getFirst("Authorization"))
-      val session = sessionFor(auth0)
+      val base = sessionFor(auth0)
+      // database= scopes the unqualified table name, same as the main
+      // query path (request-scoped derived session)
+      val session = params.get("database") match {
+        case None => base
+        case Some(db) =>
+          val s2 = base.newSession()
+          ChFunctions.register(s2)
+          s2.catalog.setCurrentDatabase(db)
+          s2
+      }
       try {
         val (header, payload) = headerFromParam match {
           case Some(h) => (h, bodyBytes)
