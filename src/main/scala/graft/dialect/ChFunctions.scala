@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** ClickHouse function-name surface, registered as native Catalyst
   * expression builders (codegen'd — no UDFs).
@@ -448,6 +449,80 @@ object ChFunctions {
           TruncDate(Cast(a.head, DateType), Literal("week"))
         else DateSub(TruncDate(DateAdd(Cast(a.head, DateType), Literal(1)),
           Literal("week")), Literal(1))),
+      // dateDiff(unit, start, end): count of UNIT BOUNDARIES crossed
+      // (ClickHouse semantics, same as DuckDB date_diff — not elapsed
+      // duration), end minus start, Int64. Registered as chDateDiff:
+      // the transpiler renames dateDiff calls here (Spark's parser
+      // special-cases the datediff name ahead of the registry).
+      "chDateDiff" -> { a =>
+        val unit = a.head match {
+          case Literal(u: UTF8String, StringType) => u.toString.toLowerCase
+          case _ => throw new IllegalArgumentException(
+            "dateDiff: unit must be a string literal")
+        }
+        def dt(x: Expression) = Cast(x, DateType)
+        def epoch(x: Expression) = Cast(Cast(x, TimestampType), LongType)
+        def grid(secs: Long) = Subtract(
+          IntegralDivide(epoch(a(2)), Literal(secs), EvalMode.LEGACY),
+          IntegralDivide(epoch(a(1)), Literal(secs), EvalMode.LEGACY))
+        def months(x: Expression) =
+          Add(Multiply(Year(dt(x)), Literal(12)), Month(dt(x)))
+        def quarters(x: Expression) =
+          Add(Multiply(Year(dt(x)), Literal(4)), Quarter(dt(x)))
+        val diff: Expression = unit match {
+          case "second" => Subtract(epoch(a(2)), epoch(a(1)))
+          case "minute" => grid(60L)
+          case "hour" => grid(3600L)
+          case "day" => DateDiff(dt(a(2)), dt(a(1)))
+          case "week" => IntegralDivide(
+            Cast(DateDiff(TruncDate(dt(a(2)), Literal("week")),
+              TruncDate(dt(a(1)), Literal("week"))), LongType),
+            Literal(7L), EvalMode.LEGACY)
+          case "month" => Subtract(months(a(2)), months(a(1)))
+          case "quarter" => Subtract(quarters(a(2)), quarters(a(1)))
+          case "year" => Subtract(Year(dt(a(2))), Year(dt(a(1))))
+          case other => throw new IllegalArgumentException(
+            s"dateDiff: unsupported unit $other")
+        }
+        Cast(diff, LongType)
+      },
+      // extractAll(s, re): all matches; with a capture group, the
+      // group's matches (ClickHouse contract)
+      "extractAll" -> { a =>
+        val idx = a(1) match {
+          case Literal(p: UTF8String, StringType) =>
+            val groups = try java.util.regex.Pattern.compile(p.toString)
+              .matcher("").groupCount() catch { case _: Throwable => 0 }
+            Literal(if (groups >= 1) 1 else 0)
+          case _ => Literal(0)
+        }
+        RegExpExtractAll(a(0), a(1), idx)
+      },
+      // dateName(part, d): named parts as text (month/weekday names,
+      // numeric parts stringified)
+      "dateName" -> { a =>
+        val part = a.head match {
+          case Literal(u: UTF8String, StringType) => u.toString.toLowerCase
+          case _ => throw new IllegalArgumentException(
+            "dateName: part must be a string literal")
+        }
+        def ts = Cast(a(1), TimestampType)
+        def dt = Cast(a(1), DateType)
+        part match {
+          case "month" => DateFormatClass(ts, Literal("MMMM"))
+          case "weekday" => DateFormatClass(ts, Literal("EEEE"))
+          case "year" => Cast(Year(dt), StringType)
+          case "quarter" => Cast(Quarter(dt), StringType)
+          case "week" => Cast(WeekOfYear(dt), StringType)
+          case "dayofyear" => Cast(DayOfYear(dt), StringType)
+          case "day" => Cast(DayOfMonth(dt), StringType)
+          case "hour" => Cast(Hour(ts), StringType)
+          case "minute" => Cast(Minute(ts), StringType)
+          case "second" => Cast(Second(ts), StringType)
+          case other => throw new IllegalArgumentException(
+            s"dateName: unsupported part $other")
+        }
+      },
       // human-readable renderers (published ClickHouse output shapes:
       // two decimals, binary suffixes for size, short scale for
       // quantity; values below the first threshold keep the bare %.2f)

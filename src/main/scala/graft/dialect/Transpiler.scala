@@ -267,10 +267,13 @@ object Transpiler {
     // rewritten away before parsing
     s = "(?i)\\bextract\\s*\\(\\s*(\\w+)\\s+FROM\\s+".r.replaceAllIn(s,
       m => s"date_part('${m.group(1).toUpperCase}', ")
-    // dateDiff('day', a, b) -> timestampdiff(DAY, a, b) (the parser
-    // special-cases the dateDiff name before registry lookup)
+    // dateDiff('day', a, b) -> chDateDiff (the parser special-cases the
+    // dateDiff name before registry lookup, so it needs a rename; the
+    // registry builder counts UNIT BOUNDARIES crossed, ClickHouse
+    // semantics — Spark's timestampdiff counts elapsed complete units,
+    // which disagrees for month/quarter/year)
     s = "(?i)\\bdateDiff\\s*\\(\\s*'(\\w+)'\\s*,".r.replaceAllIn(s,
-      m => s"timestampdiff(${m.group(1).toUpperCase},")
+      m => s"chDateDiff('${m.group(1).toLowerCase}',")
     // GROUP BY k WITH TOTALS -> GROUPING SETS ((k), ()) — the totals
     // row is the empty grouping set (reference protocol TOTALS packet,
     // main.py:61; SURVEY §2.4 G6)

@@ -644,6 +644,31 @@ object Dialect {
              CAST(NULL AS TIMESTAMP) AS bad
       FROM n ORDER BY number""")),
 
+    // F27: dateDiff boundary-crossing counts (ClickHouse == DuckDB
+    // date_diff semantics), dateName text parts, extractAll matches
+    Q("f27_ch_datediff", ch("""
+      SELECT o_orderkey,
+             dateDiff('day', toDate('1995-06-15'), o_orderdate) AS dd,
+             dateDiff('week', toDate('1995-06-15'), o_orderdate) AS dw,
+             dateDiff('month', toDate('1995-06-15'), o_orderdate) AS dm,
+             dateDiff('quarter', toDate('1995-06-15'), o_orderdate) AS dq,
+             dateDiff('year', toDate('1995-06-15'), o_orderdate) AS dy,
+             dateName('month', o_orderdate) AS mn,
+             dateName('weekday', o_orderdate) AS wd,
+             arrayStringConcat(extractAll(o_orderpriority, '[0-9]+'), ',') AS nums
+      FROM orders ORDER BY o_orderkey LIMIT 200"""),
+      Some("""
+      SELECT o_orderkey,
+             date_diff('day', DATE '1995-06-15', o_orderdate) AS dd,
+             date_diff('week', DATE '1995-06-15', o_orderdate) AS dw,
+             date_diff('month', DATE '1995-06-15', o_orderdate) AS dm,
+             date_diff('quarter', DATE '1995-06-15', o_orderdate) AS dq,
+             date_diff('year', DATE '1995-06-15', o_orderdate) AS dy,
+             monthname(o_orderdate) AS mn,
+             dayname(o_orderdate) AS wd,
+             COALESCE(array_to_string(regexp_extract_all(o_orderpriority, '[0-9]+'), ','), '') AS nums
+      FROM orders ORDER BY o_orderkey LIMIT 200""")),
+
     // F22: tier-2 aggregates (weighted mean, Kahan sum, popcount;
     // skewPop via DuckDB's sample-skew correction factor)
     Q("f22_ch_aggs2", ch("""
