@@ -274,6 +274,10 @@ object Transpiler {
     // which disagrees for month/quarter/year)
     s = "(?i)\\bdateDiff\\s*\\(\\s*'(\\w+)'\\s*,".r.replaceAllIn(s,
       m => s"chDateDiff('${m.group(1).toLowerCase}',")
+    // age('unit', a, b) — ClickHouse's ELAPSED-complete-units
+    // counterpart of dateDiff — is exactly Spark's timestampdiff
+    s = "(?i)\\bage\\s*\\(\\s*'(\\w+)'\\s*,".r.replaceAllIn(s,
+      m => s"timestampdiff(${m.group(1).toUpperCase},")
     // GROUP BY k WITH TOTALS -> GROUPING SETS ((k), ()) — the totals
     // row is the empty grouping set (reference protocol TOTALS packet,
     // main.py:61; SURVEY §2.4 G6)

@@ -653,6 +653,8 @@ object Dialect {
              dateDiff('month', toDate('1995-06-15'), o_orderdate) AS dm,
              dateDiff('quarter', toDate('1995-06-15'), o_orderdate) AS dq,
              dateDiff('year', toDate('1995-06-15'), o_orderdate) AS dy,
+             age('month', toDate('1995-06-15'), o_orderdate) AS am,
+             age('year', toDate('1995-06-15'), o_orderdate) AS ay,
              dateName('month', o_orderdate) AS mn,
              dateName('weekday', o_orderdate) AS wd,
              arrayStringConcat(extractAll(o_orderpriority, '[0-9]+'), ',') AS nums
@@ -664,6 +666,8 @@ object Dialect {
              date_diff('month', DATE '1995-06-15', o_orderdate) AS dm,
              date_diff('quarter', DATE '1995-06-15', o_orderdate) AS dq,
              date_diff('year', DATE '1995-06-15', o_orderdate) AS dy,
+             date_sub('month', DATE '1995-06-15', o_orderdate) AS am,
+             date_sub('year', DATE '1995-06-15', o_orderdate) AS ay,
              monthname(o_orderdate) AS mn,
              dayname(o_orderdate) AS wd,
              COALESCE(array_to_string(regexp_extract_all(o_orderpriority, '[0-9]+'), ','), '') AS nums
