@@ -186,6 +186,16 @@ object Ddl {
 
   private val alterAddColRe =
     "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+ADD\\s+COLUMN\\s+(IF\\s+NOT\\s+EXISTS\\s+)?(.+)$".r
+  private val alterDropColRe =
+    "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+DROP\\s+COLUMN\\s+(IF\\s+EXISTS\\s+)?([\\w`]+)\\s*$".r
+  private val alterRenameColRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+RENAME\\s+COLUMN\\s+" +
+      "(IF\\s+EXISTS\\s+)?([\\w`]+)\\s+TO\\s+([\\w`]+)\\s*$").r
+  private val alterModifyColRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+MODIFY\\s+COLUMN\\s+" +
+      "(IF\\s+EXISTS\\s+)?([\\w`]+)\\s+([\\w() ,]+)\\s*$").r
+  private val renameTableRe =
+    "(?is)^\\s*RENAME\\s+TABLE\\s+(.+)$".r
   private val alterDeleteRe =
     "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+DELETE\\s+WHERE\\s+(.+)$".r
   private val alterUpdateRe =
@@ -193,7 +203,7 @@ object Ddl {
 
   def isDdl(sql: String): Boolean =
     ("(?is)^\\s*(CREATE|DROP|USE|INSERT|TRUNCATE|ALTER|OPTIMIZE" +
-      "|SHOW|DESCRIBE|DESC|EXISTS)\\b").r
+      "|SHOW|DESCRIBE|DESC|EXISTS|RENAME)\\b").r
       .findFirstIn(sql).isDefined
 
   /** Execute one ClickHouse DDL/DML statement. */
@@ -244,6 +254,46 @@ object Ddl {
           .columns.exists(_.equalsIgnoreCase(cn.replace("`", "")))
         if (exists) spark.emptyDataFrame
         else spark.sql(s"ALTER TABLE $name ADD COLUMNS ($cn ${Transpiler.mapTypeNames(ct)})")
+      case alterDropColRe(name, ifExists, col0) =>
+        val c = col0.replace("`", "")
+        guardKeyColumn(spark, name, c, "DROP")
+        val present = spark.table(name.replace("`", ""))
+          .columns.exists(_.equalsIgnoreCase(c))
+        if (!present && Option(ifExists).isDefined) spark.emptyDataFrame
+        else reshape(spark, name, _.drop(c))
+      case alterRenameColRe(name, ifExists, from0, to0) =>
+        val (from, to) = (from0.replace("`", ""), to0.replace("`", ""))
+        guardKeyColumn(spark, name, from, "RENAME")
+        val present = spark.table(name.replace("`", ""))
+          .columns.exists(_.equalsIgnoreCase(from))
+        if (!present && Option(ifExists).isDefined) spark.emptyDataFrame
+        else reshape(spark, name, _.withColumnRenamed(from, to),
+          renameKey = Map(from -> to))
+      case alterModifyColRe(name, ifExists, col0, newType)
+          if !newType.trim.matches("(?i)^(COLUMN)\\b.*") =>
+        val c = col0.replace("`", "")
+        val present = spark.table(name.replace("`", ""))
+          .columns.exists(_.equalsIgnoreCase(c))
+        if (!present && Option(ifExists).isDefined) spark.emptyDataFrame
+        else {
+          val sparkType = Transpiler.mapTypeNames(newType.trim)
+          reshape(spark, name, df => df.withColumn(c,
+            org.apache.spark.sql.functions.col(c).cast(sparkType)))
+        }
+      case renameTableRe(pairs) =>
+        // RENAME TABLE a TO b[, c TO d]: catalog rename (a metadata-only
+        // move for managed tables); the MergeTree layout follows the key
+        splitTopLevel(pairs).foreach { p =>
+          val pm = "(?is)^\\s*([\\w`.]+)\\s+TO\\s+([\\w`.]+)\\s*$".r
+            .findFirstMatchIn(p).getOrElse(throw new IllegalArgumentException(
+              s"bad RENAME TABLE clause: $p"))
+          val (from, to) = (pm.group(1), pm.group(2))
+          val fromKey = normalize(spark, from)
+          spark.sql(s"ALTER TABLE $from RENAME TO $to")
+          tables.remove(fromKey).foreach(mm =>
+            tables.put(normalize(spark, to), mm))
+        }
+        spark.emptyDataFrame
       case _ if "(?is)^\\s*OPTIMIZE\\s+TABLE\\b".r.findFirstIn(s).isDefined =>
         // For ReplacingMergeTree, OPTIMIZE ... FINAL forces the merge
         // that applies keep-latest dedup — materialize it (copy-on-
@@ -312,6 +362,64 @@ object Ddl {
   /** ClickHouse mutations (ALTER DELETE/UPDATE) as copy-on-write: read,
     * transform, overwrite — the same full-rewrite semantics ClickHouse
     * mutations have, expressed as one distributed job. */
+  /** ClickHouse refuses ALTERs that break the table's key expressions
+    * ("Trying to ALTER key column"); match that before a reshape
+    * would leave a partition/sample/order expression dangling. */
+  private def guardKeyColumn(spark: SparkSession, name: String,
+                             col: String, verb: String): Unit = {
+    val meta = tables.get(normalize(spark, name))
+    val keyExprs = meta.toSeq.flatMap(mm =>
+      mm.partitionExpr.toSeq ++ mm.sampleBy.toSeq ++ mm.orderBy)
+    val hit = keyExprs.exists(e =>
+      ("(?i)(?<![\\w`])" + java.util.regex.Pattern.quote(col) + "(?![\\w`])").r
+        .findFirstIn(e).isDefined)
+    if (hit) throw new IllegalArgumentException(
+      s"cannot $verb column $col: used in a PARTITION/ORDER/SAMPLE BY key")
+  }
+
+  /** Schema-changing ALTERs (DROP/RENAME/MODIFY COLUMN) rewrite the
+    * table copy-on-write — same as ClickHouse, whose mutations rewrite
+    * parts. The transformed frame stages to scratch parquet, the table
+    * is recreated with the staged schema (keeping the `_part` layout
+    * and the MergeTree metadata, with renamed ORDER BY keys followed),
+    * and the rows reload through the catalog. */
+  private def reshape(spark: SparkSession, name: String,
+                      f: DataFrame => DataFrame,
+                      renameKey: Map[String, String] = Map.empty): DataFrame = {
+    val bare = name.replace("`", "")
+    val key = normalize(spark, name)
+    val meta = tables.get(key)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_reshape").toString
+    f(spark.table(bare)).write.mode("overwrite").parquet(tmp)
+    val staged = spark.read.parquet(tmp)
+    spark.sql(s"DROP TABLE $bare")
+    val partitioned = staged.columns.contains("_part")
+    val colsDdl = staged.schema.fields.filterNot(_.name == "_part")
+      .map(fd => s"`${fd.name}` ${fd.dataType.sql}").mkString(", ")
+    spark.sql(
+      if (partitioned)
+        s"CREATE TABLE $bare ($colsDdl, `_part` INT) " +
+          "USING PARQUET PARTITIONED BY (`_part`)"
+      else s"CREATE TABLE $bare ($colsDdl) USING PARQUET")
+    meta.foreach { mm =>
+      val ident = "^[\\w`]+$".r
+      val remaining = staged.columns.map(_.toLowerCase).toSet
+      val newOrder = mm.orderBy.flatMap { k0 =>
+        val k = renameKey.getOrElse(k0.replace("`", ""), k0)
+        // plain identifier keys that no longer exist drop out of the
+        // clustering key; expression keys were guarded above
+        if (ident.findFirstIn(k).isDefined &&
+            !remaining.contains(k.replace("`", "").toLowerCase)) None
+        else Some(k)
+      }
+      tables.put(key, mm.copy(orderBy = newOrder))
+    }
+    val order = spark.table(bare).columns.map(staged(_))
+    staged.select(order.toIndexedSeq: _*).write.mode("append").insertInto(bare)
+    spark.emptyDataFrame
+  }
+
   private def mutate(spark: SparkSession, name: String,
                      f: DataFrame => DataFrame): DataFrame = {
     val bare = name.replace("`", "")
@@ -395,66 +503,95 @@ object Ddl {
     spark.sql(ddl)
   }
 
-  /** INSERT INTO t SELECT/VALUES — appends the materialized partition
-    * column for partitioned tables (INSERT...SELECT only). */
+  /** Append a frame holding the table's non-`_part` columns
+    * (positionally) honoring the table's MergeTree layout: the
+    * PARTITION BY expression materializes into `_part` and rows
+    * range-cluster on (_part, ORDER BY keys) — each month yields its
+    * proportional share of the shuffle partitions, many files per
+    * partition dir, each internally sorted on the ORDER BY prefix
+    * (parquet min/max pruning) — instead of one giant hash file per
+    * month, which capped scan parallelism at the row-group count.
+    * Every ingest path funnels here (INSERT...SELECT, VALUES, text
+    * formats, RowBinary/Native/Parquet payloads) so all of them write
+    * the same sorted, prunable files. */
+  private[graft] def appendAligned(spark: SparkSession, name: String,
+                                   src0: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val bare = name.replace("`", "")
+    val meta = tables.get(normalize(spark, name))
+    val targetCols = spark.table(bare).columns.filterNot(_ == "_part")
+    // the partition/sort exprs are written against the TARGET column
+    // names; rename the source positionally first. Plain keys sort by
+    // column; expression keys (hits DDL: intHash32(UserID)) sort by
+    // the transpiled expression — both feed parquet min/max stats on
+    // the physical sort prefix (SURVEY §4)
+    val src = src0.toDF(targetCols.toIndexedSeq: _*)
+    val sortCols = meta.map(_.orderBy).getOrElse(Nil).map { k =>
+      if (targetCols.contains(k)) col(k)
+      else expr(Transpiler.transpile(k))
+    }
+    val df = meta.flatMap(_.partitionExpr) match {
+      case Some(pe) =>
+        val withPart = src.withColumn("_part",
+          expr(Transpiler.transpile(pe)).cast("int"))
+        if (sortCols.isEmpty) withPart
+        else {
+          val keys = col("_part") +: sortCols
+          withPart.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
+        }
+      case None =>
+        if (sortCols.isEmpty) src
+        else src.repartitionByRange(sortCols: _*)
+          .sortWithinPartitions(sortCols: _*)
+    }
+    df.write.mode("append").insertInto(bare)
+  }
+
+  // "[(cols)] VALUES <tuples>" INSERT body (column list optional)
+  private val valuesBodyRe =
+    "(?is)^(?:\\(([^)]*)\\)\\s*)?VALUES\\s+(.+)$".r
+
+  /** INSERT INTO t SELECT/VALUES — all MergeTree layouts land through
+    * [[appendAligned]]; VALUES rows parse via Spark's inline VALUES
+    * relation so partitioned tables accept them too. */
   def insert(spark: SparkSession, sql: String): DataFrame = {
     val m = "(?is)^\\s*INSERT\\s+INTO\\s+([\\w`.]+)\\s+(.*)$".r
       .findFirstMatchIn(sql.trim.stripSuffix(";"))
       .getOrElse(throw new IllegalArgumentException(s"bad INSERT: $sql"))
     val (name, body) = (m.group(1), m.group(2).trim)
     val meta = tables.get(normalize(spark, name))
-    meta.flatMap(_.partitionExpr) match {
-      case Some(pe) if body.toUpperCase.startsWith("SELECT") =>
-        // the partition expr is written against the TARGET column
-        // names; rename the source positionally first, then sort
-        // within partitions by the ORDER BY key (parquet min/max
-        // stats pruning on the sort key, SURVEY §4)
-        val src = spark.sql(Transpiler.transpile(body))
-        val targetCols = spark.table(name).columns.filterNot(_ == "_part")
-        // plain keys sort by column; expression keys (hits DDL:
-        // intHash32(UserID)) sort by the transpiled expression — both
-        // feed parquet min/max stats on the physical sort prefix
-        val sortCols = meta.map(_.orderBy).getOrElse(Nil).map { k =>
-          if (targetCols.contains(k)) org.apache.spark.sql.functions.col(k)
-          else org.apache.spark.sql.functions.expr(Transpiler.transpile(k))
-        }
-        var df = src.toDF(targetCols.toIndexedSeq: _*)
-          .withColumn("_part",
-            org.apache.spark.sql.functions.expr(Transpiler.transpile(pe)).cast("int"))
-        if (sortCols.nonEmpty) {
-          // range-partition on (_part, sort keys): each month yields its
-          // proportional share of the shuffle partitions — many files per
-          // partition dir, each internally sorted on the ORDER BY prefix
-          // (parquet min/max pruning) — instead of one giant file per
-          // month (hash-on-_part), which capped scan parallelism at the
-          // row-group count
-          val keys = org.apache.spark.sql.functions.col("_part") +: sortCols
-          df = df.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
-        }
-        df.write.mode("append").insertInto(name.replace("`", ""))
-        spark.emptyDataFrame
-      case Some(_) =>
-        throw new IllegalArgumentException(
-          "partitioned tables support INSERT ... SELECT only")
-      case None =>
-        // unpartitioned MergeTree with ORDER BY still clusters on insert
-        // (same min/max-stats contract as the partitioned path; r7
-        // VERDICT flagged the silent skip)
-        val keys = meta.map(_.orderBy).getOrElse(Nil)
-        if (keys.nonEmpty && body.toUpperCase.startsWith("SELECT")) {
-          val src = spark.sql(Transpiler.transpile(body))
-          val targetCols = spark.table(name).columns
-          val sortCols = keys.map { k =>
-            if (targetCols.contains(k)) org.apache.spark.sql.functions.col(k)
-            else org.apache.spark.sql.functions.expr(Transpiler.transpile(k))
+    val hasLayout =
+      meta.exists(t => t.partitionExpr.nonEmpty || t.orderBy.nonEmpty)
+    if (hasLayout && body.toUpperCase.startsWith("SELECT")) {
+      appendAligned(spark, name, spark.sql(Transpiler.transpile(body)))
+      spark.emptyDataFrame
+    } else if (hasLayout) {
+      valuesBodyRe.findFirstMatchIn(body) match {
+        case Some(vm) =>
+          val parsed = spark.sql(
+            Transpiler.transpile("SELECT * FROM VALUES " + vm.group(2)))
+          val full = spark.table(name.replace("`", "")).schema
+          val listed = Option(vm.group(1)).map(_.split(",")
+            .map(_.trim.replace("`", "")).toSeq)
+          val named = listed match {
+            case Some(cs) => parsed.toDF(cs: _*)
+            case None => parsed.toDF(
+              full.fields.map(_.name).filterNot(_ == "_part").toIndexedSeq: _*)
           }
-          src.toDF(targetCols.toIndexedSeq: _*)
-            .repartitionByRange(sortCols: _*)
-            .sortWithinPartitions(sortCols: _*)
-            .write.mode("append").insertInto(name.replace("`", ""))
+          // fill unlisted columns with NULLs, emit in table column order
+          val out = full.fields.filterNot(_.name == "_part").map { f =>
+            if (named.columns.contains(f.name))
+              org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
+            else org.apache.spark.sql.functions.lit(null)
+              .cast(f.dataType).as(f.name)
+          }
+          appendAligned(spark, name, named.select(out.toIndexedSeq: _*))
           spark.emptyDataFrame
-        } else spark.sql(Transpiler.transpile(s"INSERT INTO $name $body"))
-    }
+        case None =>
+          throw new IllegalArgumentException(
+            "MergeTree tables support INSERT ... SELECT or VALUES")
+      }
+    } else spark.sql(Transpiler.transpile(s"INSERT INTO $name $body"))
   }
 
   /** The in-memory catalog forgets tables across JVMs while the
@@ -773,6 +910,8 @@ object Engine {
     m.group(4).toLowerCase match {
       case f @ ("rowbinary" | "rowbinarywithnamesandtypes" | "native") =>
         binaryInsert(spark, table, cols, f, payload)
+      case "parquet" =>
+        parquetInsert(spark, table, cols, payload)
       case _ =>
         insertWithData(spark, table, cols, m.group(4),
           new String(payload, java.nio.charset.StandardCharsets.UTF_8))
@@ -782,7 +921,8 @@ object Engine {
   /** True when `format` names a binary INSERT payload format (the
     * HTTP server must not decode such bodies as UTF-8). */
   def isBinaryInsertFormat(format: String): Boolean =
-    Set("rowbinary", "rowbinarywithnamesandtypes", "native")(format.toLowerCase)
+    Set("rowbinary", "rowbinarywithnamesandtypes", "native",
+      "parquet")(format.toLowerCase)
 
   private def binaryInsert(spark: SparkSession, table: String,
                            cols: Option[Seq[String]], format: String,
@@ -818,9 +958,43 @@ object Engine {
       if (names.contains(f.name)) org.apache.spark.sql.functions.col(f.name)
       else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
     }
-    df.select(out.toIndexedSeq: _*).write.mode("append")
-      .insertInto(table.replace("`", ""))
+    Ddl.appendAligned(spark, table, df.select(out.toIndexedSeq: _*))
     spark.emptyDataFrame
+  }
+
+  /** INSERT ... FORMAT Parquet: the payload is one complete parquet
+    * file (what clickhouse-client sends for columnar bulk loads). It
+    * lands in a scratch file and Spark's parquet reader parses it —
+    * the driver never decodes values row by row. Columns resolve by
+    * name when the file carries the target's names, positionally over
+    * the announced column list otherwise. */
+  private def parquetInsert(spark: SparkSession, table: String,
+                            cols: Option[Seq[String]],
+                            payload: Array[Byte]): DataFrame = {
+    val tmp = java.nio.file.Files.createTempFile("graft_insert", ".parquet")
+    try {
+      java.nio.file.Files.write(tmp, payload)
+      val parsed = spark.read.parquet(tmp.toString)
+      val full = spark.table(table).schema
+      val announced =
+        cols.getOrElse(full.fields.map(_.name).filterNot(_ == "_part").toSeq)
+      val named =
+        if (announced.forall(parsed.columns.contains)) parsed
+        else if (parsed.columns.length == announced.length)
+          parsed.toDF(announced.toIndexedSeq: _*)
+        else throw new IllegalArgumentException(
+          s"parquet payload has ${parsed.columns.length} columns, " +
+            s"expected ${announced.length} (${announced.mkString(", ")})")
+      val out = full.fields.filterNot(_.name == "_part").map { f =>
+        if (named.columns.contains(f.name))
+          org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
+        else org.apache.spark.sql.functions.lit(null)
+          .cast(f.dataType).as(f.name)
+      }
+      // appendAligned writes eagerly, so the scratch file can go in finally
+      Ddl.appendAligned(spark, table, named.select(out.toIndexedSeq: _*))
+      spark.emptyDataFrame
+    } finally java.nio.file.Files.deleteIfExists(tmp)
   }
 
   /** Decoded wire value → the Spark external type of the target column
@@ -859,8 +1033,12 @@ object Engine {
                              cols: Option[Seq[String]], format: String,
                              data: String): DataFrame = {
     import spark.implicits._
-    if (format.equalsIgnoreCase("Values"))
-      return Ddl.insert(spark, s"INSERT INTO $table VALUES $data")
+    if (format.equalsIgnoreCase("Values")) {
+      // reconstruct the column list — dropping it bound VALUES tuples
+      // to the wrong columns when the client listed a subset
+      val colList = cols.map(cs => s"(${cs.mkString(", ")}) ").getOrElse("")
+      return Ddl.insert(spark, s"INSERT INTO $table ${colList}VALUES $data")
+    }
     val full = spark.table(table).schema
     val target = cols match {
       case Some(cs) => org.apache.spark.sql.types.StructType(
@@ -883,8 +1061,7 @@ object Engine {
         org.apache.spark.sql.functions.col(f.name)
       else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
     }
-    parsed.select(out.toIndexedSeq: _*).write.mode("append")
-      .insertInto(table.replace("`", ""))
+    Ddl.appendAligned(spark, table, parsed.select(out.toIndexedSeq: _*))
     spark.emptyDataFrame
   }
 }

@@ -30,10 +30,11 @@ class HttpServer(spark: SparkSession, port: Int,
   private val server = JdkHttpServer.create(new InetSocketAddress(port), 0)
   server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
 
-  // "INSERT INTO t [(cols)] FORMAT RowBinary|RowBinaryWithNamesAndTypes|Native"
+  // "INSERT INTO t [(cols)] FORMAT <binary format>" — these bodies must
+  // never round-trip through UTF-8
   private val binaryInsertRe =
     ("(?is)^\\s*INSERT\\s+INTO\\s+[\\w`.]+\\s*(\\([^)]*\\))?\\s*FORMAT\\s+" +
-      "(RowBinary|RowBinaryWithNamesAndTypes|Native)\\s*$").r
+      "(RowBinary|RowBinaryWithNamesAndTypes|Native|Parquet)\\s*$").r
 
   private def sessionFor(auth: Option[String]): SparkSession = auth match {
     case None => spark
@@ -157,23 +158,43 @@ class HttpServer(spark: SparkSession, port: Int,
       if (gzip) ex.getResponseHeaders.set("Content-Encoding", "gzip")
       val fmtLower = fmt.toLowerCase
       val binaryFmt = fmtLower == "native" || fmtLower == "rowbinary" ||
-        fmtLower == "rowbinarywithnamesandtypes"
+        fmtLower == "rowbinarywithnamesandtypes" || fmtLower == "parquet"
       // validate the format BEFORE body() commits the 200 headers —
       // an unknown FORMAT must be a 400 with a message, not an empty 200
       if (!binaryFmt && !ResultFormatter.isKnown(fmt))
         throw new IllegalArgumentException(s"unknown format: $fmt")
       if (binaryFmt) {
         ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
-        val os = body()
-        import scala.jdk.CollectionConverters._
-        if (fmtLower == "native")
-          NativeCodec.writeBlocks(os, df.schema,
-            df.toLocalIterator().asScala, blockRows = 65536)
-        else
-          NativeCodec.writeRowBinary(os, df.schema,
-            df.toLocalIterator().asScala,
-            withNamesAndTypes = fmtLower == "rowbinarywithnamesandtypes")
-        os.close()
+        if (fmtLower == "parquet") {
+          // columnar response: executors write one parquet part into a
+          // scratch dir (no driver row serialization), then the file
+          // streams to the socket in bounded chunks
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_http_parquet")
+          try {
+            df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+            val part = tmp.toFile.listFiles()
+              .find(_.getName.endsWith(".parquet"))
+              .getOrElse(throw new IllegalStateException("no parquet part written"))
+            val os = body()
+            java.nio.file.Files.copy(part.toPath, os)
+            os.close()
+          } finally {
+            tmp.toFile.listFiles().foreach(f => f.delete())
+            java.nio.file.Files.deleteIfExists(tmp)
+          }
+        } else {
+          val os = body()
+          import scala.jdk.CollectionConverters._
+          if (fmtLower == "native")
+            NativeCodec.writeBlocks(os, df.schema,
+              df.toLocalIterator().asScala, blockRows = 65536)
+          else
+            NativeCodec.writeRowBinary(os, df.schema,
+              df.toLocalIterator().asScala,
+              withNamesAndTypes = fmtLower == "rowbinarywithnamesandtypes")
+          os.close()
+        }
       } else {
         val contentType =
           if (fmtLower.startsWith("json")) "application/json" else "text/plain"

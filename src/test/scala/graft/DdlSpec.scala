@@ -408,4 +408,100 @@ class DdlSpec extends AnyFunSuite {
     assert(stmt.columns.toSeq === Seq("statement"))
     assert(stmt.collect().head.getString(0).toLowerCase.contains("create table"))
   }
+
+  test("ALTER TABLE DROP/RENAME/MODIFY COLUMN reshape copy-on-write") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.ac")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.ac (k Int64, v String, extra Int32)
+      ENGINE=MergeTree() ORDER BY (k)""")
+    Engine.execute(spark,
+      "INSERT INTO graft_spec.ac SELECT number, toString(number), 7 FROM numbers(5)")
+
+    Engine.execute(spark, "ALTER TABLE graft_spec.ac DROP COLUMN extra")
+    assert(spark.table("graft_spec.ac").columns.toSeq === Seq("k", "v"))
+
+    Engine.execute(spark, "ALTER TABLE graft_spec.ac RENAME COLUMN v TO label")
+    assert(spark.table("graft_spec.ac").columns.toSeq === Seq("k", "label"))
+
+    Engine.execute(spark, "ALTER TABLE graft_spec.ac MODIFY COLUMN label Int64")
+    val rows = Engine.execute(spark,
+      "SELECT k, label FROM graft_spec.ac ORDER BY k").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+    assert(rows.map(_.getLong(1)).toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+
+    // IF EXISTS on a missing column is a no-op; without it Spark errors
+    Engine.execute(spark,
+      "ALTER TABLE graft_spec.ac DROP COLUMN IF EXISTS nope")
+    assert(spark.table("graft_spec.ac").columns.length === 2)
+
+    // key columns refuse ALTER, like ClickHouse ("Trying to ALTER key column")
+    val e = intercept[IllegalArgumentException] {
+      Engine.execute(spark, "ALTER TABLE graft_spec.ac DROP COLUMN k")
+    }
+    assert(e.getMessage.contains("key"))
+  }
+
+  test("ALTER reshape keeps the _part layout on a partitioned table") {
+    graft.dialect.ChContext.setup(spark, "/root/testdata/sf0.001")
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.rp")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.rp (k Int64, d DateTime, junk Int32)
+      ENGINE=MergeTree() PARTITION BY toYYYYMM(d) ORDER BY (k)""")
+    Engine.execute(spark,
+      "INSERT INTO graft_spec.rp SELECT o_orderkey, o_orderdate, 1 FROM orders")
+    val before = Engine.execute(spark,
+      "SELECT count() FROM graft_spec.rp").collect().head.getLong(0)
+    Engine.execute(spark, "ALTER TABLE graft_spec.rp DROP COLUMN junk")
+    val pruned = Engine.execute(spark,
+      "SELECT count() AS n FROM graft_spec.rp WHERE _part = 199601")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(Engine.execute(spark, "SELECT count() FROM graft_spec.rp")
+      .collect().head.getLong(0) === before)
+  }
+
+  test("RENAME TABLE moves the table and its MergeTree metadata") {
+    graft.dialect.ChContext.setup(spark, "/root/testdata/sf0.001")
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.rt")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.rt2")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.rt (k Int64, d DateTime)
+      ENGINE=MergeTree() PARTITION BY toYYYYMM(d) ORDER BY (k)""")
+    Engine.execute(spark,
+      "INSERT INTO graft_spec.rt SELECT o_orderkey, o_orderdate FROM orders")
+    Engine.execute(spark, "RENAME TABLE graft_spec.rt TO graft_spec.rt2")
+    assert(!spark.catalog.tableExists("graft_spec.rt"))
+    // the partition metadata followed the rename: new INSERTs compute _part
+    Engine.execute(spark, """
+      INSERT INTO graft_spec.rt2
+      SELECT o_orderkey + 10000000, o_orderdate FROM orders LIMIT 10""")
+    val parts = Engine.execute(spark,
+      "SELECT count(DISTINCT _part) AS n FROM graft_spec.rt2")
+      .collect().head
+    assert(parts.getLong(0) > 1)
+  }
+
+  test("INSERT VALUES and inline-format payloads land in partitioned tables") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.pv")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.pv (k Int64, d Date)
+      ENGINE=MergeTree() PARTITION BY toYYYYMM(d) ORDER BY (k)""")
+    // VALUES (was: "partitioned tables support INSERT ... SELECT only")
+    Engine.execute(spark,
+      "INSERT INTO graft_spec.pv VALUES (1, '2024-01-15'), (2, '2024-02-20')")
+    // inline text payload takes the same layout path
+    Engine.execute(spark, "INSERT INTO graft_spec.pv FORMAT CSV\n3,2024-03-10")
+    // column-list VALUES null-fills the rest
+    Engine.execute(spark,
+      "INSERT INTO graft_spec.pv (d) VALUES ('2024-04-05')")
+    val got = Engine.execute(spark,
+      "SELECT _part, k FROM graft_spec.pv ORDER BY _part")
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(got.toSeq ===
+      Seq((202401, 1L), (202402, 2L), (202403, 3L), (202404, -1L)))
+  }
 }

@@ -298,4 +298,51 @@ class FormatsSpec extends AnyFunSuite {
     assert(block.map(_._1) === Seq("id")) // clients still learn the schema
     assert(block.head._3.isEmpty)
   }
+
+  test("Parquet INSERT round-trip: export a file, bulk-load, select back") {
+    import graft.dialect.Engine
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_fmt")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_fmt.pq")
+    Engine.execute(spark,
+      "CREATE TABLE graft_fmt.pq (id Int64, s String, f Float64) ENGINE=Memory")
+    // payload = a complete parquet file, as a bulk client would send
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pq_spec")
+    val src = q("SELECT number AS id, toString(number) AS s, number * 1.5 AS f " +
+      "FROM numbers(100)")
+    src.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
+    val payload = java.nio.file.Files.readAllBytes(part.toPath)
+    Engine.executeInsertPayload(spark,
+      "INSERT INTO graft_fmt.pq FORMAT Parquet", payload)
+    val back = Engine.execute(spark,
+      "SELECT count() AS n, sum(id) AS s, max(f) AS m FROM graft_fmt.pq")
+      .collect().head
+    assert(back.getLong(0) === 100L)
+    assert(back.getLong(1) === 4950L)
+    assert(back.getDouble(2) === 148.5)
+    tmp.toFile.listFiles().foreach(_.delete())
+    java.nio.file.Files.deleteIfExists(tmp)
+  }
+
+  test("Parquet INSERT with a column list resolves positionally") {
+    import graft.dialect.Engine
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_fmt")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_fmt.pq2")
+    Engine.execute(spark,
+      "CREATE TABLE graft_fmt.pq2 (id Int64, s String) ENGINE=Memory")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pq_spec2")
+    // file column names differ from the target's: positional over (s, id)
+    q("SELECT toString(number) AS a, number AS b FROM numbers(3)")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
+    Engine.executeInsertPayload(spark,
+      "INSERT INTO graft_fmt.pq2 (s, id) FORMAT Parquet",
+      java.nio.file.Files.readAllBytes(part.toPath))
+    val rows = Engine.execute(spark,
+      "SELECT id, s FROM graft_fmt.pq2 ORDER BY id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+    assert(rows.map(_.getString(1)).toSeq === Seq("0", "1", "2"))
+    tmp.toFile.listFiles().foreach(_.delete())
+    java.nio.file.Files.deleteIfExists(tmp)
+  }
 }

@@ -109,6 +109,43 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.body() === "41\tx\n42\té€\n", back.body())
   }
 
+  test("FORMAT Parquet responds with a readable parquet file") {
+    val r = client.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port/"))
+      .POST(HttpRequest.BodyPublishers.ofString(
+        "SELECT number AS n, toString(number) AS s FROM numbers(10) FORMAT Parquet"))
+      .build(), HttpResponse.BodyHandlers.ofByteArray())
+    assert(r.statusCode() === 200)
+    val f = java.nio.file.Files.createTempFile("graft_http_pq", ".parquet")
+    java.nio.file.Files.write(f, r.body())
+    val back = spark.read.parquet(f.toString)
+    assert(back.columns.toSeq === Seq("n", "s"))
+    assert(back.count() === 10)
+    assert(back.agg(org.apache.spark.sql.functions.sum("n"))
+      .collect().head.getLong(0) === 45L)
+    java.nio.file.Files.deleteIfExists(f)
+  }
+
+  test("INSERT ... FORMAT Parquet with a binary body bulk-loads") {
+    import graft.dialect.Engine
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_http")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_http.pq")
+    Engine.execute(spark,
+      "CREATE TABLE graft_http.pq (id Int64, s String) ENGINE=Memory")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_http_pq_in")
+    spark.sql("SELECT id * 2 AS id, concat('r', id) AS s FROM range(5)")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
+    val r = client.send(HttpRequest.newBuilder(URI.create(
+      s"http://localhost:$port/?query=${enc("INSERT INTO graft_http.pq FORMAT Parquet")}"))
+      .POST(HttpRequest.BodyPublishers.ofByteArray(
+        java.nio.file.Files.readAllBytes(part.toPath))).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() === 200, r.body())
+    assert(post("SELECT sum(id) FROM graft_http.pq").body() === "20\n")
+    tmp.toFile.listFiles().foreach(_.delete())
+    java.nio.file.Files.deleteIfExists(tmp)
+  }
+
   test("queries run against registered fixture tables") {
     val r = post("SELECT count() FROM lineitem")
     assert(r.body().trim.toLong > 0)
