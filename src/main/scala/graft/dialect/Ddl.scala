@@ -289,6 +289,7 @@ object Ddl {
               s"bad RENAME TABLE clause: $p"))
           val (from, to) = (pm.group(1), pm.group(2))
           val fromKey = normalize(spark, from)
+          cleanOrphanLocation(spark, to) // stale warehouse dir blocks rename
           spark.sql(s"ALTER TABLE $from RENAME TO $to")
           tables.remove(fromKey).foreach(mm =>
             tables.put(normalize(spark, to), mm))
@@ -362,6 +363,50 @@ object Ddl {
   /** ClickHouse mutations (ALTER DELETE/UPDATE) as copy-on-write: read,
     * transform, overwrite — the same full-rewrite semantics ClickHouse
     * mutations have, expressed as one distributed job. */
+  /** Live `system.parts` rows over every DDL-created MergeTree table:
+    * one row per partition directory (the parquet model's active-part
+    * granularity — merge/compaction generations don't exist here).
+    * Shape follows ClickHouse system.parts' most-probed columns.
+    * Metadata-scale work: per-partition row counts come from parquet
+    * footers (count-only scan), byte sizes from the directory listing. */
+  private[graft] def partsSnapshot(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val cat = spark.sessionState.catalog
+    def dirSize(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(dirSize).sum).getOrElse(0L)
+    val rows = tables.keys.toSeq.sorted.flatMap { key =>
+      val Array(db, t) = key.split("\\.", 2)
+      val ident = org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
+      try {
+        if (!cat.tableExists(ident)) Nil
+        else {
+          val meta = tables(key)
+          val engine =
+            if (meta.replacingVer.nonEmpty) "ReplacingMergeTree"
+            else if (meta.summingCols.nonEmpty) "SummingMergeTree"
+            else "MergeTree"
+          val loc = new java.io.File(
+            new java.net.URI(cat.getTableMetadata(ident).location.toString))
+          meta.partitionExpr match {
+            case Some(_) =>
+              spark.table(s"$db.$t").groupBy("_part").count().collect()
+                .toSeq.map { r =>
+                  val p = r.get(0).toString
+                  (db, t, p, s"_part=$p", 1, r.getLong(1),
+                    dirSize(new java.io.File(loc, s"_part=$p")), engine)
+                }
+            case None =>
+              Seq((db, t, "tuple()", "all", 1,
+                spark.table(s"$db.$t").count(), dirSize(loc), engine))
+          }
+        }
+      } catch { case _: Throwable => Nil }
+    }
+    rows.toDF("database", "table", "partition", "name", "active",
+      "rows", "bytes_on_disk", "engine")
+  }
+
   /** ClickHouse refuses ALTERs that break the table's key expressions
     * ("Trying to ALTER key column"); match that before a reshape
     * would leave a partition/sample/order expression dangling. */
@@ -749,6 +794,18 @@ object Engine {
       }
     })
 
+  /** `system.parts` must reflect the live catalog (the other system.*
+    * tables are handshake-time snapshots; parts change on every
+    * INSERT/mutation) — build it on demand and substitute a temp view. */
+  private def rewriteSystemParts(spark: SparkSession, sql: String): String =
+    if ("(?i)(?<![\\w`])system\\.parts(?![\\w`])".r.findFirstIn(sql).isEmpty) sql
+    else {
+      Ddl.partsSnapshot(spark)
+        .createOrReplaceTempView("__graft_system_parts")
+      sql.replaceAll("(?i)(?<![\\w`])system\\.parts(?![\\w`])",
+        "__graft_system_parts")
+    }
+
   private val finalRe = "(?i)\\b(FROM|JOIN)\\s+([\\w`.]+)\\s+FINAL\\b".r
 
   /** `FROM t FINAL` on a Replacing/SummingMergeTree applies the
@@ -824,7 +881,8 @@ object Engine {
     // ClickHouse EXPLAIN kinds (SYNTAX/AST/PLAN/PIPELINE/...) all map
     // to Spark's EXPLAIN (one plan-text column)
     val bare = "(?is)^\\s*EXPLAIN\\s+(SYNTAX|AST|PLAN|PIPELINE|ESTIMATE|QUERY\\s+TREE)\\s+".r
-      .replaceFirstIn(rewriteFinal(spark, rewriteSample(spark, bare0)),
+      .replaceFirstIn(rewriteFinal(spark,
+        rewriteSample(spark, rewriteSystemParts(spark, bare0))),
         "EXPLAIN ")
     Transpiler.withFillParts(bare) match {
       case Some((inner, prefix, fillKey, from, to, step)) =>

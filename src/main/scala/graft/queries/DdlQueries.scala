@@ -120,6 +120,51 @@ object DdlQueries {
         ORDER BY id""")
     }, Some("""
       SELECT * FROM (VALUES (1, 'new', 15), (2, 'only', 7))
-        t(id, payload, hits) ORDER BY id"""))
+        t(id, payload, hits) ORDER BY id""")),
+
+    // S4c: schema-changing ALTERs (DROP/RENAME/MODIFY COLUMN) rewrite
+    // the table copy-on-write and RENAME TABLE carries the metadata —
+    // the oracle is the equivalent transformation straight over parquet
+    Q("s9_alter_reshape", (s, dir) => {
+      ChContext.setup(s, dir)
+      Engine.execute(s, "CREATE DATABASE IF NOT EXISTS graft_t")
+      Engine.execute(s, "DROP TABLE IF EXISTS graft_t.al")
+      Engine.execute(s, "DROP TABLE IF EXISTS graft_t.al2")
+      Engine.execute(s, """
+        CREATE TABLE graft_t.al (k Int64, price Float64, junk Int32)
+        ENGINE=MergeTree() ORDER BY (k)""")
+      Engine.execute(s, """
+        INSERT INTO graft_t.al SELECT o_orderkey, o_totalprice, 1 FROM orders""")
+      Engine.execute(s, "ALTER TABLE graft_t.al DROP COLUMN junk")
+      Engine.execute(s, "ALTER TABLE graft_t.al RENAME COLUMN price TO total")
+      Engine.execute(s, "ALTER TABLE graft_t.al MODIFY COLUMN total Decimal(14,2)")
+      Engine.execute(s, "RENAME TABLE graft_t.al TO graft_t.al2")
+      Engine.execute(s, """
+        SELECT count() AS n, sum(total) AS st, min(k) AS mk
+        FROM graft_t.al2""")
+    }, Some("""
+      SELECT count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(14,2))) AS st,
+             min(o_orderkey) AS mk FROM orders""")),
+
+    // S5b: partitioned MergeTree ingest shapes — VALUES, inline CSV
+    // payload, and SELECT all land with the materialized `_part`
+    Q("s10_insert_shapes", (s, dir) => {
+      ChContext.setup(s, dir)
+      Engine.execute(s, "CREATE DATABASE IF NOT EXISTS graft_t")
+      Engine.execute(s, "DROP TABLE IF EXISTS graft_t.ish")
+      Engine.execute(s, """
+        CREATE TABLE graft_t.ish (k Int64, d Date)
+        ENGINE=MergeTree() PARTITION BY toYYYYMM(d) ORDER BY (k)""")
+      Engine.execute(s,
+        "INSERT INTO graft_t.ish VALUES (1, '2024-01-15'), (2, '2024-02-20')")
+      Engine.execute(s, "INSERT INTO graft_t.ish FORMAT CSV\n3,2024-03-10")
+      Engine.execute(s,
+        "INSERT INTO graft_t.ish SELECT 4, toDate('2024-04-05')")
+      Engine.execute(s,
+        "SELECT _part AS part, k FROM graft_t.ish ORDER BY part")
+    }, Some("""
+      SELECT CAST(part AS INT) AS part, CAST(k AS BIGINT) AS k
+      FROM (VALUES (202401, 1), (202402, 2), (202403, 3), (202404, 4))
+        t(part, k) ORDER BY part"""))
   )
 }

@@ -484,6 +484,31 @@ class DdlSpec extends AnyFunSuite {
     assert(parts.getLong(0) > 1)
   }
 
+  test("system.parts lists live partitions with rows and bytes") {
+    graft.dialect.ChContext.setup(spark, "/root/testdata/sf0.001")
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.sp")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.sp (k Int64, d DateTime)
+      ENGINE=MergeTree() PARTITION BY toYYYYMM(d) ORDER BY (k)""")
+    Engine.execute(spark,
+      "INSERT INTO graft_spec.sp SELECT o_orderkey, o_orderdate FROM orders")
+    val parts = Engine.execute(spark, """
+      SELECT partition, rows, bytes_on_disk, engine FROM system.parts
+      WHERE table = 'sp' AND database = 'graft_spec' ORDER BY partition""")
+      .collect()
+    assert(parts.nonEmpty)
+    assert(parts.forall(_.getLong(1) > 0))            // rows per partition
+    assert(parts.forall(_.getLong(2) > 0))            // bytes on disk
+    assert(parts.forall(_.getString(3) === "MergeTree"))
+    val total = parts.map(_.getLong(1)).sum
+    val n = Engine.execute(spark, "SELECT count() FROM graft_spec.sp")
+      .collect().head.getLong(0)
+    assert(total === n) // partitions partition the table
+    // a partitioned table has many monthly parts over the orders range
+    assert(parts.length > 10)
+  }
+
   test("INSERT VALUES and inline-format payloads land in partitioned tables") {
     Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
     Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.pv")
