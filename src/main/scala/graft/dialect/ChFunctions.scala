@@ -671,6 +671,19 @@ object ChFunctions {
       "cutFragment" -> (a => RegExpReplace(a.head, Literal("#.*$"), Literal(""))),
       "cutQueryStringAndFragment" ->
         (a => RegExpReplace(a.head, Literal("[?#].*$"), Literal(""))),
+      "pathFull" -> (a => Concat(Seq(
+        new ParseUrl(Seq(a.head, Literal("PATH"))),
+        Coalesce(Seq(Concat(Seq(Literal("?"),
+          new ParseUrl(Seq(a.head, Literal("QUERY"))))), Literal("")))))),
+      "encodeURLComponent" -> (a => UrlEncode(a.head)),
+      "decodeURLComponent" -> (a => UrlDecode(a.head)),
+
+      // ---- misc scalar tail ----
+      // dateTrunc(unit, ts) and Spark's date_trunc(fmt, ts) share the
+      // argument order and unit names
+      "dateTrunc" -> (a => TruncTimestamp(a(0), a(1))),
+      "generateUUIDv4" -> (_ => new Uuid()),
+      "toTypeName" -> (a => graft.functions.TypeNameOf(a.head)),
 
       // ---- IPv4 ----
       "IPv4NumToString" -> (a => ConcatWs(Literal(".") +:

@@ -417,6 +417,95 @@ object LlmPipeline {
         WHERE n_tokens >= 20)
       WHERE rn = 1 GROUP BY lang ORDER BY lang""")),
 
+    // L18: sequence packing for training (concat-then-chunk, the
+    // GPT-style prep step): documents shard deterministically, order
+    // by doc_id inside the shard, and the running token prefix assigns
+    // each document's start to a fixed context bin of 512 tokens. At
+    // 100 TB the shard count scales out (shard = the parallelism unit,
+    // no packing state crosses shards) and the only shuffle is the
+    // per-shard window — no driver-side packing loop anywhere.
+    Q("l18_pack_sequences", (s, dir) => {
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docsWithToks(s, dir)
+        .select(col("doc_id"), size(col("__toks")).as("n_tokens"))
+        .withColumn("shard", pmod(col("doc_id"), lit(8)))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("bin",
+          floor((col("cum") - col("n_tokens")) / lit(512.0)))
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+        .orderBy(col("shard"), col("bin"))
+    }, Some("""
+      WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+                   CAST(len(string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS BIGINT) AS n_tokens
+                 FROM documents),
+      c AS (SELECT doc_id, shard, n_tokens,
+              sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+            FROM t)
+      SELECT shard, CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin,
+             count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens
+      FROM c GROUP BY 1, 2 ORDER BY shard, bin""")),
+
+    // L19: stratified sampling for corpus balancing: keep at most 5
+    // documents per (lang, source) stratum, chosen by a deterministic
+    // hash order — reproducible across runs and engines, unlike
+    // Bernoulli sampling. One window shuffle on the stratum key; at
+    // 100 TB each stratum ranks only its own partition share and the
+    // filter cuts the output before any further stage.
+    Q("l19_stratified_sample", (s, dir) => {
+      val w = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.load(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("lang"), col("source"), col("doc_id"))
+        .orderBy(col("lang"), col("source"), col("doc_id"))
+    }, Some("""
+      SELECT lang, source, doc_id FROM (
+        SELECT lang, source, doc_id,
+               row_number() OVER (PARTITION BY lang, source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents)
+      WHERE rn <= 5 ORDER BY lang, source, doc_id""")),
+
+    // L20: int8 embedding quantization (the standard compression step
+    // before ANN at scale: 4x smaller vectors, scale factor per
+    // vector). Max-abs symmetric quantization; the output carries the
+    // per-vector scale, the quantized checksum, and the reconstruction
+    // error. Pure per-row map work — no shuffle until the final sort.
+    Q("l20_quantize_int8", (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val vd = transform(col("embedding"), x => x.cast("double"))
+      e.select(col("vec_id"), vd.as("v"))
+        .withColumn("mabs", array_max(transform(col("v"), x => abs(x))))
+        .filter(col("mabs") > 0)
+        // __scale: the output alias must NOT be named "scale" too —
+        // Spark's lateral column alias would shadow the input column
+        // and silently feed the ROUNDED scale into the aggregates
+        .withColumn("__scale", col("mabs") / lit(127.0))
+        .select(col("vec_id"),
+          round(col("__scale"), 6).as("scale"),
+          // floor(x + 0.5), not round(): identical double semantics in
+          // every engine — round-half modes differ across engines and
+          // the synthetic embeddings hit exact ties
+          aggregate(col("v"), lit(0L),
+            (acc, x) => acc + floor(x / col("__scale") + lit(0.5)).cast("long"))
+            .as("qsum"),
+          round(aggregate(col("v"), lit(0.0),
+            (acc, x) => acc +
+              abs(x - floor(x / col("__scale") + lit(0.5)) * col("__scale"))), 6)
+            .as("err"))
+        .orderBy("vec_id")
+    }, Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mabs FROM e),
+      q AS (SELECT vec_id, v, mabs / 127.0 AS scale FROM m WHERE mabs > 0)
+      SELECT vec_id, round(scale, 6) AS scale,
+             CAST(list_sum(list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT))) AS BIGINT) AS qsum,
+             round(list_sum(list_transform(v, x -> abs(x - floor(x / scale + 0.5) * scale))), 6) AS err
+      FROM q ORDER BY vec_id""")),
+
     // M1: multimodal columns — binary payload + typed metadata, decode
     // stub over mapPartitions (real batch plumbing, fake codec)
     Q("m1_multimodal", (s, dir) => {

@@ -441,4 +441,22 @@ class ChHofSpec extends AnyFunSuite {
       .collect().head.getDouble(0)
     assert(v === -1.3d)
   }
+
+  test("scalar tail: dateTrunc/toTypeName/UUID/URL-component functions") {
+    graft.dialect.ChFunctions.register(spark)
+    def one(sql: String): String = spark.sql(
+      graft.dialect.Transpiler.transpile(sql)).collect().head.get(0).toString
+    assert(one("SELECT dateTrunc('month', toDateTime('2024-05-17 10:30:00'))")
+      .startsWith("2024-05-01 00:00:00"))
+    assert(one("SELECT toTypeName(1)") === "Int32")
+    assert(one("SELECT toTypeName(toFloat64(1))") === "Float64")
+    assert(one("SELECT toTypeName('x')") === "String")
+    assert(one("SELECT toTypeName([1, 2])") === "Array(Int32)")
+    assert(one("SELECT generateUUIDv4()")
+      .matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
+    assert(one("SELECT encodeURLComponent('a b&c')") === "a+b%26c")
+    assert(one("SELECT decodeURLComponent('a%20b%26c')") === "a b&c")
+    assert(one("SELECT pathFull('https://ex.com/p/q?k=1#f')") === "/p/q?k=1")
+    assert(one("SELECT pathFull('https://ex.com/p/q')") === "/p/q")
+  }
 }
