@@ -506,6 +506,100 @@ object LlmPipeline {
              round(list_sum(list_transform(v, x -> abs(x - floor(x / scale + 0.5) * scale))), 6) AS err
       FROM q ORDER BY vec_id""")),
 
+    // L21: benchmark decontamination (the GPT-3-style prep step): flag
+    // corpus documents sharing any word-8-gram with a held-out
+    // benchmark set (here the deterministic doc_id % 7 slice). Both
+    // sides shingle once; contamination is a hash equi-join on the
+    // gram, so at 100 TB the corpus never self-joins — it joins the
+    // (much smaller) benchmark gram set, and AQE broadcasts it when it
+    // fits. Output: contaminated doc -> how many benchmark docs and
+    // distinct grams it collides with.
+    Q("l21_decontaminate", (s, dir) => {
+      val sh = docsWithToks(s, dir)
+        .select(col("doc_id"),
+          explode(TextFns.wordShingles(col("__toks"), 8)).as("g"))
+      val bench = sh.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id").as("bench_id"), col("g"))
+      sh.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .join(bench, "g")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("bench_id")).as("n_bench_docs"),
+          countDistinct(col("g")).as("n_shared_grams"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') toks FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 8
+               THEN [array_to_string(toks[i:i+7],' ') for i in range(1, len(toks)-6)]
+               ELSE [] END)) g FROM t),
+      b AS (SELECT doc_id bench_id, g FROM sh WHERE doc_id % 7 = 0),
+      c AS (SELECT doc_id, g FROM sh WHERE doc_id % 7 <> 0)
+      SELECT c.doc_id, count(DISTINCT bench_id) AS n_bench_docs,
+             count(DISTINCT c.g) AS n_shared_grams
+      FROM c JOIN b ON b.g = c.g
+      GROUP BY 1 ORDER BY doc_id""")),
+
+    // L22: mixture sampling for corpus balancing: each source gets a
+    // keep-probability (here derived from the source id; in production
+    // the mixture weights table) and each document keeps or drops by a
+    // deterministic md5-uniform draw — reproducible across engines and
+    // runs, unlike rand(). Pure per-row map + one groupBy; no driver
+    // state, so the 100 TB path is trivially parallel.
+    Q("l22_mixture_sample", (s, dir) => {
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+          16, 10).cast("long").cast("double") / lit(4294967296.0)
+      val srcnum = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+      val p = (pmod(srcnum, lit(4)) + 1).cast("double") / lit(5.0)
+      Tables.load(s, dir, "documents")
+        .select(col("source"), u.as("u"), p.as("p"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_in"),
+          sum(when(col("u") < col("p"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("source")
+    }, Some("""
+      WITH d AS (SELECT source,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 AS u,
+          (CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 4 + 1) / 5.0 AS p
+        FROM documents)
+      SELECT source, count(*) AS n_in,
+             CAST(sum(CASE WHEN u < p THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM d GROUP BY 1 ORDER BY source""")),
+
+    // L23: TF-IDF top-3 terms per document (keyword extraction for
+    // corpus indexing/analysis). Global document frequencies are a
+    // vocabulary-sized table — broadcast back to the term-frequency
+    // side — and the per-doc rank windows on the doc key. The window
+    // orders by the ROUNDED score so cross-engine double ulps can't
+    // flip ranks; exact ties break on the term.
+    Q("l23_tfidf_topterms", (s, dir) => {
+      val tf = docsWithToks(s, dir)
+        .select(col("doc_id"), explode(col("__toks")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = Tables.load(s, dir, "documents")
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      tf.join(broadcast(dfreq), "term").crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+        .withColumn("rn", row_number().over(w).cast("int"))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("tfidf"), col("rn"))
+        .orderBy("doc_id", "rn")
+    }, Some("""
+      WITH toks AS (SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) tf FROM toks GROUP BY 1, 2),
+      df AS (SELECT term, count(*) df FROM tf GROUP BY 1),
+      n AS (SELECT count(DISTINCT doc_id) n_docs FROM documents),
+      x AS (SELECT doc_id, term,
+              round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) tfidf
+            FROM tf JOIN df USING (term) CROSS JOIN n),
+      r AS (SELECT doc_id, term, tfidf,
+              CAST(row_number() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, term) AS INT) rn FROM x)
+      SELECT doc_id, term, tfidf, rn FROM r WHERE rn <= 3
+      ORDER BY doc_id, rn""")),
+
     // M1: multimodal columns — binary payload + typed metadata, decode
     // stub over mapPartitions (real batch plumbing, fake codec)
     Q("m1_multimodal", (s, dir) => {

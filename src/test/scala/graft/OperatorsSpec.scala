@@ -266,4 +266,31 @@ class OperatorsSpec extends AnyFunSuite {
     val recall = (got & want).size.toDouble / want.size
     assert(recall >= 0.9, s"recall=$recall")
   }
+
+  test("l21/l22/l23 pipeline ops: scale-shaped plans and invariants") {
+    val dir = "/root/testdata/sf0.001"
+    def q(name: String) = SparkEntry.queries(name)(spark, dir)
+
+    // decontamination rides a gram equi-join — never an all-pairs scan
+    val l21 = q("l21_decontaminate")
+    val p21 = l21.queryExecution.executedPlan.toString
+    assert(!p21.contains("BroadcastNestedLoopJoin"), p21.take(2000))
+    assert(!p21.contains("CartesianProduct"), p21.take(2000))
+    // benchmark docs (id % 7 == 0) must never report themselves
+    assert(l21.filter(col("doc_id") % 7 === 0).count() === 0)
+
+    // mixture sampling: kept <= in per stratum, deterministic re-run
+    val l22 = q("l22_mixture_sample").collect()
+    assert(l22.nonEmpty)
+    assert(l22.forall(r => r.getLong(2) <= r.getLong(1)))
+    assert(q("l22_mixture_sample").collect().toSeq === l22.toSeq)
+
+    // tf-idf: vocabulary-sized df side broadcasts; <= 3 terms per doc
+    val l23 = q("l23_tfidf_topterms")
+    val p23 = l23.queryExecution.executedPlan.toString
+    assert(p23.contains("BroadcastHashJoin"), p23.take(2000))
+    val perDoc = l23.groupBy("doc_id").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head.getLong(0)
+    assert(perDoc <= 3)
+  }
 }
