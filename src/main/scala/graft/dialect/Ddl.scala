@@ -885,9 +885,9 @@ object Engine {
         rewriteSample(spark, rewriteSystemParts(spark, bare0))),
         "EXPLAIN ")
     Transpiler.withFillParts(bare) match {
-      case Some((inner, prefix, fillKey, from, to, step)) =>
+      case Some((inner, prefix, fillKey, from, to, step, interp)) =>
         return graft.operators.WithFill(
-          query(spark, inner), prefix, fillKey, from, to, step)
+          query(spark, inner), prefix, fillKey, from, to, step, interp)
       case None => ()
     }
     Transpiler.limitByParts(bare) match {

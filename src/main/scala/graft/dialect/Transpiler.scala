@@ -291,6 +291,8 @@ object Transpiler {
     s = "(?i)\\*\\s+EXCEPT\\s+(?!\\(|SELECT\\b|ALL\\b|DISTINCT\\b)(`?\\w+`?)".r
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         s"* EXCEPT (${m.group(1)})"))
+    s = rewriteStarReplace(s)
+    s = rewriteQualify(s)
     // PREWHERE is ClickHouse's manual pushdown hint; Catalyst pushes
     // predicates itself, so it merges into WHERE (both present -> AND)
     "(?is)\\bPREWHERE\\s+(.+?)(\\s+WHERE\\s+)(.+?)(\\s+GROUP\\s+BY|\\s+ORDER\\s+BY|\\s+LIMIT|\\s*$)".r
@@ -319,6 +321,97 @@ object Transpiler {
       m => s"TABLESAMPLE (${(m.group(1).toDouble * 100).round} PERCENT)")
     s = rewriteTernaries(s)
     s
+  }
+
+  /** First depth-0, outside-string occurrence of keyword `kw` (word-
+    * bounded, case-insensitive) at or after `from`; -1 if none. */
+  private def keywordAtDepth0(s: String, kw: String, from: Int = 0): Int = {
+    var depth = 0; var inStr = false; var i = from
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case _ if depth == 0 && s.regionMatches(true, i, kw, 0, kw.length) &&
+          (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
+          (i + kw.length >= s.length || !isIdentChar(s.charAt(i + kw.length))) =>
+          return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private def isIdentChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_' || c == '`'
+
+  /** `SELECT * REPLACE (expr AS col, ...)` (ClickHouse star modifier):
+    * Spark has no REPLACE, so it becomes `* EXCEPT (cols...), expr AS
+    * col, ...` — same column SET and values; the replaced columns move
+    * to the end of the star expansion (position-sensitive callers
+    * should list columns explicitly). Composes with a following EXCEPT. */
+  private def rewriteStarReplace(sql: String): String = {
+    val m = "(?i)\\*\\s+REPLACE\\s*\\(".r.findFirstMatchIn(sql)
+      .getOrElse(return sql)
+    val open = m.end - 1
+    val close = matchingParen(sql, open)
+    if (close < 0) return sql
+    val items = splitTopLevel(sql.substring(open + 1, close), ',').map(_.trim)
+    val names = items.flatMap(it =>
+      "(?is)\\s+AS\\s+`?(\\w+)`?\\s*$".r.findFirstMatchIn(it).map(_.group(1)))
+    if (names.length != items.length) return sql // not all `expr AS col`
+    val rebuilt = s"* EXCEPT (${names.mkString(", ")}), ${items.mkString(", ")}"
+    rewriteStarReplace(
+      sql.substring(0, m.start) + rebuilt + sql.substring(close + 1))
+  }
+
+  /** `QUALIFY cond` — the post-window filter (ClickHouse, DuckDB,
+    * Snowflake all have it; Spark doesn't). The condition becomes an
+    * extra projected column inside a subquery and the filter moves
+    * outside:
+    * `SELECT list FROM ... QUALIFY c [tail]` ->
+    * `SELECT * EXCEPT (__q) FROM (SELECT list, (c) AS __q FROM ...)
+    *  WHERE __q [tail]`.
+    * Select-list aliases referenced by the condition are inlined first
+    * (Spark's lateral column alias cannot see window-expression
+    * aliases). Top-level statements only — a QUALIFY inside a subquery
+    * fails loudly in the parser rather than silently mis-filtering. */
+  private def rewriteQualify(s: String): String = {
+    val qIdx = keywordAtDepth0(s, "QUALIFY")
+    if (qIdx < 0) return s
+    val selIdx = keywordAtDepth0(s, "SELECT")
+    if (selIdx < 0 || selIdx > qIdx) return s
+    val listStart = selIdx + "SELECT".length
+    val fromIdx = keywordAtDepth0(s, "FROM", listStart)
+    if (fromIdx < 0 || fromIdx > qIdx) return s
+    val selectList = s.substring(listStart, fromIdx).trim
+    if (selectList.toUpperCase.startsWith("DISTINCT")) return s
+    val mid = s.substring(fromIdx, qIdx) // FROM ... [WHERE/GROUP/HAVING]
+    var condEnd = s.length
+    for (kw <- Seq("ORDER", "LIMIT", "SETTINGS", "UNION", "INTO", "FORMAT")) {
+      val i = keywordAtDepth0(s, kw, qIdx + "QUALIFY".length)
+      if (i >= 0 && i < condEnd) condEnd = i
+    }
+    var cond = s.substring(qIdx + "QUALIFY".length, condEnd).trim
+    val tail = s.substring(condEnd)
+    // inline computed select aliases the condition references
+    val aliasRe = "(?is)^(.*\\S)\\s+AS\\s+`?(\\w+)`?\\s*$".r
+    splitTopLevel(selectList, ',').map(_.trim).foreach { it =>
+      aliasRe.findFirstMatchIn(it).foreach { x =>
+        val (alias, expr) = (x.group(2), x.group(1).trim)
+        if (!expr.equalsIgnoreCase(alias))
+          cond = substOutsideStrings(cond,
+            "(?<![.\\w`])" + java.util.regex.Pattern.quote(alias) + "\\b(?!\\s*\\()",
+            java.util.regex.Matcher.quoteReplacement(s"($expr)"))
+      }
+    }
+    s.substring(0, selIdx) +
+      s"SELECT * EXCEPT (__q) FROM (SELECT $selectList, ($cond) AS __q " +
+      s"$mid) __qualify WHERE __q" +
+      (if (tail.nonEmpty) " " + tail else "")
   }
 
   private val settingsRe =
@@ -654,7 +747,8 @@ object Transpiler {
 
   private val withFillRe =
     ("(?is)^(.*)\\bORDER\\s+BY\\s+([\\w`.,\\s]+?)\\s+WITH\\s+FILL\\s+" +
-      "FROM\\s+(-?\\d+)\\s+TO\\s+(-?\\d+)(?:\\s+STEP\\s+(-?\\d+))?\\s*$").r
+      "FROM\\s+(-?\\d+)\\s+TO\\s+(-?\\d+)(?:\\s+STEP\\s+(-?\\d+))?" +
+      "(?:\\s+INTERPOLATE\\s*\\(([^)]*)\\))?\\s*$").r
 
   /** `ORDER BY [k1, k2, ...,] col WITH FILL FROM a TO b [STEP s]`:
     * returns (inner sql, prefix keys with asc flag, (fill col, asc),
@@ -667,7 +761,7 @@ object Transpiler {
     * qualify (expressions fall through to the single-statement path
     * and fail loudly rather than mis-fill). */
   def withFillParts(sql: String)
-      : Option[(String, Seq[(String, Boolean)], (String, Boolean), Long, Long, Long)] =
+      : Option[(String, Seq[(String, Boolean)], (String, Boolean), Long, Long, Long, Seq[String])] =
     withFillRe.findFirstMatchIn(sql).flatMap { m =>
       val dirRe = "(?i)\\s+(ASC|DESC)$".r
       val keys = m.group(2).split(",").map(_.trim.replace("`", "")).toSeq
@@ -676,10 +770,26 @@ object Transpiler {
             .exists(_.group(1).equalsIgnoreCase("DESC"))
           (dirRe.replaceAllIn(k, ""), asc)
         }
-      if (keys.exists { case (k, _) => !k.matches("[\\w.]+") }) None
+      // INTERPOLATE items: the carry-forward forms `col` / `col AS col`
+      // are supported; a general `col AS expr` (sequential per-gap
+      // re-evaluation) is not — fall through so the parser fails
+      // loudly rather than mis-fill
+      val interpItems = Option(m.group(6)).map(
+        _.split(",").map(_.trim.replace("`", "")).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+      val interp = interpItems.map { it =>
+        "(?is)^(\\w+)(?:\\s+AS\\s+(\\w+))?$".r.findFirstMatchIn(it) match {
+          case Some(x) if x.group(2) == null || x.group(2) == x.group(1) =>
+            Some(x.group(1))
+          case _ => None
+        }
+      }
+      if (keys.exists { case (k, _) => !k.matches("[\\w.]+") } ||
+          interp.exists(_.isEmpty)) None
       else Some((m.group(1), keys.init, keys.last,
         m.group(3).toLong, m.group(4).toLong,
-        Option(m.group(5)).map(_.toLong).getOrElse(1L)))
+        Option(m.group(5)).map(_.toLong).getOrElse(1L),
+        interp.flatten))
     }
 
   private val limitByRe =

@@ -36,10 +36,22 @@ object WithFill {
     * match its own grid rows, not re-emit the whole grid as fills. */
   def apply(df: DataFrame, prefixKeys: Seq[(String, Boolean)],
             orderKey: (String, Boolean), from: Long, to: Long,
-            step: Long): DataFrame = {
+            step: Long): DataFrame =
+    apply(df, prefixKeys, orderKey, from, to, step, Nil)
+
+  /** As above, plus `INTERPOLATE (col AS col)` carry-forward: the named
+    * columns take the last real row's value on synthesized rows (type
+    * default when the gap precedes any real row) instead of the type
+    * default. Carry runs in a window partitioned by the prefix keys —
+    * with an empty prefix that window is single-partition, which is
+    * fine because the filled result is grid-bounded by construction,
+    * not input-sized. */
+  def apply(df: DataFrame, prefixKeys: Seq[(String, Boolean)],
+            orderKey: (String, Boolean), from: Long, to: Long,
+            step: Long, interpolate: Seq[String]): DataFrame = {
     require(step != 0, "WITH FILL STEP must be nonzero")
     val spark = df.sparkSession
-    val (orderCol, _) = orderKey
+    val (orderCol, orderAsc) = orderKey
     val prefixCols = prefixKeys.map(_._1)
     val colType = df.schema(orderCol).dataType
     val gridRange = spark.range(from, to, step)
@@ -55,12 +67,14 @@ object WithFill {
       "left_anti")
     val defaults = df.schema.fields.filterNot(f => keyCols.contains(f.name))
       .map { f =>
-        val d = f.dataType match {
-          case _: NumericType => lit(0).cast(f.dataType)
-          case StringType => lit("")
-          case BooleanType => lit(false)
-          case other => lit(null).cast(other)
-        }
+        val d =
+          if (interpolate.contains(f.name)) lit(null).cast(f.dataType)
+          else f.dataType match {
+            case _: NumericType => lit(0).cast(f.dataType)
+            case StringType => lit("")
+            case BooleanType => lit(false)
+            case other => lit(null).cast(other)
+          }
         d.as(f.name)
       }
     val fillRows = missing.select(
@@ -69,7 +83,31 @@ object WithFill {
       case (k, true) => col(k).asc
       case (k, false) => col(k).desc
     }
-    df.unionByName(fillRows.select(df.columns.toIndexedSeq.map(col): _*))
-      .orderBy(sortKeys: _*)
+    val mark = "__graft_fill"
+    val unioned = df.withColumn(mark, lit(false)).unionByName(
+      fillRows.select(df.columns.toIndexedSeq.map(col): _*)
+        .withColumn(mark, lit(true)))
+    val carried =
+      if (interpolate.isEmpty) unioned
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(prefixCols.map(col): _*)
+          .orderBy(if (orderAsc) col(orderCol).asc else col(orderCol).desc)
+          .rowsBetween(Long.MinValue, 0)
+        interpolate.foldLeft(unioned) { (d, c) =>
+          val default = df.schema(c).dataType match {
+            case _: NumericType => lit(0).cast(df.schema(c).dataType)
+            case StringType => lit("")
+            case BooleanType => lit(false)
+            case other => lit(null).cast(other)
+          }
+          // fill rows carry null in c, so last-ignore-nulls is the
+          // previous REAL value even across consecutive fills
+          d.withColumn(c, when(col(mark),
+            coalesce(last(col(c), ignoreNulls = true).over(w), default))
+            .otherwise(col(c)))
+        }
+      }
+    carried.drop(mark).orderBy(sortKeys: _*)
   }
 }

@@ -251,6 +251,57 @@ object Dialect {
       SELECT doc_id, lang, source, n_chars FROM documents
       ORDER BY doc_id LIMIT 50""")),
 
+    // O7c: WITH FILL ... INTERPOLATE (col AS col) — synthesized grid
+    // rows carry the last real value forward per prefix group instead
+    // of the type default
+    Q("o7c_with_fill_interpolate", (s, dir) => {
+      graft.dialect.ChContext.setup(s, dir)
+      graft.dialect.Engine.execute(s, """
+        SELECT g, m, n FROM (
+          SELECT number % 2 AS g, number % 5 AS m, count() AS n
+          FROM numbers(20) WHERE number % 7 != 0 AND number % 5 < 3
+          GROUP BY g, m)
+        ORDER BY g, m WITH FILL FROM 0 TO 6 INTERPOLATE (n AS n)""")
+    }, Some("""
+      WITH c AS (SELECT range % 2 AS g, range % 5 AS m, count(*) AS n
+                 FROM range(20) WHERE range % 7 <> 0 AND range % 5 < 3
+                 GROUP BY 1, 2),
+           grid AS (SELECT DISTINCT c.g AS g, gs.m AS m
+                    FROM c, (SELECT unnest(generate_series(0, 5)) AS m) gs),
+           j AS (SELECT grid.g AS g, grid.m AS m, c.n AS n
+                 FROM grid LEFT JOIN c USING (g, m))
+      SELECT g, m, CAST(coalesce(last_value(n IGNORE NULLS) OVER (
+               PARTITION BY g ORDER BY m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS n
+      FROM j ORDER BY g, m""")),
+
+    // P1c: `SELECT * REPLACE (expr AS col)` star modifier — same
+    // column set with the replaced values (the transpile moves the
+    // replaced columns to the end of the star expansion)
+    Q("p9_star_replace", ch("""
+      SELECT * REPLACE (n_chars * 2 AS n_chars, upper(lang) AS lang)
+      FROM documents ORDER BY doc_id LIMIT 20"""),
+      Some("""
+      SELECT doc_id, text, upper(lang) AS lang, source,
+             CAST(n_chars * 2 AS BIGINT) AS n_chars
+      FROM documents ORDER BY doc_id LIMIT 20""")),
+
+    // O10: QUALIFY — the post-window filter; rewritten to compute the
+    // condition inside a subquery and filter outside (window aliases
+    // referenced by the condition are inlined)
+    Q("o10_qualify", ch("""
+      SELECT number % 3 AS g, number,
+             row_number() OVER (PARTITION BY number % 3 ORDER BY number DESC) AS rn
+      FROM numbers(20)
+      QUALIFY rn <= 2
+      ORDER BY g, number"""),
+      Some("""
+      SELECT range % 3 AS g, range AS number,
+             CAST(row_number() OVER (PARTITION BY range % 3 ORDER BY range DESC) AS INT) AS rn
+      FROM range(20)
+      QUALIFY rn <= 2
+      ORDER BY g, number""")),
+
     // F8e: ARRAY JOIN of multiple parallel arrays (zip semantics —
     // all arrays iterate in lockstep, sized like the first)
     Q("f14b_ch_arrayjoin_zip", ch("""

@@ -128,10 +128,16 @@ class TranspilerSpec extends AnyFunSuite {
   test("WITH FILL parses prefix keys; expression keys fall through") {
     assert(Transpiler.withFillParts(
       "SELECT g, m FROM t ORDER BY g, m WITH FILL FROM 0 TO 6") ===
-      Some(("SELECT g, m FROM t ", Seq(("g", true)), ("m", true), 0L, 6L, 1L)))
+      Some(("SELECT g, m FROM t ", Seq(("g", true)), ("m", true), 0L, 6L, 1L, Nil)))
     assert(Transpiler.withFillParts(
       "SELECT k FROM t ORDER BY k WITH FILL FROM 1 TO 9 STEP 2") ===
-      Some(("SELECT k FROM t ", Nil, ("k", true), 1L, 9L, 2L)))
+      Some(("SELECT k FROM t ", Nil, ("k", true), 1L, 9L, 2L, Nil)))
+    assert(Transpiler.withFillParts(
+      "SELECT k, n FROM t ORDER BY k WITH FILL FROM 1 TO 9 INTERPOLATE (n AS n)") ===
+      Some(("SELECT k, n FROM t ", Nil, ("k", true), 1L, 9L, 1L, Seq("n"))))
+    // general INTERPOLATE expressions are unsupported -> fall through
+    assert(Transpiler.withFillParts(
+      "SELECT k, n FROM t ORDER BY k WITH FILL FROM 1 TO 9 INTERPOLATE (n AS n + 1)") === None)
     assert(Transpiler.withFillParts(
       "SELECT k FROM t ORDER BY k + 1 WITH FILL FROM 1 TO 9") === None)
   }
@@ -139,10 +145,10 @@ class TranspilerSpec extends AnyFunSuite {
   test("WITH FILL preserves per-key ASC/DESC (ADVICE r4)") {
     assert(Transpiler.withFillParts(
       "SELECT g, m FROM t ORDER BY g DESC, m WITH FILL FROM 0 TO 6") ===
-      Some(("SELECT g, m FROM t ", Seq(("g", false)), ("m", true), 0L, 6L, 1L)))
+      Some(("SELECT g, m FROM t ", Seq(("g", false)), ("m", true), 0L, 6L, 1L, Nil)))
     assert(Transpiler.withFillParts(
       "SELECT m FROM t ORDER BY m DESC WITH FILL FROM 0 TO 6") ===
-      Some(("SELECT m FROM t ", Nil, ("m", false), 0L, 6L, 1L)))
+      Some(("SELECT m FROM t ", Nil, ("m", false), 0L, 6L, 1L, Nil)))
   }
 
   test("LIMIT n BY parses into inner/limit/cols/outer-limit") {
@@ -182,5 +188,27 @@ class TranspilerSpec extends AnyFunSuite {
     // an alias sharing a function's name doesn't clobber the call
     assert(Transpiler.transpile("WITH 3 AS abs SELECT abs(-1), abs AS v")
       .contains("abs(-1)"))
+  }
+
+  test("* REPLACE becomes EXCEPT + appended aliases; composes and recurses") {
+    val t = Transpiler.transpile(
+      "SELECT * REPLACE (x * 2 AS x, upper(y) AS y) FROM t ORDER BY id")
+    assert(t.contains("* EXCEPT (x, y), x * 2 AS x, upper(y) AS y"), t)
+    // non-AS items are left untouched (loud parser failure, not silent)
+    val bad = Transpiler.transpile("SELECT * REPLACE (x + 1) FROM t")
+    assert(bad.contains("REPLACE"), bad)
+  }
+
+  test("QUALIFY rewrites to a subquery filter with window aliases inlined") {
+    val t = Transpiler.transpile(
+      "SELECT g, row_number() OVER (PARTITION BY g ORDER BY v) AS rn " +
+        "FROM t QUALIFY rn = 1 ORDER BY g LIMIT 5")
+    assert(t.contains("SELECT * EXCEPT (__q) FROM (SELECT"), t)
+    // the alias in the condition is replaced by the window expression
+    assert(t.contains("((row_number() OVER (PARTITION BY g ORDER BY v)) = 1) AS __q"), t)
+    assert(t.matches("(?s).*WHERE __q\\s+ORDER BY g LIMIT 5.*"), t)
+    // statements without QUALIFY pass through untouched
+    val plain = "SELECT a FROM t WHERE b = 1"
+    assert(Transpiler.transpile(plain) == plain)
   }
 }
