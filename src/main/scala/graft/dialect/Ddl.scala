@@ -797,14 +797,25 @@ object Engine {
   /** `system.parts` must reflect the live catalog (the other system.*
     * tables are handshake-time snapshots; parts change on every
     * INSERT/mutation) — build it on demand and substitute a temp view. */
-  private def rewriteSystemParts(spark: SparkSession, sql: String): String =
-    if ("(?i)(?<![\\w`])system\\.parts(?![\\w`])".r.findFirstIn(sql).isEmpty) sql
-    else {
-      Ddl.partsSnapshot(spark)
-        .createOrReplaceTempView("__graft_system_parts")
-      sql.replaceAll("(?i)(?<![\\w`])system\\.parts(?![\\w`])",
-        "__graft_system_parts")
+  /** Substitute the system tables whose content must reflect LIVE
+    * catalog state (post-DDL): parts, databases, tables, columns. Each
+    * referenced name materializes a fresh temp view at query time; the
+    * static system.* views (one/functions/settings) pass through. */
+  private def rewriteSystemParts(spark: SparkSession, sql: String): String = {
+    val live: Seq[(String, () => DataFrame)] = Seq(
+      "parts" -> (() => Ddl.partsSnapshot(spark)),
+      "databases" -> (() => ChContext.databasesLive(spark)),
+      "tables" -> (() => ChContext.tablesLive(spark)),
+      "columns" -> (() => ChContext.columnsLive(spark)))
+    live.foldLeft(sql) { case (s, (name, build)) =>
+      val re = s"(?i)(?<![\\w`])system\\.$name(?![\\w`])"
+      if (re.r.findFirstIn(s).isEmpty) s
+      else {
+        build().createOrReplaceTempView(s"__graft_system_$name")
+        s.replaceAll(re, s"__graft_system_$name")
+      }
     }
+  }
 
   private val finalRe = "(?i)\\b(FROM|JOIN)\\s+([\\w`.]+)\\s+FINAL\\b".r
 

@@ -941,11 +941,51 @@ object ChContext {
     spark.conf.set(marker, dir)
   }
 
+  /** Live catalog frames behind system.databases/tables/columns —
+    * built on demand so post-DDL state is visible (Engine.query
+    * substitutes them like system.parts; the setup-time snapshots below
+    * only serve sessions that bypass the engine). Catalog metadata
+    * only — a handful of driver-side rows, not data. */
+  def databasesLive(spark: SparkSession): org.apache.spark.sql.DataFrame =
+    spark.catalog.listDatabases().select("name")
+
+  /** (database, table) across ALL databases — `SHOW TABLES` only sees
+    * the current one. Temp views list under database "" once. */
+  private def allTables(spark: SparkSession): Seq[(String, String)] = {
+    val dbs = spark.catalog.listDatabases().collect().map(_.name).toSeq
+    dbs.flatMap { db =>
+      spark.catalog.listTables(db).collect().toSeq.map { t =>
+        (Option(t.database).getOrElse(""), t.name)
+      }
+    }.distinct
+  }
+
+  def tablesLive(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    allTables(spark).toDF("database", "name")
+  }
+
+  /** Per-column catalog (ClickHouse system.columns shape the Play UI
+    * and DBeaver-style clients probe for completion). */
+  def columnsLive(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val colRows = allTables(spark).flatMap { case (db, t) =>
+      val full = if (db.isEmpty) s"`$t`" else s"`$db`.`$t`"
+      try spark.table(full).schema.fields.toSeq.zipWithIndex.map {
+        case (f, i) =>
+          (if (db.isEmpty) "default" else db, t, f.name,
+            graft.formats.ChTypeNames.fieldName(f), (i + 1).toLong)
+      } catch { case _: Throwable => Seq.empty }
+    }
+    colRows.toDF("database", "table", "name", "type", "position")
+  }
+
   /** Minimal `system.*` surface ClickHouse clients probe (the Play UI
     * reads server settings, reference index.html; SURVEY §7 scopes this
     * to stubs). databases/tables are snapshots taken at setup time —
     * enough for client handshake probes, not a live catalog. */
   def setupSystemTables(spark: SparkSession): Unit = {
+    import spark.implicits._
     spark.sql("CREATE DATABASE IF NOT EXISTS system")
     if (!spark.catalog.tableExists("system.one"))
       spark.sql("CREATE OR REPLACE VIEW system.one AS SELECT 0 AS dummy")
@@ -967,28 +1007,9 @@ object ChContext {
       }
       df.write.mode("overwrite").saveAsTable(s"system.$name")
     }
-    snapshot("databases", spark.catalog.listDatabases().select("name"))
-    snapshot("tables", spark.sql("SHOW TABLES").select("namespace", "tableName")
-      .withColumnRenamed("namespace", "database")
-      .withColumnRenamed("tableName", "name"))
-    // per-column catalog (ClickHouse system.columns shape the Play UI
-    // and DBeaver-style clients probe for completion). Catalog metadata
-    // only — a handful of driver-side rows, not data.
-    import spark.implicits._
-    val tableRows = spark.sql("SHOW TABLES")
-      .select("namespace", "tableName").collect()
-    val colRows = tableRows.toSeq.flatMap { r =>
-      val db = r.getString(0)
-      val t = r.getString(1)
-      val full = if (db.isEmpty) t else s"$db.$t"
-      try spark.table(full).schema.fields.toSeq.zipWithIndex.map {
-        case (f, i) =>
-          (if (db.isEmpty) "default" else db, t, f.name,
-            graft.formats.ChTypeNames.fieldName(f), (i + 1).toLong)
-      } catch { case _: Throwable => Seq.empty }
-    }
-    snapshot("columns",
-      colRows.toDF("database", "table", "name", "type", "position"))
+    snapshot("databases", databasesLive(spark))
+    snapshot("tables", tablesLive(spark))
+    snapshot("columns", columnsLive(spark))
     // function inventory (Play UI autocomplete: SELECT name FROM
     // system.functions)
     snapshot("functions", ChFunctions.functionInventory

@@ -509,6 +509,32 @@ class DdlSpec extends AnyFunSuite {
     assert(parts.length > 10)
   }
 
+  test("system.tables/columns/databases are live: post-DDL state visible") {
+    graft.dialect.ChContext.setup(spark, "/root/testdata/sf0.001")
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_live")
+    val dbs = Engine.execute(spark, "SELECT name FROM system.databases")
+      .collect().map(_.getString(0)).toSeq
+    assert(dbs.contains("graft_live"), s"databases=$dbs")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_live.lv")
+    Engine.execute(spark,
+      "CREATE TABLE graft_live.lv (k Int64, v String) ENGINE=Memory")
+    assert(Engine.execute(spark, """
+      SELECT name FROM system.tables
+      WHERE database = 'graft_live' AND name = 'lv'""").count() === 1)
+    // ALTER changes surface without re-running setup
+    Engine.execute(spark, "ALTER TABLE graft_live.lv ADD COLUMN w Int32")
+    val cols = Engine.execute(spark, """
+      SELECT name, type FROM system.columns
+      WHERE database = 'graft_live' AND table = 'lv' ORDER BY position""")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(cols === Seq("k" -> "Nullable(Int64)", "v" -> "Nullable(String)",
+      "w" -> "Nullable(Int32)"))
+    Engine.execute(spark, "DROP TABLE graft_live.lv")
+    assert(Engine.execute(spark, """
+      SELECT name FROM system.tables
+      WHERE database = 'graft_live' AND name = 'lv'""").count() === 0)
+  }
+
   test("INSERT VALUES and inline-format payloads land in partitioned tables") {
     Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
     Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.pv")
