@@ -1115,12 +1115,38 @@ object Engine {
       case None => org.apache.spark.sql.types.StructType(
         full.fields.filterNot(_.name == "_part"))
     }
-    val lines = data.trim.split("\n").toIndexedSeq.toDS()
+    val allLines = data.trim.split("\n").toIndexedSeq
+    val lines = allLines.toDS()
     val parsed = format.toLowerCase match {
       case "tsv" | "tabseparated" =>
         spark.read.option("sep", "\t").schema(target).csv(lines)
       case "csv" => spark.read.schema(target).csv(lines)
       case "jsoneachrow" | "ndjson" => spark.read.schema(target).json(lines)
+      case f0 @ ("tsvwithnames" | "tsvwithnamesandtypes" |
+                 "tabseparatedwithnames" | "tabseparatedwithnamesandtypes" |
+                 "csvwithnames" | "csvwithnamesandtypes") =>
+        // the header line names the columns (clients may reorder or
+        // send a subset); the AndTypes variants carry a type line the
+        // table schema supersedes
+        val sep = if (f0.startsWith("c")) "," else "\t"
+        val names = allLines.head.split(java.util.regex.Pattern.quote(sep))
+          .map(_.trim.replace("`", "").stripPrefix("\"").stripSuffix("\""))
+          .toSeq
+        val body = allLines.drop(if (f0.endsWith("andtypes")) 2 else 1)
+        val tgt = org.apache.spark.sql.types.StructType(
+          names.map(c => full(full.fieldIndex(c))))
+        spark.read.option("sep", sep).schema(tgt).csv(body.toDS())
+      case "jsoncompacteachrow" =>
+        // one JSON array per line, positional over the announced (or
+        // full) column list; elements land as strings and cast to the
+        // declared types
+        import org.apache.spark.sql.functions.{col, from_json}
+        import org.apache.spark.sql.types.{ArrayType, StringType}
+        val arr = lines.toDF("line")
+          .select(from_json(col("line"), ArrayType(StringType)).as("a"))
+        arr.select(target.fields.zipWithIndex.map { case (f, i) =>
+          col("a")(i).cast(f.dataType).as(f.name)
+        }.toIndexedSeq: _*)
       case other =>
         throw new IllegalArgumentException(s"INSERT FORMAT $other not supported")
     }

@@ -445,7 +445,7 @@ object LlmPipeline {
             FROM t)
       SELECT shard, CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin,
              count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens
-      FROM c GROUP BY 1, 2 ORDER BY shard, bin""")),
+      FROM c GROUP BY 1, 2 ORDER BY shard, bin"""), bench = true),
 
     // L19: stratified sampling for corpus balancing: keep at most 5
     // documents per (lang, source) stratum, chosen by a deterministic
@@ -536,7 +536,7 @@ object LlmPipeline {
       SELECT c.doc_id, count(DISTINCT bench_id) AS n_bench_docs,
              count(DISTINCT c.g) AS n_shared_grams
       FROM c JOIN b ON b.g = c.g
-      GROUP BY 1 ORDER BY doc_id""")),
+      GROUP BY 1 ORDER BY doc_id"""), bench = true),
 
     // L22: mixture sampling for corpus balancing: each source gets a
     // keep-probability (here derived from the source id; in production
@@ -598,7 +598,7 @@ object LlmPipeline {
               CAST(row_number() OVER (PARTITION BY doc_id
                 ORDER BY tfidf DESC, term) AS INT) rn FROM x)
       SELECT doc_id, term, tfidf, rn FROM r WHERE rn <= 3
-      ORDER BY doc_id, rn""")),
+      ORDER BY doc_id, rn"""), bench = true),
 
     // M1: multimodal columns — binary payload + typed metadata, decode
     // stub over mapPartitions (real batch plumbing, fake codec)

@@ -555,4 +555,31 @@ class DdlSpec extends AnyFunSuite {
     assert(got.toSeq ===
       Seq((202401, 1L), (202402, 2L), (202403, 3L), (202404, -1L)))
   }
+
+  test("INSERT WithNames headers map (and reorder) columns; JSONCompactEachRow is positional") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.wn")
+    Engine.execute(spark,
+      "CREATE TABLE graft_spec.wn (id Int64, name String, w Float64) ENGINE=Memory")
+    // header reorders columns relative to the table schema
+    Engine.execute(spark,
+      "INSERT INTO graft_spec.wn FORMAT TSVWithNames\nname\tid\nalpha\t1")
+    // AndTypes: the type line is skipped
+    Engine.execute(spark,
+      "INSERT INTO graft_spec.wn FORMAT CSVWithNamesAndTypes\n" +
+        "id,w\nInt64,Float64\n2,2.5")
+    Engine.execute(spark,
+      "INSERT INTO graft_spec.wn FORMAT JSONCompactEachRow\n" +
+        "[3, \"gamma\", 3.5]\n[4, \"delta\", 4.5]")
+    // column-list + positional arrays
+    Engine.execute(spark,
+      "INSERT INTO graft_spec.wn (w, id) FORMAT JSONCompactEachRow\n[5.5, 5]")
+    val got = Engine.execute(spark,
+      "SELECT id, name, w FROM graft_spec.wn ORDER BY id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSeq
+    assert(got === Seq((1L, "alpha", -1.0), (2L, null, 2.5),
+      (3L, "gamma", 3.5), (4L, "delta", 4.5), (5L, null, 5.5)))
+  }
 }
