@@ -251,6 +251,17 @@ object Dialect {
       SELECT doc_id, lang, source, n_chars FROM documents
       ORDER BY doc_id LIMIT 50""")),
 
+    // G16: GROUP BY ALL — group on every non-aggregate select item
+    // (ClickHouse and Spark both resolve it natively; evidence row)
+    Q("g16_ch_group_by_all", ch("""
+      SELECT o_orderstatus, o_orderpriority, count() AS n
+      FROM orders GROUP BY ALL
+      ORDER BY o_orderstatus, o_orderpriority"""),
+      Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      FROM orders GROUP BY ALL
+      ORDER BY o_orderstatus, o_orderpriority""")),
+
     // O7c: WITH FILL ... INTERPOLATE (col AS col) — synthesized grid
     // rows carry the last real value forward per prefix group instead
     // of the type default
