@@ -600,6 +600,53 @@ object LlmPipeline {
       SELECT doc_id, term, tfidf, rn FROM r WHERE rn <= 3
       ORDER BY doc_id, rn"""), bench = true),
 
+    // L24: bigram language-model quality score (the CCNet-style filter:
+    // score each document by the average log-probability of its bigrams
+    // under the corpus's own bigram model). Corpus-global bigram and
+    // unigram counts join back to the positional bigram stream; AQE
+    // picks the join strategy (the unigram side is vocabulary-sized and
+    // broadcastable, the bigram side shuffles at 100 TB). The per-doc
+    // sum folds over the POSITION-SORTED array — a plain groupBy sum()
+    // of doubles would depend on task completion order; the array fold
+    // matches DuckDB's sequential list_sum exactly.
+    Q("l24_bigram_lm_score", (s, dir) => {
+      val toks = docsWithToks(s, dir)
+      val big = toks.select(col("doc_id"),
+          posexplode(TextFns.wordShinglesPositional(col("__toks"), 2))
+            .as(Seq("pos", "bg")))
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+      val bgCounts = big.groupBy("bg").agg(count(lit(1)).as("c2"))
+      val uniCounts = toks
+        .select(explode(col("__toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1"))
+      val scored = big
+        .join(bgCounts, "bg")
+        .join(uniCounts, col("w1") === col("w"))
+        .withColumn("logp",
+          round(log(col("c2").cast("double") / col("c1")), 6))
+      scored.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          aggregate(
+            sort_array(collect_list(struct(col("pos"), col("logp")))),
+            lit(0.0), (acc, x) => acc + x.getField("logp")).as("s"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("s") / col("n_bigrams"), 6).as("avg_logp"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') toks FROM documents),
+      bg0 AS (SELECT doc_id, unnest([{'pos': i, 'b': array_to_string(toks[i:i+1],' '), 'w1': toks[i]} for i in range(1, len(toks))]) r FROM t),
+      bg AS (SELECT doc_id, r.pos AS pos, r.b AS b, r.w1 AS w1 FROM bg0),
+      c2 AS (SELECT b, count(*) c2 FROM bg GROUP BY 1),
+      uni AS (SELECT unnest(toks) w FROM t),
+      c1 AS (SELECT w, count(*) c1 FROM uni GROUP BY 1),
+      sc AS (SELECT doc_id, pos, round(ln(CAST(c2.c2 AS DOUBLE) / c1.c1), 6) logp
+             FROM bg JOIN c2 USING (b) JOIN c1 ON c1.w = bg.w1),
+      ag AS (SELECT doc_id, count(*) n_bigrams,
+                    list_sum(array_agg(logp ORDER BY pos)) s
+             FROM sc GROUP BY 1)
+      SELECT doc_id, n_bigrams, round(s / n_bigrams, 6) AS avg_logp
+      FROM ag ORDER BY doc_id""")),
+
     // M1: multimodal columns — binary payload + typed metadata, decode
     // stub over mapPartitions (real batch plumbing, fake codec)
     Q("m1_multimodal", (s, dir) => {
