@@ -89,6 +89,24 @@ object Streaming {
       SELECT s.user_id, s.n_events, s.session_start, s.session_end
       FROM sess s JOIN last l
         ON s.user_id = l.user_id AND s.session_id < l.max_sid
-      ORDER BY s.user_id, session_start"""))
+      ORDER BY s.user_id, session_start""")),
+
+    // ST5: stream-stream attribution join — each purchase with the
+    // count of the same user's clicks in the preceding 30 minutes
+    // (zero-click purchases kept). The streaming variant (watermarked
+    // both sides, state bounded by the event-time range) runs in
+    // StreamingSpec; this batch run is the identical transform.
+    Q("st5_attribution_join", (s, dir) => {
+      EventsStreaming.attributionCounts(Tables.events(s, dir), "30 minutes")
+    }, Some("""
+      WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) p_ts
+                 FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, CAST(ts AS TIMESTAMP) c_ts
+            FROM events WHERE event_type = 'click')
+      SELECT p.event_id, p.user_id, count(c.c_ts) AS n_clicks
+      FROM p LEFT JOIN c
+        ON c.user_id = p.user_id AND c.c_ts <= p.p_ts
+       AND c.c_ts >= p.p_ts - INTERVAL '30 minutes'
+      GROUP BY 1, 2 ORDER BY event_id"""))
   )
 }

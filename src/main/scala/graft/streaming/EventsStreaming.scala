@@ -109,6 +109,43 @@ object EventsStreaming {
       }
   }
 
+  /** Stream-stream attribution join: each purchase pairs with the same
+    * user's clicks in the `horizon` before it. On streaming inputs both
+    * sides carry watermarks and the event-time range bounds the join
+    * state (Spark evicts click state once the watermark passes
+    * click_ts + horizon); on a batch input it is a plain equi+range
+    * join — the user_id equality keys the shuffle, the range is a
+    * post-join filter, so no theta-join blowup at scale. */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      horizon: String = "30 minutes"): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val p = purchases.select(col("event_id"), col("user_id"),
+      col("ts").as("p_ts"), col("value"))
+    p.join(c,
+      col("c_user") === col("user_id") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"))
+  }
+
+  /** Batch-mode attribution rollup the oracle checks: purchases with
+    * their prior-click counts (zero-click purchases kept via left
+    * join). */
+  def attributionCounts(events: DataFrame,
+                        horizon: String = "30 minutes"): DataFrame = {
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+    p.join(c,
+        col("c_user") === col("user_id") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"),
+        "left_outer")
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(count(col("c_ts")).as("n_clicks"))
+      .orderBy("event_id")
+  }
+
   /** Session windows per user: events within `gap` of each other fuse
     * into one session. */
   def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =

@@ -154,6 +154,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join pairs purchases with prior clicks") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp, Double)]
+    val cDf = clicks.toDF().toDF("user_id", "ts").withWatermark("ts", "1 minute")
+    val pDf = purchases.toDF().toDF("event_id", "user_id", "ts", "value")
+      .withWatermark("ts", "1 minute")
+    val q = EventsStreaming.attributionJoin(cDf, pDf, "30 minutes")
+      .select("event_id", "c_ts")
+      .writeStream.format("memory").queryName("attr_join")
+      .outputMode("append").start()
+    try {
+      clicks.addData((7L, ts("2026-01-01 10:00:00")),
+        (7L, ts("2026-01-01 10:20:00")),
+        (7L, ts("2026-01-01 09:00:00")),  // outside the 30m horizon
+        (8L, ts("2026-01-01 10:10:00")))  // different user
+      purchases.addData((100L, 7L, ts("2026-01-01 10:25:00"), 5.0))
+      q.processAllAvailable()
+      val got = spark.table("attr_join").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString)).toSet
+      assert(got === Set(
+        (100L, "2026-01-01 10:00:00.0"),
+        (100L, "2026-01-01 10:20:00.0")))
+    } finally q.stop()
+  }
+
   test("session windows fuse events within the gap (batch mode)") {
     import spark.implicits._
     val df = Seq(
