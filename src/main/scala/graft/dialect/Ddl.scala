@@ -42,6 +42,53 @@ object Ddl {
                                summingCols: Option[Seq[String]] = None)
   private val tables = TrieMap.empty[String, TableMeta]
 
+  /** Insert-triggered materialized view: `target` is where transformed
+    * blocks land, `src` the watched table (normalized), `body` the raw
+    * SELECT. ClickHouse semantics: the view's SELECT runs over each
+    * INSERTED BLOCK only (not the whole table), and its output appends
+    * to the target — aggregating bodies therefore store per-block
+    * partial aggregates, exactly like ClickHouse's AggregatingMergeTree
+    * feed pattern. */
+  private case class MvMeta(target: String, src: String, body: String)
+  private val matViews = TrieMap.empty[String, MvMeta]
+  /** re-entrancy guard for chained/cyclic MVs (fire cascades one level
+    * per distinct view, never loops). */
+  private val firing = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+
+  /** Run every MV watching `tableName` over the freshly inserted block
+    * (source-schema rows) and append the results to the MV targets.
+    * Cascades: a target with its own MVs fires them too, cycles
+    * break on the per-thread guard. */
+  private[graft] def fireMaterializedViews(spark: SparkSession,
+                                           tableName: String,
+                                           block: DataFrame): Unit = {
+    val srcNorm = normalize(spark, tableName)
+    matViews.foreach { case (mvName, mv) =>
+      if (mv.src == srcNorm && !firing.get().contains(mvName)) {
+        firing.set(firing.get() + mvName)
+        try {
+          val view = "__graft_mv_block_" + mvName.replace(".", "_")
+          block.createOrReplaceTempView(view)
+          // substitute the watched table reference with the block view
+          val re = "(?i)(?<![\\w`])" +
+            java.util.regex.Pattern.quote(mv.src) + "(?![\\w`])"
+          val bare = mv.src.substring(mv.src.indexOf('.') + 1)
+          val reBare = "(?i)(?<![\\w`.])" +
+            java.util.regex.Pattern.quote(bare) + "(?![\\w`])"
+          val body = mv.body.replaceAll(re, view).replaceAll(reBare, view)
+          val out = spark.sql(Transpiler.transpile(body))
+          appendAligned(spark, mv.target, out)
+        } finally firing.set(firing.get() - mvName)
+      }
+    }
+  }
+
+  private[graft] def dropMaterializedView(spark: SparkSession,
+                                          name: String): Unit =
+    matViews.remove(normalize(spark, name))
+
   /** Partition expression of a created table (`db.table`, any case) —
     * consulted by [[graft.plans.PartitionPruneFromDate]] to derive
     * `_part` bounds from date predicates. */
@@ -182,7 +229,10 @@ object Ddl {
 
   private val createViewRe =
     ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?(MATERIALIZED\\s+)?VIEW\\s+" +
-      "(IF\\s+NOT\\s+EXISTS\\s+)?([\\w`.]+)\\s+AS\\s+(.+)$").r
+      "(IF\\s+NOT\\s+EXISTS\\s+)?([\\w`.]+)" +
+      "(?:\\s+TO\\s+([\\w`.]+))?" +
+      "(?:\\s+ENGINE\\s*=\\s*\\w+(?:\\([^)]*\\))?[\\w\\s()=,]*?)?" +
+      "(\\s+POPULATE)?\\s+AS\\s+(SELECT.+)$").r
 
   private val alterAddColRe =
     "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+ADD\\s+COLUMN\\s+(IF\\s+NOT\\s+EXISTS\\s+)?(.+)$".r
@@ -212,18 +262,22 @@ object Ddl {
     s match {
       case createDbRe(ifNot, name) =>
         spark.sql(s"CREATE DATABASE ${Option(ifNot).getOrElse("")} $name")
-      case createViewRe(orReplace, _, ifNot, name, body) =>
-        // Session-scoped: persistent Spark views cannot reference the
-        // temp-registered dialect functions (INVALID_TEMP_OBJ_REFERENCE),
-        // so views live per session under their bare name — matching
-        // the per-credential session model. MATERIALIZED degrades to a
-        // plain view (Spark recomputes on read); callers wanting real
-        // materialization use INSERT INTO ... SELECT.
-        val bare = name.substring(name.lastIndexOf('.') + 1).replace("`", "")
-        val df = spark.sql(Transpiler.transpile(body))
-        if (Option(ifNot).isDefined &&
-            spark.catalog.tableExists(bare)) df
-        else { df.createOrReplaceTempView(bare); df }
+      case createViewRe(orReplace, mat, ifNot, name, toTgt, populate, body) =>
+        if (Option(mat).isDefined)
+          createMaterializedView(spark, Option(ifNot).isDefined, name,
+            Option(toTgt), Option(populate).isDefined, body)
+        else {
+          // Session-scoped: persistent Spark views cannot reference the
+          // temp-registered dialect functions
+          // (INVALID_TEMP_OBJ_REFERENCE), so views live per session
+          // under their bare name — matching the per-credential
+          // session model.
+          val bare = name.substring(name.lastIndexOf('.') + 1).replace("`", "")
+          val df = spark.sql(Transpiler.transpile(body))
+          if (Option(ifNot).isDefined &&
+              spark.catalog.tableExists(bare)) df
+          else { df.createOrReplaceTempView(bare); df }
+        }
       case createTableRe(ifNot, name, cols, engine, engineArgs, rest) =>
         createTable(spark, Option(ifNot).isDefined, name, cols, engine,
           Option(engineArgs).map(_.trim).getOrElse(""), rest)
@@ -333,6 +387,9 @@ object Ddl {
         Seq(if (ok) 1 else 0).toDF("result")
           .select(org.apache.spark.sql.functions.col("result").cast("smallint"))
       case _ if "(?is)^\\s*(DROP|USE|TRUNCATE)\\b".r.findFirstIn(s).isDefined =>
+        "(?is)^\\s*DROP\\s+(?:TABLE|VIEW)\\s+(?:IF\\s+EXISTS\\s+)?([\\w`.]+)".r
+          .findFirstMatchIn(s)
+          .foreach(m => dropMaterializedView(spark, m.group(1).replace("`", "")))
         spark.sql(s)
       case other =>
         throw new IllegalArgumentException(s"unsupported DDL: $other")
@@ -590,6 +647,46 @@ object Ddl {
           .sortWithinPartitions(sortCols: _*)
     }
     df.write.mode("append").insertInto(bare)
+    fireMaterializedViews(spark, bare, src)
+  }
+
+  /** `CREATE MATERIALIZED VIEW mv [TO tgt] [ENGINE=...] [POPULATE] AS
+    * SELECT ... FROM src` — ClickHouse's insert trigger: every block
+    * inserted into `src` runs through the SELECT and appends to the
+    * target (the view's own storage table, or `TO tgt`). Without
+    * POPULATE the target starts empty (pre-existing src rows never
+    * flow), with it the current content seeds the target — both
+    * ClickHouse semantics. */
+  private def createMaterializedView(spark: SparkSession, ifNot: Boolean,
+                                     name: String, toTgt: Option[String],
+                                     populate: Boolean,
+                                     body: String): DataFrame = {
+    val bare = name.replace("`", "")
+    val src = "(?is)\\bFROM\\s+([\\w`.]+)".r.findFirstMatchIn(body)
+      .map(_.group(1).replace("`", ""))
+      .getOrElse(throw new IllegalArgumentException(
+        "MATERIALIZED VIEW requires a plain FROM <table> source"))
+    val target = toTgt.map(_.replace("`", "")).getOrElse(bare)
+    if (toTgt.isEmpty) {
+      val exists =
+        try spark.catalog.tableExists(target)
+        catch { case _: Throwable => false }
+      if (exists) {
+        if (ifNot) {
+          matViews.put(normalize(spark, name),
+            MvMeta(target, normalize(spark, src), body))
+          return spark.emptyDataFrame
+        }
+        spark.sql(s"DROP TABLE $target")
+      }
+      cleanOrphanLocation(spark, target)
+      val df = spark.sql(Transpiler.transpile(body))
+      (if (populate) df else df.limit(0)).write.saveAsTable(target)
+    } else if (populate)
+      appendAligned(spark, target, spark.sql(Transpiler.transpile(body)))
+    matViews.put(normalize(spark, name),
+      MvMeta(target, normalize(spark, src), body))
+    spark.emptyDataFrame
   }
 
   // "[(cols)] VALUES <tuples>" INSERT body (column list optional)
@@ -636,7 +733,43 @@ object Ddl {
           throw new IllegalArgumentException(
             "MergeTree tables support INSERT ... SELECT or VALUES")
       }
-    } else spark.sql(Transpiler.transpile(s"INSERT INTO $name $body"))
+    } else {
+      val res = spark.sql(Transpiler.transpile(s"INSERT INTO $name $body"))
+      // plain (no-layout) tables bypass appendAligned — fire any MVs
+      // watching them by re-deriving the inserted block
+      if (matViews.values.exists(_.src == normalize(spark, name)))
+        insertBlock(spark, name, body)
+          .foreach(b => fireMaterializedViews(spark, name, b))
+      res
+    }
+  }
+
+  /** The rows an `INSERT INTO t <body>` contributes, as a frame in
+    * table column order (None for body shapes we can't re-derive). */
+  private def insertBlock(spark: SparkSession, name: String,
+                          body: String): Option[DataFrame] = {
+    val bare = name.replace("`", "")
+    val cols = spark.table(bare).columns.filterNot(_ == "_part").toIndexedSeq
+    if (body.toUpperCase.startsWith("SELECT"))
+      Some(spark.sql(Transpiler.transpile(body)).toDF(cols: _*))
+    else valuesBodyRe.findFirstMatchIn(body).map { vm =>
+      val parsed = spark.sql(
+        Transpiler.transpile("SELECT * FROM VALUES " + vm.group(2)))
+      val full = spark.table(bare).schema
+      val listed = Option(vm.group(1)).map(_.split(",")
+        .map(_.trim.replace("`", "")).toSeq)
+      val named = listed match {
+        case Some(cs) => parsed.toDF(cs: _*)
+        case None => parsed.toDF(cols: _*)
+      }
+      val out = full.fields.filterNot(_.name == "_part").map { f =>
+        if (named.columns.contains(f.name))
+          org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
+        else org.apache.spark.sql.functions.lit(null)
+          .cast(f.dataType).as(f.name)
+      }
+      named.select(out.toIndexedSeq: _*)
+    }
   }
 
   /** The in-memory catalog forgets tables across JVMs while the

@@ -165,6 +165,41 @@ object DdlQueries {
     }, Some("""
       SELECT CAST(part AS INT) AS part, CAST(k AS BIGINT) AS k
       FROM (VALUES (202401, 1), (202402, 2), (202403, 3), (202404, 4))
-        t(part, k) ORDER BY part"""))
+        t(part, k) ORDER BY part""")),
+
+    // S11: insert-triggered MATERIALIZED VIEW — each inserted block
+    // runs through the view's SELECT and appends (per-block partial
+    // aggregates, the AggregatingMergeTree feed pattern); the oracle
+    // reproduces the two blocks' aggregates directly from orders
+    Q("s11_matview", (s, dir) => {
+      ChContext.setup(s, dir)
+      Engine.execute(s, "CREATE DATABASE IF NOT EXISTS graft_t")
+      Engine.execute(s, "DROP TABLE IF EXISTS graft_t.mvq_src")
+      Engine.execute(s, "DROP TABLE IF EXISTS graft_t.mvq_agg")
+      Engine.execute(s, """
+        CREATE TABLE graft_t.mvq_src (st String, cents Int64) ENGINE=Memory""")
+      Engine.execute(s, """
+        CREATE MATERIALIZED VIEW graft_t.mvq_agg AS
+        SELECT st, count() AS n, sum(cents) AS total
+        FROM graft_t.mvq_src GROUP BY st""")
+      Engine.execute(s, """
+        INSERT INTO graft_t.mvq_src
+        SELECT o_orderstatus, CAST(floor(o_totalprice * 100) AS Int64)
+        FROM orders WHERE o_orderkey % 4 = 0""")
+      Engine.execute(s, """
+        INSERT INTO graft_t.mvq_src
+        SELECT o_orderstatus, CAST(floor(o_totalprice * 100) AS Int64)
+        FROM orders WHERE o_orderkey % 4 = 1""")
+      Engine.execute(s,
+        "SELECT st, n, total FROM graft_t.mvq_agg ORDER BY st, n, total")
+    }, Some("""
+      WITH b1 AS (SELECT o_orderstatus AS st, count(*) AS n,
+                    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total
+                  FROM orders WHERE o_orderkey % 4 = 0 GROUP BY 1),
+           b2 AS (SELECT o_orderstatus AS st, count(*) AS n,
+                    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total
+                  FROM orders WHERE o_orderkey % 4 = 1 GROUP BY 1)
+      SELECT st, n, total FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+      ORDER BY st, n, total"""))
   )
 }

@@ -301,11 +301,63 @@ class DdlSpec extends AnyFunSuite {
       SELECT number, toString(number) AS s FROM numbers(4)""")
     val rows = spark.sql("SELECT count(*) FROM v_n").collect()
     assert(rows.head.getLong(0) === 4L)
-    // MATERIALIZED degrades to a plain view
+    // MATERIALIZED ... POPULATE seeds the view's storage table
+    Engine.execute(spark, "DROP TABLE IF EXISTS v_m")
     Engine.execute(spark, """
-      CREATE MATERIALIZED VIEW IF NOT EXISTS v_m AS
+      CREATE MATERIALIZED VIEW v_m POPULATE AS
       SELECT number * 2 AS d FROM numbers(3)""")
     assert(spark.sql("SELECT sum(d) FROM v_m").collect().head.getLong(0) === 6L)
+  }
+
+  test("MATERIALIZED VIEW triggers on INSERT blocks (ClickHouse semantics)") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.mv_src")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.mv_agg")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.mv_src (k Int64, v Int64) ENGINE=Memory""")
+    Engine.execute(spark,
+      "INSERT INTO graft_spec.mv_src VALUES (1, 10)") // pre-MV: never flows
+    Engine.execute(spark, """
+      CREATE MATERIALIZED VIEW graft_spec.mv_agg AS
+      SELECT k, count() AS n, sum(v) AS s FROM graft_spec.mv_src GROUP BY k""")
+    // without POPULATE the target starts empty
+    assert(spark.table("graft_spec.mv_agg").count() === 0)
+    // each inserted block runs through the SELECT and appends
+    Engine.execute(spark,
+      "INSERT INTO graft_spec.mv_src VALUES (1, 1), (1, 2), (2, 5)")
+    Engine.execute(spark, "INSERT INTO graft_spec.mv_src VALUES (2, 7)")
+    val got = Engine.execute(spark, """
+      SELECT k, n, s FROM graft_spec.mv_agg ORDER BY k, s""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // per-block partial aggregates: (1,2 rows,3) + (2,1,5) from block 1,
+    // (2,1,7) from block 2; the pre-MV row never appears
+    assert(got === Seq((1L, 2L, 3L), (2L, 1L, 5L), (2L, 1L, 7L)))
+    // the reader-side rollup (the AggregatingMergeTree query pattern)
+    val rolled = Engine.execute(spark, """
+      SELECT k, sum(n) AS n, sum(s) AS s FROM graft_spec.mv_agg
+      GROUP BY k ORDER BY k""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rolled === Seq((1L, 2L, 3L), (2L, 2L, 12L)))
+    // INSERT ... SELECT and FORMAT payloads trigger too
+    Engine.execute(spark,
+      "INSERT INTO graft_spec.mv_src SELECT number + 10, number FROM numbers(2)")
+    Engine.execute(spark, "INSERT INTO graft_spec.mv_src FORMAT CSV\n20,100")
+    assert(spark.table("graft_spec.mv_agg").count() === 6)
+    // TO target: transformed blocks land in an existing table
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.mv_tgt")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.mv_tgt (k Int64, doubled Int64) ENGINE=Memory""")
+    Engine.execute(spark, """
+      CREATE MATERIALIZED VIEW graft_spec.mv_to TO graft_spec.mv_tgt AS
+      SELECT k, v * 2 AS doubled FROM graft_spec.mv_src""")
+    Engine.execute(spark, "INSERT INTO graft_spec.mv_src VALUES (9, 9)")
+    assert(Engine.execute(spark,
+      "SELECT k, doubled FROM graft_spec.mv_tgt").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((9L, 18L)))
+    // DROP stops the trigger
+    Engine.execute(spark, "DROP TABLE graft_spec.mv_agg")
+    Engine.execute(spark, "INSERT INTO graft_spec.mv_src VALUES (3, 1)")
+    assert(!spark.catalog.tableExists("graft_spec.mv_agg"))
   }
 
   test("ReplacingMergeTree: FINAL dedups on read, OPTIMIZE FINAL materializes") {
