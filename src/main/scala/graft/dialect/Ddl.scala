@@ -832,7 +832,51 @@ object Engine {
   private val insertDataRe =
     "(?is)^\\s*INSERT\\s+INTO\\s+([\\w`.]+)\\s*(\\(([^)]*)\\))?\\s*FORMAT\\s+(\\w+)\\s*\\n(.+)$".r
 
-  def execute(spark: SparkSession, rawSql: String): DataFrame = {
+  /** Bounded query log behind `system.query_log` (most-probed columns
+    * of ClickHouse's table). Durations cover the synchronous part of
+    * execution — DDL/DML fully; a SELECT's lazy tail materializes at
+    * the caller's sink and is not included. */
+  private case class LogEntry(eventTimeMs: Long, query: String,
+                              durationMs: Long, qtype: String, user: String)
+  private val queryLog =
+    new java.util.concurrent.ConcurrentLinkedDeque[LogEntry]()
+  private val maxLog = 1000
+
+  private def record(e: LogEntry): Unit = {
+    queryLog.addLast(e)
+    while (queryLog.size() > maxLog) queryLog.pollFirst()
+  }
+
+  private[graft] def queryLogSnapshot(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    queryLog.iterator().asScala.toSeq
+      .map(e => (new java.sql.Timestamp(e.eventTimeMs), e.query,
+        e.durationMs, e.qtype, e.user))
+      .toDF("event_time", "query", "query_duration_ms", "type", "user")
+  }
+
+  def execute(spark: SparkSession, rawSql: String): DataFrame =
+    execute(spark, rawSql, "default")
+
+  def execute(spark: SparkSession, rawSql: String, user: String): DataFrame = {
+    val t0 = System.currentTimeMillis()
+    try {
+      val out = executeInner(spark, rawSql)
+      // the log itself is queryable but never logs its own reads
+      if (!rawSql.toLowerCase.contains("system.query_log"))
+        record(LogEntry(t0, rawSql, System.currentTimeMillis() - t0,
+          "QueryFinish", user))
+      out
+    } catch {
+      case e: Throwable =>
+        record(LogEntry(t0, rawSql, System.currentTimeMillis() - t0,
+          "ExceptionWhileProcessing", user))
+        throw e
+    }
+  }
+
+  private def executeInner(spark: SparkSession, rawSql: String): DataFrame = {
     ChFunctions.register(spark)
     insertDataRe.findFirstMatchIn(rawSql) match {
       case Some(m) =>
@@ -939,7 +983,8 @@ object Engine {
       "parts" -> (() => Ddl.partsSnapshot(spark)),
       "databases" -> (() => ChContext.databasesLive(spark)),
       "tables" -> (() => ChContext.tablesLive(spark)),
-      "columns" -> (() => ChContext.columnsLive(spark)))
+      "columns" -> (() => ChContext.columnsLive(spark)),
+      "query_log" -> (() => Engine.queryLogSnapshot(spark)))
     live.foldLeft(sql) { case (s, (name, build)) =>
       val re = s"(?i)(?<![\\w`])system\\.$name(?![\\w`])"
       if (re.r.findFirstIn(s).isEmpty) s

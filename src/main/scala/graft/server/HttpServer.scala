@@ -135,7 +135,19 @@ class HttpServer(spark: SparkSession, port: Int,
       }
       val (bare, fmtClause) = Transpiler.extractFormat(query)
       val fmt = fmtClause.getOrElse(defaultFormat)
-      val df = graft.dialect.Engine.execute(session, bare)
+      // user identity for system.query_log: the user= param, the
+      // X-ClickHouse-User header, or the basic-auth user (in CH's
+      // precedence order); anonymous requests log as "default"
+      val user = params.get("user")
+        .orElse(Option(ex.getRequestHeaders.getFirst("X-ClickHouse-User")))
+        .orElse(auth.collect {
+          case a if a.startsWith("Basic ") =>
+            try new String(java.util.Base64.getDecoder.decode(a.drop(6)), UTF_8)
+              .takeWhile(_ != ':')
+            catch { case _: Throwable => "default" }
+        })
+        .filter(_.nonEmpty).getOrElse("default")
+      val df = graft.dialect.Engine.execute(session, bare, user)
       // response headers ClickHouse clients read
       ex.getResponseHeaders.set("X-ClickHouse-Format", fmt)
       ex.getResponseHeaders.set("X-ClickHouse-Timezone", "UTC")

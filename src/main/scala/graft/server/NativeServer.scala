@@ -55,6 +55,7 @@ class NativeServer(spark: SparkSession, port: Int,
     val out = new BufferedOutputStream(sock.getOutputStream)
     var clientRevision = 0L
     var session: SparkSession = spark
+    var authUser: String = "default"
     try {
       while (true) {
         readVarint(in) match {
@@ -65,6 +66,7 @@ class NativeServer(spark: SparkSession, port: Int,
             readStr(in) // database
             val user = readStr(in); val password = readStr(in)
             // per-credential catalog isolation (main.py:140-173)
+            authUser = if (user.nonEmpty) user else "default"
             if (user.nonEmpty && user != "default")
               session = UserSessions.forKey(spark, s"$user:$password", fixtureDir)
             val used = math.min(clientRevision, Revision)
@@ -80,7 +82,7 @@ class NativeServer(spark: SparkSession, port: Int,
             out.flush()
 
           case ClientQuery =>
-            handleQuery(in, out, clientRevision, session)
+            handleQuery(in, out, clientRevision, session, authUser)
 
           case ClientData =>
             // external-tables terminator: table name + (BlockInfo +
@@ -106,7 +108,8 @@ class NativeServer(spark: SparkSession, port: Int,
   }
 
   private def handleQuery(in: InputStream, out: OutputStream,
-                          clientRevision: Long, session: SparkSession): Unit = {
+                          clientRevision: Long, session: SparkSession,
+                          authUser: String): Unit = {
     readStr(in) // query id
     if (clientRevision >= 54032) {
       val kind = in.read()
@@ -139,7 +142,7 @@ class NativeServer(spark: SparkSession, port: Int,
 
     try {
       val (bare, _) = Transpiler.extractFormat(query) // native ignores FORMAT
-      val df = Engine.execute(session, bare)
+      val df = Engine.execute(session, bare, authUser)
       val isSelect = bare.trim.toUpperCase.startsWith("SELECT") ||
         bare.trim.toUpperCase.startsWith("WITH")
       if (isSelect) {

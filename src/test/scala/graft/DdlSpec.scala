@@ -561,6 +561,25 @@ class DdlSpec extends AnyFunSuite {
     assert(parts.length > 10)
   }
 
+  test("system.query_log records statements with type and user") {
+    val tag = s"qlog_probe_${System.nanoTime()}"
+    Engine.execute(spark, s"SELECT 1 AS $tag")
+    intercept[Throwable] {
+      Engine.execute(spark, s"SELECT broken syntax $tag FROM FROM")
+    }
+    val rows = Engine.execute(spark, s"""
+      SELECT query, type, user FROM system.query_log
+      WHERE query LIKE '%$tag%' ORDER BY event_time""")
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(rows.length === 2)
+    assert(rows(0) === ("QueryFinish", "default"))
+    assert(rows(1) === ("ExceptionWhileProcessing", "default"))
+    // reads of the log itself are not logged
+    assert(Engine.execute(spark, s"""
+      SELECT count() AS n FROM system.query_log
+      WHERE query LIKE '%system.query_log%'""").collect().head.getLong(0) === 0L)
+  }
+
   test("system.tables/columns/databases are live: post-DDL state visible") {
     graft.dialect.ChContext.setup(spark, "/root/testdata/sf0.001")
     Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_live")
