@@ -39,7 +39,8 @@ object Ddl {
                                orderBy: Seq[String],
                                sampleBy: Option[String] = None,
                                replacingVer: Option[String] = None,
-                               summingCols: Option[Seq[String]] = None)
+                               summingCols: Option[Seq[String]] = None,
+                               ttl: Option[String] = None)
   private val tables = TrieMap.empty[String, TableMeta]
 
   /** Insert-triggered materialized view: `target` is where transformed
@@ -172,7 +173,7 @@ object Ddl {
     * nest calls arbitrarily — `cityHash64(toString(x))` works; the old
     * regexes stopped at one level). Returns keyword → clause body. */
   private val suffixKeywords = Seq(
-    "PARTITION BY", "ORDER BY", "SAMPLE BY", "PRIMARY KEY", "SETTINGS")
+    "PARTITION BY", "ORDER BY", "SAMPLE BY", "PRIMARY KEY", "TTL", "SETTINGS")
   private[graft] def suffixClauses(rest: String): Map[String, String] = {
     // keyword match at i, whitespace-flexible between words; '_' and '`'
     // count as identifier chars (\b semantics) so a column named
@@ -356,11 +357,22 @@ object Ddl {
         // compaction hint with no visible result contract: no-op.
         val om = "(?is)^\\s*OPTIMIZE\\s+TABLE\\s+([\\w`.]+)".r
           .findFirstMatchIn(s).get
+        val ttlOf = tables.get(normalize(spark, om.group(1))).flatMap(_.ttl)
+        def withTtl(df: DataFrame): DataFrame = ttlOf match {
+          // a merge applies row TTL: keep rows whose expiry is still
+          // in the future (ClickHouse drops expired rows on merge)
+          case Some(t) => df.filter(org.apache.spark.sql.functions
+            .expr(Transpiler.transpile(t)) >
+            org.apache.spark.sql.functions.current_timestamp())
+          case None => df
+        }
         (replacingMeta(spark, om.group(1)), summingMeta(spark, om.group(1))) match {
           case (Some((keys, ver)), _) if keys.nonEmpty =>
-            mutate(spark, om.group(1), df => replacingDedup(df, keys, ver))
+            mutate(spark, om.group(1), df => withTtl(replacingDedup(df, keys, ver)))
           case (_, Some((keys, cols))) if keys.nonEmpty =>
-            mutate(spark, om.group(1), df => summingMerge(df, keys, cols))
+            mutate(spark, om.group(1), df => withTtl(summingMerge(df, keys, cols)))
+          case _ if ttlOf.isDefined =>
+            mutate(spark, om.group(1), withTtl)
           case _ => spark.emptyDataFrame
         }
       // ---- client-compat introspection (ClickHouse output shapes:
@@ -570,6 +582,11 @@ object Ddl {
       }
       .getOrElse(Nil)
     val sampleBy = clauses.get("SAMPLE BY")
+    // `TTL d + INTERVAL 90 DAY [DELETE]` — row expiry, applied when a
+    // merge runs (ClickHouse semantics): OPTIMIZE TABLE drops expired
+    // rows; reads before the merge still see them, like ClickHouse
+    val ttl = clauses.get("TTL")
+      .map(t => "(?is)\\s+DELETE\\s*$".r.replaceAllIn(t, ""))
     val sparkCols = splitTopLevel(colDefs).flatMap { d =>
       val t = d.trim
       val sp = t.indexOf(' ') // name, then type (type may contain spaces)
@@ -601,7 +618,8 @@ object Ddl {
         s"CREATE TABLE $ine$name (${sparkCols.mkString(", ")}) USING PARQUET"
     }
     tables.put(normalize(spark, name),
-      TableMeta(partExpr, orderCols, sampleBy, replacingVer, summingCols))
+      TableMeta(partExpr, orderCols, sampleBy, replacingVer, summingCols,
+        ttl))
     spark.sql(ddl)
   }
 

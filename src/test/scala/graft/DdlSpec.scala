@@ -561,6 +561,26 @@ class DdlSpec extends AnyFunSuite {
     assert(parts.length > 10)
   }
 
+  test("TTL rows expire on OPTIMIZE, not before (merge-applied, like ClickHouse)") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.ttl_t")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.ttl_t (k Int64, d DateTime)
+      ENGINE=MergeTree() ORDER BY k TTL d + INTERVAL 30 DAY DELETE""")
+    Engine.execute(spark, """
+      INSERT INTO graft_spec.ttl_t VALUES
+      (1, '2000-01-01 00:00:00'), (2, '2099-01-01 00:00:00')""")
+    // pre-merge reads still see expired rows (ClickHouse behavior)
+    assert(Engine.execute(spark,
+      "SELECT count() AS n FROM graft_spec.ttl_t")
+      .collect().head.getLong(0) === 2L)
+    Engine.execute(spark, "OPTIMIZE TABLE graft_spec.ttl_t FINAL")
+    val left = Engine.execute(spark,
+      "SELECT k FROM graft_spec.ttl_t ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(left === Seq(2L))
+  }
+
   test("system.query_log records statements with type and user") {
     val tag = s"qlog_probe_${System.nanoTime()}"
     Engine.execute(spark, s"SELECT 1 AS $tag")
