@@ -203,6 +203,12 @@ object ChFunctions {
     "endsWith" -> (a => EndsWith(a(0), a(1))),
     "lowerUTF8" -> (a => Lower(a.head)), "upperUTF8" -> (a => Upper(a.head)),
     "substringUTF8" -> (a => Substring(a(0), a(1), a(2))),
+    // Spark strings are UTF-8 natively: the UTF8-suffixed position
+    // family is the plain one
+    "positionUTF8" -> (a => StringLocate(a(1), a(0), Literal(1))),
+    "positionCaseInsensitiveUTF8" ->
+      (a => StringLocate(Lower(a(1)), Lower(a(0)), Literal(1))),
+    "reverseUTF8" -> (a => Reverse(a.head)),
     "repeat" -> (a => StringRepeat(a(0), a(1))),
     "leftPad" -> (a => new StringLPad(a(0), a(1), a(2))),
     "rightPad" -> (a => StringRPad(a(0), a(1), a(2))),
@@ -316,8 +322,52 @@ object ChFunctions {
     "visitParamExtractString" -> (a => GetJsonObject(a(0), jsonPath(a(1)))),
     "simpleJSONExtractString" -> (a => GetJsonObject(a(0), jsonPath(a(1)))),
 
+    // misc tail: finite guards, functional interval constructors,
+    // array shuffle (ClickHouse names; Spark spells these differently
+    // or not at all)
+    "ifNotFinite" -> { a =>
+      val c = Cast(a(0), DoubleType)
+      If(Or(IsNaN(c), Or(EqualTo(c, Literal(Double.PositiveInfinity)),
+        EqualTo(c, Literal(Double.NegativeInfinity)))),
+        Cast(a(1), DoubleType), c)
+    },
+    "isFinite" -> { a =>
+      val c = Cast(a.head, DoubleType)
+      Not(Or(IsNaN(c), Or(EqualTo(c, Literal(Double.PositiveInfinity)),
+        EqualTo(c, Literal(Double.NegativeInfinity)))))
+    },
+    "isInfinite" -> { a =>
+      val c = Cast(a.head, DoubleType)
+      Or(EqualTo(c, Literal(Double.PositiveInfinity)),
+        EqualTo(c, Literal(Double.NegativeInfinity)))
+    },
+    "isNaN" -> (a => IsNaN(Cast(a.head, DoubleType))),
+    "arrayShuffle" -> (a => Shuffle(a.head)),
+    "toIntervalSecond" -> (a => MakeDTInterval(Literal(0), Literal(0),
+      Literal(0), Cast(a.head, DecimalType(18, 6)))),
+    "toIntervalMinute" -> (a => MakeDTInterval(Literal(0), Literal(0),
+      Cast(a.head, IntegerType), Cast(Literal(0), DecimalType(18, 6)))),
+    "toIntervalHour" -> (a => MakeDTInterval(Literal(0),
+      Cast(a.head, IntegerType), Literal(0), Cast(Literal(0), DecimalType(18, 6)))),
+    "toIntervalDay" -> (a => MakeDTInterval(Cast(a.head, IntegerType),
+      Literal(0), Literal(0), Cast(Literal(0), DecimalType(18, 6)))),
+    "toIntervalWeek" -> (a => MakeDTInterval(
+      Cast(Multiply(a.head, Literal(7)), IntegerType),
+      Literal(0), Literal(0), Cast(Literal(0), DecimalType(18, 6)))),
+    "toIntervalMonth" -> (a =>
+      MakeYMInterval(Literal(0), Cast(a.head, IntegerType))),
+    "toIntervalQuarter" -> (a =>
+      MakeYMInterval(Literal(0), Cast(Multiply(a.head, Literal(3)), IntegerType))),
+    "toIntervalYear" -> (a =>
+      MakeYMInterval(Cast(a.head, IntegerType), Literal(0))),
+
     // aggregates
     "any" -> (a => First(a.head, ignoreNulls = true).toAggregateExpression()),
+    // heavy-hitter: ClickHouse's approximate majority element; the
+    // deterministic mode is a strict implementation of the contract
+    "anyHeavy" -> (a => Mode(a.head).toAggregateExpression()),
+    "entropy" -> (a =>
+      graft.functions.EntropyAgg(a.head).toAggregateExpression()),
     "anyLast" -> (a => Last(a.head, ignoreNulls = true).toAggregateExpression()),
     "argMin" -> (a => MinBy(a(0), a(1)).toAggregateExpression()),
     "argMax" -> (a => MaxBy(a(0), a(1)).toAggregateExpression()),

@@ -245,6 +245,10 @@ object Ddl {
   private val alterModifyColRe =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+MODIFY\\s+COLUMN\\s+" +
       "(IF\\s+EXISTS\\s+)?([\\w`]+)\\s+([\\w() ,]+)\\s*$").r
+  private val alterModifyTtlRe =
+    "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+MODIFY\\s+TTL\\s+(.+)$".r
+  private val alterRemoveTtlRe =
+    "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+REMOVE\\s+TTL\\s*$".r
   private val renameTableRe =
     "(?is)^\\s*RENAME\\s+TABLE\\s+(.+)$".r
   private val alterDeleteRe =
@@ -335,6 +339,18 @@ object Ddl {
           reshape(spark, name, df => df.withColumn(c,
             org.apache.spark.sql.functions.col(c).cast(sparkType)))
         }
+      case alterModifyTtlRe(name, t) =>
+        // TTL is MergeTree metadata; like CREATE's TTL clause it takes
+        // effect at the next merge (OPTIMIZE), not retroactively
+        val key = normalize(spark, name)
+        val cleaned = "(?is)\\s+DELETE\\s*$".r.replaceAllIn(t.trim, "")
+        tables.put(key, tables.getOrElse(key, TableMeta(None, Nil))
+          .copy(ttl = Some(cleaned)))
+        spark.emptyDataFrame
+      case alterRemoveTtlRe(name) =>
+        val key = normalize(spark, name)
+        tables.get(key).foreach(m => tables.put(key, m.copy(ttl = None)))
+        spark.emptyDataFrame
       case renameTableRe(pairs) =>
         // RENAME TABLE a TO b[, c TO d]: catalog rename (a metadata-only
         // move for managed tables); the MergeTree layout follows the key
@@ -1099,7 +1115,16 @@ object Engine {
     }
     Transpiler.limitByParts(bare) match {
       case None =>
-        try spark.sql(Transpiler.transpile(bare))
+        try {
+          val sql = Transpiler.transpile(bare)
+          // top-k over a wide table: two-phase lazy materialization
+          // (narrow key scan, then a pushdown-able point refetch) —
+          // a misfire must never break a query that would run, so any
+          // rewrite-path throw falls back to the single-pass plan
+          scala.util.Try(graft.operators.LateMaterialize.maybeRun(spark, sql))
+            .toOption.flatten
+            .getOrElse(spark.sql(sql))
+        }
         catch {
           // ClickHouse resolves select aliases in WHERE/HAVING; Spark
           // does not. Retry once with the aliases inlined — only an

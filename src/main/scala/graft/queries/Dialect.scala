@@ -735,6 +735,46 @@ object Dialect {
              COALESCE(array_to_string(regexp_extract_all(o_orderpriority, '[0-9]+'), ','), '') AS nums
       FROM orders ORDER BY o_orderkey LIMIT 200""")),
 
+    // F28: misc tail — Shannon entropy (custom mergeable aggregate,
+    // graft.functions.EntropyAgg, vs DuckDB's same-named log2
+    // aggregate), anyHeavy (heavy hitter -> deterministic mode),
+    // positionUTF8, finite guards, and the functional toInterval*
+    // constructors (incl. month-end clamping)
+    Q("f28_ch_misc", ch("""
+      SELECT number % 3 AS g,
+             round(entropy(number % 4), 6) AS ent,
+             anyHeavy(if(number % 2 = 0, 7, number)) AS heavy,
+             positionUTF8('hello world',
+               if(g = 0, 'o', if(g = 1, 'world', 'zz'))) AS pos,
+             reverseUTF8(toString(min(number) * 123 + 45)) AS rev,
+             ifNotFinite(CAST('Infinity' AS Float64), -1.0) AS nofin,
+             toInt32(isFinite(1.5)) AS fin,
+             toInt32(isInfinite(CAST('Infinity' AS Float64))) AS inf0,
+             toInt32(isNaN(CAST('NaN' AS Float64))) AS nan0,
+             toDate(toDate('2024-01-10') + toIntervalDay(toInt32(g * 5 + 1))) AS dplus,
+             toDate(toDate('2024-01-10') + toIntervalWeek(toInt32(g))) AS wplus,
+             toDate(toDate('2024-01-31') + toIntervalMonth(toInt32(g))) AS mplus,
+             toDate(toDate('2024-01-10') + toIntervalQuarter(toInt32(g))) AS qplus
+      FROM numbers(50) GROUP BY g ORDER BY g"""),
+      Some("""
+      WITH n AS (SELECT range AS num FROM range(50))
+      SELECT num % 3 AS g,
+             round(entropy(num % 4), 6) AS ent,
+             CAST(mode(CASE WHEN num % 2 = 0 THEN 7 ELSE num END) AS BIGINT) AS heavy,
+             CAST(strpos('hello world',
+               CASE WHEN num % 3 = 0 THEN 'o'
+                    WHEN num % 3 = 1 THEN 'world' ELSE 'zz' END) AS INT) AS pos,
+             reverse(CAST(min(num) * 123 + 45 AS VARCHAR)) AS rev,
+             CAST(-1.0 AS DOUBLE) AS nofin,
+             CAST(isfinite(1.5) AS INT) AS fin,
+             CAST(isinf(CAST('Infinity' AS DOUBLE)) AS INT) AS inf0,
+             CAST(isnan(CAST('NaN' AS DOUBLE)) AS INT) AS nan0,
+             CAST(DATE '2024-01-10' + (num % 3 * 5 + 1) * INTERVAL 1 DAY AS DATE) AS dplus,
+             CAST(DATE '2024-01-10' + (num % 3) * INTERVAL 7 DAY AS DATE) AS wplus,
+             CAST(DATE '2024-01-31' + (num % 3) * INTERVAL 1 MONTH AS DATE) AS mplus,
+             CAST(DATE '2024-01-10' + (num % 3 * 3) * INTERVAL 1 MONTH AS DATE) AS qplus
+      FROM n GROUP BY g ORDER BY g""")),
+
     // F22: tier-2 aggregates (weighted mean, Kahan sum, popcount;
     // skewPop via DuckDB's sample-skew correction factor)
     Q("f22_ch_aggs2", ch("""

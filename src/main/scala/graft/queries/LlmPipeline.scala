@@ -647,6 +647,62 @@ object LlmPipeline {
       SELECT doc_id, n_bigrams, round(s / n_bigrams, 6) AS avg_logp
       FROM ag ORDER BY doc_id""")),
 
+    // L25: Gopher-style repetition filters (Rae et al. 2021, §A1.1):
+    // fraction of characters inside the most frequent word 2-gram, and
+    // inside all duplicated word 3-grams — the standard "degenerate
+    // repetition" corpus cut (paper thresholds: 0.20 / 0.18). Both
+    // signals are per-(doc, gram) counting: two keyed shuffles, no
+    // all-pairs anywhere, so the shape survives 100 TB like any
+    // groupBy. keep compares the ROUNDED fractions so the cut is
+    // bit-identical across engines.
+    Q("l25_gopher_repetition", (s, dir) => {
+      val toks = docsWithToks(s, dir)
+      val chars = toks.select(col("doc_id"),
+        length(concat_ws(" ", col("__toks"))).as("n_chars"))
+      def gramCounts(w: Int) = toks.select(col("doc_id"),
+          explode(TextFns.wordShinglesPositional(col("__toks"), w)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      val top2 = gramCounts(2)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("c").desc, col("g").asc)))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), (col("c") * length(col("g"))).as("top2_chars"))
+      val dup3 = gramCounts(3).filter(col("c") > 1)
+        .groupBy("doc_id")
+        .agg(sum(col("c") * length(col("g"))).as("dup3_chars"))
+      chars
+        .join(top2, Seq("doc_id"), "left")
+        .join(dup3, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chars"),
+          round(least(lit(1.0), coalesce(col("top2_chars"), lit(0L))
+            .cast("double") / col("n_chars")), 4).as("top2_frac"),
+          round(least(lit(1.0), coalesce(col("dup3_chars"), lit(0L))
+            .cast("double") / col("n_chars")), 4).as("dup3_frac"))
+        .withColumn("keep",
+          (col("top2_frac") <= 0.20 && col("dup3_frac") <= 0.18).cast("int"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') toks FROM documents),
+      ch AS (SELECT doc_id, CAST(length(array_to_string(toks, ' ')) AS INT) n_chars FROM t),
+      g2 AS (SELECT doc_id, unnest([array_to_string(toks[i:i+1],' ') for i in range(1, len(toks))]) g FROM t),
+      c2 AS (SELECT doc_id, g, count(*) c FROM g2 GROUP BY 1, 2),
+      t2 AS (SELECT doc_id, c * length(g) top2_chars,
+               row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) rn
+             FROM c2),
+      g3 AS (SELECT doc_id, unnest([array_to_string(toks[i:i+2],' ') for i in range(1, len(toks)-1)]) g FROM t),
+      c3 AS (SELECT doc_id, g, count(*) c FROM g3 GROUP BY 1, 2),
+      d3 AS (SELECT doc_id, sum(c * length(g)) dup3_chars FROM c3 WHERE c > 1 GROUP BY 1)
+      SELECT ch.doc_id AS doc_id, n_chars,
+             round(least(1.0, CAST(coalesce(top2_chars, 0) AS DOUBLE) / n_chars), 4) top2_frac,
+             round(least(1.0, CAST(coalesce(dup3_chars, 0) AS DOUBLE) / n_chars), 4) dup3_frac,
+             CAST(CASE WHEN round(least(1.0, CAST(coalesce(top2_chars, 0) AS DOUBLE) / n_chars), 4) <= 0.20
+                        AND round(least(1.0, CAST(coalesce(dup3_chars, 0) AS DOUBLE) / n_chars), 4) <= 0.18
+                       THEN 1 ELSE 0 END AS INT) keep
+      FROM ch
+      LEFT JOIN (SELECT doc_id, top2_chars FROM t2 WHERE rn = 1) tt USING (doc_id)
+      LEFT JOIN d3 USING (doc_id)
+      ORDER BY doc_id""")),
+
     // M1: multimodal columns — binary payload + typed metadata, decode
     // stub over mapPartitions (real batch plumbing, fake codec)
     Q("m1_multimodal", (s, dir) => {

@@ -459,4 +459,33 @@ class ChHofSpec extends AnyFunSuite {
     assert(one("SELECT pathFull('https://ex.com/p/q?k=1#f')") === "/p/q?k=1")
     assert(one("SELECT pathFull('https://ex.com/p/q')") === "/p/q")
   }
+
+  test("entropy aggregate: exact log2 value, partition-order independent") {
+    graft.dialect.ChFunctions.register(spark)
+    // 4 equi-probable values -> exactly 2 bits, however the rows split
+    // across partitions (mergeable state, sorted-eval determinism)
+    val vals = (0 until 64).map(i => i % 4)
+    import spark.implicits._
+    vals.toDF("x").repartition(7).createOrReplaceTempView("ent_t")
+    val h = spark.sql(graft.dialect.Transpiler.transpile(
+      "SELECT entropy(x) AS h FROM ent_t")).collect().head.getDouble(0)
+    assert(h === 2.0d)
+    // skewed: 3/4 vs 1/4 -> H = 2 - 0.75*log2(3) exactly
+    val h2 = spark.sql(graft.dialect.Transpiler.transpile(
+      "SELECT entropy(if(x = 0, 0, 1)) AS h FROM ent_t"))
+      .collect().head.getDouble(0)
+    val expect = 2.0 - 0.75 * (math.log(3) / math.log(2))
+    assert(math.abs(h2 - expect) < 1e-12)
+  }
+
+  test("arrayShuffle keeps the multiset; anyHeavy finds the majority value") {
+    graft.dialect.ChFunctions.register(spark)
+    val shuffled = spark.sql(graft.dialect.Transpiler.transpile(
+      "SELECT arrayShuffle(range(20)) AS a")).collect().head.getSeq[Long](0)
+    assert(shuffled.sorted === (0L until 20L))
+    val heavy = spark.sql(graft.dialect.Transpiler.transpile(
+      "SELECT anyHeavy(if(number % 2 = 0, 99, number)) AS m FROM numbers(40)"))
+      .collect().head.getLong(0)
+    assert(heavy === 99L)
+  }
 }

@@ -581,6 +581,33 @@ class DdlSpec extends AnyFunSuite {
     assert(left === Seq(2L))
   }
 
+  test("ALTER TABLE MODIFY/REMOVE TTL changes what the next merge drops") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.ttl_alter")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.ttl_alter (k Int64, d DateTime)
+      ENGINE=MergeTree() ORDER BY k""")
+    Engine.execute(spark, """
+      INSERT INTO graft_spec.ttl_alter VALUES
+      (1, '2000-01-01 00:00:00'), (2, '2099-01-01 00:00:00')""")
+    def rows() = Engine.execute(spark,
+      "SELECT k FROM graft_spec.ttl_alter ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    // no TTL: merge keeps everything
+    Engine.execute(spark, "OPTIMIZE TABLE graft_spec.ttl_alter FINAL")
+    assert(rows() === Seq(1L, 2L))
+    Engine.execute(spark,
+      "ALTER TABLE graft_spec.ttl_alter MODIFY TTL d + INTERVAL 30 DAY DELETE")
+    Engine.execute(spark, "OPTIMIZE TABLE graft_spec.ttl_alter FINAL")
+    assert(rows() === Seq(2L))
+    // REMOVE TTL: an expired row inserted afterwards survives merges
+    Engine.execute(spark, "ALTER TABLE graft_spec.ttl_alter REMOVE TTL")
+    Engine.execute(spark,
+      "INSERT INTO graft_spec.ttl_alter VALUES (3, '2000-01-01 00:00:00')")
+    Engine.execute(spark, "OPTIMIZE TABLE graft_spec.ttl_alter FINAL")
+    assert(rows() === Seq(2L, 3L))
+  }
+
   test("system.query_log records statements with type and user") {
     val tag = s"qlog_probe_${System.nanoTime()}"
     Engine.execute(spark, s"SELECT 1 AS $tag")

@@ -293,4 +293,35 @@ class OperatorsSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.max("count")).head.getLong(0)
     assert(perDoc <= 3)
   }
+
+  test("LateMaterialize: two-phase top-k equals single-pass, pushes key filters") {
+    import org.apache.spark.sql.functions.expr
+    val base = spark.range(0, 5000).toDF("id")
+    val derived = (1 to 19).map(i => expr(s"id * $i").as(s"c$i"))
+    val dir = java.nio.file.Files.createTempDirectory("latemat").toString
+    base.select(col("id") +: derived: _*)
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("latemat_w")
+    val proj = (Seq("id") ++ (1 to 19).map("c" + _)).mkString(", ")
+    val sql = s"SELECT $proj FROM latemat_w WHERE c3 % 7 = 0 " +
+      "ORDER BY c2 DESC, id LIMIT 10"
+    val twoPhase = graft.operators.LateMaterialize.maybeRun(spark, sql)
+    assert(twoPhase.isDefined, "wide top-k shape must fire the rewrite")
+    assert(twoPhase.get.collect().toSeq === spark.sql(sql).collect().toSeq)
+    // the winning keys must reach the scan as pushed point filters
+    val plan = twoPhase.get.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualNullSafe"), plan.take(2000))
+
+    // empty phase-1: still a correct (empty) result
+    val none = graft.operators.LateMaterialize.maybeRun(spark,
+      s"SELECT $proj FROM latemat_w WHERE id < 0 ORDER BY c2 LIMIT 10")
+    assert(none.isDefined && none.get.collect().isEmpty)
+
+    // economics guards: narrow projection / aggregate shapes skip
+    assert(graft.operators.LateMaterialize.maybeRun(spark,
+      "SELECT id, c1 FROM latemat_w WHERE c3 % 7 = 0 ORDER BY c2 LIMIT 10").isEmpty)
+    assert(graft.operators.LateMaterialize.maybeRun(spark,
+      s"SELECT $proj FROM latemat_w WHERE c3 % 7 = 0 " +
+        "GROUP BY id ORDER BY c2 LIMIT 10").isEmpty)
+  }
 }
