@@ -43,6 +43,33 @@ object Ddl {
                                ttl: Option[String] = None)
   private val tables = TrieMap.empty[String, TableMeta]
 
+  /** TEMPORARY tables per session — weak keys so an abandoned session
+    * doesn't pin its SparkSession; the tables themselves are dropped
+    * eagerly by [[dropTempTables]] at session eviction/purge. */
+  private val tempTables = scala.collection.mutable
+    .WeakHashMap.empty[SparkSession, scala.collection.mutable.Set[String]]
+
+  private def registerTempTable(spark: SparkSession, name: String): Unit =
+    tempTables.synchronized {
+      tempTables.getOrElseUpdate(spark,
+        scala.collection.mutable.Set.empty) += normalize(spark, name)
+    }
+
+  /** Drop every TEMPORARY table created through `spark` (ClickHouse
+    * drops them when the session ends). Called by UserSessions eviction
+    * and the shutdown purge; idempotent. */
+  def dropTempTables(spark: SparkSession): Unit = {
+    val names = tempTables.synchronized {
+      tempTables.remove(spark).map(_.toSeq).getOrElse(Nil)
+    }
+    names.foreach { n =>
+      try {
+        tables.remove(n)
+        spark.sql(s"DROP TABLE IF EXISTS $n")
+      } catch { case _: Throwable => () }
+    }
+  }
+
   /** Insert-triggered materialized view: `target` is where transformed
     * blocks land, `src` the watched table (normalized), `body` the raw
     * SELECT. ClickHouse semantics: the view's SELECT runs over each
@@ -166,8 +193,12 @@ object Ddl {
   private val createDbRe =
     "(?is)^\\s*CREATE\\s+DATABASE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?(.+?)\\s*$".r
   private val createTableRe =
-    ("(?is)^\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w`.]+)\\s*" +
+    ("(?is)^\\s*CREATE\\s+(TEMPORARY\\s+)?TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w`.]+)\\s*" +
       "\\((.*)\\)\\s*ENGINE\\s*=\\s*(\\w+)\\s*(?:\\(\\s*([^)]*)\\))?(.*)$").r
+  // TEMPORARY with no ENGINE clause (ClickHouse defaults it to Memory)
+  private val createTempTableRe =
+    ("(?is)^\\s*CREATE\\s+TEMPORARY\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w`.]+)\\s*" +
+      "\\((.*)\\)\\s*$").r
   /** MergeTree table-suffix clauses, parsed with a paren/quote-aware
     * scan (keywords match only at nesting depth 0, so ORDER BY keys may
     * nest calls arbitrarily — `cityHash64(toString(x))` works; the old
@@ -283,9 +314,21 @@ object Ddl {
               spark.catalog.tableExists(bare)) df
           else { df.createOrReplaceTempView(bare); df }
         }
-      case createTableRe(ifNot, name, cols, engine, engineArgs, rest) =>
-        createTable(spark, Option(ifNot).isDefined, name, cols, engine,
-          Option(engineArgs).map(_.trim).getOrElse(""), rest)
+      case createTableRe(temp, ifNot, name, cols, engine, engineArgs, rest) =>
+        // TEMPORARY: session-lifetime table (ClickHouse drops it when
+        // the session ends). It lands in the session's CURRENT database
+        // — per-credential sessions each have their own — and registers
+        // for drop at session eviction/purge (dropTempTables).
+        val out = createTable(spark, Option(ifNot).isDefined, name, cols,
+          engine, Option(engineArgs).map(_.trim).getOrElse(""), rest)
+        if (Option(temp).isDefined) registerTempTable(spark, name)
+        out
+      case createTempTableRe(ifNot, name, cols) =>
+        // TEMPORARY with ENGINE omitted: ClickHouse defaults to Memory
+        val out = createTable(spark, Option(ifNot).isDefined, name, cols,
+          "Memory", "", "")
+        registerTempTable(spark, name)
+        out
       case _ if "(?is)^\\s*INSERT\\b".r.findFirstIn(s).isDefined =>
         insert(spark, s)
       case alterDeleteRe(name, cond) =>
@@ -1059,6 +1102,202 @@ object Engine {
     t
   }
 
+  private val viewCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Split a condition on depth-0 `AND` (parens guard nested booleans). */
+  private def splitAnd(cond: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var start = 0; var i = 0
+    def isIdent(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    while (i < cond.length) {
+      cond.charAt(i) match {
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case c if depth == 0 && (c == 'A' || c == 'a') &&
+            i + 3 <= cond.length &&
+            cond.substring(i, i + 3).equalsIgnoreCase("AND") &&
+            (i == 0 || !isIdent(cond.charAt(i - 1))) &&
+            (i + 3 == cond.length || !isIdent(cond.charAt(i + 3))) =>
+          out += cond.substring(start, i); start = i + 3; i += 3
+        case _ => i += 1
+      }
+    }
+    out += cond.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** `alias.col` → col (plain identifiers only). */
+  private def stripQual(e: String, alias: String): Option[String] = {
+    val re = ("^`?" + java.util.regex.Pattern.quote(alias) +
+      "`?\\.`?([A-Za-z_]\\w*)`?$").r
+    re.findFirstMatchIn(e.trim).map(_.group(1))
+  }
+
+  /** Materialize FROM/JOIN-adjacent parenthesized subqueries as temp
+    * views (lazy frames — no data moves) so the textual ASOF/ANY join
+    * rewrites below only ever see bare relation names. Runs the inner
+    * text through [[query]] recursively, so subqueries keep the full
+    * dialect. Only invoked when the outer query contains a join form
+    * Spark's parser cannot take. */
+  private def flattenFromSubqueries(spark: SparkSession, sql0: String): String = {
+    var s = sql0
+    var from = 0
+    var guard = 0
+    val re = "(?is)\\b(FROM|JOIN)\\s*\\(".r
+    while (guard < 32) {
+      guard += 1
+      val m = re.findFirstMatchIn(s.substring(from)).getOrElse(return s)
+      val open = from + m.end - 1
+      val close = Transpiler.matchingParen(s, open)
+      if (close < 0) return s
+      val inner = s.substring(open + 1, close)
+      if ("(?is)^\\s*SELECT\\b".r.findFirstIn(inner).isDefined) {
+        val view = "__graft_subq_" + viewCounter.incrementAndGet()
+        query(spark, inner).createOrReplaceTempView(view)
+        s = s.substring(0, from + m.start) + m.group(1) + " " + view +
+          s.substring(close + 1)
+        from = 0
+      } else from = close
+    }
+    s
+  }
+
+  private val anyJoinRe =
+    ("(?is)\\bANY\\s+(LEFT|INNER|RIGHT|FULL)?\\s*JOIN\\s+([\\w`.]+)" +
+      "(?:\\s+(?:AS\\s+)?(?!ON\\b)([A-Za-z_]\\w*))?\\s+ON\\s+(.+?)" +
+      "(?=\\s+(?:WHERE|GROUP|HAVING|ORDER|LIMIT|SETTINGS|UNION|INTERSECT" +
+      "|EXCEPT|LEFT|RIGHT|INNER|FULL|CROSS|ANY|ASOF|JOIN)\\b|\\s*$)").r
+
+  /** ClickHouse `ANY [LEFT|INNER] JOIN`: at most one right-side row per
+    * left row. ClickHouse picks an arbitrary ("any") matching row; this
+    * engine picks a DETERMINISTIC representative — the least full row
+    * per join key under ascending sort over all right columns in
+    * declaration order — so results are stable across partitionings and
+    * oracle-checkable. The right relation dedupes to one row per key
+    * (row_number window = one keyed shuffle of the right side only),
+    * then a plain LEFT/INNER join. `ANY RIGHT/FULL` (which dedupes the
+    * LEFT side) must be written from the other side and fails loudly. */
+  private def rewriteAnyJoin(spark: SparkSession, sql0: String): String = {
+    val up = sql0.toUpperCase
+    if (!up.contains("ANY") || !up.contains("JOIN")) return sql0
+    val sql = flattenFromSubqueries(spark, sql0)
+    anyJoinRe.replaceAllIn(sql, m => {
+      val jt = Option(m.group(1)).map(_.trim.toUpperCase).getOrElse("INNER")
+      if (jt == "RIGHT" || jt == "FULL")
+        throw new UnsupportedOperationException(
+          s"ANY $jt JOIN is not supported: ANY dedupes the LEFT side " +
+            "there — rewrite the query with the sides swapped")
+      val rtbl = m.group(2).replace("`", "")
+      val ralias = Option(m.group(3))
+        .getOrElse(rtbl.substring(rtbl.lastIndexOf('.') + 1))
+      val cond = m.group(4)
+      val keys = splitAnd(cond).flatMap { c =>
+        c.split("=") match {
+          case Array(a, b) =>
+            stripQual(a, ralias).orElse(stripQual(b, ralias))
+          case _ => None
+        }
+      }.distinct
+      if (keys.isEmpty) m.matched
+      else {
+        import org.apache.spark.sql.functions.{col, row_number}
+        import org.apache.spark.sql.expressions.Window
+        val rdf = spark.table(rtbl)
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(rdf.columns.map(col(_).asc): _*)
+        val view = "__graft_any_" + viewCounter.incrementAndGet()
+        rdf.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+          .createOrReplaceTempView(view)
+        java.util.regex.Matcher.quoteReplacement(
+          s"$jt JOIN $view AS $ralias ON $cond")
+      }
+    })
+  }
+
+  private val asofJoinRe =
+    ("(?is)\\bFROM\\s+([\\w`.]+)" +
+      "(?:\\s+(?:AS\\s+)?(?!ASOF\\b|LEFT\\b|INNER\\b|JOIN\\b)([A-Za-z_]\\w*))?" +
+      "\\s+ASOF\\s+(LEFT\\s+)?(?:INNER\\s+)?JOIN\\s+([\\w`.]+)" +
+      "(?:\\s+(?:AS\\s+)?(?!ON\\b)([A-Za-z_]\\w*))?\\s+ON\\s+(.+?)" +
+      "(?=\\s+(?:WHERE|GROUP|HAVING|ORDER|LIMIT|SETTINGS|UNION)\\b|\\s*$)").r
+
+  /** `FROM l ASOF [LEFT] JOIN r ON l.k = r.k AND l.ts >= r.ts` — routed
+    * to the [[graft.operators.AsofJoin]] one-shuffle operator (SURVEY
+    * §2.3 J5). Equality conjuncts are the keys; the single inequality
+    * picks direction (`>=` backward, `<=` forward; strict forms are not
+    * supported and fail loudly downstream). The join collapses to a
+    * temp view and alias-qualified references are remapped: right keys
+    * to the (equal) left key, other right columns to their carried
+    * names. Subquery sides are flattened first, so both relations are
+    * names by the time this runs. */
+  private def rewriteAsofJoin(spark: SparkSession, sql0: String): String = {
+    if (!sql0.toUpperCase.contains("ASOF")) return sql0
+    var s = flattenFromSubqueries(spark, sql0)
+    var guard = 0
+    while (guard < 8) {
+      guard += 1
+      val m = asofJoinRe.findFirstMatchIn(s).getOrElse(return s)
+      val ltbl = m.group(1).replace("`", "")
+      val lalias = Option(m.group(2))
+        .getOrElse(ltbl.substring(ltbl.lastIndexOf('.') + 1))
+      val isLeft = Option(m.group(3)).isDefined
+      val rtbl = m.group(4).replace("`", "")
+      val ralias = Option(m.group(5))
+        .getOrElse(rtbl.substring(rtbl.lastIndexOf('.') + 1))
+      val cond = m.group(6)
+      var pairs = Seq.empty[(String, String)]
+      var tsSpec: Option[(String, String, Boolean)] = None // (lts, rts, forward)
+      splitAnd(cond).foreach { c =>
+        val ineq = "(?s)^(.+?)(>=|<=)(.+)$".r.findFirstMatchIn(c)
+        ineq match {
+          case Some(im) =>
+            val (a, op, b) = (im.group(1), im.group(2), im.group(3))
+            (stripQual(a, lalias), stripQual(b, ralias),
+              stripQual(a, ralias), stripQual(b, lalias)) match {
+              case (Some(lc), Some(rc), _, _) =>
+                tsSpec = Some((lc, rc, op == "<="))
+              case (_, _, Some(rc), Some(lc)) =>
+                tsSpec = Some((lc, rc, op == ">="))
+              case _ => ()
+            }
+          case None => c.split("=") match {
+            case Array(a, b) =>
+              (stripQual(a, lalias), stripQual(b, ralias),
+                stripQual(a, ralias), stripQual(b, lalias)) match {
+                case (Some(lc), Some(rc), _, _) => pairs :+= ((lc, rc))
+                case (_, _, Some(rc), Some(lc)) => pairs :+= ((lc, rc))
+                case _ => ()
+              }
+            case _ => ()
+          }
+        }
+      }
+      if (pairs.isEmpty || tsSpec.isEmpty) return s
+      val (lts, rts, fwd) = tsSpec.get
+      val ldf = spark.table(ltbl)
+      var rdf = spark.table(rtbl)
+      pairs.foreach { case (lk, rk) =>
+        if (lk != rk) {
+          if (rdf.columns.contains(lk)) return s // rename would collide
+          rdf = rdf.withColumnRenamed(rk, lk)
+        }
+      }
+      val res = graft.operators.AsofJoin(ldf, rdf, pairs.map(_._1),
+        lts, rts, rightPrefix = "__asofr_", inner = !isLeft, forward = fwd)
+      val view = "__graft_asof_" + viewCounter.incrementAndGet()
+      res.createOrReplaceTempView(view)
+      val keyMap = pairs.map { case (lk, rk) => rk -> lk }.toMap
+      s = s.substring(0, m.start) + s"FROM $view" + s.substring(m.end)
+      s = ("(?i)\\b" + java.util.regex.Pattern.quote(ralias) +
+        "\\.([A-Za-z_]\\w*)").r.replaceAllIn(s, rm =>
+        keyMap.getOrElse(rm.group(1), s"__asofr_${rm.group(1)}"))
+      s = ("(?i)\\b" + java.util.regex.Pattern.quote(lalias) +
+        "\\.([A-Za-z_]\\w*)").r.replaceAllIn(s, rm => rm.group(1))
+    }
+    s
+  }
+
   /** Honor the useful subset of per-query SETTINGS instead of silently
     * dropping them (reference relays all of them to chdb, main.py:190):
     *   - `max_result_rows` with `result_overflow_mode=break` truncates
@@ -1104,8 +1343,9 @@ object Engine {
     // ClickHouse EXPLAIN kinds (SYNTAX/AST/PLAN/PIPELINE/...) all map
     // to Spark's EXPLAIN (one plan-text column)
     val bare = "(?is)^\\s*EXPLAIN\\s+(SYNTAX|AST|PLAN|PIPELINE|ESTIMATE|QUERY\\s+TREE)\\s+".r
-      .replaceFirstIn(rewriteFinal(spark,
-        rewriteSample(spark, rewriteSystemParts(spark, bare0))),
+      .replaceFirstIn(rewriteAsofJoin(spark, rewriteAnyJoin(spark,
+        rewriteFinal(spark,
+          rewriteSample(spark, rewriteSystemParts(spark, bare0))))),
         "EXPLAIN ")
     Transpiler.withFillParts(bare) match {
       case Some((inner, prefix, fillKey, from, to, step, interp)) =>

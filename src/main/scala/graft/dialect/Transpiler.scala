@@ -207,6 +207,7 @@ object Transpiler {
 
   def transpile(chSql: String): String = {
     var s = chSql
+    s = rewriteNamedWindows(s)
     s = rewriteScalarWith(s)
     s = rewriteBracketArrays(s)
     s = rewriteCasts(s)
@@ -320,6 +321,55 @@ object Transpiler {
     s = "(?i)\\bSAMPLE\\s+(0?\\.\\d+)".r.replaceAllIn(s,
       m => s"TABLESAMPLE (${(m.group(1).toDouble * 100).round} PERCENT)")
     s = rewriteTernaries(s)
+    s
+  }
+
+  /** Standard-SQL / ClickHouse named `WINDOW w AS (spec)[, w2 AS ...]`
+    * clause (between HAVING and ORDER BY). Spark's parser has no WINDOW
+    * clause, so each definition is inlined at its `OVER w` use sites and
+    * the clause itself removed. Runs per clause occurrence, so nested
+    * subqueries each resolve their own window names (inner clauses are
+    * found first because the scan restarts after every splice). */
+  private def rewriteNamedWindows(sql0: String): String = {
+    val openRe = "(?is)\\bWINDOW\\s+(\\w+)\\s+AS\\s*\\(".r
+    var s = sql0
+    var guard = 0
+    var m = openRe.findFirstMatchIn(s)
+    while (m.isDefined && guard < 32) {
+      guard += 1
+      val mm = m.get
+      var defs = List.empty[(String, String)]
+      var cursor = mm.start
+      var name = mm.group(1)
+      var open = mm.end - 1
+      var ok = true
+      var end = cursor
+      var continue = true
+      while (continue) {
+        val close = matchingParen(s, open)
+        if (close < 0) { ok = false; continue = false }
+        else {
+          defs ::= (name -> s.substring(open + 1, close))
+          end = close + 1
+          // another comma-separated definition?
+          val more = "(?is)^\\s*,\\s*(\\w+)\\s+AS\\s*\\(".r
+            .findFirstMatchIn(s.substring(end))
+          more match {
+            case Some(n) =>
+              name = n.group(1); open = end + n.end - 1
+            case None => continue = false
+          }
+        }
+      }
+      if (!ok) return s
+      var rest = s.substring(0, cursor) + s.substring(end)
+      defs.foreach { case (w, spec) =>
+        rest = s"(?i)\\bOVER\\s+$w\\b".r.replaceAllIn(rest,
+          java.util.regex.Matcher.quoteReplacement(s"OVER ($spec)"))
+      }
+      s = rest
+      m = openRe.findFirstMatchIn(s)
+    }
     s
   }
 

@@ -53,7 +53,7 @@ object ResultFormatter {
     "tsvwithnamesandtypes", "tabseparatedwithnamesandtypes",
     "csv", "csvwithnames", "csvwithnamesandtypes",
     "json", "jsoncompact", "jsoneachrow", "ndjson", "jsoncompacteachrow",
-    "pretty", "prettycompact", "null", "values")
+    "pretty", "prettycompact", "null", "values", "vertical", "markdown")
   def isKnown(format: String): Boolean = knownTextFormats(format.toLowerCase)
 
   /** Iterator-driven core shared by [[write]] and the HTTP server. */
@@ -90,6 +90,44 @@ object ResultFormatter {
         }
         n
       case "pretty" | "prettycompact" => pretty(schema, rows, out)
+      case "vertical" =>
+        // clickhouse-client's \G display: one `name: value` line per
+        // column, names padded so values align. Widths come from the
+        // SCHEMA (not the data), so this streams row by row.
+        val pad = schema.fieldNames.map(_.length).maxOption.getOrElse(0) + 1
+        var n = 0L
+        rows.foreach { r =>
+          if (n > 0) out.append('\n')
+          val head = s"Row ${n + 1}:"
+          out.append(head).append('\n')
+            .append("─" * head.length).append('\n')
+          schema.fields.indices.foreach { i =>
+            out.append((schema.fields(i).name + ":").padTo(pad + 1, ' '))
+            out.append(if (r.isNullAt(i)) "ᴺᵁᴸᴸ"
+              else textValue(r.get(i), schema.fields(i).dataType))
+            out.append('\n')
+          }
+          n += 1
+        }
+        n
+      case "markdown" =>
+        // header + alignment separator (numbers right-aligned), then
+        // one row per line — fully streaming, no width pass
+        out.append(schema.fieldNames.map(mdEscape)
+          .mkString("| ", " | ", " |")).append('\n')
+        out.append(schema.fields.map(f => f.dataType match {
+          case _: NumericType => "---:"
+          case _ => "---"
+        }).mkString("| ", " | ", " |")).append('\n')
+        var n = 0L
+        rows.foreach { r =>
+          out.append(schema.fields.indices.map { i =>
+            if (r.isNullAt(i)) "\\N"
+            else mdEscape(textValue(r.get(i), schema.fields(i).dataType))
+          }.mkString("| ", " | ", " |")).append('\n')
+          n += 1
+        }
+        n
       case "null" =>
         // FORMAT Null: execute fully, emit nothing — the benchmark
         // format ClickBench drives with (output cost excluded)
@@ -158,6 +196,9 @@ object ResultFormatter {
       "'" + textValue(v, dt) + "'"
     case _ => textValue(v, dt)
   }
+
+  private def mdEscape(s: String): String =
+    s.replace("|", "\\|").replace("\n", "<br>").replace("\r", "")
 
   private def tsvEscape(s: String): String =
     s.replace("\\", "\\\\").replace("\t", "\\t")

@@ -775,6 +775,32 @@ object Dialect {
              CAST(DATE '2024-01-10' + (num % 3 * 3) * INTERVAL 1 MONTH AS DATE) AS qplus
       FROM n GROUP BY g ORDER BY g""")),
 
+    // W5: named WINDOW clause — Spark's parser has no WINDOW clause, so
+    // the transpiler inlines each definition at its OVER use sites
+    // (Transpiler.rewriteNamedWindows); DuckDB runs the clause natively
+    Q("w5_named_window", ch("""
+      SELECT number,
+             sum(number) OVER w1 AS cum,
+             round(avg(number) OVER w2, 4) AS ctr_avg,
+             row_number() OVER w1 AS rn,
+             max(number) OVER w3 AS grp_max
+      FROM numbers(30)
+      WINDOW w1 AS (ORDER BY number ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w2 AS (ORDER BY number ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING),
+             w3 AS (PARTITION BY number % 3 ORDER BY number)
+      ORDER BY number"""),
+      Some("""
+      SELECT range AS number,
+             CAST(sum(range) OVER w1 AS BIGINT) AS cum,
+             round(avg(range) OVER w2, 4) AS ctr_avg,
+             row_number() OVER w1 AS rn,
+             max(range) OVER w3 AS grp_max
+      FROM range(30)
+      WINDOW w1 AS (ORDER BY range ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w2 AS (ORDER BY range ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING),
+             w3 AS (PARTITION BY range % 3 ORDER BY range)
+      ORDER BY number""")),
+
     // F22: tier-2 aggregates (weighted mean, Kahan sum, popcount;
     // skewPop via DuckDB's sample-skew correction factor)
     Q("f22_ch_aggs2", ch("""

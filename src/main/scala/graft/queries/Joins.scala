@@ -194,6 +194,53 @@ object Joins {
       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
         ON p.user_id = c.user_id AND p.ts <= c.ts
+      ORDER BY p.event_id""")),
+
+    // J7: ClickHouse ANY LEFT JOIN — at most one right row per left
+    // row. ClickHouse's pick is arbitrary; the engine (Ddl.scala
+    // rewriteAnyJoin) picks the deterministic least full row per key,
+    // which here = min o_orderkey (first, unique column) — the oracle
+    // encodes the same pick. One keyed shuffle of the right side only.
+    Q("j7_any_join", (s, dir) => {
+      graft.dialect.ChContext.setup(s, dir)
+      graft.dialect.Engine.execute(s, """
+        SELECT c.c_custkey AS c_custkey, c.c_mktsegment AS c_mktsegment,
+               o.o_orderkey AS o_orderkey, o.o_totalprice AS o_totalprice
+        FROM customer c
+        ANY LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        ORDER BY c_custkey LIMIT 200""")
+    }, Some("""
+      SELECT c.c_custkey AS c_custkey, c.c_mktsegment AS c_mktsegment,
+             o.o_orderkey AS o_orderkey, o.o_totalprice AS o_totalprice
+      FROM customer c
+      LEFT JOIN (SELECT * FROM (SELECT *, row_number() OVER
+                   (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+                 FROM orders) WHERE rn = 1) o
+        ON c.c_custkey = o.o_custkey
+      ORDER BY c_custkey LIMIT 200""")),
+
+    // J8: ASOF JOIN spelled in SQL (the dialect route to the J5
+    // operator, Ddl.scala rewriteAsofJoin): subquery sides flatten to
+    // views, the ON clause splits into equi-keys + the one inequality,
+    // and alias-qualified refs remap onto the operator's output.
+    Q("j8_asof_sql", (s, dir) => {
+      graft.dialect.ChContext.setup(s, dir)
+      graft.dialect.Engine.execute(s, """
+        SELECT p.event_id AS event_id, p.user_id AS user_id, p.ts AS ts,
+               c.click_id AS click_id, c.ts AS click_ts
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_id
+                        FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY event_id""")
+    }, Some("""
+      SELECT p.event_id AS event_id, p.user_id AS user_id,
+             CAST(p.ts AS TIMESTAMP) AS ts,
+             c.event_id AS click_id, CAST(c.ts AS TIMESTAMP) AS click_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
       ORDER BY p.event_id"""))
   )
 }

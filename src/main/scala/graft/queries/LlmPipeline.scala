@@ -703,6 +703,70 @@ object LlmPipeline {
       LEFT JOIN d3 USING (doc_id)
       ORDER BY doc_id""")),
 
+    // L26: SemDeDup (Abbas et al. 2023) — semantic dedup: cluster the
+    // embedding space coarsely, then drop near-identical pairs WITHIN a
+    // cluster only (the cross-cluster miss is the method's accepted
+    // approximation). Clustering here is deterministic sign quantization
+    // of the first 8 dims (2^8 cells — the stand-in for the paper's
+    // k-means; at 100 TB raise the bit count / swap in trained
+    // centroids, same plan). The keep rule is non-greedy and
+    // order-free: drop a doc iff a LOWER-id doc in its cluster exceeds
+    // the similarity threshold — deterministic, SQL-expressible, and
+    // the pair scan is an EQUI-join on the cluster key (no BNLJ;
+    // per-task work bounded by cluster size, exactly like the paper's
+    // per-cluster pairwise pass).
+    // The fixture has no natural near-dups (max within-cluster cosine
+    // 0.43), so the corpus is unioned with SCALED copies of itself
+    // (id+100000, every element ×1.01): cosine is scale-invariant, so
+    // each copy is an exact sim-1.0 near-dup of its original in the
+    // same sign cell — all 500 copies must drop, all originals survive.
+    Q("l26_semdedup", (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val base = e.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val copies = base.select((col("vec_id") + 100000).as("vec_id"),
+        expr("transform(v, x -> x * 1.01)").as("v"))
+      val cluster = (0 until 8).map(i =>
+        when(element_at(col("v"), i + 1) >= 0d, lit(1 << i))
+          .otherwise(lit(0))).reduce(_ + _)
+      val c = base.unionByName(copies)
+        .withColumn("cluster", cluster)
+        .withColumn("n", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+      val a = c.select(col("cluster"), col("vec_id").as("a_id"),
+        col("v").as("a_v"), col("n").as("a_n"))
+      val b = c.select(col("cluster"), col("vec_id").as("b_id"),
+        col("v").as("b_v"), col("n").as("b_n"))
+      val drops = a.join(b, Seq("cluster")).filter(col("a_id") < col("b_id"))
+        .withColumn("sim", round(expr(
+          "aggregate(zip_with(a_v, b_v, (x, y) -> x * y)," +
+            " 0D, (acc, x) -> acc + x)") / (col("a_n") * col("b_n")), 6))
+        .filter(col("sim") > 0.92)
+        .select(col("b_id").as("vec_id")).distinct()
+      c.join(drops, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("cluster").cast("int").as("cluster"))
+        .orderBy("vec_id")
+    }, Some("""
+      WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      e AS (SELECT vec_id, v FROM base
+            UNION ALL
+            SELECT vec_id + 100000, list_transform(v, x -> x * 1.01) FROM base),
+      c AS (SELECT vec_id, v,
+              (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END)
+              + 2 * (CASE WHEN v[2] >= 0 THEN 1 ELSE 0 END)
+              + 4 * (CASE WHEN v[3] >= 0 THEN 1 ELSE 0 END)
+              + 8 * (CASE WHEN v[4] >= 0 THEN 1 ELSE 0 END)
+              + 16 * (CASE WHEN v[5] >= 0 THEN 1 ELSE 0 END)
+              + 32 * (CASE WHEN v[6] >= 0 THEN 1 ELSE 0 END)
+              + 64 * (CASE WHEN v[7] >= 0 THEN 1 ELSE 0 END)
+              + 128 * (CASE WHEN v[8] >= 0 THEN 1 ELSE 0 END) AS cluster,
+              sqrt(list_inner_product(v, v)) AS n
+            FROM e),
+      drops AS (SELECT DISTINCT b.vec_id FROM c a JOIN c b
+                  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                WHERE round(list_inner_product(a.v, b.v) / (a.n * b.n), 6) > 0.92)
+      SELECT vec_id, CAST(cluster AS INT) AS cluster FROM c
+      WHERE vec_id NOT IN (SELECT vec_id FROM drops) ORDER BY vec_id""")),
+
     // M1: multimodal columns — binary payload + typed metadata, decode
     // stub over mapPartitions (real batch plumbing, fake codec)
     Q("m1_multimodal", (s, dir) => {

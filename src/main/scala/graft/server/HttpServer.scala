@@ -274,7 +274,13 @@ object UserSessions {
     val cutoff = System.currentTimeMillis() - TtlMillis
     lastAccess.filterInPlace { (key, at) =>
       if (at >= cutoff) true
-      else { sessions.remove(key); false } // SparkSession shares the context; nothing to close
+      else {
+        // session end: TEMPORARY tables die with it (ClickHouse
+        // contract); the SparkSession itself shares the context and
+        // needs no close
+        sessions.remove(key).foreach(graft.dialect.Ddl.dropTempTables)
+        false
+      }
     }
   }
 
@@ -311,6 +317,7 @@ object UserSessions {
     sessions.foreach { case (credentials, s) =>
       val db = dbNameFor(credentials)
       try {
+        graft.dialect.Ddl.dropTempTables(s)
         val loc = java.nio.file.Paths.get(new java.net.URI(
           s.sessionState.catalog.getDatabaseMetadata(db).locationUri.toString))
         s.catalog.setCurrentDatabase("default")

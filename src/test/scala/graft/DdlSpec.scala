@@ -608,6 +608,78 @@ class DdlSpec extends AnyFunSuite {
     assert(rows() === Seq(2L, 3L))
   }
 
+  test("CREATE TEMPORARY TABLE lives in the session and dies with it") {
+    val s2 = spark.newSession()
+    graft.dialect.ChFunctions.register(s2)
+    Engine.execute(s2, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(s2, "DROP TABLE IF EXISTS graft_spec.tmp_t")
+    // ENGINE optional on TEMPORARY (ClickHouse defaults it to Memory)
+    Engine.execute(s2,
+      "CREATE TEMPORARY TABLE graft_spec.tmp_t (k Int64, v String)")
+    Engine.execute(s2,
+      "INSERT INTO graft_spec.tmp_t VALUES (1, 'a'), (2, 'b')")
+    val got = Engine.execute(s2,
+      "SELECT k FROM graft_spec.tmp_t ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L, 2L))
+    // session end: the temp table is dropped from the shared catalog
+    graft.dialect.Ddl.dropTempTables(s2)
+    assert(!spark.catalog.tableExists("graft_spec.tmp_t"))
+    // idempotent
+    graft.dialect.Ddl.dropTempTables(s2)
+  }
+
+  test("ANY and ASOF join dialect forms route through the engine") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.aj_l")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.aj_r")
+    Engine.execute(spark,
+      "CREATE TABLE graft_spec.aj_l (k Int64, v String) ENGINE=Memory")
+    Engine.execute(spark,
+      "CREATE TABLE graft_spec.aj_r (k Int64, w Int64) ENGINE=Memory")
+    Engine.execute(spark,
+      "INSERT INTO graft_spec.aj_l VALUES (1,'a'), (2,'b'), (3,'c')")
+    Engine.execute(spark,
+      "INSERT INTO graft_spec.aj_r VALUES (1,10), (1,20), (2,30)")
+    // ANY LEFT: every left row exactly once; deterministic pick = least
+    // full right row per key -> k=1 carries w=10
+    val anyLeft = Engine.execute(spark, """
+      SELECT l.k AS k, l.v AS v, r.w AS w FROM graft_spec.aj_l l
+      ANY LEFT JOIN graft_spec.aj_r r ON l.k = r.k ORDER BY k""")
+      .collect()
+      .map(row => (row.getLong(0), if (row.isNullAt(2)) -1L else row.getLong(2)))
+    assert(anyLeft.toSeq === Seq((1L, 10L), (2L, 30L), (3L, -1L)))
+    // bare ANY JOIN = inner: unmatched left rows drop
+    val anyInner = Engine.execute(spark, """
+      SELECT l.k AS k, r.w AS w FROM graft_spec.aj_l l
+      ANY JOIN graft_spec.aj_r r ON l.k = r.k ORDER BY k""").collect()
+    assert(anyInner.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(anyInner.map(_.getLong(1)).toSeq === Seq(10L, 30L))
+    // ANY RIGHT dedupes the LEFT side — refused loudly
+    intercept[UnsupportedOperationException] {
+      Engine.execute(spark, """
+        SELECT 1 FROM graft_spec.aj_l l
+        ANY RIGHT JOIN graft_spec.aj_r r ON l.k = r.k""")
+    }
+    // ASOF inner over bare tables: unmatched left rows drop
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.as_l")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.as_r")
+    Engine.execute(spark,
+      "CREATE TABLE graft_spec.as_l (k Int64, t Int64) ENGINE=Memory")
+    Engine.execute(spark,
+      "CREATE TABLE graft_spec.as_r (k Int64, t Int64, p Int64) ENGINE=Memory")
+    Engine.execute(spark,
+      "INSERT INTO graft_spec.as_l VALUES (1,5), (1,15), (2,5)")
+    Engine.execute(spark,
+      "INSERT INTO graft_spec.as_r VALUES (1,3,100), (1,10,200), (2,9,300)")
+    val asof = Engine.execute(spark, """
+      SELECT l.k AS k, l.t AS t, r.p AS p FROM graft_spec.as_l l
+      ASOF JOIN graft_spec.as_r r ON l.k = r.k AND l.t >= r.t
+      ORDER BY k, t""").collect()
+    assert(asof.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 5L, 100L), (1L, 15L, 200L)))
+  }
+
   test("system.query_log records statements with type and user") {
     val tag = s"qlog_probe_${System.nanoTime()}"
     Engine.execute(spark, s"SELECT 1 AS $tag")

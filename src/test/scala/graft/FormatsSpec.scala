@@ -67,6 +67,23 @@ class FormatsSpec extends AnyFunSuite {
     assert(out.contains(""""type":"Int64""""), out)
   }
 
+  test("Vertical: one name: value line per column, padded, NULL as ᴺᵁᴸᴸ") {
+    val out = ResultFormatter.render(
+      q("SELECT 1 AS id, 'hi' AS name, NULL AS gap"), "Vertical")
+    assert(out ===
+      "Row 1:\n──────\nid:   1\nname: hi\ngap:  ᴺᵁᴸᴸ\n")
+    val two = ResultFormatter.render(
+      q("SELECT number AS n FROM numbers(2)"), "Vertical")
+    assert(two === "Row 1:\n──────\nn: 0\n\nRow 2:\n──────\nn: 1\n")
+  }
+
+  test("Markdown: header + alignment row, numbers right-aligned, pipes escaped") {
+    val out = ResultFormatter.render(
+      q("SELECT 1 AS id, 'a|b' AS s"), "Markdown")
+    assert(out ===
+      "| id | s |\n| ---: | --- |\n| 1 | a\\|b |\n")
+  }
+
   test("ClickHouse type names map from Spark types") {
     val df = q("SELECT 1 AS i, CAST(1 AS BIGINT) AS l, 1.5 AS d, 'x' AS s, " +
       "CAST('2024-01-01' AS DATE) AS dt, array(1, 2) AS arr")
