@@ -933,11 +933,93 @@ object Engine {
       .toDF("event_time", "query", "query_duration_ms", "type", "user")
   }
 
+  /** Live registry behind `system.processes` and `KILL QUERY`. Every
+    * execute() tags its thread with a per-query job group
+    * (interruptOnCancel), so a KILL from another connection cancels the
+    * query's running/future Spark jobs — including the lazy tail of a
+    * SELECT that is still streaming to its client. Entries retire when
+    * the statement's synchronous part ends (DDL/DML) or when the server
+    * finishes streaming ([[finishQuery]]); a size cap bounds strays. */
+  private case class Running(groupId: String, startMs: Long, query: String,
+                             user: String, sc: org.apache.spark.SparkContext)
+  private val running =
+    scala.collection.concurrent.TrieMap.empty[String, Running]
+  private val maxRunning = 200
+  private val lastIdOnThread = new ThreadLocal[String]
+
+  private def beginQuery(spark: SparkSession, queryId: Option[String],
+                         query: String, user: String): String = {
+    val id = queryId.filter(_.nonEmpty)
+      .getOrElse(java.util.UUID.randomUUID().toString)
+    val gid = s"graft-qid-$id"
+    spark.sparkContext.setJobGroup(gid, query.take(200),
+      interruptOnCancel = true)
+    // one thread runs one query at a time: starting a new one retires
+    // the thread's previous entry (library callers never call
+    // finishQuery; without this a query loop would pool up to the cap)
+    Option(lastIdOnThread.get()).foreach(finishQuery)
+    lastIdOnThread.set(id)
+    if (running.size >= maxRunning) // bound strays (oldest first)
+      running.toSeq.sortBy(_._2.startMs).take(running.size - maxRunning + 1)
+        .foreach { case (k, _) => running.remove(k) }
+    running.put(id, Running(gid, System.currentTimeMillis(), query, user,
+      spark.sparkContext))
+    id
+  }
+
+  /** Retire a query from `system.processes` once its result has fully
+    * streamed. Servers call this from their response `finally`. */
+  def finishQuery(id: String): Unit = running.remove(id)
+
+  private[graft] def processesSnapshot(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val now = System.currentTimeMillis()
+    running.toSeq.sortBy(_._2.startMs)
+      .map { case (id, r) =>
+        (id, r.user, (now - r.startMs) / 1000.0, r.query) }
+      .toDF("query_id", "user", "elapsed", "query")
+  }
+
+  private val killQueryRe =
+    "(?is)^\\s*KILL\\s+QUERY\\s+WHERE\\s+(.+?)\\s*(?:SYNC|ASYNC|TEST)?\\s*$".r
+
+  /** `KILL QUERY WHERE <cond> [SYNC|ASYNC|TEST]` — the predicate runs
+    * over the system.processes frame (so any of its columns work),
+    * matched queries get their job group cancelled, and the ClickHouse
+    * result shape (kill_status, query_id, user, query) returns. */
+  private def killQuery(spark: SparkSession, cond: String): DataFrame = {
+    import spark.implicits._
+    val matched = processesSnapshot(spark)
+      .filter(org.apache.spark.sql.functions.expr(Transpiler.transpile(cond)))
+      .select("query_id").collect().map(_.getString(0)).toSeq
+    val rows = matched.flatMap { id =>
+      running.remove(id).map { r =>
+        try r.sc.cancelJobGroup(r.groupId) catch { case _: Throwable => () }
+        ("finished", id, r.user, r.query)
+      }
+    }
+    rows.toDF("kill_status", "query_id", "user", "query")
+  }
+
   def execute(spark: SparkSession, rawSql: String): DataFrame =
     execute(spark, rawSql, "default")
 
-  def execute(spark: SparkSession, rawSql: String, user: String): DataFrame = {
+  def execute(spark: SparkSession, rawSql: String, user: String): DataFrame =
+    execute(spark, rawSql, user, None)
+
+  /** @param queryId client-supplied id (HTTP `query_id=` param /
+    *                native client info) keying `system.processes` and
+    *                `KILL QUERY`; generated when absent. */
+  def execute(spark: SparkSession, rawSql: String, user: String,
+              queryId: Option[String]): DataFrame = {
+    killQueryRe.findFirstMatchIn(rawSql) match {
+      case Some(m) => return killQuery(spark, m.group(1))
+      case None => ()
+    }
     val t0 = System.currentTimeMillis()
+    val id = beginQuery(spark, queryId, rawSql, user)
+    val isSelect = "(?is)^\\s*(SELECT|WITH|EXPLAIN)\\b".r
+      .findFirstIn(rawSql).isDefined
     try {
       val out = executeInner(spark, rawSql)
       // the log itself is queryable but never logs its own reads
@@ -949,7 +1031,14 @@ object Engine {
       case e: Throwable =>
         record(LogEntry(t0, rawSql, System.currentTimeMillis() - t0,
           "ExceptionWhileProcessing", user))
+        finishQuery(id)
         throw e
+    } finally {
+      // DDL/DML ran synchronously — retire now. A SELECT's jobs run at
+      // the caller's sink; it stays listed until finishQuery (servers)
+      // or the size cap (library callers, where cancellation targets
+      // the caller's own thread anyway).
+      if (!isSelect) finishQuery(id)
     }
   }
 
@@ -1061,7 +1150,8 @@ object Engine {
       "databases" -> (() => ChContext.databasesLive(spark)),
       "tables" -> (() => ChContext.tablesLive(spark)),
       "columns" -> (() => ChContext.columnsLive(spark)),
-      "query_log" -> (() => Engine.queryLogSnapshot(spark)))
+      "query_log" -> (() => Engine.queryLogSnapshot(spark)),
+      "processes" -> (() => Engine.processesSnapshot(spark)))
     live.foldLeft(sql) { case (s, (name, build)) =>
       val re = s"(?i)(?<![\\w`])system\\.$name(?![\\w`])"
       if (re.r.findFirstIn(s).isEmpty) s

@@ -117,6 +117,11 @@ class HttpServer(spark: SparkSession, port: Int,
     val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
     val baseSession = sessionFor(auth)
     val defaultFormat = params.getOrElse("default_format", "TSV")
+    // query_id keys system.processes / KILL QUERY; generated if absent
+    // so every request is addressable. Retired once the response has
+    // fully streamed (the finally below).
+    val queryId = params.get("query_id")
+      .filter(_.nonEmpty).getOrElse(java.util.UUID.randomUUID().toString)
     try {
       // database= is request-scoped, like the reference's per-query
       // `USE db;` prefix (main.py:860-861). Mutating the shared
@@ -147,7 +152,7 @@ class HttpServer(spark: SparkSession, port: Int,
             catch { case _: Throwable => "default" }
         })
         .filter(_.nonEmpty).getOrElse("default")
-      val df = graft.dialect.Engine.execute(session, bare, user)
+      val df = graft.dialect.Engine.execute(session, bare, user, Some(queryId))
       // response headers ClickHouse clients read
       ex.getResponseHeaders.set("X-ClickHouse-Format", fmt)
       ex.getResponseHeaders.set("X-ClickHouse-Timezone", "UTC")
@@ -224,6 +229,8 @@ class HttpServer(spark: SparkSession, port: Int,
         val msg = Option(t.getMessage).getOrElse(t.getClass.getSimpleName)
         try respond(ex, 400, msg + "\n")
         catch { case _: Throwable => ex.close() }
+    } finally {
+      graft.dialect.Engine.finishQuery(queryId)
     }
   }
 

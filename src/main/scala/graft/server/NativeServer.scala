@@ -110,7 +110,9 @@ class NativeServer(spark: SparkSession, port: Int,
   private def handleQuery(in: InputStream, out: OutputStream,
                           clientRevision: Long, session: SparkSession,
                           authUser: String): Unit = {
-    readStr(in) // query id
+    val queryId0 = readStr(in) // query id (keys system.processes / KILL)
+    val queryId = if (queryId0.nonEmpty) queryId0
+      else java.util.UUID.randomUUID().toString
     if (clientRevision >= 54032) {
       val kind = in.read()
       if (kind != 0) {
@@ -142,7 +144,7 @@ class NativeServer(spark: SparkSession, port: Int,
 
     try {
       val (bare, _) = Transpiler.extractFormat(query) // native ignores FORMAT
-      val df = Engine.execute(session, bare, authUser)
+      val df = Engine.execute(session, bare, authUser, Some(queryId))
       val isSelect = bare.trim.toUpperCase.startsWith("SELECT") ||
         bare.trim.toUpperCase.startsWith("WITH")
       if (isSelect) {
@@ -184,7 +186,7 @@ class NativeServer(spark: SparkSession, port: Int,
         writeStr(out, Option(t.getMessage).getOrElse(t.getClass.getName))
         writeVarint(out, ServerEndOfStream)
         out.flush()
-    }
+    } finally Engine.finishQuery(queryId)
   }
 
   /** varint-length zlib-deflated string (main.py:782-804 framing). */

@@ -608,6 +608,49 @@ class DdlSpec extends AnyFunSuite {
     assert(rows() === Seq(2L, 3L))
   }
 
+  test("system.processes lists tagged queries; KILL QUERY retires them") {
+    // observer runs on its OWN thread, like a second connection — a
+    // same-thread probe would retire the victim's entry first (the
+    // one-query-per-thread hygiene in beginQuery)
+    def onThread[T](f: => T): T = {
+      var out: Option[T] = None; var err: Option[Throwable] = None
+      val t = new Thread(() =>
+        try out = Some(f) catch { case e: Throwable => err = Some(e) })
+      t.start(); t.join()
+      err.foreach(throw _); out.get
+    }
+    val qid = s"spec_kill_${System.nanoTime()}"
+    // a SELECT stays listed after execute() returns (its lazy tail may
+    // still be streaming)
+    Engine.execute(spark, "SELECT number FROM numbers(5)", "alice", Some(qid))
+    val procs = onThread(Engine.execute(spark,
+      s"SELECT query_id, user FROM system.processes WHERE query_id = '$qid'")
+      .collect())
+    assert(procs.length === 1)
+    assert(procs.head.getString(1) === "alice")
+    // KILL QUERY matches on any processes column, returns CH's shape,
+    // and removes the entry
+    val killed = onThread(Engine.execute(spark,
+      s"KILL QUERY WHERE query_id = '$qid' SYNC"))
+    assert(killed.columns.toSeq ===
+      Seq("kill_status", "query_id", "user", "query"))
+    val kr = killed.collect()
+    assert(kr.length === 1 && kr.head.getString(1) === qid)
+    assert(onThread(Engine.execute(spark,
+      s"SELECT query_id FROM system.processes WHERE query_id = '$qid'")
+      .collect()).isEmpty)
+    // killing an already-gone id returns zero rows, not an error
+    assert(onThread(Engine.execute(spark,
+      s"KILL QUERY WHERE query_id = '$qid'").collect()).isEmpty)
+    // a new query on a thread retires that thread's previous entry
+    val q2 = s"${qid}_b"
+    Engine.execute(spark, "SELECT 1", "bob", Some(q2))
+    Engine.execute(spark, "SELECT 2", "bob", Some(s"${qid}_c"))
+    assert(onThread(Engine.execute(spark,
+      s"SELECT query_id FROM system.processes WHERE query_id = '$q2'")
+      .collect()).isEmpty)
+  }
+
   test("CREATE TEMPORARY TABLE lives in the session and dies with it") {
     val s2 = spark.newSession()
     graft.dialect.ChFunctions.register(s2)
