@@ -862,7 +862,28 @@ object ChFunctions {
       // to Spark `percentile` by the Transpiler before the registry)
       "sumKahan" -> (a => Sum(Cast(a.head, DoubleType)).toAggregateExpression()),
       "skewPop" -> (a => Skewness(Cast(a.head, DoubleType)).toAggregateExpression()),
-      "kurtPop" -> (a => Kurtosis(Cast(a.head, DoubleType)).toAggregateExpression())
+      "kurtPop" -> (a => Kurtosis(Cast(a.head, DoubleType)).toAggregateExpression()),
+
+      // ---- external dictionaries (lookup side; DDL in Ddl/Dictionaries).
+      // Compiled to ElementAt over a map literal — codegen'd, shipped
+      // once per executor in the broadcast task binary ----
+      "dictGet" -> (Dictionaries.dictGet _),
+      "dictGetOrDefault" -> (Dictionaries.dictGetOrDefault _),
+      "dictGetOrNull" -> (Dictionaries.dictGetOrNull _),
+      "dictHas" -> (Dictionaries.dictHas _),
+      "dictGetString" -> Dictionaries.dictGetTyped(StringType),
+      "dictGetUInt8" -> Dictionaries.dictGetTyped(ShortType),
+      "dictGetUInt16" -> Dictionaries.dictGetTyped(IntegerType),
+      "dictGetUInt32" -> Dictionaries.dictGetTyped(LongType),
+      "dictGetUInt64" -> Dictionaries.dictGetTyped(DecimalType(20, 0)),
+      "dictGetInt8" -> Dictionaries.dictGetTyped(ByteType),
+      "dictGetInt16" -> Dictionaries.dictGetTyped(ShortType),
+      "dictGetInt32" -> Dictionaries.dictGetTyped(IntegerType),
+      "dictGetInt64" -> Dictionaries.dictGetTyped(LongType),
+      "dictGetFloat32" -> Dictionaries.dictGetTyped(FloatType),
+      "dictGetFloat64" -> Dictionaries.dictGetTyped(DoubleType),
+      "dictGetDate" -> Dictionaries.dictGetTyped(DateType),
+      "dictGetDateTime" -> Dictionaries.dictGetTyped(TimestampType)
     )
   }
 

@@ -282,6 +282,85 @@ object Ddl {
     "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+REMOVE\\s+TTL\\s*$".r
   private val renameTableRe =
     "(?is)^\\s*RENAME\\s+TABLE\\s+(.+)$".r
+  private val createDictRe =
+    ("(?is)^\\s*CREATE\\s+DICTIONARY\\s+(IF\\s+NOT\\s+EXISTS\\s+)?" +
+      "([\\w`.]+)\\s*\\((.*)$").r
+  private val dropDictRe =
+    "(?is)^\\s*DROP\\s+DICTIONARY\\s+(IF\\s+EXISTS\\s+)?([\\w`.]+)\\s*$".r
+  private val showDictRe = "(?is)^\\s*SHOW\\s+DICTIONARIES\\s*$".r
+  private val systemReloadDictRe =
+    ("(?is)^\\s*SYSTEM\\s+RELOAD\\s+" +
+      "(?:DICTIONARY\\s+([\\w`.]+)|DICTIONARIES)\\s*$").r
+
+  /** `CREATE DICTIONARY name (key UInt64, attr Type [DEFAULT x], ...)
+    * PRIMARY KEY key SOURCE(CLICKHOUSE(TABLE 'src')) LAYOUT(...)
+    * LIFETIME(...)`. `tail` starts right after the column list's
+    * opening paren. LAYOUT/LIFETIME are accepted and dropped (every
+    * layout maps to the same in-plan map literal; refresh is the
+    * SYSTEM RELOAD pull model). */
+  private def createDictionary(spark: SparkSession, ifNot: Boolean,
+                               name: String, tail: String): DataFrame = {
+    // find the column list's matching close paren (quote/paren aware)
+    var depth = 1; var i = 0; var inStr = false
+    while (i < tail.length && depth > 0) {
+      val c = tail.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ => ()
+      }
+      i += 1
+    }
+    if (depth != 0) throw new IllegalArgumentException(
+      s"CREATE DICTIONARY $name: unbalanced column list")
+    val colsStr = tail.substring(0, i - 1)
+    val rest = tail.substring(i)
+    val pk = "(?is)PRIMARY\\s+KEY\\s+(.+?)(?=\\bSOURCE\\b|\\bLAYOUT\\b|\\bLIFETIME\\b|\\bSETTINGS\\b|$)".r
+      .findFirstMatchIn(rest).map(_.group(1).trim)
+      .getOrElse(throw new IllegalArgumentException(
+        s"CREATE DICTIONARY $name: missing PRIMARY KEY"))
+    if (pk.contains(","))
+      throw new IllegalArgumentException(
+        s"CREATE DICTIONARY $name: composite keys are not supported — " +
+          "JOIN the source table for multi-column lookups")
+    val keyCol = pk.replace("`", "")
+    val source = "(?is)\\bTABLE\\s+(?:'([^']+)'|([\\w`.]+))".r
+      .findFirstMatchIn(rest)
+      .map(m => Option(m.group(1)).getOrElse(m.group(2)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"CREATE DICTIONARY $name: SOURCE must name a TABLE"))
+    val colRe = "(?is)^\\s*([\\w`]+)\\s+(.+?)(?:\\s+DEFAULT\\s+(.+))?\\s*$".r
+    val attrs = splitTopLevel(colsStr).map(_.trim).filter(_.nonEmpty)
+      .flatMap {
+        case colRe(n, t, d) =>
+          val cn = n.replace("`", "")
+          if (cn.equalsIgnoreCase(keyCol)) None
+          else Some(Dictionaries.Attr(cn, t.trim, Option(d).map(_.trim)))
+        case bad => throw new IllegalArgumentException(
+          s"CREATE DICTIONARY $name: bad attribute definition: $bad")
+      }
+    if (attrs.isEmpty) throw new IllegalArgumentException(
+      s"CREATE DICTIONARY $name: needs at least one non-key attribute")
+    if (Dictionaries.exists(name) && !ifNot)
+      throw new IllegalArgumentException(s"Dictionary $name already exists")
+    // validate the source exists and carries the declared columns now
+    // (ClickHouse validates at CREATE too); also back the dictionary's
+    // table face — `SELECT * FROM dict` — with a session view
+    val src = spark.table(source.replace("`", ""))
+    val cols = (keyCol +: attrs.map(_.name)).map { c =>
+      src.schema.fields.find(_.name.equalsIgnoreCase(c))
+        .getOrElse(throw new IllegalArgumentException(
+          s"CREATE DICTIONARY $name: column $c not in $source")).name
+    }
+    Dictionaries.create(spark, name, keyCol, attrs, source, ifNot)
+    val bareN0 = name.replace("`", "")
+    src.select(cols.head, cols.tail: _*).createOrReplaceTempView(
+      bareN0.substring(bareN0.lastIndexOf('.') + 1))
+    spark.emptyDataFrame
+  }
+
   private val alterDeleteRe =
     "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+DELETE\\s+WHERE\\s+(.+)$".r
   private val alterUpdateRe =
@@ -289,13 +368,32 @@ object Ddl {
 
   def isDdl(sql: String): Boolean =
     ("(?is)^\\s*(CREATE|DROP|USE|INSERT|TRUNCATE|ALTER|OPTIMIZE" +
-      "|SHOW|DESCRIBE|DESC|EXISTS|RENAME)\\b").r
+      "|SHOW|DESCRIBE|DESC|EXISTS|RENAME|SYSTEM)\\b").r
       .findFirstIn(sql).isDefined
 
   /** Execute one ClickHouse DDL/DML statement. */
   def execute(spark: SparkSession, sql: String): DataFrame = {
     val s = sql.trim.stripSuffix(";")
     s match {
+      case createDictRe(ifNot, name, tail) =>
+        createDictionary(spark, Option(ifNot).isDefined, name, tail)
+      case dropDictRe(ifExists, name) =>
+        Dictionaries.drop(name, Option(ifExists).isDefined)
+        val bareN = name.replace("`", "")
+        spark.catalog.dropTempView(
+          bareN.substring(bareN.lastIndexOf('.') + 1))
+        spark.emptyDataFrame
+      case showDictRe() =>
+        import spark.implicits._
+        Dictionaries.names.toDF("name")
+      case systemReloadDictRe(name) =>
+        Dictionaries.invalidate(Option(name).map(_.trim))
+        spark.emptyDataFrame
+      case _ if "(?is)^\\s*SYSTEM\\b".r.findFirstIn(s).isDefined =>
+        // other SYSTEM verbs (FLUSH LOGS, DROP * CACHE, STOP/START
+        // MERGES, ...) are server-maintenance hints with no result
+        // contract here: accepted no-ops, like the reference's chdb
+        spark.emptyDataFrame
       case createDbRe(ifNot, name) =>
         spark.sql(s"CREATE DATABASE ${Option(ifNot).getOrElse("")} $name")
       case createViewRe(orReplace, mat, ifNot, name, toTgt, populate, body) =>
@@ -1151,7 +1249,8 @@ object Engine {
       "tables" -> (() => ChContext.tablesLive(spark)),
       "columns" -> (() => ChContext.columnsLive(spark)),
       "query_log" -> (() => Engine.queryLogSnapshot(spark)),
-      "processes" -> (() => Engine.processesSnapshot(spark)))
+      "processes" -> (() => Engine.processesSnapshot(spark)),
+      "dictionaries" -> (() => Dictionaries.snapshot(spark)))
     live.foldLeft(sql) { case (s, (name, build)) =>
       val re = s"(?i)(?<![\\w`])system\\.$name(?![\\w`])"
       if (re.r.findFirstIn(s).isEmpty) s

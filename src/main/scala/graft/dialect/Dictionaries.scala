@@ -1,0 +1,202 @@
+package graft.dialect
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+import scala.collection.concurrent.TrieMap
+
+/** ClickHouse external dictionaries: `CREATE DICTIONARY ... PRIMARY KEY
+  * k SOURCE(CLICKHOUSE(TABLE 'src')) LAYOUT(...) LIFETIME(...)` plus the
+  * `dictGet` / `dictGetOrDefault` / `dictHas` lookup functions. The
+  * reference passes the statements through to its embedded engine
+  * (/root/reference/main.py:190); the dialect shapes are ClickHouse's
+  * documented ones.
+  *
+  * Spark-first mapping: a FLAT/HASHED-layout dictionary is BY DEFINITION
+  * a fully RAM-resident dimension table — ClickHouse materializes it in
+  * memory on every server. The lookup therefore compiles to
+  * `ElementAt(<map literal>, key)`: a native, codegen'd Catalyst
+  * expression whose map ships to executors inside the broadcast task
+  * binary — the same bytes-on-the-wire shape as the hash side of a
+  * broadcast join, shipped once per executor, not per row or per task.
+  * Loads are lazy (first lookup after CREATE) and cached;
+  * `SYSTEM RELOAD DICTIONARY` drops the cache so the next lookup
+  * re-reads the source (the LIFETIME refresh contract, pull-based).
+  *
+  * Guardrail: a dictionary that exceeds [[maxEntries]] keys refuses to
+  * load — at that size the right Spark plan is a broadcast/shuffle JOIN
+  * against the source table, not an in-plan literal, and the error says
+  * so. Dimension tables (the intended use) sit orders of magnitude
+  * below the cap.
+  */
+object Dictionaries {
+
+  /** Attribute: name, declared ClickHouse type, optional DEFAULT
+    * expression text (ClickHouse returns it for absent keys). */
+  case class Attr(name: String, chType: String, default: Option[String])
+
+  /** @param spark the session the dictionary was created through —
+    *              lazy loads read the source table via it. */
+  case class Meta(name: String, keyCol: String, attrs: Seq[Attr],
+                  source: String, spark: SparkSession)
+
+  private val dicts = TrieMap.empty[String, Meta] // lowercased bare name
+  /** (dict, attr) -> (map literal, key spark type, value spark type) */
+  private val cache =
+    TrieMap.empty[(String, String), (Expression, DataType, DataType)]
+
+  val maxEntries: Int = 10 * 1000 * 1000
+
+  def create(spark: SparkSession, name: String, keyCol: String,
+             attrs: Seq[Attr], source: String, ifNotExists: Boolean): Unit = {
+    val key = bare(name)
+    if (dicts.contains(key) && ifNotExists) return
+    dicts.put(key, Meta(key, keyCol, attrs, source, spark))
+    attrs.foreach(a => cache.remove((key, a.name.toLowerCase)))
+  }
+
+  def drop(name: String, ifExists: Boolean): Unit = {
+    val removed = dicts.remove(bare(name))
+    if (removed.isEmpty && !ifExists)
+      throw new IllegalArgumentException(s"Dictionary $name does not exist")
+    removed.foreach(m =>
+      m.attrs.foreach(a => cache.remove((m.name, a.name.toLowerCase))))
+  }
+
+  /** `SYSTEM RELOAD DICTIONARY name` / `... DICTIONARIES`: the next
+    * lookup re-collects the source. */
+  def invalidate(name: Option[String]): Unit = name match {
+    case Some(n) =>
+      val k = bare(n)
+      cache.keys.filter(_._1 == k).foreach(cache.remove)
+    case None => cache.clear()
+  }
+
+  def names: Seq[String] = dicts.keys.toSeq.sorted
+
+  def exists(name: String): Boolean = dicts.contains(bare(name))
+
+  /** system.dictionaries live frame (columns clients read by name). */
+  def snapshot(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    dicts.values.toSeq.sortBy(_.name)
+      .map { m =>
+        val loaded = m.attrs.exists(a => cache.contains((m.name, a.name.toLowerCase)))
+        (m.name, m.keyCol, m.attrs.map(_.name).mkString(","),
+          m.source, if (loaded) "LOADED" else "NOT_LOADED")
+      }
+      .toDF("name", "key", "attribute_names", "source", "status")
+  }
+
+  // ---- expression builders (registered under dictGet* in ChFunctions) ----
+
+  /** `dictGet('dict', 'attr', key)` → declared DEFAULT (or the type's
+    * zero value) for absent keys, ClickHouse semantics. */
+  def dictGet(args: Seq[Expression]): Expression = {
+    require(args.length == 3, "dictGet(dict, attr, key) takes 3 arguments")
+    val (m, attr) = resolve(args(0), args(1))
+    val (mapLit, keyDt, valDt) = loadedMap(m, attr)
+    Coalesce(Seq(ElementAt(mapLit, Cast(args(2), keyDt), None, false),
+      defaultFor(m, attr, valDt)))
+  }
+
+  /** `dictGetOrDefault('dict', 'attr', key, default)`. */
+  def dictGetOrDefault(args: Seq[Expression]): Expression = {
+    require(args.length == 4,
+      "dictGetOrDefault(dict, attr, key, default) takes 4 arguments")
+    val (m, attr) = resolve(args(0), args(1))
+    val (mapLit, keyDt, valDt) = loadedMap(m, attr)
+    Coalesce(Seq(ElementAt(mapLit, Cast(args(2), keyDt), None, false),
+      Cast(args(3), valDt)))
+  }
+
+  /** `dictGetOrNull('dict', 'attr', key)`. */
+  def dictGetOrNull(args: Seq[Expression]): Expression = {
+    require(args.length == 3,
+      "dictGetOrNull(dict, attr, key) takes 3 arguments")
+    val (m, attr) = resolve(args(0), args(1))
+    val (mapLit, keyDt, _) = loadedMap(m, attr)
+    ElementAt(mapLit, Cast(args(2), keyDt), None, false)
+  }
+
+  /** `dictHas('dict', key)` → UInt8 0/1 like ClickHouse. */
+  def dictHas(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "dictHas(dict, key) takes 2 arguments")
+    val m = meta(litStr(args(0), "dictHas"))
+    // key presence must not depend on a value being non-null: probe the
+    // key array, not the looked-up value
+    val (mapLit, keyDt, _) = loadedMap(m, m.attrs.head.name.toLowerCase)
+    Cast(ArrayContains(MapKeys(mapLit), Cast(args(1), keyDt)), ShortType)
+  }
+
+  /** Typed variants (dictGetString/UInt64/...) — same lookup, cast to
+    * the requested type. */
+  def dictGetTyped(t: DataType)(args: Seq[Expression]): Expression =
+    Cast(dictGet(args), t)
+
+  // ---- internals ----
+
+  private def bare(name: String): String = {
+    val n = name.replace("`", "").toLowerCase
+    n.substring(n.lastIndexOf('.') + 1)
+  }
+
+  private def litStr(e: Expression, fn: String): String = e match {
+    case Literal(s, StringType) => s.toString
+    case _ => throw new IllegalArgumentException(
+      s"$fn: dictionary and attribute names must be string literals")
+  }
+
+  private def meta(name: String): Meta =
+    dicts.getOrElse(bare(name), throw new IllegalArgumentException(
+      s"Dictionary ${bare(name)} does not exist"))
+
+  private def resolve(dictE: Expression, attrE: Expression): (Meta, String) = {
+    val m = meta(litStr(dictE, "dictGet"))
+    val attr = litStr(attrE, "dictGet").toLowerCase
+    if (!m.attrs.exists(_.name.toLowerCase == attr))
+      throw new IllegalArgumentException(
+        s"Dictionary ${m.name} has no attribute $attr " +
+          s"(has: ${m.attrs.map(_.name).mkString(", ")})")
+    (m, attr)
+  }
+
+  /** Collect `SELECT key, attr FROM source` into a map literal (cached).
+    * Dimension-scale by contract — see the class doc guardrail. */
+  private def loadedMap(m: Meta, attr: String): (Expression, DataType, DataType) =
+    cache.getOrElseUpdate((m.name, attr), {
+      val src = m.spark.table(m.source.replace("`", ""))
+      val keyF = src.schema.fields.find(_.name.equalsIgnoreCase(m.keyCol))
+        .getOrElse(throw new IllegalArgumentException(
+          s"Dictionary ${m.name}: key column ${m.keyCol} not in ${m.source}"))
+      val valF = src.schema.fields.find(_.name.equalsIgnoreCase(attr))
+        .getOrElse(throw new IllegalArgumentException(
+          s"Dictionary ${m.name}: attribute $attr not in ${m.source}"))
+      val rows = src.select(keyF.name, valF.name).limit(maxEntries + 1)
+        .collect()
+      if (rows.length > maxEntries)
+        throw new IllegalArgumentException(
+          s"Dictionary ${m.name} exceeds $maxEntries entries; at that " +
+            "size JOIN the source table instead of a dictionary lookup")
+      val kv = rows.iterator.filter(!_.isNullAt(0))
+        .map(r => r.get(0) -> r.get(1)).toMap
+      val lit = Literal.create(kv,
+        MapType(keyF.dataType, valF.dataType, valueContainsNull = true))
+      (lit, keyF.dataType, valF.dataType)
+    })
+
+  /** ClickHouse's absent-key result: the attribute's declared DEFAULT,
+    * else the type's zero value ('' / 0 / epoch). */
+  private def defaultFor(m: Meta, attr: String, valDt: DataType): Expression =
+    m.attrs.find(_.name.toLowerCase == attr).flatMap(_.default) match {
+      case Some(text) =>
+        Cast(m.spark.sessionState.sqlParser.parseExpression(text), valDt)
+      case None => valDt match {
+        case StringType => Literal("")
+        case _: NumericType => Cast(Literal(0), valDt)
+        case DateType | TimestampType => Cast(Literal(0L), valDt)
+        case BooleanType => Literal(false)
+        case _ => Literal(null, valDt)
+      }
+    }
+}

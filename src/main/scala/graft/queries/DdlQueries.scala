@@ -200,6 +200,47 @@ object DdlQueries {
                     CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total
                   FROM orders WHERE o_orderkey % 4 = 1 GROUP BY 1)
       SELECT st, n, total FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
-      ORDER BY st, n, total"""))
+      ORDER BY st, n, total""")),
+
+    // External dictionary: CREATE DICTIONARY over nation, then the
+    // dictGet/dictHas/dictGetOrDefault lookup family against supplier
+    // keys — present keys resolve, absent keys (+100) fall back to the
+    // declared DEFAULT / the explicit default. The oracle reproduces
+    // each lookup as a correlated scalar subquery against nation.
+    Q("s12_dictionary", (s, dir) => {
+      ChContext.setup(s, dir)
+      Engine.execute(s, "DROP DICTIONARY IF EXISTS dim_nation")
+      Engine.execute(s, """
+        CREATE DICTIONARY dim_nation (
+          n_nationkey UInt64,
+          n_name String DEFAULT 'unknown',
+          n_regionkey UInt64)
+        PRIMARY KEY n_nationkey
+        SOURCE(CLICKHOUSE(TABLE 'nation'))
+        LAYOUT(HASHED()) LIFETIME(MIN 0 MAX 300)""")
+      Engine.execute(s, """
+        SELECT dictGet('dim_nation', 'n_name', s_nationkey) AS nation,
+               dictGetInt64('dim_nation', 'n_regionkey', s_nationkey) AS region_id,
+               dictHas('dim_nation', s_nationkey) AS present,
+               dictGet('dim_nation', 'n_name', s_nationkey + 100) AS dflt,
+               dictGetOrDefault('dim_nation', 'n_name', s_nationkey + 100, 'n/a') AS fallback,
+               count() AS n
+        FROM supplier
+        GROUP BY nation, region_id, present, dflt, fallback
+        ORDER BY nation""")
+    }, Some("""
+      SELECT coalesce((SELECT n_name FROM nation
+                       WHERE n_nationkey = s_nationkey), 'unknown') AS nation,
+             CAST(coalesce((SELECT n_regionkey FROM nation
+                            WHERE n_nationkey = s_nationkey), 0) AS BIGINT) AS region_id,
+             CAST(CASE WHEN EXISTS(SELECT 1 FROM nation
+                                   WHERE n_nationkey = s_nationkey)
+                  THEN 1 ELSE 0 END AS SMALLINT) AS present,
+             coalesce((SELECT n_name FROM nation
+                       WHERE n_nationkey = s_nationkey + 100), 'unknown') AS dflt,
+             coalesce((SELECT n_name FROM nation
+                       WHERE n_nationkey = s_nationkey + 100), 'n/a') AS fallback,
+             count(*) AS n
+      FROM supplier GROUP BY 1, 2, 3, 4, 5 ORDER BY nation"""))
   )
 }

@@ -651,6 +651,53 @@ class DdlSpec extends AnyFunSuite {
       .collect()).isEmpty)
   }
 
+  test("CREATE DICTIONARY: dictGet/dictHas lookups, defaults, RELOAD, DROP") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.dim_src")
+    Engine.execute(spark,
+      "CREATE TABLE graft_spec.dim_src (id UInt64, name String) ENGINE=Memory")
+    Engine.execute(spark,
+      "INSERT INTO graft_spec.dim_src VALUES (1, 'one'), (2, 'two')")
+    Engine.execute(spark, "DROP DICTIONARY IF EXISTS d_spec")
+    Engine.execute(spark, """
+      CREATE DICTIONARY d_spec (id UInt64, name String DEFAULT '?')
+      PRIMARY KEY id
+      SOURCE(CLICKHOUSE(TABLE 'graft_spec.dim_src'))
+      LAYOUT(FLAT()) LIFETIME(300)""")
+    val r = Engine.execute(spark, """
+      SELECT dictGet('d_spec', 'name', number) AS nm,
+             dictHas('d_spec', number) AS h
+      FROM numbers(4) ORDER BY number""").collect()
+    assert(r.map(_.getString(0)).toSeq === Seq("?", "one", "two", "?"))
+    assert(r.map(_.getShort(1)).toSeq === Seq[Short](0, 1, 1, 0))
+    // loaded maps cache: a source insert is invisible until RELOAD
+    // (the LIFETIME pull model)
+    Engine.execute(spark, "INSERT INTO graft_spec.dim_src VALUES (3, 'three')")
+    assert(Engine.execute(spark,
+      "SELECT dictGet('d_spec', 'name', 3)").collect().head.getString(0) === "?")
+    Engine.execute(spark, "SYSTEM RELOAD DICTIONARY d_spec")
+    assert(Engine.execute(spark,
+      "SELECT dictGet('d_spec', 'name', 3)").collect().head.getString(0) === "three")
+    // the dictionary's table face and the system registry
+    assert(Engine.execute(spark,
+      "SELECT count() FROM d_spec").collect().head.getLong(0) === 3L)
+    val sys = Engine.execute(spark,
+      "SELECT name, status FROM system.dictionaries WHERE name = 'd_spec'")
+      .collect()
+    assert(sys.length === 1 && sys.head.getString(1) === "LOADED")
+    // unknown attribute and composite keys fail loudly
+    assertThrows[Exception](Engine.execute(spark,
+      "SELECT dictGet('d_spec', 'nope', 1)"))
+    assertThrows[Exception](Engine.execute(spark, """
+      CREATE DICTIONARY d_bad (a UInt64, b UInt64, v String)
+      PRIMARY KEY a, b SOURCE(CLICKHOUSE(TABLE 'graft_spec.dim_src'))"""))
+    // other SYSTEM verbs are accepted no-ops
+    Engine.execute(spark, "SYSTEM FLUSH LOGS")
+    Engine.execute(spark, "DROP DICTIONARY d_spec")
+    assertThrows[Exception](Engine.execute(spark,
+      "SELECT dictGet('d_spec', 'name', 1)"))
+  }
+
   test("CREATE TEMPORARY TABLE lives in the session and dies with it") {
     val s2 = spark.newSession()
     graft.dialect.ChFunctions.register(s2)
