@@ -1629,8 +1629,8 @@ object Engine {
     m.group(4).toLowerCase match {
       case f @ ("rowbinary" | "rowbinarywithnamesandtypes" | "native") =>
         binaryInsert(spark, table, cols, f, payload)
-      case "parquet" =>
-        parquetInsert(spark, table, cols, payload)
+      case f @ ("parquet" | "orc") =>
+        columnarFileInsert(spark, table, cols, f, payload)
       case _ =>
         insertWithData(spark, table, cols, m.group(4),
           new String(payload, java.nio.charset.StandardCharsets.UTF_8))
@@ -1641,7 +1641,7 @@ object Engine {
     * HTTP server must not decode such bodies as UTF-8). */
   def isBinaryInsertFormat(format: String): Boolean =
     Set("rowbinary", "rowbinarywithnamesandtypes", "native",
-      "parquet")(format.toLowerCase)
+      "parquet", "orc")(format.toLowerCase)
 
   private def binaryInsert(spark: SparkSession, table: String,
                            cols: Option[Seq[String]], format: String,
@@ -1681,19 +1681,20 @@ object Engine {
     spark.emptyDataFrame
   }
 
-  /** INSERT ... FORMAT Parquet: the payload is one complete parquet
-    * file (what clickhouse-client sends for columnar bulk loads). It
-    * lands in a scratch file and Spark's parquet reader parses it —
-    * the driver never decodes values row by row. Columns resolve by
-    * name when the file carries the target's names, positionally over
-    * the announced column list otherwise. */
-  private def parquetInsert(spark: SparkSession, table: String,
-                            cols: Option[Seq[String]],
-                            payload: Array[Byte]): DataFrame = {
-    val tmp = java.nio.file.Files.createTempFile("graft_insert", ".parquet")
+  /** INSERT ... FORMAT Parquet|ORC: the payload is one complete
+    * columnar file (what clickhouse-client sends for bulk loads). It
+    * lands in a scratch file and Spark's reader parses it — the driver
+    * never decodes values row by row. Columns resolve by name when the
+    * file carries the target's names, positionally over the announced
+    * column list otherwise. */
+  private def columnarFileInsert(spark: SparkSession, table: String,
+                                 cols: Option[Seq[String]], format: String,
+                                 payload: Array[Byte]): DataFrame = {
+    val tmp = java.nio.file.Files.createTempFile("graft_insert", "." + format)
     try {
       java.nio.file.Files.write(tmp, payload)
-      val parsed = spark.read.parquet(tmp.toString)
+      val parsed = if (format == "orc") spark.read.orc(tmp.toString)
+        else spark.read.parquet(tmp.toString)
       val full = spark.table(table).schema
       val announced =
         cols.getOrElse(full.fields.map(_.name).filterNot(_ == "_part").toSeq)
@@ -1702,7 +1703,7 @@ object Engine {
         else if (parsed.columns.length == announced.length)
           parsed.toDF(announced.toIndexedSeq: _*)
         else throw new IllegalArgumentException(
-          s"parquet payload has ${parsed.columns.length} columns, " +
+          s"$format payload has ${parsed.columns.length} columns, " +
             s"expected ${announced.length} (${announced.mkString(", ")})")
       val out = full.fields.filterNot(_.name == "_part").map { f =>
         if (named.columns.contains(f.name))
@@ -1744,6 +1745,36 @@ object Engine {
         s.map(coerce(_, et))
       case (other, _) => other
     }
+  }
+
+  /** Split a stream of top-level JSON objects (`{...}{...}` or
+    * newline-separated) into their verbatim texts — string- and
+    * escape-aware, no parsing of the contents. */
+  private def splitTopLevelJson(data: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var inStr = false; var esc = false; var start = -1
+    var i = 0
+    while (i < data.length) {
+      val c = data.charAt(i)
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' => if (depth == 0) start = i; depth += 1
+        case '}' =>
+          depth -= 1
+          if (depth == 0 && start >= 0) {
+            out += data.substring(start, i + 1); start = -1
+          }
+        case _ => ()
+      }
+      i += 1
+    }
+    if (depth != 0) throw new IllegalArgumentException(
+      "JSONAsString payload has an unterminated object")
+    out.toSeq
   }
 
   /** Parse the inline payload per format against the target table's
@@ -1797,6 +1828,35 @@ object Engine {
         arr.select(target.fields.zipWithIndex.map { case (f, i) =>
           col("a")(i).cast(f.dataType).as(f.name)
         }.toIndexedSeq: _*)
+      case "tskv" =>
+        // name=value pairs tab-separated; names map to target columns,
+        // absent names stay NULL (ClickHouse TSKV contract)
+        import org.apache.spark.sql.functions.{col, expr}
+        val m = lines.toDF("line")
+          .select(expr("str_to_map(line, '\t', '=')").as("m"))
+        m.select(target.fields.map(f =>
+          col("m")(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      case "lineasstring" =>
+        // the whole line, unescaped, into the single target column —
+        // the raw-text ingest shape an LLM-corpus load uses
+        if (target.fields.length != 1)
+          throw new IllegalArgumentException(
+            s"LineAsString needs exactly 1 target column, got ${target.fields.length}")
+        lines.toDF(target.fields.head.name)
+      case "jsonasstring" =>
+        // each top-level {...} object lands VERBATIM as one String row
+        // (parse downstream with the JSON* functions); objects may be
+        // newline- or whitespace-separated
+        if (target.fields.length != 1)
+          throw new IllegalArgumentException(
+            s"JSONAsString needs exactly 1 target column, got ${target.fields.length}")
+        splitTopLevelJson(data).toDS().toDF(target.fields.head.name)
+      case "rawblob" =>
+        // the entire payload is ONE value in the single target column
+        if (target.fields.length != 1)
+          throw new IllegalArgumentException(
+            s"RawBLOB needs exactly 1 target column, got ${target.fields.length}")
+        Seq(data).toDS().toDF(target.fields.head.name)
       case other =>
         throw new IllegalArgumentException(s"INSERT FORMAT $other not supported")
     }

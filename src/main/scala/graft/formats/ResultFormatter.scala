@@ -53,7 +53,8 @@ object ResultFormatter {
     "tsvwithnamesandtypes", "tabseparatedwithnamesandtypes",
     "csv", "csvwithnames", "csvwithnamesandtypes",
     "json", "jsoncompact", "jsoneachrow", "ndjson", "jsoncompacteachrow",
-    "pretty", "prettycompact", "null", "values", "vertical", "markdown")
+    "pretty", "prettycompact", "null", "values", "vertical", "markdown",
+    "tskv", "lineasstring", "rawblob")
   def isKnown(format: String): Boolean = knownTextFormats(format.toLowerCase)
 
   /** Iterator-driven core shared by [[write]] and the HTTP server. */
@@ -147,6 +148,43 @@ object ResultFormatter {
           n += 1
         }
         if (n > 0) out.append('\n')
+        n
+      case "tskv" =>
+        // name=value pairs tab-separated, TSV escaping on both sides
+        var n = 0L
+        rows.foreach { r =>
+          out.append(schema.fields.indices.map { i =>
+            val v = if (r.isNullAt(i)) "\\N"
+              else tsvEscape(textValue(r.get(i), schema.fields(i).dataType))
+            s"${tsvEscape(schema.fields(i).name)}=$v"
+          }.mkString("\t")).append('\n')
+          n += 1
+        }
+        n
+      case "lineasstring" =>
+        // single String column, one raw (unescaped) line per row
+        if (schema.fields.length != 1)
+          throw new IllegalArgumentException(
+            s"LineAsString needs exactly 1 column, got ${schema.fields.length}")
+        var n = 0L
+        rows.foreach { r =>
+          if (!r.isNullAt(0))
+            out.append(textValue(r.get(0), schema.fields(0).dataType))
+          out.append('\n')
+          n += 1
+        }
+        n
+      case "rawblob" =>
+        // single column, values concatenated raw — no separators at all
+        if (schema.fields.length != 1)
+          throw new IllegalArgumentException(
+            s"RawBLOB needs exactly 1 column, got ${schema.fields.length}")
+        var n = 0L
+        rows.foreach { r =>
+          if (!r.isNullAt(0))
+            out.append(textValue(r.get(0), schema.fields(0).dataType))
+          n += 1
+        }
         n
       case other => throw new IllegalArgumentException(s"unknown format: $other")
     }

@@ -34,7 +34,7 @@ class HttpServer(spark: SparkSession, port: Int,
   // never round-trip through UTF-8
   private val binaryInsertRe =
     ("(?is)^\\s*INSERT\\s+INTO\\s+[\\w`.]+\\s*(\\([^)]*\\))?\\s*FORMAT\\s+" +
-      "(RowBinary|RowBinaryWithNamesAndTypes|Native|Parquet)\\s*$").r
+      "(RowBinary|RowBinaryWithNamesAndTypes|Native|Parquet|ORC)\\s*$").r
 
   private def sessionFor(auth: Option[String]): SparkSession = auth match {
     case None => spark
@@ -175,24 +175,28 @@ class HttpServer(spark: SparkSession, port: Int,
       if (gzip) ex.getResponseHeaders.set("Content-Encoding", "gzip")
       val fmtLower = fmt.toLowerCase
       val binaryFmt = fmtLower == "native" || fmtLower == "rowbinary" ||
-        fmtLower == "rowbinarywithnamesandtypes" || fmtLower == "parquet"
+        fmtLower == "rowbinarywithnamesandtypes" || fmtLower == "parquet" ||
+        fmtLower == "orc"
       // validate the format BEFORE body() commits the 200 headers —
       // an unknown FORMAT must be a 400 with a message, not an empty 200
       if (!binaryFmt && !ResultFormatter.isKnown(fmt))
         throw new IllegalArgumentException(s"unknown format: $fmt")
       if (binaryFmt) {
         ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
-        if (fmtLower == "parquet") {
-          // columnar response: executors write one parquet part into a
-          // scratch dir (no driver row serialization), then the file
+        if (fmtLower == "parquet" || fmtLower == "orc") {
+          // columnar response: executors write one parquet/orc part into
+          // a scratch dir (no driver row serialization), then the file
           // streams to the socket in bounded chunks
           val tmp = java.nio.file.Files
-            .createTempDirectory("graft_http_parquet")
+            .createTempDirectory("graft_http_" + fmtLower)
           try {
-            df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+            val w = df.coalesce(1).write.mode("overwrite")
+            if (fmtLower == "orc") w.orc(tmp.toString)
+            else w.parquet(tmp.toString)
             val part = tmp.toFile.listFiles()
-              .find(_.getName.endsWith(".parquet"))
-              .getOrElse(throw new IllegalStateException("no parquet part written"))
+              .find(_.getName.endsWith("." + fmtLower))
+              .getOrElse(throw new IllegalStateException(
+                s"no $fmtLower part written"))
             val os = body()
             java.nio.file.Files.copy(part.toPath, os)
             os.close()

@@ -362,4 +362,109 @@ class FormatsSpec extends AnyFunSuite {
     tmp.toFile.listFiles().foreach(_.delete())
     java.nio.file.Files.deleteIfExists(tmp)
   }
+
+  test("ORC INSERT round-trip: export a file, bulk-load, select back") {
+    import graft.dialect.Engine
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_fmt")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_fmt.orc1")
+    Engine.execute(spark,
+      "CREATE TABLE graft_fmt.orc1 (id Int64, s String, f Float64) ENGINE=Memory")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc_spec")
+    q("SELECT number AS id, toString(number) AS s, number * 1.5 AS f " +
+      "FROM numbers(100)").coalesce(1).write.mode("overwrite").orc(tmp.toString)
+    val part = tmp.toFile.listFiles().find(_.getName.endsWith(".orc")).get
+    Engine.executeInsertPayload(spark,
+      "INSERT INTO graft_fmt.orc1 FORMAT ORC",
+      java.nio.file.Files.readAllBytes(part.toPath))
+    val back = Engine.execute(spark,
+      "SELECT count() AS n, sum(id) AS s, max(f) AS m FROM graft_fmt.orc1")
+      .collect().head
+    assert(back.getLong(0) === 100L)
+    assert(back.getLong(1) === 4950L)
+    assert(back.getDouble(2) === 148.5)
+    tmp.toFile.listFiles().foreach(_.delete())
+    java.nio.file.Files.deleteIfExists(tmp)
+  }
+
+  test("TSKV round-trip: name=value input maps columns, output escapes") {
+    import graft.dialect.Engine
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_fmt")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_fmt.kvfmt")
+    Engine.execute(spark,
+      "CREATE TABLE graft_fmt.kvfmt (id Int64, s String) ENGINE=Memory")
+    // pairs in any order; a line missing a column leaves it NULL
+    Engine.execute(spark,
+      "INSERT INTO graft_fmt.kvfmt FORMAT TSKV\n" +
+        "id=1\ts=hello\ns=solo\tid=2\nid=3")
+    val rows = Engine.execute(spark,
+      "SELECT id, s FROM graft_fmt.kvfmt ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0),
+      if (r.isNullAt(1)) null else r.getString(1))).toSeq ===
+      Seq((1L, "hello"), (2L, "solo"), (3L, null)))
+    val out = ResultFormatter.render(Engine.execute(spark,
+      "SELECT id, s FROM graft_fmt.kvfmt WHERE id = 1"), "TSKV")
+    assert(out === "id=1\ts=hello\n")
+  }
+
+  test("LineAsString INSERT: raw lines land verbatim (LLM-corpus ingest)") {
+    import graft.dialect.Engine
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_fmt")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_fmt.rawdoc")
+    Engine.execute(spark,
+      "CREATE TABLE graft_fmt.rawdoc (t String) ENGINE=Memory")
+    // no unescaping: the two-char sequence backslash-t stays two chars
+    Engine.execute(spark,
+      "INSERT INTO graft_fmt.rawdoc FORMAT LineAsString\n" +
+        "first line, no \\t unescaping\nsecond")
+    val vals = Engine.execute(spark,
+      "SELECT t FROM graft_fmt.rawdoc ORDER BY t").collect()
+      .map(_.getString(0)).toSeq
+    assert(vals === Seq("first line, no \\t unescaping", "second"))
+    // output side: single-column rows render as raw lines
+    assert(ResultFormatter.render(Engine.execute(spark,
+      "SELECT t FROM graft_fmt.rawdoc ORDER BY t"), "LineAsString") ===
+      "first line, no \\t unescaping\nsecond\n")
+    // more than one column refuses loudly
+    assertThrows[Exception](ResultFormatter.render(Engine.execute(spark,
+      "SELECT 1 AS a, 2 AS b"), "LineAsString"))
+  }
+
+  test("JSONAsString INSERT: each top-level object is one verbatim row") {
+    import graft.dialect.Engine
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_fmt")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_fmt.jdoc")
+    Engine.execute(spark,
+      "CREATE TABLE graft_fmt.jdoc (j String) ENGINE=Memory")
+    // braces inside strings must not split objects; objects may be
+    // whitespace- or newline-separated
+    Engine.execute(spark,
+      "INSERT INTO graft_fmt.jdoc FORMAT JSONAsString\n" +
+        """{"a": 1, "s": "x}y"} {"b": {"c": 2}}""" + "\n" +
+        """{"d": "e\"}f"}""")
+    val js = Engine.execute(spark,
+      "SELECT j FROM graft_fmt.jdoc ORDER BY j").collect()
+      .map(_.getString(0)).toSeq
+    assert(js === Seq("""{"a": 1, "s": "x}y"}""", """{"b": {"c": 2}}""",
+      """{"d": "e\"}f"}""").sorted)
+    // the verbatim text parses downstream with the JSON functions
+    val a = Engine.execute(spark,
+      "SELECT sum(coalesce(JSONExtractInt(j, 'a'), 0)) AS s FROM graft_fmt.jdoc")
+      .collect().head.getLong(0)
+    assert(a === 1L)
+  }
+
+  test("RawBLOB: whole payload is one value; output concatenates raw") {
+    import graft.dialect.Engine
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_fmt")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_fmt.blob")
+    Engine.execute(spark,
+      "CREATE TABLE graft_fmt.blob (b String) ENGINE=Memory")
+    Engine.execute(spark,
+      "INSERT INTO graft_fmt.blob FORMAT RawBLOB\nmulti\nline\npayload")
+    val rows = Engine.execute(spark, "SELECT b FROM graft_fmt.blob").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getString(0) === "multi\nline\npayload")
+    assert(ResultFormatter.render(Engine.execute(spark,
+      "SELECT b FROM graft_fmt.blob"), "RawBLOB") === "multi\nline\npayload")
+  }
 }

@@ -125,6 +125,33 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     java.nio.file.Files.deleteIfExists(f)
   }
 
+  test("FORMAT ORC responds with a readable orc file; ORC body bulk-loads") {
+    val r = client.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port/"))
+      .POST(HttpRequest.BodyPublishers.ofString(
+        "SELECT number AS n, toString(number) AS s FROM numbers(10) FORMAT ORC"))
+      .build(), HttpResponse.BodyHandlers.ofByteArray())
+    assert(r.statusCode() === 200)
+    val f = java.nio.file.Files.createTempFile("graft_http_orc", ".orc")
+    java.nio.file.Files.write(f, r.body())
+    val back = spark.read.orc(f.toString)
+    assert(back.columns.toSeq === Seq("n", "s"))
+    assert(back.agg(org.apache.spark.sql.functions.sum("n"))
+      .collect().head.getLong(0) === 45L)
+    java.nio.file.Files.deleteIfExists(f)
+    // and the same bytes bulk-load back through INSERT ... FORMAT ORC
+    import graft.dialect.Engine
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_http")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_http.orc1")
+    Engine.execute(spark,
+      "CREATE TABLE graft_http.orc1 (n Int64, s String) ENGINE=Memory")
+    val ins = client.send(HttpRequest.newBuilder(URI.create(
+      s"http://localhost:$port/?query=${enc("INSERT INTO graft_http.orc1 FORMAT ORC")}"))
+      .POST(HttpRequest.BodyPublishers.ofByteArray(r.body())).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(ins.statusCode() === 200, ins.body())
+    assert(post("SELECT sum(n) FROM graft_http.orc1").body() === "45\n")
+  }
+
   test("INSERT ... FORMAT Parquet with a binary body bulk-loads") {
     import graft.dialect.Engine
     Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_http")
