@@ -864,6 +864,36 @@ object ChFunctions {
       "skewPop" -> (a => Skewness(Cast(a.head, DoubleType)).toAggregateExpression()),
       "kurtPop" -> (a => Kurtosis(Cast(a.head, DoubleType)).toAggregateExpression()),
 
+      // bar(x, min, max[, width=80]) — the tutorial histogram renderer.
+      // Published output shape: full blocks '█' plus one eighth-block
+      // char for the fractional remainder (▏▎▍▌▋▊▉)
+      "bar" -> { a =>
+        val x = Cast(a(0), DoubleType)
+        val mn = Cast(a(1), DoubleType)
+        val mx = Cast(a(2), DoubleType)
+        val w = if (a.length > 3) Cast(a(3), DoubleType) else Literal(80d)
+        val frac = Multiply(Divide(Subtract(x, mn), Subtract(mx, mn)), w)
+        val clamped = Least(Seq(Greatest(Seq(frac, Literal(0d))), w))
+        // total eighths, then full blocks + remainder — avoids the
+        // rem==8 corner a floor/round split would hit
+        val te = Cast(Round(Multiply(clamped, Literal(8d)), Literal(0)),
+          IntegerType)
+        val full = Cast(IntegralDivide(te, Literal(8), EvalMode.LEGACY),
+          IntegerType)
+        val rem = Cast(Remainder(te, Literal(8)), IntegerType)
+        val eighths = CreateArray(
+          Seq("", "▏", "▎", "▍", "▌", "▋",
+            "▊", "▉").map(Literal(_)))
+        Concat(Seq(StringRepeat(Literal("█"), full),
+          ElementAt(eighths, Add(rem, Literal(1)), None, false)))
+      },
+      // transform(x, from, to[, default]) — value decode; unmatched x
+      // falls back to default, or x itself (ClickHouse contract)
+      "transform" -> { a =>
+        val lookup = ElementAt(MapFromArrays(a(1), a(2)), a(0), None, false)
+        Coalesce(Seq(lookup, if (a.length > 3) a(3) else a(0)))
+      },
+
       // ---- external dictionaries (lookup side; DDL in Ddl/Dictionaries).
       // Compiled to ElementAt over a map literal — codegen'd, shipped
       // once per executor in the broadcast task binary ----

@@ -820,5 +820,29 @@ object Dialect {
                    * (count(*) - 2) / sqrt(count(*) * (count(*) - 1.0)), 4) AS sp,
              CAST(bit_count(count(*)) AS BIGINT) AS bc
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+    ,
+
+    // F29: bar() histogram rendering + transform() value decode — the
+    // ClickHouse-tutorial pair. The oracle rebuilds bar's published
+    // output (full blocks + one eighth-block char) from the same
+    // total-eighths arithmetic, and transform as CASE
+    Q("f29_ch_bar", ch("""
+      SELECT l_linenumber AS k, count() AS n,
+             bar(count(), 0, 20000, 20) AS b,
+             transform(l_linenumber, [1, 2, 3],
+                       ['one', 'two', 'three'], 'many') AS w
+      FROM lineitem GROUP BY k ORDER BY k"""),
+      Some("""
+      WITH g AS (SELECT l_linenumber AS k, count(*) AS n
+                 FROM lineitem GROUP BY 1),
+           e AS (SELECT k, n,
+                   CAST(round(least(greatest(((n / 20000.0) - 0)
+                     * 20, 0), 20) * 8) AS INT) AS te FROM g)
+      SELECT k, n,
+             repeat('█', te // 8) ||
+               (['','▏','▎','▍','▌','▋','▊','▉'])[(te % 8) + 1] AS b,
+             CASE k WHEN 1 THEN 'one' WHEN 2 THEN 'two'
+                    WHEN 3 THEN 'three' ELSE 'many' END AS w
+      FROM e ORDER BY k"""))
   )
 }
