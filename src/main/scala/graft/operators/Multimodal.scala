@@ -69,4 +69,25 @@ object Multimodal {
     withPayload.withColumn("frames", sampled(col("payload")))
       .withColumn("n_frames", length(col("frames")))
   }
+
+  /** Resize plumbing: aspect-preserving fit into a square `box` (the
+    * common model-input shape, e.g. 224). The DIMENSION math is the
+    * real part — integer-exact (`w*box div max(w,h)`), so it is
+    * oracle-checkable and immune to FP-ulp drift — while the pixel
+    * resample is the declared codec stub: the "resized" payload is a
+    * prefix slice sized to the new pixel count. Fully declarative
+    * (no UDF): the dimension columns stay inside codegen. */
+  def resize(withPayload: DataFrame, box: Int): DataFrame =
+    withPayload
+      .withColumn("new_width", expr(
+        s"greatest(1, CAST(meta.width AS BIGINT) * $box div " +
+          "greatest(meta.width, meta.height))").cast("int"))
+      .withColumn("new_height", expr(
+        s"greatest(1, CAST(meta.height AS BIGINT) * $box div " +
+          "greatest(meta.width, meta.height))").cast("int"))
+      .withColumn("resized_n_bytes",
+        least(length(col("payload")),
+          col("new_width") * col("new_height")).cast("int"))
+      .withColumn("resized_payload", expr(
+        "substring(payload, 1, new_width * new_height)"))
 }

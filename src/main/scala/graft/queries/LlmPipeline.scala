@@ -782,6 +782,31 @@ object LlmPipeline {
              round(CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) / 4294967296.0, 6) AS f1,
              round(CAST(('0x' || substr(md5(text), 17, 8)) AS BIGINT) / 4294967296.0, 6) AS f2,
              round(CAST(('0x' || substr(md5(text), 25, 8)) AS BIGINT) / 4294967296.0, 6) AS f3
-      FROM documents ORDER BY doc_id"""))
+      FROM documents ORDER BY doc_id""")),
+
+    // M2: frame-sample + resize plumbing — every-16th-byte "frames"
+    // (count = ceil(bytes/16)) and integer-exact aspect-fit into a
+    // 224 box; the dimension math is real, the pixel step a declared
+    // stub (see Multimodal.resize)
+    Q("m2_media_resize", (s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val p = Multimodal.attachPayload(Tables.load(s, dir, "documents"))
+      Multimodal.resize(Multimodal.frameSample(p, 16), 224)
+        .select(col("doc_id"), col("n_frames"),
+          col("new_width"), col("new_height"), col("resized_n_bytes"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH m AS (SELECT doc_id,
+                   octet_length(encode(text)) AS nb,
+                   n_chars % 640 + 16 AS w,
+                   n_chars * 7 % 480 + 16 AS h
+                 FROM documents)
+      SELECT doc_id,
+             CAST(ceil(nb / 16.0) AS INT) AS n_frames,
+             CAST(greatest(1, w * 224 // greatest(w, h)) AS INT) AS new_width,
+             CAST(greatest(1, h * 224 // greatest(w, h)) AS INT) AS new_height,
+             CAST(least(nb, greatest(1, w * 224 // greatest(w, h))
+                  * greatest(1, h * 224 // greatest(w, h))) AS INT) AS resized_n_bytes
+      FROM m ORDER BY doc_id"""))
   )
 }
