@@ -888,10 +888,17 @@ object ChFunctions {
           ElementAt(eighths, Add(rem, Literal(1)), None, false)))
       },
       // transform(x, from, to[, default]) — value decode; unmatched x
-      // falls back to default, or x itself (ClickHouse contract)
+      // falls back to default, or x itself (ClickHouse contract).
+      // CAREFUL: registering this name shadows Spark's builtin
+      // transform(array, lambda) HOF for every session query — the
+      // lambda form must be routed back to ArrayTransform
       "transform" -> { a =>
-        val lookup = ElementAt(MapFromArrays(a(1), a(2)), a(0), None, false)
-        Coalesce(Seq(lookup, if (a.length > 3) a(3) else a(0)))
+        if (a.length == 2 || a.exists(_.isInstanceOf[LambdaFunction]))
+          ArrayTransform(a(0), a(1))
+        else {
+          val lookup = ElementAt(MapFromArrays(a(1), a(2)), a(0), None, false)
+          Coalesce(Seq(lookup, if (a.length > 3) a(3) else a(0)))
+        }
       },
 
       // ---- external dictionaries (lookup side; DDL in Ddl/Dictionaries).

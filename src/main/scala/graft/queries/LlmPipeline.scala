@@ -767,6 +767,44 @@ object LlmPipeline {
       SELECT vec_id, CAST(cluster AS INT) AS cluster FROM c
       WHERE vec_id NOT IN (SELECT vec_id FROM drops) ORDER BY vec_id""")),
 
+    // L25: paragraph-level exact dedup (the C4/CCNet line-dedup shape):
+    // explode each doc into units, count unit frequency over the WHOLE
+    // corpus, drop every unit that repeats globally, reassemble the
+    // survivors in document order. Unit = fixed 12-word chunk (this
+    // fixture has no newlines; a real corpus splits on '\n'). Fully
+    // declarative — the explode/groupBy/reassemble all shuffle on unit
+    // or doc_id keys, no driver loop, scales like any hash agg.
+    Q("l27_paragraph_dedup", (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+      val units = docs.select(col("doc_id"),
+          posexplode(expr(
+            """transform(sequence(0, CAST(ceil(size(words) / 12.0) AS INT) - 1),
+               i -> array_join(slice(words, i * 12 + 1, 12), ' '))"""))
+            .as(Seq("pos", "unit")))
+      val freq = units.groupBy("unit")
+        .agg(count(lit(1)).as("freq"))
+      val kept = units.join(freq, "unit").filter(col("freq") === 1)
+      kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(expr("transform(array_sort(collect_list(struct(pos, unit))), x -> x.unit)"),
+            " ").as("cleaned"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           p AS (SELECT doc_id, words,
+                   unnest(range(CAST(ceil(len(words) / 12.0) AS BIGINT))) AS pos
+                 FROM w),
+           u AS (SELECT doc_id, pos,
+                   array_to_string(words[pos * 12 + 1 : pos * 12 + 12], ' ') AS unit
+                 FROM p),
+           f AS (SELECT unit, count(*) AS freq FROM u GROUP BY unit)
+      SELECT u.doc_id, count(*) AS n_kept,
+             string_agg(u.unit, ' ' ORDER BY u.pos) AS cleaned
+      FROM u JOIN f USING (unit) WHERE f.freq = 1
+      GROUP BY u.doc_id ORDER BY u.doc_id""")),
+
     // M1: multimodal columns — binary payload + typed metadata, decode
     // stub over mapPartitions (real batch plumbing, fake codec)
     Q("m1_multimodal", (s, dir) => {
