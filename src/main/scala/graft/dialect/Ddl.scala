@@ -1534,7 +1534,8 @@ object Engine {
     val bare = "(?is)^\\s*EXPLAIN\\s+(SYNTAX|AST|PLAN|PIPELINE|ESTIMATE|QUERY\\s+TREE)\\s+".r
       .replaceFirstIn(rewriteAsofJoin(spark, rewriteAnyJoin(spark,
         rewriteFinal(spark,
-          rewriteSample(spark, rewriteSystemParts(spark, bare0))))),
+          rewriteSample(spark, Transpiler.expandStarModifiers(spark,
+            rewriteSystemParts(spark, bare0)))))),
         "EXPLAIN ")
     Transpiler.withFillParts(bare) match {
       case Some((inner, prefix, fillKey, from, to, step, interp)) =>

@@ -965,7 +965,51 @@ object Transpiler {
   def sql(spark: SparkSession, chSql: String): DataFrame = {
     ChFunctions.register(spark)
     val (bare, _) = extractFormat(chSql)
-    spark.sql(transpile(bare))
+    spark.sql(transpile(expandStarModifiers(spark, bare)))
+  }
+
+  /** ClickHouse star modifiers that need schema expansion:
+    * `* [EXCEPT (a, b)] APPLY(f)` and `COLUMNS('re') [APPLY(f)]`.
+    * Like ClickHouse, expansion happens at analysis time: the FROM
+    * clause's first table resolves through the catalog and the modifier
+    * span is replaced with the expanded column list (APPLY wraps each
+    * column as `f(col)` — ClickHouse's own result names). Statements
+    * whose FROM cannot be resolved pass through untouched. `_part`
+    * (the MergeTree partition materialization) never expands. */
+  def expandStarModifiers(spark: SparkSession, sql: String): String = {
+    val starApplyRe =
+      ("(?is)\\*\\s*(?:EXCEPT\\s*\\(([^)]*)\\)\\s*)?APPLY\\s*\\(\\s*" +
+        "([A-Za-z_][\\w]*)\\s*\\)").r
+    val columnsRe =
+      ("(?is)\\bCOLUMNS\\s*\\(\\s*'([^']+)'\\s*\\)" +
+        "(?:\\s*APPLY\\s*\\(\\s*([A-Za-z_][\\w]*)\\s*\\))?").r
+    if (starApplyRe.findFirstIn(sql).isEmpty &&
+        columnsRe.findFirstIn(sql).isEmpty) return sql
+    val cols: Seq[String] =
+      "(?is)\\bFROM\\s+([\\w`.]+)".r.findFirstMatchIn(sql)
+        .flatMap { m =>
+          scala.util.Try(spark.table(m.group(1).replace("`", ""))
+            .schema.fieldNames.toSeq).toOption
+        }.getOrElse(return sql)
+        .filterNot(_ == "_part")
+    def applied(selected: Seq[String], fn: String): String =
+      selected.map(c => s"$fn(`$c`) AS `$fn($c)`").mkString(", ")
+    var out = starApplyRe.replaceAllIn(sql, m => {
+      val except = Option(m.group(1)).toSeq
+        .flatMap(_.split(",")).map(_.trim.replace("`", "").toLowerCase)
+        .filter(_.nonEmpty).toSet
+      java.util.regex.Matcher.quoteReplacement(
+        applied(cols.filterNot(c => except(c.toLowerCase)), m.group(2)))
+    })
+    out = columnsRe.replaceAllIn(out, m => {
+      val re = m.group(1).r
+      val matched = cols.filter(c => re.findFirstIn(c).isDefined)
+      java.util.regex.Matcher.quoteReplacement(Option(m.group(2)) match {
+        case Some(fn) => applied(matched, fn)
+        case None => matched.map(c => s"`$c`").mkString(", ")
+      })
+    })
+    out
   }
 }
 

@@ -297,6 +297,24 @@ object Dialect {
              CAST(n_chars * 2 AS BIGINT) AS n_chars
       FROM documents ORDER BY doc_id LIMIT 20""")),
 
+    // P10: `* EXCEPT (...) APPLY(f)` — schema-expanded at analysis
+    // time like ClickHouse; result columns carry CH's `f(col)` names
+    Q("p10_star_apply", ch("""
+      SELECT * EXCEPT (n_comment) APPLY(max) FROM nation"""),
+      Some("""
+      SELECT max(n_nationkey) AS "max(n_nationkey)",
+             max(n_name) AS "max(n_name)",
+             max(n_regionkey) AS "max(n_regionkey)"
+      FROM nation""")),
+
+    // P11: COLUMNS('re') selects by regex, with and without APPLY
+    Q("p11_columns_regex", ch("""
+      SELECT COLUMNS('_(name|regionkey)$') APPLY(count) FROM nation"""),
+      Some("""
+      SELECT count(n_name) AS "count(n_name)",
+             count(n_regionkey) AS "count(n_regionkey)"
+      FROM nation""")),
+
     // O10: QUALIFY — the post-window filter; rewritten to compute the
     // condition inside a subquery and filter outside (window aliases
     // referenced by the condition are inlined)
