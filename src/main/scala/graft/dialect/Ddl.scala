@@ -288,6 +288,8 @@ object Ddl {
   private val dropDictRe =
     "(?is)^\\s*DROP\\s+DICTIONARY\\s+(IF\\s+EXISTS\\s+)?([\\w`.]+)\\s*$".r
   private val showDictRe = "(?is)^\\s*SHOW\\s+DICTIONARIES\\s*$".r
+  private val showProcesslistRe = "(?is)^\\s*SHOW\\s+PROCESSLIST\\s*$".r
+  private val setStmtRe = "(?is)^\\s*SET\\s+(.+)$".r
   private val systemReloadDictRe =
     ("(?is)^\\s*SYSTEM\\s+RELOAD\\s+" +
       "(?:DICTIONARY\\s+([\\w`.]+)|DICTIONARIES)\\s*$").r
@@ -368,7 +370,7 @@ object Ddl {
 
   def isDdl(sql: String): Boolean =
     ("(?is)^\\s*(CREATE|DROP|USE|INSERT|TRUNCATE|ALTER|OPTIMIZE" +
-      "|SHOW|DESCRIBE|DESC|EXISTS|RENAME|SYSTEM)\\b").r
+      "|SHOW|DESCRIBE|DESC|EXISTS|RENAME|SYSTEM|SET)\\b").r
       .findFirstIn(sql).isDefined
 
   /** Execute one ClickHouse DDL/DML statement. */
@@ -386,6 +388,20 @@ object Ddl {
       case showDictRe() =>
         import spark.implicits._
         Dictionaries.names.toDF("name")
+      case showProcesslistRe() =>
+        Engine.processesSnapshot(spark)
+      case setStmtRe(assignments) =>
+        // `SET k = v[, ...]` — session-scoped; per-query SETTINGS win.
+        // Unknown names accepted+ignored (the reference passes them
+        // through to chdb the same way)
+        val kv = splitTopLevel(assignments).flatMap { a =>
+          val i = a.indexOf('=')
+          if (i < 0) None
+          else Some(a.substring(0, i).trim.toLowerCase ->
+            a.substring(i + 1).trim.stripPrefix("'").stripSuffix("'"))
+        }
+        Engine.setSessionSettings(spark, kv)
+        spark.emptyDataFrame
       case systemReloadDictRe(name) =>
         Dictionaries.invalidate(Option(name).map(_.trim))
         spark.emptyDataFrame
@@ -1069,6 +1085,38 @@ object Engine {
     * streamed. Servers call this from their response `finally`. */
   def finishQuery(id: String): Unit = running.remove(id)
 
+  // cumulative profile counters behind system.events (ClickHouse's
+  // own counter names); started-at stamp feeds the Uptime metric
+  private val startedAtMs = System.currentTimeMillis()
+  private val cQuery = new java.util.concurrent.atomic.AtomicLong
+  private val cSelect = new java.util.concurrent.atomic.AtomicLong
+  private val cInsert = new java.util.concurrent.atomic.AtomicLong
+  private val cFailed = new java.util.concurrent.atomic.AtomicLong
+
+  /** system.metrics: point-in-time gauges (live, not a snapshot). */
+  private[graft] def metricsSnapshot(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rt = Runtime.getRuntime
+    Seq(
+      ("Query", running.size.toLong, "Number of executing queries"),
+      ("MemoryTracking", rt.totalMemory() - rt.freeMemory(),
+        "Total amount of memory allocated by the server"),
+      ("Uptime", (System.currentTimeMillis() - startedAtMs) / 1000,
+        "Server uptime in seconds"))
+      .toDF("metric", "value", "description")
+  }
+
+  /** system.events: cumulative counters since process start. */
+  private[graft] def eventsSnapshot(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("Query", cQuery.get, "Number of queries started"),
+      ("SelectQuery", cSelect.get, "Number of SELECT queries started"),
+      ("InsertQuery", cInsert.get, "Number of INSERT queries started"),
+      ("FailedQuery", cFailed.get, "Number of failed queries"))
+      .toDF("event", "value", "description")
+  }
+
   private[graft] def processesSnapshot(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val now = System.currentTimeMillis()
@@ -1118,6 +1166,10 @@ object Engine {
     val id = beginQuery(spark, queryId, rawSql, user)
     val isSelect = "(?is)^\\s*(SELECT|WITH|EXPLAIN)\\b".r
       .findFirstIn(rawSql).isDefined
+    cQuery.incrementAndGet()
+    if (isSelect) cSelect.incrementAndGet()
+    if ("(?is)^\\s*INSERT\\b".r.findFirstIn(rawSql).isDefined)
+      cInsert.incrementAndGet()
     try {
       val out = executeInner(spark, rawSql)
       // the log itself is queryable but never logs its own reads
@@ -1129,6 +1181,7 @@ object Engine {
       case e: Throwable =>
         record(LogEntry(t0, rawSql, System.currentTimeMillis() - t0,
           "ExceptionWhileProcessing", user))
+        cFailed.incrementAndGet()
         finishQuery(id)
         throw e
     } finally {
@@ -1250,7 +1303,9 @@ object Engine {
       "columns" -> (() => ChContext.columnsLive(spark)),
       "query_log" -> (() => Engine.queryLogSnapshot(spark)),
       "processes" -> (() => Engine.processesSnapshot(spark)),
-      "dictionaries" -> (() => Dictionaries.snapshot(spark)))
+      "dictionaries" -> (() => Dictionaries.snapshot(spark)),
+      "metrics" -> (() => Engine.metricsSnapshot(spark)),
+      "events" -> (() => Engine.eventsSnapshot(spark)))
     live.foldLeft(sql) { case (s, (name, build)) =>
       val re = s"(?i)(?<![\\w`])system\\.$name(?![\\w`])"
       if (re.r.findFirstIn(s).isEmpty) s
@@ -1497,8 +1552,28 @@ object Engine {
     *     thread in every production path (servers stream immediately),
     *     so the thread-scoped group catches the right jobs.
     * Unknown settings remain accepted and ignored. */
+  /** Session-scoped settings from `SET k = v` statements — merged under
+    * per-query `SETTINGS` (query wins), ClickHouse's precedence. Weak
+    * keys: an evicted per-credential session drops its settings. */
+  private val sessionSettings = scala.collection.mutable
+    .WeakHashMap.empty[SparkSession, Map[String, String]]
+
+  private[graft] def setSessionSettings(spark: SparkSession,
+                                        kv: Seq[(String, String)]): Unit =
+    sessionSettings.synchronized {
+      val cur = sessionSettings.getOrElse(spark, Map.empty)
+      // `SET k = DEFAULT` restores the default, i.e. drops the override
+      val next = kv.foldLeft(cur) { case (m, (k, v)) =>
+        if (v.equalsIgnoreCase("default")) m - k else m.updated(k, v)
+      }
+      sessionSettings.put(spark, next)
+    }
+
   private def applySettings(spark: SparkSession, df: DataFrame,
-                            st: Map[String, String]): DataFrame = {
+                            st0: Map[String, String]): DataFrame = {
+    val st = sessionSettings.synchronized {
+      sessionSettings.getOrElse(spark, Map.empty)
+    } ++ st0
     if (st.isEmpty) return df
     var out = df
     if (st.contains("max_result_rows") &&

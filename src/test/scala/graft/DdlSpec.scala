@@ -698,6 +698,35 @@ class DdlSpec extends AnyFunSuite {
       "SELECT dictGet('d_spec', 'name', 1)"))
   }
 
+  test("SET session settings, SHOW PROCESSLIST, system.metrics/events") {
+    // session-level SET applies to later queries; per-query SETTINGS win
+    Engine.execute(spark,
+      "SET max_result_rows = 3, result_overflow_mode = 'break'")
+    assert(Engine.execute(spark,
+      "SELECT number FROM numbers(10)").collect().length === 3)
+    assert(Engine.execute(spark,
+      "SELECT number FROM numbers(10) SETTINGS max_result_rows = 5")
+      .collect().length === 5)
+    // SET k = DEFAULT drops the override
+    Engine.execute(spark,
+      "SET max_result_rows = DEFAULT, result_overflow_mode = DEFAULT")
+    assert(Engine.execute(spark,
+      "SELECT number FROM numbers(10)").collect().length === 10)
+    // SHOW PROCESSLIST mirrors system.processes' shape
+    assert(Engine.execute(spark, "SHOW PROCESSLIST").columns.toSeq ===
+      Seq("query_id", "user", "elapsed", "query"))
+    // live gauges and cumulative counters
+    val m = Engine.execute(spark,
+      "SELECT metric, value FROM system.metrics ORDER BY metric").collect()
+    assert(m.map(_.getString(0)).toSeq ===
+      Seq("MemoryTracking", "Query", "Uptime"))
+    assert(m.find(_.getString(0) == "MemoryTracking").get.getLong(1) > 0)
+    val e = Engine.execute(spark,
+      "SELECT event, value FROM system.events WHERE event = 'SelectQuery'")
+      .collect()
+    assert(e.length === 1 && e.head.getLong(1) > 0)
+  }
+
   test("CREATE TEMPORARY TABLE lives in the session and dies with it") {
     val s2 = spark.newSession()
     graft.dialect.ChFunctions.register(s2)
