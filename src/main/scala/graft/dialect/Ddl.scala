@@ -1707,6 +1707,8 @@ object Engine {
         binaryInsert(spark, table, cols, f, payload)
       case f @ ("parquet" | "orc") =>
         columnarFileInsert(spark, table, cols, f, payload)
+      case f @ ("arrow" | "arrowstream") =>
+        arrowInsert(spark, table, cols, f == "arrow", payload)
       case _ =>
         insertWithData(spark, table, cols, m.group(4),
           new String(payload, java.nio.charset.StandardCharsets.UTF_8))
@@ -1717,7 +1719,7 @@ object Engine {
     * HTTP server must not decode such bodies as UTF-8). */
   def isBinaryInsertFormat(format: String): Boolean =
     Set("rowbinary", "rowbinarywithnamesandtypes", "native",
-      "parquet", "orc")(format.toLowerCase)
+      "parquet", "orc", "arrow", "arrowstream")(format.toLowerCase)
 
   private def binaryInsert(spark: SparkSession, table: String,
                            cols: Option[Seq[String]], format: String,
@@ -1741,6 +1743,40 @@ object Engine {
     }
     // resolve each decoded column to a target field (header names win;
     // headerless RowBinary is positional over the target column list)
+    val fields = names.map(n => target(target.fieldIndex(n)))
+    val rows = raw.map { vs =>
+      org.apache.spark.sql.Row.fromSeq(
+        vs.zip(fields).map { case (v, f) => coerce(v, f.dataType) })
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq),
+      StructType(fields.toIndexedSeq))
+    val out = full.fields.filterNot(_.name == "_part").map { f =>
+      if (names.contains(f.name)) org.apache.spark.sql.functions.col(f.name)
+      else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+    }
+    Ddl.appendAligned(spark, table, df.select(out.toIndexedSeq: _*))
+    spark.emptyDataFrame
+  }
+
+  /** INSERT ... FORMAT Arrow|ArrowStream: decode the IPC payload and
+    * land it like the other binary bulk formats — header names resolve
+    * to target columns, values coerce to the declared types. */
+  private def arrowInsert(spark: SparkSession, table: String,
+                          cols: Option[Seq[String]], file: Boolean,
+                          payload: Array[Byte]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val full = spark.table(table).schema
+    val target = cols match {
+      case Some(cs) => StructType(cs.map(c => full(full.fieldIndex(c))))
+      case None => StructType(full.fields.filterNot(_.name == "_part"))
+    }
+    val (names0, raw) = graft.formats.ArrowCodec.decode(payload, file)
+    // a headerless client can't exist for Arrow (the schema is in the
+    // framing), but names may be positional placeholders — fall back to
+    // the announced column list when none match the target
+    val names = if (names0.exists(n => target.fieldNames.contains(n))) names0
+      else target.fieldNames.toSeq.take(names0.length)
     val fields = names.map(n => target(target.fieldIndex(n)))
     val rows = raw.map { vs =>
       org.apache.spark.sql.Row.fromSeq(

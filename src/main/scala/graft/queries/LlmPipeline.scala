@@ -805,6 +805,36 @@ object LlmPipeline {
       FROM u JOIN f USING (unit) WHERE f.freq = 1
       GROUP BY u.doc_id ORDER BY u.doc_id""")),
 
+    // L28: deterministic global shuffle + shard assignment — the
+    // training-export step before dataloader consumption. Shard =
+    // md5-uniform hash of the doc id (seeded, so re-sharding with a new
+    // seed is one constant away); within-shard order = a second
+    // independent md5 draw (the "shuffle"). At scale this is a single
+    // hash repartition: each shard writes independently, and the
+    // checksum proves the order is reproducible run-to-run.
+    Q("l28_shuffle_shards", (s, dir) => {
+      import org.apache.spark.sql.functions._
+      Tables.load(s, dir, "documents")
+        .withColumn("shard", expr(
+          "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':42')), 1, 8), 16, 10) AS BIGINT) % 8"))
+        .withColumn("rnd", md5(concat(col("doc_id").cast("string"), lit(":shuffle"))))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"),
+          md5(array_join(expr(
+            "transform(array_sort(collect_list(struct(rnd, doc_id))), x -> CAST(x.doc_id AS STRING))"),
+            ",")).as("order_chk"))
+        .orderBy("shard")
+    }, Some("""
+      WITH d AS (SELECT doc_id, n_chars,
+                   CAST(('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8)) AS BIGINT) % 8 AS shard,
+                   md5(doc_id::VARCHAR || ':shuffle') AS rnd
+                 FROM documents)
+      SELECT shard, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             md5(string_agg(doc_id::VARCHAR, ',' ORDER BY rnd, doc_id)) AS order_chk
+      FROM d GROUP BY shard ORDER BY shard""")),
+
     // M1: multimodal columns — binary payload + typed metadata, decode
     // stub over mapPartitions (real batch plumbing, fake codec)
     Q("m1_multimodal", (s, dir) => {

@@ -34,7 +34,8 @@ class HttpServer(spark: SparkSession, port: Int,
   // never round-trip through UTF-8
   private val binaryInsertRe =
     ("(?is)^\\s*INSERT\\s+INTO\\s+[\\w`.]+\\s*(\\([^)]*\\))?\\s*FORMAT\\s+" +
-      "(RowBinary|RowBinaryWithNamesAndTypes|Native|Parquet|ORC)\\s*$").r
+      "(RowBinary|RowBinaryWithNamesAndTypes|Native|Parquet|ORC" +
+      "|Arrow|ArrowStream)\\s*$").r
 
   private def sessionFor(auth: Option[String]): SparkSession = auth match {
     case None => spark
@@ -176,7 +177,7 @@ class HttpServer(spark: SparkSession, port: Int,
       val fmtLower = fmt.toLowerCase
       val binaryFmt = fmtLower == "native" || fmtLower == "rowbinary" ||
         fmtLower == "rowbinarywithnamesandtypes" || fmtLower == "parquet" ||
-        fmtLower == "orc"
+        fmtLower == "orc" || fmtLower == "arrow" || fmtLower == "arrowstream"
       // validate the format BEFORE body() commits the 200 headers —
       // an unknown FORMAT must be a 400 with a message, not an empty 200
       if (!binaryFmt && !ResultFormatter.isKnown(fmt))
@@ -207,7 +208,10 @@ class HttpServer(spark: SparkSession, port: Int,
         } else {
           val os = body()
           import scala.jdk.CollectionConverters._
-          if (fmtLower == "native")
+          if (fmtLower == "arrow" || fmtLower == "arrowstream")
+            graft.formats.ArrowCodec.write(os, df.schema,
+              df.toLocalIterator().asScala, file = fmtLower == "arrow")
+          else if (fmtLower == "native")
             NativeCodec.writeBlocks(os, df.schema,
               df.toLocalIterator().asScala, blockRows = 65536)
           else

@@ -363,6 +363,43 @@ class FormatsSpec extends AnyFunSuite {
     java.nio.file.Files.deleteIfExists(tmp)
   }
 
+  test("Arrow IPC round-trip: stream + file framing, nulls, dates") {
+    import scala.jdk.CollectionConverters._
+    import graft.dialect.Engine
+    import graft.formats.ArrowCodec
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_fmt")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_fmt.arr")
+    Engine.execute(spark, """
+      CREATE TABLE graft_fmt.arr (id Int64, s String, d Date, v Float64)
+      ENGINE=Memory""")
+    val src = spark.table("graft_fmt.arr").schema
+    val df = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1L, "α", java.sql.Date.valueOf("2024-01-02"), 1.5),
+      org.apache.spark.sql.Row(2L, null, java.sql.Date.valueOf("2024-03-04"), -2.25)
+    ).asJava, src)
+    // stream framing
+    val bos = new java.io.ByteArrayOutputStream()
+    ArrowCodec.write(bos, src, df.toLocalIterator().asScala, file = false)
+    Engine.executeInsertPayload(spark,
+      "INSERT INTO graft_fmt.arr FORMAT ArrowStream", bos.toByteArray)
+    // file framing
+    val bos2 = new java.io.ByteArrayOutputStream()
+    ArrowCodec.write(bos2, src, df.toLocalIterator().asScala, file = true)
+    Engine.executeInsertPayload(spark,
+      "INSERT INTO graft_fmt.arr FORMAT Arrow", bos2.toByteArray)
+    val back = Engine.execute(spark, """
+      SELECT id, coalesce(s, '<null>') AS s, toString(d) AS d, v
+      FROM graft_fmt.arr ORDER BY id, d""").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3)))
+    assert(back.toSeq === Seq(
+      (1L, "α", "2024-01-02", 1.5), (1L, "α", "2024-01-02", 1.5),
+      (2L, "<null>", "2024-03-04", -2.25), (2L, "<null>", "2024-03-04", -2.25)))
+    // decode sees the written names + values
+    val (names, rows) = ArrowCodec.decode(bos.toByteArray, file = false)
+    assert(names === Seq("id", "s", "d", "v"))
+    assert(rows.length === 2 && rows(1)(1) === null)
+  }
+
   test("ORC INSERT round-trip: export a file, bulk-load, select back") {
     import graft.dialect.Engine
     Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_fmt")

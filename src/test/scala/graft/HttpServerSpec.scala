@@ -152,6 +152,29 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post("SELECT sum(n) FROM graft_http.orc1").body() === "45\n")
   }
 
+  test("FORMAT ArrowStream responds with readable IPC; body bulk-loads") {
+    val r = client.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port/"))
+      .POST(HttpRequest.BodyPublishers.ofString(
+        "SELECT number AS n, toString(number) AS s FROM numbers(10) FORMAT ArrowStream"))
+      .build(), HttpResponse.BodyHandlers.ofByteArray())
+    assert(r.statusCode() === 200)
+    val (names, rows) = graft.formats.ArrowCodec.decode(r.body(), file = false)
+    assert(names === Seq("n", "s"))
+    assert(rows.map(_.head.asInstanceOf[Number].longValue()).sum === 45L)
+    // and the same bytes land back through INSERT ... FORMAT ArrowStream
+    import graft.dialect.Engine
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_http")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_http.arr")
+    Engine.execute(spark,
+      "CREATE TABLE graft_http.arr (n Int64, s String) ENGINE=Memory")
+    val ins = client.send(HttpRequest.newBuilder(URI.create(
+      s"http://localhost:$port/?query=${enc("INSERT INTO graft_http.arr FORMAT ArrowStream")}"))
+      .POST(HttpRequest.BodyPublishers.ofByteArray(r.body())).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(ins.statusCode() === 200, ins.body())
+    assert(post("SELECT sum(n) FROM graft_http.arr").body() === "45\n")
+  }
+
   test("INSERT ... FORMAT Parquet with a binary body bulk-loads") {
     import graft.dialect.Engine
     Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_http")
