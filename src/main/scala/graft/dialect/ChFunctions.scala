@@ -864,6 +864,10 @@ object ChFunctions {
       "skewPop" -> (a => Skewness(Cast(a.head, DoubleType)).toAggregateExpression()),
       "kurtPop" -> (a => Kurtosis(Cast(a.head, DoubleType)).toAggregateExpression()),
 
+      // hex/unhex (ClickHouse renders uppercase, like Spark's Hex)
+      "hex" -> (a => Hex(a.head)),
+      "unhex" -> (a => new Unhex(a.head)),
+
       // bar(x, min, max[, width=80]) — the tutorial histogram renderer.
       // Published output shape: full blocks '█' plus one eighth-block
       // char for the fractional remainder (▏▎▍▌▋▊▉)

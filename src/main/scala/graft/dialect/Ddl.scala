@@ -195,6 +195,13 @@ object Ddl {
   private val createTableRe =
     ("(?is)^\\s*CREATE\\s+(TEMPORARY\\s+)?TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w`.]+)\\s*" +
       "\\((.*)\\)\\s*ENGINE\\s*=\\s*(\\w+)\\s*(?:\\(\\s*([^)]*)\\))?(.*)$").r
+  // CREATE TABLE ... [ENGINE=...] AS SELECT — no column list; the
+  // SELECT provides the schema. The ENGINE clause (with its
+  // PARTITION/ORDER BY suffix) is optional, defaulting to Memory.
+  private val ctasRe =
+    ("(?is)^\\s*CREATE\\s+(TEMPORARY\\s+)?TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?" +
+      "([\\w`.]+)\\s*(?:ENGINE\\s*=\\s*(\\w+)\\s*(?:\\(\\s*([^)]*)\\))?" +
+      "(.*?))?\\s+AS\\s+(SELECT|WITH)\\b(.*)$").r
   // TEMPORARY with no ENGINE clause (ClickHouse defaults it to Memory)
   private val createTempTableRe =
     ("(?is)^\\s*CREATE\\s+TEMPORARY\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w`.]+)\\s*" +
@@ -437,6 +444,30 @@ object Ddl {
           engine, Option(engineArgs).map(_.trim).getOrElse(""), rest)
         if (Option(temp).isDefined) registerTempTable(spark, name)
         out
+      case ctasRe(temp, ifNot, name, engine, engineArgs, rest, selKw, selRest) =>
+        // CREATE TABLE ... [ENGINE=...] AS SELECT: schema comes from the
+        // SELECT (run through the full engine, so dialect rewrites
+        // apply); the engine clause's PARTITION/ORDER BY metadata is
+        // honored like an explicit-columns CREATE, and the result lands
+        // through the same MergeTree insert layout
+        val df = Engine.execute(spark, selKw + selRest)
+        if (Option(ifNot).isDefined &&
+            spark.catalog.tableExists(name.replace("`", ""))) df
+        else {
+          // bare type names (no Nullable(...) wrapper): the created
+          // parquet columns are nullable regardless, like every other
+          // CREATE in this mapping
+          val colsDdl = df.schema.fields.map(f =>
+            s"`${f.name}` ${graft.formats.ChTypeNames.fieldName(f.copy(nullable = false))}")
+            .mkString(", ")
+          createTable(spark, Option(ifNot).isDefined, name, colsDdl,
+            Option(engine).getOrElse("Memory"),
+            Option(engineArgs).map(_.trim).getOrElse(""),
+            Option(rest).getOrElse(""))
+          if (Option(temp).isDefined) registerTempTable(spark, name)
+          appendAligned(spark, name, df)
+          spark.emptyDataFrame
+        }
       case createTempTableRe(ifNot, name, cols) =>
         // TEMPORARY with ENGINE omitted: ClickHouse defaults to Memory
         val out = createTable(spark, Option(ifNot).isDefined, name, cols,

@@ -202,6 +202,24 @@ object DdlQueries {
       SELECT st, n, total FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
       ORDER BY st, n, total""")),
 
+    // CTAS: schema comes from the SELECT, engine metadata (ORDER BY)
+    // honored, contents land through the MergeTree insert layout
+    Q("s13_ctas", (s, dir) => {
+      ChContext.setup(s, dir)
+      Engine.execute(s, "CREATE DATABASE IF NOT EXISTS graft_t")
+      Engine.execute(s, "DROP TABLE IF EXISTS graft_t.ctas_agg")
+      Engine.execute(s, """
+        CREATE TABLE graft_t.ctas_agg ENGINE=MergeTree() ORDER BY (st)
+        AS SELECT o_orderstatus AS st, count() AS n,
+                  sum(CAST(o_totalprice AS Decimal(14,2))) AS total
+           FROM orders GROUP BY st""")
+      Engine.execute(s,
+        "SELECT st, n, total FROM graft_t.ctas_agg ORDER BY st")
+    }, Some("""
+      SELECT o_orderstatus AS st, count(*) AS n,
+             sum(CAST(o_totalprice AS DECIMAL(14,2))) AS total
+      FROM orders GROUP BY st ORDER BY st""")),
+
     // External dictionary: CREATE DICTIONARY over nation, then the
     // dictGet/dictHas/dictGetOrDefault lookup family against supplier
     // keys — present keys resolve, absent keys (+100) fall back to the

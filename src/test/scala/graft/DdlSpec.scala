@@ -698,6 +698,33 @@ class DdlSpec extends AnyFunSuite {
       "SELECT dictGet('d_spec', 'name', 1)"))
   }
 
+  test("CREATE TABLE AS SELECT: schema from the query, engine honored") {
+    graft.dialect.ChContext.setup(spark, "/root/testdata/sf0.001")
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.ctas")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.ctas ENGINE=MergeTree() ORDER BY (n)
+      AS SELECT number AS n, toString(number) AS s FROM numbers(5)""")
+    val rows = Engine.execute(spark,
+      "SELECT n, s FROM graft_spec.ctas ORDER BY n").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+    assert(rows.map(_.getString(1)).toSeq === Seq("0", "1", "2", "3", "4"))
+    // IF NOT EXISTS on an existing table: no-op, keeps contents
+    Engine.execute(spark, """
+      CREATE TABLE IF NOT EXISTS graft_spec.ctas ENGINE=Memory
+      AS SELECT 99 AS n""")
+    assert(Engine.execute(spark,
+      "SELECT count() FROM graft_spec.ctas").collect().head.getLong(0) === 5L)
+    // ENGINE omitted defaults to Memory; WITH-led selects work too
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.ctas2")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.ctas2 AS
+      WITH doubled AS (SELECT number * 2 AS d FROM numbers(3))
+      SELECT d FROM doubled""")
+    assert(Engine.execute(spark,
+      "SELECT sum(d) FROM graft_spec.ctas2").collect().head.getLong(0) === 6L)
+  }
+
   test("SET session settings, SHOW PROCESSLIST, system.metrics/events") {
     // session-level SET applies to later queries; per-query SETTINGS win
     Engine.execute(spark,
