@@ -289,6 +289,8 @@ object Ddl {
     "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+REMOVE\\s+TTL\\s*$".r
   private val renameTableRe =
     "(?is)^\\s*RENAME\\s+TABLE\\s+(.+)$".r
+  private val exchangeTablesRe =
+    "(?is)^\\s*EXCHANGE\\s+TABLES\\s+([\\w`.]+)\\s+AND\\s+([\\w`.]+)\\s*$".r
   private val createDictRe =
     ("(?is)^\\s*CREATE\\s+DICTIONARY\\s+(IF\\s+NOT\\s+EXISTS\\s+)?" +
       "([\\w`.]+)\\s*\\((.*)$").r
@@ -377,7 +379,7 @@ object Ddl {
 
   def isDdl(sql: String): Boolean =
     ("(?is)^\\s*(CREATE|DROP|USE|INSERT|TRUNCATE|ALTER|OPTIMIZE" +
-      "|SHOW|DESCRIBE|DESC|EXISTS|RENAME|SYSTEM|SET)\\b").r
+      "|SHOW|DESCRIBE|DESC|EXISTS|RENAME|SYSTEM|SET|EXCHANGE)\\b").r
       .findFirstIn(sql).isDefined
 
   /** Execute one ClickHouse DDL/DML statement. */
@@ -538,6 +540,24 @@ object Ddl {
       case alterRemoveTtlRe(name) =>
         val key = normalize(spark, name)
         tables.get(key).foreach(m => tables.put(key, m.copy(ttl = None)))
+        spark.emptyDataFrame
+      case exchangeTablesRe(aName, bName) =>
+        // EXCHANGE TABLES a AND b — atomic in ClickHouse; here the
+        // standard three-rename swap (same-database only, like Spark's
+        // managed-table rename). MergeTree metadata follows contents.
+        val a = normalize(spark, aName); val b = normalize(spark, bName)
+        val db = a.substring(0, a.indexOf('.'))
+        if (db != b.substring(0, b.indexOf('.')))
+          throw new IllegalArgumentException(
+            "EXCHANGE TABLES requires both tables in one database")
+        val tmp = s"$db.graft_xchg_tmp"
+        cleanOrphanLocation(spark, tmp)
+        spark.sql(s"ALTER TABLE $a RENAME TO $tmp")
+        spark.sql(s"ALTER TABLE $b RENAME TO $a")
+        spark.sql(s"ALTER TABLE $tmp RENAME TO $b")
+        val (ma, mb) = (tables.remove(a), tables.remove(b))
+        ma.foreach(m => tables.put(b, m))
+        mb.foreach(m => tables.put(a, m))
         spark.emptyDataFrame
       case renameTableRe(pairs) =>
         // RENAME TABLE a TO b[, c TO d]: catalog rename (a metadata-only

@@ -214,6 +214,13 @@ object Transpiler {
     s = rewriteNestedRefs(s)
     s = "(?i)\\bnumbers\\s*\\(\\s*([0-9]+)\\s*\\)".r.replaceAllIn(s,
       m => s"(SELECT id AS number FROM range(${m.group(1)}))")
+    // cluster()/remote() collapse to the local table: single-node, the
+    // local table IS every shard (GLOBAL-join semantics are n/a, J6)
+    s = ("(?i)\\bcluster(?:AllReplicas)?\\s*\\(\\s*'[^']*'\\s*,\\s*" +
+      "([\\w`.]+)\\s*\\)").r.replaceAllIn(s, m => m.group(1))
+    s = ("(?i)\\bremote(?:Secure)?\\s*\\(\\s*'[^']*'\\s*,\\s*" +
+      "([\\w`.]+)\\s*(?:,\\s*'[^']*'\\s*)*\\)").r
+      .replaceAllIn(s, m => m.group(1))
     // interval units Spark lacks: QUARTER → months, WEEK → days
     s = "(?i)\\bINTERVAL\\s+(\\d+)\\s+QUARTER(S)?\\b".r.replaceAllIn(s,
       m => s"INTERVAL ${m.group(1).toLong * 3} MONTH")

@@ -14,6 +14,17 @@ object Streaming {
 
     // ST1: tumbling-window aggregation (epoch-aligned 1h windows ==
     // DuckDB time_bucket)
+    // ST6: streaming ingest into a MergeTree table (file source stands
+    // in for the broker; AvailableNow real streaming query). The oracle
+    // recomputes the per-month stats straight from events — matching
+    // proves the streamed rows landed complete, partitioned, and typed.
+    Q("st6_stream_ingest", (s, dir) =>
+      graft.streaming.EventsStreaming.streamIngestToTable(s, dir),
+      Some("""
+      SELECT CAST(year(ts) * 10000 + month(ts) * 100 + day(ts) AS INT) AS ymd,
+             count(*) AS n, count(DISTINCT user_id) AS users
+      FROM events GROUP BY 1 ORDER BY ymd""")),
+
     Q("st1_window_agg", (s, dir) => {
       EventsStreaming.windowedAgg(Tables.events(s, dir), "1 hour")
         .orderBy("ws", "event_type")

@@ -38,6 +38,47 @@ object EventsStreaming {
     stream.withWatermark("ts", delay)
       .dropDuplicates("event_id", "ts")
 
+  /** Streaming ingest into a MergeTree table — the Kafka-engine → MV →
+    * MergeTree shape, with the file source standing in for the broker:
+    * a REAL streaming query (micro-batched, AvailableNow) lands every
+    * batch through the engine's insert layout (`appendAligned`:
+    * `_part` materialization + ORDER BY clustering), so the streamed
+    * table prunes and clusters exactly like a batch-loaded one. No
+    * driver materialization: each micro-batch is a distributed write.
+    */
+  def streamIngestToTable(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): DataFrame = {
+    import graft.dialect.Engine
+    graft.dialect.ChContext.setup(spark, dir)
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_t")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.ev_ingest")
+    Engine.execute(spark, """
+      CREATE TABLE graft_t.ev_ingest (
+        event_id Int64, ts DateTime, user_id Int64,
+        event_type String, value Float64)
+      ENGINE=MergeTree() PARTITION BY toYYYYMMDD(ts)
+      ORDER BY (user_id, ts)""")
+    val raw = spark.read.parquet(s"$dir/events.parquet") // schema source
+    val q = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events.parquet") // the stream's "topic"
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.dialect.Ddl.appendAligned(batch.sparkSession,
+          "graft_t.ev_ingest", batch)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Engine.execute(spark, """
+      SELECT _part AS ymd, count() AS n,
+             count(DISTINCT user_id) AS users
+      FROM graft_t.ev_ingest GROUP BY ymd ORDER BY ymd""")
+  }
+
   /** One in-flight session per user, carried across micro-batches.
     * Timestamps live as MICROS — java.sql.Timestamp.getTime is
     * millisecond-truncating and the fixture has microsecond data. */

@@ -725,6 +725,28 @@ class DdlSpec extends AnyFunSuite {
       "SELECT sum(d) FROM graft_spec.ctas2").collect().head.getLong(0) === 6L)
   }
 
+  test("EXCHANGE TABLES swaps contents and metadata; cluster()/remote() collapse") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.xa")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.xb")
+    Engine.execute(spark, "CREATE TABLE graft_spec.xa (v Int64) ENGINE=Memory")
+    Engine.execute(spark, "CREATE TABLE graft_spec.xb (v Int64) ENGINE=Memory")
+    Engine.execute(spark, "INSERT INTO graft_spec.xa VALUES (1)")
+    Engine.execute(spark, "INSERT INTO graft_spec.xb VALUES (2)")
+    Engine.execute(spark, "EXCHANGE TABLES graft_spec.xa AND graft_spec.xb")
+    assert(Engine.execute(spark, "SELECT v FROM graft_spec.xa")
+      .collect().head.getLong(0) === 2L)
+    assert(Engine.execute(spark, "SELECT v FROM graft_spec.xb")
+      .collect().head.getLong(0) === 1L)
+    // cluster()/remote() read the local table (single-node semantics)
+    assert(Engine.execute(spark,
+      "SELECT v FROM cluster('default', graft_spec.xa)")
+      .collect().head.getLong(0) === 2L)
+    assert(Engine.execute(spark,
+      "SELECT v FROM remote('127.0.0.1:9000', graft_spec.xb, 'user', 'pw')")
+      .collect().head.getLong(0) === 1L)
+  }
+
   test("SET session settings, SHOW PROCESSLIST, system.metrics/events") {
     // session-level SET applies to later queries; per-query SETTINGS win
     Engine.execute(spark,
