@@ -868,6 +868,37 @@ object ChFunctions {
       "hex" -> (a => Hex(a.head)),
       "unhex" -> (a => new Unhex(a.head)),
 
+      // arrayFold(lambda, arr, init) — ClickHouse's argument order;
+      // Spark's aggregate() with an identity finish
+      "arrayFold" -> { a =>
+        val out = UnresolvedNamedLambdaVariable(Seq("__graft_fold_out"))
+        ArrayAggregate(a(1), a(2), a(0).asInstanceOf[LambdaFunction],
+          LambdaFunction(out, Seq(out)))
+      },
+      // countEqual(arr, x): one aggregate fold (a Size(ArrayFilter)
+      // composition is rejected for registered builders — see the
+      // foldWithUserLambda note above)
+      "countEqual" -> { a =>
+        val x = UnresolvedNamedLambdaVariable(Seq("__graft_ce_x"))
+        val acc = UnresolvedNamedLambdaVariable(Seq("__graft_ce_acc"))
+        val out = UnresolvedNamedLambdaVariable(Seq("__graft_ce_out"))
+        ArrayAggregate(a(0), Literal(0L),
+          LambdaFunction(Add(acc,
+            If(EqualNullSafe(x, a(1)), Literal(1L), Literal(0L))), Seq(acc, x)),
+          LambdaFunction(out, Seq(out)))
+      },
+      "concatWithSeparator" -> (a => ConcatWs(a)),
+      "emptyArrayString" ->
+        (_ => Literal.create(Array.empty[String], ArrayType(StringType))),
+      // lagInFrame/leadInFrame — ClickHouse's in-frame names for the
+      // standard window functions (an OVER clause is still required)
+      "lagInFrame" -> (a => Lag(a.head,
+        if (a.length > 1) a(1) else Literal(1),
+        if (a.length > 2) a(2) else Literal(null), ignoreNulls = false)),
+      "leadInFrame" -> (a => Lead(a.head,
+        if (a.length > 1) a(1) else Literal(1),
+        if (a.length > 2) a(2) else Literal(null), ignoreNulls = false)),
+
       // bar(x, min, max[, width=80]) — the tutorial histogram renderer.
       // Published output shape: full blocks '█' plus one eighth-block
       // char for the fractional remainder (▏▎▍▌▋▊▉)

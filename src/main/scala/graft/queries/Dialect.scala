@@ -840,6 +840,41 @@ object Dialect {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
     ,
 
+    // O11: WITH RECURSIVE — ClickHouse 24.4+ surface; Spark 4 executes
+    // it natively (UnionLoop), DuckDB is the oracle
+    Q("o11_recursive_cte", ch("""
+      WITH RECURSIVE fib AS (
+        SELECT 1 AS i, toInt64(0) AS a, toInt64(1) AS b
+        UNION ALL
+        SELECT i + 1, b, a + b FROM fib WHERE i < 15)
+      SELECT i, a AS fib FROM fib ORDER BY i"""),
+      Some("""
+      WITH RECURSIVE fib AS (
+        SELECT 1 AS i, CAST(0 AS BIGINT) AS a, CAST(1 AS BIGINT) AS b
+        UNION ALL
+        SELECT i + 1, b, a + b FROM fib WHERE i < 15)
+      SELECT i, a AS fib FROM fib ORDER BY i""")),
+
+    // F30: array fold/count combinators, separator concat, in-frame
+    // window names
+    Q("f30_ch_arrays2", ch("""
+      SELECT number AS n,
+             arrayFold((acc, x) -> acc + x, range(number + 1),
+                       toInt64(0)) AS fold_sum,
+             countEqual([1, 2, 1, 3, 1], 1) AS ce,
+             concatWithSeparator('-', toString(number), 'x') AS cw,
+             size(emptyArrayString()) AS ea,
+             lagInFrame(number, 1, toInt64(-1)) OVER (ORDER BY number) AS lg
+      FROM numbers(10) ORDER BY n"""),
+      Some("""
+      SELECT number AS n,
+             CAST((number * (number + 1)) // 2 AS BIGINT) AS fold_sum,
+             CAST(3 AS BIGINT) AS ce,
+             number::VARCHAR || '-' || 'x' AS cw,
+             0 AS ea,
+             lag(number, 1, -1) OVER (ORDER BY number) AS lg
+      FROM (SELECT unnest(range(10)) AS number) ORDER BY n""")),
+
     // F29: bar() histogram rendering + transform() value decode — the
     // ClickHouse-tutorial pair. The oracle rebuilds bar's published
     // output (full blocks + one eighth-block char) from the same
