@@ -342,12 +342,18 @@ object Ddl {
       .map(m => Option(m.group(1)).getOrElse(m.group(2)))
       .getOrElse(throw new IllegalArgumentException(
         s"CREATE DICTIONARY $name: SOURCE must name a TABLE"))
+    // RANGE(MIN lo MAX hi) → RANGE_HASHED validity-interval columns
+    val range = "(?is)\\bRANGE\\s*\\(\\s*MIN\\s+([\\w`]+)\\s+MAX\\s+([\\w`]+)\\s*\\)".r
+      .findFirstMatchIn(rest)
+      .map(m => (m.group(1).replace("`", ""), m.group(2).replace("`", "")))
+    val rangeCols = range.toSeq.flatMap(r => Seq(r._1, r._2))
+      .map(_.toLowerCase).toSet
     val colRe = "(?is)^\\s*([\\w`]+)\\s+(.+?)(?:\\s+DEFAULT\\s+(.+))?\\s*$".r
     val attrs = splitTopLevel(colsStr).map(_.trim).filter(_.nonEmpty)
       .flatMap {
         case colRe(n, t, d) =>
           val cn = n.replace("`", "")
-          if (cn.equalsIgnoreCase(keyCol)) None
+          if (cn.equalsIgnoreCase(keyCol) || rangeCols(cn.toLowerCase)) None
           else Some(Dictionaries.Attr(cn, t.trim, Option(d).map(_.trim)))
         case bad => throw new IllegalArgumentException(
           s"CREATE DICTIONARY $name: bad attribute definition: $bad")
@@ -360,12 +366,13 @@ object Ddl {
     // (ClickHouse validates at CREATE too); also back the dictionary's
     // table face — `SELECT * FROM dict` — with a session view
     val src = spark.table(source.replace("`", ""))
-    val cols = (keyCol +: attrs.map(_.name)).map { c =>
+    val cols = (keyCol +: (range.toSeq.flatMap(r => Seq(r._1, r._2)) ++
+        attrs.map(_.name))).map { c =>
       src.schema.fields.find(_.name.equalsIgnoreCase(c))
         .getOrElse(throw new IllegalArgumentException(
           s"CREATE DICTIONARY $name: column $c not in $source")).name
     }
-    Dictionaries.create(spark, name, keyCol, attrs, source, ifNot)
+    Dictionaries.create(spark, name, keyCol, attrs, source, ifNot, range)
     val bareN0 = name.replace("`", "")
     src.select(cols.head, cols.tail: _*).createOrReplaceTempView(
       bareN0.substring(bareN0.lastIndexOf('.') + 1))
@@ -949,32 +956,34 @@ object Ddl {
     if (hasLayout && body.toUpperCase.startsWith("SELECT")) {
       appendAligned(spark, name, spark.sql(Transpiler.transpile(body)))
       spark.emptyDataFrame
-    } else if (hasLayout) {
-      valuesBodyRe.findFirstMatchIn(body) match {
-        case Some(vm) =>
-          val parsed = spark.sql(
-            Transpiler.transpile("SELECT * FROM VALUES " + vm.group(2)))
-          val full = spark.table(name.replace("`", "")).schema
-          val listed = Option(vm.group(1)).map(_.split(",")
-            .map(_.trim.replace("`", "")).toSeq)
-          val named = listed match {
-            case Some(cs) => parsed.toDF(cs: _*)
-            case None => parsed.toDF(
-              full.fields.map(_.name).filterNot(_ == "_part").toIndexedSeq: _*)
-          }
-          // fill unlisted columns with NULLs, emit in table column order
-          val out = full.fields.filterNot(_.name == "_part").map { f =>
-            if (named.columns.contains(f.name))
-              org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
-            else org.apache.spark.sql.functions.lit(null)
-              .cast(f.dataType).as(f.name)
-          }
-          appendAligned(spark, name, named.select(out.toIndexedSeq: _*))
-          spark.emptyDataFrame
-        case None =>
-          throw new IllegalArgumentException(
-            "MergeTree tables support INSERT ... SELECT or VALUES")
+    } else if (valuesBodyRe.findFirstMatchIn(body).isDefined) {
+      // ALL VALUES inserts route through the cast-aligned path (not
+      // raw INSERT SQL): ClickHouse accepts '2024-01-01' for a Date
+      // column, which ANSI-strict INSERT would reject, and layout
+      // tables additionally need the _part/ORDER BY materialization
+      val vm = valuesBodyRe.findFirstMatchIn(body).get
+      val parsed = spark.sql(
+        Transpiler.transpile("SELECT * FROM VALUES " + vm.group(2)))
+      val full = spark.table(name.replace("`", "")).schema
+      val listed = Option(vm.group(1)).map(_.split(",")
+        .map(_.trim.replace("`", "")).toSeq)
+      val named = listed match {
+        case Some(cs) => parsed.toDF(cs: _*)
+        case None => parsed.toDF(
+          full.fields.map(_.name).filterNot(_ == "_part").toIndexedSeq: _*)
       }
+      // fill unlisted columns with NULLs, emit in table column order
+      val out = full.fields.filterNot(_.name == "_part").map { f =>
+        if (named.columns.contains(f.name))
+          org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
+        else org.apache.spark.sql.functions.lit(null)
+          .cast(f.dataType).as(f.name)
+      }
+      appendAligned(spark, name, named.select(out.toIndexedSeq: _*))
+      spark.emptyDataFrame
+    } else if (hasLayout) {
+      throw new IllegalArgumentException(
+        "MergeTree tables support INSERT ... SELECT or VALUES")
     } else {
       val res = spark.sql(Transpiler.transpile(s"INSERT INTO $name $body"))
       // plain (no-layout) tables bypass appendAligned — fire any MVs

@@ -1,6 +1,7 @@
 package graft.dialect
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.types._
 import scala.collection.concurrent.TrieMap
@@ -36,9 +37,13 @@ object Dictionaries {
   case class Attr(name: String, chType: String, default: Option[String])
 
   /** @param spark the session the dictionary was created through —
-    *              lazy loads read the source table via it. */
+    *              lazy loads read the source table via it.
+    * @param range `RANGE(MIN lo MAX hi)` columns for RANGE_HASHED
+    *              layouts — enables the 4-arg `dictGet(d, a, key, at)`
+    *              validity-interval lookup. */
   case class Meta(name: String, keyCol: String, attrs: Seq[Attr],
-                  source: String, spark: SparkSession)
+                  source: String, spark: SparkSession,
+                  range: Option[(String, String)] = None)
 
   private val dicts = TrieMap.empty[String, Meta] // lowercased bare name
   /** (dict, attr) -> (map literal, key spark type, value spark type) */
@@ -48,11 +53,15 @@ object Dictionaries {
   val maxEntries: Int = 10 * 1000 * 1000
 
   def create(spark: SparkSession, name: String, keyCol: String,
-             attrs: Seq[Attr], source: String, ifNotExists: Boolean): Unit = {
+             attrs: Seq[Attr], source: String, ifNotExists: Boolean,
+             range: Option[(String, String)] = None): Unit = {
     val key = bare(name)
     if (dicts.contains(key) && ifNotExists) return
-    dicts.put(key, Meta(key, keyCol, attrs, source, spark))
-    attrs.foreach(a => cache.remove((key, a.name.toLowerCase)))
+    dicts.put(key, Meta(key, keyCol, attrs, source, spark, range))
+    attrs.foreach { a =>
+      cache.remove((key, a.name.toLowerCase))
+      rangeCache.remove((key, a.name.toLowerCase))
+    }
   }
 
   def drop(name: String, ifExists: Boolean): Unit = {
@@ -60,7 +69,10 @@ object Dictionaries {
     if (removed.isEmpty && !ifExists)
       throw new IllegalArgumentException(s"Dictionary $name does not exist")
     removed.foreach(m =>
-      m.attrs.foreach(a => cache.remove((m.name, a.name.toLowerCase))))
+      m.attrs.foreach { a =>
+        cache.remove((m.name, a.name.toLowerCase))
+        rangeCache.remove((m.name, a.name.toLowerCase))
+      })
   }
 
   /** `SYSTEM RELOAD DICTIONARY name` / `... DICTIONARIES`: the next
@@ -69,7 +81,8 @@ object Dictionaries {
     case Some(n) =>
       val k = bare(n)
       cache.keys.filter(_._1 == k).foreach(cache.remove)
-    case None => cache.clear()
+      rangeCache.keys.filter(_._1 == k).foreach(rangeCache.remove)
+    case None => cache.clear(); rangeCache.clear()
   }
 
   def names: Seq[String] = dicts.keys.toSeq.sorted
@@ -91,13 +104,42 @@ object Dictionaries {
   // ---- expression builders (registered under dictGet* in ChFunctions) ----
 
   /** `dictGet('dict', 'attr', key)` → declared DEFAULT (or the type's
-    * zero value) for absent keys, ClickHouse semantics. */
+    * zero value) for absent keys, ClickHouse semantics. The 4-arg form
+    * `dictGet(d, a, key, at)` is the RANGE_HASHED validity-interval
+    * lookup (requires a `RANGE(MIN lo MAX hi)` declaration). */
   def dictGet(args: Seq[Expression]): Expression = {
-    require(args.length == 3, "dictGet(dict, attr, key) takes 3 arguments")
+    require(args.length == 3 || args.length == 4,
+      "dictGet(dict, attr, key[, range_at]) takes 3 or 4 arguments")
     val (m, attr) = resolve(args(0), args(1))
+    if (args.length == 4) return rangedGet(m, attr, args(2), args(3))
     val (mapLit, keyDt, valDt) = loadedMap(m, attr)
     Coalesce(Seq(ElementAt(mapLit, Cast(args(2), keyDt), None, false),
       defaultFor(m, attr, valDt)))
+  }
+
+  /** RANGE_HASHED lookup: the map carries key → array of
+    * (lo, hi, value) structs; the row whose [lo, hi] interval covers
+    * `at` wins (a fold, so overlaps resolve to the LAST covering row —
+    * ClickHouse picks an arbitrary covering row). Still a map literal:
+    * codegen'd, no join, one ship per executor. */
+  private def rangedGet(m: Meta, attr: String, keyE: Expression,
+                        atE: Expression): Expression = {
+    val (loCol, hiCol) = m.range.getOrElse(throw new IllegalArgumentException(
+      s"Dictionary ${m.name} has no RANGE(MIN .. MAX ..) declaration"))
+    val (mapLit, keyDt, valDt, rangeDt) = loadedRangeMap(m, attr, loCol, hiCol)
+    val ranges = ElementAt(mapLit, Cast(keyE, keyDt), None, false)
+    val at = Cast(atE, rangeDt)
+    val acc = UnresolvedNamedLambdaVariable(Seq("__graft_rh_acc"))
+    val s = UnresolvedNamedLambdaVariable(Seq("__graft_rh_s"))
+    val out = UnresolvedNamedLambdaVariable(Seq("__graft_rh_out"))
+    val hit = And(
+      GreaterThanOrEqual(at, UnresolvedExtractValue(s, Literal("lo"))),
+      LessThanOrEqual(at, UnresolvedExtractValue(s, Literal("hi"))))
+    val folded = ArrayAggregate(ranges, Cast(Literal(null), valDt),
+      LambdaFunction(If(hit, UnresolvedExtractValue(s, Literal("v")), acc),
+        Seq(acc, s)),
+      LambdaFunction(out, Seq(out)))
+    Coalesce(Seq(folded, defaultFor(m, attr, valDt)))
   }
 
   /** `dictGetOrDefault('dict', 'attr', key, default)`. */
@@ -183,6 +225,42 @@ object Dictionaries {
       val lit = Literal.create(kv,
         MapType(keyF.dataType, valF.dataType, valueContainsNull = true))
       (lit, keyF.dataType, valF.dataType)
+    })
+
+  private val rangeCache =
+    TrieMap.empty[(String, String), (Expression, DataType, DataType, DataType)]
+
+  /** Collect `SELECT key, lo, hi, attr FROM source` into a map of
+    * (lo, hi, v) struct arrays per key (cached; invalidate drops it
+    * via the attr-keyed cache sharing the (dict, attr) key space). */
+  private def loadedRangeMap(m: Meta, attr: String, loCol: String,
+                             hiCol: String): (Expression, DataType, DataType, DataType) =
+    rangeCache.getOrElseUpdate((m.name, attr), {
+      val src = m.spark.table(m.source.replace("`", ""))
+      def field(c: String) = src.schema.fields
+        .find(_.name.equalsIgnoreCase(c))
+        .getOrElse(throw new IllegalArgumentException(
+          s"Dictionary ${m.name}: column $c not in ${m.source}"))
+      val (keyF, loF, hiF, valF) =
+        (field(m.keyCol), field(loCol), field(hiCol), field(attr))
+      val rows = src.select(keyF.name, loF.name, hiF.name, valF.name)
+        .limit(maxEntries + 1).collect()
+      if (rows.length > maxEntries)
+        throw new IllegalArgumentException(
+          s"Dictionary ${m.name} exceeds $maxEntries entries; at that " +
+            "size JOIN the source table instead of a dictionary lookup")
+      val structDt = StructType(Seq(
+        StructField("lo", loF.dataType), StructField("hi", hiF.dataType),
+        StructField("v", valF.dataType)))
+      val kv = rows.iterator.filter(!_.isNullAt(0)).toSeq
+        .groupBy(_.get(0))
+        .map { case (k, rs) =>
+          k -> rs.map(r =>
+            org.apache.spark.sql.Row(r.get(1), r.get(2), r.get(3)))
+        }
+      val lit = Literal.create(kv,
+        MapType(keyF.dataType, ArrayType(structDt), valueContainsNull = false))
+      (lit, keyF.dataType, valF.dataType, loF.dataType)
     })
 
   /** ClickHouse's absent-key result: the attribute's declared DEFAULT,
