@@ -630,10 +630,18 @@ object Ddl {
         Seq(if (ok) 1 else 0).toDF("result")
           .select(org.apache.spark.sql.functions.col("result").cast("smallint"))
       case _ if "(?is)^\\s*(DROP|USE|TRUNCATE)\\b".r.findFirstIn(s).isDefined =>
-        "(?is)^\\s*DROP\\s+(?:TABLE|VIEW)\\s+(?:IF\\s+EXISTS\\s+)?([\\w`.]+)".r
-          .findFirstMatchIn(s)
-          .foreach(m => dropMaterializedView(spark, m.group(1).replace("`", "")))
-        spark.sql(s)
+        val dropped = "(?is)^\\s*DROP\\s+(?:TABLE|VIEW)\\s+(?:IF\\s+EXISTS\\s+)?([\\w`.]+)".r
+          .findFirstMatchIn(s).map(_.group(1).replace("`", ""))
+        dropped.foreach(dropMaterializedView(spark, _))
+        // a Distributed face is a session view, not a catalog table
+        dropped.map(n => n.substring(n.lastIndexOf('.') + 1).toLowerCase)
+          .filter(distributedTargets.contains) match {
+          case Some(face) =>
+            distributedTargets.remove(face)
+            spark.catalog.dropTempView(face)
+            spark.emptyDataFrame
+          case None => spark.sql(s)
+        }
       case other =>
         throw new IllegalArgumentException(s"unsupported DDL: $other")
     }
@@ -781,10 +789,42 @@ object Ddl {
   }
 
   private def createTable(spark: SparkSession, ifNotExists: Boolean,
-                          name: String, colDefs: String, engine: String,
-                          engineArgs: String, rest: String): DataFrame = {
+                          name: String, colDefs: String, engine0: String,
+                          engineArgs0: String, rest: String): DataFrame = {
+    // Replicated*MergeTree: replication is a cluster concern — strip
+    // the prefix and drop the two ZooKeeper args ('/path', 'replica'),
+    // keeping any engine-specific tail (Replacing's version column)
+    val replicated = engine0.toLowerCase.startsWith("replicated")
+    val engine = if (replicated) engine0.substring("replicated".length)
+      else engine0
+    val engineArgs =
+      if (replicated)
+        splitTopLevel(engineArgs0).map(_.trim)
+          .filterNot(a => a.startsWith("'") || a.isEmpty).mkString(", ")
+      else engineArgs0
+    // ENGINE=Distributed(cluster, db, table[, sharding_key]): single
+    // node — the local table IS every shard (same collapse as the
+    // cluster()/remote() table functions). Reads go through a session
+    // view; INSERTs redirect to the underlying table (see insert()).
+    if (engine.equalsIgnoreCase("distributed")) {
+      val parts = splitTopLevel(engineArgs).map(
+        _.trim.stripPrefix("'").stripSuffix("'").replace("`", ""))
+      if (parts.length < 3) throw new IllegalArgumentException(
+        s"ENGINE=Distributed needs (cluster, db, table), got: $engineArgs")
+      val target = s"${parts(1)}.${parts(2)}"
+      val bare = name.replace("`", "")
+      val vname = bare.substring(bare.lastIndexOf('.') + 1)
+      spark.table(target) // the underlying table must exist
+      spark.sql(s"CREATE OR REPLACE TEMP VIEW $vname AS SELECT * FROM $target")
+      distributedTargets.put(vname.toLowerCase, target)
+      return spark.emptyDataFrame
+    }
     engine.toLowerCase match {
-      case "memory" | "mergetree" | "replacingmergetree" | "summingmergetree" => ()
+      case "memory" | "mergetree" | "replacingmergetree"
+           | "summingmergetree" => ()
+      // Log-family engines: unmerged append-only storage — the managed
+      // parquet mapping makes them behave exactly like Memory here
+      case "log" | "tinylog" | "stripelog" => ()
       case other => throw new IllegalArgumentException(s"unsupported engine: $other")
     }
     // ReplacingMergeTree[(ver)] / SummingMergeTree[(cols)]: remember
@@ -945,11 +985,18 @@ object Ddl {
   /** INSERT INTO t SELECT/VALUES — all MergeTree layouts land through
     * [[appendAligned]]; VALUES rows parse via Spark's inline VALUES
     * relation so partitioned tables accept them too. */
+  /** Distributed-table faces (view name → underlying table): INSERTs
+    * into the face write the local underlying table, like a one-shard
+    * cluster. */
+  private val distributedTargets = TrieMap.empty[String, String]
+
   def insert(spark: SparkSession, sql: String): DataFrame = {
     val m = "(?is)^\\s*INSERT\\s+INTO\\s+([\\w`.]+)\\s+(.*)$".r
       .findFirstMatchIn(sql.trim.stripSuffix(";"))
       .getOrElse(throw new IllegalArgumentException(s"bad INSERT: $sql"))
-    val (name, body) = (m.group(1), m.group(2).trim)
+    val (name0, body) = (m.group(1), m.group(2).trim)
+    val name = distributedTargets.getOrElse(
+      name0.replace("`", "").toLowerCase, name0)
     val meta = tables.get(normalize(spark, name))
     val hasLayout =
       meta.exists(t => t.partitionExpr.nonEmpty || t.orderBy.nonEmpty)

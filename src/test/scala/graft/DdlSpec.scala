@@ -776,6 +776,41 @@ class DdlSpec extends AnyFunSuite {
     assert(e.length === 1 && e.head.getLong(1) > 0)
   }
 
+  test("Replicated*/Log engines map; Distributed reads and writes locally") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.repl")
+    // ReplicatedReplacingMergeTree: ZK args stripped, version col kept
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.repl (k Int64, v Int64, ver Int64)
+      ENGINE=ReplicatedReplacingMergeTree('/clickhouse/tables/repl', 'r1', ver)
+      ORDER BY k""")
+    Engine.execute(spark,
+      "INSERT INTO graft_spec.repl VALUES (1, 10, 1), (1, 20, 2), (2, 5, 1)")
+    val fin = Engine.execute(spark,
+      "SELECT k, v FROM graft_spec.repl FINAL ORDER BY k").collect()
+    assert(fin.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 20L), (2L, 5L))) // keep-latest by ver
+    // Log-family engine accepted
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.lg")
+    Engine.execute(spark,
+      "CREATE TABLE graft_spec.lg (x Int64) ENGINE=TinyLog")
+    Engine.execute(spark, "INSERT INTO graft_spec.lg VALUES (7)")
+    assert(Engine.execute(spark, "SELECT x FROM graft_spec.lg")
+      .collect().head.getLong(0) === 7L)
+    // Distributed face: reads the underlying table, writes through
+    Engine.execute(spark, """
+      CREATE TABLE dist_lg (x Int64)
+      ENGINE=Distributed(mycluster, graft_spec, lg, rand())""")
+    Engine.execute(spark, "INSERT INTO dist_lg VALUES (8)")
+    assert(Engine.execute(spark,
+      "SELECT sum(x) FROM dist_lg").collect().head.getLong(0) === 15L)
+    assert(Engine.execute(spark,
+      "SELECT sum(x) FROM graft_spec.lg").collect().head.getLong(0) === 15L)
+    Engine.execute(spark, "DROP TABLE dist_lg")
+    assert(Engine.execute(spark, "SELECT sum(x) FROM graft_spec.lg")
+      .collect().head.getLong(0) === 15L) // underlying survives the drop
+  }
+
   test("RANGE_HASHED dictionary: 4-arg dictGet picks the covering interval") {
     Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
     Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.rates")
