@@ -1200,6 +1200,20 @@ object Engine {
   private val cInsert = new java.util.concurrent.atomic.AtomicLong
   private val cFailed = new java.util.concurrent.atomic.AtomicLong
 
+  /** system.settings, live: defaults merged with the session's SET
+    * overrides (`changed` = 1 exactly for overrides, like ClickHouse). */
+  private[graft] def settingsSnapshot(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val base = Map("max_threads" -> "32", "session_timezone" -> "UTC",
+      "readonly" -> "0")
+    val over = sessionSettings.synchronized {
+      sessionSettings.getOrElse(spark, Map.empty)
+    }
+    (base ++ over).toSeq.sortBy(_._1)
+      .map { case (k, v) => (k, v, if (over.contains(k)) 1 else 0, "") }
+      .toDF("name", "value", "changed", "description")
+  }
+
   /** system.metrics: point-in-time gauges (live, not a snapshot). */
   private[graft] def metricsSnapshot(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -1412,7 +1426,8 @@ object Engine {
       "processes" -> (() => Engine.processesSnapshot(spark)),
       "dictionaries" -> (() => Dictionaries.snapshot(spark)),
       "metrics" -> (() => Engine.metricsSnapshot(spark)),
-      "events" -> (() => Engine.eventsSnapshot(spark)))
+      "events" -> (() => Engine.eventsSnapshot(spark)),
+      "settings" -> (() => Engine.settingsSnapshot(spark)))
     live.foldLeft(sql) { case (s, (name, build)) =>
       val re = s"(?i)(?<![\\w`])system\\.$name(?![\\w`])"
       if (re.r.findFirstIn(s).isEmpty) s

@@ -51,6 +51,9 @@ class HttpServer(spark: SparkSession, port: Int,
   private def route(ex: HttpExchange): Unit = {
     val path = ex.getRequestURI.getPath
     if (path == "/ping") { respond(ex, 200, "Ok\n"); return }
+    // load-balancer health probe (ClickHouse's replica-lag endpoint;
+    // single node is always caught up)
+    if (path == "/replicas_status") { respond(ex, 200, "Ok.\n"); return }
     if (path == "/play") {
       respondBytes(ex, 200, HttpServer.playHtml.getBytes(UTF_8), "text/html")
       return

@@ -774,6 +774,17 @@ class DdlSpec extends AnyFunSuite {
       "SELECT event, value FROM system.events WHERE event = 'SelectQuery'")
       .collect()
     assert(e.length === 1 && e.head.getLong(1) > 0)
+    // live system.settings shows SET overrides with changed = 1
+    Engine.execute(spark, "SET max_threads = 8")
+    val st = Engine.execute(spark,
+      "SELECT value, changed FROM system.settings WHERE name = 'max_threads'")
+      .collect().head
+    assert(st.getString(0) === "8" && st.getInt(1) === 1)
+    Engine.execute(spark, "SET max_threads = DEFAULT")
+    val st2 = Engine.execute(spark,
+      "SELECT value, changed FROM system.settings WHERE name = 'max_threads'")
+      .collect().head
+    assert(st2.getString(0) === "32" && st2.getInt(1) === 0)
   }
 
   test("Replicated*/Log engines map; Distributed reads and writes locally") {

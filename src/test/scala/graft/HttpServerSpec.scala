@@ -41,6 +41,11 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.statusCode() === 200 && r.body() === "Ok\n")
   }
 
+  test("/replicas_status answers Ok. (load-balancer probe)") {
+    val r = get("/replicas_status")
+    assert(r.statusCode() === 200 && r.body() === "Ok.\n")
+  }
+
   test("GET ?query=SELECT 1 answers '1' (test_suite.py:124-126)") {
     val r = get(s"/?query=${enc("SELECT 1")}")
     assert(r.statusCode() === 200 && r.body() === "1\n")
