@@ -805,6 +805,54 @@ object LlmPipeline {
       FROM u JOIN f USING (unit) WHERE f.freq = 1
       GROUP BY u.doc_id ORDER BY u.doc_id""")),
 
+    // L29: quality-decile curriculum design — the mixture step after
+    // scoring: bucket docs into per-LANGUAGE quality deciles (the
+    // window partitions on lang, so no global-sort funnel — each
+    // language sorts independently, exactly how a 100 TB mixture is
+    // built), then per-bucket stats + the keep-rate schedule a
+    // curriculum sampler would consume.
+    Q("l29_quality_curriculum", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val q = docsWithToks(s, dir).select(
+          col("doc_id"), col("lang"),
+          size(col("__toks")).as("n_tokens"),
+          size(array_distinct(col("__toks"))).as("n_uniq"),
+          TextFns.countIn(col("__toks"), stopEn).as("n_stop"))
+        .withColumn("quality",
+          round(lit(0.4) * (col("n_uniq").cast("double") / col("n_tokens")) +
+                lit(0.4) * (col("n_stop").cast("double") / col("n_tokens")) +
+                lit(0.2) * (least(col("n_tokens"), lit(100)).cast("double") / 100.0), 4))
+      q.withColumn("decile", ntile(10).over(
+          Window.partitionBy(col("lang")).orderBy(col("quality"), col("doc_id"))))
+        .groupBy("lang", "decile")
+        .agg(count(lit(1)).as("n"),
+          min(col("quality")).as("min_q"), max(col("quality")).as("max_q"),
+          sum(col("n_tokens")).cast("long").as("tokens"))
+        .withColumn("keep_rate",
+          when(col("decile") <= 2, 0.1)
+            .when(col("decile") <= 5, 0.5).otherwise(1.0))
+        .orderBy("lang", "decile")
+    }, Some("""
+      WITH t AS (SELECT doc_id, lang,
+                   string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') toks
+                 FROM documents),
+      sc AS (SELECT doc_id, lang,
+               CAST(len(toks) AS INT) n_tokens,
+               round(0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) +
+                     0.4 * (CAST(len(list_filter(toks,
+                             x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE) / len(toks)) +
+                     0.2 * (CAST(least(len(toks), 100) AS DOUBLE) / 100.0), 4) quality
+             FROM t),
+      d AS (SELECT lang, n_tokens, quality,
+              ntile(10) OVER (PARTITION BY lang ORDER BY quality, doc_id) decile
+            FROM sc)
+      SELECT lang, decile, count(*) AS n,
+             min(quality) AS min_q, max(quality) AS max_q,
+             CAST(sum(n_tokens) AS BIGINT) AS tokens,
+             CASE WHEN decile <= 2 THEN 0.1
+                  WHEN decile <= 5 THEN 0.5 ELSE 1.0 END AS keep_rate
+      FROM d GROUP BY lang, decile ORDER BY lang, decile""")),
+
     // L28: deterministic global shuffle + shard assignment — the
     // training-export step before dataloader consumption. Shard =
     // md5-uniform hash of the doc id (seeded, so re-sharding with a new
