@@ -430,7 +430,8 @@ object Ddl {
         spark.sql(s"CREATE DATABASE ${Option(ifNot).getOrElse("")} $name")
       case createViewRe(orReplace, mat, ifNot, name, toTgt, populate, body) =>
         if (Option(mat).isDefined)
-          createMaterializedView(spark, Option(ifNot).isDefined, name,
+          createMaterializedView(spark, Option(orReplace).isDefined,
+            Option(ifNot).isDefined, name,
             Option(toTgt), Option(populate).isDefined, body)
         else {
           // Session-scoped: persistent Spark views cannot reference the
@@ -946,7 +947,8 @@ object Ddl {
     * POPULATE the target starts empty (pre-existing src rows never
     * flow), with it the current content seeds the target — both
     * ClickHouse semantics. */
-  private def createMaterializedView(spark: SparkSession, ifNot: Boolean,
+  private def createMaterializedView(spark: SparkSession, orReplace: Boolean,
+                                     ifNot: Boolean,
                                      name: String, toTgt: Option[String],
                                      populate: Boolean,
                                      body: String): DataFrame = {
@@ -966,6 +968,11 @@ object Ddl {
             MvMeta(target, normalize(spark, src), body))
           return spark.emptyDataFrame
         }
+        // ClickHouse raises TABLE_ALREADY_EXISTS unless OR REPLACE;
+        // dropping unconditionally would destroy a colliding user table
+        if (!orReplace)
+          throw new IllegalArgumentException(
+            s"Table $target already exists (use CREATE OR REPLACE)")
         spark.sql(s"DROP TABLE $target")
       }
       cleanOrphanLocation(spark, target)

@@ -272,7 +272,8 @@ object Dictionaries {
       case None => valDt match {
         case StringType => Literal("")
         case _: NumericType => Cast(Literal(0), valDt)
-        case DateType | TimestampType => Cast(Literal(0L), valDt)
+        case DateType => Literal(0, DateType) // 1970-01-01 in days-since-epoch
+        case TimestampType => Cast(Literal(0L), TimestampType)
         case BooleanType => Literal(false)
         case _ => Literal(null, valDt)
       }

@@ -369,12 +369,45 @@ object Transpiler {
         }
       }
       if (!ok) return s
-      var rest = s.substring(0, cursor) + s.substring(end)
+      // Scope of these names is the enclosing SELECT block only: a
+      // sibling scope (another UNION branch) may define the same window
+      // name, so the OVER-substitution must not cross a same-depth set
+      // operator or the enclosing parens.
+      val depthAt = {
+        val arr = new Array[Int](s.length + 1)
+        var d = 0; var i = 0
+        while (i < s.length) {
+          arr(i) = d
+          val c = s.charAt(i)
+          if (c == '(') d += 1 else if (c == ')') d -= 1
+          i += 1
+        }
+        arr(s.length) = d
+        arr
+      }
+      val myDepth = depthAt(cursor)
+      val scopeStart = "(?i)\\bSELECT\\b".r
+        .findAllMatchIn(s.substring(0, cursor))
+        .filter(x => depthAt(x.start) == myDepth)
+        .map(_.start).toList.lastOption.getOrElse(0)
+      var scopeEnd = s.length
+      var j = end
+      while (j < s.length && scopeEnd == s.length) {
+        if (s.charAt(j) == ')' && depthAt(j) == myDepth) scopeEnd = j
+        j += 1
+      }
+      "(?i)\\b(UNION|INTERSECT|EXCEPT)\\b".r
+        .findAllMatchIn(s.substring(end, scopeEnd))
+        .find(x => depthAt(end + x.start) == myDepth)
+        .foreach(x => scopeEnd = end + x.start)
+      val rest0 = s.substring(0, cursor) + s.substring(end)
+      val segEnd = scopeEnd - (end - cursor)
+      var seg = rest0.substring(scopeStart, segEnd)
       defs.foreach { case (w, spec) =>
-        rest = s"(?i)\\bOVER\\s+$w\\b".r.replaceAllIn(rest,
+        seg = s"(?i)\\bOVER\\s+$w\\b".r.replaceAllIn(seg,
           java.util.regex.Matcher.quoteReplacement(s"OVER ($spec)"))
       }
-      s = rest
+      s = rest0.substring(0, scopeStart) + seg + rest0.substring(segEnd)
       m = openRe.findFirstMatchIn(s)
     }
     s

@@ -68,6 +68,9 @@ object LateMaterialize {
         Seq("GROUP BY", " HAVING ", " JOIN ", " UNION ", " OFFSET ",
           "LATERAL", " WINDOW ").exists(upper.contains))
       return None
+    // window invocations (e.g. `row_number() OVER (...)`) would be
+    // re-evaluated over only the refetched rows in phase 2 — bail out
+    if ("(?i)\\bOVER\\s*\\(".r.findFirstIn(sql).isDefined) return None
     if (nonDeterministicRe.findFirstIn(sql).isDefined) return None
 
     val base = Try(spark.table(tbl)).getOrElse(return None)

@@ -476,6 +476,13 @@ class ChHofSpec extends AnyFunSuite {
       .collect().head.getDouble(0)
     val expect = 2.0 - 0.75 * (math.log(3) / math.log(2))
     assert(math.abs(h2 - expect) < 1e-12)
+    // values whose string rendering exceeds writeUTF's 64 KiB cap must
+    // survive the partial-aggregate shuffle (length-prefixed raw UTF-8)
+    val big = (0 until 8).map(i => ("x" * 70000) + (i % 2))
+    big.toDF("t").repartition(3).createOrReplaceTempView("ent_big")
+    val h3 = spark.sql(graft.dialect.Transpiler.transpile(
+      "SELECT entropy(t) AS h FROM ent_big")).collect().head.getDouble(0)
+    assert(h3 === 1.0d)
   }
 
   test("arrayShuffle keeps the multiset; anyHeavy finds the majority value") {

@@ -309,6 +309,29 @@ class DdlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT sum(d) FROM v_m").collect().head.getLong(0) === 6L)
   }
 
+  test("MATERIALIZED VIEW name collision: throws unless OR REPLACE") {
+    Engine.execute(spark, "DROP TABLE IF EXISTS mv_clash")
+    Engine.execute(spark,
+      "CREATE TABLE mv_clash (x Int64) ENGINE=Memory")
+    Engine.execute(spark, "INSERT INTO mv_clash VALUES (42)")
+    // colliding CREATE must not destroy the user table's data
+    val e = intercept[IllegalArgumentException](Engine.execute(spark,
+      "CREATE MATERIALIZED VIEW mv_clash AS SELECT number FROM numbers(3)"))
+    assert(e.getMessage.toLowerCase.contains("already exists"))
+    assert(spark.sql("SELECT x FROM mv_clash").collect()
+      .head.getLong(0) === 42L)
+    // IF NOT EXISTS: silent no-op, data intact
+    Engine.execute(spark, """CREATE MATERIALIZED VIEW IF NOT EXISTS mv_clash
+      AS SELECT number FROM numbers(3)""")
+    assert(spark.sql("SELECT x FROM mv_clash").collect()
+      .head.getLong(0) === 42L)
+    // OR REPLACE: explicit overwrite is allowed
+    Engine.execute(spark, """CREATE OR REPLACE MATERIALIZED VIEW mv_clash
+      POPULATE AS SELECT number AS n FROM numbers(3)""")
+    assert(spark.table("mv_clash").count() === 3)
+    Engine.execute(spark, "DROP TABLE mv_clash")
+  }
+
   test("MATERIALIZED VIEW triggers on INSERT blocks (ClickHouse semantics)") {
     Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
     Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.mv_src")
@@ -696,6 +719,26 @@ class DdlSpec extends AnyFunSuite {
     Engine.execute(spark, "DROP DICTIONARY d_spec")
     assertThrows[Exception](Engine.execute(spark,
       "SELECT dictGet('d_spec', 'name', 1)"))
+  }
+
+  test("DICTIONARY Date attribute: absent key yields epoch, not a cast error") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.dim_dates")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.dim_dates (id UInt64, d Date) ENGINE=Memory""")
+    Engine.execute(spark,
+      "INSERT INTO graft_spec.dim_dates VALUES (1, '2024-03-15')")
+    Engine.execute(spark, "DROP DICTIONARY IF EXISTS d_dates")
+    Engine.execute(spark, """
+      CREATE DICTIONARY d_dates (id UInt64, d Date)
+      PRIMARY KEY id
+      SOURCE(CLICKHOUSE(TABLE 'graft_spec.dim_dates'))
+      LAYOUT(FLAT()) LIFETIME(300)""")
+    val r = Engine.execute(spark, """
+      SELECT toString(dictGet('d_dates', 'd', number)) AS d
+      FROM numbers(3) ORDER BY number""").collect().map(_.getString(0)).toSeq
+    assert(r === Seq("1970-01-01", "2024-03-15", "1970-01-01"))
+    Engine.execute(spark, "DROP DICTIONARY d_dates")
   }
 
   test("CREATE TABLE AS SELECT: schema from the query, engine honored") {

@@ -323,5 +323,10 @@ class OperatorsSpec extends AnyFunSuite {
     assert(graft.operators.LateMaterialize.maybeRun(spark,
       s"SELECT $proj FROM latemat_w WHERE c3 % 7 = 0 " +
         "GROUP BY id ORDER BY c2 LIMIT 10").isEmpty)
+    // window invocation in the projection: phase 2 would compute it
+    // over only the refetched rows — must skip the rewrite entirely
+    assert(graft.operators.LateMaterialize.maybeRun(spark,
+      s"SELECT $proj, row_number() OVER (ORDER BY c2) AS rn " +
+        "FROM latemat_w WHERE c3 % 7 = 0 ORDER BY c2 DESC, id LIMIT 10").isEmpty)
   }
 }

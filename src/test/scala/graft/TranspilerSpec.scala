@@ -36,6 +36,20 @@ class TranspilerSpec extends AnyFunSuite {
     assert(t.contains("if((y) <> 0, 'u', 'v') AS b"), t)
   }
 
+  test("named WINDOW: sibling UNION scopes keep their own specs") {
+    val t = Transpiler.transpile(
+      "SELECT sum(v) OVER w AS s FROM a WINDOW w AS (ORDER BY x) " +
+        "UNION ALL " +
+        "SELECT sum(v) OVER w AS s FROM b WINDOW w AS (ORDER BY y DESC)")
+    val i = t.indexOf("UNION ALL")
+    assert(i > 0, t)
+    val (left, right) = (t.substring(0, i), t.substring(i))
+    assert(left.contains("OVER (ORDER BY x)") && !left.contains("ORDER BY y"), t)
+    assert(right.contains("OVER (ORDER BY y DESC)") &&
+      !right.contains("ORDER BY x"), t)
+    assert(!t.toUpperCase.contains(" WINDOW "), t)
+  }
+
   test("quantile(p)(x) becomes percentile(x, p)") {
     assert(Transpiler.transpile("SELECT quantile(0.5)(v) FROM t")
       .contains("percentile(v, 0.5)"))
