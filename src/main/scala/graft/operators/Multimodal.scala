@@ -1,93 +1,177 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: media as opaque BINARY payloads plus a
   * typed metadata struct, with the decode / feature-extract step run
   * batch-wise per partition.
   *
-  * The Spark-side plumbing is real — schema, partition-local batch
-  * processing via `mapPartitions` on a typed Dataset (the Scala
-  * equivalent of a Pandas-UDF/mapInPandas batch), deterministic
-  * output — while the actual media codec is a STUB: this container has
-  * no image/audio libraries, so `decodeFeatures` derives its "features"
-  * from an md5 digest of the payload bytes (clearly fake, fully
-  * deterministic, oracle-checkable). Swapping in a real decoder changes
-  * only the per-row function body, not the pipeline shape.
+  * The codec is REAL: payloads are genuine PNG images encoded with the
+  * JDK's `javax.imageio` (grayscale, one byte per pixel), and every
+  * downstream operator decodes the actual PNG bytes back to pixels
+  * before computing features / frames / resamples. The pixel CONTENT is
+  * synthetic-deterministic — `v(x,y) = (doc_id + 7x + 13y) mod 256` —
+  * so a SQL oracle can recompute every per-image statistic from
+  * `doc_id` alone without a PNG decoder, while the Spark side still
+  * exercises the full encode→bytes→decode round trip.
+  *
+  * All per-row work runs inside `mapPartitions` on a typed Dataset (the
+  * Scala equivalent of a Pandas-UDF/mapInPandas batch): expensive
+  * per-partition init is amortized, rows stream, nothing is collected.
   */
 object Multimodal {
 
-  /** Decoded-feature row: what a real image decoder would emit. */
+  /** Payload-attached row: the real PNG bytes + typed metadata. */
+  case class MediaDoc(doc_id: Long, lang: String, payload: Array[Byte],
+                      media_type: String, width: Int, height: Int)
+
+  /** Decoded-feature row: per-image statistics from the decoded pixels. */
   case class MediaFeatures(doc_id: Long, media_type: String, width: Int,
-                           height: Int, n_bytes: Int,
-                           f0: Double, f1: Double, f2: Double, f3: Double)
+                           height: Int, n_px: Int, px_sum: Long,
+                           px_min: Int, px_max: Int, px_mean_micros: Long)
 
-  /** Attach a fake binary payload + metadata struct to the documents
-    * table (stands in for reading real image bytes alongside text). */
-  def attachPayload(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"), col("lang"),
-      encode(col("text"), "UTF-8").as("payload"),
-      struct(
-        lit("image/png").as("media_type"),
-        (col("n_chars") % 640 + 16).cast("int").as("width"),
-        (col("n_chars") * 7 % 480 + 16).cast("int").as("height")
-      ).as("meta"))
+  /** Frame-sampled + nearest-neighbor-resized row (single decode pass). */
+  case class MediaTransform(doc_id: Long, n_frames: Int, frame_px_sum: Long,
+                            new_width: Int, new_height: Int,
+                            resized_px_sum: Long, resized_payload: Array[Byte])
 
-  /** STUB decode: batch feature extraction over each partition. A real
-    * implementation would decode pixels here; the stub emits 4
-    * deterministic doubles from the payload's md5 (each an 8-hex-char
-    * window scaled to [0,1)). Digest instance is reused per partition —
-    * the batch-shape a real codec needs (expensive init amortized).
-    */
+  /** Deterministic pixel content: recomputable by a SQL oracle. */
+  @inline private def pixel(id: Long, x: Int, y: Int): Int =
+    ((id + 7L * x + 13L * y) % 256L).toInt
+
+  private def encodePng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { r.setSample(x, y, 0, pixel(id, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def decodePng(bytes: Array[Byte]): BufferedImage = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "payload is not a decodable image")
+    img
+  }
+
+  /** Attach a real PNG payload + metadata struct to the documents table
+    * (stands in for reading image files alongside text: sizes vary per
+    * document, bytes are a true lossless encoding of the pixels). */
+  def attachPayload(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("lang"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        ImageIO.setUseCache(false) // per-partition init: no temp-file cache
+        rows.map { case (id, lang) =>
+          val (w, h) = ((id % 29 + 4).toInt, (id % 23 + 4).toInt)
+          MediaDoc(id, lang, encodePng(id, w, h), "image/png", w, h)
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), col("lang"), col("payload"),
+        struct(col("media_type"), col("width"), col("height")).as("meta"))
+  }
+
+  /** Decode each PNG payload and emit per-image pixel statistics. The
+    * width/height come from the DECODED image (not the metadata), so a
+    * corrupt or mislabeled payload surfaces as a mismatch. */
   def decodeFeatures(withPayload: DataFrame): Dataset[MediaFeatures] = {
     import withPayload.sparkSession.implicits._
-    withPayload.select(
-        col("doc_id"), col("payload"),
-        col("meta.media_type"), col("meta.width"), col("meta.height"))
-      .as[(Long, Array[Byte], String, Int, Int)]
+    withPayload.select(col("doc_id"), col("payload"), col("meta.media_type"))
+      .as[(Long, Array[Byte], String)]
       .mapPartitions { rows =>
-        val md = java.security.MessageDigest.getInstance("MD5") // per-partition init
-        rows.map { case (id, payload, mt, w, h) =>
-          md.reset()
-          val hex = md.digest(payload).map("%02x".format(_)).mkString
-          def f(j: Int): Double =
-            math.round(java.lang.Long.parseLong(hex.substring(8 * j, 8 * j + 8), 16)
-              / 4294967296.0 * 1e6) / 1e6
-          MediaFeatures(id, mt, w, h, payload.length, f(0), f(1), f(2), f(3))
+        ImageIO.setUseCache(false)
+        rows.map { case (id, payload, mt) =>
+          val img = decodePng(payload)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val r = img.getRaster
+          var (sum, mn, mx) = (0L, 256, -1)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = r.getSample(x, y, 0)
+              sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+              x += 1
+            }
+            y += 1
+          }
+          val n = w * h
+          MediaFeatures(id, mt, w, h, n, sum, mn, mx, sum * 1000000L / n)
         }
       }
   }
 
-  /** STUB frame sampling (video-style): every strideth byte of the
-    * payload, as a new binary column — pure slicing, no codec. */
-  def frameSample(withPayload: DataFrame, stride: Int): DataFrame = {
+  /** One decode pass per image: scanline frame-sampling (every strideth
+    * row of pixels — the video-frame pattern applied to an image's
+    * rows) and aspect-preserving nearest-neighbor resize into a square
+    * `box`, re-encoded as a real PNG. Nearest-neighbor (src index =
+    * `x*w div nw`) is integer-exact, so the resized checksum is oracle-
+    * recomputable — unlike interpolating resamplers. */
+  def transformMedia(withPayload: DataFrame, stride: Int,
+                     box: Int): Dataset[MediaTransform] = {
     import withPayload.sparkSession.implicits._
-    val sampled = udf((payload: Array[Byte]) =>
-      payload.grouped(stride).map(_.head).toArray)
-    withPayload.withColumn("frames", sampled(col("payload")))
-      .withColumn("n_frames", length(col("frames")))
+    withPayload.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        ImageIO.setUseCache(false)
+        rows.map { case (id, payload) =>
+          val img = decodePng(payload)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val r = img.getRaster
+          // frames: rows y = 0, stride, 2*stride, ...
+          var (nFrames, fSum) = (0, 0L)
+          var y = 0
+          while (y < h) {
+            nFrames += 1
+            var x = 0
+            while (x < w) { fSum += r.getSample(x, y, 0); x += 1 }
+            y += stride
+          }
+          // aspect-fit into the box, nearest-neighbor resample
+          val side = math.max(w, h)
+          val nw = math.max(1, (w.toLong * box / side).toInt)
+          val nh = math.max(1, (h.toLong * box / side).toInt)
+          val out = new BufferedImage(nw, nh, BufferedImage.TYPE_BYTE_GRAY)
+          val or = out.getRaster
+          var rSum = 0L
+          var yy = 0
+          while (yy < nh) {
+            val sy = yy * h / nh
+            var xx = 0
+            while (xx < nw) {
+              val v = r.getSample(xx * w / nw, sy, 0)
+              or.setSample(xx, yy, 0, v); rSum += v
+              xx += 1
+            }
+            yy += 1
+          }
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(out, "png", bos)
+          MediaTransform(id, nFrames, fSum, nw, nh, rSum, bos.toByteArray)
+        }
+      }
   }
 
-  /** Resize plumbing: aspect-preserving fit into a square `box` (the
-    * common model-input shape, e.g. 224). The DIMENSION math is the
-    * real part — integer-exact (`w*box div max(w,h)`), so it is
-    * oracle-checkable and immune to FP-ulp drift — while the pixel
-    * resample is the declared codec stub: the "resized" payload is a
-    * prefix slice sized to the new pixel count. Fully declarative
-    * (no UDF): the dimension columns stay inside codegen. */
+  /** Frame-sampling view of [[transformMedia]]. */
+  def frameSample(withPayload: DataFrame, stride: Int): DataFrame =
+    transformMedia(withPayload, stride, 16)
+      .select("doc_id", "n_frames", "frame_px_sum")
+
+  /** Resize view of [[transformMedia]]. */
   def resize(withPayload: DataFrame, box: Int): DataFrame =
-    withPayload
-      .withColumn("new_width", expr(
-        s"greatest(1, CAST(meta.width AS BIGINT) * $box div " +
-          "greatest(meta.width, meta.height))").cast("int"))
-      .withColumn("new_height", expr(
-        s"greatest(1, CAST(meta.height AS BIGINT) * $box div " +
-          "greatest(meta.width, meta.height))").cast("int"))
-      .withColumn("resized_n_bytes",
-        least(length(col("payload")),
-          col("new_width") * col("new_height")).cast("int"))
-      .withColumn("resized_payload", expr(
-        "substring(payload, 1, new_width * new_height)"))
+    transformMedia(withPayload, 1, box)
+      .select("doc_id", "new_width", "new_height", "resized_px_sum",
+        "resized_payload")
 }

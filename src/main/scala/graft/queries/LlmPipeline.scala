@@ -883,46 +883,66 @@ object LlmPipeline {
              md5(string_agg(doc_id::VARCHAR, ',' ORDER BY rnd, doc_id)) AS order_chk
       FROM d GROUP BY shard ORDER BY shard""")),
 
-    // M1: multimodal columns — binary payload + typed metadata, decode
-    // stub over mapPartitions (real batch plumbing, fake codec)
+    // M1: multimodal columns — REAL PNG payloads (javax.imageio), fully
+    // decoded back to pixels per partition. The pixel content is the
+    // deterministic v=(doc_id+7x+13y)%256 pattern, so DuckDB recomputes
+    // every statistic from doc_id without a PNG decoder while Spark
+    // exercises the true encode→bytes→decode round trip.
     Q("m1_multimodal", (s, dir) => {
       Multimodal.decodeFeatures(
           Multimodal.attachPayload(Tables.load(s, dir, "documents")))
         .toDF().orderBy("doc_id")
     }, Some("""
-      SELECT doc_id, 'image/png' AS media_type,
-             CAST(n_chars % 640 + 16 AS INT) AS width,
-             CAST(n_chars * 7 % 480 + 16 AS INT) AS height,
-             CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-             round(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) / 4294967296.0, 6) AS f0,
-             round(CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) / 4294967296.0, 6) AS f1,
-             round(CAST(('0x' || substr(md5(text), 17, 8)) AS BIGINT) / 4294967296.0, 6) AS f2,
-             round(CAST(('0x' || substr(md5(text), 25, 8)) AS BIGINT) / 4294967296.0, 6) AS f3
-      FROM documents ORDER BY doc_id""")),
+      WITH m AS (SELECT doc_id, CAST(doc_id % 29 + 4 AS INT) AS width,
+                        CAST(doc_id % 23 + 4 AS INT) AS height
+                 FROM documents),
+      px AS (SELECT m.doc_id, m.width, m.height,
+                    (m.doc_id + 7 * gx.x + 13 * gy.y) % 256 AS v
+             FROM m, generate_series(0, 32) gx(x), generate_series(0, 26) gy(y)
+             WHERE gx.x < m.width AND gy.y < m.height)
+      SELECT doc_id, 'image/png' AS media_type, width, height,
+             CAST(width * height AS INT) AS n_px,
+             CAST(sum(v) AS BIGINT) AS px_sum,
+             CAST(min(v) AS INT) AS px_min,
+             CAST(max(v) AS INT) AS px_max,
+             CAST(sum(v) * 1000000 // (width * height) AS BIGINT) AS px_mean_micros
+      FROM px GROUP BY doc_id, width, height ORDER BY doc_id""")),
 
-    // M2: frame-sample + resize plumbing — every-16th-byte "frames"
-    // (count = ceil(bytes/16)) and integer-exact aspect-fit into a
-    // 224 box; the dimension math is real, the pixel step a declared
-    // stub (see Multimodal.resize)
+    // M2: scanline frame-sampling (every 4th pixel row) + nearest-
+    // neighbor aspect-fit resize into a 16 box, one real decode pass,
+    // re-encoded as a real PNG. Integer-exact resample (src = x*w div
+    // nw) keeps the checksum oracle-recomputable.
     Q("m2_media_resize", (s, dir) => {
       import org.apache.spark.sql.functions.col
       val p = Multimodal.attachPayload(Tables.load(s, dir, "documents"))
-      Multimodal.resize(Multimodal.frameSample(p, 16), 224)
-        .select(col("doc_id"), col("n_frames"),
-          col("new_width"), col("new_height"), col("resized_n_bytes"))
+      Multimodal.transformMedia(p, 4, 16)
+        .select(col("doc_id"), col("n_frames"), col("frame_px_sum"),
+          col("new_width"), col("new_height"), col("resized_px_sum"))
         .orderBy("doc_id")
     }, Some("""
-      WITH m AS (SELECT doc_id,
-                   octet_length(encode(text)) AS nb,
-                   n_chars % 640 + 16 AS w,
-                   n_chars * 7 % 480 + 16 AS h
-                 FROM documents)
-      SELECT doc_id,
-             CAST(ceil(nb / 16.0) AS INT) AS n_frames,
-             CAST(greatest(1, w * 224 // greatest(w, h)) AS INT) AS new_width,
-             CAST(greatest(1, h * 224 // greatest(w, h)) AS INT) AS new_height,
-             CAST(least(nb, greatest(1, w * 224 // greatest(w, h))
-                  * greatest(1, h * 224 // greatest(w, h))) AS INT) AS resized_n_bytes
-      FROM m ORDER BY doc_id"""))
+      WITH m AS (SELECT doc_id, doc_id % 29 + 4 AS w, doc_id % 23 + 4 AS h
+                 FROM documents),
+      d AS (SELECT doc_id, w, h,
+              greatest(1, w * 16 // greatest(w, h)) AS nw,
+              greatest(1, h * 16 // greatest(w, h)) AS nh FROM m),
+      fr AS (SELECT m.doc_id,
+               count(*) FILTER (gx.x = 0) AS n_frames,
+               sum((m.doc_id + 7 * gx.x + 13 * gy.y) % 256) AS fsum
+             FROM m, generate_series(0, 32) gx(x), generate_series(0, 26) gy(y)
+             WHERE gx.x < m.w AND gy.y < m.h AND gy.y % 4 = 0
+             GROUP BY m.doc_id),
+      rz AS (SELECT d.doc_id,
+               sum((d.doc_id + 7 * (gx.x * d.w // d.nw)
+                    + 13 * (gy.y * d.h // d.nh)) % 256) AS rsum
+             FROM d, generate_series(0, 16) gx(x), generate_series(0, 16) gy(y)
+             WHERE gx.x < d.nw AND gy.y < d.nh
+             GROUP BY d.doc_id)
+      SELECT m.doc_id, CAST(fr.n_frames AS INT) AS n_frames,
+             CAST(fr.fsum AS BIGINT) AS frame_px_sum,
+             CAST(d.nw AS INT) AS new_width, CAST(d.nh AS INT) AS new_height,
+             CAST(rz.rsum AS BIGINT) AS resized_px_sum
+      FROM m JOIN d USING (doc_id) JOIN fr ON fr.doc_id = m.doc_id
+             JOIN rz ON rz.doc_id = m.doc_id
+      ORDER BY m.doc_id"""))
   )
 }

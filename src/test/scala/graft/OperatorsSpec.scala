@@ -162,20 +162,44 @@ class OperatorsSpec extends AnyFunSuite {
     df.collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
-  test("Multimodal: payload/meta schema, deterministic stub features, frame sampling") {
+  test("Multimodal: real PNG round trip — decode matches generator pixels") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val wp = graft.operators.Multimodal.attachPayload(docs)
     assert(wp.schema("payload").dataType.typeName === "binary")
     assert(wp.schema("meta").dataType.typeName === "struct")
-    val feats = graft.operators.Multimodal.decodeFeatures(wp)
-    val row = feats.filter(col("doc_id") === 0).collect().head
-    val again = graft.operators.Multimodal.decodeFeatures(wp)
-      .filter(col("doc_id") === 0).collect().head
-    assert(row === again) // deterministic stub
-    assert(row.f0 >= 0.0 && row.f0 < 1.0)
-    val frames = graft.operators.Multimodal.frameSample(wp, stride = 8)
-      .filter(col("doc_id") === 0).select("n_frames", "payload").collect().head
-    assert(frames.getInt(0) === (frames.getAs[Array[Byte]](1).length + 7) / 8)
+    // the payload is a genuine PNG: magic bytes + ImageIO round trip
+    val p0 = wp.filter(col("doc_id") === 7).select("payload")
+      .collect().head.getAs[Array[Byte]](0)
+    assert(p0.take(8).map(_ & 0xff).toSeq ===
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p0))
+    assert(img.getWidth === (7 % 29 + 4) && img.getHeight === (7 % 23 + 4))
+    // decoded stats equal a driver-side recomputation of v=(id+7x+13y)%256
+    val row = graft.operators.Multimodal.decodeFeatures(wp)
+      .filter(col("doc_id") === 7).collect().head
+    val (w, h) = (7 % 29 + 4, 7 % 23 + 4)
+    val vs = for { y <- 0 until h; x <- 0 until w } yield (7 + 7 * x + 13 * y) % 256
+    assert(row.width === w && row.height === h && row.n_px === w * h)
+    assert(row.px_sum === vs.map(_.toLong).sum)
+    assert(row.px_min === vs.min && row.px_max === vs.max)
+    // one-pass frames + nearest-neighbor resize, re-encoded as real PNG
+    val t = graft.operators.Multimodal.transformMedia(wp, 4, 224)
+      .filter(col("doc_id") === 7).collect().head
+    assert(t.n_frames === (h + 3) / 4)
+    assert(t.frame_px_sum ===
+      (for { y <- 0 until h by 4; x <- 0 until w }
+        yield ((7 + 7 * x + 13 * y) % 256).toLong).sum)
+    val side = math.max(w, h)
+    assert(t.new_width === math.max(1, w * 224 / side) &&
+      t.new_height === math.max(1, h * 224 / side))
+    val rimg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(t.resized_payload))
+    assert(rimg.getWidth === t.new_width && rimg.getHeight === t.new_height)
+    // resized checksum = nearest-neighbor source pixels, integer-exact
+    val rsum = (for { y <- 0 until t.new_height; x <- 0 until t.new_width }
+      yield ((7 + 7 * (x * w / t.new_width) + 13 * (y * h / t.new_height))
+        % 256).toLong).sum
+    assert(t.resized_px_sum === rsum)
   }
 
   test("CosineKnn LSH recall@5 >= 0.6 vs brute force on fixture embeddings") {
