@@ -33,6 +33,21 @@ object LlmPipeline {
       .withColumn("__toks", TextFns.tokens(col("__norm")))
   }
 
+  /** Shared oracle for the ANN recall gates (l6/l11): DuckDB
+    * independently recomputes the exact top-5 pair count; the recall
+    * boolean's expected value is TRUE by the measured margins. */
+  private val annRecallOracle = """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 10),
+      s AS (SELECT qid, vec_id nid,
+              round(list_inner_product(qv, v) /
+                    (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))), 6) sim
+            FROM q, e WHERE vec_id <> qid),
+      r AS (SELECT qid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) rn
+            FROM s)
+      SELECT CAST(count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+      FROM r WHERE rn <= 5"""
+
   val qs: Seq[Q] = Seq(
 
     // L1: exact dedup — hash-groupBy on normalized text, per-lang stats
@@ -181,23 +196,39 @@ object LlmPipeline {
             FROM s)
       SELECT qid, nid, sim, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""")),
 
-    // L6: LSH-bucketed ANN (sign-LSH + Hamming-1 multiprobe + exact
-    // rerank). Approximate => no SQL oracle; recall asserted in tests.
+    // L6: LSH-bucketed ANN (sign-LSH + Hamming-2 multiprobe + exact
+    // rerank). The ANN result itself is approximate, so the driver-
+    // gated row is its RECALL against the exact top-k: n_exact is
+    // recomputed independently by DuckDB and recall_ok materializes
+    // `recall >= 0.75` (measured 0.84–0.90 across sf0.001–sf0.1).
     Q("l6_ann_lsh", (s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
-      CosineKnn.lshTopK(e, e.filter(col("vec_id") < 10),
-          "vec_id", "embedding", k = 5)
-        .orderBy("qid", "rn")
-    }, None),
+      val q = e.filter(col("vec_id") < 10)
+      val exact = CosineKnn.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      val ann = CosineKnn.lshTopK(e, q, "vec_id", "embedding", k = 5)
+      exact.select(col("qid"), col("nid"))
+        .join(ann.select(col("qid"), col("nid"), lit(1).as("hit")),
+          Seq("qid", "nid"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          (coalesce(sum(col("hit")), lit(0L)) >= count(lit(1)) * 0.75)
+            .as("recall_ok"))
+    }, Some(annRecallOracle)),
 
     // L6b: IVF ANN (KMeans coarse quantizer + multiprobe + exact
-    // rerank). Approximate => rows-only check; recall in tests.
+    // rerank), driver-gated the same way: recall >= 0.6 vs the exact
+    // top-k (measured 0.76–0.80; uniform fixture is IVF's worst case).
     Q("l11_ann_ivf", (s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
-      CosineKnn.ivfTopK(e, e.filter(col("vec_id") < 10),
-          "vec_id", "embedding", k = 5)
-        .orderBy("qid", "rn")
-    }, None),
+      val q = e.filter(col("vec_id") < 10)
+      val exact = CosineKnn.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      val ann = CosineKnn.ivfTopK(e, q, "vec_id", "embedding", k = 5)
+      exact.select(col("qid"), col("nid"))
+        .join(ann.select(col("qid"), col("nid"), lit(1).as("hit")),
+          Seq("qid", "nid"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          (coalesce(sum(col("hit")), lit(0L)) >= count(lit(1)) * 0.6)
+            .as("recall_ok"))
+    }, Some(annRecallOracle)),
 
     // L12: embedding-cosine near-dup pairs (exact; the fixture's max
     // cosine is ~0.51 so 0.45 yields a small deterministic pair set)
@@ -215,16 +246,35 @@ object LlmPipeline {
       ORDER BY a, b""")),
 
     // L15: LSH-candidate near-dup pairs (multi-table sign-LSH + exact
-    // rerank) — the approximate 100 TB path beside exact l12. The
-    // fixture's threshold is low (uniform vectors, LSH's worst case),
-    // so rows are a superset-recall sample; recall itself is asserted
-    // in OperatorsSpec on clustered data => no SQL oracle.
+    // rerank) — the approximate 100 TB path beside exact l12. Driver-
+    // gated via the derived metrics row: n_exact recomputed by DuckDB,
+    // precision_ok (every emitted pair is in the exact set — rerank
+    // guarantees it) and recall_ok >= 0.8 (measured 0.86–1.0 at
+    // nTables=12 across SFs; uniform vectors are LSH's worst case).
     Q("l15_cosine_neardup_lsh", (s, dir) => {
-      CosineKnn.lshNearDupPairs(Tables.load(s, dir, "embeddings"),
-          "vec_id", "embedding", threshold = 0.45,
-          nPlanes = 4, nTables = 6)
-        .orderBy("a", "b")
-    }, None),
+      val e = Tables.load(s, dir, "embeddings")
+      val exact = CosineKnn.nearDupPairs(e, "vec_id", "embedding",
+        threshold = 0.45).select(col("a"), col("b"))
+      val lsh = CosineKnn.lshNearDupPairs(e, "vec_id", "embedding",
+          threshold = 0.45, nPlanes = 4, nTables = 12)
+        .select(col("a"), col("b"))
+      val rec = exact
+        .join(lsh.withColumn("hit", lit(1)), Seq("a", "b"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          (coalesce(sum(col("hit")), lit(0L)) >= count(lit(1)) * 0.8)
+            .as("recall_ok"))
+      val prec = lsh
+        .join(exact.withColumn("ok", lit(1)), Seq("a", "b"), "left")
+        .agg(coalesce(count(lit(1)) === sum(col("ok")), lit(true))
+          .as("precision_ok"))
+      rec.crossJoin(prec)
+    }, Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      u AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_inner_product(v, v))) uv FROM e)
+      SELECT CAST(count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok,
+             TRUE AS precision_ok
+      FROM u a JOIN u b ON a.vec_id < b.vec_id
+      WHERE round(list_inner_product(a.uv, b.uv), 6) >= 0.45""")),
 
     // L7: language-ID by stopword-profile scoring
     Q("l7_langid", (s, dir) => {

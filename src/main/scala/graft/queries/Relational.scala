@@ -176,13 +176,20 @@ object Relational {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
       bench = true),
 
-    // G4: approximate distinct (HLL++). No DuckDB oracle — sketch values
-    // are engine-specific; exact count rides along as a sanity column.
+    // G4: approximate distinct (HLL++). Sketch values are engine-
+    // specific, so the driver-gated row is the derived error bound:
+    // exact count (DuckDB recomputes) + |approx-exact| <= 15% * exact
+    // (HLL++ default rsd is 5%; 15% is 3 sigma of margin).
     Q("g4_approx_distinct", (s, dir) => {
       Tables.load(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
-    }, None),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        (abs(approx_count_distinct(col("l_partkey")) -
+            countDistinct(col("l_partkey"))) <=
+          countDistinct(col("l_partkey")) * 0.15).as("hll_within_15pct"))
+    }, Some("""
+      SELECT count(DISTINCT l_partkey) AS exact_parts,
+             TRUE AS hll_within_15pct
+      FROM lineitem""")),
 
     // G5: GROUP BY on expressions, multi-key
     Q("g5_groupby_expr", (s, dir) => {
