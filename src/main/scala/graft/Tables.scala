@@ -18,15 +18,32 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark reads only as
-    * a nanosecond long (spark.sql.legacy.parquet.nanosAsLong, set in all
-    * session builders). Convert to a microsecond timestamp here; oracle
-    * SQL does the matching `CAST(ts AS TIMESTAMP)` (ns → us) in DuckDB.
-    * Integer `div` — double division would lose precision above 2^53.
+  /** `events.ts` has shipped in two fixture encodings: parquet
+    * TIMESTAMP(NANOS) — which Spark reads only as a nanosecond long
+    * (spark.sql.legacy.parquet.nanosAsLong, set in all session
+    * builders) — and plain timestamp[us], which loads as TimestampType
+    * directly. Adapt to whichever the loaded schema shows: a long gets
+    * the ns → us conversion (integer `div`; double division would lose
+    * precision above 2^53), a timestamp passes through. The DuckDB
+    * oracle's `CAST(ts AS TIMESTAMP)` is correct for both.
     */
   def events(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    eventsTs(load(spark, dir, "events"))
+
+  /** The dtype-adaptive ts normalization alone, for callers (streaming)
+    * that build the events DataFrame themselves. timestamp[us] parquet
+    * (isAdjustedToUTC=false) loads as TIMESTAMP_NTZ, which watermarks
+    * reject — cast to TIMESTAMP; the session TZ is pinned UTC in every
+    * builder, so the instant is unchanged and matches DuckDB's naive
+    * read. */
+  def eventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   /** Exact-decimal cast. The fixtures store money/quantity as double;
     * both Spark and the DuckDB oracle cast to the same DECIMAL(p,s) so

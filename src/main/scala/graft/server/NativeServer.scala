@@ -126,8 +126,11 @@ class NativeServer(spark: SparkSession, port: Int,
         if (infoRevision >= 54448) readVarint(in) // distributed depth
       }
     }
-    // settings: (name, flags, value) until empty name
-    while ({ val name = readStr(in); name.nonEmpty && { in.read(); readStr(in); true } }) ()
+    // settings: (name, flags, value) until empty name. Kept: `extremes`
+    // gates the EXTREMES packet (type 8) like real ClickHouse.
+    val settings = scala.collection.mutable.Map[String, String]()
+    while ({ val name = readStr(in)
+             name.nonEmpty && { in.read(); settings(name) = readStr(in); true } }) ()
     if (clientRevision >= 54441) readStr(in) // inter-server secret
     readVarint(in) // query stage
     val compression = readVarint(in)
@@ -143,7 +146,19 @@ class NativeServer(spark: SparkSession, port: Int,
       while ({ val name = readStr(in); name.nonEmpty && { in.read(); readStr(in); true } }) ()
 
     try {
-      val (bare, _) = Transpiler.extractFormat(query) // native ignores FORMAT
+      val (bare0, _) = Transpiler.extractFormat(query) // native ignores FORMAT
+      // WITH TOTALS on the native protocol: the grouped rows go out as
+      // DATA and the all-rows aggregate as a separate TOTALS packet
+      // (type 7, reference constant main.py:61) — that is what populates
+      // clickhouse-driver's `.totals`. The dialect's inline GROUPING
+      // SETS rewrite (Transpiler) stays for HTTP; here the query is
+      // split instead: the main query drops WITH TOTALS, the totals
+      // query aggregates over the empty grouping set. Two aggregate
+      // passes, but each is the plain distributed plan — no driver
+      // materialization beyond the single totals row.
+      val totalsBare: Option[String] = totalsQuery(bare0)
+      val bare = totalsRe.replaceAllIn(bare0, m =>
+        java.util.regex.Matcher.quoteReplacement(s"GROUP BY ${m.group(1)}"))
       val df = Engine.execute(session, bare, authUser, Some(queryId))
       val isSelect = bare.trim.toUpperCase.startsWith("SELECT") ||
         bare.trim.toUpperCase.startsWith("WITH")
@@ -177,6 +192,45 @@ class NativeServer(spark: SparkSession, port: Int,
             writeStr(out, "") // table name
             writeBlockInfo(out)
           })
+        val serFlag = clientRevision >= 54454
+        // TOTALS packet (type 7): the empty-grouping-set aggregate, one
+        // row, encoded against the MAIN schema so both blocks announce
+        // identical column types (null group keys encode as ClickHouse
+        // defaults when the main column is non-Nullable).
+        totalsBare.foreach { tq =>
+          val trows = Engine.execute(session, tq, authUser).limit(2).collect()
+          writeVarint(out, ServerTotals)
+          writeStr(out, "")
+          writeBlockInfo(out)
+          out.write(NativeCodec.encode(df.schema, trows, serFlag))
+        }
+        // EXTREMES packet (type 8), gated on the `extremes` setting like
+        // real ClickHouse: min/max per numeric/date column over the
+        // result (non-numerics get defaults), one 2-row block.
+        if (settings.get("extremes").exists(v => v == "1" || v == "true")) {
+          import org.apache.spark.sql.functions.{col, lit, max, min}
+          import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
+          val fields = df.schema.fields
+          val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
+            f.dataType match {
+              case _: NumericType | DateType | _: TimestampType =>
+                Seq(min(col(s"`${f.name}`")).as(s"__mn$i"),
+                    max(col(s"`${f.name}`")).as(s"__mx$i"))
+              case dt =>
+                Seq(max(lit(null).cast(dt)).as(s"__mn$i"),
+                    max(lit(null).cast(dt)).as(s"__mx$i"))
+            }
+          }
+          val ext = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
+          val minRow = org.apache.spark.sql.Row.fromSeq(
+            fields.indices.map(i => ext.get(2 * i)))
+          val maxRow = org.apache.spark.sql.Row.fromSeq(
+            fields.indices.map(i => ext.get(2 * i + 1)))
+          writeVarint(out, ServerExtremes)
+          writeStr(out, "")
+          writeBlockInfo(out)
+          out.write(NativeCodec.encode(df.schema, Array(minRow, maxRow), serFlag))
+        }
       }
       writeVarint(out, ServerEndOfStream)
       out.flush()
@@ -188,6 +242,46 @@ class NativeServer(spark: SparkSession, port: Int,
         out.flush()
     } finally Engine.finishQuery(queryId)
   }
+
+  private val totalsRe = "(?is)GROUP\\s+BY\\s+(.+?)\\s+WITH\\s+TOTALS".r
+
+  /** Split a GROUP BY key list on depth-0 commas ("a, f(x, y), b"). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    var depth = 0; var start = 0
+    s.zipWithIndex.foreach { case (c, i) =>
+      c match {
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i).trim; start = i + 1
+        case _ => ()
+      }
+    }
+    out += s.substring(start).trim
+    out.result().filter(_.nonEmpty)
+  }
+
+  /** Rewrite `GROUP BY k WITH TOTALS` into the query computing ONLY the
+    * totals row: GROUPING SETS ((k), ()) filtered to the empty grouping
+    * set via HAVING grouping(k)=1 (select-list references to k stay
+    * analyzable, unlike a bare GROUPING SETS (())). An existing HAVING
+    * is AND-folded (= ClickHouse totals_mode=after_having_exclusive;
+    * the no-HAVING common case is exact). */
+  private def totalsQuery(sql: String): Option[String] =
+    totalsRe.findFirstMatchIn(sql).map { m =>
+      val keys = m.group(1).trim
+      val cond = splitTopLevel(keys).map(k => s"grouping($k) = 1").mkString(" AND ")
+      val gs = s"GROUP BY GROUPING SETS (($keys), ())"
+      val after = sql.substring(m.end)
+      val havingRe = "(?is)^\\s*HAVING\\s+(.+?)(?=\\s+ORDER\\s+BY|\\s+LIMIT|\\s*$)".r
+      havingRe.findFirstMatchIn(after) match {
+        case Some(h) =>
+          sql.substring(0, m.start) + gs +
+            s" HAVING (${h.group(1).trim}) AND $cond" + after.substring(h.end)
+        case None =>
+          sql.substring(0, m.start) + gs + s" HAVING $cond" + after
+      }
+    }
 
   /** varint-length zlib-deflated string (main.py:782-804 framing). */
   private def readZlibStr(in: InputStream): String = {
@@ -234,6 +328,7 @@ object NativeServer {
   // server packet types (main.py:53-61)
   val ServerHello = 0L; val ServerData = 1L; val ServerException = 2L
   val ServerProgress = 3L; val ServerPong = 4L; val ServerEndOfStream = 5L
+  val ServerProfileInfo = 6L; val ServerTotals = 7L; val ServerExtremes = 8L
 
   val ServerName = "graft"
   val VersionMajor = 25L; val VersionMinor = 5L; val VersionPatch = 2L

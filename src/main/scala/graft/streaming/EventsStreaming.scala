@@ -63,7 +63,7 @@ object EventsStreaming {
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "events.parquet") // the stream's "topic"
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.Tables.eventsTs)
       .select("event_id", "ts", "user_id", "event_type", "value")
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>

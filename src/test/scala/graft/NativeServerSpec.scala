@@ -51,7 +51,8 @@ class NativeServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     (name, major, minor, revision)
   }
 
-  private def sendQuery(out: BufferedOutputStream, sql: String): Unit = {
+  private def sendQuery(out: BufferedOutputStream, sql: String,
+                        settings: Seq[(String, String)] = Nil): Unit = {
     P.writeVarint(out, P.ClientQuery)
     P.writeStr(out, "test-query-id")
     // client info (kind != 0 path)
@@ -63,6 +64,9 @@ class NativeServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     P.writeVarint(out, 25); P.writeVarint(out, 5); P.writeVarint(out, ClientRevision)
     P.writeStr(out, "") // quota key
     P.writeVarint(out, 0) // distributed depth
+    settings.foreach { case (k, v) =>
+      P.writeStr(out, k); out.write(0); P.writeStr(out, v)
+    }
     P.writeStr(out, "") // end of settings
     P.writeStr(out, "") // inter-server secret
     P.writeVarint(out, 2) // stage: complete
@@ -86,6 +90,7 @@ class NativeServerSpec extends AnyFunSuite with BeforeAndAfterAll {
           var f = P.readVarint(in)
           while (f != 0) { if (f == 1) in.read() else if (f == 2) P.readFixed(in, 4); f = P.readVarint(in) }
           blocks += readBlock(in)
+          packetOrder += "DATA"
         case P.ServerProgress =>
           lastProgressRows = P.readVarint(in) // read_rows
           P.readVarint(in) // read_bytes
@@ -93,8 +98,20 @@ class NativeServerSpec extends AnyFunSuite with BeforeAndAfterAll {
           if (ClientRevision >= 54463) P.readVarint(in) // total_bytes_to_read
           if (ClientRevision >= 54420) { P.readVarint(in); P.readVarint(in) }
           if (ClientRevision >= 54460) P.readVarint(in) // elapsed_ns
+        case P.ServerTotals =>
+          P.readStr(in) // table name
+          var f = P.readVarint(in)
+          while (f != 0) { if (f == 1) in.read() else if (f == 2) P.readFixed(in, 4); f = P.readVarint(in) }
+          lastTotals = Some(readBlock(in))
+          packetOrder += "TOTALS"
+        case P.ServerExtremes =>
+          P.readStr(in)
+          var f = P.readVarint(in)
+          while (f != 0) { if (f == 1) in.read() else if (f == 2) P.readFixed(in, 4); f = P.readVarint(in) }
+          lastExtremes = Some(readBlock(in))
+          packetOrder += "EXTREMES"
         case P.ServerException => err = Some(P.readStr(in))
-        case P.ServerEndOfStream => done = true
+        case P.ServerEndOfStream => done = true; packetOrder += "END_OF_STREAM"
         case other => fail(s"unexpected server packet $other")
       }
     }
@@ -103,6 +120,9 @@ class NativeServerSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   /** read_rows of the most recent PROGRESS packet. */
   private var lastProgressRows: Long = -1L
+  private var lastTotals: Option[Seq[(String, String, Vector[Any])]] = None
+  private var lastExtremes: Option[Seq[(String, String, Vector[Any])]] = None
+  private val packetOrder = scala.collection.mutable.ArrayBuffer.empty[String]
 
   private def readBlock(in: BufferedInputStream): Seq[(String, String, Vector[Any])] = {
     val nCols = P.readVarint(in).toInt
@@ -266,6 +286,53 @@ class NativeServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(b1.head.head._3 === Vector("carol-data"))
       assert(b2.head.head._3 === Vector("dave-data"))
     } finally { s1.close(); s2.close() }
+  }
+
+  test("WITH TOTALS: DATA … TOTALS … END_OF_STREAM, totals row = global aggregate (main.py:61)") {
+    val (sock, in, out) = connect()
+    try {
+      hello(out); readServerHello(in)
+      lastTotals = None; packetOrder.clear()
+      sendQuery(out, "SELECT c_mktsegment, count() AS n FROM customer " +
+        "GROUP BY c_mktsegment WITH TOTALS ORDER BY c_mktsegment")
+      val (blocks, err) = readResponse(in)
+      assert(err.isEmpty, err)
+      // byte-level sequence: all DATA blocks, then exactly one TOTALS,
+      // then END_OF_STREAM
+      val kinds = packetOrder.toSeq
+      assert(kinds.takeWhile(_ == "DATA").nonEmpty)
+      assert(kinds.dropWhile(_ == "DATA") === Seq("TOTALS", "END_OF_STREAM"), kinds)
+      val segs = blocks.flatMap(_.head._3)
+      val counts = blocks.flatMap(_(1)._3.map(_.asInstanceOf[Long]))
+      val tot = lastTotals.get
+      assert(tot(1)._1 === "n")
+      // totals row aggregates ALL rows: sum of the per-group counts
+      assert(tot(1)._3 === Vector(counts.sum))
+      // totals key column carries the column default (empty string)
+      assert(tot.head._3.head === "" || tot.head._3.head === null)
+      assert(segs.distinct.size === segs.size) // main data stays grouped
+    } finally sock.close()
+  }
+
+  test("extremes=1 setting: EXTREMES packet with min/max rows (main.py:62)") {
+    val (sock, in, out) = connect()
+    try {
+      hello(out); readServerHello(in)
+      lastExtremes = None; packetOrder.clear()
+      sendQuery(out, "SELECT number FROM numbers(7)",
+        settings = Seq("extremes" -> "1"))
+      val (blocks, err) = readResponse(in)
+      assert(err.isEmpty, err)
+      assert(packetOrder.last === "END_OF_STREAM")
+      assert(packetOrder.count(_ == "EXTREMES") === 1)
+      val ext = lastExtremes.get
+      assert(ext.head._3 === Vector(0L, 6L)) // row 0 = min, row 1 = max
+      // no extremes packet without the setting
+      lastExtremes = None; packetOrder.clear()
+      sendQuery(out, "SELECT number FROM numbers(7)")
+      readResponse(in)
+      assert(lastExtremes.isEmpty)
+    } finally sock.close()
   }
 
   test("multiple queries on one connection; fixture table query") {

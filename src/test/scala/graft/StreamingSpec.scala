@@ -139,9 +139,8 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toString).toSet
     val schema = spark.read
       .option("pathGlobFilter", "events.parquet").parquet(dir).schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = Tables.eventsTs(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
     val q = EventsStreaming.withLateDataHandling(stream, "1 minute", "1 hour")
       .writeStream.format("memory").queryName("file_stream_agg")
       .outputMode("complete")

@@ -55,10 +55,25 @@ def main(sf_dir, out_dir):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
-    names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d)))
+    err_path = os.path.join(out_dir, "_errors.json")
+    errors = json.load(open(err_path)) if os.path.exists(err_path) else {}
+    dirs = set(d for d in os.listdir(out_dir)
+               if os.path.isdir(os.path.join(out_dir, d)))
+    # A query that crashed in Verify writes no output dir; every oracle
+    # name (and every _errors.json name) MUST still produce a row —
+    # silence is how round 9 reported 112/112 green during a 41% outage.
+    names = sorted(dirs | set(oracle) | set(errors))
     n_pass = n_fail = n_noracle = 0
     for name in names:
+        if name not in dirs:
+            why = errors.get(name, "no output dir (query crashed in Verify?)")
+            print(f"FAIL {name}: {why}")
+            n_fail += 1
+            continue
+        if name in errors:  # dir exists but the write died midway
+            print(f"FAIL {name}: {errors[name]}")
+            n_fail += 1
+            continue
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output parquet")
