@@ -68,19 +68,20 @@ object NativeCodec {
   def writeBlocks(out: java.io.OutputStream, schema: StructType,
                   rows: Iterator[Row], blockRows: Int,
                   customSerFlag: Boolean = false,
-                  frame: Int => Unit = _ => ()): Long = {
+                  frame: Int => Unit = _ => (),
+                  transform: Array[Byte] => Array[Byte] = identity): Long = {
     var n = 0L
     var any = false
     rows.grouped(blockRows).foreach { chunk =>
       val block = chunk.toArray
       frame(block.length)
-      out.write(encode(schema, block, customSerFlag))
+      out.write(transform(encode(schema, block, customSerFlag)))
       n += block.length
       any = true
     }
     if (!any) {
       frame(0)
-      out.write(encode(schema, Array.empty[Row], customSerFlag))
+      out.write(transform(encode(schema, Array.empty[Row], customSerFlag)))
     }
     n
   }

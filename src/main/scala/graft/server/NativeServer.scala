@@ -6,7 +6,7 @@ import java.net.{ServerSocket, Socket}
 import java.nio.{ByteBuffer, ByteOrder}
 import java.util.concurrent.Executors
 import graft.dialect.{ChFunctions, Engine, Transpiler}
-import graft.formats.NativeCodec
+import graft.formats.{ChCompression, NativeCodec}
 
 /** ClickHouse native TCP protocol server (SURVEY.md §2.10 A7-A10;
   * reference behavior at /root/reference/main.py:219-814).
@@ -56,6 +56,7 @@ class NativeServer(spark: SparkSession, port: Int,
     var clientRevision = 0L
     var session: SparkSession = spark
     var authUser: String = "default"
+    var dataCompressed = false // last query negotiated LZ4 framing
     try {
       while (true) {
         readVarint(in) match {
@@ -82,14 +83,19 @@ class NativeServer(spark: SparkSession, port: Int,
             out.flush()
 
           case ClientQuery =>
-            handleQuery(in, out, clientRevision, session, authUser)
+            dataCompressed =
+              handleQuery(in, out, clientRevision, session, authUser)
 
           case ClientData =>
             // external-tables terminator: table name + (BlockInfo +
-            // empty block) — read and discard
+            // empty block) — read and discard; under negotiated
+            // compression the body arrives as one LZ4 frame
             readStr(in)
-            skipBlockInfo(in)
-            readVarint(in); readVarint(in) // n_cols=0, n_rows=0
+            if (dataCompressed) ChCompression.readFrame(in)
+            else {
+              skipBlockInfo(in)
+              readVarint(in); readVarint(in) // n_cols=0, n_rows=0
+            }
             out.flush()
 
           case ClientPing =>
@@ -107,9 +113,11 @@ class NativeServer(spark: SparkSession, port: Int,
     } finally sock.close()
   }
 
+  /** Returns whether this query negotiated LZ4 data framing (the
+    * caller applies it to subsequent client DATA packets). */
   private def handleQuery(in: InputStream, out: OutputStream,
                           clientRevision: Long, session: SparkSession,
-                          authUser: String): Unit = {
+                          authUser: String): Boolean = {
     val queryId0 = readStr(in) // query id (keys system.processes / KILL)
     val queryId = if (queryId0.nonEmpty) queryId0
       else java.util.UUID.randomUUID().toString
@@ -137,9 +145,20 @@ class NativeServer(spark: SparkSession, port: Int,
     // compression modes mirror main.py:498-512: 0 = plain, 1 = zlib
     // (varint-length zlib bytes), 2 = empty-compressed marker then a
     // plain string
+    // Mode 1 is overloaded on the wire: the reference's facade clients
+    // send zlib-deflated query text (main.py:498-512 quirk), while real
+    // ClickHouse clients negotiating compression send PLAIN text and
+    // expect LZ4-framed DATA blocks back. zlib's magic header makes the
+    // two cases cleanly distinguishable: if the text actually inflated,
+    // it's a facade client (plain responses); if it was plain, it's a
+    // real client (compressed responses).
+    var lz4Responses = false
     val query = compression match {
       case 0 => readStr(in)
-      case 1 => readZlibStr(in)
+      case 1 =>
+        val (text, wasZlib) = readZlibStr(in)
+        lz4Responses = !wasZlib
+        text
       case _ => readZlibStr(in); readStr(in)
     }
     if (clientRevision >= 54459)
@@ -175,10 +194,18 @@ class NativeServer(spark: SparkSession, port: Int,
         // invariant; totals are 0 = unknown while streaming.
         val used = math.min(clientRevision, Revision)
         val nCols = df.schema.fields.length
+        val serFlag = clientRevision >= 54454
+        // When the client negotiated compression, BlockInfo + block go
+        // INSIDE one LZ4 frame per block; packet type and table name
+        // stay plain (the public compressed-wire layout).
+        def emitBlockBody(bytes: Array[Byte]): Unit =
+          if (lz4Responses)
+            out.write(ChCompression.compressFrame(BlockInfoBytes ++ bytes))
+          else { writeBlockInfo(out); out.write(bytes) }
         import scala.jdk.CollectionConverters._
         NativeCodec.writeBlocks(out, df.schema,
           df.toLocalIterator().asScala, blockRows,
-          customSerFlag = clientRevision >= 54454,
+          customSerFlag = serFlag,
           frame = { blockLen =>
             val approxBytes = blockLen.toLong * nCols * 8
             writeVarint(out, ServerProgress)
@@ -190,9 +217,11 @@ class NativeServer(spark: SparkSession, port: Int,
             if (used >= 54460) writeVarint(out, System.nanoTime() - t0) // elapsed_ns
             writeVarint(out, ServerData)
             writeStr(out, "") // table name
-            writeBlockInfo(out)
-          })
-        val serFlag = clientRevision >= 54454
+            if (!lz4Responses) writeBlockInfo(out)
+          },
+          transform = if (lz4Responses)
+            (b: Array[Byte]) => ChCompression.compressFrame(BlockInfoBytes ++ b)
+          else identity)
         // TOTALS packet (type 7): the empty-grouping-set aggregate, one
         // row, encoded against the MAIN schema so both blocks announce
         // identical column types (null group keys encode as ClickHouse
@@ -201,8 +230,7 @@ class NativeServer(spark: SparkSession, port: Int,
           val trows = Engine.execute(session, tq, authUser).limit(2).collect()
           writeVarint(out, ServerTotals)
           writeStr(out, "")
-          writeBlockInfo(out)
-          out.write(NativeCodec.encode(df.schema, trows, serFlag))
+          emitBlockBody(NativeCodec.encode(df.schema, trows, serFlag))
         }
         // EXTREMES packet (type 8), gated on the `extremes` setting like
         // real ClickHouse: min/max per numeric/date column over the
@@ -228,8 +256,7 @@ class NativeServer(spark: SparkSession, port: Int,
             fields.indices.map(i => ext.get(2 * i + 1)))
           writeVarint(out, ServerExtremes)
           writeStr(out, "")
-          writeBlockInfo(out)
-          out.write(NativeCodec.encode(df.schema, Array(minRow, maxRow), serFlag))
+          emitBlockBody(NativeCodec.encode(df.schema, Array(minRow, maxRow), serFlag))
         }
       }
       writeVarint(out, ServerEndOfStream)
@@ -241,6 +268,7 @@ class NativeServer(spark: SparkSession, port: Int,
         writeVarint(out, ServerEndOfStream)
         out.flush()
     } finally Engine.finishQuery(queryId)
+    lz4Responses
   }
 
   private val totalsRe = "(?is)GROUP\\s+BY\\s+(.+?)\\s+WITH\\s+TOTALS".r
@@ -283,21 +311,29 @@ class NativeServer(spark: SparkSession, port: Int,
       }
     }
 
-  /** varint-length zlib-deflated string (main.py:782-804 framing). */
-  private def readZlibStr(in: InputStream): String = {
+  /** varint-length zlib-deflated string (main.py:782-804 framing).
+    * Returns (text, wasActuallyZlib) — plain text falls through with
+    * false, which is how real-client compression mode is detected. */
+  private def readZlibStr(in: InputStream): (String, Boolean) = {
     val n = readVarint(in)
-    if (n <= 0) return ""
+    if (n <= 0) return ("", false)
     val buf = readFixed(in, n.toInt).array()
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(buf)
     val out = new java.io.ByteArrayOutputStream()
     val tmp = new Array[Byte](4096)
-    while (!inflater.finished()) {
-      val k = inflater.inflate(tmp)
-      if (k == 0 && inflater.needsInput()) return new String(buf, "UTF-8")
-      out.write(tmp, 0, k)
+    try {
+      while (!inflater.finished()) {
+        val k = inflater.inflate(tmp)
+        if (k == 0 && inflater.needsInput())
+          return (new String(buf, "UTF-8"), false)
+        out.write(tmp, 0, k)
+      }
+      (new String(out.toByteArray, "UTF-8"), true)
+    } catch {
+      case _: java.util.zip.DataFormatException =>
+        (new String(buf, "UTF-8"), false)
     }
-    new String(out.toByteArray, "UTF-8")
   }
 
   /** BlockInfo: field 1 = is_overflows(0), field 2 = bucket_num(-1),
@@ -329,6 +365,10 @@ object NativeServer {
   val ServerHello = 0L; val ServerData = 1L; val ServerException = 2L
   val ServerProgress = 3L; val ServerPong = 4L; val ServerEndOfStream = 5L
   val ServerProfileInfo = 6L; val ServerTotals = 7L; val ServerExtremes = 8L
+
+  /** Serialized BlockInfo (is_overflows=0, bucket_num=-1, end) — the
+    * prefix that goes inside each compressed frame. */
+  val BlockInfoBytes: Array[Byte] = Array[Byte](1, 0, 2, -1, -1, -1, -1, 0)
 
   val ServerName = "graft"
   val VersionMajor = 25L; val VersionMinor = 5L; val VersionPatch = 2L

@@ -335,6 +335,52 @@ class NativeServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sock.close()
   }
 
+  test("negotiated LZ4: compression=1 with PLAIN query text gets LZ4-framed DATA blocks") {
+    import graft.formats.ChCompression
+    val (sock, in, out) = connect()
+    try {
+      hello(out); readServerHello(in)
+      // like sendQuery but compression=1 and a plain (non-zlib) string —
+      // exactly what a real clickhouse-driver with compression on sends
+      P.writeVarint(out, P.ClientQuery)
+      P.writeStr(out, "qz")
+      out.write(1)
+      P.writeStr(out, "default"); P.writeStr(out, ""); P.writeStr(out, "0.0.0.0:0")
+      P.writeFixed(out, 8)(_.putLong(0L))
+      out.write(1)
+      P.writeStr(out, "t"); P.writeStr(out, "h"); P.writeStr(out, "c")
+      P.writeVarint(out, 25); P.writeVarint(out, 5); P.writeVarint(out, ClientRevision)
+      P.writeStr(out, ""); P.writeVarint(out, 0)
+      P.writeStr(out, ""); P.writeStr(out, "")
+      P.writeVarint(out, 2)
+      P.writeVarint(out, 1) // compression ON
+      P.writeStr(out, "SELECT number FROM numbers(25) ORDER BY number")
+      P.writeStr(out, "")
+      out.flush()
+      val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var done = false
+      while (!done) {
+        P.readVarint(in) match {
+          case P.ServerProgress =>
+            P.readVarint(in); P.readVarint(in); P.readVarint(in)
+            P.readVarint(in); P.readVarint(in); P.readVarint(in); P.readVarint(in)
+          case P.ServerData =>
+            P.readStr(in) // table name (plain)
+            // body = one LZ4 frame containing BlockInfo + block
+            val body = ChCompression.readFrame(in)
+            // skip the 8-byte BlockInfo, parse the block
+            val bin = new BufferedInputStream(
+              new java.io.ByteArrayInputStream(body, 8, body.length - 8))
+            val cols = readBlock(bin)
+            got ++= cols.head._3.map(_.asInstanceOf[Long])
+          case P.ServerEndOfStream => done = true
+          case other => fail(s"unexpected packet $other")
+        }
+      }
+      assert(got.toVector === (0L until 25L).toVector)
+    } finally sock.close()
+  }
+
   test("multiple queries on one connection; fixture table query") {
     val (sock, in, out) = connect()
     try {
