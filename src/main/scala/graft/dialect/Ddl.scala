@@ -936,9 +936,22 @@ object Ddl {
         else src.repartitionByRange(sortCols: _*)
           .sortWithinPartitions(sortCols: _*)
     }
-    df.write.mode("append").insertInto(bare)
+    // Concurrent INSERTs into one table share the FileOutputCommitter
+    // staging dir (_temporary/0) — unserialized, one job's commit
+    // deletes the other's staging and the write throws. ClickHouse
+    // commits parts under a table-level lock; mirror that: appends to
+    // the SAME table serialize, different tables stay parallel. The MV
+    // fan-out runs outside the lock (its own target takes its own
+    // lock), so MV chains cannot deadlock.
+    val lock = appendLocks.getOrElseUpdate(normalize(spark, name), new Object)
+    lock.synchronized {
+      df.write.mode("append").insertInto(bare)
+    }
     fireMaterializedViews(spark, bare, src)
   }
+
+  private val appendLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
 
   /** `CREATE MATERIALIZED VIEW mv [TO tgt] [ENGINE=...] [POPULATE] AS
     * SELECT ... FROM src` — ClickHouse's insert trigger: every block

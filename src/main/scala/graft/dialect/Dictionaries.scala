@@ -49,8 +49,15 @@ object Dictionaries {
   /** (dict, attr) -> (map literal, key spark type, value spark type) */
   private val cache =
     TrieMap.empty[(String, String), (Expression, DataType, DataType)]
+  /** dict -> whether the source fits the in-plan literal cap (probed
+    * once with a distributed limit+count, never a driver collect). */
+  private val fitsCache = TrieMap.empty[String, Boolean]
 
-  val maxEntries: Int = 10 * 1000 * 1000
+  /** Literal-map cap; var so specs/ops can tune the literal↔join
+    * crossover. Above it, lookups compile to a correlated scalar
+    * subquery = a Catalyst join (broadcast under the threshold, shuffle
+    * beyond — size-based, the scale-correct fallback). */
+  @volatile var maxEntries: Int = 10 * 1000 * 1000
 
   def create(spark: SparkSession, name: String, keyCol: String,
              attrs: Seq[Attr], source: String, ifNotExists: Boolean,
@@ -62,6 +69,7 @@ object Dictionaries {
       cache.remove((key, a.name.toLowerCase))
       rangeCache.remove((key, a.name.toLowerCase))
     }
+    fitsCache.remove(key)
   }
 
   def drop(name: String, ifExists: Boolean): Unit = {
@@ -82,7 +90,8 @@ object Dictionaries {
       val k = bare(n)
       cache.keys.filter(_._1 == k).foreach(cache.remove)
       rangeCache.keys.filter(_._1 == k).foreach(rangeCache.remove)
-    case None => cache.clear(); rangeCache.clear()
+      fitsCache.remove(k)
+    case None => cache.clear(); rangeCache.clear(); fitsCache.clear()
   }
 
   def names: Seq[String] = dicts.keys.toSeq.sorted
@@ -112,6 +121,10 @@ object Dictionaries {
       "dictGet(dict, attr, key[, range_at]) takes 3 or 4 arguments")
     val (m, attr) = resolve(args(0), args(1))
     if (args.length == 4) return rangedGet(m, attr, args(2), args(3))
+    if (!fitsLiteral(m)) {
+      val (sub, _, valDt) = subqueryLookup(m, attr, args(2))
+      return Coalesce(Seq(sub, defaultFor(m, attr, valDt)))
+    }
     val (mapLit, keyDt, valDt) = loadedMap(m, attr)
     Coalesce(Seq(ElementAt(mapLit, Cast(args(2), keyDt), None, false),
       defaultFor(m, attr, valDt)))
@@ -147,6 +160,10 @@ object Dictionaries {
     require(args.length == 4,
       "dictGetOrDefault(dict, attr, key, default) takes 4 arguments")
     val (m, attr) = resolve(args(0), args(1))
+    if (!fitsLiteral(m)) {
+      val (sub, _, valDt) = subqueryLookup(m, attr, args(2))
+      return Coalesce(Seq(sub, Cast(args(3), valDt)))
+    }
     val (mapLit, keyDt, valDt) = loadedMap(m, attr)
     Coalesce(Seq(ElementAt(mapLit, Cast(args(2), keyDt), None, false),
       Cast(args(3), valDt)))
@@ -157,6 +174,7 @@ object Dictionaries {
     require(args.length == 3,
       "dictGetOrNull(dict, attr, key) takes 3 arguments")
     val (m, attr) = resolve(args(0), args(1))
+    if (!fitsLiteral(m)) return subqueryLookup(m, attr, args(2))._1
     val (mapLit, keyDt, _) = loadedMap(m, attr)
     ElementAt(mapLit, Cast(args(2), keyDt), None, false)
   }
@@ -165,6 +183,12 @@ object Dictionaries {
   def dictHas(args: Seq[Expression]): Expression = {
     require(args.length == 2, "dictHas(dict, key) takes 2 arguments")
     val m = meta(litStr(args(0), "dictHas"))
+    if (!fitsLiteral(m)) {
+      // EXISTS over the source: the subquery rewrites to a semi join
+      val (keyF, _) = sourceFields(m, m.attrs.head.name.toLowerCase)
+      return Cast(org.apache.spark.sql.catalyst.expressions.Exists(
+        keyedFilterPlan(m, keyF, args(1))), ShortType)
+    }
     // key presence must not depend on a value being non-null: probe the
     // key array, not the looked-up value
     val (mapLit, keyDt, _) = loadedMap(m, m.attrs.head.name.toLowerCase)
@@ -201,6 +225,69 @@ object Dictionaries {
         s"Dictionary ${m.name} has no attribute $attr " +
           s"(has: ${m.attrs.map(_.name).mkString(", ")})")
     (m, attr)
+  }
+
+  /** One distributed limit+count per dictionary: does the source fit the
+    * in-plan literal? No rows ever reach the driver here. */
+  private def fitsLiteral(m: Meta): Boolean =
+    fitsCache.getOrElseUpdate(m.name, {
+      val src = m.spark.table(m.source.replace("`", ""))
+      src.limit(maxEntries + 1).count() <= maxEntries
+    })
+
+  private def sourceFields(m: Meta, attr: String): (StructField, StructField) = {
+    val src = m.spark.table(m.source.replace("`", ""))
+    def field(c: String) = src.schema.fields.find(_.name.equalsIgnoreCase(c))
+      .getOrElse(throw new IllegalArgumentException(
+        s"Dictionary ${m.name}: column $c not in ${m.source}"))
+    (field(m.keyCol), field(attr))
+  }
+
+  /** `Filter(__graft_dict_key = key, Project(key AS .., val AS ..))`
+    * over the source relation — the correlated subquery body. The
+    * projection renames columns so outer attributes can never
+    * accidentally capture source columns of the same name. */
+  private def keyedFilterPlan(m: Meta, keyF: StructField,
+                              keyE: Expression,
+                              valF: Option[StructField] = None) = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+    val rel = UnresolvedRelation(
+      m.source.replace("`", "").split('.').toIndexedSeq)
+    val cols = Alias(UnresolvedAttribute(Seq(keyF.name)), "__graft_dict_key")() +:
+      valF.toSeq.map(f =>
+        Alias(UnresolvedAttribute(Seq(f.name)), "__graft_dict_val")())
+    // The builder runs after the outer expression's children resolved,
+    // so outer columns inside keyE arrive as resolved
+    // AttributeReferences — they must be marked OuterReference
+    // explicitly (the analyzer only auto-wraps UNresolved names).
+    val outerKey = keyE.transform {
+      case a: AttributeReference => OuterReference(a)
+    }
+    Filter(
+      EqualTo(UnresolvedAttribute(Seq("__graft_dict_key")),
+        Cast(outerKey, keyF.dataType)),
+      Project(cols, rel))
+  }
+
+  /** Beyond-cap lookup: a correlated scalar subquery
+    * `(SELECT max(val) FROM src WHERE key = <outer key>)`. Catalyst's
+    * RewriteCorrelatedScalarSubquery turns it into a left outer join —
+    * broadcast when the source fits the threshold, shuffle hash/SMJ
+    * beyond, picked by size the way a 100 TB plan should be. max() is
+    * exact under the dictionary unique-key contract. */
+  private def subqueryLookup(m: Meta, attr: String,
+                             keyE: Expression): (Expression, DataType, DataType) = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val (keyF, valF) = sourceFields(m, attr)
+    val agg = Aggregate(Nil,
+      Seq(Alias(org.apache.spark.sql.catalyst.expressions.aggregate
+        .Max(UnresolvedAttribute(Seq("__graft_dict_val")))
+        .toAggregateExpression(), "__graft_dict_v")()),
+      keyedFilterPlan(m, keyF, keyE, Some(valF)))
+    (org.apache.spark.sql.catalyst.expressions.ScalarSubquery(agg),
+      keyF.dataType, valF.dataType)
   }
 
   /** Collect `SELECT key, attr FROM source` into a map literal (cached).

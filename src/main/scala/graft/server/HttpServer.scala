@@ -37,6 +37,21 @@ class HttpServer(spark: SparkSession, port: Int,
       "(RowBinary|RowBinaryWithNamesAndTypes|Native|Parquet|ORC" +
       "|Arrow|ArrowStream)\\s*$").r
 
+  /** Credential sources in ClickHouse precedence: user=/password= URL
+    * params, X-ClickHouse-User/-Key headers, then Basic auth. The
+    * default user (or none) runs on the shared root session; anything
+    * else gets its per-credential session (catalog isolation). */
+  private def credentialsOf(ex: HttpExchange,
+                            params: Map[String, String]): Option[String] = {
+    val fromParams = params.get("user").map(u =>
+      s"$u:${params.getOrElse("password", "")}")
+    val fromHeaders = Option(ex.getRequestHeaders.getFirst("X-ClickHouse-User"))
+      .map(u => s"$u:${Option(ex.getRequestHeaders.getFirst("X-ClickHouse-Key")).getOrElse("")}")
+    val fromBasic = Option(ex.getRequestHeaders.getFirst("Authorization"))
+    fromParams.orElse(fromHeaders).orElse(fromBasic)
+      .filterNot(_.startsWith("default:"))
+  }
+
   private def sessionFor(auth: Option[String]): SparkSession = auth match {
     case None => spark
     case Some(credentials) => UserSessions.forKey(spark, credentials, fixtureDir)
@@ -77,8 +92,7 @@ class HttpServer(spark: SparkSession, port: Int,
           .filter(h => binaryInsertRe.findFirstMatchIn(h).isDefined)
       }
     if (headerFromParam.isDefined || headerFromBody.isDefined) {
-      val auth0 = Option(ex.getRequestHeaders.getFirst("Authorization"))
-      val base = sessionFor(auth0)
+      val base = sessionFor(credentialsOf(ex, params))
       // database= scopes the unqualified table name, same as the main
       // query path (request-scoped derived session)
       val session = params.get("database") match {
@@ -119,7 +133,7 @@ class HttpServer(spark: SparkSession, port: Int,
     }
 
     val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
-    val baseSession = sessionFor(auth)
+    val baseSession = sessionFor(credentialsOf(ex, params))
     val defaultFormat = params.getOrElse("default_format", "TSV")
     // query_id keys system.processes / KILL QUERY; generated if absent
     // so every request is addressable. Retired once the response has

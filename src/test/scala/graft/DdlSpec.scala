@@ -721,6 +721,54 @@ class DdlSpec extends AnyFunSuite {
       "SELECT dictGet('d_spec', 'name', 1)"))
   }
 
+  test("beyond-cap DICTIONARY compiles dictGet to a broadcast join, same results") {
+    import graft.dialect.Dictionaries
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.dim_big")
+    Engine.execute(spark,
+      "CREATE TABLE graft_spec.dim_big (id UInt64, name String) ENGINE=Memory")
+    Engine.execute(spark,
+      "INSERT INTO graft_spec.dim_big VALUES (1,'one'),(2,'two'),(3,'three'),(4,'four'),(5,'five'),(6,'six')")
+    Engine.execute(spark, "DROP DICTIONARY IF EXISTS d_big")
+    Engine.execute(spark, """
+      CREATE DICTIONARY d_big (id UInt64, name String DEFAULT '?')
+      PRIMARY KEY id
+      SOURCE(CLICKHOUSE(TABLE 'graft_spec.dim_big'))
+      LAYOUT(HASHED()) LIFETIME(300)""")
+    val saved = Dictionaries.maxEntries
+    try {
+      Dictionaries.maxEntries = 4 // source has 6 rows -> over cap
+      val df = Engine.execute(spark, """
+        SELECT dictGet('d_big', 'name', number) AS nm,
+               dictHas('d_big', number) AS h,
+               dictGetOrDefault('d_big', 'name', number, 'none') AS nd,
+               dictGetOrNull('d_big', 'name', number) AS nn
+        FROM numbers(8) ORDER BY number""")
+      val plan = df.queryExecution.executedPlan.toString
+      // the lookup is a JOIN against the source (scalar-subquery
+      // rewrite), broadcast at this size — not an in-plan literal
+      assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+      val r = df.collect()
+      assert(r.map(_.getString(0)).toSeq ===
+        Seq("?", "one", "two", "three", "four", "five", "six", "?"))
+      assert(r.map(_.getShort(1)).toSeq === Seq[Short](0, 1, 1, 1, 1, 1, 1, 0))
+      assert(r.map(_.getString(2)).toSeq ===
+        Seq("none", "one", "two", "three", "four", "five", "six", "none"))
+      assert(r.map(x => Option(x.getString(3)).orNull).toSeq ===
+        Seq(null, "one", "two", "three", "four", "five", "six", null))
+      // same query under the literal cap gives identical results
+      Dictionaries.maxEntries = saved
+      Engine.execute(spark, "SYSTEM RELOAD DICTIONARY d_big")
+      val r2 = Engine.execute(spark, """
+        SELECT dictGet('d_big', 'name', number) AS nm
+        FROM numbers(8) ORDER BY number""").collect()
+      assert(r2.map(_.getString(0)).toSeq === r.map(_.getString(0)).toSeq)
+    } finally {
+      Dictionaries.maxEntries = saved
+      Engine.execute(spark, "DROP DICTIONARY IF EXISTS d_big")
+    }
+  }
+
   test("DICTIONARY Date attribute: absent key yields epoch, not a cast error") {
     Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
     Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.dim_dates")

@@ -54,12 +54,22 @@ def main(sf_dir, out_dir, only):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
-    names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d)))
+    err_path = os.path.join(out_dir, "_errors.json")
+    errors = json.load(open(err_path)) if os.path.exists(err_path) else {}
+    dirs = set(d for d in os.listdir(out_dir)
+               if os.path.isdir(os.path.join(out_dir, d)))
+    # every oracle/_errors name yields a row even with no output dir —
+    # a query that crashed in Verify must FAIL loudly, not vanish
+    names = sorted(dirs | set(oracle) | set(errors))
     if only:
         names = [n for n in names if n in only]
     n_pass = n_fail = n_skip = 0
     for name in names:
+        if name not in dirs or name in errors:
+            why = errors.get(name, "no output dir (query crashed in Verify?)")
+            print(f"FAIL {name}: {why}")
+            n_fail += 1
+            continue
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if name not in oracle:
             print(f"SKIP {name}: no oracle")
