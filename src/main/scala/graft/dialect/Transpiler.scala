@@ -30,6 +30,63 @@ object Transpiler {
       case None => (sql.stripSuffix(";"), None)
     }
 
+  private val totalsRe = "(?is)GROUP\\s+BY\\s+(.+?)\\s+WITH\\s+TOTALS".r
+
+  /** Split a GROUP BY key list on depth-0 commas ("a, f(x, y), b"). */
+  private def splitTopLevelCommas(s: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    var depth = 0; var start = 0
+    s.zipWithIndex.foreach { case (c, i) =>
+      c match {
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i).trim; start = i + 1
+        case _ => ()
+      }
+    }
+    out += s.substring(start).trim
+    out.result().filter(_.nonEmpty)
+  }
+
+  /** `GROUP BY k WITH TOTALS` protocol split: (main query without the
+    * TOTALS modifier, totals-row-only query). Servers run the two parts
+    * and emit the totals row separately (native packet 7 / JSON
+    * `totals` member), while the dialect's inline GROUPING SETS rewrite
+    * stays the library-call behavior. The totals query keeps the
+    * select-list analyzable via GROUPING SETS ((k), ()) and filters to
+    * the empty grouping set with HAVING grouping(k)=1; an existing
+    * HAVING is AND-folded (= totals_mode=after_having_exclusive; the
+    * no-HAVING common case is exact). */
+  def splitTotals(sql: String): Option[(String, String)] =
+    totalsRe.findFirstMatchIn(sql).map { m =>
+      val keys = m.group(1).trim
+      // empty grouping set = all grouping-id bits set (2^n - 1);
+      // zero-arg grouping_id() resolves in HAVING where per-column
+      // grouping(k) would re-reference raw columns the aggregate no
+      // longer outputs
+      val cond =
+        s"grouping_id() = ${(1L << splitTopLevelCommas(keys).length) - 1}"
+      val gs = s"GROUP BY GROUPING SETS (($keys), ())"
+      val after = sql.substring(m.end)
+      // the totals row ignores the outer ORDER BY/LIMIT (ClickHouse
+      // computes totals over ALL rows regardless of LIMIT; and a Sort
+      // above the HAVING can't re-resolve raw grouping columns anyway)
+      def stripTail(s: String): String = s
+        .replaceAll("(?is)\\s+ORDER\\s+BY\\s+.+?(?=\\s+LIMIT\\b|\\s*$)", " ")
+        .replaceAll("(?is)\\s+LIMIT\\s+\\d+(\\s*,\\s*\\d+|\\s+OFFSET\\s+\\d+)?", " ")
+      val havingRe = "(?is)^\\s*HAVING\\s+(.+?)(?=\\s+ORDER\\s+BY|\\s+LIMIT|\\s*$)".r
+      val totalsSql = havingRe.findFirstMatchIn(after) match {
+        case Some(h) =>
+          sql.substring(0, m.start) + gs +
+            s" HAVING (${h.group(1).trim}) AND $cond" + stripTail(after.substring(h.end))
+        case None =>
+          sql.substring(0, m.start) + gs + s" HAVING $cond" + stripTail(after)
+      }
+      val mainSql = sql.substring(0, m.start) +
+        s"GROUP BY $keys" + after
+      (mainSql, totalsSql)
+    }
+
   private val typeNames = Seq(
     "UInt8" -> "SMALLINT", "UInt16" -> "INT", "UInt32" -> "BIGINT",
     "UInt64" -> "DECIMAL(20,0)", "Int8" -> "TINYINT", "Int16" -> "SMALLINT",

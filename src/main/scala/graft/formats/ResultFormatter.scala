@@ -38,11 +38,18 @@ object ResultFormatter {
     * the row count. Rows arrive via `toLocalIterator()` — the scale-
     * safe result boundary (a 100 TB SELECT streams through, it does
     * not `collect()` onto the driver). */
-  def write(df: DataFrame, format: String, out: Appendable): Long = {
+  def write(df: DataFrame, format: String, out: Appendable): Long =
+    write(df, format, out, totals = None)
+
+  /** As [[write]], with an optional WITH TOTALS row rendered per the
+    * format's ClickHouse layout (JSON `totals` member; TSV blank line +
+    * row). Formats with no totals notion ignore it. */
+  def write(df: DataFrame, format: String, out: Appendable,
+            totals: Option[Row]): Long = {
     val t0 = System.nanoTime()
     import scala.jdk.CollectionConverters._
     writeRows(df.schema, df.toLocalIterator().asScala, format, out,
-      () => (System.nanoTime() - t0) / 1e9)
+      () => (System.nanoTime() - t0) / 1e9, totals)
   }
 
   /** Format names [[writeRows]] renders (lowercased) — lets callers
@@ -59,9 +66,17 @@ object ResultFormatter {
 
   /** Iterator-driven core shared by [[write]] and the HTTP server. */
   def writeRows(schema: StructType, rows: Iterator[Row], format: String,
-                out: Appendable, elapsed: () => Double = () => 0d): Long =
+                out: Appendable, elapsed: () => Double = () => 0d,
+                totals: Option[Row] = None): Long =
     format.toLowerCase match {
-      case "tsv" | "tabseparated" => delimited(schema, rows, "\t", out, header = false)
+      case "tsv" | "tabseparated" =>
+        val n = delimited(schema, rows, "\t", out, header = false)
+        // ClickHouse TSV totals layout: data rows, empty line, totals row
+        totals.foreach { t =>
+          out.append('\n')
+          delimited(schema, Iterator(t), "\t", out, header = false)
+        }
+        n
       case "tsvwithnames" | "tabseparatedwithnames" =>
         delimited(schema, rows, "\t", out, header = true)
       case "tsvwithnamesandtypes" | "tabseparatedwithnamesandtypes" =>
@@ -70,8 +85,8 @@ object ResultFormatter {
       case "csvwithnames" => delimited(schema, rows, ",", out, header = true, csvQuote = true)
       case "csvwithnamesandtypes" =>
         delimited(schema, rows, ",", out, header = true, csvQuote = true, typesRow = true)
-      case "json" => jsonEnvelope(schema, rows, out, elapsed, compact = false)
-      case "jsoncompact" => jsonEnvelope(schema, rows, out, elapsed, compact = true)
+      case "json" => jsonEnvelope(schema, rows, out, elapsed, compact = false, totals)
+      case "jsoncompact" => jsonEnvelope(schema, rows, out, elapsed, compact = true, totals)
       case "jsoneachrow" | "ndjson" =>
         var n = 0L
         rows.foreach { r =>
@@ -315,24 +330,31 @@ object ResultFormatter {
     * the count is known by the time it's needed. */
   private def jsonEnvelope(schema: StructType, rows: Iterator[Row],
                            out: Appendable, elapsed: () => Double,
-                           compact: Boolean): Long = {
+                           compact: Boolean,
+                           totals: Option[Row] = None): Long = {
     val meta = schema.fields.map(f =>
       s"""{"name":${jsonString(f.name)},"type":${jsonString(ChTypeNames.fieldName(f))}}""")
       .mkString("[", ",", "]")
-    out.append("{\"meta\":").append(meta).append(",\"data\":[")
-    var n = 0L
-    rows.foreach { r =>
-      if (n > 0) out.append(',')
+    def rowJson(r: Row): String = {
       val cells = schema.fields.indices.map { i =>
         if (compact) jsonValue(r.get(i), schema.fields(i).dataType)
         else s"${jsonString(schema.fields(i).name)}:${jsonValue(r.get(i), schema.fields(i).dataType)}"
       }
-      out.append(cells.mkString(if (compact) "[" else "{", ",",
-        if (compact) "]" else "}"))
+      cells.mkString(if (compact) "[" else "{", ",", if (compact) "]" else "}")
+    }
+    out.append("{\"meta\":").append(meta).append(",\"data\":[")
+    var n = 0L
+    rows.foreach { r =>
+      if (n > 0) out.append(',')
+      out.append(rowJson(r))
       n += 1
     }
+    out.append("]")
+    // WITH TOTALS: the envelope's `totals` member, between data and
+    // rows (ClickHouse JSON layout)
+    totals.foreach(t => out.append(",\"totals\":").append(rowJson(t)))
     val stats = f"""{"elapsed":${elapsed()}%.6f,"rows_read":$n,"bytes_read":0}"""
-    out.append(s"""],"rows":$n,"statistics":$stats}""")
+    out.append(s""","rows":$n,"statistics":$stats}""")
     n
   }
 

@@ -156,8 +156,17 @@ class HttpServer(spark: SparkSession, port: Int,
           s2.catalog.setCurrentDatabase(db)
           s2
       }
-      val (bare, fmtClause) = Transpiler.extractFormat(query)
+      val (bare0, fmtClause) = Transpiler.extractFormat(query)
       val fmt = fmtClause.getOrElse(defaultFormat)
+      // WITH TOTALS over HTTP: for formats with a totals slot in their
+      // ClickHouse layout (JSON envelopes' `totals` member, TSV's
+      // blank-line-separated row), run the protocol split — grouped
+      // rows as data, the empty-grouping-set aggregate as the totals
+      // row. Other formats keep the dialect's inline GROUPING SETS row.
+      val totalsCapable =
+        Set("json", "jsoncompact", "tsv", "tabseparated")(fmt.toLowerCase)
+      val split = if (totalsCapable) Transpiler.splitTotals(bare0) else None
+      val bare = split.map(_._1).getOrElse(bare0)
       // user identity for system.query_log: the user= param, the
       // X-ClickHouse-User header, or the basic-auth user (in CH's
       // precedence order); anonymous requests log as "default"
@@ -241,9 +250,13 @@ class HttpServer(spark: SparkSession, port: Int,
         val contentType =
           if (fmtLower.startsWith("json")) "application/json" else "text/plain"
         ex.getResponseHeaders.set("Content-Type", contentType)
+        val totalsRow = split.flatMap { case (_, tq) =>
+          graft.dialect.Engine.execute(session, tq, user)
+            .limit(2).collect().headOption
+        }
         val w = new java.io.BufferedWriter(
           new java.io.OutputStreamWriter(body(), UTF_8), 1 << 16)
-        ResultFormatter.write(df, fmt, w)
+        ResultFormatter.write(df, fmt, w, totalsRow)
         w.close()
       }
     } catch {

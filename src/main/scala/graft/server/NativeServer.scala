@@ -175,9 +175,9 @@ class NativeServer(spark: SparkSession, port: Int,
       // query aggregates over the empty grouping set. Two aggregate
       // passes, but each is the plain distributed plan — no driver
       // materialization beyond the single totals row.
-      val totalsBare: Option[String] = totalsQuery(bare0)
-      val bare = totalsRe.replaceAllIn(bare0, m =>
-        java.util.regex.Matcher.quoteReplacement(s"GROUP BY ${m.group(1)}"))
+      val split = Transpiler.splitTotals(bare0)
+      val totalsBare: Option[String] = split.map(_._2)
+      val bare = split.map(_._1).getOrElse(bare0)
       val df = Engine.execute(session, bare, authUser, Some(queryId))
       val isSelect = bare.trim.toUpperCase.startsWith("SELECT") ||
         bare.trim.toUpperCase.startsWith("WITH")
@@ -270,46 +270,6 @@ class NativeServer(spark: SparkSession, port: Int,
     } finally Engine.finishQuery(queryId)
     lz4Responses
   }
-
-  private val totalsRe = "(?is)GROUP\\s+BY\\s+(.+?)\\s+WITH\\s+TOTALS".r
-
-  /** Split a GROUP BY key list on depth-0 commas ("a, f(x, y), b"). */
-  private def splitTopLevel(s: String): Seq[String] = {
-    val out = Vector.newBuilder[String]
-    var depth = 0; var start = 0
-    s.zipWithIndex.foreach { case (c, i) =>
-      c match {
-        case '(' | '[' => depth += 1
-        case ')' | ']' => depth -= 1
-        case ',' if depth == 0 => out += s.substring(start, i).trim; start = i + 1
-        case _ => ()
-      }
-    }
-    out += s.substring(start).trim
-    out.result().filter(_.nonEmpty)
-  }
-
-  /** Rewrite `GROUP BY k WITH TOTALS` into the query computing ONLY the
-    * totals row: GROUPING SETS ((k), ()) filtered to the empty grouping
-    * set via HAVING grouping(k)=1 (select-list references to k stay
-    * analyzable, unlike a bare GROUPING SETS (())). An existing HAVING
-    * is AND-folded (= ClickHouse totals_mode=after_having_exclusive;
-    * the no-HAVING common case is exact). */
-  private def totalsQuery(sql: String): Option[String] =
-    totalsRe.findFirstMatchIn(sql).map { m =>
-      val keys = m.group(1).trim
-      val cond = splitTopLevel(keys).map(k => s"grouping($k) = 1").mkString(" AND ")
-      val gs = s"GROUP BY GROUPING SETS (($keys), ())"
-      val after = sql.substring(m.end)
-      val havingRe = "(?is)^\\s*HAVING\\s+(.+?)(?=\\s+ORDER\\s+BY|\\s+LIMIT|\\s*$)".r
-      havingRe.findFirstMatchIn(after) match {
-        case Some(h) =>
-          sql.substring(0, m.start) + gs +
-            s" HAVING (${h.group(1).trim}) AND $cond" + after.substring(h.end)
-        case None =>
-          sql.substring(0, m.start) + gs + s" HAVING $cond" + after
-      }
-    }
 
   /** varint-length zlib-deflated string (main.py:782-804 framing).
     * Returns (text, wasActuallyZlib) — plain text falls through with

@@ -232,6 +232,26 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post("SELECT name FROM graft_spec.bulk WHERE id = 4").body() === "delta\n")
   }
 
+  test("WITH TOTALS over HTTP: JSON `totals` member and TSV blank-line row") {
+    val q = "SELECT c_mktsegment AS seg, count() AS n FROM customer " +
+      "GROUP BY c_mktsegment WITH TOTALS ORDER BY c_mktsegment"
+    val j = post(s"$q FORMAT JSON")
+    assert(j.statusCode() === 200, j.body())
+    assert(j.body().contains("\"totals\":{"), j.body().take(500))
+    // the totals row carries the all-rows aggregate (customer count)
+    val total = post("SELECT count() FROM customer").body().trim
+    assert(j.body().contains(s""""totals":{"seg":null,"n":"$total"}""") ||
+      j.body().contains(s""""totals":{"seg":"","n":"$total"}"""), j.body().take(800))
+    // the totals member sits between data and rows (ClickHouse layout)
+    assert(j.body().indexOf("\"totals\"") > j.body().indexOf("\"data\""))
+    assert(j.body().indexOf("\"totals\"") < j.body().indexOf("\"rows\""))
+    val t = post(q) // TSV default: rows, blank line, totals row
+    val lines = t.body().split("\n", -1)
+    assert(lines.count(_.isEmpty) >= 1, t.body())
+    val blank = lines.indexWhere(_.isEmpty)
+    assert(blank > 0 && lines(blank + 1).endsWith("\t" + total), t.body())
+  }
+
   test("/play serves the query UI (main.py:907-917 endpoint)") {
     val r = get("/play")
     assert(r.statusCode() === 200 && r.body().contains("<textarea"))
