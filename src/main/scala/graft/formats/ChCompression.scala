@@ -26,18 +26,26 @@ object ChCompression {
 
   private lazy val factory = net.jpountz.lz4.LZ4Factory.fastestInstance()
 
-  /** Wrap `raw` in one LZ4 compressed frame. */
-  def compressFrame(raw: Array[Byte]): Array[Byte] = {
-    val compressor = factory.fastCompressor()
-    val maxLen = compressor.maxCompressedLength(raw.length)
-    val comp = new Array[Byte](maxLen)
-    val compLen = compressor.compress(raw, 0, raw.length, comp, 0, maxLen)
-    val body = ByteBuffer.allocate(HeaderSize + compLen)
+  /** Wrap `raw` in one compressed frame (LZ4 by default; ZSTD and None
+    * supported for parity with clients that negotiate them). */
+  def compressFrame(raw: Array[Byte], method: Int = MethodLZ4): Array[Byte] = {
+    val comp: Array[Byte] = method match {
+      case MethodLZ4 =>
+        val compressor = factory.fastCompressor()
+        val maxLen = compressor.maxCompressedLength(raw.length)
+        val buf = new Array[Byte](maxLen)
+        val n = compressor.compress(raw, 0, raw.length, buf, 0, maxLen)
+        java.util.Arrays.copyOf(buf, n)
+      case MethodZSTD => com.github.luben.zstd.Zstd.compress(raw)
+      case MethodNone => raw
+      case m => throw new IllegalArgumentException(f"method 0x$m%02x")
+    }
+    val body = ByteBuffer.allocate(HeaderSize + comp.length)
       .order(ByteOrder.LITTLE_ENDIAN)
-    body.put(MethodLZ4.toByte)
-    body.putInt(HeaderSize + compLen) // compressed_size includes the header
+    body.put(method.toByte)
+    body.putInt(HeaderSize + comp.length) // compressed_size includes the header
     body.putInt(raw.length)
-    body.put(comp, 0, compLen)
+    body.put(comp)
     val bodyArr = body.array()
     val (lo, hi) = CityHash102.cityHash128(bodyArr)
     val out = ByteBuffer.allocate(16 + bodyArr.length)
@@ -66,6 +74,11 @@ object ChCompression {
         val dst = new Array[Byte](uncompressedSize)
         factory.fastDecompressor()
           .decompress(frame, payloadOff, dst, 0, uncompressedSize)
+        dst
+      case MethodZSTD =>
+        val dst = new Array[Byte](uncompressedSize)
+        com.github.luben.zstd.Zstd.decompressByteArray(
+          dst, 0, uncompressedSize, frame, payloadOff, payloadLen)
         dst
       case MethodNone =>
         java.util.Arrays.copyOfRange(frame, payloadOff, payloadOff + payloadLen)

@@ -203,10 +203,12 @@ class NativeServer(spark: SparkSession, port: Int,
             out.write(ChCompression.compressFrame(BlockInfoBytes ++ bytes))
           else { writeBlockInfo(out); out.write(bytes) }
         import scala.jdk.CollectionConverters._
-        NativeCodec.writeBlocks(out, df.schema,
+        var nBlocks = 0L
+        val nRows = NativeCodec.writeBlocks(out, df.schema,
           df.toLocalIterator().asScala, blockRows,
           customSerFlag = serFlag,
           frame = { blockLen =>
+            nBlocks += 1
             val approxBytes = blockLen.toLong * nCols * 8
             writeVarint(out, ServerProgress)
             writeVarint(out, blockLen.toLong) // read_rows (delta)
@@ -258,6 +260,17 @@ class NativeServer(spark: SparkSession, port: Int,
           writeStr(out, "")
           emitBlockBody(NativeCodec.encode(df.schema, Array(minRow, maxRow), serFlag))
         }
+        // PROFILE_INFO (type 6, reference constant main.py:60): rows,
+        // blocks, bytes, applied_limit, rows_before_limit,
+        // calculated_rows_before_limit — clickhouse-driver populates
+        // client-side profile stats from this.
+        writeVarint(out, ServerProfileInfo)
+        writeVarint(out, nRows)
+        writeVarint(out, nBlocks)
+        writeVarint(out, nRows * df.schema.fields.length * 8) // bytes (estimate)
+        out.write(0) // applied_limit: unknown/false
+        writeVarint(out, 0) // rows_before_limit
+        out.write(0) // calculated_rows_before_limit: false
       }
       writeVarint(out, ServerEndOfStream)
       out.flush()

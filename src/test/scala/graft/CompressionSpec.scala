@@ -25,6 +25,16 @@ class CompressionSpec extends AnyFunSuite {
     }
   }
 
+  test("ZSTD and None method frames round-trip (inbound client parity)") {
+    val raw = randomBytes(10000, seed = 11)
+    for (m <- Seq(ChCompression.MethodZSTD, ChCompression.MethodNone)) {
+      val frame = ChCompression.compressFrame(raw, m)
+      val (back, consumed) = ChCompression.decodeFrame(frame)
+      assert(consumed === frame.length)
+      assert(back.toSeq === raw.toSeq, s"method $m")
+    }
+  }
+
   test("compressible payload actually compresses") {
     val raw = Array.fill[Byte](65536)(42)
     val frame = ChCompression.compressFrame(raw)

@@ -116,6 +116,9 @@ class ConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
           var f = P.readVarint(in)
           while (f != 0) { if (f == 1) in.read() else if (f == 2) P.readFixed(in, 4); f = P.readVarint(in) }
           P.readVarint(in); P.readVarint(in) // 0-col skip is fine for this client
+        case P.ServerProfileInfo =>
+          P.readVarint(in); P.readVarint(in); P.readVarint(in)
+          in.read(); P.readVarint(in); in.read()
         case P.ServerException => err = Some(P.readStr(in))
         case P.ServerEndOfStream => done = true
         case other => fail(s"unexpected packet $other")

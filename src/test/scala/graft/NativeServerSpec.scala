@@ -110,6 +110,11 @@ class NativeServerSpec extends AnyFunSuite with BeforeAndAfterAll {
           while (f != 0) { if (f == 1) in.read() else if (f == 2) P.readFixed(in, 4); f = P.readVarint(in) }
           lastExtremes = Some(readBlock(in))
           packetOrder += "EXTREMES"
+        case P.ServerProfileInfo =>
+          lastProfileRows = P.readVarint(in) // rows
+          P.readVarint(in); P.readVarint(in) // blocks, bytes
+          in.read(); P.readVarint(in); in.read() // applied_limit, rows_before_limit, calculated
+          packetOrder += "PROFILE_INFO"
         case P.ServerException => err = Some(P.readStr(in))
         case P.ServerEndOfStream => done = true; packetOrder += "END_OF_STREAM"
         case other => fail(s"unexpected server packet $other")
@@ -117,6 +122,8 @@ class NativeServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     (blocks.toSeq, err)
   }
+
+  private var lastProfileRows: Long = -1L
 
   /** read_rows of the most recent PROGRESS packet. */
   private var lastProgressRows: Long = -1L
@@ -177,6 +184,8 @@ class NativeServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(cols(1)._3 === Vector("0", "1", "2"))
       // a PROGRESS packet precedes the data (read by readResponse)
       assert(lastProgressRows === 3L)
+      // PROFILE_INFO (type 6) closes the result with the row count
+      assert(lastProfileRows === 3L)
     } finally sock.close()
   }
 
@@ -301,7 +310,8 @@ class NativeServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       // then END_OF_STREAM
       val kinds = packetOrder.toSeq
       assert(kinds.takeWhile(_ == "DATA").nonEmpty)
-      assert(kinds.dropWhile(_ == "DATA") === Seq("TOTALS", "END_OF_STREAM"), kinds)
+      assert(kinds.dropWhile(_ == "DATA") ===
+        Seq("TOTALS", "PROFILE_INFO", "END_OF_STREAM"), kinds)
       val segs = blocks.flatMap(_.head._3)
       val counts = blocks.flatMap(_(1)._3.map(_.asInstanceOf[Long]))
       val tot = lastTotals.get
@@ -373,6 +383,9 @@ class NativeServerSpec extends AnyFunSuite with BeforeAndAfterAll {
               new java.io.ByteArrayInputStream(body, 8, body.length - 8))
             val cols = readBlock(bin)
             got ++= cols.head._3.map(_.asInstanceOf[Long])
+          case P.ServerProfileInfo =>
+            P.readVarint(in); P.readVarint(in); P.readVarint(in)
+            in.read(); P.readVarint(in); in.read()
           case P.ServerEndOfStream => done = true
           case other => fail(s"unexpected packet $other")
         }

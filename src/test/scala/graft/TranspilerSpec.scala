@@ -225,4 +225,29 @@ class TranspilerSpec extends AnyFunSuite {
     val plain = "SELECT a FROM t WHERE b = 1"
     assert(Transpiler.transpile(plain) == plain)
   }
+
+  test("splitTotals: protocol split for WITH TOTALS (servers' totals row)") {
+    // no TOTALS -> no split
+    assert(Transpiler.splitTotals("SELECT a FROM t GROUP BY a").isEmpty)
+    // single key: main drops the modifier; totals keeps select list
+    // analyzable via GROUPING SETS and filters to the empty set
+    val Some((m1, t1)) = Transpiler.splitTotals(
+      "SELECT a, count() AS n FROM t GROUP BY a WITH TOTALS ORDER BY a LIMIT 5")
+    assert(m1 === "SELECT a, count() AS n FROM t GROUP BY a ORDER BY a LIMIT 5")
+    assert(t1.contains("GROUP BY GROUPING SETS ((a), ())"), t1)
+    assert(t1.contains("HAVING grouping_id() = 1"), t1)
+    // the totals query must not inherit ORDER BY / LIMIT
+    assert(!t1.toUpperCase.contains("ORDER BY") && !t1.toUpperCase.contains("LIMIT"), t1)
+    // multi-key (incl. an expression key with a comma inside): the
+    // grouping_id target is all bits set
+    val Some((_, t2)) = Transpiler.splitTotals(
+      "SELECT a, concat(b, c) FROM t GROUP BY a, concat(b, c) WITH TOTALS")
+    assert(t2.contains("GROUPING SETS ((a, concat(b, c)), ())"), t2)
+    assert(t2.contains("HAVING grouping_id() = 3"), t2)
+    // an existing HAVING is AND-folded into the totals filter
+    val Some((m3, t3)) = Transpiler.splitTotals(
+      "SELECT a, count() AS n FROM t GROUP BY a WITH TOTALS HAVING count() > 2 ORDER BY a")
+    assert(m3.contains("HAVING count() > 2"), m3)
+    assert(t3.contains("HAVING (count() > 2) AND grouping_id() = 1"), t3)
+  }
 }
