@@ -1883,8 +1883,23 @@ object Engine {
         graft.formats.NativeCodec.decodeRowBinary(payload,
           withNamesAndTypes = false, announced)
     }
-    // resolve each decoded column to a target field (header names win;
-    // headerless RowBinary is positional over the target column list)
+    insertDecodedRows(spark, table, cols, names, raw)
+  }
+
+  /** Land already-decoded (names, row values) into `table` through the
+    * aligned append path — shared by the HTTP binary formats and the
+    * native TCP streaming INSERT (sample-block exchange). Header names
+    * win; values coerce to the declared column types. */
+  private[graft] def insertDecodedRows(spark: SparkSession, table: String,
+                                       cols: Option[Seq[String]],
+                                       names: Seq[String],
+                                       raw: Seq[Seq[Any]]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val full = spark.table(table).schema
+    val target = cols match {
+      case Some(cs) => StructType(cs.map(c => full(full.fieldIndex(c))))
+      case None => StructType(full.fields.filterNot(_.name == "_part"))
+    }
     val fields = names.map(n => target(target.fieldIndex(n)))
     val rows = raw.map { vs =>
       org.apache.spark.sql.Row.fromSeq(

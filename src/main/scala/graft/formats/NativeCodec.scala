@@ -32,7 +32,7 @@ object NativeCodec {
     out.write(v.toInt)
   }
 
-  def readVarint(in: ByteArrayInputStream): Long = {
+  def readVarint(in: java.io.InputStream): Long = {
     var shift = 0; var result = 0L; var b = 0
     while ({ b = in.read(); b >= 0x80 }) {
       result |= (b & 0x7fL) << shift; shift += 7
@@ -45,10 +45,20 @@ object NativeCodec {
     writeVarint(out, bytes.length); out.write(bytes)
   }
 
-  private def readStr(in: ByteArrayInputStream): String = {
+  private def readFully(in: java.io.InputStream, n: Int): Array[Byte] = {
+    val buf = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val k = in.read(buf, off, n - off)
+      if (k < 0) throw new java.io.EOFException()
+      off += k
+    }
+    buf
+  }
+
+  private def readStr(in: java.io.InputStream): String = {
     val n = readVarint(in).toInt
-    val buf = new Array[Byte](n); in.read(buf)
-    new String(buf, "UTF-8")
+    new String(readFully(in, n), "UTF-8")
   }
 
   private def fixed(out: ByteArrayOutputStream, width: Int)(fill: ByteBuffer => Unit): Unit = {
@@ -196,13 +206,22 @@ object NativeCodec {
     decode(new ByteArrayInputStream(bytes))
 
   /** Decode one block from a stream positioned at a block boundary —
-    * call repeatedly to read a multi-block stream ([[writeBlocks]]). */
-  def decode(in: ByteArrayInputStream): Seq[(String, String, Vector[Any])] = {
+    * call repeatedly to read a multi-block stream ([[writeBlocks]]).
+    * `customSerFlag`: consume the custom-serialization byte after each
+    * type name (clients at revision >= 54454 send it on the TCP wire;
+    * a nonzero flag announces sparse/custom encodings this codec does
+    * not speak, so it rejects loudly rather than misparse). */
+  def decode(in: java.io.InputStream,
+             customSerFlag: Boolean): Seq[(String, String, Vector[Any])] = {
     val nCols = readVarint(in).toInt
     val nRows = readVarint(in).toInt
     (0 until nCols).map { _ =>
       val name = readStr(in)
       val tpe = readStr(in)
+      if (customSerFlag) {
+        val flag = in.read()
+        require(flag == 0, s"custom serialization (flag $flag) on column $name not supported")
+      }
       val (baseType, nullable) =
         if (tpe.startsWith("Nullable(")) (tpe.stripPrefix("Nullable(").stripSuffix(")"), true)
         else (tpe, false)
@@ -215,6 +234,9 @@ object NativeCodec {
       (name, tpe, vals)
     }
   }
+
+  def decode(in: java.io.InputStream): Seq[(String, String, Vector[Any])] =
+    decode(in, customSerFlag = false)
 
   /** Decode every block of a Native stream (a bulk INSERT payload) into
     * column names + row tuples. Values carry the decoded JVM types of
@@ -260,11 +282,9 @@ object NativeCodec {
     (names, rows.result())
   }
 
-  private def readValue(in: ByteArrayInputStream, chType: String): Any = {
-    def buf(n: Int) = {
-      val a = new Array[Byte](n); in.read(a)
-      ByteBuffer.wrap(a).order(ByteOrder.LITTLE_ENDIAN)
-    }
+  private def readValue(in: java.io.InputStream, chType: String): Any = {
+    def buf(n: Int) =
+      ByteBuffer.wrap(readFully(in, n)).order(ByteOrder.LITTLE_ENDIAN)
     chType match {
       case "Int8" => in.read().toByte
       case "Int16" => buf(2).getShort

@@ -165,6 +165,20 @@ class NativeServer(spark: SparkSession, port: Int,
       while ({ val name = readStr(in); name.nonEmpty && { in.read(); readStr(in); true } }) ()
 
     try {
+      // Streaming INSERT (the real clickhouse-driver bulk-write flow):
+      // an INSERT query carrying NO inline data means "send me the
+      // table structure, then I stream DATA blocks". Server answers
+      // with a zero-row sample block, reads client blocks until the
+      // empty terminator, lands them through the aligned append path.
+      streamingInsertRe.findFirstMatchIn(query) match {
+        case Some(m) =>
+          val serFlag = clientRevision >= 54454
+          handleStreamingInsert(in, out, session, m.group(1),
+            Option(m.group(3)).map(_.split(",").map(_.trim.replace("`", "")).toSeq),
+            serFlag, lz4Responses)
+          return lz4Responses
+        case None => ()
+      }
       val (bare0, _) = Transpiler.extractFormat(query) // native ignores FORMAT
       // WITH TOTALS on the native protocol: the grouped rows go out as
       // DATA and the all-rows aggregate as a separate TOTALS packet
@@ -282,6 +296,73 @@ class NativeServer(spark: SparkSession, port: Int,
         out.flush()
     } finally Engine.finishQuery(queryId)
     lz4Responses
+  }
+
+  // INSERT with no inline data (trailing VALUES / FORMAT / nothing):
+  // triggers the sample-block exchange instead of SQL-text execution
+  private val streamingInsertRe =
+    ("(?is)^\\s*INSERT\\s+INTO\\s+([\\w`.]+)\\s*(\\(([^)]*)\\))?\\s*" +
+      "(?:VALUES|FORMAT\\s+\\w+)?\\s*$").r
+
+  /** The native bulk-write flow (public protocol; clickhouse-driver's
+    * `execute("INSERT INTO t VALUES", rows)`): answer the INSERT query
+    * with a zero-row sample block carrying the target structure, read
+    * client DATA blocks until the empty terminator, land every block
+    * through the aligned append path, then END_OF_STREAM. */
+  private def handleStreamingInsert(in: InputStream, out: OutputStream,
+                                    session: SparkSession, table: String,
+                                    cols: Option[Seq[String]],
+                                    serFlag: Boolean,
+                                    compressed: Boolean): Unit = {
+    import org.apache.spark.sql.types.StructType
+    val bare = table.replace("`", "")
+    val full = session.table(bare).schema
+    val target = cols match {
+      case Some(cs) => StructType(cs.map(c => full(full.fieldIndex(c))))
+      case None => StructType(full.fields.filterNot(_.name == "_part"))
+    }
+    writeVarint(out, ServerData)
+    writeStr(out, bare)
+    val sample = NativeCodec.encode(target, Array.empty, serFlag)
+    if (compressed) out.write(ChCompression.compressFrame(BlockInfoBytes ++ sample))
+    else { writeBlockInfo(out); out.write(sample) }
+    out.flush()
+    var names: Seq[String] = Nil
+    val rows = Vector.newBuilder[Seq[Any]]
+    var done = false
+    while (!done) {
+      readVarint(in) match {
+        case ClientData =>
+          readStr(in) // table name
+          val block =
+            if (compressed) {
+              val body = ChCompression.readFrame(in)
+              val bin = new java.io.ByteArrayInputStream(body)
+              skipBlockInfo(bin)
+              NativeCodec.decode(bin, serFlag)
+            } else {
+              skipBlockInfo(in)
+              NativeCodec.decode(in, serFlag)
+            }
+          val nRows = block.headOption.map(_._3.length).getOrElse(0)
+          // a zero-row block (0 cols, or schema echo with 0 rows) is
+          // the stream terminator
+          if (nRows == 0) done = true
+          else {
+            if (names.isEmpty) names = block.map(_._1)
+            (0 until nRows).foreach(r => rows += block.map(_._3(r)))
+          }
+        case ClientCancel => done = true
+        case -1L => throw new java.io.EOFException()
+        case other =>
+          throw new IllegalStateException(s"unexpected packet $other during INSERT")
+      }
+    }
+    val collected = rows.result()
+    if (collected.nonEmpty)
+      Engine.insertDecodedRows(session, bare, cols, names, collected)
+    writeVarint(out, ServerEndOfStream)
+    out.flush()
   }
 
   /** varint-length zlib-deflated string (main.py:782-804 framing).

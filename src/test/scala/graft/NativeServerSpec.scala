@@ -394,6 +394,54 @@ class NativeServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sock.close()
   }
 
+  test("streaming INSERT: sample block exchange, client DATA blocks bulk-load (bulk-write flow)") {
+    import graft.formats.NativeCodec
+    val (sock, in, out) = connect()
+    try {
+      hello(out); readServerHello(in)
+      sendQuery(out, "DROP TABLE IF EXISTS nstream"); readResponse(in)
+      sendQuery(out, "CREATE TABLE nstream (id Int64, name String) ENGINE=Memory")
+      readResponse(in)
+      // the INSERT query with no inline data -> server answers with a
+      // zero-row sample block describing the table
+      sendQuery(out, "INSERT INTO nstream VALUES")
+      assert(P.readVarint(in) === P.ServerData)
+      P.readStr(in) // table name
+      var f = P.readVarint(in)
+      while (f != 0) { if (f == 1) in.read() else if (f == 2) P.readFixed(in, 4); f = P.readVarint(in) }
+      val sample = readBlock(in)
+      assert(sample.map(_._1) === Seq("id", "name"))
+      assert(sample.map(_._2.stripPrefix("Nullable(").stripSuffix(")")) ===
+        Seq("Int64", "String"))
+      assert(sample.forall(_._3.isEmpty))
+      // stream two data blocks + the empty terminator
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("name", StringType, nullable = false)))
+      def sendBlock(rows: Array[org.apache.spark.sql.Row]): Unit = {
+        P.writeVarint(out, P.ClientData)
+        P.writeStr(out, "nstream")
+        // BlockInfo
+        P.writeVarint(out, 1); out.write(0)
+        P.writeVarint(out, 2); P.writeFixed(out, 4)(_.putInt(-1))
+        P.writeVarint(out, 0)
+        out.write(NativeCodec.encode(schema, rows, customSerFlag = true))
+        out.flush()
+      }
+      sendBlock(Array(org.apache.spark.sql.Row(1L, "one"),
+        org.apache.spark.sql.Row(2L, "two")))
+      sendBlock(Array(org.apache.spark.sql.Row(3L, "three")))
+      sendBlock(Array.empty) // terminator
+      assert(P.readVarint(in) === P.ServerEndOfStream)
+      // the rows landed
+      sendQuery(out, "SELECT id, name FROM nstream ORDER BY id")
+      val (blocks, err) = readResponse(in)
+      assert(err.isEmpty, err)
+      assert(blocks.head.head._3 === Vector(1L, 2L, 3L))
+      assert(blocks.head(1)._3 === Vector("one", "two", "three"))
+    } finally sock.close()
+  }
+
   test("multiple queries on one connection; fixture table query") {
     val (sock, in, out) = connect()
     try {

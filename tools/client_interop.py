@@ -51,6 +51,19 @@ def main():
     check("ddl-roundtrip", client.execute(
         "SELECT id, s FROM interop.t ORDER BY id"), [(1, "a"), (2, "b")])
     check("version", len(client.execute("SELECT version()")), 1)
+    # driver-style bulk insert: query with no inline data -> sample
+    # block exchange -> client streams DATA blocks
+    client.execute("DROP TABLE IF EXISTS interop.bulk")
+    client.execute("CREATE TABLE interop.bulk (id Int64, s String) ENGINE=Memory")
+    client.execute("INSERT INTO interop.bulk VALUES",
+                   [(10, "x"), (11, "y"), (12, "z")])
+    check("bulk-insert", client.execute(
+        "SELECT id, s FROM interop.bulk ORDER BY id"),
+        [(10, "x"), (11, "y"), (12, "z")])
+    # WITH TOTALS populates the driver's totals attribute
+    q = client.execute("SELECT s, count() FROM interop.bulk "
+                       "GROUP BY s WITH TOTALS ORDER BY s")
+    check("totals-rows", len(q), 3)
     print(f"{'OK' if failures == 0 else 'FAILED'}: {failures} failures")
     return 1 if failures else 0
 
