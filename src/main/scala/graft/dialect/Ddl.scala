@@ -739,7 +739,10 @@ object Ddl {
     * and the rows reload through the catalog. */
   private def reshape(spark: SparkSession, name: String,
                       f: DataFrame => DataFrame,
-                      renameKey: Map[String, String] = Map.empty): DataFrame = {
+                      renameKey: Map[String, String] = Map.empty): DataFrame =
+    // same table-level lock as appendAligned: a reshape DROPs and
+    // rebuilds the table, which must not interleave with an append
+    appendLocks.getOrElseUpdate(normalize(spark, name), new Object).synchronized {
     val bare = name.replace("`", "")
     val key = normalize(spark, name)
     val meta = tables.get(key)
@@ -772,10 +775,12 @@ object Ddl {
     val order = spark.table(bare).columns.map(staged(_))
     staged.select(order.toIndexedSeq: _*).write.mode("append").insertInto(bare)
     spark.emptyDataFrame
-  }
+    }
 
   private def mutate(spark: SparkSession, name: String,
-                     f: DataFrame => DataFrame): DataFrame = {
+                     f: DataFrame => DataFrame): DataFrame =
+    // TRUNCATE + re-append must not interleave with a concurrent INSERT
+    appendLocks.getOrElseUpdate(normalize(spark, name), new Object).synchronized {
     val bare = name.replace("`", "")
     // stage to a scratch location first: caching is not enough (TRUNCATE
     // invalidates dependent caches and the plan would re-read the
@@ -787,7 +792,7 @@ object Ddl {
     spark.sql(s"TRUNCATE TABLE $bare")
     staged.write.mode("append").insertInto(bare)
     spark.emptyDataFrame
-  }
+    }
 
   private def createTable(spark: SparkSession, ifNotExists: Boolean,
                           name: String, colDefs: String, engine0: String,

@@ -205,6 +205,26 @@ class ConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
         val n = post("SELECT count() FROM conc_t", s"?user=$u&password=pw")
         assert(n.body().trim === "6", s"user $u rows: ${n.body()}") // 2 workers × 3 rows
       }
+      // --- mutations interleaved with inserts hold the table lock ---
+      post("DROP TABLE IF EXISTS conc_m")
+      post("CREATE TABLE conc_m (v Int64) ENGINE=Memory")
+      val mixed: Seq[Future[Any]] =
+        (1 to 3).map { i => Future {
+          for (k <- 1 to 2) {
+            val r = post(s"INSERT INTO conc_m VALUES (${i * 10 + k})")
+            assert(r.statusCode() === 200, r.body())
+          }
+        }} ++
+        (1 to 2).map { _ => Future {
+          // a no-op mutation still TRUNCATEs and rewrites the table —
+          // unserialized it would drop concurrent inserts or crash
+          val r = post("ALTER TABLE conc_m DELETE WHERE v < 0")
+          assert(r.statusCode() === 200, r.body())
+        }}
+      Await.result(Future.sequence(mixed), 120.seconds)
+      val mcount = post("SELECT count() FROM conc_m").body().trim
+      assert(mcount === "6", s"conc_m rows after insert+mutation storm: $mcount")
+
       // --- attribution: query_log carries the right user per entry ---
       val log = post("SELECT user, count() FROM system.query_log " +
         "WHERE query LIKE '%conc_t%' AND user IN ('alice','bob') " +
