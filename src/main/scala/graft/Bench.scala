@@ -24,6 +24,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+      // default 100 disables the vectorized parquet reader + whole-stage
+      // codegen for any scan wider than 100 fields — hits is 134 columns,
+      // so SELECT * shapes (cb23) ran row-based. 200 covers it with slack;
+      // codegen of a 134-field projection is still well within JIT limits.
+      .config("spark.sql.codegen.maxFields", "200")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
