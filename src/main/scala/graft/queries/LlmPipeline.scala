@@ -230,6 +230,24 @@ object LlmPipeline {
             .as("recall_ok"))
     }, Some(annRecallOracle)),
 
+    // L6c: product-quantization ANN (per-subspace KMeans codebooks,
+    // asymmetric-distance scan over 8-byte codes, exact rerank of the
+    // top-k×10 candidates only) — the memory-compressed 100 TB path
+    // (32× smaller index). Driver-gated like l6/l11: recall >= 0.6 vs
+    // the exact top-k recomputed by DuckDB.
+    Q("l30_ann_pq", (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val exact = CosineKnn.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      val ann = CosineKnn.pqTopK(e, q, "vec_id", "embedding", k = 5)
+      exact.select(col("qid"), col("nid"))
+        .join(ann.select(col("qid"), col("nid"), lit(1).as("hit")),
+          Seq("qid", "nid"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          (coalesce(sum(col("hit")), lit(0L)) >= count(lit(1)) * 0.6)
+            .as("recall_ok"))
+    }, Some(annRecallOracle)),
+
     // L12: embedding-cosine near-dup pairs (exact; the fixture's max
     // cosine is ~0.51 so 0.45 yields a small deterministic pair set)
     Q("l12_cosine_neardup", (s, dir) => {

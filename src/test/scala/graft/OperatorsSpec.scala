@@ -224,6 +224,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall=$recall")
   }
 
+  test("CosineKnn PQ recall@5 >= 0.6 vs brute force; rank column well-formed") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val exact = CosineKnn.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val pq = CosineKnn.pqTopK(e, q, "vec_id", "embedding", 5)
+      .select("qid", "nid", "rn").as[(Long, Long, Int)].collect()
+    val recall = (exact & pq.map(t => (t._1, t._2)).toSet).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall=$recall")
+    // every query returns exactly k ranked 1..5 rows
+    pq.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to 5))
+    }
+  }
+
   test("CosineKnn block-pair nearDupPairs == brute force, with no nested-loop join") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val blocked = CosineKnn.nearDupPairs(e, "vec_id", "embedding", 0.40, blocks = 4)
