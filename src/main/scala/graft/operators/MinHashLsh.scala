@@ -58,14 +58,22 @@ object MinHashLsh {
                 (x, y) -> least(x, y)))"""))
   }
 
-  /** Candidate id pairs (a < b) sharing at least one LSH band. The key
-    * is the r-slot signature slice itself (array equi-join). */
-  def candidatePairs(sigs: DataFrame, bands: Int, r: Int): DataFrame = {
-    val banded = sigs
+  /** LSH band index: (id, band, key) — one row per document per band,
+    * the key being the r-slot signature slice. For a standing corpus
+    * this is the artifact to persist (parquet, bucketed by (band, key)):
+    * incremental batches then probe it with a keyed join and never touch
+    * corpus text again. */
+  def bandKeys(sigs: DataFrame, bands: Int, r: Int): DataFrame =
+    sigs
       .select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("id"), col("band"),
         slice(col("sig"), col("band") * r + 1, lit(r)).as("key"))
+
+  /** Candidate id pairs (a < b) sharing at least one LSH band. The key
+    * is the r-slot signature slice itself (array equi-join). */
+  def candidatePairs(sigs: DataFrame, bands: Int, r: Int): DataFrame = {
+    val banded = bandKeys(sigs, bands, r)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
@@ -129,6 +137,55 @@ object MinHashLsh {
     }
     labels.select(col("id"), col("rep"),
       (col("id") === col("rep")).as("is_kept"))
+  }
+
+  /** Incremental dedup — classify an INCOMING batch against an EXISTING
+    * corpus without re-pairing the corpus with itself (the production
+    * shape at 100 TB: today's crawl probes yesterday's index; history is
+    * never re-shingled). Per incoming doc: `is_dup` (some existing doc
+    * has exact shingle-Jaccard >= threshold), `dup_of` (the minimum such
+    * existing id, null when novel) and `jac` (the Jaccard against
+    * `dup_of`).
+    *
+    * Cost model: the existing side contributes only its band index
+    * (`bandKeys` — write-once, reusable across batches; bucket it by
+    * (band, key) and the probe is shuffle-free on the corpus side) plus
+    * a keyed shingle re-fetch for verified candidates. Nothing scales
+    * with |existing|×|existing| or |existing|×|incoming|; only matched
+    * band buckets are touched. Both sides hash with the same seeded
+    * permutations, so an index built in an earlier run stays joinable.
+    */
+  def incrementalDedup(existing: DataFrame, incoming: DataFrame,
+                       idCol: String, textCol: String, threshold: Double,
+                       shingleWidth: Int = 3, k: Int = 64,
+                       bands: Int = 16): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    val exSigs = signatures(existing, idCol, textCol, shingleWidth, k)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val inSigs = signatures(incoming, idCol, textCol, shingleWidth, k)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // candidate (incoming a, existing b) pairs sharing a band bucket
+    val cands = bandKeys(inSigs, bands, r).as("x")
+      .join(bandKeys(exSigs, bands, r).as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    // exact-verify candidates only (keyed shingle re-fetch, both sides)
+    val verified = cands
+      .join(inSigs.select(col("id").as("a"), col("shingles").as("sa")), "a")
+      .join(exSigs.select(col("id").as("b"), col("shingles").as("sb")), "b")
+      .withColumn("jac", TextFns.jaccard(col("sa"), col("sb")))
+      .filter(col("jac") >= threshold)
+    // min-id match per incoming doc, carrying that match's Jaccard
+    val best = verified.groupBy(col("a"))
+      .agg(min(struct(col("b"), col("jac"))).as("m"))
+      .select(col("a").as("id"), col("m.b").as("dup_of"),
+        round(col("m.jac"), 4).as("jac"))
+    incoming.select(col(idCol).as("id"))
+      .join(best, Seq("id"), "left")
+      .select(col("id"), col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"), col("jac"))
   }
 
   /** Full pipeline: verified near-dup pairs with exact Jaccard. */

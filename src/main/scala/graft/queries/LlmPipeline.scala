@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.TextFns
-import graft.operators.{MinHashLsh, SimHash, SimilarityJoin, CosineKnn, Multimodal}
+import graft.operators.{MinHashLsh, SimHash, SimilarityJoin, CosineKnn, Multimodal, QualityClassifier}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -113,6 +113,38 @@ object LlmPipeline {
       SELECT id, rep, id = rep AS is_kept
       FROM rep ORDER BY id"""))
       ,
+
+    // L31: incremental dedup — the odd-id half of `documents` arrives as
+    // a new batch and probes the even-id half's standing LSH band index;
+    // only band-bucket matches are exact-verified. Oracle = brute-force
+    // cross-parity Jaccard (banding recall at the fixture's >=0.96 dup
+    // strength is 1 - ~1e-13, same argument as l2).
+    Q("l31_incremental_dedup", (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      MinHashLsh.incrementalDedup(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", threshold = 0.8)
+        .orderBy("id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') toks FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+               THEN [array_to_string(toks[i:i+2],' ') for i in range(1, len(toks)-1)]
+               ELSE [] END)) s FROM t),
+      sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+      pairs AS (SELECT x.doc_id a, y.doc_id b, count(*) inter
+                FROM sh x JOIN sh y ON x.s = y.s
+                WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 0
+                GROUP BY 1, 2),
+      good AS (SELECT a, b, round(inter*1.0/(sa.n + sb.n - inter), 4) jac
+               FROM pairs JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+               WHERE inter*1.0/(sa.n + sb.n - inter) >= 0.8),
+      best AS (SELECT a AS id, min(b) AS dup_of, arg_min(jac, b) AS jac
+               FROM good GROUP BY 1)
+      SELECT d.doc_id AS id, best.dup_of IS NOT NULL AS is_dup,
+             best.dup_of, best.jac
+      FROM documents d LEFT JOIN best ON best.id = d.doc_id
+      WHERE d.doc_id % 2 = 1 ORDER BY id""")),
 
     // L3: SimHash near-dup pairs (Hamming <= 5 on 60-bit fingerprints;
     // 6-band bucketing is lossless for dist <= 5 by pigeonhole)
@@ -367,6 +399,52 @@ object LlmPipeline {
                    0.4 * (CAST(n_stop AS DOUBLE) / n_tokens) +
                    0.2 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0), 4) quality
       FROM s ORDER BY doc_id""")),
+
+    // L32: model-based quality filter (CCNet/fasttext shape) — logistic
+    // regression over [ttr, stop_ratio, len_prior] + L1-normalized
+    // hashed bag-of-words, weakly supervised by the l8 rule's clear
+    // extremes (bottom/top quality quartile; the murky middle is
+    // dropped, as in CCNet), trained on even ids, scored on the odd-id
+    // holdout. Driver-gated like the ANN queries: DuckDB independently
+    // recomputes the holdout population (quality formula + quartile
+    // cuts, so the n_docs compare also checks the labeling path); the
+    // agreement boolean's expected value is TRUE by a wide margin
+    // (measured 0.92 at sf0.01 vs the 0.75 gate).
+    Q("l32_quality_classifier", (s, dir) => {
+      val scored = docsWithToks(s, dir).select(
+          col("doc_id"), col("__toks"),
+          round(size(array_distinct(col("__toks"))).cast("double") /
+            size(col("__toks")), 4).as("ttr"),
+          round(TextFns.countIn(col("__toks"), stopEn).cast("double") /
+            size(col("__toks")), 4).as("stop_ratio"),
+          round(least(size(col("__toks")), lit(100)).cast("double") / 100.0,
+            4).as("len_prior"))
+        .withColumn("quality", round(lit(0.4) * col("ttr") +
+          lit(0.4) * col("stop_ratio") + lit(0.2) * col("len_prior"), 4))
+      val cuts = scored.agg(expr("percentile(quality, 0.25)"),
+        expr("percentile(quality, 0.75)")).head
+      val (q25, q75) = (cuts.getDouble(0), cuts.getDouble(1))
+      val extremes = scored
+        .filter(col("quality") <= q25 || col("quality") >= q75)
+      QualityClassifier.holdoutAgreement(extremes, "doc_id", "__toks",
+        numericCols = Seq("ttr", "stop_ratio", "len_prior"),
+        ruleLabel = col("quality") >= q75,
+        trainFilter = col("doc_id") % 2 === 0,
+        minAgreement = 0.75)
+    }, Some("""
+      WITH t AS (SELECT doc_id,
+                   string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') toks
+                 FROM documents),
+      s AS (SELECT doc_id,
+              round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) ttr,
+              round(CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE) / len(toks), 4) stop_ratio,
+              round(CAST(least(len(toks), 100) AS DOUBLE) / 100.0, 4) len_prior
+            FROM t),
+      q AS (SELECT doc_id, round(0.4*ttr + 0.4*stop_ratio + 0.2*len_prior, 4) quality FROM s),
+      cuts AS (SELECT quantile_cont(quality, 0.25) q25, quantile_cont(quality, 0.75) q75 FROM q)
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS agreement_ok
+      FROM q, cuts
+      WHERE doc_id % 2 = 1 AND (quality <= q25 OR quality >= q75)""")),
 
     // L9: corpus vocabulary — token counting via explode + groupBy
     Q("l9_vocab", (s, dir) => {

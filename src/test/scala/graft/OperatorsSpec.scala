@@ -58,6 +58,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("incrementalDedup flags batch dups against the corpus, keeps novel docs") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = base.split(" ").updated(30, "CHANGED").mkString(" ")
+    val novel = (1 to 60).map(i => s"z$i").mkString(" ")
+    val existing = Seq((10L, base), (20L, base)).toDF("doc_id", "text")
+    val incoming = Seq((31L, nearDup), (33L, novel)).toDF("doc_id", "text")
+    val out = MinHashLsh.incrementalDedup(existing, incoming,
+        "doc_id", "text", threshold = 0.8)
+      .orderBy("id").collect()
+    assert(out.length === 2)
+    // 31 matches both 10 and 20; dup_of must be the minimum existing id
+    assert(out(0).getLong(0) === 31L && out(0).getBoolean(1) &&
+      out(0).getLong(2) === 10L && out(0).getDouble(3) >= 0.8)
+    // 33 is novel: no match, null dup_of/jac
+    assert(out(1).getLong(0) === 33L && !out(1).getBoolean(1) &&
+      out(1).isNullAt(2) && out(1).isNullAt(3))
+  }
+
   test("dedupAssignments collapses a >5-hop near-dup chain to one keeper") {
     // Sliding 60-word windows stepping by 2: adjacent docs have shingle
     // Jaccard 56/60 ~ 0.933 (>= 0.9), two apart 54/62 ~ 0.871 (< 0.9) —
@@ -72,6 +90,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.length === 14)
     assert(out.forall(_._2 === 0L), s"all reps must be 0: ${out.mkString(",")}")
     assert(out.count(_._3) === 1)
+  }
+
+  test("QualityClassifier learns a separable rule and scores the holdout") {
+    // two clearly separable populations: stopword-rich prose vs
+    // keyword-mash; label = stopword presence, features include the
+    // stop_ratio the rule thresholds -> holdout agreement must be 1.0
+    val docs = (0 until 40).map { i =>
+      val good = i % 2 == 0
+      val text =
+        if (good) s"the cat $i and the dog of a house to go w$i x$i"
+        else s"k$i v$i z$i q$i m$i n$i p$i r$i s$i t$i u$i w$i"
+      (i.toLong, text, good)
+    }.toDF("doc_id", "text", "good")
+    val withFeats = docs
+      .withColumn("toks", TextFns.tokens(TextFns.norm(col("text"))))
+      .withColumn("stop_ratio",
+        TextFns.countIn(col("toks"), Seq("the", "a", "of", "and", "to"))
+          .cast("double") / size(col("toks")))
+    val out = graft.operators.QualityClassifier.holdoutAgreement(
+      withFeats, "doc_id", "toks", numericCols = Seq("stop_ratio"),
+      ruleLabel = col("good"), trainFilter = col("doc_id") < 20,
+      minAgreement = 0.95).collect()(0)
+    assert(out.getLong(0) === 20L && out.getBoolean(1))
   }
 
   test("WithFill synthesizes default rows for missing grid points only") {
