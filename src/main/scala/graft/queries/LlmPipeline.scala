@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.TextFns
-import graft.operators.{MinHashLsh, SimHash, SimilarityJoin, CosineKnn, Multimodal, QualityClassifier}
+import graft.operators.{MinHashLsh, SimHash, SimilarityJoin, CosineKnn, Multimodal, QualityClassifier, AudioCodec}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -1089,6 +1089,56 @@ object LlmPipeline {
              CAST(rz.rsum AS BIGINT) AS resized_px_sum
       FROM m JOIN d USING (doc_id) JOIN fr ON fr.doc_id = m.doc_id
              JOIN rz ON rz.doc_id = m.doc_id
-      ORDER BY m.doc_id"""))
+      ORDER BY m.doc_id""")),
+
+    // M3: audio multimodal — REAL RIFF/WAVE payloads (javax.sound
+    // .sampled, PCM16 LE mono @ 8 kHz), decoded back to PCM per
+    // partition. Sample content is the deterministic
+    // s(t)=(doc_id*31+t*17)%65536-32768 pattern, so DuckDB recomputes
+    // energy/extrema/zero-crossings from doc_id without a WAV parser
+    // while Spark exercises the true encode->bytes->decode round trip.
+    Q("m3_audio_features", (s, dir) => {
+      AudioCodec.decodeFeatures(
+          AudioCodec.attachPayload(Tables.load(s, dir, "documents")))
+        .toDF().orderBy("doc_id")
+    }, Some("""
+      WITH d AS (SELECT doc_id, CAST(doc_id % 800 + 100 AS INT) AS n
+                 FROM documents),
+      s AS (SELECT d.doc_id, d.n, g.t,
+              (d.doc_id * 31 + g.t * 17) % 65536 - 32768 AS v
+            FROM d, generate_series(0, 899) g(t) WHERE g.t < d.n),
+      w AS (SELECT doc_id, n, t, v,
+              lag(v) OVER (PARTITION BY doc_id ORDER BY t) AS pv
+            FROM s)
+      SELECT doc_id, 'audio/wav' AS media_type, 8000 AS sample_rate,
+             CAST(n AS INT) AS n_samples,
+             CAST(n * 125 AS BIGINT) AS duration_micros,
+             CAST(sum(v) AS BIGINT) AS amp_sum,
+             CAST(min(v) AS INT) AS amp_min,
+             CAST(max(v) AS INT) AS amp_max,
+             CAST(sum(v * v) AS BIGINT) AS sq_sum,
+             CAST(count(*) FILTER (pv IS NOT NULL AND (pv < 0) != (v < 0))
+                  AS INT) AS zero_crossings
+      FROM w GROUP BY doc_id, n ORDER BY doc_id""")),
+
+    // M4: audio decimation — keep every 4th sample, RE-ENCODE as a real
+    // 2 kHz WAV, decode that second file and report its stats (read and
+    // write codec paths both proven per row).
+    Q("m4_audio_resample", (s, dir) => {
+      AudioCodec.resample(
+          AudioCodec.attachPayload(Tables.load(s, dir, "documents")),
+          factor = 4)
+        .toDF().orderBy("doc_id")
+    }, Some("""
+      WITH d AS (SELECT doc_id, CAST(doc_id % 800 + 100 AS INT) AS n
+                 FROM documents),
+      r AS (SELECT doc_id, (n + 3) // 4 AS nn FROM d),
+      s AS (SELECT r.doc_id, r.nn,
+              (r.doc_id * 31 + g.i * 68) % 65536 - 32768 AS v
+            FROM r, generate_series(0, 224) g(i) WHERE g.i < r.nn)
+      SELECT doc_id, 2000 AS new_rate, CAST(nn AS INT) AS new_n,
+             CAST(sum(v) AS BIGINT) AS new_amp_sum,
+             CAST(sum(v * v) AS BIGINT) AS new_sq_sum
+      FROM s GROUP BY doc_id, nn ORDER BY doc_id"""))
   )
 }

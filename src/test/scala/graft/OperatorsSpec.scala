@@ -115,6 +115,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.getLong(0) === 20L && out.getBoolean(1))
   }
 
+  test("AudioCodec round-trips real WAV bytes; features and decimation are exact") {
+    import graft.operators.AudioCodec
+    val docs = Seq(3L, 7L).toDF("doc_id")
+    val withWav = AudioCodec.attachPayload(docs)
+    // payloads are genuine RIFF/WAVE files
+    val hdr = withWav.orderBy("doc_id").select("payload")
+      .as[Array[Byte]].collect()
+    hdr.foreach { b =>
+      assert(new String(b.take(4), "US-ASCII") === "RIFF")
+      assert(new String(b.slice(8, 12), "US-ASCII") === "WAVE")
+    }
+    // decoded stats equal a direct recomputation of the sample formula
+    def s(id: Long, t: Int): Long = (id * 31 + t.toLong * 17) % 65536 - 32768
+    val f = AudioCodec.decodeFeatures(withWav).collect()
+      .map(r => r.doc_id -> r).toMap
+    for (id <- Seq(3L, 7L)) {
+      val n = (id % 800 + 100).toInt
+      val xs = (0 until n).map(s(id, _))
+      assert(f(id).n_samples === n && f(id).sample_rate === 8000)
+      assert(f(id).amp_sum === xs.sum && f(id).sq_sum === xs.map(v => v * v).sum)
+      assert(f(id).amp_min === xs.min && f(id).amp_max === xs.max)
+      assert(f(id).zero_crossings ===
+        xs.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)))
+    }
+    // decimate-by-4, re-encoded at 2 kHz and decoded again
+    val r = AudioCodec.resample(withWav, 4).collect()
+      .map(x => x.doc_id -> x).toMap
+    for (id <- Seq(3L, 7L)) {
+      val n = (id % 800 + 100).toInt
+      val dec = (0 until (n + 3) / 4).map(i => s(id, i * 4))
+      assert(r(id).new_rate === 2000 && r(id).new_n === dec.length)
+      assert(r(id).new_amp_sum === dec.sum)
+      assert(r(id).new_sq_sum === dec.map(v => v * v).sum)
+    }
+  }
+
   test("WithFill synthesizes default rows for missing grid points only") {
     val df = Seq((2L, "b", 10.0), (5L, "e", 20.0)).toDF("k", "s", "v")
     val out = graft.operators.WithFill(df, "k", 1L, 7L, 2L) // grid 1,3,5
