@@ -9,7 +9,7 @@ object SparkEntry {
     * operator it evidences. */
   def all: Seq[Q] =
     graft.queries.Relational.qs ++ graft.queries.Joins.qs ++
-      graft.queries.Subqueries.qs ++
+      graft.queries.Subqueries.qs ++ graft.queries.TpchShapes.qs ++
       graft.queries.LlmPipeline.qs ++ graft.queries.Dialect.qs ++
       graft.queries.DdlQueries.qs ++ graft.queries.Streaming.qs ++
       graft.queries.ClickBench.qs ++ graft.queries.ScaleOps.qs

@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Remaining TPC-H-representative relational shapes, adapted to the
+  * fixture's columns (lineitem has no shipmode/receiptdate family).
+  * Each exercises a distinct optimizer feature the reference gets for
+  * free from ClickHouse and this engine must get from Catalyst:
+  *
+  *  - Q7: dimension self-join (nation twice) with a disjunctive
+  *    cross-table predicate — join-order + broadcast selection.
+  *  - Q10: 4-way fact join with top-k on aggregated revenue —
+  *    TakeOrderedAndProject over partial aggregation.
+  *  - Q14: conditional-aggregate ratio — single scan, no self-join.
+  *  - Q19: OR-of-ANDs mixing both join sides — CNF extraction should
+  *    still push the per-table residuals (brand IN set, size/qty
+  *    bounds) into the scans rather than filtering post-join only.
+  *
+  * SQL is in the Spark/DuckDB ANSI intersection; the oracle text is
+  * identical. Numeric discipline per Relational.scala: decimal sums,
+  * one rounded double division for ratios.
+  */
+object TpchShapes {
+
+  private def sql(views: String*)(q: String): (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      views.foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
+      s.sql(q)
+    }
+
+  private val q7 = """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume) AS DECIMAL(18,4)) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_3')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year"""
+
+  private val q10 = """
+    SELECT c_custkey, c_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20"""
+
+  private val q14 = """
+    SELECT round(100.0 *
+             CAST(sum(CASE WHEN p_type = 'PROMO'
+                           THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                                * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                           ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE),
+           6) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'"""
+
+  private val q19 = """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue,
+           count(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)"""
+
+  val qs: Seq[Q] = Seq(
+    Q("j9_volume_q7", sql("supplier", "lineitem", "orders", "customer", "nation")(q7),
+      Some(q7), bench = true),
+    Q("j10_returns_q10", sql("customer", "orders", "lineitem", "nation")(q10), Some(q10)),
+    Q("g17_promo_ratio_q14", sql("lineitem", "part")(q14), Some(q14)),
+    Q("p19_or_of_ands_q19", sql("lineitem", "part")(q19), Some(q19), bench = true)
+  )
+}
