@@ -465,6 +465,28 @@ object Relational {
                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_okey
       FROM orders ORDER BY o_custkey, rn"""), bench = true),
 
+    // W1c: remaining rank family — dense_rank / percent_rank /
+    // cume_dist (rounded: both engines compute (rank-1)/(n-1) and
+    // peers/n exactly, rounding only guards double formatting)
+    Q("w6_rank_family", (s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(floor(col("o_totalprice")).cast("long").asc)
+      Tables.load(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        dense_rank().over(w).as("drank"),
+        round(percent_rank().over(w), 6).as("prank"),
+        round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus,
+             dense_rank() OVER w AS drank,
+             round(percent_rank() OVER w, 6) AS prank,
+             round(cume_dist() OVER w, 6) AS cdist
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderstatus
+                   ORDER BY CAST(floor(o_totalprice) AS BIGINT))
+      ORDER BY o_orderkey""")),
+
     // W1b: aggregates over window frames (running sum, frame-bounded avg)
     Q("w2_window_agg", (s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
