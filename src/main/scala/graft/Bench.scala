@@ -41,6 +41,28 @@ object Bench {
     val fixT0 = System.nanoTime()
     graft.dialect.HitsFixture.ensureScaled(spark, hitsN)
     val fixtureSec = (System.nanoTime() - fixT0) / 1e9
+    // Size scan splits from the data, never a constant: the 2m default
+    // tuned for the 3M-row fixture generated ~3,300 near-empty splits
+    // against the 100M fixture's 200MB files (2 row groups each) — a
+    // flat ~6s of pure task-scheduling overhead on EVERY query, which
+    // read as fake super-linear scaling in the 30M->100M decade. Target
+    // ~8 waves x cores; clamp to [2m, 128m].
+    val hitsBytes = {
+      val loc = new java.net.URI(spark.table("hits").inputFiles.headOption
+        .getOrElse("file:///tmp/graft-warehouse")).getPath
+      def size(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles).map(_.map(size).sum).getOrElse(0L)
+        else f.length
+      size(new java.io.File(loc).getParentFile.getParentFile)
+    }
+    val splitBytes = math.min(128L << 20,
+      math.max(2L << 20, hitsBytes / (cpus.toInt * 8)))
+    // cb queries scan the hits fixture — size their splits to it; the
+    // headline queries scan the (small) SF tables, where 2m keeps all
+    // cores busy
+    def setSplit(name: String): Unit =
+      spark.conf.set("spark.sql.files.maxPartitionBytes",
+        (if (name.startsWith("cb")) splitBytes else 2L << 20).toString)
     val names = headline ++ cbNames
     val loadStart = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
@@ -49,6 +71,7 @@ object Bench {
     // steady state (standard bench discipline; cold-start is reported
     // by the driver's wall clock anyway)
     names.foreach { n =>
+      setSplit(n)
       try byName(n).run(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
@@ -56,6 +79,7 @@ object Bench {
     // minimum is the engine's actual throughput. A run that throws is a
     // FAILURE, not a fast run — reported as -1, never summed.
     val results = names.map { name =>
+      setSplit(name)
       val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
         try {

@@ -1139,6 +1139,35 @@ object LlmPipeline {
       SELECT doc_id, 2000 AS new_rate, CAST(nn AS INT) AS new_n,
              CAST(sum(v) AS BIGINT) AS new_amp_sum,
              CAST(sum(v * v) AS BIGINT) AS new_sq_sum
-      FROM s GROUP BY doc_id, nn ORDER BY doc_id"""))
+      FROM s GROUP BY doc_id, nn ORDER BY doc_id""")),
+
+    // L33: overlapping-window chunking (RAG/embedding-pipeline shape):
+    // each document splits into 200-char windows on a 150-char stride
+    // (50-char overlap). Pure codegen'd builtins — sequence + explode +
+    // substr — one narrow scan, no UDF, no shuffle before the sort; at
+    // 100 TB this is an embarrassingly parallel map whose output feeds
+    // the embedding stage (l5/l6 et al) directly.
+    Q("l33_chunk_overlap", (s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(sequence(lit(0),
+            greatest(lit(0), length(col("text")) - 1), lit(150)))
+            .as("chunk_start"),
+          col("text"))
+        .select(col("doc_id"),
+          (col("chunk_start") / 150).cast("int").as("chunk_id"),
+          col("chunk_start").cast("long").as("chunk_start"),
+          expr("substr(text, chunk_start + 1, 200)").as("chunk"))
+        .withColumn("chunk_len", length(col("chunk")))
+        .orderBy("doc_id", "chunk_id")
+    }, Some("""
+      SELECT doc_id, CAST(chunk_start / 150 AS INT) AS chunk_id,
+             CAST(chunk_start AS BIGINT) AS chunk_start,
+             substr(text, CAST(chunk_start AS INT) + 1, 200) AS chunk,
+             CAST(length(substr(text, CAST(chunk_start AS INT) + 1, 200)) AS INT) AS chunk_len
+      FROM (SELECT doc_id, text,
+              unnest(generate_series(0, greatest(0, length(text) - 1), 150)) AS chunk_start
+            FROM documents)
+      ORDER BY doc_id, chunk_id"""))
   )
 }
