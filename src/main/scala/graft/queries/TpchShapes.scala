@@ -85,11 +85,67 @@ object TpchShapes {
        OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
        OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)"""
 
+  private val q13 = """
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""
+
+  private val q15 = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey"""
+
+  private val q16 = """
+    SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45' AND p_size IN (1, 4, 9, 14, 23)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size"""
+
+  private val q20 = """
+    SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem GROUP BY l_suppkey, l_partkey
+      HAVING sum(l_quantity) > (
+        SELECT 0.5 * round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                           / count(*), 6)
+        FROM lineitem) * 2)
+    ORDER BY s_suppkey"""
+
   val qs: Seq[Q] = Seq(
     Q("j9_volume_q7", sql("supplier", "lineitem", "orders", "customer", "nation")(q7),
       Some(q7), bench = true),
     Q("j10_returns_q10", sql("customer", "orders", "lineitem", "nation")(q10), Some(q10)),
     Q("g17_promo_ratio_q14", sql("lineitem", "part")(q14), Some(q14)),
-    Q("p19_or_of_ands_q19", sql("lineitem", "part")(q19), Some(q19), bench = true)
+    Q("p19_or_of_ands_q19", sql("lineitem", "part")(q19), Some(q19), bench = true),
+
+    // Q13: outer-join histogram — customers keep their zero-order rows
+    // through an ON-clause residual filter, then a second aggregation
+    // over the aggregate (two exchanges, both keyed).
+    Q("j11_custdist_q13", sql("customer", "orders")(q13), Some(q13)),
+
+    // Q15: CTE reused twice (revenue per supplier + its max) with a
+    // scalar-subquery equality — exact-decimal revenue so the max
+    // comparison is engine-independent.
+    Q("g18_top_supplier_q15", sql("supplier", "lineitem")(q15), Some(q15)),
+
+    // Q16: count-distinct suppliers per (brand,size) with a NOT IN
+    // blocklist — null-aware anti join feeding a distinct aggregate.
+    Q("g19_supplier_cnt_q16", sql("part", "lineitem", "supplier")(q16), Some(q16)),
+
+    // Q20: IN over a grouped-HAVING subquery whose threshold is itself
+    // an uncorrelated scalar aggregate (deterministic round(dec/cnt)).
+    Q("p20_excess_supp_q20", sql("supplier", "lineitem")(q20), Some(q20))
   )
 }

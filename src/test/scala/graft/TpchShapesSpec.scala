@@ -50,6 +50,27 @@ class TpchShapesSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
   }
 
+  test("q13 outer-join histogram keeps zero-order customers") {
+    val rows = run("j11_custdist_q13").collect()
+    // residual ON filter must not turn the left join inner: the c_count=0
+    // bucket only exists if unmatched customers survive
+    assert(rows.nonEmpty)
+    val plan = formatted("j11_custdist_q13")
+    assert(plan.contains("LeftOuter") || plan.contains("RightOuter"), plan.take(2000))
+  }
+
+  test("q16 NOT IN blocklist plans an anti join before the distinct agg") {
+    val plan = formatted("g19_supplier_cnt_q16")
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q20 nested scalar-threshold IN plans a semi join") {
+    val plan = formatted("p20_excess_supp_q20")
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+    assert(run("p20_excess_supp_q20").collect().nonEmpty)
+  }
+
   test("q14 promo ratio is a single-pass conditional aggregate") {
     assert(run("g17_promo_ratio_q14").collect().length == 1)
     val plan = formatted("g17_promo_ratio_q14")
