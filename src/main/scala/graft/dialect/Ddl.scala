@@ -1868,15 +1868,26 @@ object Engine {
     Set("rowbinary", "rowbinarywithnamesandtypes", "native",
       "parquet", "orc", "arrow", "arrowstream")(format.toLowerCase)
 
+  /** INSERT target structure: the named columns, or every physical
+    * column minus the derived `_part` partition key. The single home
+    * for this rule — HTTP binary formats, Arrow, and the native
+    * streaming INSERT sample block must all agree on it. */
+  private[graft] def targetSchema(full: org.apache.spark.sql.types.StructType,
+                                  cols: Option[Seq[String]])
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.StructType
+    cols match {
+      case Some(cs) => StructType(cs.map(c => full(full.fieldIndex(c))))
+      case None => StructType(full.fields.filterNot(_.name == "_part"))
+    }
+  }
+
   private def binaryInsert(spark: SparkSession, table: String,
                            cols: Option[Seq[String]], format: String,
                            payload: Array[Byte]): DataFrame = {
     import org.apache.spark.sql.types._
     val full = spark.table(table).schema
-    val target = cols match {
-      case Some(cs) => StructType(cs.map(c => full(full.fieldIndex(c))))
-      case None => StructType(full.fields.filterNot(_.name == "_part"))
-    }
+    val target = targetSchema(full, cols)
     val announced = target.fields.toSeq
       .map(f => f.name -> graft.formats.ChTypeNames.fieldName(f))
     val (names, raw) = format match {
@@ -1901,10 +1912,7 @@ object Engine {
                                        raw: Seq[Seq[Any]]): DataFrame = {
     import org.apache.spark.sql.types._
     val full = spark.table(table).schema
-    val target = cols match {
-      case Some(cs) => StructType(cs.map(c => full(full.fieldIndex(c))))
-      case None => StructType(full.fields.filterNot(_.name == "_part"))
-    }
+    val target = targetSchema(full, cols)
     val fields = names.map(n => target(target.fieldIndex(n)))
     val rows = raw.map { vs =>
       org.apache.spark.sql.Row.fromSeq(
@@ -1929,10 +1937,7 @@ object Engine {
                           payload: Array[Byte]): DataFrame = {
     import org.apache.spark.sql.types._
     val full = spark.table(table).schema
-    val target = cols match {
-      case Some(cs) => StructType(cs.map(c => full(full.fieldIndex(c))))
-      case None => StructType(full.fields.filterNot(_.name == "_part"))
-    }
+    val target = targetSchema(full, cols)
     val (names0, raw) = graft.formats.ArrowCodec.decode(payload, file)
     // a headerless client can't exist for Arrow (the schema is in the
     // framing), but names may be positional placeholders — fall back to

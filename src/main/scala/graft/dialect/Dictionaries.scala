@@ -120,7 +120,16 @@ object Dictionaries {
     require(args.length == 3 || args.length == 4,
       "dictGet(dict, attr, key[, range_at]) takes 3 or 4 arguments")
     val (m, attr) = resolve(args(0), args(1))
-    if (args.length == 4) return rangedGet(m, attr, args(2), args(3))
+    if (args.length == 4) {
+      // beyond-cap RANGE_HASHED sources degrade to a correlated
+      // subquery too — the 4-arg early-return used to bypass the
+      // fitsLiteral check and throw the cap error
+      if (!fitsLiteral(m)) {
+        val (sub, valDt) = rangedSubqueryLookup(m, attr, args(2), args(3))
+        return Coalesce(Seq(sub, defaultFor(m, attr, valDt)))
+      }
+      return rangedGet(m, attr, args(2), args(3))
+    }
     if (!fitsLiteral(m)) {
       val (sub, _, valDt) = subqueryLookup(m, attr, args(2))
       return Coalesce(Seq(sub, defaultFor(m, attr, valDt)))
@@ -288,6 +297,49 @@ object Dictionaries {
       keyedFilterPlan(m, keyF, keyE, Some(valF)))
     (org.apache.spark.sql.catalyst.expressions.ScalarSubquery(agg),
       keyF.dataType, valF.dataType)
+  }
+
+  /** Beyond-cap RANGE_HASHED lookup: a correlated scalar subquery
+    * `(SELECT max_by(val, lo) FROM src WHERE key = <k> AND lo <= <at>
+    * AND hi >= <at>)` — the covering interval with the greatest lower
+    * bound wins (deterministic under overlap; ClickHouse picks an
+    * arbitrary covering row). Decorrelates to an aggregate + join like
+    * the flat fallback. */
+  private def rangedSubqueryLookup(m: Meta, attr: String, keyE: Expression,
+                                   atE: Expression): (Expression, DataType) = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Project}
+    val (loCol, hiCol) = m.range.getOrElse(throw new IllegalArgumentException(
+      s"Dictionary ${m.name} has no RANGE(MIN .. MAX ..) declaration"))
+    val (keyF, valF) = sourceFields(m, attr)
+    val loDt = sourceFields(m, loCol)._2.dataType
+    def outer(e: Expression): Expression = e.transform {
+      case a: AttributeReference => OuterReference(a)
+    }
+    val rel = UnresolvedRelation(
+      m.source.replace("`", "").split('.').toIndexedSeq)
+    val cols = Seq(
+      Alias(UnresolvedAttribute(Seq(keyF.name)), "__graft_dict_key")(),
+      Alias(UnresolvedAttribute(Seq(valF.name)), "__graft_dict_val")(),
+      Alias(UnresolvedAttribute(Seq(loCol)), "__graft_dict_lo")(),
+      Alias(UnresolvedAttribute(Seq(hiCol)), "__graft_dict_hi")())
+    val filtered = Filter(
+      And(And(
+        EqualTo(UnresolvedAttribute(Seq("__graft_dict_key")),
+          Cast(outer(keyE), keyF.dataType)),
+        LessThanOrEqual(UnresolvedAttribute(Seq("__graft_dict_lo")),
+          Cast(outer(atE), loDt))),
+        GreaterThanOrEqual(UnresolvedAttribute(Seq("__graft_dict_hi")),
+          Cast(outer(atE), loDt))),
+      Project(cols, rel))
+    val agg = Aggregate(Nil,
+      Seq(Alias(org.apache.spark.sql.catalyst.expressions.aggregate
+        .MaxBy(UnresolvedAttribute(Seq("__graft_dict_val")),
+          UnresolvedAttribute(Seq("__graft_dict_lo")))
+        .toAggregateExpression(), "__graft_dict_v")()),
+      filtered)
+    (org.apache.spark.sql.catalyst.expressions.ScalarSubquery(agg),
+      valF.dataType)
   }
 
   /** Collect `SELECT key, attr FROM source` into a map literal (cached).

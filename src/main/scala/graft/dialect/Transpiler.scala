@@ -30,7 +30,6 @@ object Transpiler {
       case None => (sql.stripSuffix(";"), None)
     }
 
-  private val totalsRe = "(?is)GROUP\\s+BY\\s+(.+?)\\s+WITH\\s+TOTALS".r
 
   /** Split a GROUP BY key list on depth-0 commas ("a, f(x, y), b"). */
   private def splitTopLevelCommas(s: String): Seq[String] = {
@@ -48,6 +47,30 @@ object Transpiler {
     out.result().filter(_.nonEmpty)
   }
 
+  /** Paren depth before each char — the structural map regex-only SQL
+    * surgery is blind to. Positions inside single-quoted literals get
+    * Int.MinValue so keyword matches there can never count as depth-0. */
+  private def depthAt(sql: String): Array[Int] = {
+    val d = new Array[Int](sql.length + 1)
+    var depth = 0
+    var inStr = false
+    var i = 0
+    while (i < sql.length) {
+      d(i) = if (inStr) Int.MinValue else depth
+      val c = sql.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case _ => ()
+      }
+      i += 1
+    }
+    d(sql.length) = depth
+    d
+  }
+
   /** `GROUP BY k WITH TOTALS` protocol split: (main query without the
     * TOTALS modifier, totals-row-only query). Servers run the two parts
     * and emit the totals row separately (native packet 7 / JSON
@@ -56,10 +79,22 @@ object Transpiler {
     * select-list analyzable via GROUPING SETS ((k), ()) and filters to
     * the empty grouping set with HAVING grouping(k)=1; an existing
     * HAVING is AND-folded (= totals_mode=after_having_exclusive; the
-    * no-HAVING common case is exact). */
-  def splitTotals(sql: String): Option[(String, String)] =
-    totalsRe.findFirstMatchIn(sql).map { m =>
-      val keys = m.group(1).trim
+    * no-HAVING common case is exact).
+    *
+    * All clause anchors are DEPTH-0 matches: a GROUP BY inside a
+    * derived table, or an ORDER BY/LIMIT inside a HAVING subquery,
+    * must never be mistaken for the outer query's clause (a lazy regex
+    * did exactly that). A WITH TOTALS nested inside a subquery returns
+    * None — the inline GROUPING SETS rewrite handles it downstream. */
+  def splitTotals(sql: String): Option[(String, String)] = {
+    val d = depthAt(sql)
+    for {
+      tot <- "(?is)\\bWITH\\s+TOTALS\\b".r.findAllMatchIn(sql)
+        .find(m => d(m.start) == 0)
+      gb <- "(?is)\\bGROUP\\s+BY\\b".r.findAllMatchIn(sql.substring(0, tot.start))
+        .toSeq.filter(m => d(m.start) == 0).lastOption
+    } yield {
+      val keys = sql.substring(gb.end, tot.start).trim
       // empty grouping set = all grouping-id bits set (2^n - 1);
       // zero-arg grouping_id() resolves in HAVING where per-column
       // grouping(k) would re-reference raw columns the aggregate no
@@ -67,25 +102,27 @@ object Transpiler {
       val cond =
         s"grouping_id() = ${(1L << splitTopLevelCommas(keys).length) - 1}"
       val gs = s"GROUP BY GROUPING SETS (($keys), ())"
-      val after = sql.substring(m.end)
+      val after = sql.substring(tot.end)
+      val da = depthAt(after)
+      def firstDepth0(pat: String): Option[Int] =
+        pat.r.findAllMatchIn(after).find(m => da(m.start) == 0).map(_.start)
       // the totals row ignores the outer ORDER BY/LIMIT (ClickHouse
       // computes totals over ALL rows regardless of LIMIT; and a Sort
       // above the HAVING can't re-resolve raw grouping columns anyway)
-      def stripTail(s: String): String = s
-        .replaceAll("(?is)\\s+ORDER\\s+BY\\s+.+?(?=\\s+LIMIT\\b|\\s*$)", " ")
-        .replaceAll("(?is)\\s+LIMIT\\s+\\d+(\\s*,\\s*\\d+|\\s+OFFSET\\s+\\d+)?", " ")
-      val havingRe = "(?is)^\\s*HAVING\\s+(.+?)(?=\\s+ORDER\\s+BY|\\s+LIMIT|\\s*$)".r
-      val totalsSql = havingRe.findFirstMatchIn(after) match {
+      val tailStart = (firstDepth0("(?is)\\bORDER\\s+BY\\b") ++
+        firstDepth0("(?is)\\bLIMIT\\b")).minOption.getOrElse(after.length)
+      val havingM = "(?is)^\\s*HAVING\\b".r.findFirstMatchIn(after)
+      val totalsSql = havingM match {
         case Some(h) =>
-          sql.substring(0, m.start) + gs +
-            s" HAVING (${h.group(1).trim}) AND $cond" + stripTail(after.substring(h.end))
+          val havingText = after.substring(h.end, tailStart).trim
+          sql.substring(0, gb.start) + gs + s" HAVING ($havingText) AND $cond"
         case None =>
-          sql.substring(0, m.start) + gs + s" HAVING $cond" + stripTail(after)
+          sql.substring(0, gb.start) + gs + s" HAVING $cond"
       }
-      val mainSql = sql.substring(0, m.start) +
-        s"GROUP BY $keys" + after
+      val mainSql = sql.substring(0, gb.start) + s"GROUP BY $keys" + after
       (mainSql, totalsSql)
     }
+  }
 
   private val typeNames = Seq(
     "UInt8" -> "SMALLINT", "UInt16" -> "INT", "UInt32" -> "BIGINT",

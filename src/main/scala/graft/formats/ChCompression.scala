@@ -101,14 +101,6 @@ object ChCompression {
     decodeFrame(frame)._1
   }
 
-  private def readN(in: InputStream, n: Int): Array[Byte] = {
-    val buf = new Array[Byte](n)
-    var off = 0
-    while (off < n) {
-      val k = in.read(buf, off, n - off)
-      if (k < 0) throw new java.io.EOFException()
-      off += k
-    }
-    buf
-  }
+  private def readN(in: InputStream, n: Int): Array[Byte] =
+    NativeCodec.readFully(in, n)
 }

@@ -45,7 +45,7 @@ object NativeCodec {
     writeVarint(out, bytes.length); out.write(bytes)
   }
 
-  private def readFully(in: java.io.InputStream, n: Int): Array[Byte] = {
+  private[graft] def readFully(in: java.io.InputStream, n: Int): Array[Byte] = {
     val buf = new Array[Byte](n)
     var off = 0
     while (off < n) {

@@ -47,9 +47,19 @@ class HttpServer(spark: SparkSession, port: Int,
       s"$u:${params.getOrElse("password", "")}")
     val fromHeaders = Option(ex.getRequestHeaders.getFirst("X-ClickHouse-User"))
       .map(u => s"$u:${Option(ex.getRequestHeaders.getFirst("X-ClickHouse-Key")).getOrElse("")}")
+    // Basic auth arrives base64-coded — decode to the same "user:pass"
+    // shape so the default-user filter below sees it (an undecoded
+    // "Basic ..." never matched, silently giving `curl -u default:` an
+    // isolated session while `?user=default` got the shared root one)
     val fromBasic = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      .map { h =>
+        if (h.startsWith("Basic "))
+          try new String(java.util.Base64.getDecoder.decode(h.drop(6).trim), UTF_8)
+          catch { case _: IllegalArgumentException => h }
+        else h
+      }
     fromParams.orElse(fromHeaders).orElse(fromBasic)
-      .filterNot(_.startsWith("default:"))
+      .filterNot(c => c == "default" || c.startsWith("default:"))
   }
 
   private def sessionFor(auth: Option[String]): SparkSession = auth match {
@@ -250,8 +260,10 @@ class HttpServer(spark: SparkSession, port: Int,
         val contentType =
           if (fmtLower.startsWith("json")) "application/json" else "text/plain"
         ex.getResponseHeaders.set("Content-Type", contentType)
+        // same queryId: the totals pass joins the main pass's job
+        // group, so one KILL QUERY cancels both aggregates
         val totalsRow = split.flatMap { case (_, tq) =>
-          graft.dialect.Engine.execute(session, tq, user)
+          graft.dialect.Engine.execute(session, tq, user, Some(queryId))
             .limit(2).collect().headOption
         }
         val w = new java.io.BufferedWriter(

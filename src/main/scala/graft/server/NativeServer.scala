@@ -22,7 +22,10 @@ import graft.formats.{ChCompression, NativeCodec}
   *   blocks (external tables terminator) are read and discarded.
   *
   * Query execution routes through the same dialect Engine as HTTP.
-  * Compression modes beyond 0 are not accepted (SURVEY §7 non-goal).
+  * Compression: mode 1 is disambiguated on the wire — the reference's
+  * facade clients zlib-deflate the query text, real ClickHouse clients
+  * send plain text and negotiate LZ4-framed DATA blocks (both handled;
+  * see handleQuery).
   */
 class NativeServer(spark: SparkSession, port: Int,
                    fixtureDir: Option[String] = None,
@@ -87,14 +90,16 @@ class NativeServer(spark: SparkSession, port: Int,
               handleQuery(in, out, clientRevision, session, authUser)
 
           case ClientData =>
-            // external-tables terminator: table name + (BlockInfo +
-            // empty block) — read and discard; under negotiated
-            // compression the body arrives as one LZ4 frame
+            // external-tables stream: table name + (BlockInfo + block).
+            // Usually the empty terminator, but a client MAY ship an
+            // actual external table — decode the full block (discarding
+            // it; external tables are unsupported, not desync-fatal).
+            // Under negotiated compression the body is one LZ4 frame.
             readStr(in)
             if (dataCompressed) ChCompression.readFrame(in)
             else {
               skipBlockInfo(in)
-              readVarint(in); readVarint(in) // n_cols=0, n_rows=0
+              NativeCodec.decode(in, clientRevision >= 54454)
             }
             out.flush()
 
@@ -243,7 +248,9 @@ class NativeServer(spark: SparkSession, port: Int,
         // identical column types (null group keys encode as ClickHouse
         // defaults when the main column is non-Nullable).
         totalsBare.foreach { tq =>
-          val trows = Engine.execute(session, tq, authUser).limit(2).collect()
+          // same queryId: KILL QUERY cancels the totals pass too
+          val trows = Engine.execute(session, tq, authUser, Some(queryId))
+            .limit(2).collect()
           writeVarint(out, ServerTotals)
           writeStr(out, "")
           emitBlockBody(NativeCodec.encode(df.schema, trows, serFlag))
@@ -305,21 +312,50 @@ class NativeServer(spark: SparkSession, port: Int,
       "(?:VALUES|FORMAT\\s+\\w+)?\\s*$").r
 
   /** The native bulk-write flow (public protocol; clickhouse-driver's
-    * `execute("INSERT INTO t VALUES", rows)`): answer the INSERT query
-    * with a zero-row sample block carrying the target structure, read
-    * client DATA blocks until the empty terminator, land every block
-    * through the aligned append path, then END_OF_STREAM. */
+    * `execute("INSERT INTO t VALUES", rows)`): consume the
+    * external-tables stream the client sends unconditionally after the
+    * Query packet, answer with a zero-row sample block carrying the
+    * target structure, read client DATA blocks until the empty
+    * terminator, land them through the aligned append path in bounded
+    * chunks, then END_OF_STREAM. */
   private def handleStreamingInsert(in: InputStream, out: OutputStream,
                                     session: SparkSession, table: String,
                                     cols: Option[Seq[String]],
                                     serFlag: Boolean,
                                     compressed: Boolean): Unit = {
-    import org.apache.spark.sql.types.StructType
     val bare = table.replace("`", "")
-    val full = session.table(bare).schema
-    val target = cols match {
-      case Some(cs) => StructType(cs.map(c => full(full.fieldIndex(c))))
-      case None => StructType(full.fields.filterNot(_.name == "_part"))
+    val target = Engine.targetSchema(session.table(bare).schema, cols)
+    def readBlock(): Seq[(String, String, Vector[Any])] = {
+      readStr(in) // table name
+      if (compressed) {
+        val body = ChCompression.readFrame(in)
+        val bin = new java.io.ByteArrayInputStream(body)
+        skipBlockInfo(bin)
+        NativeCodec.decode(bin, serFlag)
+      } else {
+        skipBlockInfo(in)
+        NativeCodec.decode(in, serFlag)
+      }
+    }
+    def nRowsOf(b: Seq[(String, String, Vector[Any])]): Int =
+      b.headOption.map(_._3.length).getOrElse(0)
+    // External tables: every real client (clickhouse-driver
+    // send_external_tables) streams zero or more named blocks plus an
+    // empty terminator block IMMEDIATELY after the query, before it
+    // waits for the sample. Treating that terminator as the
+    // insert-data terminator made a real-driver bulk INSERT a silent
+    // zero-row no-op — consume the ext stream first, like the real
+    // server's insert path does.
+    var extDone = false
+    while (!extDone) {
+      readVarint(in) match {
+        case ClientData => if (nRowsOf(readBlock()) == 0) extDone = true
+        case ClientPing => writeVarint(out, ServerPong); out.flush()
+        case ClientCancel => extDone = true
+        case -1L => throw new java.io.EOFException()
+        case other =>
+          throw new IllegalStateException(s"unexpected packet $other before INSERT data")
+      }
     }
     writeVarint(out, ServerData)
     writeStr(out, bare)
@@ -327,30 +363,35 @@ class NativeServer(spark: SparkSession, port: Int,
     if (compressed) out.write(ChCompression.compressFrame(BlockInfoBytes ++ sample))
     else { writeBlockInfo(out); out.write(sample) }
     out.flush()
+    // Land in bounded chunks: blocks arrive pre-framed, so buffering
+    // the WHOLE stream before one append put an O(insert-size) heap
+    // ceiling on the bulk path; per-chunk appends keep the same
+    // per-block visibility granularity the client chose.
+    val FlushRows = 1 << 16
     var names: Seq[String] = Nil
-    val rows = Vector.newBuilder[Seq[Any]]
+    var rows = Vector.newBuilder[Seq[Any]]
+    var buffered = 0
+    def flush(): Unit = {
+      val collected = rows.result()
+      if (collected.nonEmpty)
+        Engine.insertDecodedRows(session, bare, cols, names, collected)
+      rows = Vector.newBuilder[Seq[Any]]
+      buffered = 0
+    }
     var done = false
     while (!done) {
       readVarint(in) match {
         case ClientData =>
-          readStr(in) // table name
-          val block =
-            if (compressed) {
-              val body = ChCompression.readFrame(in)
-              val bin = new java.io.ByteArrayInputStream(body)
-              skipBlockInfo(bin)
-              NativeCodec.decode(bin, serFlag)
-            } else {
-              skipBlockInfo(in)
-              NativeCodec.decode(in, serFlag)
-            }
-          val nRows = block.headOption.map(_._3.length).getOrElse(0)
+          val block = readBlock()
+          val nRows = nRowsOf(block)
           // a zero-row block (0 cols, or schema echo with 0 rows) is
           // the stream terminator
           if (nRows == 0) done = true
           else {
             if (names.isEmpty) names = block.map(_._1)
             (0 until nRows).foreach(r => rows += block.map(_._3(r)))
+            buffered += nRows
+            if (buffered >= FlushRows) flush()
           }
         case ClientCancel => done = true
         case -1L => throw new java.io.EOFException()
@@ -358,9 +399,7 @@ class NativeServer(spark: SparkSession, port: Int,
           throw new IllegalStateException(s"unexpected packet $other during INSERT")
       }
     }
-    val collected = rows.result()
-    if (collected.nonEmpty)
-      Engine.insertDecodedRows(session, bare, cols, names, collected)
+    flush()
     writeVarint(out, ServerEndOfStream)
     out.flush()
   }

@@ -946,6 +946,49 @@ class DdlSpec extends AnyFunSuite {
     Engine.execute(spark, "DROP DICTIONARY d_rates")
   }
 
+  test("beyond-cap RANGE_HASHED dictionary degrades to a join, same results") {
+    import graft.dialect.Dictionaries
+    // reuse the d_rates fixture shape; cap below its 3 rows
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.rates2")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.rates2 (
+        cur UInt64, lo Date, hi Date, rate Float64) ENGINE=Memory""")
+    Engine.execute(spark, """
+      INSERT INTO graft_spec.rates2 VALUES
+      (1, '2024-01-01', '2024-06-30', 1.5),
+      (1, '2024-07-01', '2024-12-31', 2.5),
+      (2, '2024-01-01', '2024-12-31', 10.0)""")
+    Engine.execute(spark, "DROP DICTIONARY IF EXISTS d_rates2")
+    Engine.execute(spark, """
+      CREATE DICTIONARY d_rates2 (
+        cur UInt64, lo Date, hi Date, rate Float64 DEFAULT -1.0)
+      PRIMARY KEY cur
+      SOURCE(CLICKHOUSE(TABLE 'graft_spec.rates2'))
+      LAYOUT(RANGE_HASHED()) RANGE(MIN lo MAX hi) LIFETIME(300)""")
+    val saved = Dictionaries.maxEntries
+    try {
+      Dictionaries.maxEntries = 2 // 3 interval rows -> over cap
+      val df = Engine.execute(spark, """
+        SELECT dictGet('d_rates2', 'rate', 1, toDate('2024-03-15')) AS h1,
+               dictGet('d_rates2', 'rate', 1, toDate('2024-08-01')) AS h2,
+               dictGet('d_rates2', 'rate', 2, toDate('2024-05-05')) AS ten,
+               dictGet('d_rates2', 'rate', 1, toDate('2025-01-01')) AS gap,
+               dictGet('d_rates2', 'rate', 9, toDate('2024-05-05')) AS nokey""")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan.take(2000))
+      val r = df.collect().head
+      assert(r.getDouble(0) === 1.5)
+      assert(r.getDouble(1) === 2.5)
+      assert(r.getDouble(2) === 10.0)
+      assert(r.getDouble(3) === -1.0) // no covering interval -> DEFAULT
+      assert(r.getDouble(4) === -1.0) // absent key -> DEFAULT
+    } finally {
+      Dictionaries.maxEntries = saved
+      Engine.execute(spark, "DROP DICTIONARY IF EXISTS d_rates2")
+    }
+  }
+
   test("CREATE TEMPORARY TABLE lives in the session and dies with it") {
     val s2 = spark.newSession()
     graft.dialect.ChFunctions.register(s2)

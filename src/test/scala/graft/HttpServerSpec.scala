@@ -357,6 +357,27 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(postAs("alice:pw", "SELECT count() FROM nation").body().trim.toLong > 0)
   }
 
+  test("Basic-auth default user shares the root session; mechanisms agree") {
+    def postAs(userPass: String, body: String): HttpResponse[String] = {
+      val token = java.util.Base64.getEncoder.encodeToString(userPass.getBytes)
+      client.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port/"))
+        .header("Authorization", s"Basic $token")
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    }
+    // anonymous (root session) creates a table ...
+    assert(post("DROP TABLE IF EXISTS defshare").statusCode() === 200)
+    assert(post("CREATE TABLE defshare (v Int64) ENGINE=Memory").statusCode() === 200)
+    assert(post("INSERT INTO defshare VALUES (41)").statusCode() === 200)
+    // ... Basic-auth default must see it (same shared session, like
+    // ?user=default — the two mechanisms may not diverge)
+    assert(postAs("default:", "SELECT v FROM defshare").body() === "41\n")
+    val viaParam = post("SELECT v FROM defshare", "?user=default")
+    assert(viaParam.statusCode() === 200 && viaParam.body() === "41\n")
+    // a non-default Basic user must NOT see it (isolation intact)
+    assert(postAs("carol2:pw", "SELECT v FROM defshare").statusCode() === 400)
+  }
+
   test("shutdown purge removes per-credential scratch warehouses (main.py:934-952)") {
     import graft.server.UserSessions
     val s = UserSessions.forKey(spark, "carol:pw", None)

@@ -73,6 +73,16 @@ class NativeServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     P.writeVarint(out, 0) // no compression
     P.writeStr(out, sql)
     P.writeStr(out, "") // end of parameters
+    // external-tables terminator: real clients (clickhouse-driver
+    // send_external_tables) ALWAYS send one empty Data block right
+    // after the Query packet — the INSERT bulk-write path depends on
+    // consuming it before the insert data stream
+    P.writeVarint(out, P.ClientData)
+    P.writeStr(out, "")
+    P.writeVarint(out, 1); out.write(0)
+    P.writeVarint(out, 2); P.writeFixed(out, 4)(_.putInt(-1))
+    P.writeVarint(out, 0)
+    P.writeVarint(out, 0); P.writeVarint(out, 0) // n_cols=0, n_rows=0
     out.flush()
   }
 

@@ -250,4 +250,29 @@ class TranspilerSpec extends AnyFunSuite {
     assert(m3.contains("HAVING count() > 2"), m3)
     assert(t3.contains("HAVING (count() > 2) AND grouping_id() = 1"), t3)
   }
+
+  test("splitTotals: depth-aware — subquery clauses never hijack the split") {
+    // a GROUP BY inside a derived table must not be taken as the outer
+    // one (the lazy regex latched onto it, emitting unbalanced parens)
+    val Some((m1, t1)) = Transpiler.splitTotals(
+      "SELECT x, sum(c) AS s FROM (SELECT k AS x, count() AS c FROM t GROUP BY k) sub " +
+        "GROUP BY x WITH TOTALS")
+    assert(m1.contains("FROM (SELECT k AS x, count() AS c FROM t GROUP BY k) sub GROUP BY x"), m1)
+    assert(t1.contains("GROUP BY GROUPING SETS ((x), ())"), t1)
+    assert(!t1.contains("GROUPING SETS ((k"), t1)
+    // HAVING containing a subquery with its own ORDER BY/LIMIT keeps
+    // the whole predicate; the outer ORDER BY is still stripped
+    val Some((_, t2)) = Transpiler.splitTotals(
+      "SELECT a, count() AS n FROM t GROUP BY a WITH TOTALS " +
+        "HAVING count() > (SELECT max(m) FROM t2 ORDER BY m LIMIT 1) ORDER BY a")
+    assert(t2.contains("HAVING (count() > (SELECT max(m) FROM t2 ORDER BY m LIMIT 1)) AND grouping_id() = 1"), t2)
+    assert(!t2.endsWith("ORDER BY a"), t2)
+    // WITH TOTALS nested inside a subquery is not the protocol split's
+    // job — None lets the inline GROUPING SETS rewrite handle it
+    assert(Transpiler.splitTotals(
+      "SELECT * FROM (SELECT a, count() FROM t GROUP BY a WITH TOTALS) z").isEmpty)
+    // a string literal containing the keywords is inert
+    assert(Transpiler.splitTotals(
+      "SELECT 'GROUP BY a WITH TOTALS' AS s FROM t").isEmpty)
+  }
 }
