@@ -37,22 +37,26 @@ object AsofJoin {
             leftTs: String, rightTs: String,
             rightPrefix: String = "r_", inner: Boolean = true,
             forward: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     val leftCols  = left.columns.toSeq
     // __matched marker survives even when every carried value is null
     val right1    = right.withColumn("__matched", lit(true))
     val carryCols = right1.columns.filterNot(c => on.contains(c)).toSeq
+    // the whole right row travels as ONE struct: per-column
+    // last(ignoreNulls) fills would stitch values from DIFFERENT right
+    // rows whenever a carried column contains real nulls
+    val carryType = StructType(carryCols.map(c =>
+      StructField(c, right1.schema(c).dataType, nullable = true)))
 
-    val l2 = carryCols.foldLeft(
-      left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
-    )((df, c) => df.withColumn(s"__r_$c", lit(null).cast(
-      right1.schema(c).dataType)))
+    val l2 = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
+      .withColumn("__r", lit(null).cast(carryType))
 
     val r2base = right1
       .withColumn("__ts", col(rightTs)).withColumn("__side", lit(0))
     val r2cols = on.map(col) ++ Seq(col("__ts"), col("__side")) ++
       leftCols.filterNot(on.contains).map(c =>
         lit(null).cast(left.schema(c).dataType).as(c)) ++
-      carryCols.map(c => col(c).as(s"__r_$c"))
+      Seq(struct(carryCols.map(c => col(c).as(c)): _*).cast(carryType).as("__r"))
     val r2 = r2base.select(r2cols: _*)
 
     val unioned = r2.unionByName(l2.select(r2.columns.map(col): _*))
@@ -62,14 +66,23 @@ object AsofJoin {
       .orderBy(tsOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = carryCols.foldLeft(unioned)((df, c) =>
-      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w)))
+    // NULL join keys never match (equi-join semantics): the window
+    // partitioner groups null keys together, so null them out post-fill
+    val nullKey = on.map(col(_).isNull).reduce(_ || _)
+    val filled = unioned
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+      .withColumn("__r", when(nullKey, lit(null).cast(carryType))
+        .otherwise(col("__r")))
 
     val matched0 = filled.filter(col("__side") === 1)
-    val matched = if (inner) matched0.filter(col("__r___matched")) else matched0
+    val matched =
+      if (inner)
+        matched0.filter(col("__r").isNotNull &&
+          col("__r").getField("__matched"))
+      else matched0
     matched.select(
       (leftCols.map(col) ++
         carryCols.filterNot(_ == "__matched")
-          .map(c => col(s"__r_$c").as(s"$rightPrefix$c"))): _*)
+          .map(c => col("__r").getField(c).as(s"$rightPrefix$c"))): _*)
   }
 }

@@ -137,6 +137,10 @@ object AudioCodec {
     * again, and report stats from that second decode — one operator
     * exercising read AND write paths per row. */
   def resample(withPayload: DataFrame, factor: Int): Dataset[AudioResample] = {
+    // factor 0 divides by zero in the executor; > Rate would re-encode
+    // at sample rate 0 (integer division)
+    require(factor >= 1 && factor <= Rate,
+      s"decimation factor must be in [1, $Rate], got $factor")
     import withPayload.sparkSession.implicits._
     withPayload.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]

@@ -161,7 +161,12 @@ object CosineKnn {
     * bounded. */
   def lshNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, nPlanes: Int = 8, nTables: Int = 4,
-                      dim: Int = 64): DataFrame = {
+                      dim0: Int = 0): DataFrame = {
+    // dim0=0 derives the dimension from the data: a mismatched constant
+    // silently NULLs every plane dot (zip_with pads), collapsing all
+    // vectors into bucket 0 — LSH degenerating to a full cross join
+    val dim = if (dim0 > 0) dim0
+      else corpus.select(size(asDouble(vecCol))).head.getInt(0)
     val u = corpus.select(col(idCol).as("id"), asDouble(vecCol).as("v"))
       .withColumn("n", sqrt(dot("v", "v")))
       .select(col("id"), expr("transform(v, x -> x / n)").as("u"))
@@ -248,7 +253,10 @@ object CosineKnn {
     * better. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nPlanes: Int = 4,
-              dim: Int = 64, probeDist: Int = 2): DataFrame = {
+              dim0: Int = 0, probeDist: Int = 2): DataFrame = {
+    // dim0=0 derives from the data — see lshNearDupPairs
+    val dim = if (dim0 > 0) dim0
+      else corpus.select(size(asDouble(vecCol))).head.getInt(0)
     val c = withBucket(
       corpus.select(col(idCol).as("nid"), asDouble(vecCol).as("nv")),
       "nv", nPlanes, dim).withColumn("nn", sqrt(dot("nv", "nv")))

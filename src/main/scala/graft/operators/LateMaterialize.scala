@@ -107,9 +107,18 @@ object LateMaterialize {
           .reduce(_ && _)
       }
       .reduce(_ || _)
-    val view = s"__graft_latemat_${Math.abs(sql.hashCode)}"
-    base.filter(expr(cond) && keyPred).createOrReplaceTempView(view)
-    Some(spark.sql(s"SELECT $proj FROM $view ORDER BY $orderSql LIMIT $n"))
+    // Build phase 2 directly on the DataFrame, aliased to the bare
+    // table name so table-qualified projections (`SELECT t.a ...`)
+    // still resolve — the old temp-view rename broke those every time
+    // (the caller's Try silently fell back to single-pass, paying the
+    // narrow scan for nothing), and leaked a view into the catalog.
+    val bare = tbl.replace("`", "").split('.').last
+    val sortCols = items.map { case (c, desc) =>
+      if (desc) col(c).desc else col(c).asc }
+    Some(base.filter(expr(cond) && keyPred).alias(bare)
+      .selectExpr(splitTopLevel(proj): _*)
+      .orderBy(sortCols: _*)
+      .limit(n))
   }
 
   /** Split on top-level commas (parens guard function-call commas). */

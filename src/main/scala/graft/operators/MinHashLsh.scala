@@ -36,7 +36,14 @@ object MinHashLsh {
 
   private val P = 2147483647L // 2^31 - 1: a_i*h + b_i stays < 2^62
 
-  /** (id, shingles, sig) for each input row; sig is array<bigint>(k). */
+  /** (id, shingles, sig) for each input row; sig is array<bigint>(k).
+    *
+    * Docs too short to produce one shingle are EXCLUDED: their fold
+    * would return the init sentinel [P,P,..], colliding every short doc
+    * into every band (O(n^2) candidate pairs that exact-verify then
+    * drops anyway — Jaccard of empty sets is null). Short docs simply
+    * have no MinHash signal; dedupAssignments keeps them all (no
+    * signature -> never a pair -> each is its own representative). */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
                  shingleWidth: Int = 3, k: Int = 64): DataFrame = {
     val rnd = new scala.util.Random(20260812L)
@@ -48,6 +55,7 @@ object MinHashLsh {
     val toks = TextFns.tokens(TextFns.norm(col(textCol)))
     docs.select(col(idCol).as("id"),
         TextFns.wordShingles(toks, shingleWidth).as("shingles"))
+      .filter(size(col("shingles")) > 0)
       // element-wise-min fold: each shingle hashed once, permuted k times
       .withColumn("sig", expr(
         s"""aggregate(
@@ -135,6 +143,11 @@ object MinHashLsh {
         .isEmpty
       labels = next
     }
+    // labels is localCheckpoint-materialized — the pair/edge frames are
+    // done; release their cache blocks instead of leaking them across
+    // calls in a long-lived session
+    pairs.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
     labels.select(col("id"), col("rep"),
       (col("id") === col("rep")).as("is_kept"))
   }

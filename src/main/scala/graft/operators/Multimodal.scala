@@ -121,6 +121,9 @@ object Multimodal {
     * recomputable — unlike interpolating resamplers. */
   def transformMedia(withPayload: DataFrame, stride: Int,
                      box: Int): Dataset[MediaTransform] = {
+    // stride < 1 would spin the executor-side frame loop forever
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    require(box >= 1, s"box must be >= 1, got $box")
     import withPayload.sparkSession.implicits._
     withPayload.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]

@@ -25,7 +25,13 @@ object SimHash {
 
   /** (id, sim) with sim = 60-bit simhash of the distinct word
     * w-shingle set. Bit j of md5(shingle) votes +1/-1; bit set iff the
-    * vote sum is positive. */
+    * vote sum is positive.
+    *
+    * Docs too short to produce a single shingle are EXCLUDED: with zero
+    * votes every such doc would fingerprint to 0 and read as an exact
+    * duplicate of every other short doc at hamming=0, regardless of
+    * content. A sub-shingle doc has no SimHash signal — callers that
+    * need them must handle short docs separately (e.g. exact dedup). */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
                    shingleWidth: Int = 3): DataFrame = {
     graft.dialect.ChFunctions.register(docs.sparkSession) // md5Prefix60
@@ -37,6 +43,7 @@ object SimHash {
     val pow2 = (0 until 60).map(j => 1L << j).mkString("array(", "L,", "L)")
     docs.select(col(idCol).as("id"),
         TextFns.wordShingles(toks, shingleWidth).as("sh"))
+      .filter(size(col("sh")) > 0)
       .select(col("id"), expr(
         s"""aggregate(
               zip_with(

@@ -101,11 +101,20 @@ object WithFill {
             case BooleanType => lit(false)
             case other => lit(null).cast(other)
           }
-          // fill rows carry null in c, so last-ignore-nulls is the
-          // previous REAL value even across consecutive fills
-          d.withColumn(c, when(col(mark),
-            coalesce(last(col(c), ignoreNulls = true).over(w), default))
-            .otherwise(col(c)))
+          // Carry the previous REAL row's value via a struct wrapper:
+          // last-ignore-nulls directly on c would skip a real row whose
+          // value IS null and resurrect an older stale value. The
+          // struct is null only on fill rows, so ignoreNulls skips
+          // exactly those; a real null value rides inside it.
+          val iv = s"__graft_iv_$c"
+          val ivType = StructType(Seq(StructField("v", df.schema(c).dataType)))
+          val lastReal = last(col(iv), ignoreNulls = true).over(w)
+          d.withColumn(iv, when(col(mark), lit(null).cast(ivType))
+              .otherwise(struct(col(c).as("v")).cast(ivType)))
+            .withColumn(c, when(col(mark),
+              when(lastReal.isNotNull, lastReal.getField("v")).otherwise(default))
+              .otherwise(col(c)))
+            .drop(iv)
         }
       }
     carried.drop(mark).orderBy(sortKeys: _*)

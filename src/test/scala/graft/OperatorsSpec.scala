@@ -48,6 +48,53 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.length === 1 && out(0).getString(0) === "early" && out(0).isNullAt(1))
   }
 
+  test("AsofJoin carries the matched right row ATOMICALLY (nulls included)") {
+    // right@ts=2 is the match and its v is null — a per-column
+    // ignoreNulls fill would resurrect v=5 from ts=1 (and with two
+    // columns could stitch a right row that never existed)
+    val left = Seq((1L, 3L, "p")).toDF("k", "ts", "name")
+    val right = Seq((1L, 1L, Some(5L), None: Option[String]),
+      (1L, 2L, None: Option[Long], Some("y2")))
+      .toDF("k", "ts", "v", "w")
+    val out = AsofJoin(left, right, Seq("k"), "ts", "ts").collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.isNullAt(r.fieldIndex("r_v")), r.toString) // ts=2's null v
+    assert(r.getString(r.fieldIndex("r_w")) === "y2")
+  }
+
+  test("AsofJoin: NULL join keys never match (equi-join semantics)") {
+    val left = Seq((Some(1L), 5L, "a"), (None: Option[Long], 5L, "b"))
+      .toDF("k", "ts", "name")
+    val right = Seq((Some(1L), 1L, "t1"), (None: Option[Long], 1L, "tn"))
+      .toDF("k", "ts", "tag")
+    val inner = AsofJoin(left, right, Seq("k"), "ts", "ts")
+      .select("name").as[String].collect().toSet
+    assert(inner === Set("a")) // null-key left row must not match
+    val outer = AsofJoin(left, right, Seq("k"), "ts", "ts", inner = false)
+    val b = outer.filter(col("name") === "b").collect().head
+    assert(b.isNullAt(b.fieldIndex("r_tag")))
+  }
+
+  test("SimHash excludes sub-shingle docs instead of fingerprinting them 0") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = base.split(" ").updated(30, "CHANGED").mkString(" ")
+    val docs = Seq((1L, "hi there"), (2L, "buy pills"),
+      (3L, base), (4L, nearDup)).toDF("doc_id", "text")
+    // sub-shingle docs are excluded from fingerprinting entirely (they
+    // used to all fingerprint to 0 and read as hamming-0 duplicates)
+    val fps = SimHash.fingerprints(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps.keySet === Set(3L, 4L), fps.toString)
+    // and real near-dups keep a near-dup-sized distance (random 60-bit
+    // fingerprints sit at ~30)
+    val hamming = java.lang.Long.bitCount(fps(3L) ^ fps(4L))
+    assert(hamming <= 12, s"hamming=$hamming")
+    val pairs = SimHash.nearDupPairs(docs, "doc_id", "text", maxDist = 5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(!pairs.contains((1L, 2L)), pairs.toString)
+  }
+
   test("MinHashLsh finds the planted near-dup pair and nothing else") {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val nearDup = base.split(" ").updated(30, "CHANGED").mkString(" ")
@@ -181,6 +228,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.count { case (g, k, _) => g.isEmpty && k == 1L } === 1, out)
     assert(out.count(_._1.isEmpty) === 3, out)
     assert(out.count(_._1.contains("x")) === 3, out)
+  }
+
+  test("WithFill INTERPOLATE carries the previous REAL value, nulls included") {
+    // real rows at k=1 (v=10) and k=3 (v=null): the fill at k=4 must
+    // carry k=3's null, not resurrect k=1's 10; the fill at k=2
+    // carries 10
+    val df = Seq((1L, Some(10.0)), (3L, None: Option[Double])).toDF("k", "v")
+    val out = graft.operators.WithFill(
+        df, Nil, ("k", true), 1L, 6L, 1L, interpolate = Seq("v"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toList
+    assert(out === List(1L -> Some(10.0), 2L -> Some(10.0),
+      3L -> None, 4L -> None, 5L -> None), out)
   }
 
   test("WithFill honors DESC sort keys (ADVICE r4)") {
@@ -375,7 +435,7 @@ class OperatorsSpec extends AnyFunSuite {
     val want = CosineKnn.nearDupPairsBruteForce(df, "vec_id", "embedding", 0.95)
       .select("a", "b").as[(Long, Long)].collect().toSet
     val got = CosineKnn.lshNearDupPairs(df, "vec_id", "embedding", 0.95,
-        nPlanes = 8, nTables = 4, dim = dim)
+        nPlanes = 8, nTables = 4, dim0 = dim)
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(want.size >= 100, s"fixture should pair within clusters, got ${want.size}")
     assert((got -- want).isEmpty, "rerank is exact: no false positives")
