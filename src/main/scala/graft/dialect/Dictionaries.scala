@@ -256,26 +256,39 @@ object Dictionaries {
     * over the source relation — the correlated subquery body. The
     * projection renames columns so outer attributes can never
     * accidentally capture source columns of the same name. */
+  /** The builder runs after the outer expression's children resolved,
+    * so outer columns arrive as resolved AttributeReferences — they
+    * must be marked OuterReference explicitly (the analyzer only
+    * auto-wraps UNresolved names). The single home for that contract. */
+  private def outerRefs(e: Expression): Expression = e.transform {
+    case a: AttributeReference => OuterReference(a)
+  }
+
+  /** `Filter(__graft_dict_key = key [AND extraPred],
+    * Project(key, val, extra..))` over the source relation — the
+    * correlated subquery body shared by the flat and ranged beyond-cap
+    * fallbacks. The projection renames columns so outer attributes can
+    * never accidentally capture source columns of the same name;
+    * `extraPred` must reference the renamed aliases and pre-wrap its
+    * outer columns with [[outerRefs]]. */
   private def keyedFilterPlan(m: Meta, keyF: StructField,
                               keyE: Expression,
-                              valF: Option[StructField] = None) = {
+                              valF: Option[StructField] = None,
+                              extraCols: Seq[(String, String)] = Nil,
+                              extraPred: Option[Expression] = None) = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
     val rel = UnresolvedRelation(
       m.source.replace("`", "").split('.').toIndexedSeq)
     val cols = Alias(UnresolvedAttribute(Seq(keyF.name)), "__graft_dict_key")() +:
-      valF.toSeq.map(f =>
-        Alias(UnresolvedAttribute(Seq(f.name)), "__graft_dict_val")())
-    // The builder runs after the outer expression's children resolved,
-    // so outer columns inside keyE arrive as resolved
-    // AttributeReferences — they must be marked OuterReference
-    // explicitly (the analyzer only auto-wraps UNresolved names).
-    val outerKey = keyE.transform {
-      case a: AttributeReference => OuterReference(a)
-    }
-    Filter(
+      (valF.toSeq.map(f =>
+        Alias(UnresolvedAttribute(Seq(f.name)), "__graft_dict_val")()) ++
+        extraCols.map { case (src, alias) =>
+          Alias(UnresolvedAttribute(Seq(src)), alias)() })
+    val keyCond: Expression =
       EqualTo(UnresolvedAttribute(Seq("__graft_dict_key")),
-        Cast(outerKey, keyF.dataType)),
+        Cast(outerRefs(keyE), keyF.dataType))
+    Filter(extraPred.map(And(keyCond, _)).getOrElse(keyCond),
       Project(cols, rel))
   }
 
@@ -307,31 +320,19 @@ object Dictionaries {
     * the flat fallback. */
   private def rangedSubqueryLookup(m: Meta, attr: String, keyE: Expression,
                                    atE: Expression): (Expression, DataType) = {
-    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Project}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
     val (loCol, hiCol) = m.range.getOrElse(throw new IllegalArgumentException(
       s"Dictionary ${m.name} has no RANGE(MIN .. MAX ..) declaration"))
     val (keyF, valF) = sourceFields(m, attr)
     val loDt = sourceFields(m, loCol)._2.dataType
-    def outer(e: Expression): Expression = e.transform {
-      case a: AttributeReference => OuterReference(a)
-    }
-    val rel = UnresolvedRelation(
-      m.source.replace("`", "").split('.').toIndexedSeq)
-    val cols = Seq(
-      Alias(UnresolvedAttribute(Seq(keyF.name)), "__graft_dict_key")(),
-      Alias(UnresolvedAttribute(Seq(valF.name)), "__graft_dict_val")(),
-      Alias(UnresolvedAttribute(Seq(loCol)), "__graft_dict_lo")(),
-      Alias(UnresolvedAttribute(Seq(hiCol)), "__graft_dict_hi")())
-    val filtered = Filter(
-      And(And(
-        EqualTo(UnresolvedAttribute(Seq("__graft_dict_key")),
-          Cast(outer(keyE), keyF.dataType)),
-        LessThanOrEqual(UnresolvedAttribute(Seq("__graft_dict_lo")),
-          Cast(outer(atE), loDt))),
-        GreaterThanOrEqual(UnresolvedAttribute(Seq("__graft_dict_hi")),
-          Cast(outer(atE), loDt))),
-      Project(cols, rel))
+    val at = () => Cast(outerRefs(atE), loDt)
+    val rangePred = And(
+      LessThanOrEqual(UnresolvedAttribute(Seq("__graft_dict_lo")), at()),
+      GreaterThanOrEqual(UnresolvedAttribute(Seq("__graft_dict_hi")), at()))
+    val filtered = keyedFilterPlan(m, keyF, keyE, Some(valF),
+      extraCols = Seq(loCol -> "__graft_dict_lo", hiCol -> "__graft_dict_hi"),
+      extraPred = Some(rangePred))
     val agg = Aggregate(Nil,
       Seq(Alias(org.apache.spark.sql.catalyst.expressions.aggregate
         .MaxBy(UnresolvedAttribute(Seq("__graft_dict_val")),

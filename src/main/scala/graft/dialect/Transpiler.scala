@@ -47,28 +47,61 @@ object Transpiler {
     out.result().filter(_.nonEmpty)
   }
 
-  /** Paren depth before each char — the structural map regex-only SQL
-    * surgery is blind to. Positions inside single-quoted literals get
-    * Int.MinValue so keyword matches there can never count as depth-0. */
-  private def depthAt(sql: String): Array[Int] = {
-    val d = new Array[Int](sql.length + 1)
-    var depth = 0
-    var inStr = false
+  /** Structural map regex-only SQL surgery is blind to: paren depth
+    * before each char, plus whether the char sits inside a
+    * single-quoted literal. Handles both ClickHouse escape forms inside
+    * literals — backslash (`'O\'Brien'`) and doubling (`'O''Brien'`) —
+    * which a naive quote-toggle would invert, flipping every keyword
+    * match after the escape in/out of string state. */
+  private def depthMap(sql: String): (Array[Int], Array[Boolean]) = {
+    val depth = new Array[Int](sql.length + 1)
+    val inStr = new Array[Boolean](sql.length + 1)
+    var d = 0
+    var s = false
     var i = 0
     while (i < sql.length) {
-      d(i) = if (inStr) Int.MinValue else depth
+      depth(i) = d
+      inStr(i) = s
       val c = sql.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
+      if (s) c match {
+        case '\\' if i + 1 < sql.length => // escaped char: consume it
+          depth(i + 1) = d; inStr(i + 1) = true; i += 1
+        case '\'' if i + 1 < sql.length && sql.charAt(i + 1) == '\'' =>
+          depth(i + 1) = d; inStr(i + 1) = true; i += 1 // doubled quote
+        case '\'' => s = false
+        case _ => ()
+      }
       else c match {
-        case '\'' => inStr = true
-        case '(' | '[' => depth += 1
-        case ')' | ']' => depth -= 1
+        case '\'' => s = true
+        case '(' | '[' => d += 1
+        case ')' | ']' => d -= 1
         case _ => ()
       }
       i += 1
     }
-    d(sql.length) = depth
-    d
+    depth(sql.length) = d
+    (depth, inStr)
+  }
+
+  /** Every `GROUP BY <keys> WITH TOTALS` modifier in the statement:
+    * (gbStart, keysStart, totStart, totEnd, depth). The owning GROUP BY
+    * is the LAST one before the modifier at the SAME paren depth with no
+    * shallower scope boundary between them (same subquery); keyword
+    * matches inside string literals never count. A `WITH totals AS ...`
+    * CTE matches the keyword regex but has no owning GROUP BY, so it
+    * yields no span. */
+  private def totalsSpans(sql: String): Seq[(Int, Int, Int, Int, Int)] = {
+    val (depth, inStr) = depthMap(sql)
+    val gbs = "(?is)\\bGROUP\\s+BY\\b".r.findAllMatchIn(sql).toSeq
+      .filterNot(m => inStr(m.start))
+    "(?is)\\bWITH\\s+TOTALS\\b".r.findAllMatchIn(sql).toSeq
+      .filterNot(m => inStr(m.start))
+      .flatMap { t =>
+        val d = depth(t.start)
+        gbs.filter(g => g.end <= t.start && depth(g.start) == d &&
+            (g.end until t.start).forall(i => depth(i) >= d))
+          .lastOption.map(g => (g.start, g.end, t.start, t.end, d))
+      }
   }
 
   /** `GROUP BY k WITH TOTALS` protocol split: (main query without the
@@ -86,43 +119,44 @@ object Transpiler {
     * must never be mistaken for the outer query's clause (a lazy regex
     * did exactly that). A WITH TOTALS nested inside a subquery returns
     * None — the inline GROUPING SETS rewrite handles it downstream. */
-  def splitTotals(sql: String): Option[(String, String)] = {
-    val d = depthAt(sql)
-    for {
-      tot <- "(?is)\\bWITH\\s+TOTALS\\b".r.findAllMatchIn(sql)
-        .find(m => d(m.start) == 0)
-      gb <- "(?is)\\bGROUP\\s+BY\\b".r.findAllMatchIn(sql.substring(0, tot.start))
-        .toSeq.filter(m => d(m.start) == 0).lastOption
-    } yield {
-      val keys = sql.substring(gb.end, tot.start).trim
-      // empty grouping set = all grouping-id bits set (2^n - 1);
-      // zero-arg grouping_id() resolves in HAVING where per-column
-      // grouping(k) would re-reference raw columns the aggregate no
-      // longer outputs
-      val cond =
-        s"grouping_id() = ${(1L << splitTopLevelCommas(keys).length) - 1}"
-      val gs = s"GROUP BY GROUPING SETS (($keys), ())"
-      val after = sql.substring(tot.end)
-      val da = depthAt(after)
-      def firstDepth0(pat: String): Option[Int] =
-        pat.r.findAllMatchIn(after).find(m => da(m.start) == 0).map(_.start)
-      // the totals row ignores the outer ORDER BY/LIMIT (ClickHouse
-      // computes totals over ALL rows regardless of LIMIT; and a Sort
-      // above the HAVING can't re-resolve raw grouping columns anyway)
-      val tailStart = (firstDepth0("(?is)\\bORDER\\s+BY\\b") ++
-        firstDepth0("(?is)\\bLIMIT\\b")).minOption.getOrElse(after.length)
-      val havingM = "(?is)^\\s*HAVING\\b".r.findFirstMatchIn(after)
-      val totalsSql = havingM match {
-        case Some(h) =>
-          val havingText = after.substring(h.end, tailStart).trim
-          sql.substring(0, gb.start) + gs + s" HAVING ($havingText) AND $cond"
-        case None =>
-          sql.substring(0, gb.start) + gs + s" HAVING $cond"
-      }
-      val mainSql = sql.substring(0, gb.start) + s"GROUP BY $keys" + after
-      (mainSql, totalsSql)
+  def splitTotals(sql: String): Option[(String, String)] =
+    totalsSpans(sql).filter(_._5 == 0).lastOption.map {
+      case (gbStart, keysStart, totStart, totEnd, _) =>
+        val keys = sql.substring(keysStart, totStart).trim
+        // empty grouping set = all grouping-id bits set (2^n - 1);
+        // zero-arg grouping_id() resolves in HAVING where per-column
+        // grouping(k) would re-reference raw columns the aggregate no
+        // longer outputs
+        val cond =
+          s"grouping_id() = ${(1L << splitTopLevelCommas(keys).length) - 1}"
+        val gs = s"GROUP BY GROUPING SETS (($keys), ())"
+        val after = sql.substring(totEnd)
+        val (da, ia) = depthMap(after)
+        def firstDepth0(pat: String): Option[Int] =
+          pat.r.findAllMatchIn(after)
+            .find(m => da(m.start) == 0 && !ia(m.start)).map(_.start)
+        // the totals row ignores the outer ORDER BY/LIMIT (ClickHouse
+        // computes totals over ALL rows regardless of LIMIT; and a Sort
+        // above the HAVING can't re-resolve raw grouping columns anyway)
+        // — but a trailing SETTINGS clause applies to BOTH passes
+        val settingsPos = firstDepth0("(?is)\\bSETTINGS\\b")
+        val tailStart = (firstDepth0("(?is)\\bORDER\\s+BY\\b") ++
+          firstDepth0("(?is)\\bLIMIT\\b") ++ settingsPos)
+          .minOption.getOrElse(after.length)
+        val settingsTail = settingsPos.map(p => " " + after.substring(p).trim)
+          .getOrElse("")
+        val havingM = "(?is)^\\s*HAVING\\b".r.findFirstMatchIn(after)
+        val totalsSql = havingM match {
+          case Some(h) =>
+            val havingText = after.substring(h.end, tailStart).trim
+            sql.substring(0, gbStart) + gs +
+              s" HAVING ($havingText) AND $cond" + settingsTail
+          case None =>
+            sql.substring(0, gbStart) + gs + s" HAVING $cond" + settingsTail
+        }
+        val mainSql = sql.substring(0, gbStart) + s"GROUP BY $keys" + after
+        (mainSql, totalsSql)
     }
-  }
 
   private val typeNames = Seq(
     "UInt8" -> "SMALLINT", "UInt16" -> "INT", "UInt32" -> "BIGINT",
@@ -382,9 +416,16 @@ object Transpiler {
       m => s"timestampdiff(${m.group(1).toUpperCase},")
     // GROUP BY k WITH TOTALS -> GROUPING SETS ((k), ()) — the totals
     // row is the empty grouping set (reference protocol TOTALS packet,
-    // main.py:61; SURVEY §2.4 G6)
-    s = "(?is)GROUP\\s+BY\\s+(.+?)\\s+WITH\\s+TOTALS".r.replaceAllIn(s,
-      m => s"GROUP BY GROUPING SETS ((${m.group(1)}), ())")
+    // main.py:61; SURVEY §2.4 G6). Depth-aware spans (any nesting
+    // level, spliced right-to-left so indices stay valid): a lazy
+    // regex here latched onto a GROUP BY inside a derived table and
+    // emitted unbalanced GROUPING SETS for valid queries.
+    s = totalsSpans(s).sortBy(-_._1).foldLeft(s) {
+      case (acc, (gbStart, keysStart, totStart, totEnd, _)) =>
+        val keys = acc.substring(keysStart, totStart).trim
+        acc.substring(0, gbStart) +
+          s"GROUP BY GROUPING SETS (($keys), ())" + acc.substring(totEnd)
+    }
     s = rewriteArrayJoin(s)
     // `* EXCEPT col` (paren-less ClickHouse form) -> `* EXCEPT (col)`;
     // the parenthesized form is Spark-native syntax and passes through.
@@ -467,32 +508,24 @@ object Transpiler {
       // sibling scope (another UNION branch) may define the same window
       // name, so the OVER-substitution must not cross a same-depth set
       // operator or the enclosing parens.
-      val depthAt = {
-        val arr = new Array[Int](s.length + 1)
-        var d = 0; var i = 0
-        while (i < s.length) {
-          arr(i) = d
-          val c = s.charAt(i)
-          if (c == '(') d += 1 else if (c == ')') d -= 1
-          i += 1
-        }
-        arr(s.length) = d
-        arr
-      }
+      // shared string-aware structural map (a paren-only local copy
+      // miscounted depth for quoted literals containing parens)
+      val (depthAt, inStrAt) = depthMap(s)
       val myDepth = depthAt(cursor)
       val scopeStart = "(?i)\\bSELECT\\b".r
         .findAllMatchIn(s.substring(0, cursor))
-        .filter(x => depthAt(x.start) == myDepth)
+        .filter(x => depthAt(x.start) == myDepth && !inStrAt(x.start))
         .map(_.start).toList.lastOption.getOrElse(0)
       var scopeEnd = s.length
       var j = end
       while (j < s.length && scopeEnd == s.length) {
-        if (s.charAt(j) == ')' && depthAt(j) == myDepth) scopeEnd = j
+        if (s.charAt(j) == ')' && depthAt(j) == myDepth && !inStrAt(j))
+          scopeEnd = j
         j += 1
       }
       "(?i)\\b(UNION|INTERSECT|EXCEPT)\\b".r
         .findAllMatchIn(s.substring(end, scopeEnd))
-        .find(x => depthAt(end + x.start) == myDepth)
+        .find(x => depthAt(end + x.start) == myDepth && !inStrAt(end + x.start))
         .foreach(x => scopeEnd = end + x.start)
       val rest0 = s.substring(0, cursor) + s.substring(end)
       val segEnd = scopeEnd - (end - cursor)
@@ -1212,11 +1245,23 @@ object ChContext {
     * reads server settings, reference index.html; SURVEY §7 scopes this
     * to stubs). databases/tables are snapshots taken at setup time —
     * enough for client handshake probes, not a live catalog. */
+  /** One snapshot write per JVM: the catalog is SHARED across sessions
+    * (sharedState) but file-listing caches are per-session, so a
+    * re-snapshot from session B (drop + delete files + rewrite) crashes
+    * session A's next read with FAILED_READ_FILE against the deleted
+    * part files. The engine substitutes LIVE frames for
+    * databases/tables/columns anyway — these parquet snapshots serve
+    * only engine-bypassing readers, for whom first-setup state is the
+    * documented contract. */
+  private val systemSnapshotsDone =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
   def setupSystemTables(spark: SparkSession): Unit = {
     import spark.implicits._
     spark.sql("CREATE DATABASE IF NOT EXISTS system")
     if (!spark.catalog.tableExists("system.one"))
       spark.sql("CREATE OR REPLACE VIEW system.one AS SELECT 0 AS dummy")
+    if (systemSnapshotsDone.getAndSet(true)) return
     // snapshots materialize as tiny managed tables (persistent views
     // cannot reference the temp catalog state they are built from);
     // drop stale metadata AND leftover warehouse dirs from prior JVMs
@@ -1234,6 +1279,10 @@ object ChContext {
         rm(loc)
       }
       df.write.mode("overwrite").saveAsTable(s"system.$name")
+      // a prior snapshot's file listing may be cached in plans that
+      // already referenced the table (another server session, a cached
+      // view) — stale entries throw FAILED_READ_FILE on the next read
+      spark.catalog.refreshTable(s"system.$name")
     }
     snapshot("databases", databasesLive(spark))
     snapshot("tables", tablesLive(spark))

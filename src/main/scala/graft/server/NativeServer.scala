@@ -325,31 +325,36 @@ class NativeServer(spark: SparkSession, port: Int,
                                     compressed: Boolean): Unit = {
     val bare = table.replace("`", "")
     val target = Engine.targetSchema(session.table(bare).schema, cols)
-    def readBlock(): Seq[(String, String, Vector[Any])] = {
-      readStr(in) // table name
-      if (compressed) {
-        val body = ChCompression.readFrame(in)
-        val bin = new java.io.ByteArrayInputStream(body)
-        skipBlockInfo(bin)
-        NativeCodec.decode(bin, serFlag)
-      } else {
-        skipBlockInfo(in)
-        NativeCodec.decode(in, serFlag)
-      }
+    def readBlock(): (String, Seq[(String, String, Vector[Any])]) = {
+      val tableName = readStr(in)
+      val block =
+        if (compressed) {
+          val body = ChCompression.readFrame(in)
+          val bin = new java.io.ByteArrayInputStream(body)
+          skipBlockInfo(bin)
+          NativeCodec.decode(bin, serFlag)
+        } else {
+          skipBlockInfo(in)
+          NativeCodec.decode(in, serFlag)
+        }
+      (tableName, block)
     }
     def nRowsOf(b: Seq[(String, String, Vector[Any])]): Int =
       b.headOption.map(_._3.length).getOrElse(0)
     // External tables: every real client (clickhouse-driver
-    // send_external_tables) streams zero or more named blocks plus an
-    // empty terminator block IMMEDIATELY after the query, before it
-    // waits for the sample. Treating that terminator as the
+    // send_external_tables) streams zero or more NAMED blocks plus an
+    // UNNAMED empty terminator block IMMEDIATELY after the query,
+    // before it waits for the sample. Treating that terminator as the
     // insert-data terminator made a real-driver bulk INSERT a silent
     // zero-row no-op — consume the ext stream first, like the real
-    // server's insert path does.
+    // server's insert path does. The terminator is the block with an
+    // EMPTY table name: a named-but-empty external table must not end
+    // the stream (it would shift the real terminator into the insert
+    // loop and drop the client's data).
     var extDone = false
     while (!extDone) {
       readVarint(in) match {
-        case ClientData => if (nRowsOf(readBlock()) == 0) extDone = true
+        case ClientData => if (readBlock()._1.isEmpty) extDone = true
         case ClientPing => writeVarint(out, ServerPong); out.flush()
         case ClientCancel => extDone = true
         case -1L => throw new java.io.EOFException()
@@ -382,7 +387,7 @@ class NativeServer(spark: SparkSession, port: Int,
     while (!done) {
       readVarint(in) match {
         case ClientData =>
-          val block = readBlock()
+          val block = readBlock()._2
           val nRows = nRowsOf(block)
           // a zero-row block (0 cols, or schema echo with 0 rows) is
           // the stream terminator
