@@ -45,7 +45,8 @@ object ArrowCodec {
 
   private def epochMicros(v: Any): Long = v match {
     case t: java.sql.Timestamp =>
-      t.getTime / 1000 * 1000000 + t.getNanos / 1000
+      // floorDiv: truncation shifts pre-epoch fractional seconds +1s
+      Math.floorDiv(t.getTime, 1000L) * 1000000 + t.getNanos / 1000
     case i: java.time.Instant =>
       i.getEpochSecond * 1000000 + i.getNano / 1000
     case n: Number => n.longValue()

@@ -54,6 +54,21 @@ object ChCompression {
     out.array()
   }
 
+  /** Wire sizes are untrusted input: bound them BEFORE any allocation
+    * or hashing (a corrupt/hostile frame with a negative or huge size
+    * otherwise drives negative-array / out-of-bounds / multi-GB
+    * allocations before the checksum can reject it). ClickHouse caps
+    * blocks at max_compress_block_size ~1 MiB; 256 MiB leaves wide
+    * slack for non-default senders. */
+  private val MaxFrameBytes = 256 << 20
+
+  private def checkSizes(compressedSize: Int, uncompressedSize: Int): Unit = {
+    require(compressedSize >= HeaderSize && compressedSize <= MaxFrameBytes,
+      s"bad compressed_size $compressedSize")
+    require(uncompressedSize >= 0 && uncompressedSize <= MaxFrameBytes,
+      s"bad uncompressed_size $uncompressedSize")
+  }
+
   /** Decode one frame from a byte array; verifies the checksum.
     * Returns (decompressedPayload, bytesConsumed). */
   def decodeFrame(frame: Array[Byte], off: Int = 0): (Array[Byte], Int) = {
@@ -63,6 +78,9 @@ object ChCompression {
     val method = bb.get() & 0xff
     val compressedSize = bb.getInt
     val uncompressedSize = bb.getInt
+    checkSizes(compressedSize, uncompressedSize)
+    require(off + 16 + compressedSize <= frame.length,
+      s"frame truncated: need ${16 + compressedSize}, have ${frame.length - off}")
     val payloadLen = compressedSize - HeaderSize
     val (gotLo, gotHi) =
       CityHash102.cityHash128(frame, off + 16, compressedSize)
@@ -94,11 +112,42 @@ object ChCompression {
     val bb = ByteBuffer.wrap(head).order(ByteOrder.LITTLE_ENDIAN)
     bb.position(16 + 1)
     val compressedSize = bb.getInt
+    val uncompressedSize = bb.getInt
+    checkSizes(compressedSize, uncompressedSize)
     val rest = readN(in, compressedSize - HeaderSize)
     val frame = new Array[Byte](16 + compressedSize)
     System.arraycopy(head, 0, frame, 0, head.length)
     System.arraycopy(rest, 0, frame, head.length, rest.length)
     decodeFrame(frame)._1
+  }
+
+  /** View the compressed wire as a continuous decompressed stream:
+    * ClickHouse frames are a TRANSPORT layer — one logical block can
+    * span several frames (clients flush every max_compress_block_size
+    * ~1 MiB of raw data, mid-block). Readers that decode a block must
+    * pull frames on demand until the block's own structure is
+    * satisfied, which is exactly what real servers do. Reads past the
+    * current frame fetch the next one lazily; the caller must consume
+    * exactly one block (writers flush at block boundaries, so the last
+    * frame of a block ends with it). */
+  def frameStream(in: InputStream): InputStream = new InputStream {
+    private var buf: Array[Byte] = Array.emptyByteArray
+    private var pos = 0
+    private def refill(): Boolean = {
+      if (pos < buf.length) return true
+      buf = readFrame(in); pos = 0
+      buf.nonEmpty
+    }
+    override def read(): Int =
+      if (!refill()) -1 else { val b = buf(pos) & 0xff; pos += 1; b }
+    override def read(dst: Array[Byte], off: Int, len: Int): Int = {
+      if (len == 0) return 0
+      if (!refill()) return -1
+      val n = math.min(len, buf.length - pos)
+      System.arraycopy(buf, pos, dst, off, n)
+      pos += n
+      n
+    }
   }
 
   private def readN(in: InputStream, n: Int): Array[Byte] =

@@ -37,6 +37,9 @@ object NativeCodec {
     while ({ b = in.read(); b >= 0x80 }) {
       result |= (b & 0x7fL) << shift; shift += 7
     }
+    // a truncated stream must surface as EOF, not as a garbage length
+    // (ORing -1 produced huge/negative sizes for downstream readFully)
+    if (b < 0) throw new java.io.EOFException("stream ended mid-varint")
     result | (b.toLong << shift)
   }
 

@@ -266,9 +266,16 @@ object ResultFormatter {
                         out: Appendable, header: Boolean,
                         csvQuote: Boolean = false,
                         typesRow: Boolean = false): Long = {
-    if (header) out.append(schema.fieldNames.mkString(sep)).append('\n')
+    // header/type cells need the same escaping as data cells: a column
+    // named `a,b` (or a type like Decimal(18, 4) containing ", ") would
+    // otherwise split into extra header columns and misalign every row
+    def headerCell(s: String): String =
+      if (csvQuote) csvQuoteStr(s) else tsvEscape(s)
+    if (header)
+      out.append(schema.fieldNames.map(headerCell).mkString(sep)).append('\n')
     if (typesRow) // ...AndTypes: second header row with ClickHouse type names
-      out.append(schema.fields.map(ChTypeNames.fieldName).mkString(sep)).append('\n')
+      out.append(schema.fields.map(f => headerCell(ChTypeNames.fieldName(f)))
+        .mkString(sep)).append('\n')
     var n = 0L
     rows.foreach { r =>
       val cells = schema.fields.indices.map { i =>

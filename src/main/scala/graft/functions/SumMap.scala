@@ -144,8 +144,11 @@ case class SumMapAgg(
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
+    // length-prefixed raw UTF-8 (writeUTF caps at 64 KiB — long keys
+    // would crash the partial-aggregate shuffle; same fix as Entropy)
     buf.foreach { case (k, v) =>
-      out.writeUTF(k)
+      val b = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b)
       if (integralSums) out.writeLong(v.asInstanceOf[Long])
       else out.writeDouble(v.asInstanceOf[Double])
     }
@@ -157,7 +160,8 @@ case class SumMapAgg(
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Any]
     (0 until n).foreach { _ =>
-      val k = in.readUTF()
+      val kb = new Array[Byte](in.readInt()); in.readFully(kb)
+      val k = new String(kb, java.nio.charset.StandardCharsets.UTF_8)
       buf.update(k, if (integralSums) in.readLong(): Any else in.readDouble(): Any)
     }
     buf

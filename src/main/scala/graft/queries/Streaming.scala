@@ -43,6 +43,14 @@ object Streaming {
     }, Some("""
       SELECT count(*) AS n FROM (SELECT DISTINCT event_id, ts FROM events)""")),
 
+    // ST3b: exactly-once dedup by id ALONE (producer retries with a
+    // refreshed ts collapse) — streaming inputs run
+    // dropDuplicatesWithinWatermark, whose state the watermark bounds
+    Q("st7_stream_dedup_id", (s, dir) => {
+      EventsStreaming.dedupById(Tables.events(s, dir))
+        .agg(count(lit(1)).as("n"))
+    }, Some("SELECT count(DISTINCT event_id) AS n FROM events")),
+
     // ST2: session windows per user with a 30-minute gap. DuckDB
     // reproduces session fusion with a lag/cumulative-sum rewrite.
     Q("st2_sessions", (s, dir) => {

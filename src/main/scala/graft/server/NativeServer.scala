@@ -96,8 +96,11 @@ class NativeServer(spark: SparkSession, port: Int,
             // it; external tables are unsupported, not desync-fatal).
             // Under negotiated compression the body is one LZ4 frame.
             readStr(in)
-            if (dataCompressed) ChCompression.readFrame(in)
-            else {
+            if (dataCompressed) {
+              val bin = ChCompression.frameStream(in)
+              skipBlockInfo(bin)
+              NativeCodec.decode(bin, clientRevision >= 54454)
+            } else {
               skipBlockInfo(in)
               NativeCodec.decode(in, clientRevision >= 54454)
             }
@@ -329,8 +332,10 @@ class NativeServer(spark: SparkSession, port: Int,
       val tableName = readStr(in)
       val block =
         if (compressed) {
-          val body = ChCompression.readFrame(in)
-          val bin = new java.io.ByteArrayInputStream(body)
+          // frame-spanning: one block can arrive as several ~1 MiB
+          // frames (clients flush mid-block at max_compress_block_size)
+          // — pull frames lazily until the block's structure is decoded
+          val bin = ChCompression.frameStream(in)
           skipBlockInfo(bin)
           NativeCodec.decode(bin, serFlag)
         } else {

@@ -26,16 +26,27 @@ object UrlTableFunction {
 
   def read(spark: SparkSession, addr: String, format: String): DataFrame = {
     val local = materialize(addr)
+    // ClickHouse TSV is NOT quoted CSV: fields are never quoted (a
+    // value starting with `"` must not swallow following tabs/rows),
+    // and NULL is the two-char marker \N. Spark's CSV reader disables
+    // quoting when `quote` is the NUL char. ClickHouse's in-field
+    // escapes (\t, \n, \\) remain literal two-char sequences — decoding
+    // them needs a per-column pass; numeric/date columns (the ClickBench
+    // load) are unaffected.
+    def tsvReader = spark.read
+      .option("sep", "\t")
+      .option("quote", "\u0000") // NUL disables quoting (CH TSV is never quoted)
+      .option("nullValue", "\\N")
+      .option("inferSchema", "true")
     format.toLowerCase match {
-      case "tsv" | "tabseparated" =>
-        spark.read.option("sep", "\t").option("inferSchema", "true").csv(local)
+      case "tsv" | "tabseparated" => tsvReader.csv(local)
       case "tsvwithnames" | "tabseparatedwithnames" =>
-        spark.read.option("sep", "\t").option("header", "true")
-          .option("inferSchema", "true").csv(local)
+        tsvReader.option("header", "true").csv(local)
       case "csv" =>
-        spark.read.option("inferSchema", "true").csv(local)
+        spark.read.option("nullValue", "\\N").option("inferSchema", "true").csv(local)
       case "csvwithnames" =>
-        spark.read.option("header", "true").option("inferSchema", "true").csv(local)
+        spark.read.option("nullValue", "\\N")
+          .option("header", "true").option("inferSchema", "true").csv(local)
       case "jsoneachrow" | "ndjson" | "json" => spark.read.json(local)
       case "parquet" => spark.read.parquet(local)
       case "orc" => spark.read.orc(local)
@@ -49,6 +60,7 @@ object UrlTableFunction {
       if (addr.startsWith("file://")) Paths.get(new java.net.URI(addr)).toString
       else if (addr.startsWith("http://") || addr.startsWith("https://")) {
         val tmp = Files.createTempFile("graft_url_", suffixOf(addr))
+        tmp.toFile.deleteOnExit() // downloads must not outlive the JVM
         val in = new java.net.URI(addr).toURL.openStream()
         try Files.copy(in, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         finally in.close()
@@ -73,6 +85,7 @@ object UrlTableFunction {
       else base + ".dat"
     val out = Files.createTempFile("graft_url_dec_",
       outName.substring(outName.lastIndexOf('.')))
+    out.toFile.deleteOnExit() // decompressed copies must not outlive the JVM
     val in = wrap(new BufferedInputStream(Files.newInputStream(Paths.get(path))))
     val os = new FileOutputStream(out.toFile)
     try {
@@ -93,7 +106,11 @@ object UrlTableFunction {
     urlCallRe.replaceAllIn(sql, m => {
       val (addr, fmt) = (m.group(2), m.group(3))
       val view = s"url_${Integer.toHexString(java.util.Objects.hash(addr, fmt))}"
-      read(spark, addr, fmt).createOrReplaceTempView(view)
+      // the view name is a content key — an existing registration means
+      // the (addr, fmt) pair was already fetched this session; re-reading
+      // would re-download the whole remote object per query
+      if (!spark.catalog.tableExists(view))
+        read(spark, addr, fmt).createOrReplaceTempView(view)
       view
     })
 }

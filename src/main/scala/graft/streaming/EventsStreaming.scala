@@ -33,10 +33,24 @@ object EventsStreaming {
                            windowLength: String = "1 hour"): DataFrame =
     windowedAgg(stream.withWatermark("ts", delay), windowLength)
 
-  /** Exactly-once event dedup by id within the watermark horizon. */
+  /** Dedup by (event_id, ts) within the watermark horizon — removes
+    * byte-identical redeliveries; a retry that re-stamps ts survives
+    * (use [[dedupById]] for that). */
   def dedup(stream: DataFrame, delay: String = "10 minutes"): DataFrame =
     stream.withWatermark("ts", delay)
       .dropDuplicates("event_id", "ts")
+
+  /** Exactly-once dedup by id ALONE: a producer retry re-emitting the
+    * same event_id with a refreshed ts still collapses. Streaming
+    * inputs use dropDuplicatesWithinWatermark (state evicted once the
+    * watermark passes the FIRST sighting — bounded, unlike a plain
+    * dropDuplicates(id) whose state grows forever); batch inputs
+    * reduce to dropDuplicates on the id. */
+  def dedupById(stream: DataFrame, delay: String = "10 minutes"): DataFrame = {
+    val w = stream.withWatermark("ts", delay)
+    if (stream.isStreaming) w.dropDuplicatesWithinWatermark("event_id")
+    else w.dropDuplicates("event_id")
+  }
 
   /** Streaming ingest into a MergeTree table — the Kafka-engine → MV →
     * MergeTree shape, with the file source standing in for the broker:
@@ -141,7 +155,10 @@ object EventsStreaming {
                   fromMicros(acc.startUs), fromMicros(acc.lastUs))
                 acc = SessionAcc(1L, v, us, us)
               } else acc = SessionAcc(acc.nEvents + 1, acc.totalValue + v,
-                acc.startUs, us)
+                // min/max, not overwrite: a watermark-legal late event
+                // from a later micro-batch must not regress the session
+                // end (that caused spurious gap-splits on the next event)
+                math.min(acc.startUs, us), math.max(acc.lastUs, us))
             }
             state.update(acc)
             state.setTimeoutTimestamp(acc.lastUs / 1000L + gapMs)

@@ -64,6 +64,39 @@ class CompressionSpec extends AnyFunSuite {
     assert(in.available() === 0)
   }
 
+  test("frameStream decodes a block spanning multiple frames") {
+    import org.apache.spark.sql.types._
+    // a native block whose raw bytes are split across 3 frames — the
+    // shape clickhouse-driver produces for blocks past
+    // max_compress_block_size (~1 MiB flush boundary); a reader that
+    // assumes one-frame-one-block decodes only the first fragment
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("s", StringType, nullable = false)))
+    val rows = Array.tabulate(1000)(i =>
+      org.apache.spark.sql.Row(i.toLong, s"value-$i-${"x" * 50}"))
+    val raw = graft.formats.NativeCodec.encode(schema, rows, customSerFlag = true)
+    val third = raw.length / 3
+    val wire =
+      ChCompression.compressFrame(raw.slice(0, third)) ++
+      ChCompression.compressFrame(raw.slice(third, 2 * third)) ++
+      ChCompression.compressFrame(raw.slice(2 * third, raw.length))
+    val in = ChCompression.frameStream(new java.io.ByteArrayInputStream(wire))
+    val cols = graft.formats.NativeCodec.decode(in, true)
+    assert(cols.map(_._1) === Seq("id", "s"))
+    assert(cols.head._3.length === 1000)
+    assert(cols(1)._3(999) === s"value-999-${"x" * 50}")
+  }
+
+  test("decodeFrame rejects hostile sizes before allocating") {
+    val frame = ChCompression.compressFrame(randomBytes(64, seed = 9))
+    // corrupt compressed_size to a negative value (offset 17..20 LE)
+    val bad = frame.clone()
+    bad(17) = 0xff.toByte; bad(18) = 0xff.toByte
+    bad(19) = 0xff.toByte; bad(20) = 0xff.toByte
+    val e = intercept[IllegalArgumentException](ChCompression.decodeFrame(bad))
+    assert(e.getMessage.contains("compressed_size"), e.getMessage)
+  }
+
   test("cityHash128 is deterministic and spreads on single-bit changes") {
     val base = randomBytes(256, seed = 3)
     val h1 = CityHash102.cityHash128(base)
