@@ -75,16 +75,21 @@ object PartitionPruneFromDate extends Rule[LogicalPlan] {
               var hi = Option.empty[Int]
               def low(d: Int): Unit = { val m = partFn(d); lo = Some(lo.fold(m)(math.max(m, _))) }
               def high(d: Int): Unit = { val m = partFn(d); hi = Some(hi.fold(m)(math.min(m, _))) }
+              // strict bounds tighten by one DAY before mapping through
+              // the partition fn (dates are integral): `col < d` means
+              // col <= d-1, so the bound is partFn(d-1) — partFn(d)
+              // would list and scan one whole extra partition for the
+              // canonical half-open month range
               conjuncts(cond).foreach {
                 case GreaterThanOrEqual(a: AttributeReference, Literal(d: Int, DateType)) if a.semanticEquals(src) => low(d)
-                case GreaterThan(a: AttributeReference, Literal(d: Int, DateType)) if a.semanticEquals(src) => low(d)
+                case GreaterThan(a: AttributeReference, Literal(d: Int, DateType)) if a.semanticEquals(src) => low(d + 1)
                 case LessThanOrEqual(a: AttributeReference, Literal(d: Int, DateType)) if a.semanticEquals(src) => high(d)
-                case LessThan(a: AttributeReference, Literal(d: Int, DateType)) if a.semanticEquals(src) => high(d)
+                case LessThan(a: AttributeReference, Literal(d: Int, DateType)) if a.semanticEquals(src) => high(d - 1)
                 case EqualTo(a: AttributeReference, Literal(d: Int, DateType)) if a.semanticEquals(src) => low(d); high(d)
                 case GreaterThanOrEqual(Literal(d: Int, DateType), a: AttributeReference) if a.semanticEquals(src) => high(d)
-                case GreaterThan(Literal(d: Int, DateType), a: AttributeReference) if a.semanticEquals(src) => high(d)
+                case GreaterThan(Literal(d: Int, DateType), a: AttributeReference) if a.semanticEquals(src) => high(d - 1)
                 case LessThanOrEqual(Literal(d: Int, DateType), a: AttributeReference) if a.semanticEquals(src) => low(d)
-                case LessThan(Literal(d: Int, DateType), a: AttributeReference) if a.semanticEquals(src) => low(d)
+                case LessThan(Literal(d: Int, DateType), a: AttributeReference) if a.semanticEquals(src) => low(d + 1)
                 case EqualTo(Literal(d: Int, DateType), a: AttributeReference) if a.semanticEquals(src) => low(d); high(d)
                 case _ => ()
               }

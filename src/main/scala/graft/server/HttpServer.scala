@@ -238,8 +238,14 @@ class HttpServer(spark: SparkSession, port: Int,
             java.nio.file.Files.copy(part.toPath, os)
             os.close()
           } finally {
-            tmp.toFile.listFiles().foreach(f => f.delete())
-            java.nio.file.Files.deleteIfExists(tmp)
+            // recursive + non-throwing: a failed write leaves a
+            // _temporary subtree, and a throwing finally would mask
+            // the real error with DirectoryNotEmptyException
+            def rm(f: java.io.File): Unit = {
+              if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+              f.delete()
+            }
+            try rm(tmp.toFile) catch { case _: Throwable => () }
           }
         } else {
           val os = body()

@@ -46,7 +46,14 @@ class NativeServer(spark: SparkSession, port: Int,
           try {
             val sock = server.accept()
             pool.submit(new Runnable { override def run(): Unit = serve(sock) })
-          } catch { case _: Throwable if !running => () }
+          } catch {
+            // transient accept failures (e.g. fd exhaustion) must not
+            // kill the listener thread; only a stop() ends the loop
+            case _: Throwable if !running => ()
+            case t: Throwable =>
+              System.err.println(s"native accept failed: ${t.getMessage}")
+              Thread.sleep(100)
+          }
     })
   }
 
@@ -84,6 +91,11 @@ class NativeServer(spark: SparkSession, port: Int,
             if (used >= 54461) writeVarint(out, 0) // no password rules
             if (used >= 54462) writeFixed(out, 8)(_.putLong(0L)) // nonce
             out.flush()
+            // addendum: clients at negotiated revision >= 54458 send
+            // their quota key string right after our HELLO — leaving it
+            // unread makes the main loop parse its length varint as a
+            // packet type and desync the whole connection
+            if (used >= 54458) readStr(in)
 
           case ClientQuery =>
             dataCompressed =
@@ -140,6 +152,22 @@ class NativeServer(spark: SparkSession, port: Int,
         val infoRevision = readVarint(in)
         if (infoRevision >= 54060) readStr(in) // quota key
         if (infoRevision >= 54448) readVarint(in) // distributed depth
+        // real clients (clickhouse-driver gates these on the NEGOTIATED
+        // revision, = clientRevision here since we announce 54468) send
+        // more client-info fields — unread, the settings loop would
+        // parse them as setting names and desync every real query
+        if (clientRevision >= 54401) readVarint(in) // client version patch
+        if (clientRevision >= 54442 && in.read() == 1) { // OpenTelemetry
+          readFixed(in, 16) // trace_id
+          readFixed(in, 8) // span_id
+          readStr(in) // tracestate
+          in.read() // trace_flags
+        }
+        if (clientRevision >= 54453) {
+          readVarint(in) // collaborate_with_initiator
+          readVarint(in) // count_participating_replicas
+          readVarint(in) // number_of_current_replica
+        }
       }
     }
     // settings: (name, flags, value) until empty name. Kept: `extremes`
@@ -300,8 +328,15 @@ class NativeServer(spark: SparkSession, port: Int,
       out.flush()
     } catch {
       case t: Throwable =>
+        // full exception wire structure (code Int32 + name + message +
+        // stack_trace + has_nested) — a bare message string made real
+        // clients parse its first bytes as the error code and desync
         writeVarint(out, ServerException)
+        writeFixed(out, 4)(_.putInt(1002)) // UNKNOWN_EXCEPTION
+        writeStr(out, t.getClass.getSimpleName)
         writeStr(out, Option(t.getMessage).getOrElse(t.getClass.getName))
+        writeStr(out, "") // stack trace (not leaked to clients)
+        out.write(0) // has_nested = false
         writeVarint(out, ServerEndOfStream)
         out.flush()
     } finally Engine.finishQuery(queryId)
@@ -403,6 +438,7 @@ class NativeServer(spark: SparkSession, port: Int,
             buffered += nRows
             if (buffered >= FlushRows) flush()
           }
+        case ClientPing => writeVarint(out, ServerPong); out.flush()
         case ClientCancel => done = true
         case -1L => throw new java.io.EOFException()
         case other =>
@@ -453,7 +489,10 @@ class NativeServer(spark: SparkSession, port: Int,
       field match {
         case 1 => in.read()
         case 2 => readFixed(in, 4)
-        case _ => return
+        case other =>
+          // an unknown field's VALUE size is unknown — returning here
+          // would leave it unread and desync the block that follows
+          throw new IllegalStateException(s"unknown BlockInfo field $other")
       }
       field = readVarint(in)
     }
@@ -479,10 +518,13 @@ object NativeServer {
 
   def readVarint(in: InputStream): Long = {
     var shift = 0; var result = 0L; var b = in.read()
-    if (b < 0) return -1L
+    if (b < 0) return -1L // clean EOF at a packet boundary
     while ((b & 0x80) != 0) {
       result |= (b & 0x7fL) << shift; shift += 7; b = in.read()
-      if (b < 0) return -1L
+      // MID-varint truncation must raise, not return a garbage value
+      // (a truncated settings name read as "" would end the settings
+      // loop early and misparse everything after it)
+      if (b < 0) throw new java.io.EOFException("stream ended mid-varint")
     }
     result | (b.toLong << shift)
   }
@@ -493,9 +535,15 @@ object NativeServer {
     out.write(v.toInt)
   }
 
+  /** Hard cap on wire-supplied string/fixed sizes: a hostile length
+    * would otherwise drive a multi-GB allocation (or an Int-wrapped 0
+    * that busy-loops) on the shared driver JVM before any validation. */
+  private val MaxWireBytes = 64 << 20
+
   def readStr(in: InputStream): String = {
     val n = readVarint(in)
     if (n <= 0) return ""
+    require(n <= MaxWireBytes, s"string length $n exceeds wire cap")
     val buf = new Array[Byte](n.toInt)
     var off = 0
     while (off < n) {

@@ -50,6 +50,7 @@ class ConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     P.writeStr(out, "conc"); P.writeVarint(out, 25); P.writeVarint(out, 5)
     P.writeVarint(out, Rev)
     P.writeStr(out, "default"); P.writeStr(out, user); P.writeStr(out, pw)
+    P.writeStr(out, "") // addendum quota key (rev >= 54458)
     out.flush()
     assert(P.readVarint(in) === P.ServerHello)
     P.readStr(in); P.readVarint(in); P.readVarint(in)
@@ -73,6 +74,8 @@ class ConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     P.writeStr(out, "t"); P.writeStr(out, "h"); P.writeStr(out, "c")
     P.writeVarint(out, 25); P.writeVarint(out, 5); P.writeVarint(out, Rev)
     P.writeStr(out, ""); P.writeVarint(out, 0)
+    P.writeVarint(out, 2); out.write(0) // version patch; no OTel
+    P.writeVarint(out, 0); P.writeVarint(out, 0); P.writeVarint(out, 0) // parallel replicas
     P.writeStr(out, ""); P.writeStr(out, "")
     P.writeVarint(out, 2); P.writeVarint(out, 0)
     P.writeStr(out, sql); P.writeStr(out, "")
@@ -119,7 +122,10 @@ class ConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
         case P.ServerProfileInfo =>
           P.readVarint(in); P.readVarint(in); P.readVarint(in)
           in.read(); P.readVarint(in); in.read()
-        case P.ServerException => err = Some(P.readStr(in))
+        case P.ServerException =>
+          P.readFixed(in, 4); P.readStr(in) // code, name
+          err = Some(P.readStr(in))
+          P.readStr(in); in.read() // stack, has_nested
         case P.ServerEndOfStream => done = true
         case other => fail(s"unexpected packet $other")
       }

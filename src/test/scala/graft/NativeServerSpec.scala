@@ -35,6 +35,9 @@ class NativeServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     P.writeVarint(out, 25); P.writeVarint(out, 5)
     P.writeVarint(out, ClientRevision)
     P.writeStr(out, "default"); P.writeStr(out, "default"); P.writeStr(out, "")
+    // addendum (negotiated revision >= 54458): quota key string sent
+    // right after the server HELLO — real clients always send this
+    P.writeStr(out, "")
     out.flush()
   }
 
@@ -64,6 +67,9 @@ class NativeServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     P.writeVarint(out, 25); P.writeVarint(out, 5); P.writeVarint(out, ClientRevision)
     P.writeStr(out, "") // quota key
     P.writeVarint(out, 0) // distributed depth
+    P.writeVarint(out, 2) // client version patch (rev >= 54401)
+    out.write(0) // no OpenTelemetry trace context (rev >= 54442)
+    P.writeVarint(out, 0); P.writeVarint(out, 0); P.writeVarint(out, 0) // parallel replicas (rev >= 54453)
     settings.foreach { case (k, v) =>
       P.writeStr(out, k); out.write(0); P.writeStr(out, v)
     }
@@ -125,7 +131,13 @@ class NativeServerSpec extends AnyFunSuite with BeforeAndAfterAll {
           P.readVarint(in); P.readVarint(in) // blocks, bytes
           in.read(); P.readVarint(in); in.read() // applied_limit, rows_before_limit, calculated
           packetOrder += "PROFILE_INFO"
-        case P.ServerException => err = Some(P.readStr(in))
+        case P.ServerException =>
+          // full structure: code Int32 + name + message + stack + nested
+          P.readFixed(in, 4) // error code
+          P.readStr(in) // exception class name
+          err = Some(P.readStr(in))
+          P.readStr(in) // stack trace
+          in.read() // has_nested
         case P.ServerEndOfStream => done = true; packetOrder += "END_OF_STREAM"
         case other => fail(s"unexpected server packet $other")
       }
@@ -262,6 +274,8 @@ class NativeServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       P.writeStr(out, "t"); P.writeStr(out, "h"); P.writeStr(out, "c")
       P.writeVarint(out, 25); P.writeVarint(out, 5); P.writeVarint(out, ClientRevision)
       P.writeStr(out, ""); P.writeVarint(out, 0)
+      P.writeVarint(out, 2); out.write(0) // version patch; no OTel
+      P.writeVarint(out, 0); P.writeVarint(out, 0); P.writeVarint(out, 0) // parallel replicas
       P.writeStr(out, ""); P.writeStr(out, "")
       P.writeVarint(out, 2)
       P.writeVarint(out, 1) // zlib
@@ -286,6 +300,7 @@ class NativeServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       P.writeStr(out, "c"); P.writeVarint(out, 25); P.writeVarint(out, 5)
       P.writeVarint(out, ClientRevision)
       P.writeStr(out, "default"); P.writeStr(out, user); P.writeStr(out, "pw")
+      P.writeStr(out, "") // addendum quota key (rev >= 54458)
       out.flush(); readServerHello(in)
       (sock, in, out)
     }
@@ -371,6 +386,8 @@ class NativeServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       P.writeStr(out, "t"); P.writeStr(out, "h"); P.writeStr(out, "c")
       P.writeVarint(out, 25); P.writeVarint(out, 5); P.writeVarint(out, ClientRevision)
       P.writeStr(out, ""); P.writeVarint(out, 0)
+      P.writeVarint(out, 2); out.write(0) // version patch; no OTel
+      P.writeVarint(out, 0); P.writeVarint(out, 0); P.writeVarint(out, 0) // parallel replicas
       P.writeStr(out, ""); P.writeStr(out, "")
       P.writeVarint(out, 2)
       P.writeVarint(out, 1) // compression ON
