@@ -41,6 +41,15 @@ object ChFunctions {
   private def chTruthy(e: Expression): Expression =
     Not(EqualTo(Cast(e, DoubleType), Literal(0d)))
 
+  /** Funnel-family condition arguments under ClickHouse truthiness. */
+  private def asBool(e: Expression): Expression = chTruthy(e)
+
+  private def litStr(e: Expression, what: String): String = e match {
+    case Literal(u: UTF8String, StringType) => u.toString
+    case other =>
+      throw new IllegalArgumentException(s"$what must be a string literal, got $other")
+  }
+
   /** Per-row sum of an array's elements as double (ArrayAggregate). */
   private def elementSum(arr: Expression): Expression = {
     val x = UnresolvedNamedLambdaVariable(Seq("__graft_x"))
@@ -437,7 +446,58 @@ object ChFunctions {
     "sumIf" -> (a => Sum(nullIfNot(a(1), a(0))).toAggregateExpression()),
     "avgIf" -> (a => Average(nullIfNot(a(1), a(0))).toAggregateExpression()),
     "minIf" -> (a => Min(nullIfNot(a(1), a(0))).toAggregateExpression()),
-    "maxIf" -> (a => Max(nullIfNot(a(1), a(0))).toAggregateExpression())
+    "maxIf" -> (a => Max(nullIfNot(a(1), a(0))).toAggregateExpression()),
+
+    // behavioral/funnel analytics (docs-faithful re-implementations;
+    // the reference delegates these to chdb, main.py:190). The
+    // transpiler rewrites windowFunnel(W[,mode])(ts, ..) etc. into
+    // these flat spellings.
+    "windowFunnelAgg" -> (a => {
+      val w = a.head match {
+        case Literal(i: Int, IntegerType) => i.toLong
+        case Literal(l: Long, LongType) => l
+        case other => throw new IllegalArgumentException(
+          s"windowFunnel window must be an integer literal, got $other")
+      }
+      val strict = a(1) match {
+        case Literal(i: Int, IntegerType) => i != 0
+        case Literal(l: Long, LongType) => l != 0L
+        case other => throw new IllegalArgumentException(
+          s"windowFunnel mode flag must be a literal, got $other")
+      }
+      val fConds = a.drop(3)
+      require(fConds.nonEmpty && fConds.size <= 32,
+        s"windowFunnel supports 1..32 conditions, got ${fConds.size}")
+      graft.functions.WindowFunnelAgg(
+        w, strict, a(2), fConds.map(asBool)).toAggregateExpression()
+    }),
+    "sequenceMatchAgg" -> (a => {
+      val pat = litStr(a.head, "sequenceMatch pattern")
+      require(a.size - 2 >= 1 && a.size - 2 <= 32,
+        s"sequenceMatch supports 1..32 conditions, got ${a.size - 2}")
+      graft.functions.SeqPattern.parse(pat, a.size - 2) // plan-time check
+      graft.functions.SequenceMatchAgg(
+        pat, a(1), a.drop(2).map(asBool)).toAggregateExpression()
+    }),
+    "sequenceCountAgg" -> (a => {
+      val pat = litStr(a.head, "sequenceCount pattern")
+      require(a.size - 2 >= 1 && a.size - 2 <= 32,
+        s"sequenceCount supports 1..32 conditions, got ${a.size - 2}")
+      graft.functions.SeqPattern.parse(pat, a.size - 2) // plan-time check
+      graft.functions.SequenceCountAgg(
+        pat, a(1), a.drop(2).map(asBool)).toAggregateExpression()
+    }),
+    // retention(c1,..,cN) -> Array(UInt8): r[0] = cond1 ever held for
+    // the group, r[i] = cond1 AND cond(i+1) both held (independently,
+    // per the ClickHouse docs) — pure composition of Max aggregates,
+    // fully codegen'd, no custom state
+    "retention" -> (a => {
+      require(a.nonEmpty, "retention needs at least one condition")
+      def ever(c: Expression): Expression =
+        Max(If(asBool(c), Literal(1), Literal(0))).toAggregateExpression()
+      val first = ever(a.head)
+      CreateArray(first +: a.tail.map(c => Multiply(first, ever(c))))
+    })
   ) ++ orConversions ++ tier2Builders
 
   /** ClickHouse type-name → Spark type for the OrZero/OrNull

@@ -364,7 +364,10 @@ object Transpiler {
     // the arg group is paren-matched so it may nest arbitrarily
     def rewriteParameterized(sql0: String, chName: String,
                              emit: (String, String) => String): String = {
-      val re = s"(?i)\\b$chName\\s*\\(([^()]*)\\)\\s*\\(".r
+      // params: bare tokens or single-quoted strings — the strings may
+      // contain parens (sequenceMatch('(?1).*(?2)')), so parens are
+      // only excluded OUTSIDE quotes
+      val re = s"(?i)\\b$chName\\s*\\(((?:[^()']|'[^']*')*)\\)\\s*\\(".r
       var sql = sql0
       var m = re.findFirstMatchIn(sql)
       while (m.isDefined) {
@@ -388,6 +391,19 @@ object Transpiler {
       (p, arg) => s"percentile($arg, $p)")
     // topK(k)(x) -> topKAgg(x, k) (space-saving sketch aggregate)
     s = rewriteParameterized(s, "topK", (k, arg) => s"topKAgg($arg, $k)")
+    // windowFunnel(W[, 'strict_increase'])(ts, c1, ..) -> flat aggregate
+    s = rewriteParameterized(s, "windowFunnel", (p, arg) => {
+      val parts = p.split(",").map(_.trim)
+      val strict = if (parts.exists(_.contains("strict_increase"))) 1 else 0
+      s"windowFunnelAgg(${parts.head}, $strict, $arg)"
+    })
+    s = rewriteParameterized(s, "sequenceMatch",
+      (pat, arg) => s"sequenceMatchAgg($pat, $arg)")
+    s = rewriteParameterized(s, "sequenceCount",
+      (pat, arg) => s"sequenceCountAgg($pat, $arg)")
+    // uniqUpTo(N)(x): exact distinct count saturating at N+1
+    s = rewriteParameterized(s, "uniqUpTo",
+      (n, arg) => s"least(uniqExact($arg), ${n.trim.toLong + 1})")
     // type names (word-bounded, case-sensitive like ClickHouse);
     // parameterized DateTime64(p[,tz]) first (word-boundary can't see it)
     s = "(?i)\\bDateTime64\\s*\\(\\s*\\d+\\s*(?:,\\s*'[^']*'\\s*)?\\)".r

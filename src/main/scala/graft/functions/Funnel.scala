@@ -1,0 +1,317 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import scala.collection.mutable.ArrayBuffer
+
+/** Behavioral / funnel analytics aggregates: `windowFunnel`,
+  * `sequenceMatch`, `sequenceCount` (SURVEY §2.7 tier C; the reference
+  * delegates these ClickHouse aggregates to chdb wholesale,
+  * /root/reference/main.py:190 — semantics re-implemented here from the
+  * published ClickHouse documentation, engine re-expressed Spark-first).
+  *
+  * All three share one distributed shape: a TypedImperativeAggregate
+  * whose buffer is the group's condition-matching events as
+  * `(timestamp, condition-bitmask)` pairs. Rows matching NO condition
+  * are not buffered (the documented ClickHouse behavior — events that
+  * satisfy none of the conditions are disregarded), so state per group
+  * is bounded by that group's RELEVANT events, not its row count — at
+  * 100 TB the per-user funnel state is a few dozen pairs, merged
+  * partial/final like any hash aggregate (no global sort, no shuffle
+  * beyond the groupBy's own).
+  *
+  * Timestamps: TIMESTAMP/TIMESTAMP_NTZ children buffer as micros and
+  * window lengths are given in SECONDS (the ClickHouse DateTime
+  * contract); integral children buffer raw and the window shares their
+  * unit (the ClickHouse UInt32-epoch contract).
+  */
+abstract class EventSequenceAgg
+    extends TypedImperativeAggregate[ArrayBuffer[(Long, Long)]] {
+
+  def ts: Expression
+  def conds: Seq[Expression]
+
+  override def children: Seq[Expression] = ts +: conds
+  override def nullable: Boolean = false
+
+  // NOTE: no constructor-body logic here — Catalyst expressions are
+  // Java-serialized to executors and the superclass constructor re-runs
+  // against still-null subclass fields (arity is validated in the
+  // ChFunctions builders instead).
+
+  /** Window/timestamp unit scale: micros per second for timestamp
+    * children, 1 for raw integral timestamps. */
+  protected def tsScale: Long = ts.dataType match {
+    case _: TimestampType | TimestampNTZType => 1000000L
+    case _ => 1L
+  }
+
+  private def tsMicros(input: InternalRow): Option[Long] = {
+    val v = ts.eval(input)
+    if (v == null) None
+    else v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case other => Some(other.toString.toLong)
+    }
+  }
+
+  override def createAggregationBuffer(): ArrayBuffer[(Long, Long)] =
+    ArrayBuffer.empty
+
+  override def update(buf: ArrayBuffer[(Long, Long)],
+                      input: InternalRow): ArrayBuffer[(Long, Long)] = {
+    var mask = 0L
+    var i = 0
+    while (i < conds.size) {
+      if (conds(i).eval(input) == true) mask |= (1L << i)
+      i += 1
+    }
+    if (mask != 0L) tsMicros(input).foreach(t => buf += ((t, mask)))
+    buf
+  }
+
+  override def merge(buf: ArrayBuffer[(Long, Long)],
+                     other: ArrayBuffer[(Long, Long)]): ArrayBuffer[(Long, Long)] = {
+    buf ++= other
+    buf
+  }
+
+  /** Events in deterministic time order (ties broken by mask) — the
+    * per-group sequence every finisher walks. */
+  protected def sorted(buf: ArrayBuffer[(Long, Long)]): Array[(Long, Long)] =
+    buf.toArray.sortBy(identity)
+
+  override def serialize(buf: ArrayBuffer[(Long, Long)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (t, m) => out.writeLong(t); out.writeLong(m) }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Long, Long)] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new ArrayBuffer[(Long, Long)](n)
+    (0 until n).foreach(_ => buf += ((in.readLong(), in.readLong())))
+    buf
+  }
+}
+
+/** `windowFunnel(window[, 'strict_increase'])(ts, c1, .., cN)` — the
+  * maximum funnel level reached: the longest prefix c1..ck completed by
+  * some event chain whose every step lies within `window` of the
+  * CHAIN-START event (the documented ClickHouse sliding-window
+  * contract). Single left-to-right pass over the sorted events carrying
+  * the chain-start timestamp upward level by level; the level-1 start
+  * keeps the LATEST qualifying event (maximal remaining window slack),
+  * so one O(E*N) scan dominates every existential chain.
+  *
+  * `strictIncrease` additionally requires each step's timestamp to be
+  * strictly greater than the previous step's ('strict_increase' mode).
+  */
+case class WindowFunnelAgg(
+    window: Long,
+    strictIncrease: Boolean,
+    ts: Expression,
+    conds: Seq[Expression],
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends EventSequenceAgg {
+
+  override def prettyName: String = "windowFunnel"
+  override def dataType: DataType = IntegerType
+
+  override def eval(buf: ArrayBuffer[(Long, Long)]): Any = {
+    val events = sorted(buf)
+    val n = conds.size
+    val windowT = window * tsScale
+    // startTs(k): chain-start ts of a chain that has reached level k+1;
+    // stepTs(k): ts of that chain's level-(k+1) event (strict mode)
+    val startTs = Array.fill(n)(Long.MinValue)
+    val stepTs = Array.fill(n)(Long.MinValue)
+    var best = 0
+    events.foreach { case (t, mask) =>
+      var k = 0
+      while (k < n) {
+        if (((mask >> k) & 1L) == 1L) {
+          if (k == 0) {
+            if (t > startTs(0) || startTs(0) == Long.MinValue) {
+              startTs(0) = t; stepTs(0) = t
+            }
+            if (best < 1) best = 1
+          } else if (startTs(k - 1) != Long.MinValue &&
+                     t - startTs(k - 1) <= windowT &&
+                     (!strictIncrease || t > stepTs(k - 1))) {
+            startTs(k) = startTs(k - 1)
+            stepTs(k) = t
+            if (best < k + 1) best = k + 1
+          }
+        }
+        k += 1
+      }
+    }
+    best
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): WindowFunnelAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): WindowFunnelAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): WindowFunnelAgg =
+    copy(ts = newChildren.head, conds = newChildren.tail)
+}
+
+/** Pattern tokens for sequenceMatch/sequenceCount: `(?N)` = an event
+  * satisfying condition N, `.` = exactly one event (of the buffered,
+  * i.e. some-condition-matching, events), `.*` = any number of events.
+  * Time constraints (`(?t<=x)`) are not supported and raise at plan
+  * time rather than silently mis-matching.
+  */
+private[graft] object SeqPattern {
+  sealed trait Tok
+  case class Cond(n: Int) extends Tok
+  case object AnyOne extends Tok
+  case object AnyMany extends Tok
+
+  private val tokRe = "\\(\\?(\\d+)\\)|\\.\\*|\\.".r
+
+  def parse(pattern: String, nConds: Int): Array[Tok] = {
+    val toks = ArrayBuffer.empty[Tok]
+    var pos = 0
+    tokRe.findAllMatchIn(pattern).foreach { m =>
+      require(m.start == pos,
+        s"unsupported sequence pattern at '${pattern.substring(pos)}' " +
+          "(supported: (?N), ., .*)")
+      toks += (m.matched match {
+        case ".*" => AnyMany
+        case "." => AnyOne
+        case _ =>
+          val n = m.group(1).toInt
+          require(n >= 1 && n <= nConds,
+            s"pattern condition (?$n) out of range 1..$nConds")
+          Cond(n)
+      })
+      pos = m.end
+    }
+    require(pos == pattern.length,
+      s"unsupported sequence pattern tail '${pattern.substring(pos)}'")
+    require(toks.nonEmpty, "empty sequence pattern")
+    toks.toArray
+  }
+
+  /** Earliest end index (exclusive) of a match of `toks` starting
+    * exactly at event `from`, or -1. Backtracking; patterns are tiny
+    * and the event list is one group's relevant events. */
+  def matchEnd(toks: Array[Tok], events: Array[(Long, Long)],
+               tok: Int, from: Int): Int = {
+    if (tok == toks.length) return from
+    toks(tok) match {
+      case Cond(n) =>
+        if (from < events.length && ((events(from)._2 >> (n - 1)) & 1L) == 1L)
+          matchEnd(toks, events, tok + 1, from + 1)
+        else -1
+      case AnyOne =>
+        if (from < events.length) matchEnd(toks, events, tok + 1, from + 1)
+        else -1
+      case AnyMany =>
+        var j = from
+        while (j <= events.length) {
+          val e = matchEnd(toks, events, tok + 1, j)
+          if (e >= 0) return e
+          j += 1
+        }
+        -1
+    }
+  }
+
+  /** First match at or after `from`: (startIdx, endIdx) or null. */
+  def search(toks: Array[Tok], events: Array[(Long, Long)],
+             from: Int): (Int, Int) = {
+    var s = from
+    while (s <= events.length) {
+      val e = matchEnd(toks, events, 0, s)
+      if (e >= 0) return (s, e)
+      s += 1
+    }
+    null
+  }
+}
+
+/** `sequenceMatch('pattern')(ts, c1, .., cN)` → 1 if the group's
+  * time-ordered relevant events contain a chain matching the pattern,
+  * else 0 (the ClickHouse UInt8 contract).
+  */
+case class SequenceMatchAgg(
+    pattern: String,
+    ts: Expression,
+    conds: Seq[Expression],
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends EventSequenceAgg {
+
+  override def prettyName: String = "sequenceMatch"
+  override def dataType: DataType = IntegerType
+
+  @transient private lazy val toks = SeqPattern.parse(pattern, conds.size)
+
+  override def eval(buf: ArrayBuffer[(Long, Long)]): Any =
+    if (SeqPattern.search(toks, sorted(buf), 0) != null) 1 else 0
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SequenceMatchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SequenceMatchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SequenceMatchAgg =
+    copy(ts = newChildren.head, conds = newChildren.tail)
+}
+
+/** `sequenceCount('pattern')(ts, c1, .., cN)` → number of
+  * NON-OVERLAPPING pattern matches, scanning left to right and
+  * resuming after each match's end (the documented ClickHouse
+  * contract).
+  */
+case class SequenceCountAgg(
+    pattern: String,
+    ts: Expression,
+    conds: Seq[Expression],
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends EventSequenceAgg {
+
+  override def prettyName: String = "sequenceCount"
+  override def dataType: DataType = LongType
+
+  @transient private lazy val toks = SeqPattern.parse(pattern, conds.size)
+
+  override def eval(buf: ArrayBuffer[(Long, Long)]): Any = {
+    val events = sorted(buf)
+    var from = 0
+    var count = 0L
+    var hit = SeqPattern.search(toks, events, from)
+    while (hit != null) {
+      count += 1
+      // an all-`.*` pattern matches zero events: still must advance
+      from = math.max(hit._2, hit._1 + 1)
+      hit = if (from > events.length) null
+            else SeqPattern.search(toks, events, from)
+    }
+    count
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SequenceCountAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SequenceCountAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SequenceCountAgg =
+    copy(ts = newChildren.head, conds = newChildren.tail)
+}

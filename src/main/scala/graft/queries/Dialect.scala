@@ -262,6 +262,110 @@ object Dialect {
       FROM orders GROUP BY ALL
       ORDER BY o_orderstatus, o_orderpriority""")),
 
+    // G10+: behavioral/funnel analytics family (ClickHouse-distinctive
+    // aggregates over the events stream; docs-faithful, see
+    // functions/Funnel.scala). retention: r[0]=cond1 ever, r[i]=cond1
+    // AND cond(i+1) both ever — serialized to text for the compare
+    // boundary (list cells can't be hash-sorted).
+    Q("g17_retention", ch("""
+      SELECT user_id,
+             arrayStringConcat(
+               arrayMap(x -> toString(x),
+                 retention(event_type = 'view', event_type = 'click',
+                           event_type = 'purchase')), ',') AS r
+      FROM events GROUP BY user_id ORDER BY user_id"""),
+      Some("""
+      SELECT user_id, concat_ws(',', v, v*c, v*p) AS r
+      FROM (SELECT user_id,
+              max(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS v,
+              max(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS c,
+              max(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS p
+            FROM events GROUP BY user_id)
+      ORDER BY user_id""")),
+
+    // windowFunnel: max view->click->purchase level per user, every
+    // step within 1h of the CHAIN-START view, strictly increasing ts
+    // (strict_increase pins the oracle's strict EXISTS-chain exactly)
+    Q("g18_window_funnel", ch("""
+      SELECT lvl, count() AS users FROM (
+        SELECT user_id,
+               windowFunnel(3600, 'strict_increase')(
+                 ts, event_type = 'view', event_type = 'click',
+                 event_type = 'purchase') AS lvl
+        FROM events GROUP BY user_id)
+      GROUP BY lvl ORDER BY lvl"""),
+      Some("""
+      WITH u AS (SELECT DISTINCT user_id FROM events),
+      lv AS (SELECT u.user_id,
+        CASE
+          WHEN EXISTS (SELECT 1 FROM events v, events c, events p
+                 WHERE v.user_id = u.user_id AND c.user_id = u.user_id
+                   AND p.user_id = u.user_id
+                   AND v.event_type = 'view' AND c.event_type = 'click'
+                   AND p.event_type = 'purchase'
+                   AND c.ts > v.ts AND p.ts > c.ts
+                   AND c.ts <= v.ts + INTERVAL 3600 SECOND
+                   AND p.ts <= v.ts + INTERVAL 3600 SECOND) THEN 3
+          WHEN EXISTS (SELECT 1 FROM events v, events c
+                 WHERE v.user_id = u.user_id AND c.user_id = u.user_id
+                   AND v.event_type = 'view' AND c.event_type = 'click'
+                   AND c.ts > v.ts
+                   AND c.ts <= v.ts + INTERVAL 3600 SECOND) THEN 2
+          WHEN EXISTS (SELECT 1 FROM events v
+                 WHERE v.user_id = u.user_id
+                   AND v.event_type = 'view') THEN 1
+          ELSE 0 END AS lvl
+        FROM u)
+      SELECT lvl, count(*) AS users FROM lv GROUP BY lvl ORDER BY lvl""")),
+
+    // sequenceMatch: signup somewhere before a purchase (any events
+    // between; the time-ordered chain the pattern engine searches)
+    Q("g19_sequence_match", ch("""
+      SELECT user_id,
+             sequenceMatch('(?1).*(?2)')(
+               ts, event_type = 'signup', event_type = 'purchase') AS m
+      FROM events GROUP BY user_id ORDER BY user_id"""),
+      Some("""
+      SELECT ev.user_id,
+        CASE WHEN EXISTS (SELECT 1 FROM events s, events p
+               WHERE s.user_id = ev.user_id AND p.user_id = ev.user_id
+                 AND s.event_type = 'signup' AND p.event_type = 'purchase'
+                 AND p.ts > s.ts) THEN 1 ELSE 0 END AS m
+      FROM (SELECT DISTINCT user_id FROM events) ev ORDER BY user_id""")),
+
+    // sequenceCount with an adjacency pattern: view IMMEDIATELY
+    // followed by click within the user's view/click subsequence
+    // (adjacent one-hot matches cannot overlap, so the non-overlapping
+    // greedy count equals the lead()-pair count the oracle takes)
+    Q("g20_sequence_count", ch("""
+      SELECT user_id,
+             sequenceCount('(?1)(?2)')(
+               ts, event_type = 'view', event_type = 'click') AS c
+      FROM events GROUP BY user_id ORDER BY user_id"""),
+      Some("""
+      SELECT ev.user_id, CAST(coalesce(p.c, 0) AS BIGINT) AS c
+      FROM (SELECT DISTINCT user_id FROM events) ev
+      LEFT JOIN (
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'view' AND nxt = 'click') AS c
+        FROM (SELECT user_id, event_type,
+                lead(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, CASE event_type WHEN 'view' THEN 1 ELSE 2 END) AS nxt
+              FROM events WHERE event_type IN ('view', 'click'))
+        GROUP BY user_id) p ON p.user_id = ev.user_id
+      ORDER BY ev.user_id""")),
+
+    // uniqUpTo(N): exact distinct count saturating at N+1 — the
+    // bounded-state cardinality probe (state <= N+1 values per group
+    // at any scale)
+    Q("g21_uniq_upto", ch("""
+      SELECT event_type, uniqUpTo(10)(user_id) AS u
+      FROM events GROUP BY event_type ORDER BY event_type"""),
+      Some("""
+      SELECT event_type,
+             CAST(least(count(DISTINCT user_id), 11) AS BIGINT) AS u
+      FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // O7c: WITH FILL ... INTERPOLATE (col AS col) — synthesized grid
     // rows carry the last real value forward per prefix group instead
     // of the type default
