@@ -1168,6 +1168,69 @@ object LlmPipeline {
       FROM (SELECT doc_id, text,
               unnest(generate_series(0, greatest(0, length(text) - 1), 150)) AS chunk_start
             FROM documents)
-      ORDER BY doc_id, chunk_id"""))
+      ORDER BY doc_id, chunk_id""")),
+
+    // L34: DSIR-style importance resampling (Xie et al. 2023, "Data
+    // Selection for Language Models via Importance Resampling"):
+    // hashed-unigram bucket features, per-doc importance weight =
+    // sum of log-likelihood ratios between the TARGET distribution
+    // (here: the corpus's English docs) and the RAW distribution, then
+    // Gumbel-top-k sampling on (weight + Gumbel noise). The noise is
+    // derived deterministically from md5(doc_id) so the DuckDB oracle
+    // reproduces the draw exactly (production would seed xxhash64).
+    // Scale shape: one token explode, two 64-row bucket aggregations,
+    // a BROADCAST of the 64-row ratio table back onto the token
+    // stream, one groupBy(doc_id) — no all-pairs, no driver loops.
+    Q("l34_dsir_resample", (s, dir) => {
+      graft.dialect.ChFunctions.register(s) // md5Prefix60
+      val B = 64
+      val toks = docsWithToks(s, dir)
+        .select(col("doc_id"), col("lang"), explode(col("__toks")).as("token"))
+        .withColumn("b", expr(s"md5Prefix60(token) % $B"))
+      val qd = toks.groupBy("b").agg(count(lit(1)).as("qc"))
+      val pd = toks.filter(col("lang") === "en")
+        .groupBy("b").agg(count(lit(1)).as("pc"))
+      val totals = qd.agg(sum(col("qc")).as("qtot")).crossJoin(
+        pd.agg(sum(col("pc")).as("ptot")))
+      val lr = qd.join(pd, Seq("b"), "left")
+        .na.fill(0L, Seq("pc"))
+        .crossJoin(broadcast(totals))
+        .select(col("b"),
+          (log((col("pc") + 1.0) / (col("ptot") + B)) -
+           log((col("qc") + 1.0) / (col("qtot") + B))).as("lr"))
+      val w = toks.join(broadcast(lr), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("lr")).as("w"))
+      // deterministic Gumbel key: u in (0,1) from md5(doc_id)
+      val key = (col("w") -
+        log(-log((expr("md5Prefix60(cast(doc_id AS string))") % 1000000 +
+          0.5) / 1000000.0))).as("gkey")
+      w.select(col("doc_id"), col("w"), key)
+        .orderBy(col("gkey").desc, col("doc_id"))
+        .limit(50)
+        .select(col("doc_id"), round(col("w"), 3).as("w"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH t AS (SELECT doc_id, lang,
+                   unnest(string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) token
+                 FROM documents),
+      f AS (SELECT doc_id, lang,
+              ('0x' || substr(md5(token), 1, 15))::BIGINT % 64 AS b
+            FROM t),
+      qd AS (SELECT b, count(*) qc FROM f GROUP BY b),
+      pd AS (SELECT b, count(*) pc FROM f WHERE lang = 'en' GROUP BY b),
+      tot AS (SELECT (SELECT sum(qc) FROM qd) qtot, (SELECT sum(pc) FROM pd) ptot),
+      lr AS (SELECT qd.b,
+               ln((coalesce(pd.pc, 0) + 1.0) / (tot.ptot + 64)) -
+               ln((qd.qc + 1.0) / (tot.qtot + 64)) AS lr
+             FROM qd LEFT JOIN pd ON pd.b = qd.b, tot),
+      w AS (SELECT f.doc_id, sum(lr.lr) w
+            FROM f JOIN lr ON lr.b = f.b GROUP BY f.doc_id),
+      g AS (SELECT doc_id, w,
+              w - ln(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 + 0.5) / 1000000.0)) AS gkey
+            FROM w)
+      SELECT doc_id, round(w, 3) AS w
+      FROM (SELECT * FROM g ORDER BY gkey DESC, doc_id LIMIT 50)
+      ORDER BY doc_id"""))
   )
 }
