@@ -110,6 +110,41 @@ object Streaming {
         ON s.user_id = l.user_id AND s.session_id < l.max_sid
       ORDER BY s.user_id, session_start""")),
 
+    // ST8: incremental streaming funnel — per-user windowFunnel with
+    // O(#steps) carry state instead of buffered events
+    // (EventsStreaming.funnelLevels; cross-micro-batch state continuity
+    // is pinned in StreamingSpec). Batch run == the strict EXISTS-chain
+    // oracle, same as g18_window_funnel's.
+    Q("st8_stream_funnel", (s, dir) => {
+      EventsStreaming.funnelLevels(Tables.events(s, dir), 3600,
+          Seq("view", "click", "purchase"))
+        .toDF()
+        .groupBy(col("lvl")).agg(count(lit(1)).as("users"))
+        .orderBy("lvl")
+    }, Some("""
+      WITH u AS (SELECT DISTINCT user_id FROM events),
+      lv AS (SELECT u.user_id,
+        CASE
+          WHEN EXISTS (SELECT 1 FROM events v, events c, events p
+                 WHERE v.user_id = u.user_id AND c.user_id = u.user_id
+                   AND p.user_id = u.user_id
+                   AND v.event_type = 'view' AND c.event_type = 'click'
+                   AND p.event_type = 'purchase'
+                   AND c.ts > v.ts AND p.ts > c.ts
+                   AND c.ts <= v.ts + INTERVAL 3600 SECOND
+                   AND p.ts <= v.ts + INTERVAL 3600 SECOND) THEN 3
+          WHEN EXISTS (SELECT 1 FROM events v, events c
+                 WHERE v.user_id = u.user_id AND c.user_id = u.user_id
+                   AND v.event_type = 'view' AND c.event_type = 'click'
+                   AND c.ts > v.ts
+                   AND c.ts <= v.ts + INTERVAL 3600 SECOND) THEN 2
+          WHEN EXISTS (SELECT 1 FROM events v
+                 WHERE v.user_id = u.user_id
+                   AND v.event_type = 'view') THEN 1
+          ELSE 0 END AS lvl
+        FROM u)
+      SELECT lvl, count(*) AS users FROM lv GROUP BY lvl ORDER BY lvl""")),
+
     // ST5: stream-stream attribution join — each purchase with the
     // count of the same user's clicks in the preceding 30 minutes
     // (zero-click purchases kept). The streaming variant (watermarked

@@ -204,6 +204,81 @@ object EventsStreaming {
       .orderBy("event_id")
   }
 
+  /** Per-user funnel carry: chain-start/step timestamps per level plus
+    * the best level reached — O(#levels) longs per user, NOT the event
+    * history. */
+  case class FunnelState(startUs: Array[Long], stepUs: Array[Long], best: Int)
+
+  /** Current funnel level per user. */
+  case class FunnelLevel(user_id: Long, lvl: Int)
+
+  /** Incremental windowFunnel over a stream (the streaming face of
+    * functions/Funnel.scala's WindowFunnelAgg, strict_increase
+    * semantics): per user, the max level k such that steps
+    * step1..stepk occurred in strictly-increasing event time with
+    * every step within `windowSec` of the CHAIN-START step-1 event.
+    *
+    * State is the carry arrays alone — O(#steps) longs per user,
+    * independent of event count: the 100 TB streaming shape (a
+    * buffered-events design would hold every relevant event per user
+    * forever). Each micro-batch's group iterator is sorted by event
+    * time before advancing the carry, so in-batch disorder is free;
+    * CROSS-batch late data is the watermark trade-off the caller
+    * accepts (pair with withWatermark upstream to bound it), and the
+    * strictly-monotone carry arrays make replayed/duplicate events
+    * idempotent. On a batch input the group sees all events at once
+    * and the result is exact (the oracle's EXISTS-chain).
+    *
+    * Emits one (user_id, lvl) row per user per (micro-)batch in
+    * Update mode.
+    */
+  def funnelLevels(events: DataFrame, windowSec: Long,
+                   steps: Seq[String]): Dataset[FunnelLevel] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val n = steps.size
+    require(n >= 1, "funnelLevels needs at least one step")
+    val stepIdx = steps.zipWithIndex.toMap
+    val typed = events.selectExpr("user_id", "ts", "event_type")
+      .as[(Long, java.sql.Timestamp, String)]
+    // every user keeps a group (level-0 users emit 0, matching the
+    // batch oracle); non-step events drop inside the group fn
+    typed
+      .groupByKey(_._1)
+      .mapGroupsWithState[FunnelState, FunnelLevel](
+        GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[FunnelState]) =>
+          val st = state.getOption.getOrElse(
+            FunnelState(Array.fill(n)(Long.MinValue),
+              Array.fill(n)(Long.MinValue), 0))
+          val startUs = st.startUs.clone()
+          val stepUs = st.stepUs.clone()
+          var best = st.best
+          val windowUs = windowSec * 1000000L
+          // sort the batch's events; the carry then advances in time
+          // order exactly like the batch aggregate
+          val evs = rows.flatMap(r => stepIdx.get(r._3)
+              .map(k => (toMicros(r._2), k))).toArray
+            .sortBy(identity)
+          evs.foreach { case (t, k) =>
+            if (k == 0) {
+              if (t > startUs(0) || startUs(0) == Long.MinValue) {
+                startUs(0) = t; stepUs(0) = t
+              }
+              if (best < 1) best = 1
+            } else if (startUs(k - 1) != Long.MinValue &&
+                       t - startUs(k - 1) <= windowUs &&
+                       t > stepUs(k - 1)) {
+              startUs(k) = startUs(k - 1)
+              stepUs(k) = t
+              if (best < k + 1) best = k + 1
+            }
+          }
+          state.update(FunnelState(startUs, stepUs, best))
+          FunnelLevel(user, best)
+      }
+  }
+
   /** Session windows per user: events within `gap` of each other fuse
     * into one session. */
   def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =

@@ -195,4 +195,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(1).getAs[Long]("n_events") === 1)
     assert(out(2).getAs[Long]("n_events") === 1)
   }
+
+  test("incremental funnel carries chain state across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val df = input.toDF().toDF("user_id", "ts", "event_type")
+    val q = EventsStreaming
+      .funnelLevels(df, 3600, Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel_lv")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        (1L, ts("2026-01-01 10:00:00"), "view"),
+        (1L, ts("2026-01-01 10:10:00"), "click"),
+        (2L, ts("2026-01-01 10:00:00"), "view"),
+        (3L, ts("2026-01-01 10:00:00"), "view"))
+      q.processAllAvailable()
+      input.addData(
+        // u1 completes the chain only via state carried from batch 1
+        (1L, ts("2026-01-01 10:20:00"), "purchase"),
+        // u2 skips the click step: purchase cannot attach
+        (2L, ts("2026-01-01 10:05:00"), "purchase"),
+        // u3's click lands past chain-start + 3600s
+        (3L, ts("2026-01-01 11:30:00"), "click"))
+      q.processAllAvailable()
+      // lvl is monotone per user, so the final level is the max emitted
+      val fin = spark.table("funnel_lv")
+        .groupBy("user_id").agg(max("lvl").as("lvl"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(fin === Map(1L -> 3, 2L -> 1, 3L -> 1))
+    } finally q.stop()
+  }
 }
