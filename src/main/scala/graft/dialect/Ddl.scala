@@ -383,6 +383,14 @@ object Ddl {
     "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+DELETE\\s+WHERE\\s+(.+)$".r
   private val alterUpdateRe =
     "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+UPDATE\\s+(.+?)\\s+WHERE\\s+(.+)$".r
+  // partition lifecycle (ClickHouse's cheap data-management tier: at
+  // 100 TB, retention is a partition metadata op, never a rewrite)
+  private val alterDropPartRe =
+    "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+DROP\\s+PARTITION\\s+(?:ID\\s+)?(.+?)\\s*$".r
+  private val alterDetachPartRe =
+    "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+DETACH\\s+PARTITION\\s+(?:ID\\s+)?(.+?)\\s*$".r
+  private val alterAttachPartRe =
+    "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+ATTACH\\s+PARTITION\\s+(?:ID\\s+)?(.+?)\\s*$".r
 
   def isDdl(sql: String): Boolean =
     ("(?is)^\\s*(CREATE|DROP|USE|INSERT|TRUNCATE|ALTER|OPTIMIZE" +
@@ -503,6 +511,12 @@ object Ddl {
             d.withColumn(c, when(condC, expr(e)).otherwise(col(c)))
           }
         })
+      case alterDropPartRe(name, part) =>
+        dropPartition(spark, name, parsePartValue(part))
+      case alterDetachPartRe(name, part) =>
+        detachPartition(spark, name, parsePartValue(part))
+      case alterAttachPartRe(name, part) =>
+        attachPartition(spark, name, parsePartValue(part))
       case alterAddColRe(name, ifNot, colDef) =>
         val t = colDef.trim
         val sp = t.indexOf(' ')
@@ -792,6 +806,99 @@ object Ddl {
     spark.sql(s"TRUNCATE TABLE $bare")
     staged.write.mode("append").insertInto(bare)
     spark.emptyDataFrame
+    }
+
+  /** CH partition ids arrive bare (201306), quoted ('201306'), or as
+    * `PARTITION ID 'x'` — our materialized `_part` is INT, so anything
+    * non-integral is a user error worth naming. */
+  private def parsePartValue(raw0: String): Int = {
+    val raw = raw0.trim.stripPrefix("'").stripSuffix("'")
+      .replace("`", "").trim
+    try raw.toInt
+    catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"partition id must be an integral _part value, got '$raw0'")
+    }
+  }
+
+  private def requirePartitioned(spark: SparkSession, bare: String): Unit =
+    if (!spark.table(bare).columns.contains("_part"))
+      throw new IllegalArgumentException(
+        s"$bare has no PARTITION BY — partition operations need a partitioned MergeTree table")
+
+  /** `ALTER TABLE t DROP PARTITION p` — whole-partition retention as a
+    * metadata + directory delete (the ClickHouse contract: never a
+    * rewrite; at 100 TB this is the only affordable delete). Absent
+    * partitions are a no-op, like ClickHouse. */
+  private def dropPartition(spark: SparkSession, name: String, v: Int): DataFrame =
+    appendLocks.getOrElseUpdate(normalize(spark, name), new Object).synchronized {
+      val bare = name.replace("`", "")
+      requirePartitioned(spark, bare)
+      spark.sql(s"ALTER TABLE $bare DROP IF EXISTS PARTITION (`_part` = $v)")
+      // belt and braces: if the catalog retained the directory, remove
+      // it — a later INSERT writing the same partition must not
+      // resurrect dropped rows next to the new ones
+      val leftover = detachedLoc(spark, bare, v).getParent.getParent
+        .resolve(s"_part=$v")
+      if (java.nio.file.Files.isDirectory(leftover)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(leftover).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      spark.catalog.refreshTable(bare)
+      spark.emptyDataFrame
+    }
+
+  private def detachedLoc(spark: SparkSession, bare: String,
+                          v: Int): java.nio.file.Path = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(bare)
+    val tableLoc = java.nio.file.Paths.get(
+      new java.net.URI(spark.sessionState.catalog
+        .getTableMetadata(ident).location.toString))
+    tableLoc.resolve("detached").resolve(s"_part=$v")
+  }
+
+  /** `ALTER TABLE t DETACH PARTITION p` — drop the partition from the
+    * catalog but keep its files under `<table>/detached/_part=p` (the
+    * ClickHouse layout), ready to re-ATTACH. The detached dir is
+    * invisible to scans: a partitioned catalog table reads only its
+    * registered partition locations. */
+  private def detachPartition(spark: SparkSession, name: String, v: Int): DataFrame =
+    appendLocks.getOrElseUpdate(normalize(spark, name), new Object).synchronized {
+      val bare = name.replace("`", "")
+      requirePartitioned(spark, bare)
+      val catalog = spark.sessionState.catalog
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(bare)
+      val spec = Map("_part" -> v.toString)
+      val part = catalog.getPartition(ident, spec) // throws if absent
+      val src = java.nio.file.Paths.get(new java.net.URI(part.location.toString))
+      val dst = detachedLoc(spark, bare, v)
+      catalog.dropPartitions(ident, Seq(spec), ignoreIfNotExists = false,
+        purge = false, retainData = true)
+      java.nio.file.Files.createDirectories(dst.getParent)
+      java.nio.file.Files.move(src, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      spark.catalog.refreshTable(bare)
+      spark.emptyDataFrame
+    }
+
+  /** `ALTER TABLE t ATTACH PARTITION p` — move the detached directory
+    * back into place and re-register the partition: data returns with
+    * zero rewrite. */
+  private def attachPartition(spark: SparkSession, name: String, v: Int): DataFrame =
+    appendLocks.getOrElseUpdate(normalize(spark, name), new Object).synchronized {
+      val bare = name.replace("`", "")
+      requirePartitioned(spark, bare)
+      val src = detachedLoc(spark, bare, v)
+      if (!java.nio.file.Files.isDirectory(src))
+        throw new IllegalArgumentException(
+          s"no detached partition $v for $bare (expected at $src)")
+      val dst = src.getParent.getParent.resolve(s"_part=$v")
+      java.nio.file.Files.move(src, dst)
+      spark.sql(s"ALTER TABLE $bare ADD PARTITION (`_part` = $v)")
+      spark.catalog.refreshTable(bare)
+      spark.emptyDataFrame
     }
 
   private def createTable(spark: SparkSession, ifNotExists: Boolean,

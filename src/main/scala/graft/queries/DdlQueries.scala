@@ -220,6 +220,39 @@ object DdlQueries {
              sum(CAST(o_totalprice AS DECIMAL(14,2))) AS total
       FROM orders GROUP BY st ORDER BY st""")),
 
+    // S4c: partition lifecycle — the 100 TB retention tier. DROP
+    // PARTITION removes a month as a metadata+directory delete (no
+    // rewrite); DETACH parks a month under <table>/detached invisible
+    // to scans; ATTACH restores it byte-identical. The final per-month
+    // rollup must equal orders minus ONLY the dropped month (the
+    // detached month came back; oracle recomputes from base parquet).
+    Q("s14_partition_ops", (s, dir) => {
+      ChContext.setup(s, dir)
+      Engine.execute(s, "CREATE DATABASE IF NOT EXISTS graft_t")
+      Engine.execute(s, "DROP TABLE IF EXISTS graft_t.pord")
+      Engine.execute(s, """
+        CREATE TABLE graft_t.pord (
+          o_orderkey Int64, o_totalprice Float64, o_orderdate DateTime)
+        ENGINE=MergeTree() PARTITION BY toYYYYMM(o_orderdate)
+        ORDER BY (o_orderkey)""")
+      Engine.execute(s, """
+        INSERT INTO graft_t.pord
+        SELECT o_orderkey, o_totalprice, o_orderdate FROM orders""")
+      Engine.execute(s, "ALTER TABLE graft_t.pord DROP PARTITION 199506")
+      Engine.execute(s, "ALTER TABLE graft_t.pord DETACH PARTITION 199507")
+      Engine.execute(s, "ALTER TABLE graft_t.pord ATTACH PARTITION 199507")
+      Engine.execute(s, """
+        SELECT _part AS ym, count() AS n,
+               sum(CAST(o_totalprice AS Decimal(14,2))) AS sum_price
+        FROM graft_t.pord GROUP BY ym ORDER BY ym""")
+    }, Some("""
+      SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS INT) AS ym,
+             count(*) AS n,
+             sum(CAST(o_totalprice AS DECIMAL(14,2))) AS sum_price
+      FROM orders
+      WHERE year(o_orderdate)*100 + month(o_orderdate) <> 199506
+      GROUP BY 1 ORDER BY ym""")),
+
     // External dictionary: CREATE DICTIONARY over nation, then the
     // dictGet/dictHas/dictGetOrDefault lookup family against supplier
     // keys — present keys resolve, absent keys (+100) fall back to the

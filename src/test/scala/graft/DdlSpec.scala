@@ -1153,4 +1153,45 @@ class DdlSpec extends AnyFunSuite {
     assert(got === Seq((1L, "alpha", -1.0), (2L, null, 2.5),
       (3L, "gamma", 3.5), (4L, "delta", 4.5), (5L, null, 5.5)))
   }
+
+  test("partition lifecycle: DROP / DETACH / ATTACH / no resurrection") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.pl")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.pl (id Int64, d DateTime)
+      ENGINE=MergeTree() PARTITION BY toYYYYMM(d) ORDER BY (id)""")
+    Engine.execute(spark, """
+      INSERT INTO graft_spec.pl SELECT number,
+        toDateTime('2024-01-15 00:00:00') + toIntervalMonth(number % 3)
+      FROM numbers(30)""")
+    def counts(): Map[Int, Long] = Engine.execute(spark,
+      "SELECT _part AS p, count() AS n FROM graft_spec.pl GROUP BY p")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts() === Map(202401 -> 10L, 202402 -> 10L, 202403 -> 10L))
+
+    // DETACH: rows vanish from scans but the files survive
+    Engine.execute(spark, "ALTER TABLE graft_spec.pl DETACH PARTITION 202402")
+    assert(counts() === Map(202401 -> 10L, 202403 -> 10L))
+    // ATTACH: rows return byte-identical
+    Engine.execute(spark, "ALTER TABLE graft_spec.pl ATTACH PARTITION 202402")
+    assert(counts() === Map(202401 -> 10L, 202402 -> 10L, 202403 -> 10L))
+
+    // DROP: gone for good; absent partitions are a no-op
+    Engine.execute(spark, "ALTER TABLE graft_spec.pl DROP PARTITION 202403")
+    Engine.execute(spark, "ALTER TABLE graft_spec.pl DROP PARTITION 209912")
+    assert(counts() === Map(202401 -> 10L, 202402 -> 10L))
+
+    // a later INSERT into the dropped month must not resurrect old rows
+    Engine.execute(spark, """
+      INSERT INTO graft_spec.pl SELECT number + 1000,
+        toDateTime('2024-03-20 00:00:00') FROM numbers(3)""")
+    assert(counts() === Map(202401 -> 10L, 202402 -> 10L, 202403 -> 3L))
+
+    // quoted / ID forms parse; ATTACH of a never-detached partition fails
+    Engine.execute(spark, "ALTER TABLE graft_spec.pl DETACH PARTITION '202403'")
+    Engine.execute(spark, "ALTER TABLE graft_spec.pl ATTACH PARTITION ID '202403'")
+    assert(counts()(202403) === 3L)
+    intercept[Exception](Engine.execute(spark,
+      "ALTER TABLE graft_spec.pl ATTACH PARTITION 209901"))
+  }
 }
