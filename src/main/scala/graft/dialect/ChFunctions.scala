@@ -387,6 +387,9 @@ object ChFunctions {
     // theta-sketch flavor: same approx-distinct contract, HLL++ backend
     "uniqTheta" -> (a => HyperLogLogPlusPlus(a.head).toAggregateExpression()),
     "uniqExact" -> (a => Count(a).toAggregateExpression(isDistinct = true)),
+    "countDistinct" -> (a => Count(a).toAggregateExpression(isDistinct = true)),
+    "sumDistinct" -> (a => Sum(a.head).toAggregateExpression(isDistinct = true)),
+    "avgDistinct" -> (a => Average(a.head).toAggregateExpression(isDistinct = true)),
     "median" -> (a => new Percentile(a.head, Literal(0.5d)).toAggregateExpression()),
     "quantileTDigest" -> (a => // approx sketch variant -> approx percentile
       new ApproximatePercentile(a(1), a(0)).toAggregateExpression()),
@@ -408,6 +411,17 @@ object ChFunctions {
         case other => throw new IllegalArgumentException(s"topK k must be a literal, got $other")
       }
       graft.functions.TopKSketch(a.head, k).toAggregateExpression()
+    }),
+    // topKWeighted(k)(x, w): same space-saving counters, each row
+    // contributing its (integral) weight instead of 1
+    "topKWeightedAgg" -> (a => {
+      val k = a(2) match {
+        case Literal(i: Int, IntegerType) => i
+        case Literal(l: Long, LongType) => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"topKWeighted k must be a literal, got $other")
+      }
+      graft.functions.TopKSketch(a.head, k, Some(a(1))).toAggregateExpression()
     }),
     "groupArray" -> (a => CollectList(a.head).toAggregateExpression()),
     "groupUniqArray" -> (a => CollectSet(a.head).toAggregateExpression()),

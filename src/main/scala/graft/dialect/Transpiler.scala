@@ -390,7 +390,12 @@ object Transpiler {
     s = rewriteParameterized(s, "quantile(?:Exact)?",
       (p, arg) => s"percentile($arg, $p)")
     // topK(k)(x) -> topKAgg(x, k) (space-saving sketch aggregate)
+    s = rewriteParameterized(s, "topKWeighted",
+      (k, arg) => s"topKWeightedAgg($arg, $k)")
     s = rewriteParameterized(s, "topK", (k, arg) => s"topKAgg($arg, $k)")
+    // groupArraySorted(n)(x): the n smallest values, sorted
+    s = rewriteParameterized(s, "groupArraySorted",
+      (n, arg) => s"slice(arraySort(groupArray($arg)), 1, $n)")
     // windowFunnel(W[, 'strict_increase'])(ts, c1, ..) -> flat aggregate
     s = rewriteParameterized(s, "windowFunnel", (p, arg) => {
       val parts = p.split(",").map(_.trim)

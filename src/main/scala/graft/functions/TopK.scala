@@ -32,15 +32,17 @@ import scala.collection.mutable
 case class TopKSketch(
     child: Expression,
     k: Int,
+    weight: Option[Expression] = None,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[mutable.LinkedHashMap[String, (Long, Long)]] {
 
-  private val capacity = math.max(k * 8, 64)
+  private def capacity = math.max(k * 8, 64)
 
-  override def children: Seq[Expression] = Seq(child)
+  override def children: Seq[Expression] = child +: weight.toSeq
   override def nullable: Boolean = false
-  override def prettyName: String = "topK"
+  override def prettyName: String =
+    if (weight.isDefined) "topKWeighted" else "topK"
 
   private def typePreserved: Boolean = child.dataType match {
     case StringType | LongType | IntegerType | ShortType | ByteType |
@@ -86,7 +88,23 @@ case class TopKSketch(
   override def update(buf: mutable.LinkedHashMap[String, (Long, Long)],
                       input: InternalRow): mutable.LinkedHashMap[String, (Long, Long)] = {
     val v = child.eval(input)
-    if (v != null) bump(buf, v.toString, 1L, 0L)
+    if (v != null) {
+      // topKWeighted: each row contributes its weight instead of 1
+      // (same space-saving counters — weights are just batched counts)
+      val add = weight match {
+        case None => 1L
+        case Some(w) => w.eval(input) match {
+          case null => 0L
+          case l: Long => l
+          case i: Int => i.toLong
+          case s: Short => s.toLong
+          case b: Byte => b.toLong
+          case d: org.apache.spark.sql.types.Decimal => d.toLong
+          case other => other.toString.toDouble.toLong
+        }
+      }
+      if (add > 0L) bump(buf, v.toString, add, 0L)
+    }
     buf
   }
 
@@ -132,5 +150,6 @@ case class TopKSketch(
   override def withNewInputAggBufferOffset(newOffset: Int): TopKSketch =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): TopKSketch =
-    copy(child = newChildren.head)
+    copy(child = newChildren.head,
+      weight = if (newChildren.size > 1) Some(newChildren(1)) else None)
 }

@@ -366,6 +366,41 @@ object Dialect {
              CAST(least(count(DISTINCT user_id), 11) AS BIGINT) AS u
       FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // G-extras: -Distinct aliases, Pearson corr (Spark builtin through
+    // the dialect), groupArraySorted(n), topKWeighted(k) — the
+    // weighted space-saving sketch is EXACT here (7 distinct line
+    // numbers << capacity), so DuckDB reproduces it as a plain
+    // weight-ordered top-2
+    Q("g22_agg_extras", ch("""
+      SELECT l_returnflag,
+             countDistinct(l_suppkey) AS cd,
+             sumDistinct(l_linenumber) AS sd,
+             round(corr(l_quantity, l_extendedprice), 3) + 0 AS cor,
+             arrayStringConcat(arrayMap(x -> toString(x),
+               groupArraySorted(3)(l_linenumber)), ',') AS g3,
+             arrayStringConcat(arrayMap(x -> toString(x),
+               topKWeighted(2)(l_linenumber, CAST(l_quantity AS Int64))), ',') AS tk
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      Some("""
+      WITH wk AS (SELECT l_returnflag, l_linenumber,
+                    sum(CAST(l_quantity AS BIGINT)) AS w
+                  FROM lineitem GROUP BY 1, 2),
+      tk AS (SELECT l_returnflag,
+               string_agg(CAST(l_linenumber AS VARCHAR), ','
+                 ORDER BY w DESC, CAST(l_linenumber AS VARCHAR)) FILTER (rk <= 2) AS tk
+             FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                     ORDER BY w DESC, CAST(l_linenumber AS VARCHAR)) AS rk
+                   FROM wk)
+             GROUP BY l_returnflag)
+      SELECT l.l_returnflag,
+             count(DISTINCT l.l_suppkey) AS cd,
+             CAST(sum(DISTINCT l.l_linenumber) AS BIGINT) AS sd,
+             round(corr(l.l_quantity, l.l_extendedprice), 3) + 0 AS cor,
+             array_to_string(list_sort(list(l.l_linenumber))[1:3], ',') AS g3,
+             any_value(tk.tk) AS tk
+      FROM lineitem l JOIN tk ON tk.l_returnflag = l.l_returnflag
+      GROUP BY l.l_returnflag ORDER BY l.l_returnflag""")),
+
     // O7c: WITH FILL ... INTERPOLATE (col AS col) — synthesized grid
     // rows carry the last real value forward per prefix group instead
     // of the type default
