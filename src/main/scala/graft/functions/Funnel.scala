@@ -138,8 +138,13 @@ case class WindowFunnelAgg(
     val stepTs = Array.fill(n)(Long.MinValue)
     var best = 0
     events.foreach { case (t, mask) =>
-      var k = 0
-      while (k < n) {
+      // bits DESCENDING: an event satisfying several conditions must
+      // not advance level k off its own level-(k-1) update (a chain
+      // may not use one event twice; ascending order self-clobbered
+      // stepTs and killed real chains — found by PropertySpec's
+      // brute-force cross-check)
+      var k = n - 1
+      while (k >= 0) {
         if (((mask >> k) & 1L) == 1L) {
           if (k == 0) {
             if (t > startTs(0) || startTs(0) == Long.MinValue) {
@@ -154,7 +159,7 @@ case class WindowFunnelAgg(
             if (best < k + 1) best = k + 1
           }
         }
-        k += 1
+        k -= 1
       }
     }
     best
@@ -171,17 +176,22 @@ case class WindowFunnelAgg(
 
 /** Pattern tokens for sequenceMatch/sequenceCount: `(?N)` = an event
   * satisfying condition N, `.` = exactly one event (of the buffered,
-  * i.e. some-condition-matching, events), `.*` = any number of events.
-  * Time constraints (`(?t<=x)`) are not supported and raise at plan
-  * time rather than silently mis-matching.
+  * i.e. some-condition-matching, events), `.*` = any number of events,
+  * `(?t OP n)` = the NEXT matched event's timestamp relative to the
+  * PREVIOUS matched event's, `n` in the timestamp column's seconds
+  * (the documented ClickHouse time-constraint semantics; OP is one of
+  * <= < >= > == !=). Anything else raises at plan time rather than
+  * silently mis-matching.
   */
 private[graft] object SeqPattern {
   sealed trait Tok
   case class Cond(n: Int) extends Tok
   case object AnyOne extends Tok
   case object AnyMany extends Tok
+  case class TimeCond(op: String, seconds: Long) extends Tok
 
-  private val tokRe = "\\(\\?(\\d+)\\)|\\.\\*|\\.".r
+  private val tokRe =
+    "\\(\\?(\\d+)\\)|\\(\\?t\\s*(<=|>=|==|!=|<|>)\\s*(\\d+)\\)|\\.\\*|\\.".r
 
   def parse(pattern: String, nConds: Int): Array[Tok] = {
     val toks = ArrayBuffer.empty[Tok]
@@ -189,10 +199,12 @@ private[graft] object SeqPattern {
     tokRe.findAllMatchIn(pattern).foreach { m =>
       require(m.start == pos,
         s"unsupported sequence pattern at '${pattern.substring(pos)}' " +
-          "(supported: (?N), ., .*)")
+          "(supported: (?N), (?t<=n), ., .*)")
       toks += (m.matched match {
         case ".*" => AnyMany
         case "." => AnyOne
+        case _ if m.group(2) != null =>
+          TimeCond(m.group(2), m.group(3).toLong)
         case _ =>
           val n = m.group(1).toInt
           require(n >= 1 && n <= nConds,
@@ -204,27 +216,50 @@ private[graft] object SeqPattern {
     require(pos == pattern.length,
       s"unsupported sequence pattern tail '${pattern.substring(pos)}'")
     require(toks.nonEmpty, "empty sequence pattern")
+    require(!toks.headOption.exists(_.isInstanceOf[TimeCond]),
+      "sequence pattern cannot start with a time constraint")
     toks.toArray
   }
 
+  private def timeOk(op: String, delta: Long, bound: Long): Boolean = op match {
+    case "<=" => delta <= bound
+    case "<" => delta < bound
+    case ">=" => delta >= bound
+    case ">" => delta > bound
+    case "==" => delta == bound
+    case "!=" => delta != bound
+  }
+
   /** Earliest end index (exclusive) of a match of `toks` starting
-    * exactly at event `from`, or -1. Backtracking; patterns are tiny
-    * and the event list is one group's relevant events. */
+    * exactly at event `from`, or -1. `prevTs` = timestamp of the last
+    * event a Cond/AnyOne consumed; `pending` = time constraints
+    * awaiting the next consumed event. Backtracking; patterns are tiny
+    * and the event list is one group's relevant events. `scale` =
+    * ticks per second of the timestamp column. */
   def matchEnd(toks: Array[Tok], events: Array[(Long, Long)],
-               tok: Int, from: Int): Int = {
-    if (tok == toks.length) return from
+               tok: Int, from: Int, scale: Long = 1L,
+               prevTs: Long = Long.MinValue,
+               pending: List[TimeCond] = Nil): Int = {
+    if (tok == toks.length) return if (pending.isEmpty) from else -1
+    def consume(next: Int): Int = {
+      val t = events(next)._1
+      val ok = prevTs == Long.MinValue ||
+        pending.forall(tc => timeOk(tc.op, t - prevTs, tc.seconds * scale))
+      if (ok) matchEnd(toks, events, tok + 1, next + 1, scale, t, Nil) else -1
+    }
     toks(tok) match {
       case Cond(n) =>
         if (from < events.length && ((events(from)._2 >> (n - 1)) & 1L) == 1L)
-          matchEnd(toks, events, tok + 1, from + 1)
+          consume(from)
         else -1
       case AnyOne =>
-        if (from < events.length) matchEnd(toks, events, tok + 1, from + 1)
-        else -1
+        if (from < events.length) consume(from) else -1
+      case tc: TimeCond =>
+        matchEnd(toks, events, tok + 1, from, scale, prevTs, tc :: pending)
       case AnyMany =>
         var j = from
         while (j <= events.length) {
-          val e = matchEnd(toks, events, tok + 1, j)
+          val e = matchEnd(toks, events, tok + 1, j, scale, prevTs, pending)
           if (e >= 0) return e
           j += 1
         }
@@ -234,10 +269,10 @@ private[graft] object SeqPattern {
 
   /** First match at or after `from`: (startIdx, endIdx) or null. */
   def search(toks: Array[Tok], events: Array[(Long, Long)],
-             from: Int): (Int, Int) = {
+             from: Int, scale: Long = 1L): (Int, Int) = {
     var s = from
     while (s <= events.length) {
-      val e = matchEnd(toks, events, 0, s)
+      val e = matchEnd(toks, events, 0, s, scale)
       if (e >= 0) return (s, e)
       s += 1
     }
@@ -263,7 +298,7 @@ case class SequenceMatchAgg(
   @transient private lazy val toks = SeqPattern.parse(pattern, conds.size)
 
   override def eval(buf: ArrayBuffer[(Long, Long)]): Any =
-    if (SeqPattern.search(toks, sorted(buf), 0) != null) 1 else 0
+    if (SeqPattern.search(toks, sorted(buf), 0, tsScale) != null) 1 else 0
 
   override def withNewMutableAggBufferOffset(newOffset: Int): SequenceMatchAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -296,13 +331,13 @@ case class SequenceCountAgg(
     val events = sorted(buf)
     var from = 0
     var count = 0L
-    var hit = SeqPattern.search(toks, events, from)
+    var hit = SeqPattern.search(toks, events, from, tsScale)
     while (hit != null) {
       count += 1
       // an all-`.*` pattern matches zero events: still must advance
       from = math.max(hit._2, hit._1 + 1)
       hit = if (from > events.length) null
-            else SeqPattern.search(toks, events, from)
+            else SeqPattern.search(toks, events, from, tsScale)
     }
     count
   }

@@ -401,6 +401,27 @@ object Dialect {
       FROM lineitem l JOIN tk ON tk.l_returnflag = l.l_returnflag
       GROUP BY l.l_returnflag ORDER BY l.l_returnflag""")),
 
+    // sequenceMatch time constraint: view IMMEDIATELY followed (in the
+    // view/purchase subsequence) by a purchase no more than 15 minutes
+    // later — (?t<=900) bounds the gap between the two matched events
+    Q("g23_sequence_time", ch("""
+      SELECT user_id,
+             sequenceMatch('(?1)(?t<=900)(?2)')(
+               ts, event_type = 'view', event_type = 'purchase') AS m
+      FROM events GROUP BY user_id ORDER BY user_id"""),
+      Some("""
+      SELECT ev.user_id, CASE WHEN EXISTS (
+        SELECT 1 FROM (
+          SELECT user_id, event_type, ts,
+                 lead(event_type) OVER w AS nt, lead(ts) OVER w AS nts
+          FROM events WHERE event_type IN ('view', 'purchase')
+          WINDOW w AS (PARTITION BY user_id
+            ORDER BY ts, CASE event_type WHEN 'view' THEN 1 ELSE 2 END)
+        ) x WHERE x.user_id = ev.user_id AND x.event_type = 'view'
+            AND x.nt = 'purchase'
+            AND x.nts - x.ts <= INTERVAL 900 SECOND) THEN 1 ELSE 0 END AS m
+      FROM (SELECT DISTINCT user_id FROM events) ev ORDER BY ev.user_id""")),
+
     // O7c: WITH FILL ... INTERPOLATE (col AS col) — synthesized grid
     // rows carry the last real value forward per prefix group instead
     // of the type default

@@ -1231,6 +1231,45 @@ object LlmPipeline {
             FROM w)
       SELECT doc_id, round(w, 3) AS w
       FROM (SELECT * FROM g ORDER BY gkey DESC, doc_id LIMIT 50)
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // L35: exact-substring dedup (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better"): every 20-token
+    // window is fingerprinted (md5-60, the oracle-paritable hash); an
+    // occurrence whose gram already appeared earlier in corpus order
+    // (doc_id, pos) is a removable duplicate span. Per doc: how many
+    // of its window positions duplicate earlier text. Scale shape:
+    // one explode to (doc, pos, hash-long) — 8-byte keys, not 120-byte
+    // gram strings — one shuffle keyed on the hash, no all-pairs.
+    Q("l35_exact_substring_dedup", (s, dir) => {
+      graft.dialect.ChFunctions.register(s) // md5Prefix60
+      val G = 20
+      val grams = docsWithToks(s, dir)
+        .filter(size(col("__toks")) >= G)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, size(__toks) - $G), i -> " +
+            s"struct(i AS pos, md5Prefix60(array_join(slice(__toks, i + 1, $G), ' ')) AS h))"))
+          .as("g"))
+        .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+      val w = Window.partitionBy("h").orderBy("doc_id", "pos")
+      grams.withColumn("rk", row_number().over(w))
+        .filter(col("rk") > 1)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("dup_positions"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id,
+                   string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') toks
+                 FROM documents),
+      g AS (SELECT doc_id, i AS pos,
+              ('0x' || substr(md5(array_to_string(toks[i+1:i+20], ' ')), 1, 15))::BIGINT AS h
+            FROM (SELECT doc_id, toks,
+                    unnest(generate_series(0, len(toks) - 20)) AS i
+                  FROM t WHERE len(toks) >= 20)),
+      r AS (SELECT doc_id,
+              row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+            FROM g)
+      SELECT doc_id, count(*) AS dup_positions
+      FROM r WHERE rk > 1 GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -141,10 +141,26 @@ class FunnelSpec extends AnyFunSuite {
   test("sequence pattern rejects unsupported syntax at plan time") {
     withEvents(Seq((1L, 100L, "view"))) {
       val e = intercept[Exception](sql("""
-        SELECT sequenceMatch('(?1)(?t<=10)(?2)')(ts,
+        SELECT sequenceMatch('(?1)[x](?2)')(ts,
           event_type = 'view', event_type = 'click') AS m
         FROM fev""").collect())
       assert(e.getMessage != null)
+    }
+  }
+
+  test("sequence time constraints bound the gap between matched events") {
+    withEvents(Seq(
+      (1L, 100L, "view"), (1L, 150L, "click"),   // 50s gap
+      (2L, 100L, "view"), (2L, 800L, "click")    // 700s gap
+    )) {
+      def m(pat: String) = funnel(s"""
+        SELECT user_id, sequenceMatch('$pat')(ts,
+          event_type = 'view', event_type = 'click') AS m
+        FROM fev GROUP BY user_id""")
+      assert(m("(?1)(?t<=600)(?2)") === Map(1L -> 1, 2L -> 0))
+      assert(m("(?1)(?t>600)(?2)") === Map(1L -> 0, 2L -> 1))
+      // constraint applies across a .* hop too
+      assert(m("(?1)(?t<600).*(?2)") === Map(1L -> 1, 2L -> 0))
     }
   }
 
