@@ -154,6 +154,52 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // ---- ChCompression framing under random payloads + chunked reads ----
+
+  private val payloadGen: Gen[Array[Byte]] = Gen.oneOf(
+    // random bytes (incompressible), sized 0..4096
+    Gen.choose(0, 4096).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)),
+    // low-entropy runs (the compressible regime)
+    Gen.zip(Gen.choose(0, 50000), Gen.choose(Byte.MinValue, Byte.MaxValue))
+      .map { case (n, b) => Array.fill(n)(b) })
+
+  test("compression frames round-trip for every method and payload shape") {
+    import graft.formats.ChCompression
+    val methods = Seq(ChCompression.MethodLZ4, ChCompression.MethodZSTD,
+      ChCompression.MethodNone)
+    forAll(Gen.zip(payloadGen, Gen.oneOf(methods)), n = 150) { case (raw, m) =>
+      val frame = ChCompression.compressFrame(raw, m)
+      val (back, consumed) = ChCompression.decodeFrame(frame)
+      assert(consumed === frame.length)
+      assert(java.util.Arrays.equals(back, raw), s"method=$m len=${raw.length}")
+    }
+  }
+
+  test("frameStream reassembles multi-frame payloads from a dribbling socket") {
+    import graft.formats.ChCompression
+    // frameStream's contract: the caller consumes EXACTLY the block's
+    // bytes (readers decode one block's own structure) — so the test
+    // reads precisely the expected length, never past the last frame;
+    // payloads are nonempty like every real mid-block frame
+    val multiGen = Gen.choose(1, 4).flatMap(k => Gen.listOfN(k,
+      payloadGen.map(p => if (p.isEmpty) Array[Byte](7) else p)))
+    forAll(Gen.zip(multiGen, Gen.choose(1, 7)), n = 60) { case (parts, chunk) =>
+      val wire = parts.map(p => ChCompression.compressFrame(p)).toArray.flatten
+      val want = parts.toArray.flatten
+      // a socket that returns at most `chunk` bytes per read — frames
+      // routinely span reads
+      val dribble = new java.io.InputStream {
+        private val in = new java.io.ByteArrayInputStream(wire)
+        override def read(): Int = in.read()
+        override def read(b: Array[Byte], off: Int, len: Int): Int =
+          in.read(b, off, math.min(len, chunk))
+      }
+      val got = ChCompression.frameStream(dribble).readNBytes(want.length)
+      assert(java.util.Arrays.equals(got, want))
+    }
+  }
+
   test("sequenceCount of an adjacent one-hot pair equals the pair count") {
     forAll(seqGen) { events =>
       val evs = events.toArray
