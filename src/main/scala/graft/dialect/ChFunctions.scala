@@ -473,17 +473,19 @@ object ChFunctions {
         case other => throw new IllegalArgumentException(
           s"windowFunnel window must be an integer literal, got $other")
       }
-      val strict = a(1) match {
-        case Literal(i: Int, IntegerType) => i != 0
-        case Literal(l: Long, LongType) => l != 0L
+      val flags = a(1) match {
+        case Literal(i: Int, IntegerType) => i
+        case Literal(l: Long, LongType) => l.toInt
         case other => throw new IllegalArgumentException(
-          s"windowFunnel mode flag must be a literal, got $other")
+          s"windowFunnel mode flags must be a literal, got $other")
       }
       val fConds = a.drop(3)
       require(fConds.nonEmpty && fConds.size <= 32,
         s"windowFunnel supports 1..32 conditions, got ${fConds.size}")
       graft.functions.WindowFunnelAgg(
-        w, strict, a(2), fConds.map(asBool)).toAggregateExpression()
+        w, (flags & 1) != 0, a(2), fConds.map(asBool),
+        strictOrder = (flags & 2) != 0,
+        strictDedup = (flags & 4) != 0).toAggregateExpression()
     }),
     "sequenceMatchAgg" -> (a => {
       val pat = litStr(a.head, "sequenceMatch pattern")

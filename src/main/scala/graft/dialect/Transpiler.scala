@@ -396,11 +396,17 @@ object Transpiler {
     // groupArraySorted(n)(x): the n smallest values, sorted
     s = rewriteParameterized(s, "groupArraySorted",
       (n, arg) => s"slice(arraySort(groupArray($arg)), 1, $n)")
-    // windowFunnel(W[, 'strict_increase'])(ts, c1, ..) -> flat aggregate
+    // windowFunnel(W[, modes...])(ts, c1, ..) -> flat aggregate; modes
+    // pack into one literal bitmask (1=strict_increase, 2=strict_order,
+    // 4=strict_deduplication)
     s = rewriteParameterized(s, "windowFunnel", (p, arg) => {
       val parts = p.split(",").map(_.trim)
-      val strict = if (parts.exists(_.contains("strict_increase"))) 1 else 0
-      s"windowFunnelAgg(${parts.head}, $strict, $arg)"
+      val flags =
+        (if (parts.exists(_.contains("strict_increase"))) 1 else 0) |
+        (if (parts.exists(_.contains("strict_order"))) 2 else 0) |
+        (if (parts.exists(x => x.contains("strict_dedup") ||
+             x.contains("strict_deduplication"))) 4 else 0)
+      s"windowFunnelAgg(${parts.head}, $flags, $arg)"
     })
     s = rewriteParameterized(s, "sequenceMatch",
       (pat, arg) => s"sequenceMatchAgg($pat, $arg)")

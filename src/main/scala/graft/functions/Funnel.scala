@@ -104,23 +104,33 @@ abstract class EventSequenceAgg
   }
 }
 
-/** `windowFunnel(window[, 'strict_increase'])(ts, c1, .., cN)` — the
-  * maximum funnel level reached: the longest prefix c1..ck completed by
-  * some event chain whose every step lies within `window` of the
+/** `windowFunnel(window[, modes...])(ts, c1, .., cN)` — the maximum
+  * funnel level reached: the longest prefix c1..ck completed by some
+  * event chain whose every step lies within `window` of the
   * CHAIN-START event (the documented ClickHouse sliding-window
   * contract). Single left-to-right pass over the sorted events carrying
   * the chain-start timestamp upward level by level; the level-1 start
   * keeps the LATEST qualifying event (maximal remaining window slack),
   * so one O(E*N) scan dominates every existential chain.
   *
-  * `strictIncrease` additionally requires each step's timestamp to be
-  * strictly greater than the previous step's ('strict_increase' mode).
+  * Modes (each re-implemented from the published docs and pinned by
+  * PropertySpec brute-force mirrors):
+  *   - `strictIncrease` ('strict_increase'): each step's timestamp
+  *     strictly exceeds the previous step's;
+  *   - `strictOrder` ('strict_order'): no interleaving — the chain must
+  *     be CONSECUTIVE within the group's condition-matching events
+  *     (A→B→D→C finds A→B, the D cuts the search toward C);
+  *   - `strictDedup` ('strict_deduplication'): an event repeating a
+  *     condition the chain already passed interrupts that chain's
+  *     further processing (its reached level still counts).
   */
 case class WindowFunnelAgg(
     window: Long,
     strictIncrease: Boolean,
     ts: Expression,
     conds: Seq[Expression],
+    strictOrder: Boolean = false,
+    strictDedup: Boolean = false,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
     extends EventSequenceAgg {
@@ -128,16 +138,62 @@ case class WindowFunnelAgg(
   override def prettyName: String = "windowFunnel"
   override def dataType: DataType = IntegerType
 
+  /** strict_order: chains are consecutive runs in the event
+    * subsequence — walk each possible start. O(E*N) total since a
+    * consecutive chain can only extend N-1 steps. */
+  private def evalStrictOrder(events: Array[(Long, Long)], n: Int,
+                              windowT: Long): Int = {
+    var best = 0
+    var i = 0
+    while (i < events.length) {
+      if ((events(i)._2 & 1L) == 1L) {
+        val start = events(i)._1
+        var lvl = 1
+        var j = i + 1
+        var lastT = start
+        var go = true
+        while (go && j < events.length && lvl < n) {
+          val (t, mask) = events(j)
+          if (((mask >> lvl) & 1L) == 1L && t - start <= windowT &&
+              (!strictIncrease || t > lastT)) {
+            lvl += 1; lastT = t; j += 1
+          } else go = false // any other event interleaves: chain cut
+        }
+        if (lvl > best) best = lvl
+      }
+      i += 1
+    }
+    best
+  }
+
   override def eval(buf: ArrayBuffer[(Long, Long)]): Any = {
     val events = sorted(buf)
     val n = conds.size
     val windowT = window * tsScale
+    if (strictOrder) return evalStrictOrder(events, n, windowT)
     // startTs(k): chain-start ts of a chain that has reached level k+1;
     // stepTs(k): ts of that chain's level-(k+1) event (strict mode)
     val startTs = Array.fill(n)(Long.MinValue)
     val stepTs = Array.fill(n)(Long.MinValue)
     var best = 0
     events.foreach { case (t, mask) =>
+      // strict_dedup: an event repeating condition k interrupts every
+      // chain that already contains a cond-k step (levels >= k) —
+      // killed BEFORE this event may extend anything, so a dead chain
+      // cannot advance off the very event that killed it
+      if (strictDedup) {
+        var kk = 0
+        while (kk < n) {
+          if (((mask >> kk) & 1L) == 1L) {
+            var j = kk
+            while (j < n) {
+              startTs(j) = Long.MinValue; stepTs(j) = Long.MinValue
+              j += 1
+            }
+          }
+          kk += 1
+        }
+      }
       // bits DESCENDING: an event satisfying several conditions must
       // not advance level k off its own level-(k-1) update (a chain
       // may not use one event twice; ascending order self-clobbered

@@ -69,6 +69,43 @@ class FunnelSpec extends AnyFunSuite {
     }
   }
 
+  test("windowFunnel strict_order cuts chains on interleaving events") {
+    withEvents(Seq(
+      // u1: view, click, ERROR, purchase — error interleaves (it IS a
+      // funnel condition here), so strict_order stops at 2
+      (1L, 100L, "view"), (1L, 200L, "click"),
+      (1L, 300L, "error"), (1L, 400L, "purchase"),
+      // u2: perfectly consecutive chain => 3
+      (2L, 100L, "view"), (2L, 200L, "click"), (2L, 300L, "purchase")
+    )) {
+      def lvl(modes: String) = funnel(s"""
+        SELECT user_id, windowFunnel(1000$modes)(ts,
+          event_type = 'view', event_type = 'click',
+          event_type = 'purchase', event_type = 'error') AS lvl
+        FROM fev GROUP BY user_id""")
+      assert(lvl("") === Map(1L -> 3, 2L -> 3))
+      assert(lvl(", 'strict_order'") === Map(1L -> 2, 2L -> 3))
+    }
+  }
+
+  test("windowFunnel strict_deduplication interrupts on a repeated condition") {
+    withEvents(Seq(
+      // view, click, VIEW AGAIN, purchase: the repeat kills the
+      // level-2 chain before purchase can extend it => 2 (best seen)
+      (1L, 100L, "view"), (1L, 200L, "click"),
+      (1L, 300L, "view"), (1L, 400L, "purchase"),
+      (2L, 100L, "view"), (2L, 200L, "click"), (2L, 300L, "purchase")
+    )) {
+      def lvl(modes: String) = funnel(s"""
+        SELECT user_id, windowFunnel(1000$modes)(ts,
+          event_type = 'view', event_type = 'click',
+          event_type = 'purchase') AS lvl
+        FROM fev GROUP BY user_id""")
+      assert(lvl("") === Map(1L -> 3, 2L -> 3))
+      assert(lvl(", 'strict_deduplication'") === Map(1L -> 2, 2L -> 3))
+    }
+  }
+
   test("windowFunnel merge across partitions equals single-partition run") {
     val rows = (0L until 400L).map { i =>
       val u = i % 7
