@@ -503,6 +503,23 @@ object ChFunctions {
       graft.functions.SequenceCountAgg(
         pat, a(1), a.drop(2).map(asBool)).toAggregateExpression()
     }),
+    // deltaSumTimestamp(value, ts): positive consecutive deltas in
+    // event-time order (exact buffered variant, see Funnel.scala)
+    "deltaSumTimestamp" -> (a =>
+      graft.functions.DeltaSumTimestampAgg(a(0), a(1)).toAggregateExpression()),
+    // sumCount(x) -> Tuple(sum, count)
+    "sumCount" -> (a => CreateStruct(Seq(
+      Sum(a.head).toAggregateExpression(),
+      Count(Seq(a.head)).toAggregateExpression()))),
+    // boundingRatio(x, y): slope between the min-x and max-x points
+    "boundingRatio" -> (a => {
+      val x = Cast(a(0), DoubleType); val y = Cast(a(1), DoubleType)
+      Divide(
+        Subtract(MaxBy(y, x).toAggregateExpression(),
+          MinBy(y, x).toAggregateExpression()),
+        Subtract(Max(x).toAggregateExpression(),
+          Min(x).toAggregateExpression()))
+    }),
     // retention(c1,..,cN) -> Array(UInt8): r[0] = cond1 ever held for
     // the group, r[i] = cond1 AND cond(i+1) both held (independently,
     // per the ClickHouse docs) — pure composition of Max aggregates,

@@ -230,6 +230,96 @@ case class WindowFunnelAgg(
     copy(ts = newChildren.head, conds = newChildren.tail)
 }
 
+/** `deltaSumTimestamp(value, ts)` — sum of POSITIVE deltas between
+  * consecutive values in event-time order (the counter-reset-tolerant
+  * rate primitive; re-implemented from the published docs — the
+  * reference delegates it to chdb, main.py:190). Buffers (ts, value)
+  * pairs and differences them sorted at finish: EXACT under
+  * distribution and merge order, unlike a boundary-only state, at the
+  * cost of per-group state linear in the group's rows — the honest
+  * trade-off, documented; ClickHouse's own merge is order-sensitive.
+  * Ties on ts break by value so the result is deterministic.
+  */
+case class DeltaSumTimestampAgg(
+    value: Expression,
+    tsExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[ArrayBuffer[(Long, Double)]] {
+
+  override def children: Seq[Expression] = Seq(value, tsExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "deltaSumTimestamp"
+
+  override def createAggregationBuffer(): ArrayBuffer[(Long, Double)] =
+    ArrayBuffer.empty
+
+  private def num(a: Any): Option[Double] = a match {
+    case null => None
+    case d: Double => Some(d)
+    case f: Float => Some(f.toDouble)
+    case l: Long => Some(l.toDouble)
+    case i: Int => Some(i.toDouble)
+    case s: Short => Some(s.toDouble)
+    case b: Byte => Some(b.toDouble)
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+    case other => Some(other.toString.toDouble)
+  }
+
+  override def update(buf: ArrayBuffer[(Long, Double)],
+                      input: InternalRow): ArrayBuffer[(Long, Double)] = {
+    val t = tsExpr.eval(input)
+    val v = value.eval(input)
+    if (t != null && v != null)
+      num(t.asInstanceOf[Any]).zip(num(v)).foreach { case (tt, vv) =>
+        buf += ((tt.toLong, vv))
+      }
+    buf
+  }
+
+  override def merge(buf: ArrayBuffer[(Long, Double)],
+                     other: ArrayBuffer[(Long, Double)]): ArrayBuffer[(Long, Double)] = {
+    buf ++= other; buf
+  }
+
+  override def eval(buf: ArrayBuffer[(Long, Double)]): Any = {
+    val s = buf.toArray.sortBy(identity)
+    var sum = 0.0
+    var i = 1
+    while (i < s.length) {
+      val d = s(i)._2 - s(i - 1)._2
+      if (d > 0) sum += d
+      i += 1
+    }
+    sum
+  }
+
+  override def serialize(buf: ArrayBuffer[(Long, Double)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (t, v) => out.writeLong(t); out.writeDouble(v) }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Long, Double)] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new ArrayBuffer[(Long, Double)](n)
+    (0 until n).foreach(_ => buf += ((in.readLong(), in.readDouble())))
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): DeltaSumTimestampAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): DeltaSumTimestampAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): DeltaSumTimestampAgg =
+    copy(value = newChildren(0), tsExpr = newChildren(1))
+}
+
 /** Pattern tokens for sequenceMatch/sequenceCount: `(?N)` = an event
   * satisfying condition N, `.` = exactly one event (of the buffered,
   * i.e. some-condition-matching, events), `.*` = any number of events,

@@ -422,6 +422,35 @@ object Dialect {
             AND x.nts - x.ts <= INTERVAL 900 SECOND) THEN 1 ELSE 0 END AS m
       FROM (SELECT DISTINCT user_id FROM events) ev ORDER BY ev.user_id""")),
 
+    // deltaSumTimestamp (positive consecutive deltas in event-time
+    // order), sumCount tuple, boundingRatio slope — per user over the
+    // events stream; single-event users excluded (0/0 slope)
+    Q("g24_delta_bounding", ch("""
+      SELECT user_id,
+             round(deltaSumTimestamp(value, ts), 4) AS ds,
+             round(tupleElement(sumCount(value), 1), 4) AS s,
+             tupleElement(sumCount(value), 2) AS c,
+             round(boundingRatio(event_id, value), 6) + 0 AS br
+      FROM events GROUP BY user_id HAVING count() >= 2
+      ORDER BY user_id"""),
+      Some("""
+      WITH l AS (SELECT user_id,
+                   value - lag(value) OVER (PARTITION BY user_id
+                     ORDER BY ts, value) AS dd
+                 FROM events),
+      dsum AS (SELECT user_id,
+                 sum(CASE WHEN dd > 0 THEN dd ELSE 0 END) AS ds
+               FROM l GROUP BY user_id),
+      ag AS (SELECT user_id, sum(value) s, count(value) c,
+               arg_max(value, event_id) ymax, arg_min(value, event_id) ymin,
+               max(event_id) xmax, min(event_id) xmin, count(*) n
+             FROM events GROUP BY user_id)
+      SELECT ag.user_id, round(coalesce(dsum.ds, 0), 4) AS ds,
+             round(ag.s, 4) AS s, ag.c AS c,
+             round((ag.ymax - ag.ymin) / (ag.xmax - ag.xmin), 6) + 0 AS br
+      FROM ag LEFT JOIN dsum ON dsum.user_id = ag.user_id
+      WHERE ag.n >= 2 ORDER BY ag.user_id""")),
+
     // O7c: WITH FILL ... INTERPOLATE (col AS col) — synthesized grid
     // rows carry the last real value forward per prefix group instead
     // of the type default
