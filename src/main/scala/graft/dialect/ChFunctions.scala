@@ -60,6 +60,38 @@ object ChFunctions {
       LambdaFunction(out, Seq(out)))
   }
 
+  // ---- vector distance/norm family (ClickHouse's L*Distance/Norm,
+  // dotProduct, cosineDistance, normalize*): pure higher-order array
+  // compositions — ZipWith + ArrayAggregate stay inside whole-stage
+  // codegen, so these run at builtin speed over embedding columns ----
+
+  /** Fold f(x) over the array's elements as double: Σ f(x_i) (or max
+    * via `useMax`). */
+  private def vecFold(arr: Expression, f: Expression => Expression,
+                      useMax: Boolean = false): Expression = {
+    val x = UnresolvedNamedLambdaVariable(Seq("__graft_vx"))
+    val acc = UnresolvedNamedLambdaVariable(Seq("__graft_vacc"))
+    val out = UnresolvedNamedLambdaVariable(Seq("__graft_vout"))
+    val step = if (useMax) Greatest(Seq(acc, f(Cast(x, DoubleType))))
+               else Add(acc, f(Cast(x, DoubleType)))
+    ArrayAggregate(arr, Literal(0d),
+      LambdaFunction(step, Seq(acc, x)), LambdaFunction(out, Seq(out)))
+  }
+
+  /** Element-wise combine of two arrays as double. */
+  private def vecZip(a: Expression, b: Expression,
+                     f: (Expression, Expression) => Expression): Expression = {
+    val x = UnresolvedNamedLambdaVariable(Seq("__graft_vza"))
+    val y = UnresolvedNamedLambdaVariable(Seq("__graft_vzb"))
+    ZipWith(a, b,
+      LambdaFunction(f(Cast(x, DoubleType), Cast(y, DoubleType)), Seq(x, y)))
+  }
+
+  private def dotProduct(a: Expression, b: Expression): Expression =
+    vecFold(vecZip(a, b, Multiply(_, _)), identity)
+  private def l2Norm(a: Expression): Expression =
+    Sqrt(vecFold(a, x => Multiply(x, x)))
+
   /** Fold a user lambda over an array with ArrayAggregate. The analyzer
     * only accepts user-written lambdas when the registered builder's
     * top-level result IS a HigherOrderFunction (Size(ArrayFilter(...))
@@ -502,6 +534,30 @@ object ChFunctions {
       graft.functions.SeqPattern.parse(pat, a.size - 2) // plan-time check
       graft.functions.SequenceCountAgg(
         pat, a(1), a.drop(2).map(asBool)).toAggregateExpression()
+    }),
+    // vector distance/norm family over Array(Float32/Float64) columns
+    "dotProduct" -> (a => dotProduct(a(0), a(1))),
+    "scalarProduct" -> (a => dotProduct(a(0), a(1))),
+    "arrayDotProduct" -> (a => dotProduct(a(0), a(1))),
+    "L1Norm" -> (a => vecFold(a.head, Abs(_))),
+    "L2Norm" -> (a => l2Norm(a.head)),
+    "L2SquaredNorm" -> (a => vecFold(a.head, x => Multiply(x, x))),
+    "LinfNorm" -> (a => vecFold(a.head, Abs(_), useMax = true)),
+    "L1Distance" -> (a => vecFold(vecZip(a(0), a(1),
+      (x, y) => Abs(Subtract(x, y))), identity)),
+    "L2Distance" -> (a => Sqrt(vecFold(vecZip(a(0), a(1),
+      (x, y) => Multiply(Subtract(x, y), Subtract(x, y))), identity))),
+    "L2SquaredDistance" -> (a => vecFold(vecZip(a(0), a(1),
+      (x, y) => Multiply(Subtract(x, y), Subtract(x, y))), identity)),
+    "LinfDistance" -> (a => vecFold(vecZip(a(0), a(1),
+      (x, y) => Abs(Subtract(x, y))), identity, useMax = true)),
+    "cosineDistance" -> (a => Subtract(Literal(1d),
+      Divide(dotProduct(a(0), a(1)),
+        Multiply(l2Norm(a(0)), l2Norm(a(1)))))),
+    "normalizeL2" -> (a => {
+      val x = UnresolvedNamedLambdaVariable(Seq("__graft_vnx"))
+      ArrayTransform(a.head,
+        LambdaFunction(Divide(Cast(x, DoubleType), l2Norm(a.head)), Seq(x)))
     }),
     // deltaSumTimestamp(value, ts): positive consecutive deltas in
     // event-time order (exact buffered variant, see Funnel.scala)

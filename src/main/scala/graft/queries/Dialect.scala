@@ -451,6 +451,37 @@ object Dialect {
       FROM ag LEFT JOIN dsum ON dsum.user_id = ag.user_id
       WHERE ag.n >= 2 ORDER BY ag.user_id""")),
 
+    // F31: vector distance/norm family over the embeddings table —
+    // ZipWith/ArrayAggregate compositions (codegen'd, no UDF); every
+    // vector pairs with a deterministic partner and DuckDB recomputes
+    // all seven measures from indexed unnest
+    Q("f31_vector_fns", ch("""
+      SELECT a.vec_id,
+             round(dotProduct(a.embedding, b.embedding), 4) AS dp,
+             round(L2Norm(a.embedding), 4) AS n2,
+             round(L1Distance(a.embedding, b.embedding), 4) AS d1,
+             round(L2Distance(a.embedding, b.embedding), 4) AS d2,
+             round(LinfDistance(a.embedding, b.embedding), 4) AS dinf,
+             round(cosineDistance(a.embedding, b.embedding), 6) AS cd,
+             round(arraySum(normalizeL2(a.embedding)), 4) AS nsum
+      FROM embeddings a JOIN embeddings b ON b.vec_id = (a.vec_id + 7) % 500
+      ORDER BY a.vec_id"""),
+      Some("""
+      WITH p AS (SELECT a.vec_id, a.embedding ea, b.embedding eb
+                 FROM embeddings a JOIN embeddings b
+                   ON b.vec_id = (a.vec_id + 7) % 500),
+      u AS (SELECT vec_id, CAST(ea[i] AS DOUBLE) x, CAST(eb[i] AS DOUBLE) y
+            FROM p, LATERAL (SELECT unnest(generate_series(1, len(ea))) AS i) g)
+      SELECT vec_id,
+             round(sum(x*y), 4) AS dp,
+             round(sqrt(sum(x*x)), 4) AS n2,
+             round(sum(abs(x-y)), 4) AS d1,
+             round(sqrt(sum((x-y)*(x-y))), 4) AS d2,
+             round(max(abs(x-y)), 4) AS dinf,
+             round(1 - sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cd,
+             round(sum(x) / sqrt(sum(x*x)), 4) AS nsum
+      FROM u GROUP BY vec_id ORDER BY vec_id""")),
+
     // O7c: WITH FILL ... INTERPOLATE (col AS col) — synthesized grid
     // rows carry the last real value forward per prefix group instead
     // of the type default
