@@ -612,6 +612,22 @@ object Ddl {
             org.apache.spark.sql.functions.current_timestamp())
           case None => df
         }
+        // OPTIMIZE ... DEDUPLICATE [BY col, ...]: full-row (or listed-
+        // column) dedup materialized on merge, any engine
+        val dedupM = ("(?is)\\bDEDUPLICATE\\b(?:\\s+BY\\s+(.+?))?\\s*$").r
+          .findFirstMatchIn(s)
+        if (dedupM.isDefined) {
+          val byCols = dedupM.get.group(1) match {
+            case null => Nil
+            case cs => splitTopLevel(cs).map(_.trim.replace("`", ""))
+              .filter(_.nonEmpty)
+          }
+          mutate(spark, om.group(1), { df =>
+            val d = if (byCols.isEmpty) df.dropDuplicates()
+                    else df.dropDuplicates(byCols)
+            withTtl(d)
+          })
+        } else
         (replacingMeta(spark, om.group(1)), summingMeta(spark, om.group(1))) match {
           case (Some((keys, ver)), _) if keys.nonEmpty =>
             mutate(spark, om.group(1), df => withTtl(replacingDedup(df, keys, ver)))

@@ -1154,6 +1154,24 @@ class DdlSpec extends AnyFunSuite {
       (3L, "gamma", 3.5), (4L, "delta", 4.5), (5L, null, 5.5)))
   }
 
+  test("OPTIMIZE TABLE DEDUPLICATE drops exact duplicate rows; BY cols keeps one per key") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.dd")
+    Engine.execute(spark,
+      "CREATE TABLE graft_spec.dd (k Int32, v String) ENGINE=MergeTree() ORDER BY (k)")
+    Engine.execute(spark,
+      "INSERT INTO graft_spec.dd VALUES (1,'a'), (1,'a'), (1,'b'), (2,'c'), (2,'c')")
+    Engine.execute(spark, "OPTIMIZE TABLE graft_spec.dd DEDUPLICATE")
+    val rows = Engine.execute(spark,
+      "SELECT k, v FROM graft_spec.dd ORDER BY k, v")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows === Seq((1, "a"), (1, "b"), (2, "c")))
+    Engine.execute(spark, "OPTIMIZE TABLE graft_spec.dd DEDUPLICATE BY k")
+    val ks = Engine.execute(spark, "SELECT k FROM graft_spec.dd ORDER BY k")
+      .collect().map(_.getInt(0)).toSeq
+    assert(ks === Seq(1, 2))
+  }
+
   test("partition lifecycle: DROP / DETACH / ATTACH / no resurrection") {
     Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
     Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.pl")
