@@ -474,6 +474,17 @@ object ChFunctions {
     "maxState" -> (a => Max(a.head).toAggregateExpression()),
     "maxMerge" -> (a => Max(a.head).toAggregateExpression()),
     "uniqState" -> (a => new HllSketchAgg(a.head).toAggregateExpression()),
+    // avg's natural two-phase state is (sum, count); avgMerge divides
+    // the re-summed parts — the same partial/final shape Spark's own
+    // Average uses internally
+    "avgState" -> (a => CreateNamedStruct(Seq(
+      Literal("s"), Sum(Cast(a.head, DoubleType)).toAggregateExpression(),
+      Literal("c"), Count(Seq(a.head)).toAggregateExpression()))),
+    "avgMerge" -> (a => Divide(
+      Sum(org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+        a.head, Literal("s"))).toAggregateExpression(),
+      Cast(Sum(org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+        a.head, Literal("c"))).toAggregateExpression(), DoubleType))),
     "groupBitAnd" -> (a => BitAndAgg(a.head).toAggregateExpression()),
     "groupBitOr" -> (a => BitOrAgg(a.head).toAggregateExpression()),
     "groupBitXor" -> (a => BitXorAgg(a.head).toAggregateExpression()),

@@ -673,13 +673,15 @@ object Dialect {
              countMerge(cs) AS n,
              sumMerge(ss) AS qty,
              minMerge(ms) AS min_qty,
-             maxMerge(xs) AS max_qty
+             maxMerge(xs) AS max_qty,
+             round(avgMerge(avs), 4) AS avg_qty
       FROM (
         SELECT l_returnflag, l_linestatus,
                countState() AS cs,
                sumState(CAST(l_quantity AS Decimal(12,2))) AS ss,
                minState(CAST(l_quantity AS Decimal(12,2))) AS ms,
-               maxState(CAST(l_quantity AS Decimal(12,2))) AS xs
+               maxState(CAST(l_quantity AS Decimal(12,2))) AS xs,
+               avgState(l_quantity) AS avs
         FROM lineitem GROUP BY l_returnflag, l_linestatus)
       GROUP BY l_returnflag ORDER BY l_returnflag"""),
       Some("""
@@ -687,13 +689,16 @@ object Dialect {
              CAST(sum(cs) AS BIGINT) AS n,
              CAST(sum(ss) AS DOUBLE) AS qty,
              CAST(min(ms) AS DOUBLE) AS min_qty,
-             CAST(max(xs) AS DOUBLE) AS max_qty
+             CAST(max(xs) AS DOUBLE) AS max_qty,
+             round(sum(avs_s) / sum(avs_c), 4) AS avg_qty
       FROM (
         SELECT l_returnflag, l_linestatus,
                count(*) AS cs,
                sum(CAST(l_quantity AS DECIMAL(12,2))) AS ss,
                min(CAST(l_quantity AS DECIMAL(12,2))) AS ms,
-               max(CAST(l_quantity AS DECIMAL(12,2))) AS xs
+               max(CAST(l_quantity AS DECIMAL(12,2))) AS xs,
+               sum(CAST(l_quantity AS DOUBLE)) AS avs_s,
+               count(l_quantity) AS avs_c
         FROM lineitem GROUP BY l_returnflag, l_linestatus)
       GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
