@@ -546,6 +546,8 @@ object ChFunctions {
       graft.functions.SequenceCountAgg(
         pat, a(1), a.drop(2).map(asBool)).toAggregateExpression()
     }),
+    "arrayAUC" -> (a => graft.functions.ArrayAuc(
+      Cast(a(0), ArrayType(DoubleType)), Cast(a(1), ArrayType(IntegerType)))),
     // vector distance/norm family over Array(Float32/Float64) columns
     "dotProduct" -> (a => dotProduct(a(0), a(1))),
     "scalarProduct" -> (a => dotProduct(a(0), a(1))),

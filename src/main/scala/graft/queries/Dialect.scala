@@ -482,6 +482,26 @@ object Dialect {
              round(sum(x) / sqrt(sum(x*x)), 4) AS nsum
       FROM u GROUP BY vec_id ORDER BY vec_id""")),
 
+    // F32: arrayAUC — per-row ROC AUC over (score, alternating-label)
+    // pairs; the oracle recomputes the Mann-Whitney pair statistic
+    // exactly (ties counted half)
+    Q("f32_array_auc", ch("""
+      SELECT vec_id,
+             round(arrayAUC(embedding,
+               arrayMap(x -> x % 2, range(64))), 6) AS auc
+      FROM embeddings ORDER BY vec_id"""),
+      Some("""
+      WITH u AS (SELECT vec_id, CAST(embedding[i] AS DOUBLE) s, (i-1) % 2 lab
+                 FROM embeddings,
+                      LATERAL (SELECT unnest(generate_series(1, 64)) i) g),
+      pairs AS (SELECT p.vec_id,
+                  CASE WHEN p.s > q.s THEN 1.0
+                       WHEN p.s = q.s THEN 0.5 ELSE 0.0 END AS u01
+                FROM u p JOIN u q ON q.vec_id = p.vec_id
+                WHERE p.lab = 1 AND q.lab = 0)
+      SELECT vec_id, round(sum(u01) / (32.0 * 32.0), 6) AS auc
+      FROM pairs GROUP BY vec_id ORDER BY vec_id""")),
+
     // O7c: WITH FILL ... INTERPOLATE (col AS col) — synthesized grid
     // rows carry the last real value forward per prefix group instead
     // of the type default
