@@ -316,7 +316,8 @@ object Dialect {
                    AND v.event_type = 'view') THEN 1
           ELSE 0 END AS lvl
         FROM u)
-      SELECT lvl, count(*) AS users FROM lv GROUP BY lvl ORDER BY lvl""")),
+      SELECT lvl, count(*) AS users FROM lv GROUP BY lvl ORDER BY lvl"""),
+      bench = true),
 
     // sequenceMatch: signup somewhere before a purchase (any events
     // between; the time-ordered chain the pattern engine searches)

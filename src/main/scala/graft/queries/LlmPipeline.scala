@@ -1231,7 +1231,7 @@ object LlmPipeline {
             FROM w)
       SELECT doc_id, round(w, 3) AS w
       FROM (SELECT * FROM g ORDER BY gkey DESC, doc_id LIMIT 50)
-      ORDER BY doc_id""")),
+      ORDER BY doc_id"""), bench = true),
 
     // L35: exact-substring dedup (Lee et al. 2022, "Deduplicating
     // Training Data Makes Language Models Better"): every 20-token
@@ -1270,6 +1270,6 @@ object LlmPipeline {
               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
             FROM g)
       SELECT doc_id, count(*) AS dup_positions
-      FROM r WHERE rk > 1 GROUP BY doc_id ORDER BY doc_id"""))
+      FROM r WHERE rk > 1 GROUP BY doc_id ORDER BY doc_id"""), bench = true)
   )
 }
