@@ -546,6 +546,18 @@ object ChFunctions {
       graft.functions.SequenceCountAgg(
         pat, a(1), a.drop(2).map(asBool)).toAggregateExpression()
     }),
+    // histogramAgg(N, x): Ben-Haim/Tong streaming-parallel adaptive
+    // histogram (the transpiler rewrites histogram(N)(x) to this)
+    "histogramAgg" -> (a => {
+      val n = a.head match {
+        case Literal(i: Int, IntegerType) => i
+        case Literal(l: Long, LongType) => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"histogram bin count must be a literal, got $other")
+      }
+      require(n >= 1 && n <= 1000, s"histogram bins must be 1..1000, got $n")
+      graft.functions.HistogramAgg(n, a(1)).toAggregateExpression()
+    }),
     "arrayAUC" -> (a => graft.functions.ArrayAuc(
       Cast(a(0), ArrayType(DoubleType)), Cast(a(1), ArrayType(IntegerType)))),
     // vector distance/norm family over Array(Float32/Float64) columns

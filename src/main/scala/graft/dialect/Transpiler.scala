@@ -396,6 +396,8 @@ object Transpiler {
     // groupArraySorted(n)(x): the n smallest values, sorted
     s = rewriteParameterized(s, "groupArraySorted",
       (n, arg) => s"slice(arraySort(groupArray($arg)), 1, $n)")
+    s = rewriteParameterized(s, "histogram",
+      (n, arg) => s"histogramAgg($n, $arg)")
     // windowFunnel(W[, modes...])(ts, c1, ..) -> flat aggregate; modes
     // pack into one literal bitmask (1=strict_increase, 2=strict_order,
     // 4=strict_deduplication)

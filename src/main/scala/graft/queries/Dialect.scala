@@ -503,6 +503,23 @@ object Dialect {
       SELECT vec_id, round(sum(u01) / (32.0 * 32.0), 6) AS auc
       FROM pairs GROUP BY vec_id ORDER BY vec_id""")),
 
+    // G25: adaptive histogram (Ben-Haim/Tong streaming sketch). The
+    // bin placement is sketch-defined, so the gate checks the exact
+    // invariants instead: bin count == N, heights sum EXACTLY to the
+    // row count, outer bounds cover min/max
+    Q("g25_histogram", (s, dir) => {
+      graft.dialect.ChContext.setup(s, dir)
+      graft.dialect.Engine.execute(s, """
+        SELECT histogram(10)(value) AS h, min(value) AS mn, max(value) AS mx
+        FROM events""")
+        .selectExpr("size(h) AS nb",
+          "round(aggregate(h, cast(0 AS DOUBLE), (a, x) -> a + x.height), 4) AS total",
+          "element_at(h, 1).lower <= mn AND element_at(h, size(h)).upper >= mx AS bounds_ok")
+    }, Some("""
+      SELECT 10 AS nb, round(CAST(count(value) AS DOUBLE), 4) AS total,
+             TRUE AS bounds_ok
+      FROM events""")),
+
     // O7c: WITH FILL ... INTERPOLATE (col AS col) — synthesized grid
     // rows carry the last real value forward per prefix group instead
     // of the type default

@@ -154,6 +154,46 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // ---- streaming histogram invariants under random data + merges ----
+
+  test("histogram sketch: exact mass, bounded bins, covering bounds, any merge split") {
+    import graft.functions.HistogramAgg
+    val dataGen = for {
+      n <- Gen.choose(0, 400)
+      xs <- Gen.listOfN(n, Gen.choose(-1000.0, 1000.0))
+    } yield xs
+    forAll(Gen.zip(dataGen, Gen.choose(1, 12), Gen.choose(0, 10)), n = 120) {
+      case (xs, bins, cutSeed) =>
+        val agg = HistogramAgg(bins,
+          org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+            org.apache.spark.sql.types.DoubleType, nullable = false))
+        def feed(values: Seq[Double]): HistogramAgg.Buf =
+          values.foldLeft(agg.createAggregationBuffer()) { (b, x) =>
+            agg.update(b, org.apache.spark.sql.catalyst.InternalRow(x))
+          }
+        val cut = if (xs.isEmpty) 0 else cutSeed % (xs.length + 1)
+        val (a, b) = xs.splitAt(cut)
+        val merged = agg.merge(feed(a), feed(b))
+        val out = agg.eval(merged)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val rows = (0 until out.numElements()).map { i =>
+          val r = out.getStruct(i, 3)
+          (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+        }
+        assert(rows.length <= bins)
+        if (xs.nonEmpty) {
+          assert(rows.map(_._3).sum === xs.length.toDouble) // exact mass
+          assert(rows.head._1 <= xs.min && rows.last._2 >= xs.max)
+          assert(rows.forall { case (lo, hi, h) => lo <= hi && h > 0 })
+          // bins are sorted and contiguous-ordered
+          assert(rows.sliding(2).forall {
+            case Seq((_, hi1, _), (lo2, _, _)) => hi1 <= lo2 + 1e-9
+            case _ => true
+          })
+        } else assert(rows.isEmpty)
+    }
+  }
+
   // ---- ChCompression framing under random payloads + chunked reads ----
 
   private val payloadGen: Gen[Array[Byte]] = Gen.oneOf(
