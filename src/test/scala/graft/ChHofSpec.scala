@@ -485,6 +485,36 @@ class ChHofSpec extends AnyFunSuite {
     assert(h3 === 1.0d)
   }
 
+  test("vector family: known values, zero vectors, length-mismatch nulls") {
+    graft.dialect.ChFunctions.register(spark)
+    def one(sql: String) = spark.sql(graft.dialect.Transpiler.transpile(sql))
+      .collect().head
+    val r = one("""
+      SELECT dotProduct([1.0, 2.0, 3.0], [4.0, 5.0, 6.0]) AS dp,
+             L2Norm([3.0, 4.0]) AS n2,
+             L1Distance([1.0, 2.0], [4.0, 6.0]) AS d1,
+             LinfDistance([1.0, 2.0], [4.0, 6.0]) AS dinf,
+             cosineDistance([1.0, 0.0], [0.0, 1.0]) AS cd,
+             arrayStringConcat(arrayMap(x -> toString(x),
+               normalizeL2([3.0, 4.0])), ',') AS nz,
+             arrayAUC([0.1, 0.4, 0.35, 0.8],
+               [0, 0, 1, 1]) AS auc""")
+    assert(r.getDouble(0) === 32.0)
+    assert(r.getDouble(1) === 5.0)
+    assert(r.getDouble(2) === 7.0)
+    assert(r.getDouble(3) === 4.0)
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-12) // orthogonal => 1
+    assert(r.getString(5) === "0.6,0.8")
+    assert(r.getDouble(6) === 0.75) // the canonical sklearn example
+    // length mismatch: ZipWith pads with null, the fold propagates it —
+    // a NULL result, not a silent wrong number
+    val m = one("SELECT dotProduct([1.0, 2.0], [1.0]) AS dp")
+    assert(m.isNullAt(0))
+    // all-one-class labels: AUC undefined => NULL
+    val a = one("SELECT arrayAUC([0.1, 0.2], [1, 1]) AS auc")
+    assert(a.isNullAt(0))
+  }
+
   test("arrayShuffle keeps the multiset; anyHeavy finds the majority value") {
     graft.dialect.ChFunctions.register(spark)
     val shuffled = spark.sql(graft.dialect.Transpiler.transpile(
