@@ -75,24 +75,37 @@ object Bench {
       try byName(n).run(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    // best-of-3: ambient machine load skews single shots 2-3x; the
-    // minimum is the engine's actual throughput. A run that throws is a
-    // FAILURE, not a fast run — reported as -1, never summed.
-    val results = names.map { name =>
-      setSplit(name)
-      val times = (1 to 3).flatMap { _ =>
+    // best-of-3, with the three repeats INTERLEAVED as full sweep
+    // passes rather than back-to-back: a transient ambient-load spike
+    // (co-scheduled driver work, page-cache churn) lasting under one
+    // pass (~15s at 3M rows) then corrupts at most one of a query's
+    // three samples instead of all three — the r10 driver artifact had
+    // cb01 at 9.35s vs 0.19s local precisely because its repeats all
+    // landed inside one spike window. Same total work as before. A run
+    // that throws is a FAILURE, not a fast run — reported as -1, never
+    // summed.
+    val samples = scala.collection.mutable.Map
+      .empty[String, List[Double]].withDefaultValue(Nil)
+    val crashed = scala.collection.mutable.Set.empty[String]
+    val passLoads = (1 to 3).map { _ =>
+      names.foreach { name =>
+        setSplit(name)
         val t0 = System.nanoTime()
         try {
           byName(name).run(spark, sfDir)
             .write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          samples(name) ::= (System.nanoTime() - t0) / 1e9
         } catch {
           case e: Throwable =>
             System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
-            None
+            crashed += name
         }
       }
-      name -> times.minOption
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    }
+    val results = names.map { name =>
+      name -> (if (crashed(name)) None else samples(name).minOption)
     }
     // partition-prune evidence on the benched plans: the July
     // range-filter queries must scan only the 201307 partition
@@ -116,7 +129,8 @@ object Bench {
     // read honestly (r4/r5 driver runs were re-diagnosed by hand)
     val loadEnd = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","headline_total":$headlineTotal%.3f,"cb_total":$cbTotal%.3f,"cb_queries":${cbNames.length},"hits_n":$hitsN,"fixture_build_sec":$fixtureSec%.1f,"partition_prune_ok":$pruneOk,"loadavg":$loadEnd%.2f,"loadavg_start":$loadStart%.2f,"queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    val passLoadsJson = passLoads.map(l => f"$l%.2f").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","headline_total":$headlineTotal%.3f,"cb_total":$cbTotal%.3f,"cb_queries":${cbNames.length},"hits_n":$hitsN,"fixture_build_sec":$fixtureSec%.1f,"partition_prune_ok":$pruneOk,"loadavg":$loadEnd%.2f,"loadavg_start":$loadStart%.2f,"loadavg_passes":$passLoadsJson,"queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -579,10 +579,21 @@ object ChFunctions {
     "cosineDistance" -> (a => Subtract(Literal(1d),
       Divide(dotProduct(a(0), a(1)),
         Multiply(l2Norm(a(0)), l2Norm(a(1)))))),
+    // normalizeL2: hoist the norm out of the per-element lambda with a
+    // Catalyst `With` common-subexpression — embedding l2Norm(arr) in
+    // the lambda body re-evaluated the full O(n) fold for EVERY element
+    // (O(n²) per row on embedding columns). The optimizer's
+    // RewriteWithExpression pulls the def into a Project so the norm is
+    // computed once per row; the input array is hoisted too so an
+    // expression-valued argument isn't evaluated n+1 times.
     "normalizeL2" -> (a => {
       val x = UnresolvedNamedLambdaVariable(Seq("__graft_vnx"))
-      ArrayTransform(a.head,
-        LambdaFunction(Divide(Cast(x, DoubleType), l2Norm(a.head)), Seq(x)))
+      With(a.head) { case Seq(arr) =>
+        With(l2Norm(arr)) { case Seq(norm) =>
+          ArrayTransform(arr,
+            LambdaFunction(Divide(Cast(x, DoubleType), norm), Seq(x)))
+        }
+      }
     }),
     // deltaSumTimestamp(value, ts): positive consecutive deltas in
     // event-time order (exact buffered variant, see Funnel.scala)

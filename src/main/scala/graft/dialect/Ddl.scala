@@ -875,6 +875,40 @@ object Ddl {
     tableLoc.resolve("detached").resolve(s"_part=$v")
   }
 
+  /** Move a partition directory into place, MERGING with any existing
+    * content at the destination: ClickHouse ATTACH adds detached parts
+    * alongside rows inserted since the DETACH (and a second DETACH
+    * stacks onto an already-populated detached dir). A whole-directory
+    * Files.move would throw FileAlreadyExistsException/
+    * DirectoryNotEmptyException in those workflows and strand the data,
+    * so when dst exists we move file-by-file, uniquifying the rare name
+    * collision (parquet part files are UUID-named, so collisions only
+    * arise from a file detached, re-attached, and re-detached). */
+  private def moveMerging(src: java.nio.file.Path,
+                          dst: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    if (!Files.isDirectory(dst)) {
+      Files.createDirectories(dst.getParent)
+      Files.move(src, dst)
+    } else {
+      val listing = Files.list(src)
+      val files = try {
+        import scala.jdk.CollectionConverters._
+        listing.iterator.asScala.toList
+      } finally listing.close()
+      files.foreach { f: Path =>
+        var target = dst.resolve(f.getFileName)
+        var n = 0
+        while (Files.exists(target)) {
+          n += 1
+          target = dst.resolve(s"attach$n-${f.getFileName}")
+        }
+        Files.move(f, target)
+      }
+      Files.delete(src)
+    }
+  }
+
   /** `ALTER TABLE t DETACH PARTITION p` — drop the partition from the
     * catalog but keep its files under `<table>/detached/_part=p` (the
     * ClickHouse layout), ready to re-ATTACH. The detached dir is
@@ -892,9 +926,7 @@ object Ddl {
       val dst = detachedLoc(spark, bare, v)
       catalog.dropPartitions(ident, Seq(spec), ignoreIfNotExists = false,
         purge = false, retainData = true)
-      java.nio.file.Files.createDirectories(dst.getParent)
-      java.nio.file.Files.move(src, dst,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      moveMerging(src, dst) // detached/_part=p may already hold files
       spark.catalog.refreshTable(bare)
       spark.emptyDataFrame
     }
@@ -911,8 +943,10 @@ object Ddl {
         throw new IllegalArgumentException(
           s"no detached partition $v for $bare (expected at $src)")
       val dst = src.getParent.getParent.resolve(s"_part=$v")
-      java.nio.file.Files.move(src, dst)
-      spark.sql(s"ALTER TABLE $bare ADD PARTITION (`_part` = $v)")
+      // rows may have been inserted into partition v after the DETACH —
+      // ATTACH must add the detached files alongside them, not collide
+      moveMerging(src, dst)
+      spark.sql(s"ALTER TABLE $bare ADD IF NOT EXISTS PARTITION (`_part` = $v)")
       spark.catalog.refreshTable(bare)
       spark.emptyDataFrame
     }

@@ -56,8 +56,13 @@ object Dictionaries {
   /** Literal-map cap; var so specs/ops can tune the literal↔join
     * crossover. Above it, lookups compile to a correlated scalar
     * subquery = a Catalyst join (broadcast under the threshold, shuffle
-    * beyond — size-based, the scale-correct fallback). */
-  @volatile var maxEntries: Int = 10 * 1000 * 1000
+    * beyond — size-based, the scale-correct fallback). 1M is the
+    * driver-safe ceiling: the map is collected to the driver AND
+    * embedded as a `Literal` in the expression tree, so a 10M cap
+    * meant multi-GB driver heap plus an enormous task binary and a
+    * codegen fallback — the join path handles anything larger at no
+    * correctness cost. */
+  @volatile var maxEntries: Int = 1 * 1000 * 1000
 
   def create(spark: SparkSession, name: String, keyCol: String,
              attrs: Seq[Attr], source: String, ifNotExists: Boolean,

@@ -29,10 +29,19 @@ case class ArrayAuc(left: Expression, right: Expression)
   override protected def nullSafeEval(s: Any, l: Any): Any = {
     val scores = s.asInstanceOf[ArrayData].toDoubleArray()
     val labels = l.asInstanceOf[ArrayData].toIntArray()
-    val n = math.min(scores.length, labels.length)
+    // ClickHouse raises BAD_ARGUMENTS on mismatched lengths — silently
+    // truncating to the shorter array would compute a wrong-but-
+    // plausible metric
+    if (scores.length != labels.length)
+      throw new IllegalArgumentException(
+        s"arrayAUC: scores (${scores.length}) and labels " +
+          s"(${labels.length}) must have equal length")
+    val n = scores.length
     if (n == 0) return null
     val idx = (0 until n).sortBy(scores(_))
-    val pTotal = (0 until n).count(labels(_) != 0)
+    // positive iff label > 0 (ClickHouse casts labels to bool via > 0;
+    // a -1 label is a NEGATIVE, not a positive)
+    val pTotal = (0 until n).count(labels(_) > 0)
     val nTotal = n - pTotal
     if (pTotal == 0 || nTotal == 0) return null
     var u = 0.0
@@ -43,7 +52,7 @@ case class ArrayAuc(left: Expression, right: Expression)
       var j = i
       var posRun = 0; var negRun = 0
       while (j < n && scores(idx(j)) == scores(idx(i))) {
-        if (labels(idx(j)) != 0) posRun += 1 else negRun += 1
+        if (labels(idx(j)) > 0) posRun += 1 else negRun += 1
         j += 1
       }
       u += posRun.toDouble * negBelow + 0.5 * posRun * negRun

@@ -362,8 +362,26 @@ private[graft] object SeqPattern {
     require(pos == pattern.length,
       s"unsupported sequence pattern tail '${pattern.substring(pos)}'")
     require(toks.nonEmpty, "empty sequence pattern")
-    require(!toks.headOption.exists(_.isInstanceOf[TimeCond]),
-      "sequence pattern cannot start with a time constraint")
+    // every (?t OP n) must sit between two CONSUMED events — one
+    // before it (else prevTs is undefined and the check would be
+    // silently skipped) and one after it (else the pending constraint
+    // is never applied and the pattern silently fails every match).
+    // ClickHouse rejects both shapes at parse time; so do we, honoring
+    // the scaladoc contract that unsupported patterns raise at plan
+    // time. `.*` does not consume for this purpose — it pins no
+    // timestamp.
+    def consuming(t: Tok): Boolean = t match {
+      case Cond(_) | AnyOne => true
+      case _ => false
+    }
+    toks.zipWithIndex.foreach {
+      case (_: TimeCond, i) =>
+        require(toks.take(i).exists(consuming) &&
+            toks.drop(i + 1).exists(consuming),
+          "sequence pattern time constraint (?t...) must be between " +
+            "two event conditions")
+      case _ => ()
+    }
     toks.toArray
   }
 

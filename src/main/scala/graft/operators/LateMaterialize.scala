@@ -1,8 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, lit}
-import scala.util.Try
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.graft.PlanApi
 
 /** Lazy (late) materialization for top-k over wide tables — the
   * ClickHouse 25.4 "lazy materialization" optimization, re-expressed
@@ -20,17 +23,25 @@ import scala.util.Try
   *      key tuples come back to the driver (bounded by n <= 1000, the
   *      same driver-side contract as a broadcast threshold);
   *   2. refetch matching rows with an Or-of-EqualNullSafe key predicate
-  *      appended to the WHERE — a compile-time literal filter, so it
-  *      reaches the parquet scan as PushedFilters (row-group stats +
-  *      column-index page skipping), unlike a semi-join or an
-  *      InSubquery, which Spark cannot push below a scan.
+  *      injected into the ORIGINAL plan's filter — a compile-time
+  *      literal predicate, so it reaches the parquet scan as
+  *      PushedFilters (row-group stats + column-index page skipping),
+  *      unlike a semi-join or an InSubquery, which Spark cannot push
+  *      below a scan.
   *
   * Any full-sort-tuple tie at the boundary pulls ALL tied rows in phase
   * 2 and the final ORDER BY + LIMIT trims again — any n-subset among
   * exact ties is a correct answer for the original query too.
   *
-  * Applied textually on the transpiled single-table shape (no
-  * joins/grouping/subqueries); anything else keeps the original plan.
+  * The rewrite matches the LOGICAL PLAN (Limit over Sort over
+  * Project/Filter over a file relation), so it fires for DataFrame-built
+  * queries exactly as for SQL text — `rewrite(df)` is the public entry;
+  * the dialect layer calls it on every transpiled SELECT. It is NOT
+  * injected as an optimizer `Rule[LogicalPlan]` on purpose: phase 1
+  * executes a Spark job, and running jobs inside the optimizer breaks
+  * AQE re-optimization (each re-plan would re-run the job) and recurses
+  * through every subquery's optimization — an explicit rewrite point
+  * keeps the eager collect at a single, visible boundary.
   */
 object LateMaterialize {
 
@@ -40,98 +51,106 @@ object LateMaterialize {
   private val MinProjCols = 16
   private val MaxKeyCols = 10
 
-  private val shapeRe =
-    ("(?is)^\\s*SELECT\\s+(.*?)\\s+FROM\\s+([\\w`.]+)\\s+WHERE\\s+(.*?)" +
-      "\\s+ORDER\\s+BY\\s+(.+?)\\s+LIMIT\\s+(\\d+)\\s*$").r
+  /** SQL-text entry (the dialect layer): analyze, then plan-rewrite.
+    * None when the shape or the economics don't fit (caller runs the
+    * text as-is, and an unparsable query surfaces its real error from
+    * the caller's own spark.sql). */
+  def maybeRun(spark: SparkSession, sql: String): Option[DataFrame] =
+    scala.util.Try(spark.sql(sql)).toOption.flatMap(rewrite)
 
-  // phase 1 and 2 must see identical data and predicates: bail on
-  // anything non-deterministic or time-dependent between two jobs
-  private val nonDeterministicRe =
-    ("(?i)\\b(rand|rand64|randCanonical|generateUUIDv4|uuid|now|today|" +
-      "yesterday|current_timestamp|current_date|monotonically_increasing_id)\\s*\\(").r
+  /** Plan-matching entry for any DataFrame-built top-k: returns the
+    * two-phase equivalent, or None when the plan isn't the guarded
+    * Limit/Sort/Filter/relation shape. */
+  def rewrite(df: DataFrame): Option[DataFrame] = {
+    if (df.isStreaming) return None
+    val spark = df.sparkSession
+    val plan = df.queryExecution.analyzed
 
-  private val identRe = "[A-Za-z_][A-Za-z0-9_]*".r
-
-  /** Try the two-phase plan for a transpiled Spark-SQL SELECT; None when
-    * the shape or the economics don't fit (caller runs the text as-is). */
-  def maybeRun(spark: SparkSession, sql: String): Option[DataFrame] = {
-    val m = shapeRe.findFirstMatchIn(sql).getOrElse(return None)
-    val (proj, tbl, cond, orderBy) =
-      (m.group(1), m.group(2), m.group(3), m.group(4))
-    val n = m.group(5).toInt
-    if (n > MaxK || n == 0) return None
-    // single-table SELECT only: any embedded SELECT, grouping, join or
-    // set op means the FROM-WHERE-ORDER-LIMIT reading above is wrong
-    val upper = sql.toUpperCase
-    val body = upper.substring(upper.indexOf("SELECT") + 6)
-    if (body.contains("SELECT") || upper.contains("DISTINCT") ||
-        Seq("GROUP BY", " HAVING ", " JOIN ", " UNION ", " OFFSET ",
-          "LATERAL", " WINDOW ").exists(upper.contains))
-      return None
-    // window invocations (e.g. `row_number() OVER (...)`) would be
-    // re-evaluated over only the refetched rows in phase 2 — bail out
-    if ("(?i)\\bOVER\\s*\\(".r.findFirstIn(sql).isDefined) return None
-    if (nonDeterministicRe.findFirstIn(sql).isDefined) return None
-
-    val base = Try(spark.table(tbl)).getOrElse(return None)
-    val tableCols = base.columns.toSet
-    // every sort item must be a plain table column (+ optional direction)
-    val items = splitTopLevel(orderBy).map { it =>
-      val mm = "(?is)^\\s*(`?)([\\w.]+)`?\\s*(ASC|DESC)?\\s*$".r
-        .findFirstMatchIn(it).getOrElse(return None)
-      (mm.group(2), Option(mm.group(3)).exists(_.equalsIgnoreCase("DESC")))
+    val (n, afterLimit) = plan match {
+      case Limit(IntegerLiteral(k), child) => (k, child)
+      case _ => return None
     }
-    if (items.isEmpty || !items.forall(i => tableCols.contains(i._1)))
-      return None
-    val keyCols = items.map(_._1).distinct
-    val condCols = identRe.findAllIn(cond).toSet.intersect(tableCols)
-    if ((keyCols.toSet ++ condCols).size > MaxKeyCols) return None
-    // economics: wide projection, narrow phase-1
-    val projCols = identRe.findAllIn(proj).toSet.intersect(tableCols)
-    if (projCols.size < MinProjCols && !proj.contains("*")) return None
+    if (n > MaxK || n <= 0) return None
+    // an outer restitution Project (ORDER BY on a non-projected column)
+    // is fine — phase 2 keeps the original plan above the filter
+    val sortNode = afterLimit match {
+      case s: Sort => s
+      case Project(ps, s: Sort) if ps.forall(_.deterministic) => s
+      case _ => return None
+    }
+    if (!sortNode.global) return None
+    val order = sortNode.order
 
-    val orderSql = items
-      .map { case (c, desc) => s"`$c`${if (desc) " DESC" else ""}" }
-      .mkString(", ")
-    val phase1 = spark.sql(
-      s"SELECT ${keyCols.map(c => s"`$c`").mkString(", ")} FROM $tbl " +
-        s"WHERE $cond ORDER BY $orderSql LIMIT $n")
+    // walk down through deterministic Project / a single Filter /
+    // alias layers to a file relation; anything else (Aggregate,
+    // Window, Join, a second Filter...) means the two-phase reading
+    // is wrong — keep the original plan
+    var node: LogicalPlan = sortNode.child
+    var filter: Option[Filter] = None
+    var done = false
+    while (!done) node match {
+      case p: Project if p.projectList.forall(_.deterministic) =>
+        node = p.child
+      case f: Filter if filter.isEmpty && f.condition.deterministic =>
+        filter = Some(f); node = f.child
+      case a: SubqueryAlias => node = a.child
+      case _ => done = true
+    }
+    val leaf = node match {
+      case r @ (_: LogicalRelation | _: DataSourceV2Relation) => r
+      case _ => return None
+    }
+
+    // phase 1 and 2 must see identical data and predicates: bail on
+    // anything non-deterministic, and on current-time expressions —
+    // Spark pins those per QUERY, and the two phases are two queries
+    val timeDependent = plan.expressions.exists(_.exists {
+      case _: CurrentDate | _: CurrentTimestamp | _: LocalTimestamp |
+           _: Now | _: CurrentTimeZone => true
+      case e: PlanExpression[_] => true // subqueries: shape too complex
+      case e => !e.deterministic
+    })
+    if (timeDependent) return None
+
+    // every sort item must be a plain column of the relation
+    val keyAttrs: Seq[Attribute] = order.map(_.child).map {
+      case a: AttributeReference if leaf.outputSet.contains(a) => a
+      case _ => return None
+    }.distinct
+    val condAttrs = filter.map(_.references).getOrElse(AttributeSet.empty)
+    if ((AttributeSet(keyAttrs) ++ condAttrs).size > MaxKeyCols) return None
+    // economics: wide final projection, narrow phase-1
+    if (plan.output.size < MinProjCols) return None
+
+    // phase 1: top-k of just the key columns — Catalyst prunes the
+    // scan to keys + filter columns
+    val p1Body = filter.map(f => Filter(f.condition, leaf): LogicalPlan)
+      .getOrElse(leaf)
+    val phase1 = PlanApi.ofRows(spark,
+      Limit(Literal(n), Sort(order, global = true,
+        Project(keyAttrs, p1Body))))
     val keys = phase1.collect()
-    if (keys.isEmpty) return Some(spark.sql(sql).limit(0))
-    // Or-of-EqualNullSafe on the winning tuples: literal at compile
-    // time, so DataSourceStrategy hands the whole chain to parquet
-    val keyPred: Column = keys.toSeq
-      .map { r =>
-        keyCols.zipWithIndex
-          .map { case (c, i) => col(c) <=> lit(r.get(i)) }
-          .reduce(_ && _)
-      }
-      .reduce(_ || _)
-    // Build phase 2 directly on the DataFrame, aliased to the bare
-    // table name so table-qualified projections (`SELECT t.a ...`)
-    // still resolve — the old temp-view rename broke those every time
-    // (the caller's Try silently fell back to single-pass, paying the
-    // narrow scan for nothing), and leaked a view into the catalog.
-    val bare = tbl.replace("`", "").split('.').last
-    val sortCols = items.map { case (c, desc) =>
-      if (desc) col(c).desc else col(c).asc }
-    Some(base.filter(expr(cond) && keyPred).alias(bare)
-      .selectExpr(splitTopLevel(proj): _*)
-      .orderBy(sortCols: _*)
-      .limit(n))
-  }
+    if (keys.isEmpty) return Some(df.limit(0))
 
-  /** Split on top-level commas (parens guard function-call commas). */
-  private def splitTopLevel(s: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    var depth = 0; var start = 0
-    for (i <- s.indices) s.charAt(i) match {
-      case '(' => depth += 1
-      case ')' => depth -= 1
-      case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
-      case _ => ()
+    // Or-of-EqualNullSafe on the winning tuples: literal at plan time,
+    // so DataSourceStrategy hands the whole chain to parquet
+    val keyPred: Expression = keys.toSeq.map { r =>
+      keyAttrs.zipWithIndex.map { case (a, i) =>
+        EqualNullSafe(a, Literal.create(r.get(i), a.dataType)): Expression
+      }.reduce(And)
+    }.reduce(Or)
+
+    // phase 2: the ORIGINAL plan with the key predicate injected at
+    // the filter (or directly above the relation) — projections, sort
+    // and limit are untouched, so the output is identical
+    val p2Plan = filter match {
+      case Some(f) => plan.transformUp {
+        case x if x eq f => Filter(And(f.condition, keyPred), f.child)
+      }
+      case None => plan.transformUp {
+        case x if x eq leaf => Filter(keyPred, leaf)
+      }
     }
-    out += s.substring(start)
-    out.result().map(_.trim).filter(_.nonEmpty)
+    Some(PlanApi.ofRows(spark, p2Plan))
   }
 }

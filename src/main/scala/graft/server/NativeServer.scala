@@ -29,7 +29,8 @@ import graft.formats.{ChCompression, NativeCodec}
   */
 class NativeServer(spark: SparkSession, port: Int,
                    fixtureDir: Option[String] = None,
-                   blockRows: Int = 65536) {
+                   blockRows: Int = 65536,
+                   idleTimeoutMs: Int = 30000) {
 
   import NativeServer._
 
@@ -61,6 +62,15 @@ class NativeServer(spark: SparkSession, port: Int,
   def boundPort: Int = server.getLocalPort
 
   private def serve(sock: Socket): Unit = {
+    // idle-client timeout, matching the reference server's 30s
+    // settimeout on each accepted connection (main.py:252): a hung or
+    // half-open peer must not pin a pooled thread and an fd forever.
+    // Reads that block past the deadline raise SocketTimeoutException,
+    // caught by the outer handler, which closes the socket. Mid-query
+    // work is unaffected — the timeout only covers blocking reads, and
+    // a live client keeps the stream moving (PINGs between queries,
+    // DATA blocks during INSERT).
+    sock.setSoTimeout(idleTimeoutMs)
     val in = new BufferedInputStream(sock.getInputStream)
     val out = new BufferedOutputStream(sock.getOutputStream)
     var clientRevision = 0L
@@ -130,6 +140,7 @@ class NativeServer(spark: SparkSession, port: Int,
     } catch {
       case _: java.io.EOFException => ()
       case _: java.net.SocketException => ()
+      case _: java.net.SocketTimeoutException => () // idle client: drop
     } finally sock.close()
   }
 

@@ -513,6 +513,19 @@ class ChHofSpec extends AnyFunSuite {
     // all-one-class labels: AUC undefined => NULL
     val a = one("SELECT arrayAUC([0.1, 0.2], [1, 1]) AS auc")
     assert(a.isNullAt(0))
+    // mismatched lengths: an ERROR (ClickHouse BAD_ARGUMENTS), never a
+    // silently-truncated metric
+    intercept[Exception](one("SELECT arrayAUC([0.1, 0.2, 0.3], [1, 0]) AS auc"))
+    // labels are positive only when > 0: a -1 label is a negative class
+    val neg = one("SELECT arrayAUC([0.1, 0.4, 0.35, 0.8], [-1, -1, 1, 1]) AS auc")
+    assert(neg.getDouble(0) === 0.75)
+    // normalizeL2's norm must be HOISTED out of the per-element lambda
+    // (With/common-subexpression), not recomputed per element — the
+    // optimizer materializes it as a _common_expr projection
+    val nzPlan = spark.sql(graft.dialect.Transpiler.transpile(
+      "SELECT normalizeL2(array(number, number + 1)) AS z FROM numbers(4)"))
+      .queryExecution.optimizedPlan.toString
+    assert(nzPlan.contains("_common_expr"), nzPlan.take(2000))
   }
 
   test("arrayShuffle keeps the multiset; anyHeavy finds the majority value") {

@@ -721,6 +721,37 @@ class DdlSpec extends AnyFunSuite {
       "SELECT dictGet('d_spec', 'name', 1)"))
   }
 
+  test("a >1M-row DICTIONARY takes the join path under the DEFAULT cap") {
+    // guards the literal↔join crossover itself: the default maxEntries
+    // must be low enough that a 1M+ source never becomes a driver-side
+    // collect + giant Literal (r10 shipped 10M — a driver-heap bomb)
+    import graft.dialect.Dictionaries
+    assert(Dictionaries.maxEntries <= 1000000,
+      s"default literal cap ${Dictionaries.maxEntries} invites driver-heap blowups")
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.dim_huge")
+    Engine.execute(spark,
+      "CREATE TABLE graft_spec.dim_huge (id UInt64, name String) ENGINE=Memory")
+    Engine.execute(spark,
+      s"INSERT INTO graft_spec.dim_huge SELECT number, toString(number) FROM numbers(${Dictionaries.maxEntries + 1})")
+    Engine.execute(spark, "DROP DICTIONARY IF EXISTS d_huge")
+    Engine.execute(spark, """
+      CREATE DICTIONARY d_huge (id UInt64, name String DEFAULT '?')
+      PRIMARY KEY id
+      SOURCE(CLICKHOUSE(TABLE 'graft_spec.dim_huge'))
+      LAYOUT(HASHED()) LIFETIME(300)""")
+    try {
+      val df = Engine.execute(spark,
+        "SELECT dictGet('d_huge', 'name', number) AS nm FROM numbers(3) ORDER BY number")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Join"), plan.take(2000))
+      assert(df.collect().map(_.getString(0)).toSeq === Seq("0", "1", "2"))
+    } finally {
+      Engine.execute(spark, "DROP DICTIONARY IF EXISTS d_huge")
+      Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.dim_huge")
+    }
+  }
+
   test("beyond-cap DICTIONARY compiles dictGet to a broadcast join, same results") {
     import graft.dialect.Dictionaries
     Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
@@ -1211,5 +1242,43 @@ class DdlSpec extends AnyFunSuite {
     assert(counts()(202403) === 3L)
     intercept[Exception](Engine.execute(spark,
       "ALTER TABLE graft_spec.pl ATTACH PARTITION 209901"))
+  }
+
+  test("ATTACH merges with rows inserted after DETACH; repeated DETACH stacks") {
+    // the retention workflow: detach a month, keep ingesting into it,
+    // then re-attach — ClickHouse adds the detached parts ALONGSIDE the
+    // new rows (r10 threw FileAlreadyExistsException and stranded them)
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.plm")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.plm (id Int64, d DateTime)
+      ENGINE=MergeTree() PARTITION BY toYYYYMM(d) ORDER BY (id)""")
+    def n(): Long = Engine.execute(spark,
+      "SELECT count() AS n FROM graft_spec.plm").collect()(0).getLong(0)
+    Engine.execute(spark, """
+      INSERT INTO graft_spec.plm SELECT number,
+        toDateTime('2024-05-01 00:00:00') FROM numbers(5)""")
+    Engine.execute(spark, "ALTER TABLE graft_spec.plm DETACH PARTITION 202405")
+    assert(n() === 0L)
+    // ingest into the detached month, then attach: 5 + 3 = 8
+    Engine.execute(spark, """
+      INSERT INTO graft_spec.plm SELECT number + 100,
+        toDateTime('2024-05-20 00:00:00') FROM numbers(3)""")
+    assert(n() === 3L)
+    Engine.execute(spark, "ALTER TABLE graft_spec.plm ATTACH PARTITION 202405")
+    assert(n() === 8L)
+    val ids = Engine.execute(spark,
+      "SELECT id FROM graft_spec.plm ORDER BY id").collect().map(_.getLong(0))
+    assert(ids.toSeq === Seq(0L, 1L, 2L, 3L, 4L, 100L, 101L, 102L))
+    // stacking DETACH: detach, insert, detach again into the same
+    // detached/_part dir, then one ATTACH brings everything back
+    Engine.execute(spark, "ALTER TABLE graft_spec.plm DETACH PARTITION 202405")
+    Engine.execute(spark, """
+      INSERT INTO graft_spec.plm SELECT number + 200,
+        toDateTime('2024-05-25 00:00:00') FROM numbers(2)""")
+    Engine.execute(spark, "ALTER TABLE graft_spec.plm DETACH PARTITION 202405")
+    assert(n() === 0L)
+    Engine.execute(spark, "ALTER TABLE graft_spec.plm ATTACH PARTITION 202405")
+    assert(n() === 10L)
   }
 }

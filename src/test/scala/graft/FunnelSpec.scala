@@ -198,6 +198,12 @@ class FunnelSpec extends AnyFunSuite {
       assert(m("(?1)(?t>600)(?2)") === Map(1L -> 0, 2L -> 1))
       // constraint applies across a .* hop too
       assert(m("(?1)(?t<600).*(?2)") === Map(1L -> 1, 2L -> 0))
+      // a time constraint with no consumed event before it (`.*` pins
+      // no timestamp) or none after it is rejected at plan time, never
+      // silently ignored / never-matching (ClickHouse raises too)
+      intercept[Exception](m(".*(?t<=5)(?1)"))
+      intercept[Exception](m("(?1)(?2)(?t<=5)"))
+      intercept[Exception](m("(?1)(?t<=5).*"))
     }
   }
 

@@ -469,6 +469,30 @@ class NativeServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sock.close()
   }
 
+  test("idle client is disconnected by the socket timeout") {
+    // reference sets a 30s per-client settimeout (main.py:252); a hung
+    // or half-open peer must not pin a pooled thread + fd forever. Spin
+    // up a short-timeout server and verify a silent client's connection
+    // is actively closed (read returns EOF / reset) within the window.
+    val quick = new NativeServer(spark, 0, Some("/root/testdata/sf0.001"),
+      idleTimeoutMs = 300)
+    quick.start()
+    try {
+      val sock = new Socket("localhost", quick.boundPort)
+      try {
+        val in = new BufferedInputStream(sock.getInputStream)
+        val out = new BufferedOutputStream(sock.getOutputStream)
+        hello(out); readServerHello(in)
+        // now go silent: the server-side read should time out and close
+        sock.setSoTimeout(5000) // our own read guard, well past 300ms
+        val got = try in.read() catch {
+          case _: java.net.SocketException => -1 // RST also proves close
+        }
+        assert(got === -1, "server did not drop the idle connection")
+      } finally sock.close()
+    } finally quick.stop()
+  }
+
   test("multiple queries on one connection; fixture table query") {
     val (sock, in, out) = connect()
     try {

@@ -504,5 +504,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(graft.operators.LateMaterialize.maybeRun(spark,
       s"SELECT $proj, row_number() OVER (ORDER BY c2) AS rn " +
         "FROM latemat_w WHERE c3 % 7 = 0 ORDER BY c2 DESC, id LIMIT 10").isEmpty)
+
+    // the rewrite is plan-matched, not SQL-matched: a DataFrame-built
+    // top-k (no SQL text anywhere) fires it identically
+    val dfQuery = spark.read.parquet(dir)
+      .filter(expr("c3 % 7 = 0"))
+      .orderBy(col("c2").desc, col("id"))
+      .limit(10)
+    val dfTwoPhase = graft.operators.LateMaterialize.rewrite(dfQuery)
+    assert(dfTwoPhase.isDefined, "DataFrame-built wide top-k must fire")
+    assert(dfTwoPhase.get.collect().toSeq === dfQuery.collect().toSeq)
+    val dfPlan = dfTwoPhase.get.queryExecution.executedPlan.toString
+    assert(dfPlan.contains("EqualNullSafe"), dfPlan.take(2000))
+    // non-deterministic predicate: phases would see different rows
+    assert(graft.operators.LateMaterialize.rewrite(
+      spark.read.parquet(dir).filter(expr("rand() < 2"))
+        .orderBy(col("c2")).limit(10)).isEmpty)
+    // narrow relation: economics guard holds for DataFrames too
+    assert(graft.operators.LateMaterialize.rewrite(
+      spark.read.parquet(dir).select("id", "c1", "c2")
+        .filter(expr("c2 > 0")).orderBy(col("c2")).limit(10)).isEmpty)
   }
 }
