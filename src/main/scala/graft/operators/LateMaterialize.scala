@@ -94,6 +94,7 @@ object LateMaterialize {
       case f: Filter if filter.isEmpty && f.condition.deterministic =>
         filter = Some(f); node = f.child
       case a: SubqueryAlias => node = a.child
+      case v: View => node = v.child // temp views wrap their stored plan
       case _ => done = true
     }
     val leaf = node match {
@@ -102,14 +103,15 @@ object LateMaterialize {
     }
 
     // phase 1 and 2 must see identical data and predicates: bail on
-    // anything non-deterministic, and on current-time expressions —
-    // Spark pins those per QUERY, and the two phases are two queries
-    val timeDependent = plan.expressions.exists(_.exists {
+    // anything non-deterministic ANYWHERE in the tree, and on
+    // current-time expressions — Spark pins those per QUERY, and the
+    // two phases are two queries
+    val timeDependent = plan.exists(_.expressions.exists(_.exists {
       case _: CurrentDate | _: CurrentTimestamp | _: LocalTimestamp |
            _: Now | _: CurrentTimeZone => true
-      case e: PlanExpression[_] => true // subqueries: shape too complex
+      case _: PlanExpression[_] => true // subqueries: shape too complex
       case e => !e.deterministic
-    })
+    }))
     if (timeDependent) return None
 
     // every sort item must be a plain column of the relation
