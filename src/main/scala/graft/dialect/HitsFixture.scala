@@ -265,6 +265,19 @@ object HitsFixture {
   private def insertSqlFor(tbl: String, n: Int): String =
     s"INSERT INTO $tbl SELECT\n${cols.map(_._2.spark).mkString(",\n")}\nFROM numbers($n)"
 
+  /** Slice variant for chunked loads: numbers(offset, count) keeps
+    * `number` globally consistent, so the union of chunks is
+    * row-identical to one numbers(n) insert. */
+  private def insertSliceSql(tbl: String, offset: Long, count: Long): String =
+    s"INSERT INTO $tbl SELECT\n${cols.map(_._2.spark).mkString(",\n")}\nFROM numbers($offset, $count)"
+
+  /** Rows per load chunk. The MergeTree INSERT path shuffles its input
+    * on `_part`; one 300M-row insert writes ~130 GB of shuffle blocks
+    * and dies on this sandbox's ~80 GB /tmp. 50M-row chunks bound the
+    * live shuffle footprint at ~22 GB regardless of total size — the
+    * same batched-ingest shape a production loader uses, at any scale. */
+  private[graft] var LoadChunk: Long = 50L * 1000 * 1000
+
   /** DuckDB twin of the table (incl. the materialized `_part`
     * partition column) — prefixed onto every sweep oracle so the
     * driver's DuckDB reproduces the identical rows from nothing. */
@@ -324,7 +337,12 @@ object HitsFixture {
     if (!loaded) {
       Engine.execute(spark, s"DROP TABLE IF EXISTS $tbl")
       Engine.execute(spark, ddl.replace(table, tbl))
-      Engine.execute(spark, insertSqlFor(tbl, n))
+      var off = 0L
+      while (off < n) {
+        val cnt = math.min(LoadChunk, n - off)
+        Engine.execute(spark, insertSliceSql(tbl, off, cnt))
+        off += cnt
+      }
     }
     spark.table(tbl).createOrReplaceTempView("hits")
     ready = true

@@ -342,6 +342,15 @@ object Transpiler {
     s = rewriteNestedRefs(s)
     s = "(?i)\\bnumbers\\s*\\(\\s*([0-9]+)\\s*\\)".r.replaceAllIn(s,
       m => s"(SELECT id AS number FROM range(${m.group(1)}))")
+    // two-arg ClickHouse form numbers(offset, count): rows
+    // offset..offset+count-1 — also what lets the bench fixture load in
+    // bounded chunks (each INSERT shuffles only its slice)
+    s = "(?i)\\bnumbers\\s*\\(\\s*([0-9]+)\\s*,\\s*([0-9]+)\\s*\\)".r
+      .replaceAllIn(s, m => {
+        val off = java.lang.Long.parseLong(m.group(1))
+        val cnt = java.lang.Long.parseLong(m.group(2))
+        s"(SELECT id AS number FROM range($off, ${off + cnt}))"
+      })
     // cluster()/remote() collapse to the local table: single-node, the
     // local table IS every shard (GLOBAL-join semantics are n/a, J6)
     s = ("(?i)\\bcluster(?:AllReplicas)?\\s*\\(\\s*'[^']*'\\s*,\\s*" +

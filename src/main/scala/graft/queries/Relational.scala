@@ -27,6 +27,14 @@ object Relational {
       (s, _) => s.range(10).toDF("number").orderBy("number"),
       Some("SELECT range AS number FROM range(10) ORDER BY number")),
 
+    // S1b: the two-arg ClickHouse form numbers(offset, count), through
+    // the dialect (also the chunked-load primitive for the bench
+    // fixture)
+    Q("s1b_numbers_offset",
+      (s, _) => graft.dialect.Engine.execute(s,
+        "SELECT number FROM numbers(5, 8) ORDER BY number"),
+      Some("SELECT range AS number FROM range(5, 13) ORDER BY number")),
+
     // O2: LIMIT over an ordered virtual scan
     Q("o2_limit",
       (s, _) => s.range(1000).toDF("number").orderBy("number").limit(10),

@@ -1244,6 +1244,36 @@ class DdlSpec extends AnyFunSuite {
       "ALTER TABLE graft_spec.pl ATTACH PARTITION 209901"))
   }
 
+  test("chunked bench load is row-identical to the one-shot insert") {
+    // the 300M-scale load runs as bounded numbers(offset, count) slices
+    // (one full-dataset shuffle blows the /tmp envelope); the union of
+    // slices must be exactly the rows one numbers(n) insert produces
+    import graft.dialect.HitsFixture
+    val n = 30011
+    def digest(): (Long, Long) = {
+      val r = Engine.execute(spark, """
+        SELECT count() AS c,
+               groupBitXor(cityHash64(toString(WatchID), URL, Title)) AS h
+        FROM hits""").collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val saved = HitsFixture.LoadChunk
+    try {
+      Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS clickbench")
+      Engine.execute(spark, "DROP TABLE IF EXISTS clickbench.hits_bench")
+      HitsFixture.ensureScaled(spark, n) // single chunk
+      val one = digest()
+      Engine.execute(spark, "DROP TABLE IF EXISTS clickbench.hits_bench")
+      HitsFixture.LoadChunk = 7001 // forces 5 slices
+      HitsFixture.ensureScaled(spark, n)
+      assert(digest() === one)
+    } finally {
+      HitsFixture.LoadChunk = saved
+      Engine.execute(spark, "DROP TABLE IF EXISTS clickbench.hits_bench")
+      HitsFixture.reset(spark)
+    }
+  }
+
   test("ATTACH merges with rows inserted after DETACH; repeated DETACH stacks") {
     // the retention workflow: detach a month, keep ingesting into it,
     // then re-attach — ClickHouse adds the detached parts ALONGSIDE the
