@@ -296,7 +296,11 @@ object NativeCodec {
       case "UInt8" => in.read()
       case "UInt16" => buf(2).getShort & 0xffff
       case "UInt32" => buf(4).getInt & 0xffffffffL
-      case "UInt64" => buf(8).getLong
+      // unsigned view of the 8 wire bytes: 0xFFFF..FF must read back
+      // as 18446744073709551615, not -1 (ref test_suite.py:359-361
+      // probes exactly these boundaries)
+      case "UInt64" =>
+        BigDecimal(BigInt(java.lang.Long.toUnsignedString(buf(8).getLong)))
       case "Float32" => buf(4).getFloat
       case "Float64" => buf(8).getDouble
       case "String" => readStr(in)

@@ -117,6 +117,34 @@ class FormatsSpec extends AnyFunSuite {
     assert(cols(2)._3.head === Vector(1, 2, 3))
   }
 
+  test("UInt64 boundary values render unsigned through text AND native") {
+    // ref test_suite.py:359-361 probes 2^63 and 2^64-1; LongType can't
+    // carry them, so toUInt64 surfaces Decimal(20,0) and every format
+    // must render the UNSIGNED value
+    val df = q("""SELECT toUInt64('9223372036854775808') AS lo,
+                  toUInt64('18446744073709551615') AS hi""")
+    assert(ResultFormatter.render(df, "TSV") ===
+      "9223372036854775808\t18446744073709551615\n")
+    assert(ResultFormatter.render(df, "CSV") ===
+      "9223372036854775808,18446744073709551615\n")
+    // JSON quotes 64-bit ints (output_format_json_quote_64bit_integers=1)
+    val jc = ResultFormatter.render(df, "JSONCompact")
+    assert(jc.contains("\"9223372036854775808\""), jc)
+    assert(jc.contains("\"18446744073709551615\""), jc)
+    val tnt = ResultFormatter.render(df, "TSVWithNamesAndTypes")
+    val typeRow = tnt.linesIterator.drop(1).next()
+    assert(typeRow.split('\t').forall(_.contains("UInt64")), tnt)
+    // native codec: 8 wire bytes, unsigned on decode
+    val cols = NativeCodec.decode(encodeDf(df))
+    assert(cols(0)._2.contains("UInt64"), cols(0)._2)
+    assert(cols(0)._3.head === BigDecimal("9223372036854775808"))
+    assert(cols(1)._3.head === BigDecimal("18446744073709551615"))
+    // and the max value's wire image is exactly 0xFF x8 (two's complement)
+    val one = NativeCodec.decode(encodeDf(
+      q("SELECT toUInt64('18446744073709551615') AS v")))
+    assert(one(0)._3.head === BigDecimal("18446744073709551615"))
+  }
+
   test("Native codec: nullable Map column emits no mask and stays in sync") {
     // ChTypeNames never wraps Map/Tuple in Nullable(...), so encode must
     // not emit a mask for them either — a desync here corrupts every
