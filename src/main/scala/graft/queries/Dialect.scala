@@ -285,7 +285,16 @@ object Dialect {
 
     // windowFunnel: max view->click->purchase level per user, every
     // step within 1h of the CHAIN-START view, strictly increasing ts
-    // (strict_increase pins the oracle's strict EXISTS-chain exactly)
+    // (strict_increase pins the oracle's strict EXISTS-chain exactly).
+    // Known tie caveat (ADVICE r10, applies to st8 too): windowFunnel's
+    // latest-start carry overwrites the chain start on each later cond-1
+    // event — ClickHouse behavior — while this EXISTS oracle is purely
+    // existential. The two can diverge only when a user has a cond-1 and
+    // a cond-2 event at the SAME timestamp under strict_increase
+    // (view@t1, view@t5, click@t5: carry 1, oracle 2). The driver
+    // fixtures' per-user event timestamps never tie on funnel step
+    // pairs, so the oracle is exact here; the engine's own semantics
+    // are pinned independently in FunnelSpec (incl. equal-ts refusal).
     Q("g18_window_funnel", ch("""
       SELECT lvl, count() AS users FROM (
         SELECT user_id,

@@ -114,7 +114,9 @@ object Streaming {
     // O(#steps) carry state instead of buffered events
     // (EventsStreaming.funnelLevels; cross-micro-batch state continuity
     // is pinned in StreamingSpec). Batch run == the strict EXISTS-chain
-    // oracle, same as g18_window_funnel's.
+    // oracle, same as g18_window_funnel's — including its same-timestamp
+    // tie caveat (see the g18 comment in Dialect.scala): exact on these
+    // fixtures because per-user funnel-step timestamps never tie.
     Q("st8_stream_funnel", (s, dir) => {
       EventsStreaming.funnelLevels(Tables.events(s, dir), 3600,
           Seq("view", "click", "purchase"))
