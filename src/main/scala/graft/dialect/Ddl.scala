@@ -1908,14 +1908,47 @@ object Engine {
   private def queryInner(spark: SparkSession, bare0: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, row_number}
     import org.apache.spark.sql.expressions.Window
-    // ClickHouse EXPLAIN kinds (SYNTAX/AST/PLAN/PIPELINE/...) all map
-    // to Spark's EXPLAIN (one plan-text column)
-    val bare = "(?is)^\\s*EXPLAIN\\s+(SYNTAX|AST|PLAN|PIPELINE|ESTIMATE|QUERY\\s+TREE)\\s+".r
-      .replaceFirstIn(rewriteAsofJoin(spark, rewriteAnyJoin(spark,
-        rewriteFinal(spark,
-          rewriteSample(spark, Transpiler.expandStarModifiers(spark,
-            rewriteSystemParts(spark, bare0)))))),
-        "EXPLAIN ")
+    // ClickHouse EXPLAIN kinds, each mapped to the Spark artifact with
+    // the same intent (one `explain` text row per line, like ClickHouse):
+    //   SYNTAX     -> the transpiled Spark SQL (CH returns the rewritten
+    //                 query; ours IS the dialect rewrite)
+    //   AST / QUERY TREE -> analyzed logical plan
+    //   PLAN (default)   -> optimized logical plan
+    //   PIPELINE   -> formatted physical plan (the execution pipeline —
+    //                 exactly what PLANS.md dumps)
+    //   ESTIMATE   -> Catalyst cost estimate (bytes + rows when known)
+    // The inner query runs through the FULL dialect path (ASOF, FINAL,
+    // SAMPLE, WITH FILL...), so what you explain is what executes.
+    val explainRe = ("(?is)^\\s*EXPLAIN" +
+      "(?:\\s+(SYNTAX|AST|PLAN|PIPELINE|ESTIMATE|QUERY\\s+TREE))?" +
+      "\\s+((?:SELECT|WITH)\\b.*)$").r
+    bare0 match {
+      case explainRe(kind0, inner) =>
+        val kind = Option(kind0).map(_.toUpperCase.replaceAll("\\s+", " "))
+          .getOrElse("PLAN")
+        val df = query(spark, inner)
+        import spark.implicits._
+        def asRows(text: String): DataFrame =
+          text.stripLineEnd.split("\n").toSeq.toDF("explain")
+        return kind match {
+          case "SYNTAX" => asRows(Transpiler.transpile(inner))
+          case "AST" | "QUERY TREE" =>
+            asRows(df.queryExecution.analyzed.treeString)
+          case "PIPELINE" => asRows(df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+          case "ESTIMATE" =>
+            val st = df.queryExecution.optimizedPlan.stats
+            Seq((st.sizeInBytes.toString,
+              st.rowCount.map(_.toString).getOrElse("")))
+              .toDF("size_bytes", "rows")
+          case _ => asRows(df.queryExecution.optimizedPlan.treeString)
+        }
+      case _ => ()
+    }
+    val bare = rewriteAsofJoin(spark, rewriteAnyJoin(spark,
+      rewriteFinal(spark,
+        rewriteSample(spark, Transpiler.expandStarModifiers(spark,
+          rewriteSystemParts(spark, bare0))))))
     Transpiler.withFillParts(bare) match {
       case Some((inner, prefix, fillKey, from, to, step, interp)) =>
         return graft.operators.WithFill(

@@ -214,12 +214,34 @@ class ChHofSpec extends AnyFunSuite {
     assert(r.getDouble(1) === 50.0)
   }
 
-  test("EXPLAIN (SYNTAX/PLAN) returns a plan-text column") {
+  test("EXPLAIN kinds: SYNTAX/PLAN/PIPELINE/AST/ESTIMATE each show their layer") {
     graft.dialect.ChContext.setup(spark, "/root/testdata/sf0.001")
-    val out = graft.dialect.Engine.execute(spark,
-      "EXPLAIN SYNTAX SELECT count() FROM nation")
-    val txt = out.collect().map(_.getString(0)).mkString("\n")
-    assert(txt.contains("Aggregate") || txt.contains("HashAggregate"), txt)
+    def explain(sql: String): String = graft.dialect.Engine.execute(spark, sql)
+      .collect().map(_.getString(0)).mkString("\n")
+    // SYNTAX = the dialect rewrite (CH returns the rewritten query)
+    val syn = explain("EXPLAIN SYNTAX SELECT count() FROM nation")
+    assert(syn.toLowerCase.contains("count(*)"), syn)
+    // default / PLAN = optimized logical plan
+    val plan = explain("EXPLAIN SELECT count() FROM nation")
+    assert(plan.contains("Aggregate"), plan)
+    assert(explain("EXPLAIN PLAN SELECT count() FROM nation")
+      .contains("Aggregate"))
+    // PIPELINE = formatted physical plan, the execution pipeline
+    val pipe = explain("EXPLAIN PIPELINE SELECT count() FROM nation")
+    assert(pipe.contains("HashAggregate") && pipe.contains("(1) Scan"), pipe)
+    // AST = analyzed plan (pre-optimization; still shows the scan)
+    val ast = explain("EXPLAIN AST SELECT count() FROM nation")
+    assert(ast.contains("Aggregate"), ast)
+    // ESTIMATE = Catalyst cost columns
+    val est = graft.dialect.Engine.execute(spark,
+      "EXPLAIN ESTIMATE SELECT count() FROM nation")
+    assert(est.columns.toSeq === Seq("size_bytes", "rows"))
+    assert(est.collect().head.getString(0).toLong > 0)
+    // the explained query runs through the full dialect path
+    val asof = explain(
+      "EXPLAIN PIPELINE SELECT count() FROM events AS l ASOF JOIN events AS r " +
+        "ON l.user_id = r.user_id AND l.ts >= r.ts")
+    assert(asof.nonEmpty)
   }
 
   test("URL function family parses protocol/domain/path/params") {

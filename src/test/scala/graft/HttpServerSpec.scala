@@ -56,6 +56,12 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.statusCode() === 200 && r.body() === "1\ttest\n")
   }
 
+  test("EXPLAIN PIPELINE over HTTP returns the formatted physical plan") {
+    val r = get(s"/?query=${enc("EXPLAIN PIPELINE SELECT count() FROM numbers(10)")}")
+    assert(r.statusCode() === 200)
+    assert(r.body().contains("HashAggregate"), r.body().take(500))
+  }
+
   test("version()/now() answer (test_suite.py:141-145)") {
     assert(post("SELECT version()").body() === "25.5.2\n")
     assert(post("SELECT now()").statusCode() === 200)
