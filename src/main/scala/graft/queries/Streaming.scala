@@ -163,6 +163,26 @@ object Streaming {
       FROM p LEFT JOIN c
         ON c.user_id = p.user_id AND c.c_ts <= p.p_ts
        AND c.c_ts >= p.p_ts - INTERVAL '30 minutes'
-      GROUP BY 1, 2 ORDER BY event_id"""))
+      GROUP BY 1, 2 ORDER BY event_id""")),
+
+    // ST9: Kafka source contract — events serialized to Kafka-shaped
+    // records (binary key/value + broker metadata, value = JSONEachRow,
+    // the ClickHouse Kafka-engine format) and parsed back through
+    // fromKafkaJson. Matching the direct-events oracle proves the
+    // serialize→parse round trip is lossless, types included; the
+    // STREAMING run of the same consumer (readStream over the contract
+    // schema) is pinned in StreamingSpec.
+    Q("st9_kafka_contract", (s, dir) => {
+      EventsStreaming.fromKafkaJson(
+          EventsStreaming.toKafkaShaped(Tables.events(s, dir)))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("users"),
+          sum(col("event_id")).as("id_sum"))
+        .orderBy("event_type")
+    }, Some("""
+      SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS users,
+             CAST(sum(event_id) AS BIGINT) AS id_sum
+      FROM events GROUP BY event_type ORDER BY event_type"""))
   )
 }

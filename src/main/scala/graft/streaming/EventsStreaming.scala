@@ -52,6 +52,66 @@ object EventsStreaming {
     else w.dropDuplicates("event_id")
   }
 
+  /** The exact column contract of Spark's Kafka source
+    * (`spark.readStream.format("kafka")`): key/value as binary plus the
+    * broker metadata columns. The pipeline below is written against
+    * THIS schema, so swapping the file/memory stand-in for a real
+    * broker is a one-line source change — the sandbox has no Kafka
+    * jars/broker, which is exactly why the contract is pinned as a
+    * schema instead of a connector dependency. */
+  val KafkaSourceSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("key", BinaryType),
+      StructField("value", BinaryType),
+      StructField("topic", StringType),
+      StructField("partition", IntegerType),
+      StructField("offset", LongType),
+      StructField("timestamp", TimestampType),
+      StructField("timestampType", IntegerType)))
+  }
+
+  private lazy val eventJsonSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+  }
+
+  /** Events → Kafka-shaped records (the producer side of the contract
+    * test): value is JSONEachRow — the ClickHouse Kafka engine's
+    * canonical format — key is the user id (so a real topic would be
+    * user-partitioned, preserving per-user event order). */
+  def toKafkaShaped(events: DataFrame, topic: String = "events"): DataFrame =
+    events.select(
+      col("user_id").cast("string").cast("binary").as("key"),
+      to_json(struct(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))).cast("binary").as("value"),
+      lit(topic).as("topic"),
+      (col("user_id") % 3).cast("int").as("partition"),
+      monotonically_increasing_id().as("offset"),
+      col("ts").as("timestamp"),
+      lit(0).as("timestampType"))
+
+  /** Kafka-shaped stream → typed events (the consumer side): parses the
+    * JSONEachRow value payload; malformed or schema-violating records
+    * are dropped rather than poisoning the query (the Kafka-engine
+    * `kafka_skip_broken_messages` behavior). Identical on batch and
+    * streaming inputs. */
+  def fromKafkaJson(kafkaShaped: DataFrame): DataFrame = {
+    val missing = KafkaSourceSchema.fieldNames
+      .filterNot(kafkaShaped.columns.contains)
+    require(missing.isEmpty,
+      s"input is not Kafka-shaped: missing columns ${missing.mkString(", ")}")
+    kafkaShaped
+      .select(from_json(col("value").cast("string"), eventJsonSchema).as("e"))
+      .where(col("e").isNotNull && col("e.event_id").isNotNull)
+      .select("e.*")
+  }
+
   /** Streaming ingest into a MergeTree table — the Kafka-engine → MV →
     * MergeTree shape, with the file source standing in for the broker:
     * a REAL streaming query (micro-batched, AvailableNow) lands every

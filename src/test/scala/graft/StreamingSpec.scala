@@ -153,6 +153,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Kafka-shaped source contract: streamed consumer equals batch parse") {
+    // the consumer pipeline is written against KafkaSourceSchema — the
+    // exact columns format("kafka") produces — so this stand-in stream
+    // (parquet-backed Kafka-shaped records) swaps for a real broker
+    // with a one-line source change. No Kafka jars exist here; the
+    // schema IS the contract under test.
+    val dir = "/root/testdata/sf0.001"
+    val events = Tables.events(spark, dir)
+    val shapedDir = java.nio.file.Files.createTempDirectory("kafka_shape").toString
+    EventsStreaming.toKafkaShaped(events).write.mode("overwrite").parquet(shapedDir)
+    // the stand-in's schema must BE the Kafka source schema
+    val stored = spark.read.parquet(shapedDir)
+    assert(stored.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      EventsStreaming.KafkaSourceSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val batch = EventsStreaming.fromKafkaJson(stored)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // direct-events truth: the serialize->parse trip must be lossless
+    val direct = events.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(batch === direct)
+    val stream = spark.readStream.schema(EventsStreaming.KafkaSourceSchema)
+      .parquet(shapedDir)
+    assert(stream.isStreaming)
+    val q = EventsStreaming.fromKafkaJson(stream)
+      .groupBy("event_type").count()
+      .writeStream.format("memory").queryName("kafka_contract")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000)
+      val streamed = spark.table("kafka_contract").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed === direct)
+    } finally q.stop()
+    // a poisoned topic: malformed value bytes are dropped, not fatal
+    import spark.implicits._
+    val poisoned = Seq(("k", "not json at all"), ("k", """{"event_id": null}"""))
+      .toDF("k", "v")
+      .select($"k".cast("binary").as("key"), $"v".cast("binary").as("value"),
+        lit("events").as("topic"), lit(0).as("partition"),
+        lit(0L).as("offset"), current_timestamp().as("timestamp"),
+        lit(0).as("timestampType"))
+    assert(EventsStreaming.fromKafkaJson(poisoned).count() === 0)
+  }
+
   test("stream-stream attribution join pairs purchases with prior clicks") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
