@@ -14,6 +14,10 @@ object Explain {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // see the Bench.scala note: measured A/B says wide-initial hurts
+      // in single-JVM local mode; knob kept for cluster deployments
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS", cpus))
       .config("spark.sql.files.maxPartitionBytes", "2m")
       .config("spark.sql.files.openCostInBytes", "128k")
       .config("spark.sql.session.timeZone", "UTC")

@@ -391,6 +391,14 @@ object Ddl {
     "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+DETACH\\s+PARTITION\\s+(?:ID\\s+)?(.+?)\\s*$".r
   private val alterAttachPartRe =
     "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+ATTACH\\s+PARTITION\\s+(?:ID\\s+)?(.+?)\\s*$".r
+  // cross-table partition surgery (matched BEFORE the single-table
+  // forms — their lazy (.+?) would swallow the FROM clause)
+  private val alterPartFromRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+(REPLACE|ATTACH)\\s+" +
+      "PARTITION\\s+(?:ID\\s+)?(.+?)\\s+FROM\\s+([\\w`.]+)\\s*$").r
+  private val alterMovePartRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+MOVE\\s+PARTITION\\s+" +
+      "(?:ID\\s+)?(.+?)\\s+TO\\s+TABLE\\s+([\\w`.]+)\\s*$").r
 
   def isDdl(sql: String): Boolean =
     ("(?is)^\\s*(CREATE|DROP|USE|INSERT|TRUNCATE|ALTER|OPTIMIZE" +
@@ -511,6 +519,12 @@ object Ddl {
             d.withColumn(c, when(condC, expr(e)).otherwise(col(c)))
           }
         })
+      case alterPartFromRe(dst, verb, part, src) =>
+        copyPartitionFrom(spark, dst, src, parsePartValue(part),
+          replace = verb.equalsIgnoreCase("REPLACE"), move = false)
+      case alterMovePartRe(src, part, dst) =>
+        copyPartitionFrom(spark, dst, src, parsePartValue(part),
+          replace = false, move = true)
       case alterDropPartRe(name, part) =>
         dropPartition(spark, name, parsePartValue(part))
       case alterDetachPartRe(name, part) =>
@@ -875,6 +889,20 @@ object Ddl {
     tableLoc.resolve("detached").resolve(s"_part=$v")
   }
 
+  /** Non-hidden entries of a directory (Spark's convention: names
+    * starting with `.` or `_` are metadata — .crc checksums, _SUCCESS —
+    * and invisible to scans). */
+  private def visibleFiles(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val listing = java.nio.file.Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator.asScala.toList.filterNot { p =>
+        val n = p.getFileName.toString
+        n.startsWith(".") || n.startsWith("_")
+      }
+    } finally listing.close()
+  }
+
   /** Move a partition directory into place, MERGING with any existing
     * content at the destination: ClickHouse ATTACH adds detached parts
     * alongside rows inserted since the DETACH (and a second DETACH
@@ -891,12 +919,10 @@ object Ddl {
       Files.createDirectories(dst.getParent)
       Files.move(src, dst)
     } else {
-      val listing = Files.list(src)
-      val files = try {
-        import scala.jdk.CollectionConverters._
-        listing.iterator.asScala.toList
-      } finally listing.close()
-      files.foreach { f: Path =>
+      // data files only: Hadoop's hidden artifacts (.crc checksums,
+      // _SUCCESS) must not be carried — a "attach1-"-prefixed rename
+      // would UN-hide a .crc and Spark would try to read it as parquet
+      visibleFiles(src).foreach { f =>
         var target = dst.resolve(f.getFileName)
         var n = 0
         while (Files.exists(target)) {
@@ -905,7 +931,73 @@ object Ddl {
         }
         Files.move(f, target)
       }
+      // drop the leftovers (hidden artifacts) with the directory
+      val rest = Files.list(src)
+      try {
+        import scala.jdk.CollectionConverters._
+        rest.iterator.asScala.toList.foreach(Files.delete(_))
+      } finally rest.close()
       Files.delete(src)
+    }
+  }
+
+  /** `ALTER TABLE dst REPLACE|ATTACH PARTITION p FROM src` and
+    * `ALTER TABLE src MOVE PARTITION p TO TABLE dst` — cross-table
+    * partition surgery at the file level (the ClickHouse backfill /
+    * promotion workflow: stage into a scratch table, then REPLACE the
+    * production partition atomically-ish). REPLACE swaps dst's
+    * partition for a copy of src's; ATTACH ... FROM adds a copy
+    * alongside dst's existing rows; MOVE transfers ownership (src
+    * loses the partition). Copies are file copies, moves are renames —
+    * never a row rewrite, the only affordable shape at 100 TB. */
+  private def copyPartitionFrom(spark: SparkSession, dstName: String,
+                                srcName: String, v: Int, replace: Boolean,
+                                move: Boolean): DataFrame = {
+    val dst = dstName.replace("`", "")
+    val src = srcName.replace("`", "")
+    // deterministic lock order prevents deadlock between concurrent
+    // A->B and B->A partition ops
+    val locks = Seq(dst, src).map(normalize(spark, _)).distinct.sorted
+      .map(n => appendLocks.getOrElseUpdate(n, new Object))
+    def locked[T](ls: Seq[Object])(body: => T): T = ls match {
+      case Nil => body
+      case h +: t => h.synchronized(locked(t)(body))
+    }
+    locked(locks) {
+      requirePartitioned(spark, dst)
+      requirePartitioned(spark, src)
+      require(spark.table(dst).columns.map(_.toLowerCase).toSeq ==
+          spark.table(src).columns.map(_.toLowerCase).toSeq,
+        s"tables have different structure: $dst vs $src")
+      val srcIdent = spark.sessionState.sqlParser.parseTableIdentifier(src)
+      val part = spark.sessionState.catalog
+        .getPartition(srcIdent, Map("_part" -> v.toString)) // throws if absent
+      val srcDir = java.nio.file.Paths.get(new java.net.URI(part.location.toString))
+      if (replace) dropPartition(spark, dst, v) // reentrant on dst's lock
+      val dstDir = detachedLoc(spark, dst, v).getParent.getParent
+        .resolve(s"_part=$v")
+      import java.nio.file.{Files, Path}
+      if (move) {
+        spark.sessionState.catalog.dropPartitions(srcIdent,
+          Seq(Map("_part" -> v.toString)), ignoreIfNotExists = false,
+          purge = false, retainData = true)
+        moveMerging(srcDir, dstDir)
+      } else {
+        Files.createDirectories(dstDir)
+        visibleFiles(srcDir).foreach { f =>
+          var target = dstDir.resolve(f.getFileName)
+          var n = 0
+          while (Files.exists(target)) {
+            n += 1
+            target = dstDir.resolve(s"from$n-${f.getFileName}")
+          }
+          Files.copy(f, target)
+        }
+      }
+      spark.sql(s"ALTER TABLE $dst ADD IF NOT EXISTS PARTITION (`_part` = $v)")
+      spark.catalog.refreshTable(dst)
+      spark.catalog.refreshTable(src)
+      spark.emptyDataFrame
     }
   }
 

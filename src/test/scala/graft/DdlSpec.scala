@@ -1244,6 +1244,51 @@ class DdlSpec extends AnyFunSuite {
       "ALTER TABLE graft_spec.pl ATTACH PARTITION 209901"))
   }
 
+  test("REPLACE/ATTACH PARTITION FROM and MOVE PARTITION TO TABLE") {
+    // the backfill/promotion workflow: stage corrected data in a
+    // scratch table, REPLACE the production partition; ATTACH ... FROM
+    // adds alongside; MOVE transfers ownership. All file-level.
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.pf_dst")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.pf_src")
+    for (t <- Seq("pf_dst", "pf_src"))
+      Engine.execute(spark, s"""
+        CREATE TABLE graft_spec.$t (id Int64, d DateTime)
+        ENGINE=MergeTree() PARTITION BY toYYYYMM(d) ORDER BY (id)""")
+    def ids(t: String): Seq[Long] = Engine.execute(spark,
+      s"SELECT id FROM graft_spec.$t ORDER BY id").collect().map(_.getLong(0)).toSeq
+    Engine.execute(spark, """
+      INSERT INTO graft_spec.pf_dst SELECT number,
+        toDateTime('2024-07-01 00:00:00') FROM numbers(3)""")
+    Engine.execute(spark, """
+      INSERT INTO graft_spec.pf_src SELECT number + 100,
+        toDateTime('2024-07-15 00:00:00') FROM numbers(2)""")
+    // REPLACE: dst's July rows are swapped for src's; src keeps its data
+    Engine.execute(spark,
+      "ALTER TABLE graft_spec.pf_dst REPLACE PARTITION 202407 FROM graft_spec.pf_src")
+    assert(ids("pf_dst") === Seq(100L, 101L))
+    assert(ids("pf_src") === Seq(100L, 101L))
+    // ATTACH FROM: adds a copy alongside (duplicates by design)
+    Engine.execute(spark,
+      "ALTER TABLE graft_spec.pf_dst ATTACH PARTITION 202407 FROM graft_spec.pf_src")
+    assert(ids("pf_dst") === Seq(100L, 100L, 101L, 101L))
+    // MOVE: ownership transfers — src loses the partition
+    Engine.execute(spark, "ALTER TABLE graft_spec.pf_dst DROP PARTITION 202407")
+    Engine.execute(spark,
+      "ALTER TABLE graft_spec.pf_src MOVE PARTITION 202407 TO TABLE graft_spec.pf_dst")
+    assert(ids("pf_dst") === Seq(100L, 101L))
+    assert(ids("pf_src") === Seq.empty)
+    // absent source partition is an error; mismatched structure too
+    intercept[Exception](Engine.execute(spark,
+      "ALTER TABLE graft_spec.pf_dst REPLACE PARTITION 209901 FROM graft_spec.pf_src"))
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.pf_widest")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.pf_widest (id Int64, d DateTime, extra String)
+      ENGINE=MergeTree() PARTITION BY toYYYYMM(d) ORDER BY (id)""")
+    intercept[Exception](Engine.execute(spark,
+      "ALTER TABLE graft_spec.pf_widest REPLACE PARTITION 202407 FROM graft_spec.pf_dst"))
+  }
+
   test("chunked bench load is row-identical to the one-shot insert") {
     // the 300M-scale load runs as bounded numbers(offset, count) slices
     // (one full-dataset shuffle blows the /tmp envelope); the union of
