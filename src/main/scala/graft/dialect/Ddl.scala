@@ -381,6 +381,11 @@ object Ddl {
 
   private val alterDeleteRe =
     "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+DELETE\\s+WHERE\\s+(.+)$".r
+  // ClickHouse 22.8+ lightweight-delete spelling; same mutation here
+  // (the parquet model has no delete masks — every delete is the
+  // copy-on-write rewrite ALTER DELETE also performs)
+  private val deleteFromRe =
+    "(?is)^\\s*DELETE\\s+FROM\\s+([\\w`.]+)\\s+WHERE\\s+(.+)$".r
   private val alterUpdateRe =
     "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+UPDATE\\s+(.+?)\\s+WHERE\\s+(.+)$".r
   // partition lifecycle (ClickHouse's cheap data-management tier: at
@@ -402,7 +407,7 @@ object Ddl {
 
   def isDdl(sql: String): Boolean =
     ("(?is)^\\s*(CREATE|DROP|USE|INSERT|TRUNCATE|ALTER|OPTIMIZE" +
-      "|SHOW|DESCRIBE|DESC|EXISTS|RENAME|SYSTEM|SET|EXCHANGE)\\b").r
+      "|SHOW|DESCRIBE|DESC|EXISTS|RENAME|SYSTEM|SET|EXCHANGE|DELETE)\\b").r
       .findFirstIn(sql).isDefined
 
   /** Execute one ClickHouse DDL/DML statement. */
@@ -503,6 +508,10 @@ object Ddl {
       case _ if "(?is)^\\s*INSERT\\b".r.findFirstIn(s).isDefined =>
         insert(spark, s)
       case alterDeleteRe(name, cond) =>
+        mutate(spark, name, df => df.filter(
+          org.apache.spark.sql.functions.not(
+            org.apache.spark.sql.functions.expr(Transpiler.transpile(cond)))))
+      case deleteFromRe(name, cond) =>
         mutate(spark, name, df => df.filter(
           org.apache.spark.sql.functions.not(
             org.apache.spark.sql.functions.expr(Transpiler.transpile(cond)))))
@@ -758,6 +767,39 @@ object Ddl {
     }
     rows.toDF("database", "table", "partition", "name", "active",
       "rows", "bytes_on_disk", "engine")
+  }
+
+  /** `system.detached_parts`: one row per `detached/_part=N` directory —
+    * what DETACH PARTITION parked and ATTACH would bring back (the
+    * operator's visibility into parked retention data). Listing-only;
+    * no data read. */
+  private[graft] def detachedPartsSnapshot(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val cat = spark.sessionState.catalog
+    def dirSize(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(dirSize).sum).getOrElse(0L)
+    val rows = tables.keys.toSeq.sorted.flatMap { key =>
+      val Array(db, t) = key.split("\\.", 2)
+      val ident = org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
+      try {
+        if (!cat.tableExists(ident)) Nil
+        else {
+          val det = new java.io.File(new java.io.File(
+            new java.net.URI(cat.getTableMetadata(ident).location.toString)),
+            "detached")
+          Option(det.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+            .filter(d => d.isDirectory && d.getName.startsWith("_part="))
+            .sortBy(_.getName)
+            .map { d =>
+              (db, t, d.getName.stripPrefix("_part="), d.getName,
+                dirSize(d), "detached-by-user")
+            }
+        }
+      } catch { case _: Throwable => Nil }
+    }
+    rows.toDF("database", "table", "partition_id", "name",
+      "bytes_on_disk", "reason")
   }
 
   /** ClickHouse refuses ALTERs that break the table's key expressions
@@ -1692,6 +1734,7 @@ object Engine {
     * static system.* views (one/functions/settings) pass through. */
   private def rewriteSystemParts(spark: SparkSession, sql: String): String = {
     val live: Seq[(String, () => DataFrame)] = Seq(
+      "detached_parts" -> (() => Ddl.detachedPartsSnapshot(spark)),
       "parts" -> (() => Ddl.partsSnapshot(spark)),
       "databases" -> (() => ChContext.databasesLive(spark)),
       "tables" -> (() => ChContext.tablesLive(spark)),

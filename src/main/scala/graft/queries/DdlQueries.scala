@@ -253,6 +253,54 @@ object DdlQueries {
       WHERE year(o_orderdate)*100 + month(o_orderdate) <> 199506
       GROUP BY 1 ORDER BY ym""")),
 
+    // S15: cross-table partition surgery + lightweight DELETE — stage a
+    // corrected July 1995 into a scratch table (prices doubled), REPLACE
+    // the production partition from it, MOVE August back from a parked
+    // table, lightweight-DELETE a key range. The oracle recomputes the
+    // surviving rows arithmetically from `orders`.
+    Q("s15_partition_surgery", (s, dir) => {
+      ChContext.setup(s, dir)
+      Engine.execute(s, "CREATE DATABASE IF NOT EXISTS graft_t")
+      for (t <- Seq("psur", "psur_fix", "psur_park"))
+        Engine.execute(s, s"DROP TABLE IF EXISTS graft_t.$t")
+      for (t <- Seq("psur", "psur_fix", "psur_park"))
+        Engine.execute(s, s"""
+          CREATE TABLE graft_t.$t (
+            o_orderkey Int64, o_totalprice Float64, o_orderdate DateTime)
+          ENGINE=MergeTree() PARTITION BY toYYYYMM(o_orderdate)
+          ORDER BY (o_orderkey)""")
+      Engine.execute(s, """
+        INSERT INTO graft_t.psur
+        SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+        WHERE toYYYYMM(o_orderdate) IN (199507, 199509)""")
+      Engine.execute(s, """
+        INSERT INTO graft_t.psur_fix
+        SELECT o_orderkey, o_totalprice * 2, o_orderdate FROM orders
+        WHERE toYYYYMM(o_orderdate) = 199507""")
+      Engine.execute(s, """
+        INSERT INTO graft_t.psur_park
+        SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+        WHERE toYYYYMM(o_orderdate) = 199508""")
+      Engine.execute(s,
+        "ALTER TABLE graft_t.psur REPLACE PARTITION 199507 FROM graft_t.psur_fix")
+      Engine.execute(s,
+        "ALTER TABLE graft_t.psur_park MOVE PARTITION 199508 TO TABLE graft_t.psur")
+      Engine.execute(s, "DELETE FROM graft_t.psur WHERE o_orderkey % 10 = 0")
+      Engine.execute(s, """
+        SELECT _part AS ym, count() AS n,
+               sum(CAST(o_totalprice AS Decimal(16,2))) AS sum_price
+        FROM graft_t.psur GROUP BY ym ORDER BY ym""")
+    }, Some("""
+      SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS INT) AS ym,
+             count(*) AS n,
+             sum(CAST(CASE WHEN month(o_orderdate) = 7
+                           THEN o_totalprice * 2
+                           ELSE o_totalprice END AS DECIMAL(16,2))) AS sum_price
+      FROM orders
+      WHERE year(o_orderdate) = 1995 AND month(o_orderdate) IN (7, 8, 9)
+        AND o_orderkey % 10 <> 0
+      GROUP BY 1 ORDER BY ym""")),
+
     // External dictionary: CREATE DICTIONARY over nation, then the
     // dictGet/dictHas/dictGetOrDefault lookup family against supplier
     // keys — present keys resolve, absent keys (+100) fall back to the

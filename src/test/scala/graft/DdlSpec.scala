@@ -1244,6 +1244,36 @@ class DdlSpec extends AnyFunSuite {
       "ALTER TABLE graft_spec.pl ATTACH PARTITION 209901"))
   }
 
+  test("DELETE FROM lightweight-delete spelling; system.detached_parts") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.lwd")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.lwd (id Int64, d DateTime)
+      ENGINE=MergeTree() PARTITION BY toYYYYMM(d) ORDER BY (id)""")
+    Engine.execute(spark, """
+      INSERT INTO graft_spec.lwd SELECT number,
+        toDateTime('2024-08-01 00:00:00') + toIntervalMonth(number % 2)
+      FROM numbers(10)""")
+    // ClickHouse 22.8+ DELETE FROM == the ALTER DELETE mutation here
+    Engine.execute(spark, "DELETE FROM graft_spec.lwd WHERE id % 2 = 0")
+    val left = Engine.execute(spark,
+      "SELECT id FROM graft_spec.lwd ORDER BY id").collect().map(_.getLong(0))
+    assert(left.toSeq === Seq(1L, 3L, 5L, 7L, 9L))
+    // detached_parts: empty -> DETACH lists it -> ATTACH clears it
+    def detached(): Seq[(String, Long)] = Engine.execute(spark, """
+      SELECT partition_id, bytes_on_disk FROM system.detached_parts
+      WHERE table = 'lwd' ORDER BY partition_id""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(detached() === Seq.empty)
+    Engine.execute(spark, "ALTER TABLE graft_spec.lwd DETACH PARTITION 202409")
+    val d = detached()
+    assert(d.map(_._1) === Seq("202409") && d.head._2 > 0)
+    Engine.execute(spark, "ALTER TABLE graft_spec.lwd ATTACH PARTITION 202409")
+    assert(detached() === Seq.empty)
+    assert(Engine.execute(spark,
+      "SELECT count() AS n FROM graft_spec.lwd").collect()(0).getLong(0) === 5L)
+  }
+
   test("REPLACE/ATTACH PARTITION FROM and MOVE PARTITION TO TABLE") {
     // the backfill/promotion workflow: stage corrected data in a
     // scratch table, REPLACE the production partition; ATTACH ... FROM
