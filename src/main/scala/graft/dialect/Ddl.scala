@@ -398,6 +398,17 @@ object Ddl {
     "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+ATTACH\\s+PARTITION\\s+(?:ID\\s+)?(.+?)\\s*$".r
   // cross-table partition surgery (matched BEFORE the single-table
   // forms — their lazy (.+?) would swallow the FROM clause)
+  // table PROJECTIONs (per-part materialized aggregates, Projections.scala)
+  private val addProjectionRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+ADD\\s+PROJECTION\\s+" +
+      "(IF\\s+NOT\\s+EXISTS\\s+)?([\\w`]+)\\s*\\(\\s*SELECT\\s+(.+?)" +
+      "\\s+GROUP\\s+BY\\s+(.+?)\\s*\\)\\s*$").r
+  private val dropProjectionRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+DROP\\s+PROJECTION\\s+" +
+      "(IF\\s+EXISTS\\s+)?([\\w`]+)\\s*$").r
+  private val materializeProjectionRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+MATERIALIZE\\s+PROJECTION\\s+" +
+      "([\\w`]+)\\s*$").r
   private val alterPartFromRe =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+(REPLACE|ATTACH)\\s+" +
       "PARTITION\\s+(?:ID\\s+)?(.+?)\\s+FROM\\s+([\\w`.]+)\\s*$").r
@@ -528,6 +539,18 @@ object Ddl {
             d.withColumn(c, when(condC, expr(e)).otherwise(col(c)))
           }
         })
+      case addProjectionRe(name, ifNot, pname, sel, keys) =>
+        Projections.add(spark, normalize(spark, name),
+          pname.replace("`", ""), sel, keys, Option(ifNot).isDefined)
+        spark.emptyDataFrame
+      case dropProjectionRe(name, ifEx, pname) =>
+        Projections.drop(spark, normalize(spark, name),
+          pname.replace("`", ""), Option(ifEx).isDefined)
+        spark.emptyDataFrame
+      case materializeProjectionRe(name, pname) =>
+        Projections.materialize(spark, normalize(spark, name),
+          pname.replace("`", ""))
+        spark.emptyDataFrame
       case alterPartFromRe(dst, verb, part, src) =>
         copyPartitionFrom(spark, dst, src, parsePartValue(part),
           replace = verb.equalsIgnoreCase("REPLACE"), move = false)
@@ -687,6 +710,10 @@ object Ddl {
         val dropped = "(?is)^\\s*DROP\\s+(?:TABLE|VIEW)\\s+(?:IF\\s+EXISTS\\s+)?([\\w`.]+)".r
           .findFirstMatchIn(s).map(_.group(1).replace("`", ""))
         dropped.foreach(dropMaterializedView(spark, _))
+        // dropped/truncated tables lose their projections' coverage
+        ("(?is)^\\s*(?:DROP|TRUNCATE)\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?([\\w`.]+)".r
+          .findFirstMatchIn(s).map(_.group(1)))
+          .foreach(n => Projections.invalidate(normalize(spark, n)))
         // a Distributed face is a session view, not a catalog table
         dropped.map(n => n.substring(n.lastIndexOf('.') + 1).toLowerCase)
           .filter(distributedTargets.contains) match {
@@ -829,6 +856,7 @@ object Ddl {
     // same table-level lock as appendAligned: a reshape DROPs and
     // rebuilds the table, which must not interleave with an append
     appendLocks.getOrElseUpdate(normalize(spark, name), new Object).synchronized {
+    Projections.invalidate(normalize(spark, name)) // non-INSERT data change
     val bare = name.replace("`", "")
     val key = normalize(spark, name)
     val meta = tables.get(key)
@@ -867,6 +895,7 @@ object Ddl {
                      f: DataFrame => DataFrame): DataFrame =
     // TRUNCATE + re-append must not interleave with a concurrent INSERT
     appendLocks.getOrElseUpdate(normalize(spark, name), new Object).synchronized {
+    Projections.invalidate(normalize(spark, name)) // non-INSERT data change
     val bare = name.replace("`", "")
     // stage to a scratch location first: caching is not enough (TRUNCATE
     // invalidates dependent caches and the plan would re-read the
@@ -904,6 +933,7 @@ object Ddl {
     * partitions are a no-op, like ClickHouse. */
   private def dropPartition(spark: SparkSession, name: String, v: Int): DataFrame =
     appendLocks.getOrElseUpdate(normalize(spark, name), new Object).synchronized {
+      Projections.invalidate(normalize(spark, name))
       val bare = name.replace("`", "")
       requirePartitioned(spark, bare)
       spark.sql(s"ALTER TABLE $bare DROP IF EXISTS PARTITION (`_part` = $v)")
@@ -1006,6 +1036,8 @@ object Ddl {
       case h +: t => h.synchronized(locked(t)(body))
     }
     locked(locks) {
+      Projections.invalidate(normalize(spark, dst))
+      Projections.invalidate(normalize(spark, src))
       requirePartitioned(spark, dst)
       requirePartitioned(spark, src)
       require(spark.table(dst).columns.map(_.toLowerCase).toSeq ==
@@ -1050,6 +1082,7 @@ object Ddl {
     * registered partition locations. */
   private def detachPartition(spark: SparkSession, name: String, v: Int): DataFrame =
     appendLocks.getOrElseUpdate(normalize(spark, name), new Object).synchronized {
+      Projections.invalidate(normalize(spark, name))
       val bare = name.replace("`", "")
       requirePartitioned(spark, bare)
       val catalog = spark.sessionState.catalog
@@ -1070,6 +1103,7 @@ object Ddl {
     * zero rewrite. */
   private def attachPartition(spark: SparkSession, name: String, v: Int): DataFrame =
     appendLocks.getOrElseUpdate(normalize(spark, name), new Object).synchronized {
+      Projections.invalidate(normalize(spark, name))
       val bare = name.replace("`", "")
       requirePartitioned(spark, bare)
       val src = detachedLoc(spark, bare, v)
@@ -1244,6 +1278,8 @@ object Ddl {
       df.write.mode("append").insertInto(bare)
     }
     fireMaterializedViews(spark, bare, src)
+    // per-part projections: each batch appends its own partial aggregate
+    Projections.onInsert(spark, normalize(spark, name), src)
   }
 
   private val appendLocks =
@@ -1742,6 +1778,7 @@ object Engine {
       "query_log" -> (() => Engine.queryLogSnapshot(spark)),
       "processes" -> (() => Engine.processesSnapshot(spark)),
       "dictionaries" -> (() => Dictionaries.snapshot(spark)),
+      "projections" -> (() => Projections.snapshot(spark)),
       "metrics" -> (() => Engine.metricsSnapshot(spark)),
       "events" -> (() => Engine.eventsSnapshot(spark)),
       "settings" -> (() => Engine.settingsSnapshot(spark)))
@@ -2094,12 +2131,16 @@ object Engine {
       case None =>
         try {
           val sql = Transpiler.transpile(bare)
-          // top-k over a wide table: two-phase lazy materialization
-          // (narrow key scan, then a pushdown-able point refetch) —
-          // a misfire must never break a query that would run, so any
-          // rewrite-path throw falls back to the single-pass plan
-          scala.util.Try(graft.operators.LateMaterialize.maybeRun(spark, sql))
+          // plan-level rewrites, both fall-back-safe (a misfire must
+          // never break a query that would run): PROJECTION
+          // merge-aggregation over the materialized partials, then
+          // top-k lazy materialization (narrow key scan + pushdown-able
+          // point refetch)
+          scala.util.Try(Projections.maybeRun(spark, sql))
             .toOption.flatten
+            .orElse(scala.util.Try(
+              graft.operators.LateMaterialize.maybeRun(spark, sql))
+              .toOption.flatten)
             .getOrElse(spark.sql(sql))
         }
         catch {

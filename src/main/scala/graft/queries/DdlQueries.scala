@@ -301,6 +301,48 @@ object DdlQueries {
         AND o_orderkey % 10 <> 0
       GROUP BY 1 ORDER BY ym""")),
 
+    // S16: table PROJECTION — per-part materialized aggregate with
+    // automatic merge rewrite. First half of orders is back-filled via
+    // MATERIALIZE, second half lands as a per-INSERT partial; the final
+    // GROUP BY must read the projection STORE (require() guards that
+    // the rewrite actually fired) and still match DuckDB's direct
+    // aggregate over all of orders.
+    Q("s16_projection", (s, dir) => {
+      ChContext.setup(s, dir)
+      Engine.execute(s, "CREATE DATABASE IF NOT EXISTS graft_t")
+      Engine.execute(s, "DROP TABLE IF EXISTS graft_t.pjord")
+      Engine.execute(s, """
+        CREATE TABLE graft_t.pjord (
+          o_orderkey Int64, o_orderpriority String, o_orderdate DateTime)
+        ENGINE=MergeTree() ORDER BY (o_orderkey)""")
+      Engine.execute(s, "ALTER TABLE graft_t.pjord DROP PROJECTION IF EXISTS p_pri")
+      Engine.execute(s, """
+        INSERT INTO graft_t.pjord
+        SELECT o_orderkey, o_orderpriority, o_orderdate FROM orders
+        WHERE o_orderkey % 2 = 0""")
+      Engine.execute(s, """
+        ALTER TABLE graft_t.pjord ADD PROJECTION p_pri
+          (SELECT o_orderpriority, count(), sum(o_orderkey),
+                  min(o_orderkey), max(o_orderkey)
+           GROUP BY o_orderpriority)""")
+      Engine.execute(s, "ALTER TABLE graft_t.pjord MATERIALIZE PROJECTION p_pri")
+      Engine.execute(s, """
+        INSERT INTO graft_t.pjord
+        SELECT o_orderkey, o_orderpriority, o_orderdate FROM orders
+        WHERE o_orderkey % 2 = 1""")
+      val df = Engine.execute(s, """
+        SELECT o_orderpriority, count() AS n, sum(o_orderkey) AS sk,
+               min(o_orderkey) AS mnk, max(o_orderkey) AS mxk
+        FROM graft_t.pjord GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      require(df.queryExecution.analyzed.toString.contains("__proj_p_pri"),
+        "projection rewrite did not fire")
+      df
+    }, Some("""
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(sum(o_orderkey) AS BIGINT) AS sk,
+             min(o_orderkey) AS mnk, max(o_orderkey) AS mxk
+      FROM orders GROUP BY 1 ORDER BY 1""")),
+
     // External dictionary: CREATE DICTIONARY over nation, then the
     // dictGet/dictHas/dictGetOrDefault lookup family against supplier
     // keys — present keys resolve, absent keys (+100) fall back to the

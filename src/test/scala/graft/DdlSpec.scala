@@ -1244,6 +1244,67 @@ class DdlSpec extends AnyFunSuite {
       "ALTER TABLE graft_spec.pl ATTACH PARTITION 209901"))
   }
 
+  test("PROJECTION: per-part partials, merge rewrite, honest invalidation") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.pr")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.pr (k Int64, g String, v Int64)
+      ENGINE=MergeTree() ORDER BY (k)""")
+    Engine.execute(spark, """
+      INSERT INTO graft_spec.pr SELECT number,
+        if(number % 2 = 0, 'a', 'b'), number * 10 FROM numbers(6)""")
+    Engine.execute(spark, """
+      ALTER TABLE graft_spec.pr ADD PROJECTION p_g
+        (SELECT g, count(), sum(v), min(v), max(v) GROUP BY g)""")
+    val q = """SELECT g, count() AS n, sum(v) AS sv,
+                      min(v) AS mn, max(v) AS mx
+               FROM graft_spec.pr GROUP BY g ORDER BY g"""
+    def run() = Engine.execute(spark, q)
+    def rows() = run().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    def usesStore(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.toString.contains("__proj_p_g")
+    // pre-existing rows were never projected: no rewrite until MATERIALIZE
+    assert(!usesStore(run()))
+    val direct = rows()
+    assert(direct === Seq(("a", 3L, 60L, 0L, 40L), ("b", 3L, 90L, 10L, 50L)))
+    Engine.execute(spark, "ALTER TABLE graft_spec.pr MATERIALIZE PROJECTION p_g")
+    assert(usesStore(run()))
+    assert(rows() === direct)
+    // a later INSERT appends its own partial; the rewrite merges parts
+    Engine.execute(spark, """
+      INSERT INTO graft_spec.pr SELECT number + 100,
+        'a', 5 - number FROM numbers(2)""")
+    assert(usesStore(run()))
+    assert(rows() === Seq(("a", 5L, 69L, 0L, 40L), ("b", 3L, 90L, 10L, 50L)))
+    // key-only WHERE rides the store; a value predicate needs base rows
+    val filtered = Engine.execute(spark,
+      "SELECT g, count() AS n FROM graft_spec.pr WHERE g = 'a' GROUP BY g")
+    assert(usesStore(filtered))
+    assert(filtered.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("a", 5L)))
+    assert(!usesStore(Engine.execute(spark,
+      "SELECT g, count() AS n FROM graft_spec.pr WHERE v > 0 GROUP BY g")))
+    // system.projections shows it live and complete
+    val meta = Engine.execute(spark, """
+      SELECT name, complete FROM system.projections
+      WHERE table = 'graft_spec.pr'""").collect()
+    assert(meta.map(_.getString(0)).toSeq === Seq("p_g") && meta.head.getBoolean(1))
+    // a mutation invalidates: rewrite off, answers still right
+    Engine.execute(spark, "ALTER TABLE graft_spec.pr DELETE WHERE k = 101")
+    assert(!usesStore(run()))
+    assert(rows() === Seq(("a", 4L, 65L, 0L, 40L), ("b", 3L, 90L, 10L, 50L)))
+    // rematerialize restores the rewrite with the post-mutation truth
+    Engine.execute(spark, "ALTER TABLE graft_spec.pr MATERIALIZE PROJECTION p_g")
+    assert(usesStore(run()))
+    assert(rows() === Seq(("a", 4L, 65L, 0L, 40L), ("b", 3L, 90L, 10L, 50L)))
+    Engine.execute(spark, "ALTER TABLE graft_spec.pr DROP PROJECTION p_g")
+    assert(!usesStore(run()))
+    intercept[Exception](Engine.execute(spark,
+      "ALTER TABLE graft_spec.pr MATERIALIZE PROJECTION p_g"))
+  }
+
   test("DELETE FROM lightweight-delete spelling; system.detached_parts") {
     Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
     Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.lwd")
