@@ -135,6 +135,13 @@ object Bench {
       case (k, Some(v)) => "\"" + k + "\":" + f"$v%.3f"
       case (k, None)    => "\"" + k + "\":-1"
     }.mkString("{", ",", "}")
+    // every sample, in pass order — with loadavg_passes this lets a
+    // reader separate an ambient spike (one bad sample, two clean) from
+    // a real shift (all three moved) without rerunning the bench
+    val samplesJson = names.map { k =>
+      "\"" + k + "\":" + samples(k).reverse.map(v => f"$v%.3f")
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
     val total = results.flatMap(_._2).sum
     val headlineTotal = results.filter(r => headline.contains(r._1)).flatMap(_._2).sum
@@ -145,7 +152,7 @@ object Bench {
     val loadEnd = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val passLoadsJson = passLoads.map(l => f"$l%.2f").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","headline_total":$headlineTotal%.3f,"cb_total":$cbTotal%.3f,"cb_queries":${cbNames.length},"hits_n":$hitsN,"fixture_build_sec":$fixtureSec%.1f,"partition_prune_ok":$pruneOk,"loadavg":$loadEnd%.2f,"loadavg_start":$loadStart%.2f,"loadavg_passes":$passLoadsJson,"queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","headline_total":$headlineTotal%.3f,"cb_total":$cbTotal%.3f,"cb_queries":${cbNames.length},"hits_n":$hitsN,"fixture_build_sec":$fixtureSec%.1f,"partition_prune_ok":$pruneOk,"loadavg":$loadEnd%.2f,"loadavg_start":$loadStart%.2f,"loadavg_passes":$passLoadsJson,"queries":$qs,"samples":$samplesJson,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

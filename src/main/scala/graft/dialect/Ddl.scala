@@ -2131,17 +2131,22 @@ object Engine {
       case None =>
         try {
           val sql = Transpiler.transpile(bare)
+          // analyze ONCE — Dataset creation runs the analyzer eagerly,
+          // and both plan-level rewrites below match on the already-
+          // analyzed plan. (Analyzing per-rewrite doubled parse+analysis
+          // on every query: a 134-column hits query paid it twice.)
+          val df = spark.sql(sql)
           // plan-level rewrites, both fall-back-safe (a misfire must
           // never break a query that would run): PROJECTION
           // merge-aggregation over the materialized partials, then
           // top-k lazy materialization (narrow key scan + pushdown-able
           // point refetch)
-          scala.util.Try(Projections.maybeRun(spark, sql))
+          scala.util.Try(Projections.maybeRewrite(df))
             .toOption.flatten
             .orElse(scala.util.Try(
-              graft.operators.LateMaterialize.maybeRun(spark, sql))
+              graft.operators.LateMaterialize.maybeRewrite(df))
               .toOption.flatten)
-            .getOrElse(spark.sql(sql))
+            .getOrElse(df)
         }
         catch {
           // ClickHouse resolves select aliases in WHERE/HAVING; Spark

@@ -191,6 +191,12 @@ object Projections {
     if (registry.isEmpty || !registry.values.exists(_.exists(_.complete))) None
     else scala.util.Try(spark.sql(sql)).toOption.flatMap(rewrite)
 
+  /** Already-analyzed entry (the dialect hot path): the caller owns the
+    * single spark.sql analysis; this only plan-matches. */
+  def maybeRewrite(df: DataFrame): Option[DataFrame] =
+    if (registry.isEmpty || !registry.values.exists(_.exists(_.complete))) None
+    else rewrite(df)
+
   /** Conservative plan matcher: Aggregate over [Filter over] the
     * projected table, grouping exactly on the projection keys, every
     * aggregate derivable from the stored partials, filter referencing

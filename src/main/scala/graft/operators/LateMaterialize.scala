@@ -65,6 +65,11 @@ object LateMaterialize {
   def maybeRun(spark: SparkSession, sql: String): Option[DataFrame] =
     scala.util.Try(spark.sql(sql)).toOption.flatMap(rewrite)
 
+  /** Already-analyzed entry (the dialect hot path): the caller owns the
+    * single spark.sql analysis; this only plan-matches. */
+  def maybeRewrite(df: DataFrame): Option[DataFrame] =
+    if (!enabled) None else rewrite(df)
+
   /** Plan-matching entry for any DataFrame-built top-k: returns the
     * two-phase equivalent, or None when the plan isn't the guarded
     * Limit/Sort/Filter/relation shape. */
