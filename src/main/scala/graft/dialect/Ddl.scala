@@ -35,13 +35,28 @@ object Ddl {
     * table (lowercased name). `replacingVer` is Some(verColOrEmpty)
     * for ReplacingMergeTree — the version column name, or "" when the
     * engine was declared without one. */
-  private case class TableMeta(partitionExpr: Option[String],
-                               orderBy: Seq[String],
-                               sampleBy: Option[String] = None,
-                               replacingVer: Option[String] = None,
-                               summingCols: Option[Seq[String]] = None,
-                               ttl: Option[String] = None)
+  private[dialect] case class TableMeta(partitionExpr: Option[String],
+                                        orderBy: Seq[String],
+                                        sampleBy: Option[String] = None,
+                                        replacingVer: Option[String] = None,
+                                        summingCols: Option[Seq[String]] = None,
+                                        ttl: Option[String] = None)
   private val tables = TrieMap.empty[String, TableMeta]
+
+  // durable-catalog accessors (CatalogStore persists/restores this map)
+  private[dialect] def metaOf(norm: String): Option[TableMeta] =
+    tables.get(norm.toLowerCase)
+  private[dialect] def putMeta(norm: String, m: TableMeta): Unit =
+    tables.put(norm.toLowerCase, m)
+  private[dialect] def forgetMeta(norm: String): Unit =
+    tables.remove(norm.toLowerCase)
+  private[dialect] def normalizeName(spark: SparkSession, name: String): String =
+    normalize(spark, name)
+  private[dialect] def matViewsAll: Seq[(String, MvMeta)] =
+    matViews.toSeq.sortBy(_._1)
+  private[dialect] def restoreMatView(name: String, target: String,
+                                      src: String, body: String): Unit =
+    matViews.putIfAbsent(name, MvMeta(target, src, body))
 
   /** TEMPORARY tables per session — weak keys so an abandoned session
     * doesn't pin its SparkSession; the tables themselves are dropped
@@ -77,7 +92,7 @@ object Ddl {
     * to the target — aggregating bodies therefore store per-block
     * partial aggregates, exactly like ClickHouse's AggregatingMergeTree
     * feed pattern. */
-  private case class MvMeta(target: String, src: String, body: String)
+  private[dialect] case class MvMeta(target: String, src: String, body: String)
   private val matViews = TrieMap.empty[String, MvMeta]
   /** re-entrancy guard for chained/cyclic MVs (fire cascades one level
     * per distinct view, never loops). */
@@ -114,8 +129,10 @@ object Ddl {
   }
 
   private[graft] def dropMaterializedView(spark: SparkSession,
-                                          name: String): Unit =
-    matViews.remove(normalize(spark, name))
+                                          name: String): Unit = {
+    if (matViews.remove(normalize(spark, name)).isDefined)
+      CatalogStore.saveMatViews(spark)
+  }
 
   /** Partition expression of a created table (`db.table`, any case) —
     * consulted by [[graft.plans.PartitionPruneFromDate]] to derive
@@ -373,6 +390,7 @@ object Ddl {
           s"CREATE DICTIONARY $name: column $c not in $source")).name
     }
     Dictionaries.create(spark, name, keyCol, attrs, source, ifNot, range)
+    CatalogStore.saveDictionaries(spark)
     val bareN0 = name.replace("`", "")
     src.select(cols.head, cols.tail: _*).createOrReplaceTempView(
       bareN0.substring(bareN0.lastIndexOf('.') + 1))
@@ -429,6 +447,7 @@ object Ddl {
         createDictionary(spark, Option(ifNot).isDefined, name, tail)
       case dropDictRe(ifExists, name) =>
         Dictionaries.drop(name, Option(ifExists).isDefined)
+        CatalogStore.saveDictionaries(spark)
         val bareN = name.replace("`", "")
         spark.catalog.dropTempView(
           bareN.substring(bareN.lastIndexOf('.') + 1))
@@ -483,7 +502,8 @@ object Ddl {
         // — per-credential sessions each have their own — and registers
         // for drop at session eviction/purge (dropTempTables).
         val out = createTable(spark, Option(ifNot).isDefined, name, cols,
-          engine, Option(engineArgs).map(_.trim).getOrElse(""), rest)
+          engine, Option(engineArgs).map(_.trim).getOrElse(""), rest,
+          persist = Option(temp).isEmpty)
         if (Option(temp).isDefined) registerTempTable(spark, name)
         out
       case ctasRe(temp, ifNot, name, engine, engineArgs, rest, selKw, selRest) =>
@@ -505,7 +525,7 @@ object Ddl {
           createTable(spark, Option(ifNot).isDefined, name, colsDdl,
             Option(engine).getOrElse("Memory"),
             Option(engineArgs).map(_.trim).getOrElse(""),
-            Option(rest).getOrElse(""))
+            Option(rest).getOrElse(""), persist = Option(temp).isEmpty)
           if (Option(temp).isDefined) registerTempTable(spark, name)
           appendAligned(spark, name, df)
           spark.emptyDataFrame
@@ -513,7 +533,7 @@ object Ddl {
       case createTempTableRe(ifNot, name, cols) =>
         // TEMPORARY with ENGINE omitted: ClickHouse defaults to Memory
         val out = createTable(spark, Option(ifNot).isDefined, name, cols,
-          "Memory", "", "")
+          "Memory", "", "", persist = false)
         registerTempTable(spark, name)
         out
       case _ if "(?is)^\\s*INSERT\\b".r.findFirstIn(s).isDefined =>
@@ -570,7 +590,12 @@ object Ddl {
         val exists = Option(ifNot).isDefined && spark.table(name.replace("`", ""))
           .columns.exists(_.equalsIgnoreCase(cn.replace("`", "")))
         if (exists) spark.emptyDataFrame
-        else spark.sql(s"ALTER TABLE $name ADD COLUMNS ($cn ${Transpiler.mapTypeNames(ct)})")
+        else {
+          val out = spark.sql(
+            s"ALTER TABLE $name ADD COLUMNS ($cn ${Transpiler.mapTypeNames(ct)})")
+          CatalogStore.save(spark, name)
+          out
+        }
       case alterDropColRe(name, ifExists, col0) =>
         val c = col0.replace("`", "")
         guardKeyColumn(spark, name, c, "DROP")
@@ -604,10 +629,12 @@ object Ddl {
         val cleaned = "(?is)\\s+DELETE\\s*$".r.replaceAllIn(t.trim, "")
         tables.put(key, tables.getOrElse(key, TableMeta(None, Nil))
           .copy(ttl = Some(cleaned)))
+        CatalogStore.save(spark, name)
         spark.emptyDataFrame
       case alterRemoveTtlRe(name) =>
         val key = normalize(spark, name)
         tables.get(key).foreach(m => tables.put(key, m.copy(ttl = None)))
+        CatalogStore.save(spark, name)
         spark.emptyDataFrame
       case exchangeTablesRe(aName, bName) =>
         // EXCHANGE TABLES a AND b — atomic in ClickHouse; here the
@@ -626,6 +653,8 @@ object Ddl {
         val (ma, mb) = (tables.remove(a), tables.remove(b))
         ma.foreach(m => tables.put(b, m))
         mb.foreach(m => tables.put(a, m))
+        CatalogStore.save(spark, a)
+        CatalogStore.save(spark, b)
         spark.emptyDataFrame
       case renameTableRe(pairs) =>
         // RENAME TABLE a TO b[, c TO d]: catalog rename (a metadata-only
@@ -640,6 +669,9 @@ object Ddl {
           spark.sql(s"ALTER TABLE $from RENAME TO $to")
           tables.remove(fromKey).foreach(mm =>
             tables.put(normalize(spark, to), mm))
+          // the meta file moved with the managed directory; rewrite it
+          // so the recorded db/table match the new name
+          CatalogStore.save(spark, to)
         }
         spark.emptyDataFrame
       case _ if "(?is)^\\s*OPTIMIZE\\s+TABLE\\b".r.findFirstIn(s).isDefined =>
@@ -713,7 +745,16 @@ object Ddl {
         // dropped/truncated tables lose their projections' coverage
         ("(?is)^\\s*(?:DROP|TRUNCATE)\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?([\\w`.]+)".r
           .findFirstMatchIn(s).map(_.group(1)))
-          .foreach(n => Projections.invalidate(normalize(spark, n)))
+          .foreach(n => Projections.invalidate(spark, normalize(spark, n)))
+        // DROP TABLE: the managed-table delete removes the data AND the
+        // persisted meta file; clear the in-memory registries too, so
+        // a later same-name CREATE starts from a clean slate
+        if ("(?is)^\\s*DROP\\s+TABLE\\b".r.findFirstIn(s).isDefined)
+          dropped.foreach { n =>
+            val norm = normalize(spark, n)
+            tables.remove(norm)
+            SkipIndexes.forgetInMemory(norm)
+          }
         // a Distributed face is a session view, not a catalog table
         dropped.map(n => n.substring(n.lastIndexOf('.') + 1).toLowerCase)
           .filter(distributedTargets.contains) match {
@@ -721,7 +762,14 @@ object Ddl {
             distributedTargets.remove(face)
             spark.catalog.dropTempView(face)
             spark.emptyDataFrame
-          case None => spark.sql(s)
+          case None =>
+            val out = spark.sql(s)
+            // a user-level TRUNCATE wiped the table dir incl. the
+            // durable meta file — re-persist it
+            ("(?is)^\\s*TRUNCATE\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?([\\w`.]+)".r
+              .findFirstMatchIn(s).map(_.group(1)))
+              .foreach(n => CatalogStore.save(spark, n))
+            out
         }
       case other =>
         throw new IllegalArgumentException(s"unsupported DDL: $other")
@@ -856,7 +904,7 @@ object Ddl {
     // same table-level lock as appendAligned: a reshape DROPs and
     // rebuilds the table, which must not interleave with an append
     appendLocks.getOrElseUpdate(normalize(spark, name), new Object).synchronized {
-    Projections.invalidate(normalize(spark, name)) // non-INSERT data change
+    Projections.invalidate(spark, normalize(spark, name)) // non-INSERT data change
     val bare = name.replace("`", "")
     val key = normalize(spark, name)
     val meta = tables.get(key)
@@ -888,6 +936,7 @@ object Ddl {
     }
     val order = spark.table(bare).columns.map(staged(_))
     staged.select(order.toIndexedSeq: _*).write.mode("append").insertInto(bare)
+    CatalogStore.save(spark, bare)
     spark.emptyDataFrame
     }
 
@@ -895,7 +944,7 @@ object Ddl {
                      f: DataFrame => DataFrame): DataFrame =
     // TRUNCATE + re-append must not interleave with a concurrent INSERT
     appendLocks.getOrElseUpdate(normalize(spark, name), new Object).synchronized {
-    Projections.invalidate(normalize(spark, name)) // non-INSERT data change
+    Projections.invalidate(spark, normalize(spark, name)) // non-INSERT data change
     val bare = name.replace("`", "")
     // stage to a scratch location first: caching is not enough (TRUNCATE
     // invalidates dependent caches and the plan would re-read the
@@ -906,6 +955,9 @@ object Ddl {
     val staged = spark.read.parquet(tmp)
     spark.sql(s"TRUNCATE TABLE $bare")
     staged.write.mode("append").insertInto(bare)
+    // TRUNCATE clears the whole table directory, including the durable
+    // meta file — re-persist it
+    CatalogStore.save(spark, bare)
     spark.emptyDataFrame
     }
 
@@ -933,7 +985,7 @@ object Ddl {
     * partitions are a no-op, like ClickHouse. */
   private def dropPartition(spark: SparkSession, name: String, v: Int): DataFrame =
     appendLocks.getOrElseUpdate(normalize(spark, name), new Object).synchronized {
-      Projections.invalidate(normalize(spark, name))
+      Projections.invalidate(spark, normalize(spark, name))
       val bare = name.replace("`", "")
       requirePartitioned(spark, bare)
       spark.sql(s"ALTER TABLE $bare DROP IF EXISTS PARTITION (`_part` = $v)")
@@ -1036,8 +1088,8 @@ object Ddl {
       case h +: t => h.synchronized(locked(t)(body))
     }
     locked(locks) {
-      Projections.invalidate(normalize(spark, dst))
-      Projections.invalidate(normalize(spark, src))
+      Projections.invalidate(spark, normalize(spark, dst))
+      Projections.invalidate(spark, normalize(spark, src))
       requirePartitioned(spark, dst)
       requirePartitioned(spark, src)
       require(spark.table(dst).columns.map(_.toLowerCase).toSeq ==
@@ -1082,7 +1134,7 @@ object Ddl {
     * registered partition locations. */
   private def detachPartition(spark: SparkSession, name: String, v: Int): DataFrame =
     appendLocks.getOrElseUpdate(normalize(spark, name), new Object).synchronized {
-      Projections.invalidate(normalize(spark, name))
+      Projections.invalidate(spark, normalize(spark, name))
       val bare = name.replace("`", "")
       requirePartitioned(spark, bare)
       val catalog = spark.sessionState.catalog
@@ -1103,7 +1155,7 @@ object Ddl {
     * zero rewrite. */
   private def attachPartition(spark: SparkSession, name: String, v: Int): DataFrame =
     appendLocks.getOrElseUpdate(normalize(spark, name), new Object).synchronized {
-      Projections.invalidate(normalize(spark, name))
+      Projections.invalidate(spark, normalize(spark, name))
       val bare = name.replace("`", "")
       requirePartitioned(spark, bare)
       val src = detachedLoc(spark, bare, v)
@@ -1121,7 +1173,8 @@ object Ddl {
 
   private def createTable(spark: SparkSession, ifNotExists: Boolean,
                           name: String, colDefs: String, engine0: String,
-                          engineArgs0: String, rest: String): DataFrame = {
+                          engineArgs0: String, rest: String,
+                          persist: Boolean = true): DataFrame = {
     // Replicated*MergeTree: replication is a cluster concern — strip
     // the prefix and drop the two ZooKeeper args ('/path', 'replica'),
     // keeping any engine-specific tail (Replacing's version column)
@@ -1222,7 +1275,10 @@ object Ddl {
     tables.put(normalize(spark, name),
       TableMeta(partExpr, orderCols, sampleBy, replacingVer, summingCols,
         ttl))
-    spark.sql(ddl)
+    val out = spark.sql(ddl)
+    // TEMPORARY tables die with their session — never persisted
+    if (persist) CatalogStore.save(spark, name)
+    out
   }
 
   /** Append a frame holding the table's non-`_part` columns
@@ -1280,6 +1336,8 @@ object Ddl {
     fireMaterializedViews(spark, bare, src)
     // per-part projections: each batch appends its own partial aggregate
     Projections.onInsert(spark, normalize(spark, name), src)
+    // data-skipping indexes: stat the new files only (never a rescan)
+    SkipIndexes.onInsert(spark, normalize(spark, name))
   }
 
   private val appendLocks =
@@ -1327,6 +1385,7 @@ object Ddl {
       appendAligned(spark, target, spark.sql(Transpiler.transpile(body)))
     matViews.put(normalize(spark, name),
       MvMeta(target, normalize(spark, src), body))
+    CatalogStore.saveMatViews(spark)
     spark.emptyDataFrame
   }
 
@@ -1668,6 +1727,9 @@ object Engine {
 
   private def executeInner(spark: SparkSession, rawSql: String): DataFrame = {
     ChFunctions.register(spark)
+    // lazy durable-catalog restore: first statement of a fresh JVM
+    // re-registers persisted tables/dictionaries/projections
+    CatalogStore.ensureRestored(spark)
     insertDataRe.findFirstMatchIn(rawSql) match {
       case Some(m) =>
         val cols = Option(m.group(3))

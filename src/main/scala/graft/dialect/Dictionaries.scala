@@ -101,6 +101,19 @@ object Dictionaries {
 
   def names: Seq[String] = dicts.keys.toSeq.sorted
 
+  /** All registered dictionaries (durable-catalog persistence). */
+  private[dialect] def all: Seq[Meta] = dicts.values.toSeq.sortBy(_.name)
+
+  /** Restart simulation: forget the in-memory registration WITHOUT
+    * touching the persisted catalog file (so restore brings it back). */
+  private[dialect] def forgetInMemory(name: String): Unit = {
+    val k = bare(name)
+    dicts.remove(k)
+    cache.keys.filter(_._1 == k).foreach(cache.remove)
+    rangeCache.keys.filter(_._1 == k).foreach(rangeCache.remove)
+    fitsCache.remove(k)
+  }
+
   def exists(name: String): Boolean = dicts.contains(bare(name))
 
   /** system.dictionaries live frame (columns clients read by name). */

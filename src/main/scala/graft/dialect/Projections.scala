@@ -50,6 +50,24 @@ object Projections {
   /** normalized table name -> its projections */
   private val registry = TrieMap.empty[String, List[Proj]]
 
+  /** Durable-catalog accessors: the registry persists inside the base
+    * table's `_graft_meta.json` (CatalogStore) and restores with it. */
+  private[dialect] def forTable(table: String): List[Proj] =
+    registry.getOrElse(table.replace("`", "").toLowerCase, Nil)
+
+  private[dialect] def restore(table: String, name: String,
+                               keys: Seq[String], aggs: Seq[AggDef],
+                               store: String, complete: Boolean): Unit = {
+    val tbl = table.toLowerCase
+    if (!registry.getOrElse(tbl, Nil).exists(_.name == name.toLowerCase))
+      registry.updateWith(tbl)(old => Some(
+        Proj(tbl, name.toLowerCase, keys, aggs, store, complete)
+          :: old.getOrElse(Nil)))
+  }
+
+  private[dialect] def forgetInMemory(table: String): Unit =
+    registry.remove(table.replace("`", "").toLowerCase)
+
   /** Split on top-level commas (parens guard function-call commas). */
   private def splitTop(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
@@ -82,6 +100,9 @@ object Projections {
     val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.saveAsTable(store)
+    // the store is a graft table too: persist its schema so a restart
+    // restores it before the projection that reads it
+    CatalogStore.save(spark, store)
   }
 
   /** The partial-aggregate frame of one batch (or of the full table
@@ -137,6 +158,7 @@ object Projections {
     writeStore(spark, store, partial(p, spark.table(tbl).limit(0)))
     p.complete = spark.table(tbl).isEmpty
     registry.updateWith(tbl)(old => Some(p :: old.getOrElse(Nil)))
+    CatalogStore.save(spark, tbl)
   }
 
   def drop(spark: SparkSession, table: String, name: String,
@@ -151,6 +173,7 @@ object Projections {
     existing.filter(_.name == key)
       .foreach(p => Engine.execute(spark, s"DROP TABLE IF EXISTS ${p.store}"))
     registry.update(tbl, existing.filterNot(_.name == key))
+    CatalogStore.save(spark, tbl)
   }
 
   def materialize(spark: SparkSession, table: String, name: String): Unit = {
@@ -160,6 +183,7 @@ object Projections {
         s"projection $name does not exist on $table"))
     writeStore(spark, p.store, partial(p, spark.table(tbl)))
     p.complete = true
+    CatalogStore.save(spark, tbl)
   }
 
   /** INSERT hook (appendAligned): each batch appends its own partial —
@@ -170,10 +194,17 @@ object Projections {
     }
 
   /** Non-INSERT data change: the store no longer covers the table —
-    * disable the rewrite (fall back to base scans) until MATERIALIZE. */
-  def invalidate(table: String): Unit =
-    registry.getOrElse(table.replace("`", "").toLowerCase, Nil)
-      .foreach(_.complete = false)
+    * disable the rewrite (fall back to base scans) until MATERIALIZE.
+    * The cleared flag persists with the table's meta, so a restart
+    * between the mutation and the next MATERIALIZE cannot resurrect a
+    * stale projection into wrong answers. */
+  def invalidate(spark: SparkSession, table: String): Unit = {
+    val ps = registry.getOrElse(table.replace("`", "").toLowerCase, Nil)
+    if (ps.exists(_.complete)) {
+      ps.foreach(_.complete = false)
+      CatalogStore.save(spark, table)
+    }
+  }
 
   private[graft] def snapshot(spark: SparkSession): DataFrame = {
     import spark.implicits._

@@ -1,0 +1,392 @@
+package graft.dialect
+
+import org.apache.spark.sql.SparkSession
+import scala.collection.concurrent.TrieMap
+
+/** ClickHouse data-skipping indexes (`ALTER TABLE t ADD INDEX name expr
+  * TYPE minmax|set(n)|bloom_filter GRANULARITY g`) — per-FILE statistics
+  * consulted at plan time to drop parquet files a predicate cannot
+  * match, the Spark-native analog of ClickHouse's per-granule skip
+  * indexes (reference surface: the delegation point main.py:190,
+  * adjacent to test.yml:49's `index_granularity` SETTINGS).
+  *
+  * Model: ClickHouse stores one mark per GRANULARITY×8192 rows; the
+  * parquet mapping's natural skip unit is the FILE (row-group pruning
+  * below that is parquet's own min/max machinery, already active on the
+  * ORDER BY prefix). For each indexed column this registry keeps one
+  * small stats row per data file:
+  *   - minmax        -> (min, max) of the column
+  *   - set(n)        -> the distinct values if at most n, else "overflow"
+  *   - bloom_filter  -> a fixed-size bloom bitset of the values
+  * A selective predicate on a non-sort, non-partition column then reads
+  * only the files whose stats admit a match — at 100 TB the difference
+  * between scanning every file and scanning the handful that can hold
+  * the key.
+  *
+  * Lifecycle mirrors ClickHouse: ADD INDEX registers the definition and
+  * indexes only parts written AFTER it; MATERIALIZE INDEX back-fills
+  * history; inserts index their own new files incrementally. A file
+  * ABSENT from the manifest is never pruned, so correctness never
+  * depends on manifest freshness (mutations rewrite into new files —
+  * those scan until the next MATERIALIZE; stale entries for deleted
+  * files are never listed by the scan in the first place).
+  *
+  * The manifest persists as JSON under `<table>/_graft_skipidx/` (the
+  * underscore keeps it invisible to scans) and restores with the
+  * durable catalog. Driver memory: one row per (file, index) — at 1M
+  * files this is a ~100 MB map, the same order as Spark's own driver-
+  * side FileIndex listing; the hierarchical next step (per-partition
+  * manifests loaded on demand) is noted, not needed at this scale.
+  */
+object SkipIndexes {
+
+  sealed trait Kind
+  case object MinMax extends Kind
+  case class SetN(n: Int) extends Kind
+  case object Bloom extends Kind
+
+  /** One file's stats for one index. `lo`/`hi` for minmax (as the
+    * column's runtime type), `values` for set(n) (None = overflow),
+    * `bloom` bitset for bloom_filter. */
+  case class FileStats(lo: Option[Any] = None, hi: Option[Any] = None,
+                       values: Option[Seq[Any]] = None,
+                       bloom: Option[Array[Long]] = None)
+
+  case class Index(table: String, name: String, column: String,
+                   kind: Kind, granularity: Int,
+                   stats: TrieMap[String, FileStats] = TrieMap.empty)
+
+  /** normalized table name -> its indexes */
+  private val registry = TrieMap.empty[String, List[Index]]
+
+  private[dialect] def forTable(table: String): List[Index] =
+    registry.getOrElse(table.toLowerCase, Nil)
+
+  /** Planner entry ([[graft.plans.SkipIndexPrune]]): the indexes of a
+    * table, by its `db.table` name. */
+  def indexesOf(qualified: String): List[Index] =
+    registry.getOrElse(qualified.toLowerCase, Nil)
+
+  private[dialect] def forgetInMemory(table: String): Unit =
+    registry.remove(table.toLowerCase)
+
+  /** Restore a table's persisted manifests (durable-catalog path). */
+  private[dialect] def restore(spark: SparkSession, table: String,
+                               tableDir: java.nio.file.Path): Unit =
+    Persist.restore(table, tableDir).foreach { ixs =>
+      registry.put(table.toLowerCase, ixs)
+    }
+
+  // ---------------------------------------------------------------
+  // DDL entries
+  // ---------------------------------------------------------------
+
+  def add(spark: SparkSession, table: String, name: String, column: String,
+          kindStr: String, granularity: Int, ifNotExists: Boolean): Unit = {
+    val tbl = table.toLowerCase
+    val key = name.toLowerCase
+    if (registry.getOrElse(tbl, Nil).exists(_.name == key)) {
+      if (ifNotExists) return
+      throw new IllegalArgumentException(s"index $name already exists on $table")
+    }
+    val kind = parseKind(kindStr)
+    val cols = spark.table(tbl).columns
+    val col = cols.find(_.equalsIgnoreCase(column)).getOrElse(
+      throw new IllegalArgumentException(
+        s"ADD INDEX $name: $column is not a plain column of $table " +
+          "(v1 prunes on plain columns; expression indexes are not supported)"))
+    if (col == "_part") throw new IllegalArgumentException(
+      "ADD INDEX on _part is redundant: partition pruning already applies")
+    val ix = Index(tbl, key, col, kind, granularity)
+    registry.updateWith(tbl)(old => Some(ix :: old.getOrElse(Nil)))
+    persist(spark, tbl)
+  }
+
+  def drop(spark: SparkSession, table: String, name: String,
+           ifExists: Boolean): Unit = {
+    val tbl = table.toLowerCase
+    val key = name.toLowerCase
+    val existing = registry.getOrElse(tbl, Nil)
+    if (!existing.exists(_.name == key)) {
+      if (ifExists) return
+      throw new IllegalArgumentException(s"index $name does not exist on $table")
+    }
+    registry.update(tbl, existing.filterNot(_.name == key))
+    persist(spark, tbl)
+  }
+
+  /** MATERIALIZE INDEX: (re)build the full per-file manifest with ONE
+    * distributed aggregation over the table — groupBy(input_file_name)
+    * keeps everything map-side until the tiny per-file rollup. */
+  def materialize(spark: SparkSession, table: String, name: String): Unit = {
+    val tbl = table.toLowerCase
+    val ix = registry.getOrElse(tbl, Nil).find(_.name == name.toLowerCase)
+      .getOrElse(throw new IllegalArgumentException(
+        s"index $name does not exist on $table"))
+    ix.stats.clear()
+    buildInto(spark, ix, spark.table(tbl))
+    persist(spark, tbl)
+  }
+
+  /** INSERT hook: index only the files this append created (list diff
+    * against the manifest — never a rescan of old data). */
+  private[dialect] def onInsert(spark: SparkSession, table: String): Unit = {
+    val ixs = registry.getOrElse(table.toLowerCase, Nil)
+    if (ixs.isEmpty) return
+    val files = spark.table(table).inputFiles.map(normPath).toSet
+    ixs.foreach { ix =>
+      val missing = (files -- ix.stats.keySet).toSeq
+      if (missing.nonEmpty) {
+        // read exactly the new files; index columns are data columns
+        // (never `_part`), so a direct parquet read of the paths works
+        val df = spark.read.parquet(missing.map(rawPathOf(spark, table, _)): _*)
+        buildInto(spark, ix, df)
+      }
+    }
+    persist(spark, table.toLowerCase)
+  }
+
+  /** The raw (un-normalized) path string Spark can open for a
+    * normalized manifest key. Keys come from input_file_name(), which
+    * is already a readable URI — recover it from the live listing. */
+  private def rawPathOf(spark: SparkSession, table: String,
+                        normKey: String): String =
+    spark.table(table).inputFiles.find(f => normPath(f) == normKey)
+      .getOrElse(normKey)
+
+  /** Canonical file key: scheme-independent absolute path
+    * (`file:///x/y`, `file:/x/y` and listing paths all collide). */
+  def normPath(p: String): String =
+    try {
+      val u = new java.net.URI(p)
+      if (u.getPath != null && u.getPath.nonEmpty) u.getPath else p
+    } catch { case _: Throwable => p }
+
+  /** Aggregate `df`'s per-file stats for `ix` and merge them into the
+    * manifest. One shuffle keyed by file name; output is #files rows. */
+  private def buildInto(spark: SparkSession, ix: Index,
+                        df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    if (!df.columns.contains(ix.column)) return
+    val c = col(ix.column)
+    val keyed = df.select(input_file_name().as("__file"), c.as("__v"))
+    ix.kind match {
+      case MinMax =>
+        keyed.groupBy("__file").agg(min("__v").as("lo"), max("__v").as("hi"))
+          .collect().foreach { r =>
+            ix.stats.put(normPath(r.getString(0)),
+              FileStats(lo = Option(r.get(1)), hi = Option(r.get(2))))
+          }
+      case SetN(n) =>
+        // size-capped distinct per file: slice(n+1) bounds what reaches
+        // the driver; n+1 values == overflow == "cannot prune this file"
+        keyed.groupBy("__file")
+          .agg(slice(collect_set("__v"), 1, n + 1).as("vs"))
+          .collect().foreach { r =>
+            val vs = r.getSeq[Any](1)
+            ix.stats.put(normPath(r.getString(0)),
+              FileStats(values = if (vs.length > n) None else Some(vs)))
+          }
+      case Bloom =>
+        keyed.groupBy("__file")
+          .agg(collect_set(xxhash64(col("__v"))).as("hs"))
+          .collect().foreach { r =>
+            val bits = new Array[Long](BloomWords)
+            r.getSeq[Long](1).foreach(h => bloomSet(bits, h))
+            ix.stats.put(normPath(r.getString(0)),
+              FileStats(bloom = Some(bits)))
+          }
+    }
+  }
+
+  // 8192-bit bloom per (file, index), 3 probes via double hashing —
+  // fp rate under 1% up to ~700 distinct values per file, and a false
+  // positive only costs reading one file that a perfect index skips.
+  private val BloomWords = 128
+  private val BloomBits = BloomWords * 64
+  private def bloomSet(bits: Array[Long], h: Long): Unit = {
+    val h2 = java.lang.Long.rotateLeft(h, 31) | 1L
+    var i = 0
+    while (i < 3) {
+      val idx = java.lang.Math.floorMod(h + i * h2, BloomBits.toLong).toInt
+      bits(idx >> 6) |= (1L << (idx & 63))
+      i += 1
+    }
+  }
+  def bloomMightContain(bits: Array[Long], h: Long): Boolean = {
+    val h2 = java.lang.Long.rotateLeft(h, 31) | 1L
+    var i = 0
+    while (i < 3) {
+      val idx = java.lang.Math.floorMod(h + i * h2, BloomBits.toLong).toInt
+      if ((bits(idx >> 6) & (1L << (idx & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  private def parseKind(s: String): Kind = {
+    val t = s.trim
+    val setRe = "(?i)^set\\s*\\(\\s*(\\d+)\\s*\\)$".r
+    val bloomRe = "(?i)^bloom_filter\\s*(\\([^)]*\\))?$".r
+    t.toLowerCase match {
+      case "minmax" => MinMax
+      case setRe(n) => SetN(n.toInt)
+      case _ if bloomRe.findFirstIn(t).isDefined => Bloom
+      case other => throw new IllegalArgumentException(
+        s"unsupported index TYPE $other (minmax | set(n) | bloom_filter)")
+    }
+  }
+
+  /** system.data_skipping_indices face. */
+  private[graft] def snapshot(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    registry.values.flatten.toSeq
+      .map { ix =>
+        val Array(db, t) = ix.table.split("\\.", 2)
+        (db, t, ix.name, ix.column, kindName(ix.kind), ix.granularity.toLong,
+          ix.stats.size.toLong)
+      }
+      .sortBy(r => (r._1, r._2, r._3))
+      .toDF("database", "table", "name", "expr", "type", "granularity",
+        "indexed_files")
+  }
+
+  private def kindName(k: Kind): String = k match {
+    case MinMax => "minmax"
+    case SetN(n) => s"set($n)"
+    case Bloom => "bloom_filter"
+  }
+
+  // ---------------------------------------------------------------
+  // persistence (rides the durable catalog)
+  // ---------------------------------------------------------------
+
+  private def persist(spark: SparkSession, tbl: String): Unit =
+    try Persist.write(spark, tbl, registry.getOrElse(tbl, Nil))
+    catch { case _: Throwable => () }
+
+  private object Persist {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import org.json4s.JsonDSL._
+
+    private def dirOf(spark: SparkSession, tbl: String): Option[java.nio.file.Path] =
+      try {
+        val ident = spark.sessionState.sqlParser.parseTableIdentifier(tbl)
+        val loc = spark.sessionState.catalog.getTableMetadata(ident).location
+        Some(java.nio.file.Paths.get(new java.net.URI(loc.toString).getPath)
+          .resolve("_graft_skipidx"))
+      } catch { case _: Throwable => None }
+
+    private def anyToJson(v: Any): JValue = v match {
+      case null => JNull
+      case i: Int => JInt(BigInt(i))
+      case l: Long => JInt(BigInt(l))
+      case s: Short => JInt(BigInt(s.toInt))
+      case b: Byte => JInt(BigInt(b.toInt))
+      case d: Double => JDouble(d)
+      case f: Float => JDouble(f.toDouble)
+      case d: java.math.BigDecimal => JDecimal(BigDecimal(d))
+      case d: java.sql.Date => ("__t" -> "date") ~ ("v" -> d.toString)
+      case t: java.sql.Timestamp => ("__t" -> "ts") ~ ("v" -> t.getTime)
+      case s: String => JString(s)
+      case other => JString(other.toString)
+    }
+    private def jsonToAny(j: JValue): Any = j match {
+      case JInt(i) => i.toLong
+      case JLong(l) => l
+      case JDouble(d) => d
+      case JDecimal(d) => d.bigDecimal
+      case JString(s) => s
+      case JNull => null
+      case o: JObject => (o \ "__t") match {
+        case JString("date") => java.sql.Date.valueOf((o \ "v") match {
+          case JString(s) => s; case _ => "1970-01-01"
+        })
+        case JString("ts") => new java.sql.Timestamp((o \ "v") match {
+          case JInt(i) => i.toLong; case JLong(l) => l; case _ => 0L
+        })
+        case _ => null
+      }
+      case _ => null
+    }
+
+    def write(spark: SparkSession, tbl: String, ixs: List[Index]): Unit = {
+      val dir = dirOf(spark, tbl).getOrElse(return)
+      java.nio.file.Files.createDirectories(dir)
+      val j: JValue = JArray(ixs.map { ix =>
+        val x: JValue =
+          ("name" -> ix.name) ~ ("column" -> ix.column) ~
+          ("type" -> kindName(ix.kind)) ~ ("granularity" -> ix.granularity) ~
+          ("files" -> JArray(ix.stats.toList.sortBy(_._1).map { case (f, st) =>
+            val e: JValue = ("file" -> f) ~
+              ("lo" -> st.lo.map(anyToJson).getOrElse(JNothing: JValue)) ~
+              ("hi" -> st.hi.map(anyToJson).getOrElse(JNothing: JValue)) ~
+              ("values" -> st.values.map(vs => JArray(vs.toList.map(anyToJson)))
+                .getOrElse(JNothing: JValue)) ~
+              ("overflow" -> JBool(st.values.isEmpty && st.bloom.isEmpty &&
+                st.lo.isEmpty)) ~
+              ("bloom" -> st.bloom.map(b => JString(
+                java.util.Base64.getEncoder.encodeToString {
+                  val bb = java.nio.ByteBuffer.allocate(b.length * 8)
+                  b.foreach(bb.putLong); bb.array()
+                })).getOrElse(JNothing: JValue))
+            e
+          }))
+        x
+      })
+      java.nio.file.Files.write(dir.resolve("indexes.json"),
+        JsonMethods.compact(JsonMethods.render(j))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+
+    def restore(table: String,
+                tableDir: java.nio.file.Path): Option[List[Index]] = {
+      val f = tableDir.resolve("_graft_skipidx").resolve("indexes.json")
+      if (!java.nio.file.Files.isRegularFile(f)) return None
+      try {
+        val j = JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(f),
+          java.nio.charset.StandardCharsets.UTF_8))
+        j match {
+          case JArray(ixs) => Some(ixs.flatMap { x =>
+            for {
+              name <- (x \ "name") match { case JString(s) => Some(s); case _ => None }
+              column <- (x \ "column") match { case JString(s) => Some(s); case _ => None }
+              tpe <- (x \ "type") match { case JString(s) => Some(s); case _ => None }
+            } yield {
+              val gran = (x \ "granularity") match {
+                case JInt(i) => i.toInt; case _ => 1
+              }
+              val ix = Index(table.toLowerCase, name, column, parseKind(tpe), gran)
+              (x \ "files") match {
+                case JArray(fs) => fs.foreach { e =>
+                  (e \ "file") match {
+                    case JString(file) =>
+                      val lo = (e \ "lo") match { case JNothing => None; case v => Some(jsonToAny(v)) }
+                      val hi = (e \ "hi") match { case JNothing => None; case v => Some(jsonToAny(v)) }
+                      val values = (e \ "values") match {
+                        case JArray(vs) => Some(vs.map(jsonToAny))
+                        case _ => None
+                      }
+                      val bloom = (e \ "bloom") match {
+                        case JString(b64) =>
+                          val bytes = java.util.Base64.getDecoder.decode(b64)
+                          val bb = java.nio.ByteBuffer.wrap(bytes)
+                          Some(Array.fill(bytes.length / 8)(bb.getLong))
+                        case _ => None
+                      }
+                      ix.stats.put(file, FileStats(lo, hi, values, bloom))
+                    case _ => ()
+                  }
+                }
+                case _ => ()
+              }
+              ix
+            }
+          })
+          case _ => None
+        }
+      } catch { case _: Throwable => None }
+    }
+  }
+}

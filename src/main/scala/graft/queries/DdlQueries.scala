@@ -343,6 +343,42 @@ object DdlQueries {
              min(o_orderkey) AS mnk, max(o_orderkey) AS mxk
       FROM orders GROUP BY 1 ORDER BY 1""")),
 
+    // S18: durable catalog — DDL survives a restart like the
+    // reference's persistent chdb session (main.py:140-150). The entry
+    // creates+loads a partitioned MergeTree table, simulates a JVM
+    // restart (catalog entry dropped, data untouched, registries
+    // wiped), and the follow-up statements must answer from the
+    // lazily-restored catalog: the SELECT sees all rows, and a
+    // post-restart INSERT proves the restored PARTITION BY metadata
+    // still routes rows (the oracle recomputes both halves from orders).
+    Q("s18_durable_catalog", (s, dir) => {
+      ChContext.setup(s, dir)
+      Engine.execute(s, "CREATE DATABASE IF NOT EXISTS graft_t")
+      Engine.execute(s, "DROP TABLE IF EXISTS graft_t.dur18")
+      Engine.execute(s, """
+        CREATE TABLE graft_t.dur18 (
+          o_orderkey Int64, o_totalprice Float64, o_orderdate DateTime)
+        ENGINE=MergeTree() PARTITION BY toYYYYMM(o_orderdate)
+        ORDER BY (o_orderkey)""")
+      Engine.execute(s, """
+        INSERT INTO graft_t.dur18
+        SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+        WHERE o_orderkey % 2 = 0""")
+      graft.dialect.CatalogStore.simulateRestart(s, Seq("graft_t.dur18"))
+      Engine.execute(s, """
+        INSERT INTO graft_t.dur18
+        SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+        WHERE o_orderkey % 2 = 1""")
+      Engine.execute(s, """
+        SELECT _part AS ym, count() AS n,
+               sum(CAST(o_totalprice AS Decimal(14,2))) AS sum_price
+        FROM graft_t.dur18 GROUP BY ym ORDER BY ym""")
+    }, Some("""
+      SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS INT) AS ym,
+             count(*) AS n,
+             sum(CAST(o_totalprice AS DECIMAL(14,2))) AS sum_price
+      FROM orders GROUP BY 1 ORDER BY ym""")),
+
     // External dictionary: CREATE DICTIONARY over nation, then the
     // dictGet/dictHas/dictGetOrDefault lookup family against supplier
     // keys — present keys resolve, absent keys (+100) fall back to the
