@@ -13,5 +13,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     graft.dialect.ChFunctions.injectInto(ext)
     ext.injectOptimizerRule(_ => graft.plans.PartitionPruneFromDate)
+    ext.injectOptimizerRule(_ => graft.plans.SkipIndexPrune)
   }
 }

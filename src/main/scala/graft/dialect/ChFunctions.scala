@@ -1176,6 +1176,10 @@ object ChFunctions {
             .contains(graft.plans.PartitionPruneFromDate))
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ graft.plans.PartitionPruneFromDate
+      if (!spark.experimental.extraOptimizations
+            .contains(graft.plans.SkipIndexPrune))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ graft.plans.SkipIndexPrune
     }
   }
 

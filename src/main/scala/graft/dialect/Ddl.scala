@@ -427,6 +427,20 @@ object Ddl {
   private val materializeProjectionRe =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+MATERIALIZE\\s+PROJECTION\\s+" +
       "([\\w`]+)\\s*$").r
+  // data-skipping indexes (per-file stats manifests, SkipIndexes.scala)
+  private val addIndexRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+ADD\\s+INDEX\\s+" +
+      "(IF\\s+NOT\\s+EXISTS\\s+)?([\\w`]+)\\s+(.+?)\\s+TYPE\\s+" +
+      "(\\w+(?:\\s*\\([^)]*\\))?)(?:\\s+GRANULARITY\\s+(\\d+))?\\s*$").r
+  private val dropIndexRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+DROP\\s+INDEX\\s+" +
+      "(IF\\s+EXISTS\\s+)?([\\w`]+)\\s*$").r
+  private val materializeIndexRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+MATERIALIZE\\s+INDEX\\s+" +
+      "([\\w`]+)\\s*$").r
+  private val clearIndexRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+CLEAR\\s+INDEX\\s+" +
+      "([\\w`]+)\\s*$").r
   private val alterPartFromRe =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+(REPLACE|ATTACH)\\s+" +
       "PARTITION\\s+(?:ID\\s+)?(.+?)\\s+FROM\\s+([\\w`.]+)\\s*$").r
@@ -570,6 +584,23 @@ object Ddl {
       case materializeProjectionRe(name, pname) =>
         Projections.materialize(spark, normalize(spark, name),
           pname.replace("`", ""))
+        spark.emptyDataFrame
+      case addIndexRe(name, ifNot, iname, expr, tpe, gran) =>
+        SkipIndexes.add(spark, normalize(spark, name),
+          iname.replace("`", ""), expr.trim.replace("`", ""), tpe,
+          Option(gran).map(_.toInt).getOrElse(1), Option(ifNot).isDefined)
+        spark.emptyDataFrame
+      case dropIndexRe(name, ifEx, iname) =>
+        SkipIndexes.drop(spark, normalize(spark, name),
+          iname.replace("`", ""), Option(ifEx).isDefined)
+        spark.emptyDataFrame
+      case materializeIndexRe(name, iname) =>
+        SkipIndexes.materialize(spark, normalize(spark, name),
+          iname.replace("`", ""))
+        spark.emptyDataFrame
+      case clearIndexRe(name, iname) =>
+        SkipIndexes.clear(spark, normalize(spark, name),
+          iname.replace("`", ""))
         spark.emptyDataFrame
       case alterPartFromRe(dst, verb, part, src) =>
         copyPartitionFrom(spark, dst, src, parsePartValue(part),
@@ -1242,7 +1273,15 @@ object Ddl {
     // rows; reads before the merge still see them, like ClickHouse
     val ttl = clauses.get("TTL")
       .map(t => "(?is)\\s+DELETE\\s*$".r.replaceAllIn(t, ""))
-    val sparkCols = splitTopLevel(colDefs).flatMap { d =>
+    // inline `INDEX name expr TYPE kind [GRANULARITY g]` entries in the
+    // column list (ClickHouse DDL form) — collected here, registered
+    // after the table exists
+    val inlineIndexRe =
+      ("(?is)^INDEX\\s+([\\w`]+)\\s+(.+?)\\s+TYPE\\s+" +
+        "(\\w+(?:\\s*\\([^)]*\\))?)(?:\\s+GRANULARITY\\s+(\\d+))?$").r
+    val (indexDefs, colOnlyDefs) = splitTopLevel(colDefs)
+      .partition(d => "(?is)^\\s*INDEX\\s".r.findFirstIn(d).isDefined)
+    val sparkCols = colOnlyDefs.flatMap { d =>
       val t = d.trim
       val sp = t.indexOf(' ') // name, then type (type may contain spaces)
       val (cn, ct) = (t.substring(0, sp).trim, t.substring(sp + 1).trim)
@@ -1276,6 +1315,14 @@ object Ddl {
       TableMeta(partExpr, orderCols, sampleBy, replacingVer, summingCols,
         ttl))
     val out = spark.sql(ddl)
+    indexDefs.map(_.trim).foreach {
+      case inlineIndexRe(iname, iexpr, itype, igran) =>
+        SkipIndexes.add(spark, normalize(spark, name),
+          iname.replace("`", ""), iexpr.trim.replace("`", ""), itype,
+          Option(igran).map(_.toInt).getOrElse(1), ifNotExists = true)
+      case bad => throw new IllegalArgumentException(
+        s"bad inline INDEX definition: $bad")
+    }
     // TEMPORARY tables die with their session — never persisted
     if (persist) CatalogStore.save(spark, name)
     out
@@ -1841,6 +1888,7 @@ object Engine {
       "processes" -> (() => Engine.processesSnapshot(spark)),
       "dictionaries" -> (() => Dictionaries.snapshot(spark)),
       "projections" -> (() => Projections.snapshot(spark)),
+      "data_skipping_indices" -> (() => SkipIndexes.snapshot(spark)),
       "metrics" -> (() => Engine.metricsSnapshot(spark)),
       "events" -> (() => Engine.eventsSnapshot(spark)),
       "settings" -> (() => Engine.settingsSnapshot(spark)))

@@ -98,6 +98,13 @@ object SkipIndexes {
     if (col == "_part") throw new IllegalArgumentException(
       "ADD INDEX on _part is redundant: partition pruning already applies")
     val ix = Index(tbl, key, col, kind, granularity)
+    // ClickHouse semantics: parts that exist at ADD INDEX stay
+    // unindexed until MATERIALIZE INDEX. Mark them with EMPTY stats —
+    // "known, never prunable" — which also stops the insert hook from
+    // back-filling them (an ADD on a 100 TB table must not turn the
+    // next INSERT into a full-table stat scan).
+    spark.table(tbl).inputFiles.foreach(f =>
+      ix.stats.put(normPath(f), FileStats()))
     registry.updateWith(tbl)(old => Some(ix :: old.getOrElse(Nil)))
     persist(spark, tbl)
   }
@@ -125,6 +132,18 @@ object SkipIndexes {
         s"index $name does not exist on $table"))
     ix.stats.clear()
     buildInto(spark, ix, spark.table(tbl))
+    persist(spark, tbl)
+  }
+
+  /** CLEAR INDEX: drop the stats, keep the definition (ClickHouse's
+    * per-partition CLEAR collapsed to whole-index — files without
+    * stats simply scan). */
+  def clear(spark: SparkSession, table: String, name: String): Unit = {
+    val tbl = table.toLowerCase
+    val ix = registry.getOrElse(tbl, Nil).find(_.name == name.toLowerCase)
+      .getOrElse(throw new IllegalArgumentException(
+        s"index $name does not exist on $table"))
+    ix.stats.clear()
     persist(spark, tbl)
   }
 

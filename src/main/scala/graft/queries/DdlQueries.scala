@@ -343,6 +343,45 @@ object DdlQueries {
              min(o_orderkey) AS mnk, max(o_orderkey) AS mxk
       FROM orders GROUP BY 1 ORDER BY 1""")),
 
+    // S17: data-skipping index — four INSERT batches land four disjoint
+    // `band` ranges in four file sets; a minmax ADD INDEX +
+    // MATERIALIZE lets the band predicate read ONLY batch 2's files
+    // (require() guards that pruning actually fired: kept < total).
+    // The oracle recomputes batch 2 arithmetically from orders.
+    Q("s17_skip_index", (s, dir) => {
+      ChContext.setup(s, dir)
+      Engine.execute(s, "CREATE DATABASE IF NOT EXISTS graft_t")
+      Engine.execute(s, "DROP TABLE IF EXISTS graft_t.skord")
+      Engine.execute(s, """
+        CREATE TABLE graft_t.skord (
+          o_orderkey Int64, band Int64, o_totalprice Float64)
+        ENGINE=MergeTree() ORDER BY (o_orderkey)""")
+      for (i <- 0 to 3)
+        Engine.execute(s, s"""
+          INSERT INTO graft_t.skord
+          SELECT o_orderkey, o_custkey + $i * 10000000, o_totalprice
+          FROM orders WHERE o_orderkey % 4 = $i""")
+      Engine.execute(s, """
+        ALTER TABLE graft_t.skord ADD INDEX ix_band band
+        TYPE minmax GRANULARITY 4""")
+      Engine.execute(s, "ALTER TABLE graft_t.skord MATERIALIZE INDEX ix_band")
+      val df = Engine.execute(s, """
+        SELECT count() AS n,
+               sum(CAST(o_totalprice AS Decimal(16,2))) AS sp,
+               min(o_orderkey) AS mn, max(o_orderkey) AS mx
+        FROM graft_t.skord
+        WHERE band >= 20000000 AND band < 30000000""")
+      df.queryExecution.optimizedPlan // force the optimizer (incl. the rule)
+      require(graft.plans.SkipIndexPrune.lastPruneFor("graft_t.skord")
+        .exists { case (kept, total) => kept < total },
+        "skip-index pruning did not fire")
+      df
+    }, Some("""
+      SELECT count(*) AS n,
+             sum(CAST(o_totalprice AS DECIMAL(16,2))) AS sp,
+             min(o_orderkey) AS mn, max(o_orderkey) AS mx
+      FROM orders WHERE o_orderkey % 4 = 2""")),
+
     // S18: durable catalog — DDL survives a restart like the
     // reference's persistent chdb session (main.py:140-150). The entry
     // creates+loads a partitioned MergeTree table, simulates a JVM

@@ -1,0 +1,161 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dialect.{CatalogStore, Engine}
+import graft.plans.SkipIndexPrune
+
+/** Data-skipping indexes (SkipIndexes + SkipIndexPrune): per-file stats
+  * manifests that drop files a predicate cannot match — the engine's
+  * answer to ClickHouse `ADD INDEX ... TYPE minmax|set(n)|bloom_filter`.
+  * Each test loads batches with disjoint value ranges (separate INSERTs
+  * = separate files), indexes a NON-sort, NON-partition column, and
+  * asserts both halves of the contract: fewer files reach the scan, and
+  * the rows that come back are exactly the unpruned result. */
+class SkipIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** files listed by the (possibly pruned) scan of the query plan */
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.length
+    }.sum
+
+  private def mk(table: String, batches: Seq[(Long, Long)]): Unit = {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_t")
+    Engine.execute(spark, s"DROP TABLE IF EXISTS $table")
+    Engine.execute(spark, s"""
+      CREATE TABLE $table (k Int64, x Int64, s String)
+      ENGINE=MergeTree() ORDER BY (k)""")
+    batches.foreach { case (lo, hi) =>
+      Engine.execute(spark, s"""
+        INSERT INTO $table
+        SELECT number AS k, number + $lo AS x,
+               concat('v', toString(number + $lo)) AS s
+        FROM numbers(${hi - lo})""")
+    }
+  }
+
+  test("minmax index prunes files on a selective non-sort-key range predicate") {
+    mk("graft_t.ski", Seq((0L, 100L), (10000L, 10100L), (20000L, 20100L)))
+    Engine.execute(spark,
+      "ALTER TABLE graft_t.ski ADD INDEX ix_x x TYPE minmax GRANULARITY 4")
+    Engine.execute(spark, "ALTER TABLE graft_t.ski MATERIALIZE INDEX ix_x")
+    val total = spark.table("graft_t.ski").inputFiles.length
+    assert(total >= 3, s"expected >=3 files, got $total")
+
+    val q = "SELECT count() AS n, sum(x) AS sx FROM graft_t.ski WHERE x >= 10050 AND x < 10060"
+    val df = Engine.execute(spark, q)
+    val scanned = scannedFiles(df)
+    assert(scanned < total, s"index should prune: scanned $scanned of $total")
+    assert(SkipIndexPrune.lastPruneFor("graft_t.ski").exists {
+      case (kept, all) => kept < all
+    })
+    val r = df.collect().head
+    assert((r.getLong(0), r.getLong(1)) == (10L, (10050L to 10059L).sum))
+
+    // ground truth: the same query with pruning disabled
+    SkipIndexPrune.enabled = false
+    try {
+      val r0 = Engine.execute(spark, q).collect().head
+      assert((r.getLong(0), r.getLong(1)) == (r0.getLong(0), r0.getLong(1)))
+    } finally SkipIndexPrune.enabled = true
+  }
+
+  test("set(n) index prunes on equality; an overflowed set never prunes") {
+    mk("graft_t.skset", Seq((0L, 50L), (1000L, 1050L)))
+    // x has 50 distinct values per file: set(100) holds them exactly
+    Engine.execute(spark,
+      "ALTER TABLE graft_t.skset ADD INDEX ix_s x TYPE set(100)")
+    Engine.execute(spark, "ALTER TABLE graft_t.skset MATERIALIZE INDEX ix_s")
+    val total = spark.table("graft_t.skset").inputFiles.length
+    val df = Engine.execute(spark,
+      "SELECT count() AS n FROM graft_t.skset WHERE x = 1010")
+    assert(scannedFiles(df) < total)
+    assert(df.collect().head.getLong(0) == 1L)
+
+    // set(3) overflows (50 distinct per file) -> no pruning, still correct
+    Engine.execute(spark,
+      "ALTER TABLE graft_t.skset ADD INDEX ix_o x TYPE set(3)")
+    Engine.execute(spark, "ALTER TABLE graft_t.skset DROP INDEX ix_s")
+    Engine.execute(spark, "ALTER TABLE graft_t.skset MATERIALIZE INDEX ix_o")
+    val df2 = Engine.execute(spark,
+      "SELECT count() AS n FROM graft_t.skset WHERE x = 1010")
+    assert(scannedFiles(df2) == total,
+      "an overflowed set index must keep every file")
+    assert(df2.collect().head.getLong(0) == 1L)
+  }
+
+  test("bloom_filter index prunes string equality and IN lists") {
+    mk("graft_t.skbf", Seq((0L, 200L), (5000L, 5200L)))
+    Engine.execute(spark,
+      "ALTER TABLE graft_t.skbf ADD INDEX ix_b s TYPE bloom_filter GRANULARITY 2")
+    Engine.execute(spark, "ALTER TABLE graft_t.skbf MATERIALIZE INDEX ix_b")
+    val total = spark.table("graft_t.skbf").inputFiles.length
+    val df = Engine.execute(spark,
+      "SELECT count() AS n FROM graft_t.skbf WHERE s = 'v5100'")
+    assert(scannedFiles(df) < total)
+    assert(df.collect().head.getLong(0) == 1L)
+    val dfIn = Engine.execute(spark,
+      "SELECT count() AS n FROM graft_t.skbf WHERE s IN ('v5100', 'v5101')")
+    assert(scannedFiles(dfIn) < total)
+    assert(dfIn.collect().head.getLong(0) == 2L)
+  }
+
+  test("inserts after ADD INDEX are indexed incrementally; unindexed files always scan") {
+    mk("graft_t.skinc", Seq((0L, 100L)))
+    // ADD only — the pre-existing file is NOT indexed (ClickHouse
+    // semantics: old parts need MATERIALIZE) and must always be kept
+    Engine.execute(spark,
+      "ALTER TABLE graft_t.skinc ADD INDEX ix_i x TYPE minmax")
+    Engine.execute(spark, """
+      INSERT INTO graft_t.skinc
+      SELECT number AS k, number + 30000 AS x,
+             concat('v', toString(number)) AS s FROM numbers(100)""")
+    val total = spark.table("graft_t.skinc").inputFiles.length
+    // predicate matching NOTHING: pruning may drop the new (indexed)
+    // files but never the old (unindexed) ones
+    val df = Engine.execute(spark,
+      "SELECT count() AS n FROM graft_t.skinc WHERE x = 999999")
+    val scanned = scannedFiles(df)
+    assert(scanned < total, "the new batch's files should be prunable")
+    assert(scanned > 0, "pre-ADD files are unindexed and must remain")
+    assert(df.collect().head.getLong(0) == 0L)
+  }
+
+  test("skip indexes survive a restart with the durable catalog") {
+    mk("graft_t.skdur", Seq((0L, 100L), (40000L, 40100L)))
+    Engine.execute(spark,
+      "ALTER TABLE graft_t.skdur ADD INDEX ix_d x TYPE minmax")
+    Engine.execute(spark, "ALTER TABLE graft_t.skdur MATERIALIZE INDEX ix_d")
+    CatalogStore.simulateRestart(spark, Seq("graft_t.skdur"))
+    val total = {
+      Engine.execute(spark, "SELECT count() FROM graft_t.skdur") // force restore
+      spark.table("graft_t.skdur").inputFiles.length
+    }
+    val df = Engine.execute(spark,
+      "SELECT count() AS n FROM graft_t.skdur WHERE x = 40050")
+    assert(scannedFiles(df) < total,
+      "restored manifest should still prune")
+    assert(df.collect().head.getLong(0) == 1L)
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.skdur")
+  }
+
+  test("inline INDEX definitions in CREATE TABLE register and system table lists them") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_t")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.skil")
+    Engine.execute(spark, """
+      CREATE TABLE graft_t.skil (
+        k Int64, x Int64,
+        INDEX ix_x x TYPE minmax GRANULARITY 8)
+      ENGINE=MergeTree() ORDER BY (k)""")
+    val rows = Engine.execute(spark, """
+      SELECT name, expr, type FROM system.data_skipping_indices
+      WHERE table = 'skil'""").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSeq == Seq(("ix_x", "x", "minmax")))
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.skil")
+  }
+}
