@@ -441,6 +441,18 @@ object Ddl {
   private val clearIndexRe =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+CLEAR\\s+INDEX\\s+" +
       "([\\w`]+)\\s*$").r
+  // FREEZE/UNFREEZE: local partition snapshots (ClickHouse's backup
+  // primitive — hardlinks under shadow/<increment>; here `_shadow/`,
+  // the underscore being the parquet mapping's hidden-dir convention
+  // so scans never see snapshot files)
+  private val alterFreezeRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+FREEZE" +
+      "(?:\\s+PARTITION\\s+(?:ID\\s+)?('?[\\w]+'?))?" +
+      "(?:\\s+WITH\\s+NAME\\s+'([^']+)')?\\s*$").r
+  private val alterUnfreezeRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+UNFREEZE" +
+      "(?:\\s+PARTITION\\s+(?:ID\\s+)?('?[\\w]+'?))?" +
+      "\\s+WITH\\s+NAME\\s+'([^']+)'\\s*$").r
   private val alterPartFromRe =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+(REPLACE|ATTACH)\\s+" +
       "PARTITION\\s+(?:ID\\s+)?(.+?)\\s+FROM\\s+([\\w`.]+)\\s*$").r
@@ -602,6 +614,12 @@ object Ddl {
         SkipIndexes.clear(spark, normalize(spark, name),
           iname.replace("`", ""))
         spark.emptyDataFrame
+      case alterFreezeRe(name, part, withName) =>
+        freezePartition(spark, name, Option(part).map(parsePartValue),
+          Option(withName))
+      case alterUnfreezeRe(name, part, withName) =>
+        unfreezePartition(spark, name, Option(part).map(parsePartValue),
+          withName)
       case alterPartFromRe(dst, verb, part, src) =>
         copyPartitionFrom(spark, dst, src, parsePartValue(part),
           replace = verb.equalsIgnoreCase("REPLACE"), move = false)
@@ -779,12 +797,19 @@ object Ddl {
           .foreach(n => Projections.invalidate(spark, normalize(spark, n)))
         // DROP TABLE: the managed-table delete removes the data AND the
         // persisted meta file; clear the in-memory registries too, so
-        // a later same-name CREATE starts from a clean slate
+        // a later same-name CREATE starts from a clean slate. The
+        // table's projections die with it (ClickHouse semantics),
+        // including their store tables.
         if ("(?is)^\\s*DROP\\s+TABLE\\b".r.findFirstIn(s).isDefined)
           dropped.foreach { n =>
             val norm = normalize(spark, n)
             tables.remove(norm)
             SkipIndexes.forgetInMemory(norm)
+            Projections.forTable(norm).foreach { p =>
+              try spark.sql(s"DROP TABLE IF EXISTS ${p.store}")
+              catch { case _: Throwable => () }
+            }
+            Projections.forgetInMemory(norm)
           }
         // a Distributed face is a session view, not a catalog table
         dropped.map(n => n.substring(n.lastIndexOf('.') + 1).toLowerCase)
@@ -1035,13 +1060,140 @@ object Ddl {
       spark.emptyDataFrame
     }
 
-  private def detachedLoc(spark: SparkSession, bare: String,
-                          v: Int): java.nio.file.Path = {
+  private def tableLoc(spark: SparkSession, bare: String): java.nio.file.Path = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(bare)
-    val tableLoc = java.nio.file.Paths.get(
+    java.nio.file.Paths.get(
       new java.net.URI(spark.sessionState.catalog
         .getTableMetadata(ident).location.toString))
-    tableLoc.resolve("detached").resolve(s"_part=$v")
+  }
+
+  private def detachedLoc(spark: SparkSession, bare: String,
+                          v: Int): java.nio.file.Path =
+    tableLoc(spark, bare).resolve("detached").resolve(s"_part=$v")
+
+  /** `ALTER TABLE t FREEZE [PARTITION p] [WITH NAME 'n']` — a local
+    * snapshot of the partition's (or whole table's) data files under
+    * `<table>/_shadow/<name-or-increment>/`, hardlinked where the
+    * filesystem allows (ClickHouse's own shadow/ mechanism: parquet
+    * files are immutable once written — mutations rewrite NEW files and
+    * unlink old ones, so a hardlink snapshot stays bit-identical at
+    * zero copy cost, the only affordable backup shape at 100 TB).
+    * Unnamed freezes take a monotonic increment, like ClickHouse's
+    * shadow/increment.txt. Divergence, documented: ClickHouse keeps
+    * shadow/ per-server (snapshots survive DROP TABLE); here the
+    * snapshot lives with the table and a DROP removes it. */
+  private def freezePartition(spark: SparkSession, name: String,
+                              part: Option[Int],
+                              withName: Option[String]): DataFrame =
+    appendLocks.getOrElseUpdate(normalize(spark, name), new Object).synchronized {
+      val bare = name.replace("`", "")
+      val loc = tableLoc(spark, bare)
+      val shadowRoot = loc.resolve("_shadow")
+      java.nio.file.Files.createDirectories(shadowRoot)
+      val backup = withName.getOrElse {
+        val f = shadowRoot.resolve("increment.txt")
+        val n = if (java.nio.file.Files.exists(f))
+          new String(java.nio.file.Files.readAllBytes(f)).trim.toInt + 1
+        else 1
+        java.nio.file.Files.write(f, n.toString.getBytes)
+        n.toString
+      }
+      val dst = shadowRoot.resolve(backup)
+      if (java.nio.file.Files.exists(dst))
+        throw new IllegalArgumentException(
+          s"freeze backup '$backup' already exists for $bare")
+      def linkTree(src: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+        java.nio.file.Files.createDirectories(to)
+        visibleFiles(src).foreach { f =>
+          val t = to.resolve(f.getFileName)
+          if (java.nio.file.Files.isDirectory(f)) linkTree(f, t)
+          else
+            try java.nio.file.Files.createLink(t, f)
+            catch { case _: Throwable => java.nio.file.Files.copy(f, t) }
+        }
+      }
+      part match {
+        case Some(v) =>
+          requirePartitioned(spark, bare)
+          val src = loc.resolve(s"_part=$v")
+          if (!java.nio.file.Files.isDirectory(src))
+            throw new IllegalArgumentException(
+              s"no partition $v to freeze for $bare")
+          linkTree(src, dst.resolve(s"_part=$v"))
+        case None =>
+          // partition dirs are underscore-named (`_part=N`) and thus
+          // invisible to visibleFiles — list them explicitly
+          val partDirs = {
+            val l = java.nio.file.Files.list(loc)
+            try {
+              import scala.jdk.CollectionConverters._
+              l.iterator.asScala.toList.filter(p =>
+                java.nio.file.Files.isDirectory(p) &&
+                  p.getFileName.toString.startsWith("_part="))
+            } finally l.close()
+          }
+          partDirs.foreach(f => linkTree(f, dst.resolve(f.getFileName)))
+          visibleFiles(loc).foreach { f =>
+            if (java.nio.file.Files.isDirectory(f)) {
+              // non-partition dirs (detached/) are not part of the
+              // table's live data — never snapshotted
+            } else {
+              java.nio.file.Files.createDirectories(dst)
+              val t = dst.resolve(f.getFileName)
+              try java.nio.file.Files.createLink(t, f)
+              catch { case _: Throwable => java.nio.file.Files.copy(f, t) }
+            }
+          }
+          if (!java.nio.file.Files.exists(dst))
+            java.nio.file.Files.createDirectories(dst) // empty table: empty snapshot
+      }
+      spark.emptyDataFrame
+    }
+
+  /** `ALTER TABLE t UNFREEZE [PARTITION p] WITH NAME 'n'` — remove a
+    * snapshot (or one partition of it). */
+  private def unfreezePartition(spark: SparkSession, name: String,
+                                part: Option[Int],
+                                backup: String): DataFrame = {
+    val bare = name.replace("`", "")
+    val base = tableLoc(spark, bare).resolve("_shadow").resolve(backup)
+    val target = part match {
+      case Some(v) => base.resolve(s"_part=$v")
+      case None => base
+    }
+    if (java.nio.file.Files.exists(target)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(target).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    spark.emptyDataFrame
+  }
+
+  /** `system.frozen_parts`: one row per snapshot directory under any
+    * DDL-created table's `_shadow/` — listing-only, no data read. */
+  private[graft] def frozenPartsSnapshot(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    def dirSize(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(dirSize).sum).getOrElse(0L)
+    val rows = tables.keys.toSeq.sorted.flatMap { key =>
+      val Array(db, t) = key.split("\\.", 2)
+      try {
+        val shadow = tableLoc(spark, s"$db.$t").resolve("_shadow").toFile
+        Option(shadow.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+          .filter(_.isDirectory).sortBy(_.getName)
+          .flatMap { b =>
+            val parts = Option(b.listFiles()).getOrElse(Array.empty).toSeq
+              .filter(f => f.isDirectory && f.getName.startsWith("_part="))
+            if (parts.isEmpty)
+              Seq((db, t, b.getName, "all", dirSize(b)))
+            else parts.map(p =>
+              (db, t, b.getName, p.getName.stripPrefix("_part="), dirSize(p)))
+          }
+      } catch { case _: Throwable => Nil }
+    }
+    rows.toDF("database", "table", "backup_name", "partition_id",
+      "bytes_on_disk")
   }
 
   /** Non-hidden entries of a directory (Spark's convention: names
@@ -1889,6 +2041,7 @@ object Engine {
       "dictionaries" -> (() => Dictionaries.snapshot(spark)),
       "projections" -> (() => Projections.snapshot(spark)),
       "data_skipping_indices" -> (() => SkipIndexes.snapshot(spark)),
+      "frozen_parts" -> (() => Ddl.frozenPartsSnapshot(spark)),
       "metrics" -> (() => Engine.metricsSnapshot(spark)),
       "events" -> (() => Engine.eventsSnapshot(spark)),
       "settings" -> (() => Engine.settingsSnapshot(spark)))

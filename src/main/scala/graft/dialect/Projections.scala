@@ -2,7 +2,7 @@ package graft.dialect
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, HyperLogLogPlusPlus, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, SubqueryAlias, View}
 import org.apache.spark.sql.functions.{col, expr, lit, count => fCount, max => fMax, min => fMin, sum => fSum}
 import scala.collection.concurrent.TrieMap
@@ -32,16 +32,24 @@ import scala.collection.concurrent.TrieMap
   *    per-part hook, so invalidate-and-rematerialize is the honest
   *    equivalent.
   *
-  * V1 scope guards (anything outside them just doesn't rewrite):
+  * Scope guards (anything outside them just doesn't rewrite):
   * count(*) / sum / min / max over non-decimal columns (a re-summed
   * decimal partial widens the result type and would diverge from the
-  * direct query's schema), non-DISTINCT, no HAVING beyond what Spark
-  * plans as a post-aggregate filter.
+  * direct query's schema), avg over INTEGRAL columns as a
+  * (sum, count) pair — ClickHouse's avgState; exact because integral
+  * partial sums are exact — and uniq as a mergeable DataSketches HLL
+  * sketch per part (the g12_state_merge machinery; HLL union is
+  * order-independent, so the merged estimate is deterministic).
+  * Non-DISTINCT only, no HAVING beyond what Spark plans as a
+  * post-aggregate filter.
   */
 object Projections {
 
   case class AggDef(fn: String, column: String) {
     def storeCol: String = s"__${fn}_$column"
+    /** avg stores a (sum, count) PAIR of physical columns. */
+    def sumCol: String = s"__avgsum_$column"
+    def cntCol: String = s"__avgcnt_$column"
   }
   case class Proj(table: String, name: String, keys: Seq[String],
                   aggs: Seq[AggDef], store: String,
@@ -106,15 +114,22 @@ object Projections {
   }
 
   /** The partial-aggregate frame of one batch (or of the full table
-    * for MATERIALIZE): keys + one column per agg. count stores row
-    * counts; sum/min/max store the batch's own aggregate. */
+    * for MATERIALIZE): keys + the agg's mergeable state. count stores
+    * row counts; sum/min/max store the batch's own aggregate; avg
+    * stores the (sum, count) pair — ClickHouse's avgState — and uniq
+    * stores a DataSketches HLL sketch (the same mergeable state the
+    * uniqState/uniqMerge combinators use, g12_state_merge). */
   private def partial(p: Proj, batch: DataFrame): DataFrame = {
-    val aggCols: Seq[Column] = p.aggs.map { a =>
+    import org.apache.spark.sql.functions.hll_sketch_agg
+    val aggCols: Seq[Column] = p.aggs.flatMap { a =>
       a.fn match {
-        case "count" => fCount(lit(1)).cast("long").as(a.storeCol)
-        case "sum" => fSum(col(a.column)).as(a.storeCol)
-        case "min" => fMin(col(a.column)).as(a.storeCol)
-        case "max" => fMax(col(a.column)).as(a.storeCol)
+        case "count" => Seq(fCount(lit(1)).cast("long").as(a.storeCol))
+        case "sum" => Seq(fSum(col(a.column)).as(a.storeCol))
+        case "min" => Seq(fMin(col(a.column)).as(a.storeCol))
+        case "max" => Seq(fMax(col(a.column)).as(a.storeCol))
+        case "avg" => Seq(fSum(col(a.column)).as(a.sumCol),
+          fCount(col(a.column)).cast("long").as(a.cntCol))
+        case "uniq" => Seq(hll_sketch_agg(col(a.column)).as(a.storeCol))
       }
     }
     batch.groupBy(p.keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
@@ -132,7 +147,7 @@ object Projections {
     val tableCols = spark.table(tbl).columns.map(_.toLowerCase).toSet
     require(keys.nonEmpty && keys.forall(k => tableCols(k.toLowerCase)),
       s"projection keys must be plain columns of $table: $groupBy")
-    val aggRe = "(?i)^(count|sum|min|max)\\s*\\(\\s*(\\*|[\\w`]*)\\s*\\)$".r
+    val aggRe = "(?i)^(count|sum|min|max|avg|uniq)\\s*\\(\\s*(\\*|[\\w`]*)\\s*\\)$".r
     val aggs = splitTop(selectList).map(_.trim).flatMap {
       case item if keys.exists(_.equalsIgnoreCase(item.replace("`", ""))) => Nil
       case aggRe(fn, arg0) =>
@@ -140,16 +155,30 @@ object Projections {
         val f = fn.toLowerCase
         if (f == "count") Seq(AggDef("count", "rows"))
         else {
+          import org.apache.spark.sql.types._
           require(tableCols(arg.toLowerCase),
             s"projection aggregate over unknown column $arg")
-          require(!spark.table(tbl).schema(spark.table(tbl).columns
-              .find(_.equalsIgnoreCase(arg)).get).dataType
-            .isInstanceOf[org.apache.spark.sql.types.DecimalType],
+          val dt = spark.table(tbl).schema(spark.table(tbl).columns
+            .find(_.equalsIgnoreCase(arg)).get).dataType
+          require(!dt.isInstanceOf[DecimalType],
             s"projection $f($arg): decimal partials widen on re-aggregation; unsupported")
+          // avg re-aggregates exactly only when the partial sums are
+          // exact — integral columns (a double partial-sum's rounding
+          // depends on batch boundaries and would diverge from the
+          // direct query's value)
+          if (f == "avg") require(dt match {
+            case ByteType | ShortType | IntegerType | LongType => true
+            case _ => false
+          }, s"projection avg($arg): integral columns only")
+          // uniq stores a DataSketches HLL sketch — its input types
+          if (f == "uniq") require(dt match {
+            case IntegerType | LongType | StringType | BinaryType => true
+            case _ => false
+          }, s"projection uniq($arg): int/long/string/binary columns only")
           Seq(AggDef(f, spark.table(tbl).columns.find(_.equalsIgnoreCase(arg)).get))
         }
       case other => throw new IllegalArgumentException(
-        s"unsupported projection select item '$other' (keys + count/sum/min/max only)")
+        s"unsupported projection select item '$other' (keys + count/sum/min/max/avg/uniq only)")
     }
     require(aggs.nonEmpty, "projection needs at least one aggregate")
     val store = storeName(tbl, key)
@@ -290,8 +319,14 @@ object Projections {
         proj.keys.exists(_.equalsIgnoreCase(a.name)))
       if (!ok) return None
     }
-    // map every output column onto the store
+    // map every output column onto the store. avg merges as
+    // sum(sums)/sum(counts); uniq merges the per-part HLL sketches and
+    // estimates — exactly how ClickHouse reads avgState/uniqState
+    // projections. (uniq is an estimator by contract: the direct path
+    // answers HLL++, the projection path answers the DataSketches
+    // union estimate — both inside the same error envelope.)
     def merged(fn: String, column: String): Option[Column] = {
+      import org.apache.spark.sql.functions.{hll_sketch_estimate, hll_union_agg}
       val a = if (fn == "count") AggDef("count", "rows") else AggDef(fn, column)
       if (!proj.aggs.exists(x => x.fn == a.fn &&
           x.column.equalsIgnoreCase(a.column))) None
@@ -300,6 +335,8 @@ object Projections {
         case "sum" => fSum(col(a.storeCol))
         case "min" => fMin(col(a.storeCol))
         case "max" => fMax(col(a.storeCol))
+        case "avg" => (fSum(col(a.sumCol)) / fSum(col(a.cntCol))).cast("double")
+        case "uniq" => hll_sketch_estimate(hll_union_agg(col(a.storeCol)))
       })
     }
     // grouping columns are retained by .agg() automatically — only the
@@ -314,6 +351,11 @@ object Projections {
           case Sum(ar: AttributeReference, _) => merged("sum", ar.name)
           case Min(ar: AttributeReference) => merged("min", ar.name)
           case Max(ar: AttributeReference) => merged("max", ar.name)
+          case Average(ar: AttributeReference, _) => merged("avg", ar.name)
+          case h: HyperLogLogPlusPlus => h.child match {
+            case ar: AttributeReference => merged("uniq", ar.name)
+            case _ => None
+          }
           case _ => None
         }
         Seq(c.getOrElse(return None).as(outName))

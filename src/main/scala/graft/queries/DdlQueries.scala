@@ -343,6 +343,57 @@ object DdlQueries {
              min(o_orderkey) AS mnk, max(o_orderkey) AS mxk
       FROM orders GROUP BY 1 ORDER BY 1""")),
 
+    // S16b: avg/uniq projection partials — avg materializes as the
+    // (sum, count) pair (ClickHouse avgState; exact for integral
+    // columns), uniq as a per-part DataSketches HLL sketch merged at
+    // read (uniqState). Both halves of the table land as per-INSERT
+    // partials after MATERIALIZE back-fills the first. require() pins
+    // the rewrite to the store. avg compares exactly against DuckDB;
+    // uniq is an estimator, so its driver-gated row is the g4-style
+    // derived bound: |merged-sketch estimate − exact| <= 15% * exact
+    // (the exact side computed independently from orders).
+    Q("s16b_projection_avg_uniq", (s, dir) => {
+      import org.apache.spark.sql.functions.{abs, col}
+      ChContext.setup(s, dir)
+      Engine.execute(s, "CREATE DATABASE IF NOT EXISTS graft_t")
+      Engine.execute(s, "DROP TABLE IF EXISTS graft_t.pjau")
+      Engine.execute(s, """
+        CREATE TABLE graft_t.pjau (
+          o_orderkey Int64, o_orderpriority String, o_custkey Int64)
+        ENGINE=MergeTree() ORDER BY (o_orderkey)""")
+      Engine.execute(s, """
+        INSERT INTO graft_t.pjau
+        SELECT o_orderkey, o_orderpriority, o_custkey FROM orders
+        WHERE o_orderkey % 2 = 0""")
+      Engine.execute(s, """
+        ALTER TABLE graft_t.pjau ADD PROJECTION p_au
+          (SELECT o_orderpriority, count(), avg(o_orderkey), uniq(o_custkey)
+           GROUP BY o_orderpriority)""")
+      Engine.execute(s, "ALTER TABLE graft_t.pjau MATERIALIZE PROJECTION p_au")
+      Engine.execute(s, """
+        INSERT INTO graft_t.pjau
+        SELECT o_orderkey, o_orderpriority, o_custkey FROM orders
+        WHERE o_orderkey % 2 = 1""")
+      val df = Engine.execute(s, """
+        SELECT o_orderpriority, count() AS n, avg(o_orderkey) AS avg_key,
+               uniq(o_custkey) AS u
+        FROM graft_t.pjau GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      require(df.queryExecution.analyzed.toString.contains("__proj_p_au"),
+        "avg/uniq projection rewrite did not fire")
+      val exact = graft.Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(org.apache.spark.sql.functions.countDistinct(col("o_custkey"))
+          .as("exact_u"))
+      df.join(exact, "o_orderpriority")
+        .select(col("o_orderpriority"), col("n"), col("avg_key"),
+          (abs(col("u") - col("exact_u")) <= col("exact_u") * 0.15)
+            .as("uniq_within_15pct"))
+        .orderBy("o_orderpriority")
+    }, Some("""
+      SELECT o_orderpriority, count(*) AS n, avg(o_orderkey) AS avg_key,
+             TRUE AS uniq_within_15pct
+      FROM orders GROUP BY 1 ORDER BY 1""")),
+
     // S17: data-skipping index — four INSERT batches land four disjoint
     // `band` ranges in four file sets; a minmax ADD INDEX +
     // MATERIALIZE lets the band predicate read ONLY batch 2's files

@@ -1305,6 +1305,101 @@ class DdlSpec extends AnyFunSuite {
       "ALTER TABLE graft_spec.pr MATERIALIZE PROJECTION p_g"))
   }
 
+  test("PROJECTION avg/uniq partials: avgState pair merges exactly, uniq sketches union") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.pau")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.pau (k Int64, g String, u Int64)
+      ENGINE=MergeTree() ORDER BY (k)""")
+    Engine.execute(spark, """
+      ALTER TABLE graft_spec.pau ADD PROJECTION p_au
+        (SELECT g, avg(k), uniq(u) GROUP BY g)""")
+    // two batches of very different sizes: merging per-batch AVERAGES
+    // would give (1.5 + 100.0)/2 = 50.75 — the (sum,count) pair must
+    // give the true 80.3; and the same u values repeat across batches,
+    // so a sum of per-batch uniqs would double-count
+    Engine.execute(spark, """
+      INSERT INTO graft_spec.pau SELECT number, 'a', number % 3
+      FROM numbers(4)""") // k: 0..3, avg 1.5
+    Engine.execute(spark, """
+      INSERT INTO graft_spec.pau SELECT number + 84, 'a', number % 3
+      FROM numbers(33)""") // k: 84..116, avg 100
+    val df = Engine.execute(spark,
+      "SELECT g, avg(k) AS ak, uniq(u) AS du FROM graft_spec.pau GROUP BY g")
+    assert(df.queryExecution.analyzed.toString.contains("__proj_p_au"),
+      "avg/uniq rewrite should fire")
+    val r = df.collect().head
+    val expectAvg = ((0 to 3).sum + (84 to 116).sum).toDouble / 37
+    assert(r.getDouble(1) === expectAvg)
+    assert(r.getLong(2) === 3L) // {0,1,2} in both batches — union, not sum
+    // guards: avg over a non-integral column refuses; uniq over double refuses
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.paug")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.paug (k Float64, g String)
+      ENGINE=MergeTree() ORDER BY (g)""")
+    intercept[Exception](Engine.execute(spark, """
+      ALTER TABLE graft_spec.paug ADD PROJECTION bad
+        (SELECT g, avg(k) GROUP BY g)"""))
+    intercept[Exception](Engine.execute(spark, """
+      ALTER TABLE graft_spec.paug ADD PROJECTION bad2
+        (SELECT g, uniq(k) GROUP BY g)"""))
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.pau")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.paug")
+  }
+
+  test("FREEZE PARTITION: snapshot unchanged by later mutations; UNFREEZE removes it") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.frz")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.frz (id Int64, v Int64, d DateTime)
+      ENGINE=MergeTree() PARTITION BY toYYYYMM(d) ORDER BY (id)""")
+    Engine.execute(spark, """
+      INSERT INTO graft_spec.frz SELECT number, number * 10,
+        toDateTime('2024-07-01 00:00:00') + toIntervalMonth(number % 2)
+      FROM numbers(10)""")
+    Engine.execute(spark,
+      "ALTER TABLE graft_spec.frz FREEZE PARTITION 202407 WITH NAME 'bk1'")
+    // whole-table unnamed freeze takes increment 1
+    Engine.execute(spark, "ALTER TABLE graft_spec.frz FREEZE")
+    val loc = java.nio.file.Paths.get(new java.net.URI(
+      spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier("graft_spec.frz"))
+        .location.toString).getPath)
+    val bk1 = loc.resolve("_shadow").resolve("bk1").resolve("_part=202407")
+    assert(java.nio.file.Files.isDirectory(bk1))
+    val frozenBefore = spark.read.parquet(bk1.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // mutate the live table: the frozen snapshot must not move
+    Engine.execute(spark, "ALTER TABLE graft_spec.frz UPDATE v = 0 WHERE id % 2 = 0")
+    Engine.execute(spark, "DELETE FROM graft_spec.frz WHERE id = 2")
+    val live = Engine.execute(spark,
+      "SELECT sum(v) AS sv, count() AS n FROM graft_spec.frz").collect().head
+    assert(live.getLong(1) == 9L && live.getLong(0) == (1 to 9 by 2).map(_ * 10L).sum)
+    val frozenAfter = spark.read.parquet(bk1.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(frozenAfter == frozenBefore,
+      "frozen snapshot changed under a mutation")
+    assert(frozenBefore.map(_._1) == Set(0L, 2L, 4L, 6L, 8L)) // July = even ids
+
+    // system.frozen_parts lists both snapshots; UNFREEZE removes one
+    val listed = Engine.execute(spark, """
+      SELECT backup_name, partition_id FROM system.frozen_parts
+      WHERE table = 'frz' ORDER BY backup_name, partition_id""").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(listed == Seq(("1", "202407"), ("1", "202408"), ("bk1", "202407")))
+    Engine.execute(spark,
+      "ALTER TABLE graft_spec.frz UNFREEZE WITH NAME 'bk1'")
+    assert(!java.nio.file.Files.exists(bk1))
+    assert(Engine.execute(spark,
+      "SELECT count() AS n FROM system.frozen_parts WHERE table = 'frz'")
+      .collect().head.getLong(0) == 2L)
+    // FREEZE of an absent partition fails loudly
+    intercept[Exception](Engine.execute(spark,
+      "ALTER TABLE graft_spec.frz FREEZE PARTITION 209901 WITH NAME 'nope'"))
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.frz")
+  }
+
   test("DELETE FROM lightweight-delete spelling; system.detached_parts") {
     Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
     Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.lwd")
