@@ -18,6 +18,11 @@ import scala.collection.concurrent.TrieMap
   *   - minmax        -> (min, max) of the column
   *   - set(n)        -> the distinct values if at most n, else "overflow"
   *   - bloom_filter  -> a fixed-size bloom bitset of the values
+  *   - tokenbf_v1    -> bloom of the string's alphanumeric tokens
+  *   - ngrambf_v1    -> bloom of every n-char gram: makes arbitrary
+  *                      `LIKE '%substr%'` predicates file-prunable —
+  *                      the ClickBench cb20/cb21 shape, which at 100 TB
+  *                      otherwise scans every file of every partition
   * A selective predicate on a non-sort, non-partition column then reads
   * only the files whose stats admit a match — at 100 TB the difference
   * between scanning every file and scanning the handful that can hold
@@ -43,7 +48,17 @@ object SkipIndexes {
   sealed trait Kind
   case object MinMax extends Kind
   case class SetN(n: Int) extends Kind
-  case object Bloom extends Kind
+  /** value bloom (equality / IN) — fixed default geometry */
+  case class Bloom(words: Int = 128, hashes: Int = 3) extends Kind
+  /** token bloom (ClickHouse tokenbf_v1): alphanumeric runs of a
+    * string column; answers equality and the complete interior tokens
+    * of LIKE-substring predicates */
+  case class TokenBf(words: Int, hashes: Int) extends Kind
+  /** n-gram bloom (ClickHouse ngrambf_v1): every n-char gram; answers
+    * equality AND arbitrary `LIKE '%substr%'` — if a file contained
+    * the substring it would contain every one of its n-grams, so a
+    * single absent gram excludes the file */
+  case class NgramBf(n: Int, words: Int, hashes: Int) extends Kind
 
   /** One file's stats for one index. `lo`/`hi` for minmax (as the
     * column's runtime type), `values` for set(n) (None = overflow),
@@ -97,6 +112,14 @@ object SkipIndexes {
           "(v1 prunes on plain columns; expression indexes are not supported)"))
     if (col == "_part") throw new IllegalArgumentException(
       "ADD INDEX on _part is redundant: partition pruning already applies")
+    kind match {
+      case TokenBf(_, _) | NgramBf(_, _, _) =>
+        require(spark.table(tbl).schema(col).dataType ==
+          org.apache.spark.sql.types.StringType,
+          s"tokenbf_v1/ngrambf_v1 index $name needs a String column, " +
+            s"got ${spark.table(tbl).schema(col).dataType.sql} for $col")
+      case _ => ()
+    }
     val ix = Index(tbl, key, col, kind, granularity)
     // ClickHouse semantics: parts that exist at ADD INDEX stay
     // unindexed until MATERIALIZE INDEX. Mark them with EMPTY stats —
@@ -182,13 +205,30 @@ object SkipIndexes {
     } catch { case _: Throwable => p }
 
   /** Aggregate `df`'s per-file stats for `ix` and merge them into the
-    * manifest. One shuffle keyed by file name; output is #files rows. */
+    * manifest. One shuffle keyed by file name; output is #files rows.
+    * The bloom family aggregates through [[graft.functions
+    * .BloomBitsAgg]] — a bounded per-group bitset that map-side
+    * combines, so even the token/ngram explode shapes never hold more
+    * than the bitset per file in flight. */
   private def buildInto(spark: SparkSession, ix: Index,
                         df: org.apache.spark.sql.DataFrame): Unit = {
     import org.apache.spark.sql.functions._
     if (!df.columns.contains(ix.column)) return
     val c = col(ix.column)
     val keyed = df.select(input_file_name().as("__file"), c.as("__v"))
+    def bloomFill(hashed: org.apache.spark.sql.DataFrame,
+                  words: Int, nHashes: Int): Unit =
+      hashed.groupBy("__file")
+        .agg(org.apache.spark.sql.graft.PlanApi.column(
+          graft.functions.BloomBitsAgg(
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("__h"),
+            words, nHashes).toAggregateExpression()).as("bits"))
+        .collect().foreach { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+          ix.stats.put(normPath(r.getString(0)),
+            FileStats(bloom = Some(Array.fill(bytes.length / 8)(bb.getLong))))
+        }
     ix.kind match {
       case MinMax =>
         keyed.groupBy("__file").agg(min("__v").as("lo"), max("__v").as("hi"))
@@ -206,53 +246,114 @@ object SkipIndexes {
             ix.stats.put(normPath(r.getString(0)),
               FileStats(values = if (vs.length > n) None else Some(vs)))
           }
-      case Bloom =>
-        keyed.groupBy("__file")
-          .agg(collect_set(xxhash64(col("__v"))).as("hs"))
-          .collect().foreach { r =>
-            val bits = new Array[Long](BloomWords)
-            r.getSeq[Long](1).foreach(h => bloomSet(bits, h))
-            ix.stats.put(normPath(r.getString(0)),
-              FileStats(bloom = Some(bits)))
-          }
+      case Bloom(words, nh) =>
+        bloomFill(keyed.select(col("__file"), xxhash64(col("__v")).as("__h")),
+          words, nh)
+      case TokenBf(words, nh) =>
+        // the exact tokenization the probe side reuses: maximal
+        // [A-Za-z0-9_] runs (ClickHouse's alphanumeric tokenizer)
+        bloomFill(
+          keyed.select(col("__file"),
+            explode(split(col("__v").cast("string"), TokenSep)).as("__t"))
+            .filter(length(col("__t")) > 0)
+            .select(col("__file"), xxhash64(col("__t")).as("__h")),
+          words, nh)
+      case NgramBf(n, words, nh) =>
+        bloomFill(
+          keyed.select(col("__file"), col("__v").cast("string").as("__s"))
+            .filter(length(col("__s")) >= n)
+            .select(col("__file"), explode(expr(
+              s"transform(sequence(1, length(__s) - ${n - 1}), i -> substring(__s, i, $n))"))
+              .as("__g"))
+            .select(col("__file"), xxhash64(col("__g")).as("__h")),
+          words, nh)
     }
   }
 
-  // 8192-bit bloom per (file, index), 3 probes via double hashing —
-  // fp rate under 1% up to ~700 distinct values per file, and a false
-  // positive only costs reading one file that a perfect index skips.
-  private val BloomWords = 128
-  private val BloomBits = BloomWords * 64
-  private def bloomSet(bits: Array[Long], h: Long): Unit = {
+  /** The token separator class — BUILD AND PROBE MUST AGREE. */
+  private[graft] val TokenSep = "[^A-Za-z0-9_]+"
+
+  /** Tokens of a probe-side string, matching the build tokenizer. */
+  def tokensOf(s: String): Seq[String] =
+    s.split(TokenSep).toSeq.filter(_.nonEmpty)
+
+  /** Interior complete tokens of a LIKE-substring: runs bounded by
+    * separators INSIDE the fragment. A boundary run may continue
+    * beyond the fragment in the data ('%google%' could match
+    * 'googleapis'), so only strictly interior runs are guaranteed
+    * whole tokens. */
+  def interiorTokensOf(s: String): Seq[String] = {
+    val runRe = "[A-Za-z0-9_]+".r
+    runRe.findAllMatchIn(s)
+      .filter(m => m.start > 0 && m.end < s.length)
+      .map(_.matched).toSeq
+  }
+
+  /** Character n-grams by CODEPOINT, matching Spark's substring
+    * semantics on the build side (UTF8String counts codepoints; a
+    * UTF-16 sliding window would disagree on astral-plane chars and
+    * an inconsistent gram set would prune wrongly). */
+  def ngramsOf(s: String, n: Int): Seq[String] = {
+    val cps = s.codePoints().toArray
+    if (cps.length < n) Nil
+    else (0 to cps.length - n).map(i => new String(cps, i, n))
+  }
+
+  /** Shared bloom bit placement (double hashing). Bit count = array
+    * length × 64; [[graft.functions.BloomBitsAgg]] builds with this,
+    * the prune rule probes with it. */
+  def bloomSet(bits: Array[Long], h: Long, hashes: Int): Unit = {
+    val m = bits.length.toLong * 64L
     val h2 = java.lang.Long.rotateLeft(h, 31) | 1L
     var i = 0
-    while (i < 3) {
-      val idx = java.lang.Math.floorMod(h + i * h2, BloomBits.toLong).toInt
+    while (i < hashes) {
+      val idx = java.lang.Math.floorMod(h + i * h2, m).toInt
       bits(idx >> 6) |= (1L << (idx & 63))
       i += 1
     }
   }
-  def bloomMightContain(bits: Array[Long], h: Long): Boolean = {
+  def bloomMightContain(bits: Array[Long], h: Long, hashes: Int): Boolean = {
+    val m = bits.length.toLong * 64L
     val h2 = java.lang.Long.rotateLeft(h, 31) | 1L
     var i = 0
-    while (i < 3) {
-      val idx = java.lang.Math.floorMod(h + i * h2, BloomBits.toLong).toInt
+    while (i < hashes) {
+      val idx = java.lang.Math.floorMod(h + i * h2, m).toInt
       if ((bits(idx >> 6) & (1L << (idx & 63))) == 0L) return false
       i += 1
     }
     true
   }
 
+  /** size_bytes → bitset words, clamped to [16 words = 1 Kbit,
+    * 131072 words = 1 MB] — a per-(file, index) budget; past 1 MB the
+    * manifest stops being "metadata" at a million files. */
+  private def wordsOf(sizeBytes: Long): Int =
+    math.min(131072L, math.max(16L, sizeBytes / 8)).toInt
+
   private def parseKind(s: String): Kind = {
     val t = s.trim
     val setRe = "(?i)^set\\s*\\(\\s*(\\d+)\\s*\\)$".r
     val bloomRe = "(?i)^bloom_filter\\s*(\\([^)]*\\))?$".r
+    // ClickHouse signatures: tokenbf_v1(size_bytes, hashes, seed),
+    // ngrambf_v1(n, size_bytes, hashes, seed). The seed is accepted
+    // and ignored (hashing here is fixed xxhash64).
+    val tokenRe =
+      "(?i)^tokenbf_v1\\s*\\(\\s*(\\d+)\\s*,\\s*(\\d+)\\s*,\\s*(\\d+)\\s*\\)$".r
+    val ngramRe =
+      "(?i)^ngrambf_v1\\s*\\(\\s*(\\d+)\\s*,\\s*(\\d+)\\s*,\\s*(\\d+)\\s*,\\s*(\\d+)\\s*\\)$".r
     t.toLowerCase match {
       case "minmax" => MinMax
       case setRe(n) => SetN(n.toInt)
-      case _ if bloomRe.findFirstIn(t).isDefined => Bloom
+      case tokenRe(bytes, nh, _) =>
+        TokenBf(wordsOf(bytes.toLong), math.max(1, math.min(8, nh.toInt)))
+      case ngramRe(n, bytes, nh, _) =>
+        require(n.toInt >= 2 && n.toInt <= 8, s"ngrambf_v1: n must be 2..8")
+        NgramBf(n.toInt, wordsOf(bytes.toLong),
+          math.max(1, math.min(8, nh.toInt)))
+      case _ if bloomRe.findFirstIn(t).isDefined => Bloom()
       case other => throw new IllegalArgumentException(
-        s"unsupported index TYPE $other (minmax | set(n) | bloom_filter)")
+        s"unsupported index TYPE $other (minmax | set(n) | bloom_filter | " +
+          "tokenbf_v1(bytes,hashes,seed) | ngrambf_v1(n,bytes,hashes,seed))")
     }
   }
 
@@ -273,7 +374,9 @@ object SkipIndexes {
   private def kindName(k: Kind): String = k match {
     case MinMax => "minmax"
     case SetN(n) => s"set($n)"
-    case Bloom => "bloom_filter"
+    case Bloom(_, _) => "bloom_filter"
+    case TokenBf(w, h) => s"tokenbf_v1(${w.toLong * 8}, $h, 0)"
+    case NgramBf(n, w, h) => s"ngrambf_v1($n, ${w.toLong * 8}, $h, 0)"
   }
 
   // ---------------------------------------------------------------

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
 import org.apache.spark.sql.types.StructType
 import graft.dialect.SkipIndexes
-import graft.dialect.SkipIndexes.{Bloom, FileStats, MinMax, SetN}
+import graft.dialect.SkipIndexes.{Bloom, FileStats, MinMax, NgramBf, SetN, TokenBf}
 
 /** Plan-time file pruning through data-skipping indexes
   * (`ALTER TABLE ... ADD INDEX ... TYPE minmax|set(n)|bloom_filter`) —
@@ -76,6 +76,9 @@ object SkipIndexPrune extends Rule[LogicalPlan] {
   private case class PIn(vs: Seq[Any]) extends Pred
   private case class PGt(v: Any, orEqual: Boolean) extends Pred // attr > / >= v
   private case class PLt(v: Any, orEqual: Boolean) extends Pred // attr < / <= v
+  /** a guaranteed substring of the column (LIKE '%s%' / Contains /
+    * StartsWith / EndsWith) — answered by the token/ngram blooms */
+  private case class PContains(s: String) extends Pred
 
   private def filePossible(ix: SkipIndexes.Index, st: FileStats,
                            p: Pred): Boolean = ix.kind match {
@@ -101,14 +104,47 @@ object SkipIndexPrune extends Rule[LogicalPlan] {
         case _ => true // set indexes answer equality only
       }
     }
-    case Bloom => st.bloom match {
+    case Bloom(_, nh) => st.bloom match {
       case None => true
       case Some(bits) => p match {
-        case PEq(v) => hashOf(v).forall(SkipIndexes.bloomMightContain(bits, _))
+        case PEq(v) =>
+          hashOf(v).forall(SkipIndexes.bloomMightContain(bits, _, nh))
         case PIn(qs) => qs.exists(q =>
-          hashOf(q).forall(SkipIndexes.bloomMightContain(bits, _)))
+          hashOf(q).forall(SkipIndexes.bloomMightContain(bits, _, nh)))
         case _ => true
       }
+    }
+    case TokenBf(_, nh) => st.bloom match {
+      case None => true
+      case Some(bits) =>
+        // ALL the guaranteed tokens must be present; an empty token
+        // list (fragment with no interior token) gives no information
+        def allTokens(ts: Seq[String]): Boolean = ts.forall(t =>
+          hashOf(t).forall(SkipIndexes.bloomMightContain(bits, _, nh)))
+        p match {
+          case PEq(v: String) => allTokens(SkipIndexes.tokensOf(v))
+          case PIn(qs) => qs.exists {
+            case q: String => allTokens(SkipIndexes.tokensOf(q))
+            case _ => true
+          }
+          case PContains(s) => allTokens(SkipIndexes.interiorTokensOf(s))
+          case _ => true
+        }
+    }
+    case NgramBf(n, _, nh) => st.bloom match {
+      case None => true
+      case Some(bits) =>
+        def allGrams(s: String): Boolean = SkipIndexes.ngramsOf(s, n)
+          .forall(g => hashOf(g).forall(
+            SkipIndexes.bloomMightContain(bits, _, nh)))
+        p match {
+          case PEq(v: String) => allGrams(v)
+          case PIn(qs) => qs.exists {
+            case q: String => allGrams(q); case _ => true
+          }
+          case PContains(s) => allGrams(s)
+          case _ => true
+        }
     }
   }
 
@@ -159,6 +195,14 @@ object SkipIndexPrune extends Rule[LogicalPlan] {
         Seq(PGt(ext(l), orEqual = false))
       case LessThanOrEqual(l: Literal, a) if isCol(a) && l.dataType == colType =>
         Seq(PGt(ext(l), orEqual = true))
+      // substring guarantees for the token/ngram blooms. The optimizer
+      // has already simplified LIKE '%x%' / 'x%' / '%x' into these.
+      case Contains(a, Literal(s, _)) if isCol(a) && s != null =>
+        Seq(PContains(s.toString))
+      case StartsWith(a, Literal(s, _)) if isCol(a) && s != null =>
+        Seq(PContains(s.toString))
+      case EndsWith(a, Literal(s, _)) if isCol(a) && s != null =>
+        Seq(PContains(s.toString))
       case _ => Nil
     }
   }

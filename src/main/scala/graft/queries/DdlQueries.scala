@@ -433,6 +433,43 @@ object DdlQueries {
              min(o_orderkey) AS mn, max(o_orderkey) AS mx
       FROM orders WHERE o_orderkey % 4 = 2""")),
 
+    // S17b: ngram-bloom text index — batch 1 carries a marker token in
+    // its comments, batch 0 does not; after ngrambf_v1 MATERIALIZE a
+    // `LIKE '%marker%'` must read only batch 1's files (require()
+    // gated) and still match DuckDB's recomputation over orders.
+    Q("s17b_ngrambf_like", (s, dir) => {
+      ChContext.setup(s, dir)
+      Engine.execute(s, "CREATE DATABASE IF NOT EXISTS graft_t")
+      Engine.execute(s, "DROP TABLE IF EXISTS graft_t.skcom")
+      Engine.execute(s, """
+        CREATE TABLE graft_t.skcom (o_orderkey Int64, c String)
+        ENGINE=MergeTree() ORDER BY (o_orderkey)""")
+      Engine.execute(s, """
+        INSERT INTO graft_t.skcom
+        SELECT o_orderkey, concat('plain record ', o_orderstatus, ' ',
+                                  toString(o_orderkey))
+        FROM orders WHERE o_orderkey % 2 = 0""")
+      Engine.execute(s, """
+        INSERT INTO graft_t.skcom
+        SELECT o_orderkey, concat('marked zqwhale record ', o_orderstatus,
+                                  ' ', toString(o_orderkey))
+        FROM orders WHERE o_orderkey % 2 = 1""")
+      Engine.execute(s, """
+        ALTER TABLE graft_t.skcom ADD INDEX ix_ng c
+        TYPE ngrambf_v1(4, 16384, 2, 0) GRANULARITY 1""")
+      Engine.execute(s, "ALTER TABLE graft_t.skcom MATERIALIZE INDEX ix_ng")
+      val df = Engine.execute(s, """
+        SELECT count() AS n, min(o_orderkey) AS mn, max(o_orderkey) AS mx
+        FROM graft_t.skcom WHERE c LIKE '%zqwhale%'""")
+      df.queryExecution.optimizedPlan
+      require(graft.plans.SkipIndexPrune.lastPruneFor("graft_t.skcom")
+        .exists { case (kept, total) => kept < total },
+        "ngram-bloom pruning did not fire")
+      df
+    }, Some("""
+      SELECT count(*) AS n, min(o_orderkey) AS mn, max(o_orderkey) AS mx
+      FROM orders WHERE o_orderkey % 2 = 1""")),
+
     // S18: durable catalog — DDL survives a restart like the
     // reference's persistent chdb session (main.py:140-150). The entry
     // creates+loads a partitioned MergeTree table, simulates a JVM

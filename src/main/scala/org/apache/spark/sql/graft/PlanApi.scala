@@ -14,4 +14,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object PlanApi {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
+
+  /** Column from a raw Catalyst Expression (the classic-API converter
+    * is package-private in Spark 4) — used by internal builders that
+    * aggregate with custom TypedImperativeAggregates outside the
+    * function registry (e.g. the skip-index bloom builder). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }

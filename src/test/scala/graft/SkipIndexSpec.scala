@@ -125,6 +125,85 @@ class SkipIndexSpec extends AnyFunSuite {
     assert(df.collect().head.getLong(0) == 0L)
   }
 
+  test("ngrambf_v1 prunes LIKE '%substr%' — and keeps every file that matches") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_t")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.skng")
+    Engine.execute(spark, """
+      CREATE TABLE graft_t.skng (k Int64, url String)
+      ENGINE=MergeTree() ORDER BY (k)""")
+    // batch 1: plain urls; batch 2: some contain the needle
+    Engine.execute(spark, """
+      INSERT INTO graft_t.skng
+      SELECT number, concat('http://example.com/page/', toString(number))
+      FROM numbers(200)""")
+    Engine.execute(spark, """
+      INSERT INTO graft_t.skng
+      SELECT number + 1000,
+             if(number % 7 = 0,
+                concat('http://zebrafish.io/q=', toString(number)),
+                concat('http://other.net/', toString(number)))
+      FROM numbers(200)""")
+    Engine.execute(spark, """
+      ALTER TABLE graft_t.skng ADD INDEX ix_ng url
+      TYPE ngrambf_v1(3, 8192, 2, 0) GRANULARITY 1""")
+    Engine.execute(spark, "ALTER TABLE graft_t.skng MATERIALIZE INDEX ix_ng")
+    val total = spark.table("graft_t.skng").inputFiles.length
+    val q = "SELECT count() AS n FROM graft_t.skng WHERE url LIKE '%zebrafish%'"
+    val df = Engine.execute(spark, q)
+    assert(scannedFiles(df) < total,
+      "ngram bloom should exclude the batch-1 files (no 'zebrafish' grams)")
+    val expected = (0 until 200).count(_ % 7 == 0)
+    assert(df.collect().head.getLong(0) == expected.toLong)
+    // the same result with pruning off
+    graft.plans.SkipIndexPrune.enabled = false
+    try assert(Engine.execute(spark, q).collect().head.getLong(0) == expected.toLong)
+    finally graft.plans.SkipIndexPrune.enabled = true
+    // a needle shorter than n=3 gives no grams: no pruning, still right
+    val short = Engine.execute(spark,
+      "SELECT count() AS n FROM graft_t.skng WHERE url LIKE '%zz%'")
+    assert(scannedFiles(short) == total)
+    assert(short.collect().head.getLong(0) == 0L)
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.skng")
+  }
+
+  test("tokenbf_v1 prunes equality and interior-token LIKE; boundary fragments stay conservative") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_t")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.sktk")
+    Engine.execute(spark, """
+      CREATE TABLE graft_t.sktk (k Int64, tag String)
+      ENGINE=MergeTree() ORDER BY (k)""")
+    Engine.execute(spark, """
+      INSERT INTO graft_t.sktk
+      SELECT number, concat('alpha beta gamma ', toString(number))
+      FROM numbers(100)""")
+    Engine.execute(spark, """
+      INSERT INTO graft_t.sktk
+      SELECT number + 500, concat('delta epsilon zeta ', toString(number))
+      FROM numbers(100)""")
+    Engine.execute(spark, """
+      ALTER TABLE graft_t.sktk ADD INDEX ix_tk tag
+      TYPE tokenbf_v1(4096, 3, 0)""")
+    Engine.execute(spark, "ALTER TABLE graft_t.sktk MATERIALIZE INDEX ix_tk")
+    val total = spark.table("graft_t.sktk").inputFiles.length
+    // ' epsilon ' is an INTERIOR token of the pattern -> prunable
+    val df = Engine.execute(spark,
+      "SELECT count() AS n FROM graft_t.sktk WHERE tag LIKE '% epsilon %'")
+    assert(scannedFiles(df) < total)
+    assert(df.collect().head.getLong(0) == 100L)
+    // 'lpha bet' has interior token none ('lpha'/'bet' touch the ends)
+    // -> conservative: no pruning, because 'lpha' could be the tail of
+    // 'alpha' without 'lpha' ever being a whole token
+    val frag = Engine.execute(spark,
+      "SELECT count() AS n FROM graft_t.sktk WHERE tag LIKE '%lpha bet%'")
+    assert(scannedFiles(frag) == total,
+      "boundary fragments are not guaranteed tokens — must not prune")
+    assert(frag.collect().head.getLong(0) == 100L)
+    // type guard: tokenbf on a numeric column refuses
+    intercept[Exception](Engine.execute(spark,
+      "ALTER TABLE graft_t.sktk ADD INDEX bad k TYPE tokenbf_v1(4096, 3, 0)"))
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.sktk")
+  }
+
   test("skip indexes survive a restart with the durable catalog") {
     mk("graft_t.skdur", Seq((0L, 100L), (40000L, 40100L)))
     Engine.execute(spark,
