@@ -330,7 +330,10 @@ class HttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("database= param is request-scoped, not sticky (main.py:860-861)") {
     get(s"/?query=${enc("CREATE DATABASE IF NOT EXISTS dbscope")}")
-    get(s"/?query=${enc("CREATE TABLE IF NOT EXISTS dbscope.tscope (id Int64) ENGINE=Memory")}")
+    // the catalog is durable since round 12: a tscope from a previous
+    // JVM would survive with its rows — start from a clean slate
+    get(s"/?query=${enc("DROP TABLE IF EXISTS dbscope.tscope")}")
+    get(s"/?query=${enc("CREATE TABLE dbscope.tscope (id Int64) ENGINE=Memory")}")
     get(s"/?query=${enc("INSERT INTO dbscope.tscope SELECT 7")}")
     // unqualified name resolves inside database=dbscope
     val scoped = get(s"/?query=${enc("SELECT id FROM tscope")}&database=dbscope")
