@@ -234,6 +234,11 @@ object ChFunctions {
         val x = UnresolvedNamedLambdaVariable(Seq("__graft_x"))
         LambdaFunction(GreaterThan(Length(x), Literal(0)), Seq(x))
       })),
+    // hasToken(haystack, token): whole-token membership — split on the
+    // same separator class the tokenbf_v1 skip index uses, so the
+    // prune rule can answer this predicate from the token bloom
+    "hasToken" -> (a => ArrayContains(
+      StringSplit(a(0), Literal(SkipIndexes.TokenSep), Literal(-1)), a(1))),
     "position" -> (a => StringLocate(a(1), a(0), Literal(1))),
     "positionCaseInsensitive" -> (a => StringLocate(Lower(a(1)), Lower(a(0)), Literal(1))),
     "match" -> (a => RLike(a(0), a(1))),

@@ -702,6 +702,18 @@ object Ddl {
         val (ma, mb) = (tables.remove(a), tables.remove(b))
         ma.foreach(m => tables.put(b, m))
         mb.foreach(m => tables.put(a, m))
+        // EXCHANGE drops both tables' projections and skip indexes
+        // (documented divergence: carrying them would need a three-way
+        // store/manifest swap; dropping can only cost performance,
+        // keeping stale entries could answer from the WRONG table)
+        for (t <- Seq(a, b)) {
+          Projections.forTable(t).foreach { p =>
+            try spark.sql(s"DROP TABLE IF EXISTS ${p.store}")
+            catch { case _: Throwable => () }
+          }
+          Projections.forgetInMemory(t)
+          SkipIndexes.forgetInMemory(t)
+        }
         CatalogStore.save(spark, a)
         CatalogStore.save(spark, b)
         spark.emptyDataFrame
@@ -715,9 +727,23 @@ object Ddl {
           val (from, to) = (pm.group(1), pm.group(2))
           val fromKey = normalize(spark, from)
           cleanOrphanLocation(spark, to) // stale warehouse dir blocks rename
+          val oldDir =
+            try tableLoc(spark, from.replace("`", "")).toString
+            catch { case _: Throwable => "" }
           spark.sql(s"ALTER TABLE $from RENAME TO $to")
           tables.remove(fromKey).foreach(mm =>
             tables.put(normalize(spark, to), mm))
+          // projections and skip indexes follow the table (ClickHouse
+          // keeps both across RENAME); leaving registry entries keyed
+          // under the old name would let a future table REUSING that
+          // name inherit them — wrong answers from another table's
+          // projection store
+          Projections.onRename(spark, fromKey, normalize(spark, to))
+          val newDir =
+            try tableLoc(spark, to.replace("`", "")).toString
+            catch { case _: Throwable => "" }
+          SkipIndexes.onRename(spark, fromKey, normalize(spark, to),
+            oldDir, newDir)
           // the meta file moved with the managed directory; rewrite it
           // so the recorded db/table match the new name
           CatalogStore.save(spark, to)
@@ -1463,13 +1489,24 @@ object Ddl {
       case None =>
         s"CREATE TABLE $ine$name (${sparkCols.mkString(", ")}) USING PARQUET"
     }
-    tables.put(normalize(spark, name),
+    val norm = normalize(spark, name)
+    val existed =
+      try spark.catalog.tableExists(name.replace("`", ""))
+      catch { case _: Throwable => false }
+    val out = spark.sql(ddl) // throws on exists unless IF NOT EXISTS
+    if (existed) return out // IF NOT EXISTS no-op: keep the live
+                            // table's metadata and registries untouched
+    // fresh creation: nothing from a previously same-named table may
+    // leak in (a stale projection entry would answer this table's
+    // GROUP BYs from the OTHER table's store)
+    Projections.forgetInMemory(norm)
+    SkipIndexes.forgetInMemory(norm)
+    tables.put(norm,
       TableMeta(partExpr, orderCols, sampleBy, replacingVer, summingCols,
         ttl))
-    val out = spark.sql(ddl)
     indexDefs.map(_.trim).foreach {
       case inlineIndexRe(iname, iexpr, itype, igran) =>
-        SkipIndexes.add(spark, normalize(spark, name),
+        SkipIndexes.add(spark, norm,
           iname.replace("`", ""), iexpr.trim.replace("`", ""), itype,
           Option(igran).map(_.toInt).getOrElse(1), ifNotExists = true)
       case bad => throw new IllegalArgumentException(

@@ -76,6 +76,34 @@ object Projections {
   private[dialect] def forgetInMemory(table: String): Unit =
     registry.remove(table.replace("`", "").toLowerCase)
 
+  /** RENAME TABLE: projections follow the table (ClickHouse keeps
+    * them). Each store table renames to the new table's derived store
+    * name — leaving it behind would collide with a projection of the
+    * same name on a future table reusing the old name, answering its
+    * GROUP BYs from THIS table's data. */
+  private[dialect] def onRename(spark: SparkSession, oldNorm: String,
+                                newNorm: String): Unit = {
+    val moved = registry.remove(oldNorm.toLowerCase).getOrElse(return)
+    val renamed = moved.map { p =>
+      val newStore = storeName(newNorm.toLowerCase, p.name)
+      try {
+        Ddl.cleanOrphanLocation(spark, newStore)
+        spark.sql(s"ALTER TABLE ${p.store} RENAME TO $newStore")
+        Proj(newNorm.toLowerCase, p.name, p.keys, p.aggs, newStore, p.complete)
+      } catch {
+        case _: Throwable =>
+          // store rename failed: keep the projection but mark it
+          // incomplete under the OLD store — the rewrite stays off
+          // (never wrong answers) until the next MATERIALIZE recreates
+          // the store under the new name
+          val np = Proj(newNorm.toLowerCase, p.name, p.keys, p.aggs,
+            storeName(newNorm.toLowerCase, p.name), complete = false)
+          np
+      }
+    }
+    registry.put(newNorm.toLowerCase, renamed)
+  }
+
   /** Split on top-level commas (parens guard function-call commas). */
   private def splitTop(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]

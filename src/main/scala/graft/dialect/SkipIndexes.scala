@@ -85,6 +85,29 @@ object SkipIndexes {
   private[dialect] def forgetInMemory(table: String): Unit =
     registry.remove(table.toLowerCase)
 
+  /** RENAME TABLE: indexes follow the table. The managed rename moved
+    * the data directory, so every manifest file key is remapped from
+    * the old location prefix to the new one (a missed remap would only
+    * deactivate pruning — unmatched keys never exclude anything — but
+    * the index should keep working without a re-MATERIALIZE). */
+  private[dialect] def onRename(spark: SparkSession, oldNorm: String,
+                                newNorm: String, oldDir: String,
+                                newDir: String): Unit = {
+    val moved = registry.remove(oldNorm.toLowerCase).getOrElse(return)
+    val renamed = moved.map { ix =>
+      val nx = ix.copy(table = newNorm.toLowerCase,
+        stats = TrieMap.empty[String, FileStats])
+      ix.stats.foreach { case (file, st) =>
+        val key = if (file.startsWith(oldDir))
+          newDir + file.substring(oldDir.length) else file
+        nx.stats.put(key, st)
+      }
+      nx
+    }
+    registry.put(newNorm.toLowerCase, renamed)
+    persist(spark, newNorm.toLowerCase)
+  }
+
   /** Restore a table's persisted manifests (durable-catalog path). */
   private[dialect] def restore(spark: SparkSession, table: String,
                                tableDir: java.nio.file.Path): Unit =

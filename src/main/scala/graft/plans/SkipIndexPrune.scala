@@ -45,11 +45,6 @@ object SkipIndexPrune extends Rule[LogicalPlan] {
   def lastPruneFor(table: String): Option[(Int, Int)] =
     lastPrune.get(table.toLowerCase)
 
-  private def conjuncts(e: Expression): Seq[Expression] = e match {
-    case And(l, r) => conjuncts(l) ++ conjuncts(r)
-    case other => Seq(other)
-  }
-
   /** Order two EXTERNAL values of the same column type; None = types
     * this rule does not reason about (then the file is kept). */
   private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
@@ -79,6 +74,10 @@ object SkipIndexPrune extends Rule[LogicalPlan] {
   /** a guaranteed substring of the column (LIKE '%s%' / Contains /
     * StartsWith / EndsWith) — answered by the token/ngram blooms */
   private case class PContains(s: String) extends Pred
+  /** hasToken(col, t): t must appear as a WHOLE token — stronger than
+    * PContains (the token bloom tests it directly, no interior-only
+    * conservatism) */
+  private case class PToken(t: String) extends Pred
 
   private def filePossible(ix: SkipIndexes.Index, st: FileStats,
                            p: Pred): Boolean = ix.kind match {
@@ -128,6 +127,10 @@ object SkipIndexPrune extends Rule[LogicalPlan] {
             case _ => true
           }
           case PContains(s) => allTokens(SkipIndexes.interiorTokensOf(s))
+          // a hasToken argument that is itself one clean token tests
+          // the bloom directly; anything else gives no information
+          case PToken(t) if SkipIndexes.tokensOf(t) == Seq(t) =>
+            allTokens(Seq(t))
           case _ => true
         }
     }
@@ -143,6 +146,7 @@ object SkipIndexPrune extends Rule[LogicalPlan] {
             case q: String => allGrams(q); case _ => true
           }
           case PContains(s) => allGrams(s)
+          case PToken(t) => allGrams(t)
           case _ => true
         }
     }
@@ -159,51 +163,76 @@ object SkipIndexPrune extends Rule[LogicalPlan] {
   /** Extract the indexed-column predicates among the conjuncts.
     * Matches plain `attr OP literal` shapes only (a Cast on the attr
     * means the literal is in another type's space — skip, stay sound). */
-  private def predsFor(col: String, conjs: Seq[Expression],
-                       colType: org.apache.spark.sql.types.DataType): Seq[Pred] = {
+  private def leafPred(e: Expression): Option[(String, Pred)] = {
     def ext(l: Literal): Any =
       CatalystTypeConverters.convertToScala(l.value, l.dataType)
-    def isCol(e: Expression): Boolean = e match {
-      case a: AttributeReference => a.name.equalsIgnoreCase(col)
-      case _ => false
-    }
-    conjs.flatMap {
-      case EqualTo(a, l: Literal) if isCol(a) && l.dataType == colType =>
-        Seq(PEq(ext(l)))
-      case EqualTo(l: Literal, a) if isCol(a) && l.dataType == colType =>
-        Seq(PEq(ext(l)))
-      case In(a, vs) if isCol(a) && vs.forall {
-          case l: Literal => l.dataType == colType; case _ => false } =>
-        Seq(PIn(vs.map { case l: Literal => ext(l) }))
-      case InSet(a, vs) if isCol(a) =>
+    def mk(a: Expression, l: Literal, p: Pred): Option[(String, Pred)] =
+      a match {
+        case ar: AttributeReference if l.dataType == ar.dataType =>
+          Some((ar.name.toLowerCase, p))
+        case _ => None
+      }
+    e match {
+      case EqualTo(a, l: Literal) => mk(a, l, PEq(ext(l)))
+      case EqualTo(l: Literal, a) => mk(a, l, PEq(ext(l)))
+      case In(a: AttributeReference, vs) if vs.nonEmpty && vs.forall {
+          case l: Literal => l.dataType == a.dataType; case _ => false } =>
+        Some((a.name.toLowerCase, PIn(vs.map { case l: Literal => ext(l) })))
+      case InSet(a: AttributeReference, vs) =>
         // InSet holds INTERNAL values of the child's type
-        Seq(PIn(vs.toSeq.map(v =>
-          CatalystTypeConverters.convertToScala(v, colType))))
-      case GreaterThan(a, l: Literal) if isCol(a) && l.dataType == colType =>
-        Seq(PGt(ext(l), orEqual = false))
-      case GreaterThanOrEqual(a, l: Literal) if isCol(a) && l.dataType == colType =>
-        Seq(PGt(ext(l), orEqual = true))
-      case LessThan(a, l: Literal) if isCol(a) && l.dataType == colType =>
-        Seq(PLt(ext(l), orEqual = false))
-      case LessThanOrEqual(a, l: Literal) if isCol(a) && l.dataType == colType =>
-        Seq(PLt(ext(l), orEqual = true))
-      case GreaterThan(l: Literal, a) if isCol(a) && l.dataType == colType =>
-        Seq(PLt(ext(l), orEqual = false))
-      case GreaterThanOrEqual(l: Literal, a) if isCol(a) && l.dataType == colType =>
-        Seq(PLt(ext(l), orEqual = true))
-      case LessThan(l: Literal, a) if isCol(a) && l.dataType == colType =>
-        Seq(PGt(ext(l), orEqual = false))
-      case LessThanOrEqual(l: Literal, a) if isCol(a) && l.dataType == colType =>
-        Seq(PGt(ext(l), orEqual = true))
+        Some((a.name.toLowerCase, PIn(vs.toSeq.map(v =>
+          CatalystTypeConverters.convertToScala(v, a.dataType)))))
+      case GreaterThan(a, l: Literal) => mk(a, l, PGt(ext(l), orEqual = false))
+      case GreaterThanOrEqual(a, l: Literal) => mk(a, l, PGt(ext(l), orEqual = true))
+      case LessThan(a, l: Literal) => mk(a, l, PLt(ext(l), orEqual = false))
+      case LessThanOrEqual(a, l: Literal) => mk(a, l, PLt(ext(l), orEqual = true))
+      case GreaterThan(l: Literal, a) => mk(a, l, PLt(ext(l), orEqual = false))
+      case GreaterThanOrEqual(l: Literal, a) => mk(a, l, PLt(ext(l), orEqual = true))
+      case LessThan(l: Literal, a) => mk(a, l, PGt(ext(l), orEqual = false))
+      case LessThanOrEqual(l: Literal, a) => mk(a, l, PGt(ext(l), orEqual = true))
       // substring guarantees for the token/ngram blooms. The optimizer
       // has already simplified LIKE '%x%' / 'x%' / '%x' into these.
-      case Contains(a, Literal(s, _)) if isCol(a) && s != null =>
-        Seq(PContains(s.toString))
-      case StartsWith(a, Literal(s, _)) if isCol(a) && s != null =>
-        Seq(PContains(s.toString))
-      case EndsWith(a, Literal(s, _)) if isCol(a) && s != null =>
-        Seq(PContains(s.toString))
-      case _ => Nil
+      case Contains(a: AttributeReference, Literal(s, _)) if s != null =>
+        Some((a.name.toLowerCase, PContains(s.toString)))
+      case StartsWith(a: AttributeReference, Literal(s, _)) if s != null =>
+        Some((a.name.toLowerCase, PContains(s.toString)))
+      case EndsWith(a: AttributeReference, Literal(s, _)) if s != null =>
+        Some((a.name.toLowerCase, PContains(s.toString)))
+      // hasToken(col, 't') — the dialect compiles it to whole-token
+      // membership over the SAME separator class the index tokenizes
+      case ArrayContains(
+          StringSplit(a: AttributeReference, Literal(sep, _), _),
+          Literal(tok, _))
+          if sep != null && sep.toString == SkipIndexes.TokenSep &&
+            tok != null =>
+        Some((a.name.toLowerCase, PToken(tok.toString)))
+      case _ => None
+    }
+  }
+
+  /** Tri-state evaluation of a predicate tree against ONE file's
+    * stats: Some(false) = provably no row of this file satisfies it;
+    * None = cannot tell (the conservative default). AND is false if
+    * either side is false; OR only if BOTH are — so
+    * `x = 1 OR x = 5000` still prunes files whose stats admit neither,
+    * which flat conjunct-extraction missed. NOT stays None: negating
+    * "maybe" proves nothing, and the leaf matchers answer the negated
+    * forms directly where they can. */
+  private def evalMaybe(e: Expression, file: String,
+                        ixByCol: Map[String, List[SkipIndexes.Index]])
+      : Option[Boolean] = e match {
+    case And(l, r) =>
+      if (evalMaybe(l, file, ixByCol).contains(false) ||
+          evalMaybe(r, file, ixByCol).contains(false)) Some(false) else None
+    case Or(l, r) =>
+      if (evalMaybe(l, file, ixByCol).contains(false) &&
+          evalMaybe(r, file, ixByCol).contains(false)) Some(false) else None
+    case leaf => leafPred(leaf) match {
+      case Some((col, p)) =>
+        val impossible = ixByCol.getOrElse(col, Nil).exists(ix =>
+          ix.stats.get(file).exists(st => !filePossible(ix, st, p)))
+        if (impossible) Some(false) else None
+      case None => None
     }
   }
 
@@ -221,20 +250,14 @@ object SkipIndexPrune extends Rule[LogicalPlan] {
         if (ixs.isEmpty) f
         else {
           val hfs = rel.relation.asInstanceOf[HadoopFsRelation]
-          val conjs = conjuncts(cond)
-          // per index: the set of manifest files its stats EXCLUDE
-          val excluded = ixs.iterator.flatMap { ix =>
-            rel.output.find(_.name.equalsIgnoreCase(ix.column)) match {
-              case Some(attr) =>
-                val ps = predsFor(attr.name, conjs, attr.dataType)
-                if (ps.isEmpty) Iterator.empty
-                else ix.stats.iterator.collect {
-                  case (file, st)
-                      if !ps.forall(p => filePossible(ix, st, p)) => file
-                }
-              case None => Iterator.empty
-            }
-          }.toSet
+          // only columns that are BOTH indexed and output by this scan
+          // participate (a same-named column of another table must not)
+          val outCols = rel.output.map(_.name.toLowerCase).toSet
+          val ixByCol = ixs.filter(ix => outCols(ix.column.toLowerCase))
+            .groupBy(_.column.toLowerCase)
+          val allFiles = ixs.iterator.flatMap(_.stats.keysIterator).toSet
+          val excluded = allFiles.filter(file =>
+            evalMaybe(cond, file, ixByCol).contains(false))
           if (excluded.isEmpty) f
           else {
             val pruned = new PrunedFileIndex(hfs.location, excluded)

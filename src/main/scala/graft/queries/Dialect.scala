@@ -492,6 +492,26 @@ object Dialect {
              round(sum(x) / sqrt(sum(x*x)), 4) AS nsum
       FROM u GROUP BY vec_id ORDER BY vec_id""")),
 
+    // F33: hasToken — whole-token membership over the alphanumeric
+    // tokenizer (the same split the tokenbf_v1 skip index blooms, so
+    // the prune rule answers this predicate from the index). 'URGENT'
+    // is a whole token of '1-URGENT'; 'URG' is not.
+    Q("f33_hastoken", ch("""
+      SELECT o_orderpriority,
+             hasToken(o_orderpriority, 'URGENT') AS whole,
+             hasToken(o_orderpriority, 'URG') AS partial,
+             count() AS n
+      FROM orders GROUP BY o_orderpriority, whole, partial
+      ORDER BY o_orderpriority"""),
+      Some("""
+      SELECT o_orderpriority,
+             list_contains(string_split_regex(o_orderpriority,
+               '[^A-Za-z0-9_]+'), 'URGENT') AS whole,
+             list_contains(string_split_regex(o_orderpriority,
+               '[^A-Za-z0-9_]+'), 'URG') AS partial,
+             count(*) AS n
+      FROM orders GROUP BY 1, 2, 3 ORDER BY o_orderpriority""")),
+
     // F32: arrayAUC — per-row ROC AUC over (score, alternating-label)
     // pairs; the oracle recomputes the Mann-Whitney pair statistic
     // exactly (ties counted half)

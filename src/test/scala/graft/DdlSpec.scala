@@ -1400,6 +1400,59 @@ class DdlSpec extends AnyFunSuite {
     Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.frz")
   }
 
+  test("RENAME TABLE carries projections and skip indexes; a reused name never inherits them") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    for (t <- Seq("rnp", "rnp2"))
+      Engine.execute(spark, s"DROP TABLE IF EXISTS graft_spec.$t")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.rnp (g String, v Int64)
+      ENGINE=MergeTree() ORDER BY (v)""")
+    Engine.execute(spark, "INSERT INTO graft_spec.rnp VALUES ('a', 1), ('b', 2)")
+    Engine.execute(spark, """
+      ALTER TABLE graft_spec.rnp ADD PROJECTION p_g
+        (SELECT g, sum(v) GROUP BY g)""")
+    Engine.execute(spark, "ALTER TABLE graft_spec.rnp MATERIALIZE PROJECTION p_g")
+    Engine.execute(spark, "ALTER TABLE graft_spec.rnp ADD INDEX ix_v v TYPE minmax")
+    Engine.execute(spark, "ALTER TABLE graft_spec.rnp MATERIALIZE INDEX ix_v")
+
+    Engine.execute(spark, "RENAME TABLE graft_spec.rnp TO graft_spec.rnp2")
+
+    // the projection followed the rename: rewrite fires on the NEW name
+    val renamed = Engine.execute(spark,
+      "SELECT g, sum(v) AS sv FROM graft_spec.rnp2 GROUP BY g ORDER BY g")
+    assert(renamed.queryExecution.analyzed.toString.contains("__proj_p_g"),
+      "projection should follow RENAME TABLE")
+    assert(renamed.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 1L), ("b", 2L)))
+    // inserts into the new name keep appending partials
+    Engine.execute(spark, "INSERT INTO graft_spec.rnp2 VALUES ('a', 10)")
+    assert(Engine.execute(spark,
+      "SELECT g, sum(v) AS sv FROM graft_spec.rnp2 GROUP BY g ORDER BY g")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 11L), ("b", 2L)))
+    // the skip index followed too: its manifest lists files again after
+    // MATERIALIZE under the new location
+    Engine.execute(spark, "ALTER TABLE graft_spec.rnp2 MATERIALIZE INDEX ix_v")
+    assert(Engine.execute(spark, """
+      SELECT name FROM system.data_skipping_indices
+      WHERE table = 'rnp2'""").collect().map(_.getString(0)).toSeq == Seq("ix_v"))
+
+    // a NEW table under the OLD name must not inherit the projection —
+    // that would answer its GROUP BYs from the other table's store
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.rnp (g String, v Int64)
+      ENGINE=MergeTree() ORDER BY (v)""")
+    Engine.execute(spark, "INSERT INTO graft_spec.rnp VALUES ('z', 100)")
+    val fresh = Engine.execute(spark,
+      "SELECT g, sum(v) AS sv FROM graft_spec.rnp GROUP BY g ORDER BY g")
+    assert(!fresh.queryExecution.analyzed.toString.contains("__proj_"),
+      "a reused table name must not inherit the renamed table's projection")
+    assert(fresh.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("z", 100L)))
+    for (t <- Seq("rnp", "rnp2"))
+      Engine.execute(spark, s"DROP TABLE IF EXISTS graft_spec.$t")
+  }
+
   test("DELETE FROM lightweight-delete spelling; system.detached_parts") {
     Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
     Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.lwd")

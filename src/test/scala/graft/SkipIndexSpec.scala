@@ -204,6 +204,63 @@ class SkipIndexSpec extends AnyFunSuite {
     Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.sktk")
   }
 
+  test("hasToken prunes through tokenbf_v1 directly (whole token, no interior rule)") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_t")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.skht")
+    Engine.execute(spark, """
+      CREATE TABLE graft_t.skht (k Int64, tag String)
+      ENGINE=MergeTree() ORDER BY (k)""")
+    Engine.execute(spark, """
+      INSERT INTO graft_t.skht
+      SELECT number, concat('alpha beta ', toString(number)) FROM numbers(100)""")
+    Engine.execute(spark, """
+      INSERT INTO graft_t.skht
+      SELECT number + 500, concat('gamma delta ', toString(number)) FROM numbers(100)""")
+    Engine.execute(spark, """
+      ALTER TABLE graft_t.skht ADD INDEX ix tag TYPE tokenbf_v1(4096, 3, 0)""")
+    Engine.execute(spark, "ALTER TABLE graft_t.skht MATERIALIZE INDEX ix")
+    val total = spark.table("graft_t.skht").inputFiles.length
+    val df = Engine.execute(spark,
+      "SELECT count() AS n FROM graft_t.skht WHERE hasToken(tag, 'gamma')")
+    assert(scannedFiles(df) < total, "hasToken should prune via the token bloom")
+    assert(df.collect().head.getLong(0) == 100L)
+    // 'gam' is not a whole token anywhere: correct zero, and since a
+    // partial word can't be tested against the token bloom, no pruning
+    val part = Engine.execute(spark,
+      "SELECT count() AS n FROM graft_t.skht WHERE hasToken(tag, 'gam')")
+    assert(part.collect().head.getLong(0) == 0L)
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.skht")
+  }
+
+  test("OR predicates prune: a file is dropped only when BOTH branches are impossible") {
+    mk("graft_t.skor", Seq((0L, 100L), (10000L, 10100L), (20000L, 20100L)))
+    Engine.execute(spark,
+      "ALTER TABLE graft_t.skor ADD INDEX ix_x x TYPE minmax")
+    Engine.execute(spark, "ALTER TABLE graft_t.skor MATERIALIZE INDEX ix_x")
+    val total = spark.table("graft_t.skor").inputFiles.length
+    // both branches land in real batches: batch 1 and batch 3 survive,
+    // batch 2's files are impossible under EITHER branch -> pruned
+    val df = Engine.execute(spark, """
+      SELECT count() AS n FROM graft_t.skor
+      WHERE x = 50 OR x = 20050""")
+    val scanned = scannedFiles(df)
+    assert(scanned < total, s"OR should prune batch 2: $scanned of $total")
+    assert(df.collect().head.getLong(0) == 2L)
+    // an OR with one un-indexable branch must not prune anything
+    val safe = Engine.execute(spark, """
+      SELECT count() AS n FROM graft_t.skor
+      WHERE x = 50 OR length(s) > 0""")
+    assert(scannedFiles(safe) == total)
+    assert(safe.collect().head.getLong(0) == 300L)
+    // AND nested under OR: (impossible AND anything) OR impossible -> prune
+    val nested = Engine.execute(spark, """
+      SELECT count() AS n FROM graft_t.skor
+      WHERE (x = 50 AND k >= 0) OR x = 10050""")
+    assert(scannedFiles(nested) < total)
+    assert(nested.collect().head.getLong(0) == 2L)
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.skor")
+  }
+
   test("skip indexes survive a restart with the durable catalog") {
     mk("graft_t.skdur", Seq((0L, 100L), (40000L, 40100L)))
     Engine.execute(spark,
