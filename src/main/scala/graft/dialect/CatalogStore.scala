@@ -365,6 +365,7 @@ object CatalogStore {
       SkipIndexes.forgetInMemory(norm)
     }
     dicts.foreach(Dictionaries.forgetInMemory)
+    Ddl.forgetMatViewsFor(all.map(_.toLowerCase).toSet)
     resetRestored(spark)
   }
 }

@@ -58,6 +58,14 @@ object Ddl {
                                       src: String, body: String): Unit =
     matViews.putIfAbsent(name, MvMeta(target, src, body))
 
+  /** Restart simulation: forget materialized views touching the listed
+    * tables (in-memory only — the central JSON keeps them, so the
+    * restore path actually exercises). */
+  private[dialect] def forgetMatViewsFor(tables: Set[String]): Unit =
+    matViews.filter { case (name, mv) =>
+      tables(name) || tables(mv.target) || tables(mv.src)
+    }.keys.foreach(matViews.remove)
+
   /** TEMPORARY tables per session — weak keys so an abandoned session
     * doesn't pin its SparkSession; the tables themselves are dropped
     * eagerly by [[dropTempTables]] at session eviction/purge. */
@@ -1617,6 +1625,9 @@ object Ddl {
       cleanOrphanLocation(spark, target)
       val df = spark.sql(Transpiler.transpile(body))
       (if (populate) df else df.limit(0)).write.saveAsTable(target)
+      // the view's own storage table is a graft table: persist it so
+      // the restored MV trigger has somewhere to land after a restart
+      CatalogStore.save(spark, target)
     } else if (populate)
       appendAligned(spark, target, spark.sql(Transpiler.transpile(body)))
     matViews.put(normalize(spark, name),

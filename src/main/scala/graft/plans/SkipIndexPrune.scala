@@ -78,6 +78,9 @@ object SkipIndexPrune extends Rule[LogicalPlan] {
     * PContains (the token bloom tests it directly, no interior-only
     * conservatism) */
   private case class PToken(t: String) extends Pred
+  /** multiSearchAny(col, [s...]): at least ONE of the substrings is
+    * present — a file survives if ANY needle is possible */
+  private case class PAnyContains(ss: Seq[String]) extends Pred
 
   private def filePossible(ix: SkipIndexes.Index, st: FileStats,
                            p: Pred): Boolean = ix.kind match {
@@ -131,6 +134,8 @@ object SkipIndexPrune extends Rule[LogicalPlan] {
           // the bloom directly; anything else gives no information
           case PToken(t) if SkipIndexes.tokensOf(t) == Seq(t) =>
             allTokens(Seq(t))
+          case PAnyContains(ss) =>
+            ss.exists(s => allTokens(SkipIndexes.interiorTokensOf(s)))
           case _ => true
         }
     }
@@ -147,6 +152,7 @@ object SkipIndexPrune extends Rule[LogicalPlan] {
           }
           case PContains(s) => allGrams(s)
           case PToken(t) => allGrams(t)
+          case PAnyContains(ss) => ss.exists(allGrams)
           case _ => true
         }
     }
@@ -206,6 +212,26 @@ object SkipIndexPrune extends Rule[LogicalPlan] {
           if sep != null && sep.toString == SkipIndexes.TokenSep &&
             tok != null =>
         Some((a.name.toLowerCase, PToken(tok.toString)))
+      // multiSearchAny(col, ['a','b',...]) — the dialect compiles it
+      // to exists(needles, n -> contains(col, n)); with a literal
+      // needle array the file needs at least ONE possible needle
+      case ArrayExists(arr,
+          LambdaFunction(Contains(a: AttributeReference,
+            _: NamedLambdaVariable), _, _), _) =>
+        val needles: Option[Seq[String]] = arr match {
+          case CreateArray(items, _)
+              if items.forall {
+                case Literal(s, _) => s != null; case _ => false } =>
+            Some(items.map { case Literal(s, _) => s.toString })
+          case Literal(ad: org.apache.spark.sql.catalyst.util.ArrayData,
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.StringType, _)) =>
+            val vs = ad.toObjectArray(org.apache.spark.sql.types.StringType)
+            if (vs.forall(_ != null)) Some(vs.map(_.toString).toSeq) else None
+          case _ => None
+        }
+        needles.filter(_.nonEmpty)
+          .map(ss => (a.name.toLowerCase, PAnyContains(ss)))
       case _ => None
     }
   }

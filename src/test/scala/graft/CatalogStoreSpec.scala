@@ -134,6 +134,32 @@ class CatalogStoreSpec extends AnyFunSuite {
     Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.durd_src")
   }
 
+  test("materialized view survives a restart: post-restart inserts still fire it") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_t")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.durmv_src")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.durmv_agg")
+    Engine.execute(spark,
+      "CREATE TABLE graft_t.durmv_src (g String, v Int64) ENGINE=Memory")
+    Engine.execute(spark, """
+      CREATE MATERIALIZED VIEW graft_t.durmv_agg AS
+      SELECT g, count() AS n, sum(v) AS sv FROM graft_t.durmv_src GROUP BY g""")
+    Engine.execute(spark, "INSERT INTO graft_t.durmv_src VALUES ('a', 1)")
+
+    CatalogStore.simulateRestart(spark,
+      Seq("graft_t.durmv_src", "graft_t.durmv_agg"))
+
+    // the MV trigger was restored: a post-restart insert appends its
+    // block aggregate next to the pre-restart one
+    Engine.execute(spark,
+      "INSERT INTO graft_t.durmv_src VALUES ('a', 10), ('b', 5)")
+    val rows = Engine.execute(spark, """
+      SELECT g, n, sv FROM graft_t.durmv_agg ORDER BY g, n, sv""").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq(("a", 1L, 1L), ("a", 1L, 10L), ("b", 1L, 5L)))
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.durmv_agg")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.durmv_src")
+  }
+
   test("kill switch: spark.graft.catalog.persist=false writes no meta file") {
     spark.conf.set("spark.graft.catalog.persist", "false")
     try {

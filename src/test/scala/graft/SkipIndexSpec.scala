@@ -232,6 +232,39 @@ class SkipIndexSpec extends AnyFunSuite {
     Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.skht")
   }
 
+  test("multiSearchAny prunes when NO needle's grams can match; any-possible keeps") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_t")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.skms")
+    Engine.execute(spark, """
+      CREATE TABLE graft_t.skms (k Int64, s String)
+      ENGINE=MergeTree() ORDER BY (k)""")
+    Engine.execute(spark, """
+      INSERT INTO graft_t.skms
+      SELECT number, concat('common text ', toString(number)) FROM numbers(100)""")
+    Engine.execute(spark, """
+      INSERT INTO graft_t.skms
+      SELECT number + 500, concat('zebrafish entry ', toString(number))
+      FROM numbers(100)""")
+    Engine.execute(spark, """
+      ALTER TABLE graft_t.skms ADD INDEX ix s TYPE ngrambf_v1(4, 8192, 2, 0)""")
+    Engine.execute(spark, "ALTER TABLE graft_t.skms MATERIALIZE INDEX ix")
+    val total = spark.table("graft_t.skms").inputFiles.length
+    // both needles absent from batch 1 -> its files prune
+    val df = Engine.execute(spark, """
+      SELECT count() AS n FROM graft_t.skms
+      WHERE multiSearchAny(s, ['zebrafish', 'quagga'])""")
+    assert(scannedFiles(df) < total)
+    assert(df.collect().head.getLong(0) == 100L)
+    // a needle shorter than n yields no grams -> that needle is always
+    // "possible" -> the disjunction never prunes; result still right
+    val keep = Engine.execute(spark, """
+      SELECT count() AS n FROM graft_t.skms
+      WHERE multiSearchAny(s, ['quagga', 'xt '])""")
+    assert(scannedFiles(keep) == total)
+    assert(keep.collect().head.getLong(0) == 100L)
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.skms")
+  }
+
   test("OR predicates prune: a file is dropped only when BOTH branches are impossible") {
     mk("graft_t.skor", Seq((0L, 100L), (10000L, 10100L), (20000L, 20100L)))
     Engine.execute(spark,
