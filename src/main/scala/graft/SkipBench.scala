@@ -11,7 +11,10 @@ package graft
   * Then times, best-of-3 each, with the prune rule ON vs OFF:
   *   - `txt LIKE '%marker%'` count (ngrambf_v1)
   *   - `band BETWEEN lo AND hi` sum (minmax)
-  * plus the one-off MATERIALIZE INDEX build cost and manifest sizes.
+  * plus a projection A/B on the same fixture (the low-cardinality
+  * GROUP BY with count/sum/avg/uniq answered from the per-part store
+  * vs the fact scan, Projections.enabled on/off), the one-off
+  * MATERIALIZE costs, and manifest sizes.
   * Prints one JSON line (BASELINE.md records the round artifacts).
   *
   * usage: runMain graft.SkipBench [rows] [batches]
@@ -26,7 +29,7 @@ object SkipBench {
     Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_bench")
     Engine.execute(spark, s"DROP TABLE IF EXISTS $t")
     Engine.execute(spark, s"""
-      CREATE TABLE $t (k Int64, band Int64, txt String)
+      CREATE TABLE $t (k Int64, band Int64, bucket Int64, txt String)
       ENGINE=MergeTree() ORDER BY (k)""")
     val per = n / batches
     val tLoad0 = System.nanoTime()
@@ -36,6 +39,7 @@ object SkipBench {
         INSERT INTO $t
         SELECT number + ${b * per} AS k,
                number + ${b.toLong * 10_000_000_000L} AS band,
+               number % 16 AS bucket,
                concat('$marker', 'record ', toString(number % 1000),
                       ' of batch ', toString(number % 37)) AS txt
         FROM numbers($per)""")
@@ -81,6 +85,28 @@ object SkipBench {
       graft.plans.SkipIndexPrune.enabled = true
       (on, off, rowsOn, rowsOff)
     }
+    // projection A/B on the same fixture: the GROUP BY that reads the
+    // per-part store (count/sum/avg/uniq partials) vs the fact scan
+    val (_, buildProj) = timed {
+      Engine.execute(spark, s"""
+        ALTER TABLE $t ADD PROJECTION p_b
+          (SELECT bucket, count(), sum(k), avg(k), uniq(txt)
+           GROUP BY bucket)""")
+      Engine.execute(spark, s"ALTER TABLE $t MATERIALIZE PROJECTION p_b")
+    }
+    val projQ = s"SELECT bucket, count() AS n, sum(k) AS sk, " +
+      s"avg(k) AS ak, uniq(txt) AS u FROM $t GROUP BY bucket ORDER BY bucket"
+    def best3Rows(q: String): Double =
+      (1 to 3).map(_ => timed(Engine.execute(spark, q).collect())._2).min
+    graft.dialect.Projections.enabled = true
+    val dfProj = Engine.execute(spark, projQ)
+    require(dfProj.queryExecution.analyzed.toString.contains("__proj_p_b"),
+      "projection rewrite did not fire in the bench")
+    val projOn = best3Rows(projQ)
+    graft.dialect.Projections.enabled = false
+    val projOff = best3Rows(projQ)
+    graft.dialect.Projections.enabled = true
+
     val (likeOn, likeOff, lr1, lr2) = ab(likeQ)
     require(lr1 == lr2, s"pruned LIKE changed the answer: $lr1 vs $lr2")
     val likeKept = graft.plans.SkipIndexPrune.lastPruneFor(t)
@@ -92,7 +118,7 @@ object SkipBench {
     val loc = new java.io.File(new java.net.URI(
       spark.table(t).inputFiles.head).getPath).getParentFile
     val manifest = new java.io.File(loc, "_graft_skipidx/indexes.json")
-    println(f"""{"metric":"skip_index_scale","rows":$n,"batches":$batches,"files":$files,"load_sec":$loadSec%.1f,"materialize_ngram_sec":$buildNgram%.1f,"materialize_minmax_sec":$buildMinmax%.1f,"like_pruned_sec":$likeOn%.2f,"like_full_sec":$likeOff%.2f,"like_speedup":${likeOff / likeOn}%.2f,"band_pruned_sec":$bandOn%.2f,"band_full_sec":$bandOff%.2f,"band_speedup":${bandOff / bandOn}%.2f,"like_kept":${likeKept.map(_._1).getOrElse(-1)},"like_total":${likeKept.map(_._2).getOrElse(-1)},"band_kept":${kept.map(_._1).getOrElse(-1)},"band_total":${kept.map(_._2).getOrElse(-1)},"manifest_bytes":${manifest.length()},"like_rows":$lr1,"band_rows":$br1}""")
+    println(f"""{"metric":"skip_index_scale","rows":$n,"batches":$batches,"files":$files,"load_sec":$loadSec%.1f,"materialize_ngram_sec":$buildNgram%.1f,"materialize_minmax_sec":$buildMinmax%.1f,"materialize_proj_sec":$buildProj%.1f,"proj_rewrite_sec":$projOn%.3f,"proj_full_sec":$projOff%.2f,"proj_speedup":${projOff / projOn}%.1f,"like_pruned_sec":$likeOn%.2f,"like_full_sec":$likeOff%.2f,"like_speedup":${likeOff / likeOn}%.2f,"band_pruned_sec":$bandOn%.2f,"band_full_sec":$bandOff%.2f,"band_speedup":${bandOff / bandOn}%.2f,"like_kept":${likeKept.map(_._1).getOrElse(-1)},"like_total":${likeKept.map(_._2).getOrElse(-1)},"band_kept":${kept.map(_._1).getOrElse(-1)},"band_total":${kept.map(_._2).getOrElse(-1)},"manifest_bytes":${manifest.length()},"like_rows":$lr1,"band_rows":$br1}""")
     Engine.execute(spark, s"DROP TABLE IF EXISTS $t")
     spark.stop()
   }

@@ -273,16 +273,22 @@ object Projections {
       .toDF("table", "name", "keys", "aggregates", "store", "complete")
   }
 
+  /** Kill switch (bench A/B, incident response): `false` falls back to
+    * base-table scans everywhere, like LateMaterialize.enabled. */
+  @volatile var enabled = true
+
   /** SQL entry: analyze, then plan-rewrite (None -> caller runs as-is).
     * Zero cost while no projections exist. */
   def maybeRun(spark: SparkSession, sql: String): Option[DataFrame] =
-    if (registry.isEmpty || !registry.values.exists(_.exists(_.complete))) None
+    if (!enabled || registry.isEmpty ||
+        !registry.values.exists(_.exists(_.complete))) None
     else scala.util.Try(spark.sql(sql)).toOption.flatMap(rewrite)
 
   /** Already-analyzed entry (the dialect hot path): the caller owns the
     * single spark.sql analysis; this only plan-matches. */
   def maybeRewrite(df: DataFrame): Option[DataFrame] =
-    if (registry.isEmpty || !registry.values.exists(_.exists(_.complete))) None
+    if (!enabled || registry.isEmpty ||
+        !registry.values.exists(_.exists(_.complete))) None
     else rewrite(df)
 
   /** Conservative plan matcher: Aggregate over [Filter over] the
