@@ -796,7 +796,16 @@ object Ddl {
             mutate(spark, om.group(1), df => withTtl(summingMerge(df, keys, cols)))
           case _ if ttlOf.isDefined =>
             mutate(spark, om.group(1), withTtl)
-          case _ => spark.emptyDataFrame
+          case _ =>
+            // plain MergeTree: OPTIMIZE forces the merge ClickHouse
+            // performs — here a compaction rewrite through the table's
+            // layout, collapsing the one-file-set-per-INSERT
+            // accumulation into few, fully ORDER-BY-clustered files.
+            // At 100 TB this is the anti-small-files lever: scan
+            // parallelism should come from row groups, not from
+            // thousands of tiny parts. Foreign (non-DDL) tables have
+            // no layout metadata and compact unordered.
+            mutate(spark, om.group(1), identity)
         }
       // ---- client-compat introspection (ClickHouse output shapes:
       // drivers and UIs read these columns by NAME) ----
@@ -1024,8 +1033,12 @@ object Ddl {
       }
       tables.put(key, mm.copy(orderBy = newOrder))
     }
-    val order = spark.table(bare).columns.map(staged(_))
-    staged.select(order.toIndexedSeq: _*).write.mode("append").insertInto(bare)
+    // reload through the (possibly renamed) MergeTree layout — a
+    // reshape must not cost the table its ORDER BY clustering
+    val newCols = spark.table(bare).columns.filterNot(_ == "_part")
+    layoutAligned(spark, name,
+      staged.select(newCols.map(staged(_)).toIndexedSeq: _*))
+      .write.mode("append").insertInto(bare)
     CatalogStore.save(spark, bare)
     spark.emptyDataFrame
     }
@@ -1044,7 +1057,14 @@ object Ddl {
     f(spark.table(bare)).write.mode("overwrite").parquet(tmp)
     val staged = spark.read.parquet(tmp)
     spark.sql(s"TRUNCATE TABLE $bare")
-    staged.write.mode("append").insertInto(bare)
+    // the rewrite re-lands through the table's MergeTree layout —
+    // ClickHouse mutations write sorted parts too; dropping the
+    // clustering here would silently degrade parquet min/max pruning
+    // on every mutated table
+    val targetCols = spark.table(bare).columns.filterNot(_ == "_part")
+    layoutAligned(spark, name,
+      staged.select(targetCols.map(staged(_)).toIndexedSeq: _*))
+      .write.mode("append").insertInto(bare)
     // TRUNCATE clears the whole table directory, including the durable
     // meta file — re-persist it
     CatalogStore.save(spark, bare)
@@ -1538,34 +1558,12 @@ object Ddl {
     * the same sorted, prunable files. */
   private[graft] def appendAligned(spark: SparkSession, name: String,
                                    src0: DataFrame): Unit = {
-    import org.apache.spark.sql.functions.{col, expr}
     val bare = name.replace("`", "")
-    val meta = tables.get(normalize(spark, name))
     val targetCols = spark.table(bare).columns.filterNot(_ == "_part")
     // the partition/sort exprs are written against the TARGET column
-    // names; rename the source positionally first. Plain keys sort by
-    // column; expression keys (hits DDL: intHash32(UserID)) sort by
-    // the transpiled expression — both feed parquet min/max stats on
-    // the physical sort prefix (SURVEY §4)
+    // names; rename the source positionally first
     val src = src0.toDF(targetCols.toIndexedSeq: _*)
-    val sortCols = meta.map(_.orderBy).getOrElse(Nil).map { k =>
-      if (targetCols.contains(k)) col(k)
-      else expr(Transpiler.transpile(k))
-    }
-    val df = meta.flatMap(_.partitionExpr) match {
-      case Some(pe) =>
-        val withPart = src.withColumn("_part",
-          expr(Transpiler.transpile(pe)).cast("int"))
-        if (sortCols.isEmpty) withPart
-        else {
-          val keys = col("_part") +: sortCols
-          withPart.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
-        }
-      case None =>
-        if (sortCols.isEmpty) src
-        else src.repartitionByRange(sortCols: _*)
-          .sortWithinPartitions(sortCols: _*)
-    }
+    val df = layoutAligned(spark, name, src)
     // Concurrent INSERTs into one table share the FileOutputCommitter
     // staging dir (_temporary/0) — unserialized, one job's commit
     // deletes the other's staging and the write throws. ClickHouse
@@ -1586,6 +1584,40 @@ object Ddl {
 
   private val appendLocks =
     scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  /** Apply the table's MergeTree physical layout to a frame holding
+    * its non-`_part` columns: materialize the PARTITION BY expression
+    * into `_part` and range-cluster on (_part, ORDER BY keys) — each
+    * month gets its proportional share of the shuffle partitions, and
+    * every file is internally sorted on the ORDER BY prefix so parquet
+    * min/max pruning keeps working. Plain keys sort by column;
+    * expression keys (hits DDL: intHash32(UserID)) by the transpiled
+    * expression. EVERY write path — INSERTs, mutations' rewrites,
+    * reshapes, OPTIMIZE compaction — funnels through this, so no data
+    * change can silently degrade the clustering. */
+  private def layoutAligned(spark: SparkSession, name: String,
+                            src: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val meta = tables.get(normalize(spark, name))
+    val sortCols = meta.map(_.orderBy).getOrElse(Nil).map { k =>
+      if (src.columns.contains(k)) col(k)
+      else expr(Transpiler.transpile(k))
+    }
+    meta.flatMap(_.partitionExpr) match {
+      case Some(pe) =>
+        val withPart = src.withColumn("_part",
+          expr(Transpiler.transpile(pe)).cast("int"))
+        if (sortCols.isEmpty) withPart
+        else {
+          val keys = col("_part") +: sortCols
+          withPart.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
+        }
+      case None =>
+        if (sortCols.isEmpty) src
+        else src.repartitionByRange(sortCols: _*)
+          .sortWithinPartitions(sortCols: _*)
+    }
+  }
 
   /** `CREATE MATERIALIZED VIEW mv [TO tgt] [ENGINE=...] [POPULATE] AS
     * SELECT ... FROM src` — ClickHouse's insert trigger: every block

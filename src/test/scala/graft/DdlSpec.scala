@@ -75,7 +75,7 @@ class DdlSpec extends AnyFunSuite {
     val vs = spark.table("graft_spec.mut").orderBy("id")
       .collect().map(_.getLong(1)).toSeq
     assert(vs === Seq(1L, 11L, 21L, 30L, 40L, 50L, 60L))
-    Engine.execute(spark, "OPTIMIZE TABLE graft_spec.mut FINAL") // no-op
+    Engine.execute(spark, "OPTIMIZE TABLE graft_spec.mut FINAL") // compaction
     assert(spark.table("graft_spec.mut").count() === 7L)
   }
 
@@ -1345,6 +1345,49 @@ class DdlSpec extends AnyFunSuite {
         (SELECT g, uniq(k) GROUP BY g)"""))
     Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.pau")
     Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.paug")
+  }
+
+  test("mutations preserve ORDER BY clustering; OPTIMIZE compacts small files") {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.cmp")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.cmp (k Int64, v Int64)
+      ENGINE=MergeTree() ORDER BY (k)""")
+    // ten interleaved inserts: every batch spans the whole key range,
+    // so only a layout-preserving rewrite can make files disjoint
+    for (b <- 0 until 10)
+      Engine.execute(spark, s"""
+        INSERT INTO graft_spec.cmp
+        SELECT number * 10 + $b, number FROM numbers(500)""")
+    val before = spark.table("graft_spec.cmp").inputFiles.length
+    assert(before >= 10, s"expected one file set per insert, got $before")
+
+    // per-file [min,max] of the sort key must be pairwise disjoint
+    def disjointKeyRanges(): Boolean = {
+      val ranges = spark.table("graft_spec.cmp")
+        .select(input_file_name().as("f"), col("k"))
+        .groupBy("f").agg(min("k").as("lo"), max("k").as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      ranges.sliding(2).forall {
+        case Array((_, hi1), (lo2, _)) => hi1 <= lo2
+        case _ => true
+      }
+    }
+
+    // a mutation's rewrite must come back clustered (parquet min/max
+    // pruning depends on it), not in shuffle-arrival order
+    Engine.execute(spark, "ALTER TABLE graft_spec.cmp UPDATE v = 0 WHERE k < 50")
+    assert(disjointKeyRanges(), "mutation lost the ORDER BY clustering")
+
+    Engine.execute(spark, "OPTIMIZE TABLE graft_spec.cmp")
+    val after = spark.table("graft_spec.cmp").inputFiles.length
+    assert(after < before, s"OPTIMIZE should compact: $before -> $after")
+    assert(disjointKeyRanges())
+    assert(Engine.execute(spark,
+      "SELECT count() AS n, sum(k) AS sk FROM graft_spec.cmp")
+      .collect().head.getLong(0) == 5000L)
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.cmp")
   }
 
   test("FREEZE PARTITION: snapshot unchanged by later mutations; UNFREEZE removes it") {
