@@ -67,9 +67,20 @@ object SkipIndexes {
                        values: Option[Seq[Any]] = None,
                        bloom: Option[Array[Long]] = None)
 
+  /** @param xform optional single-column wrapper the index is built
+    *               over — "lower" | "upper" (the ClickHouse
+    *               case-insensitive-search idiom `INDEX i lower(col)
+    *               TYPE ngrambf_v1(...)`); stats then describe the
+    *               TRANSFORMED values and only predicates written over
+    *               the same wrapper consult them. */
   case class Index(table: String, name: String, column: String,
                    kind: Kind, granularity: Int,
-                   stats: TrieMap[String, FileStats] = TrieMap.empty)
+                   xform: Option[String] = None,
+                   stats: TrieMap[String, FileStats] = TrieMap.empty) {
+    /** the probe-side key predicates must match (see SkipIndexPrune) */
+    def exprKey: String =
+      xform.map(x => s"$x(${column.toLowerCase})").getOrElse(column.toLowerCase)
+  }
 
   /** normalized table name -> its indexes */
   private val registry = TrieMap.empty[String, List[Index]]
@@ -128,22 +139,33 @@ object SkipIndexes {
       throw new IllegalArgumentException(s"index $name already exists on $table")
     }
     val kind = parseKind(kindStr)
+    // `col` or `lower(col)` / `upper(col)` — anything else is out of
+    // scope (general expression matching at the plan level cannot be
+    // made sound cheaply)
+    val xformRe = "(?i)^(lower|upper)\\s*\\(\\s*([\\w]+)\\s*\\)$".r
+    val (colName0, xform) = column.trim match {
+      case xformRe(x, c) => (c, Some(x.toLowerCase))
+      case c => (c, None)
+    }
     val cols = spark.table(tbl).columns
-    val col = cols.find(_.equalsIgnoreCase(column)).getOrElse(
+    val col = cols.find(_.equalsIgnoreCase(colName0)).getOrElse(
       throw new IllegalArgumentException(
-        s"ADD INDEX $name: $column is not a plain column of $table " +
-          "(v1 prunes on plain columns; expression indexes are not supported)"))
+        s"ADD INDEX $name: $column must be a plain column or " +
+          s"lower(col)/upper(col) of $table"))
     if (col == "_part") throw new IllegalArgumentException(
       "ADD INDEX on _part is redundant: partition pruning already applies")
+    val dt = spark.table(tbl).schema(col).dataType
     kind match {
       case TokenBf(_, _) | NgramBf(_, _, _) =>
-        require(spark.table(tbl).schema(col).dataType ==
-          org.apache.spark.sql.types.StringType,
+        require(dt == org.apache.spark.sql.types.StringType,
           s"tokenbf_v1/ngrambf_v1 index $name needs a String column, " +
-            s"got ${spark.table(tbl).schema(col).dataType.sql} for $col")
+            s"got ${dt.sql} for $col")
       case _ => ()
     }
-    val ix = Index(tbl, key, col, kind, granularity)
+    if (xform.isDefined)
+      require(dt == org.apache.spark.sql.types.StringType,
+        s"lower()/upper() index $name needs a String column, got ${dt.sql}")
+    val ix = Index(tbl, key, col, kind, granularity, xform)
     // ClickHouse semantics: parts that exist at ADD INDEX stay
     // unindexed until MATERIALIZE INDEX. Mark them with EMPTY stats —
     // "known, never prunable" — which also stops the insert hook from
@@ -237,7 +259,11 @@ object SkipIndexes {
                         df: org.apache.spark.sql.DataFrame): Unit = {
     import org.apache.spark.sql.functions._
     if (!df.columns.contains(ix.column)) return
-    val c = col(ix.column)
+    val c = ix.xform match {
+      case Some("lower") => lower(col(ix.column))
+      case Some("upper") => upper(col(ix.column))
+      case _ => col(ix.column)
+    }
     val keyed = df.select(input_file_name().as("__file"), c.as("__v"))
     def bloomFill(hashed: org.apache.spark.sql.DataFrame,
                   words: Int, nHashes: Int): Unit =
@@ -386,7 +412,7 @@ object SkipIndexes {
     registry.values.flatten.toSeq
       .map { ix =>
         val Array(db, t) = ix.table.split("\\.", 2)
-        (db, t, ix.name, ix.column, kindName(ix.kind), ix.granularity.toLong,
+        (db, t, ix.name, ix.exprKey, kindName(ix.kind), ix.granularity.toLong,
           ix.stats.size.toLong)
       }
       .sortBy(r => (r._1, r._2, r._3))
@@ -462,6 +488,7 @@ object SkipIndexes {
       val j: JValue = JArray(ixs.map { ix =>
         val x: JValue =
           ("name" -> ix.name) ~ ("column" -> ix.column) ~
+          ("xform" -> ix.xform) ~
           ("type" -> kindName(ix.kind)) ~ ("granularity" -> ix.granularity) ~
           ("files" -> JArray(ix.stats.toList.sortBy(_._1).map { case (f, st) =>
             val e: JValue = ("file" -> f) ~
@@ -502,7 +529,11 @@ object SkipIndexes {
               val gran = (x \ "granularity") match {
                 case JInt(i) => i.toInt; case _ => 1
               }
-              val ix = Index(table.toLowerCase, name, column, parseKind(tpe), gran)
+              val xform = (x \ "xform") match {
+                case JString(s) => Some(s); case _ => None
+              }
+              val ix = Index(table.toLowerCase, name, column, parseKind(tpe),
+                gran, xform)
               (x \ "files") match {
                 case JArray(fs) => fs.foreach { e =>
                   (e \ "file") match {

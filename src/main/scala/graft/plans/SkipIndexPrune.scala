@@ -169,25 +169,37 @@ object SkipIndexPrune extends Rule[LogicalPlan] {
   /** Extract the indexed-column predicates among the conjuncts.
     * Matches plain `attr OP literal` shapes only (a Cast on the attr
     * means the literal is in another type's space — skip, stay sound). */
+  /** The manifest key an expression addresses: a plain column, or
+    * lower(col)/upper(col) — the probe consults ONLY an index built
+    * over the exact same wrapper (Index.exprKey). */
+  private def colKey(e: Expression): Option[(String,
+      org.apache.spark.sql.types.DataType)] = e match {
+    case ar: AttributeReference => Some((ar.name.toLowerCase, ar.dataType))
+    case Lower(ar: AttributeReference) =>
+      Some((s"lower(${ar.name.toLowerCase})", ar.dataType))
+    case Upper(ar: AttributeReference) =>
+      Some((s"upper(${ar.name.toLowerCase})", ar.dataType))
+    case _ => None
+  }
+
   private def leafPred(e: Expression): Option[(String, Pred)] = {
     def ext(l: Literal): Any =
       CatalystTypeConverters.convertToScala(l.value, l.dataType)
     def mk(a: Expression, l: Literal, p: Pred): Option[(String, Pred)] =
-      a match {
-        case ar: AttributeReference if l.dataType == ar.dataType =>
-          Some((ar.name.toLowerCase, p))
+      colKey(a) match {
+        case Some((key, dt)) if l.dataType == dt => Some((key, p))
         case _ => None
       }
     e match {
       case EqualTo(a, l: Literal) => mk(a, l, PEq(ext(l)))
       case EqualTo(l: Literal, a) => mk(a, l, PEq(ext(l)))
-      case In(a: AttributeReference, vs) if vs.nonEmpty && vs.forall {
-          case l: Literal => l.dataType == a.dataType; case _ => false } =>
-        Some((a.name.toLowerCase, PIn(vs.map { case l: Literal => ext(l) })))
-      case InSet(a: AttributeReference, vs) =>
+      case In(a, vs) if colKey(a).isDefined && vs.nonEmpty && vs.forall {
+          case l: Literal => l.dataType == colKey(a).get._2; case _ => false } =>
+        Some((colKey(a).get._1, PIn(vs.map { case l: Literal => ext(l) })))
+      case InSet(a, vs) if colKey(a).isDefined =>
         // InSet holds INTERNAL values of the child's type
-        Some((a.name.toLowerCase, PIn(vs.toSeq.map(v =>
-          CatalystTypeConverters.convertToScala(v, a.dataType)))))
+        Some((colKey(a).get._1, PIn(vs.toSeq.map(v =>
+          CatalystTypeConverters.convertToScala(v, colKey(a).get._2)))))
       case GreaterThan(a, l: Literal) => mk(a, l, PGt(ext(l), orEqual = false))
       case GreaterThanOrEqual(a, l: Literal) => mk(a, l, PGt(ext(l), orEqual = true))
       case LessThan(a, l: Literal) => mk(a, l, PLt(ext(l), orEqual = false))
@@ -198,26 +210,26 @@ object SkipIndexPrune extends Rule[LogicalPlan] {
       case LessThanOrEqual(l: Literal, a) => mk(a, l, PGt(ext(l), orEqual = true))
       // substring guarantees for the token/ngram blooms. The optimizer
       // has already simplified LIKE '%x%' / 'x%' / '%x' into these.
-      case Contains(a: AttributeReference, Literal(s, _)) if s != null =>
-        Some((a.name.toLowerCase, PContains(s.toString)))
-      case StartsWith(a: AttributeReference, Literal(s, _)) if s != null =>
-        Some((a.name.toLowerCase, PContains(s.toString)))
-      case EndsWith(a: AttributeReference, Literal(s, _)) if s != null =>
-        Some((a.name.toLowerCase, PContains(s.toString)))
+      case Contains(a, Literal(s, _)) if colKey(a).isDefined && s != null =>
+        Some((colKey(a).get._1, PContains(s.toString)))
+      case StartsWith(a, Literal(s, _)) if colKey(a).isDefined && s != null =>
+        Some((colKey(a).get._1, PContains(s.toString)))
+      case EndsWith(a, Literal(s, _)) if colKey(a).isDefined && s != null =>
+        Some((colKey(a).get._1, PContains(s.toString)))
       // hasToken(col, 't') — the dialect compiles it to whole-token
       // membership over the SAME separator class the index tokenizes
       case ArrayContains(
-          StringSplit(a: AttributeReference, Literal(sep, _), _),
+          StringSplit(a, Literal(sep, _), _),
           Literal(tok, _))
-          if sep != null && sep.toString == SkipIndexes.TokenSep &&
-            tok != null =>
-        Some((a.name.toLowerCase, PToken(tok.toString)))
+          if colKey(a).isDefined && sep != null &&
+            sep.toString == SkipIndexes.TokenSep && tok != null =>
+        Some((colKey(a).get._1, PToken(tok.toString)))
       // multiSearchAny(col, ['a','b',...]) — the dialect compiles it
       // to exists(needles, n -> contains(col, n)); with a literal
       // needle array the file needs at least ONE possible needle
       case ArrayExists(arr,
-          LambdaFunction(Contains(a: AttributeReference,
-            _: NamedLambdaVariable), _, _), _) =>
+          LambdaFunction(Contains(a, _: NamedLambdaVariable), _, _), _)
+          if colKey(a).isDefined =>
         val needles: Option[Seq[String]] = arr match {
           case CreateArray(items, _)
               if items.forall {
@@ -231,7 +243,7 @@ object SkipIndexPrune extends Rule[LogicalPlan] {
           case _ => None
         }
         needles.filter(_.nonEmpty)
-          .map(ss => (a.name.toLowerCase, PAnyContains(ss)))
+          .map(ss => (colKey(a).get._1, PAnyContains(ss)))
       case _ => None
     }
   }
@@ -280,7 +292,7 @@ object SkipIndexPrune extends Rule[LogicalPlan] {
           // participate (a same-named column of another table must not)
           val outCols = rel.output.map(_.name.toLowerCase).toSet
           val ixByCol = ixs.filter(ix => outCols(ix.column.toLowerCase))
-            .groupBy(_.column.toLowerCase)
+            .groupBy(_.exprKey)
           val allFiles = ixs.iterator.flatMap(_.stats.keysIterator).toSet
           val excluded = allFiles.filter(file =>
             evalMaybe(cond, file, ixByCol).contains(false))

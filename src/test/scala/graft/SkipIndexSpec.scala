@@ -232,6 +232,46 @@ class SkipIndexSpec extends AnyFunSuite {
     Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.skht")
   }
 
+  test("lower(col) expression index prunes case-insensitive LIKE; plain predicates don't consult it") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_t")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.sklo")
+    Engine.execute(spark, """
+      CREATE TABLE graft_t.sklo (k Int64, s String)
+      ENGINE=MergeTree() ORDER BY (k)""")
+    Engine.execute(spark, """
+      INSERT INTO graft_t.sklo
+      SELECT number, concat('Common Text ', toString(number)) FROM numbers(100)""")
+    Engine.execute(spark, """
+      INSERT INTO graft_t.sklo
+      SELECT number + 500, concat('ZebraFish Entry ', toString(number))
+      FROM numbers(100)""")
+    Engine.execute(spark, """
+      ALTER TABLE graft_t.sklo ADD INDEX ix_lo lower(s)
+      TYPE ngrambf_v1(4, 8192, 2, 0)""")
+    Engine.execute(spark, "ALTER TABLE graft_t.sklo MATERIALIZE INDEX ix_lo")
+    val total = spark.table("graft_t.sklo").inputFiles.length
+    // the canonical case-insensitive search: lower(s) LIKE '%needle%'
+    val df = Engine.execute(spark,
+      "SELECT count() AS n FROM graft_t.sklo WHERE lower(s) LIKE '%zebrafish%'")
+    assert(scannedFiles(df) < total,
+      "lower() index should prune the lower()-wrapped predicate")
+    assert(df.collect().head.getLong(0) == 100L)
+    // a predicate over the RAW column must NOT consult the lower()
+    // stats (the raw value 'ZebraFish' has different grams than the
+    // indexed 'zebrafish' — consulting them would wrongly prune)
+    val raw = Engine.execute(spark,
+      "SELECT count() AS n FROM graft_t.sklo WHERE s LIKE '%ZebraFish%'")
+    assert(scannedFiles(raw) == total,
+      "raw-column predicate must not use the lower() index")
+    assert(raw.collect().head.getLong(0) == 100L)
+    // and the listing face shows the expression
+    val listed = Engine.execute(spark, """
+      SELECT expr FROM system.data_skipping_indices WHERE table = 'sklo'""")
+      .collect().map(_.getString(0)).toSeq
+    assert(listed == Seq("lower(s)"))
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.sklo")
+  }
+
   test("multiSearchAny prunes when NO needle's grams can match; any-possible keeps") {
     Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_t")
     Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.skms")
