@@ -352,6 +352,36 @@ class SkipIndexSpec extends AnyFunSuite {
     Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.skdur")
   }
 
+  test("skip indexes compose with partition pruning on a partitioned MergeTree") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_t")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.skpt")
+    Engine.execute(spark, """
+      CREATE TABLE graft_t.skpt (k Int64, x Int64, d Date)
+      ENGINE=MergeTree() PARTITION BY toYYYYMM(d) ORDER BY (k)""")
+    // two months x two batches with disjoint x ranges per batch
+    for ((off, month) <- Seq((0L, "2024-01-15"), (100000L, "2024-01-16"),
+                             (200000L, "2024-02-15"), (300000L, "2024-02-16")))
+      Engine.execute(spark, s"""
+        INSERT INTO graft_t.skpt
+        SELECT number, number + $off, toDate('$month') FROM numbers(200)""")
+    Engine.execute(spark, "ALTER TABLE graft_t.skpt ADD INDEX ix x TYPE minmax")
+    Engine.execute(spark, "ALTER TABLE graft_t.skpt MATERIALIZE INDEX ix")
+    val total = spark.table("graft_t.skpt").inputFiles.length
+    val df = Engine.execute(spark, """
+      SELECT count() AS n FROM graft_t.skpt
+      WHERE d >= '2024-02-01' AND x >= 300050 AND x < 300060""")
+    // both prunings in one plan: the scan lists only February files
+    // (PartitionPruneFromDate derived the _part bound) AND only the
+    // batch-4 files among them (the minmax manifest)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*_part".r.findFirstIn(plan).isDefined,
+      "partition pruning should fire alongside the skip index")
+    assert(scannedFiles(df) < total / 2,
+      s"skip index should prune within the surviving month")
+    assert(df.collect().head.getLong(0) == 10L)
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.skpt")
+  }
+
   test("inline INDEX definitions in CREATE TABLE register and system table lists them") {
     Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_t")
     Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.skil")
