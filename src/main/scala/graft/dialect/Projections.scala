@@ -89,6 +89,11 @@ object Projections {
       try {
         Ddl.cleanOrphanLocation(spark, newStore)
         spark.sql(s"ALTER TABLE ${p.store} RENAME TO $newStore")
+        // the store's meta file moved with its directory but still
+        // records the OLD name — rewrite it, or a fresh JVM would
+        // restore the store under the old name and the projection
+        // would silently lose its table
+        CatalogStore.save(spark, newStore)
         Proj(newNorm.toLowerCase, p.name, p.keys, p.aggs, newStore, p.complete)
       } catch {
         case _: Throwable =>

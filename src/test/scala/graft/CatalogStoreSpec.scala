@@ -160,6 +160,31 @@ class CatalogStoreSpec extends AnyFunSuite {
     Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.durmv_src")
   }
 
+  test("rename + restart: the moved projection still answers under the new name") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_t")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.durrn")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.durrn2")
+    Engine.execute(spark, """
+      CREATE TABLE graft_t.durrn (g String, v Int64)
+      ENGINE=MergeTree() ORDER BY (v)""")
+    Engine.execute(spark, "INSERT INTO graft_t.durrn VALUES ('a', 1), ('b', 2)")
+    Engine.execute(spark, """
+      ALTER TABLE graft_t.durrn ADD PROJECTION p_g
+        (SELECT g, sum(v) GROUP BY g)""")
+    Engine.execute(spark, "ALTER TABLE graft_t.durrn MATERIALIZE PROJECTION p_g")
+    Engine.execute(spark, "RENAME TABLE graft_t.durrn TO graft_t.durrn2")
+
+    CatalogStore.simulateRestart(spark, Seq("graft_t.durrn2"))
+
+    val df = Engine.execute(spark,
+      "SELECT g, sum(v) AS sv FROM graft_t.durrn2 GROUP BY g ORDER BY g")
+    assert(df.queryExecution.analyzed.toString.contains("__proj_p_g"),
+      "renamed projection should survive the restart under the new name")
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 1L), ("b", 2L)))
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.durrn2")
+  }
+
   test("kill switch: spark.graft.catalog.persist=false writes no meta file") {
     spark.conf.set("spark.graft.catalog.persist", "false")
     try {
