@@ -818,10 +818,7 @@ object Ddl {
         spark.sql(s"SHOW TABLES $scope")
           .select(org.apache.spark.sql.functions.col("tableName").as("name"))
           .orderBy("name")
-      case showCreateRe(name) =>
-        spark.sql(s"SHOW CREATE TABLE ${name.replace("`", "")}")
-          .select(org.apache.spark.sql.functions.col("createtab_stmt")
-            .as("statement"))
+      case showCreateRe(name) => showCreateTable(spark, name)
       case describeRe(name) => describeTable(spark, name)
       case existsRe(name) =>
         val ok =
@@ -884,6 +881,50 @@ object Ddl {
     "(?is)^\\s*(?:DESCRIBE|DESC)\\s+(?:TABLE\\s+)?([\\w`.]+)\\s*$".r
   private val existsRe =
     "(?is)^\\s*EXISTS\\s+(?:TABLE\\s+)?([\\w`.]+)\\s*$".r
+
+  /** `SHOW CREATE TABLE t` in ClickHouse DDL — clients (DBeaver, the
+    * Play UI, clickhouse-client \\sc) DISPLAY this text, so it must be
+    * the dialect the user wrote, not Spark's createtab_stmt.
+    * Synthesized from the live schema (ChTypeNames renders the CH type
+    * of every column) + the stored MergeTree metadata (engine with its
+    * merge inputs, PARTITION/ORDER/SAMPLE BY, TTL) + the table's skip
+    * indexes, like ClickHouse's own output. Tables created outside the
+    * dialect (no TableMeta) render as ENGINE=Memory equivalents. */
+  private def showCreateTable(spark: SparkSession, name: String): DataFrame = {
+    import spark.implicits._
+    val bare = name.replace("`", "")
+    val norm = normalize(spark, bare)
+    val meta = tables.get(norm)
+    val cols = spark.table(bare).schema.fields.filterNot(_.name == "_part")
+      .map(f => s"`${f.name}` ${graft.formats.ChTypeNames.fieldName(f)}")
+    val indexes = SkipIndexes.forTable(norm).sortBy(_.name).map { ix =>
+      val g = if (ix.granularity != 1) s" GRANULARITY ${ix.granularity}" else ""
+      s"INDEX ${ix.name} ${ix.exprKey} TYPE ${SkipIndexes.kindNameOf(ix.kind)}$g"
+    }
+    val engine = meta match {
+      case Some(m) if m.replacingVer.isDefined =>
+        s"ReplacingMergeTree(${m.replacingVer.get})"
+      case Some(m) if m.summingCols.isDefined =>
+        val cs = m.summingCols.get
+        if (cs.isEmpty) "SummingMergeTree()"
+        else s"SummingMergeTree(${cs.mkString(", ")})"
+      case Some(m) if m.partitionExpr.nonEmpty || m.orderBy.nonEmpty ||
+          m.sampleBy.nonEmpty || m.ttl.nonEmpty => "MergeTree()"
+      case _ => "Memory"
+    }
+    val clauses = meta.toSeq.flatMap { m =>
+      m.partitionExpr.map(e => s"PARTITION BY $e").toSeq ++
+        (if (m.orderBy.nonEmpty)
+          Seq(s"ORDER BY (${m.orderBy.mkString(", ")})") else Nil) ++
+        m.sampleBy.map(e => s"SAMPLE BY $e").toSeq ++
+        m.ttl.map(e => s"TTL $e").toSeq
+    }
+    val stmt = s"CREATE TABLE $norm\n(\n    " +
+      (cols ++ indexes).mkString(",\n    ") +
+      s"\n)\nENGINE = $engine" +
+      (if (clauses.isEmpty) "" else clauses.mkString("\n", "\n", ""))
+    Seq(stmt).toDF("statement")
+  }
 
   /** `DESCRIBE TABLE t` in the ClickHouse 7-column shape (clients read
     * name/type; the rest are empty here — no defaults/codecs/TTLs). */

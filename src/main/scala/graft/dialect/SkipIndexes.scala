@@ -420,6 +420,9 @@ object SkipIndexes {
         "indexed_files")
   }
 
+  /** canonical TYPE text (SHOW CREATE TABLE, system face, persistence) */
+  private[dialect] def kindNameOf(k: Kind): String = kindName(k)
+
   private def kindName(k: Kind): String = k match {
     case MinMax => "minmax"
     case SetN(n) => s"set($n)"

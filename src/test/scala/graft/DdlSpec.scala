@@ -1347,6 +1347,44 @@ class DdlSpec extends AnyFunSuite {
     Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.paug")
   }
 
+  test("SHOW CREATE TABLE emits ClickHouse DDL that round-trips through the engine") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.shc")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.shc (
+        id Int64, d Date, tag String,
+        INDEX ix_tag tag TYPE tokenbf_v1(4096, 3, 0) GRANULARITY 2)
+      ENGINE=MergeTree() PARTITION BY toYYYYMM(d) ORDER BY (id)
+      SAMPLE BY id""")
+    val stmt = Engine.execute(spark, "SHOW CREATE TABLE graft_spec.shc")
+      .collect().head.getString(0)
+    // the CLICKHOUSE dialect, not Spark's createtab_stmt
+    assert(stmt.contains("ENGINE = MergeTree()"), stmt)
+    assert(stmt.contains("PARTITION BY toYYYYMM(d)"), stmt)
+    assert(stmt.contains("ORDER BY (id)"), stmt)
+    assert(stmt.contains("SAMPLE BY id"), stmt)
+    assert(stmt.contains("INDEX ix_tag tag TYPE tokenbf_v1"), stmt)
+    assert(!stmt.toLowerCase.contains("using parquet"), stmt)
+    // the emitted DDL is executable: recreate the table from it
+    Engine.execute(spark, "DROP TABLE graft_spec.shc")
+    Engine.execute(spark, stmt)
+    Engine.execute(spark,
+      "INSERT INTO graft_spec.shc VALUES (1, '2024-03-01', 'alpha beta')")
+    val r = Engine.execute(spark,
+      "SELECT _part AS p, count() AS n FROM graft_spec.shc GROUP BY p")
+      .collect().head
+    assert((r.getInt(0), r.getLong(1)) == (202403, 1L))
+    // a Replacing table renders its version column
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.shcr")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.shcr (k Int64, ver Int64)
+      ENGINE=ReplacingMergeTree(ver) ORDER BY (k)""")
+    assert(Engine.execute(spark, "SHOW CREATE TABLE graft_spec.shcr")
+      .collect().head.getString(0).contains("ReplacingMergeTree(ver)"))
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.shc")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.shcr")
+  }
+
   test("mutations preserve ORDER BY clustering; OPTIMIZE compacts small files") {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
