@@ -131,17 +131,24 @@ object Bench {
       val plan = byName(n).run(spark, sfDir).queryExecution.executedPlan.toString
       "PartitionFilters: \\[[^\\]]*_part[^\\]]*201307".r.findFirstIn(plan).isDefined
     }
-    val qs = results.map {
-      case (k, Some(v)) => "\"" + k + "\":" + f"$v%.3f"
-      case (k, None)    => "\"" + k + "\":-1"
-    }.mkString("{", ",", "}")
-    // every sample, in pass order — with loadavg_passes this lets a
-    // reader separate an ambient spike (one bad sample, two clean) from
-    // a real shift (all three moved) without rerunning the bench
-    val samplesJson = names.map { k =>
-      "\"" + k + "\":" + samples(k).reverse.map(v => f"$v%.3f")
-        .mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
+    // skip-index A/B on banded re-layouts of the LIKE-scan queries
+    // (cb20/21/22 shapes): data-locality is the precondition any
+    // engine's skip index needs, so the indexed variants run over slim
+    // MergeTree twins ORDER-BY-clustered on the probed column, with
+    // the SAME query timed prune-on vs prune-off (isolates the index
+    // from the layout). Tables + manifests persist across JVMs via the
+    // durable catalog — the build is a one-time cost per fixture size.
+    val ixT0 = System.nanoTime()
+    val skipAb = try {
+      ensureBanded(spark, hitsN)
+      abBlock(spark)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"BENCH skip-A/B failed: ${e.getMessage}")
+        Nil
+    }
+    val ixBuildSec = (System.nanoTime() - ixT0) / 1e9 -
+      skipAb.map(r => r._2 + r._3).sum
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
     val total = results.flatMap(_._2).sum
     val headlineTotal = results.filter(r => headline.contains(r._1)).flatMap(_._2).sum
@@ -152,7 +159,117 @@ object Bench {
     val loadEnd = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val passLoadsJson = passLoads.map(l => f"$l%.2f").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","headline_total":$headlineTotal%.3f,"cb_total":$cbTotal%.3f,"cb_queries":${cbNames.length},"hits_n":$hitsN,"fixture_build_sec":$fixtureSec%.1f,"partition_prune_ok":$pruneOk,"loadavg":$loadEnd%.2f,"loadavg_start":$loadStart%.2f,"loadavg_passes":$passLoadsJson,"queries":$qs,"samples":$samplesJson,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    // Every per-pass sample (full names) goes to a sidecar FILE, never
+    // stdout: the driver keeps only the final ~2 KB of output and
+    // parses the one JSON line it finds there — the r12 run's 3-sample
+    // arrays pushed the totals out of that window and the round's
+    // numbers were unrecoverable from the artifact. The printed line
+    // stays compact: totals + per-query BEST under SHORT keys.
+    val samplesJson = names.map { k =>
+      "\"" + k + "\":" + samples(k).reverse.map(v => f"$v%.3f")
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val bestFullJson = results.map {
+      case (k, Some(v)) => "\"" + k + "\":" + f"$v%.3f"
+      case (k, None)    => "\"" + k + "\":-1"
+    }.mkString("{", ",", "}")
+    val abJson = skipAb.map { case (n, on, off, rows) =>
+      f""""$n":{"pruned_sec":$on%.3f,"full_sec":$off%.3f,"speedup":${off / on}%.2f,"rows":$rows}"""
+    }.mkString("{", ",", "}")
+    val samplesFile = new java.io.File("BENCH_samples_latest.json").getAbsoluteFile
+    try java.nio.file.Files.write(samplesFile.toPath,
+      (f"""{"metric":"bench_samples","hits_n":$hitsN,"sf":"$sfDir","loadavg_passes":$passLoadsJson,"best":$bestFullJson,"samples":$samplesJson,"skip_ab":$abJson}""" + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"BENCH samples file write failed: $e") }
+    // short keys: the SURVEY-id prefix before the first underscore
+    // (cb00..cb42, b1..b8, g13, st1) — unique today, guarded anyway
+    val shortNames = names.map(n => n -> n.split('_').head)
+    val short: Map[String, String] =
+      if (shortNames.map(_._2).distinct.length == shortNames.length)
+        shortNames.toMap
+      else shortNames.map(p => p._1 -> p._1).toMap
+    val qs = results.map {
+      case (k, Some(v)) => "\"" + short(k) + "\":" + f"$v%.3f"
+      case (k, None)    => "\"" + short(k) + "\":-1"
+    }.mkString("{", ",", "}")
+    val abShort = skipAb.map { case (n, on, off, _) =>
+      f""""$n":[$on%.3f,$off%.3f]"""
+    }.mkString("{", ",", "}")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","headline_total":$headlineTotal%.3f,"cb_total":$cbTotal%.3f,"cb_queries":${cbNames.length},"hits_n":$hitsN,"fixture_build_sec":$fixtureSec%.1f,"ix_build_sec":$ixBuildSec%.1f,"partition_prune_ok":$pruneOk,"skip_ab":$abShort,"loadavg":$loadEnd%.2f,"loadavg_start":$loadStart%.2f,"loadavg_passes":$passLoadsJson,"queries":$qs,"failed":${failed.mkString("[", ",", "]")},"samples_file":"${samplesFile.getName}","sf":"$sfDir"}"""
+    // hard guard on the tail-capture contract: if the compact line ever
+    // outgrows the driver's window, drop the per-query map (it stays
+    // available in the sidecar) rather than lose the totals again
+    println(
+      if (line.length <= 1850) line
+      else line.replace(s""""queries":$qs,""", ""))
     spark.stop()
+  }
+
+  /** Slim MergeTree twins of `hits`, ORDER-BY-clustered on the probed
+    * string column with an ngrambf_v1 skip index — the banded layout
+    * the indexed ClickBench variants run over. Idempotent per size. */
+  private def ensureBanded(spark: SparkSession, n: Int): Unit = {
+    import graft.dialect.Engine
+    Seq(
+      ("clickbench.hits_urlband", "URL",
+        "URL String, SearchPhrase String",
+        "SELECT URL, SearchPhrase FROM hits"),
+      ("clickbench.hits_titleband", "Title",
+        "Title String, URL String, SearchPhrase String, UserID UInt64",
+        "SELECT Title, URL, SearchPhrase, UserID FROM hits")
+    ).foreach { case (tbl, orderCol, cols, sel) =>
+      val loaded =
+        try spark.catalog.tableExists(tbl) && spark.table(tbl).count() == n
+        catch { case _: Throwable => false }
+      if (!loaded) {
+        Engine.execute(spark, s"DROP TABLE IF EXISTS $tbl")
+        Engine.execute(spark,
+          s"CREATE TABLE $tbl ($cols) ENGINE=MergeTree() ORDER BY ($orderCol)")
+        Engine.execute(spark, s"INSERT INTO $tbl $sel")
+        Engine.execute(spark, s"ALTER TABLE $tbl ADD INDEX ix_g $orderCol " +
+          "TYPE ngrambf_v1(4, 65536, 2, 0)")
+        Engine.execute(spark, s"ALTER TABLE $tbl MATERIALIZE INDEX ix_g")
+      }
+    }
+  }
+
+  /** The cb20/21/22 LIKE shapes on the banded tables, best-of-3 with
+    * the prune rule ON vs OFF; row counts must agree (a wrong prune is
+    * a bench failure, not a fast run). Returns (name, on, off, rows). */
+  private def abBlock(spark: SparkSession): Seq[(String, Double, Double, Long)] = {
+    import graft.dialect.Engine
+    val qs = Seq(
+      ("cb20x",
+        "SELECT COUNT(*) AS c FROM clickbench.hits_urlband WHERE URL LIKE '%google%'"),
+      ("cb21x", """
+        SELECT SearchPhrase, MIN(URL) AS u, COUNT(*) AS c
+        FROM clickbench.hits_urlband
+        WHERE URL LIKE '%google%' AND SearchPhrase <> ''
+        GROUP BY SearchPhrase ORDER BY c DESC, SearchPhrase LIMIT 10"""),
+      ("cb22x", """
+        SELECT SearchPhrase, MIN(URL) AS u, MIN(Title) AS t, COUNT(*) AS c,
+               COUNT(DISTINCT UserID) AS uu
+        FROM clickbench.hits_titleband
+        WHERE Title LIKE '%Google%' AND URL NOT LIKE '%.google.%'
+          AND SearchPhrase <> ''
+        GROUP BY SearchPhrase ORDER BY c DESC, SearchPhrase LIMIT 10"""))
+    qs.map { case (name, q) =>
+      def best3(): Double = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        Engine.execute(spark, q).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      graft.plans.SkipIndexPrune.enabled = true
+      val rowsOn = Engine.execute(spark, q).count()
+      val on = best3()
+      graft.plans.SkipIndexPrune.enabled = false
+      val rowsOff = Engine.execute(spark, q).count()
+      val off = best3()
+      graft.plans.SkipIndexPrune.enabled = true
+      require(rowsOn == rowsOff,
+        s"$name: pruning changed the row count ($rowsOn vs $rowsOff)")
+      (name, on, off, rowsOn)
+    }
   }
 }

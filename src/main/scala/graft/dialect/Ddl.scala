@@ -720,7 +720,10 @@ object Ddl {
             catch { case _: Throwable => () }
           }
           Projections.forgetInMemory(t)
-          SkipIndexes.forgetInMemory(t)
+          // drops in-memory defs AND the persisted manifest in the
+          // swapped directory — otherwise a JVM restart resurrects
+          // index definitions whose stats key the other table's files
+          SkipIndexes.onExchange(spark, t)
         }
         CatalogStore.save(spark, a)
         CatalogStore.save(spark, b)
@@ -859,12 +862,24 @@ object Ddl {
             spark.catalog.dropTempView(face)
             spark.emptyDataFrame
           case None =>
-            val out = spark.sql(s)
-            // a user-level TRUNCATE wiped the table dir incl. the
-            // durable meta file — re-persist it
-            ("(?is)^\\s*TRUNCATE\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?([\\w`.]+)".r
-              .findFirstMatchIn(s).map(_.group(1)))
-              .foreach(n => CatalogStore.save(spark, n))
+            val truncated =
+              ("(?is)^\\s*TRUNCATE\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?([\\w`.]+)".r
+                .findFirstMatchIn(s).map(_.group(1)))
+            val out = truncated match {
+              // a user-level TRUNCATE wipes the table dir: FREEZE
+              // snapshots survive (staged aside, ClickHouse keeps
+              // shadow/ across TRUNCATE), the durable meta file and
+              // the skip-index manifest re-persist — definitions
+              // survive a TRUNCATE, their stats do not (data gone)
+              case Some(n) =>
+                val o = preservingShadow(spark, n.replace("`", "")) {
+                  spark.sql(s)
+                }
+                CatalogStore.save(spark, n)
+                SkipIndexes.onTruncate(spark, normalize(spark, n))
+                o
+              case None => spark.sql(s)
+            }
             out
         }
       case other =>
@@ -1038,6 +1053,47 @@ object Ddl {
     * is recreated with the staged schema (keeping the `_part` layout
     * and the MergeTree metadata, with renamed ORDER BY keys followed),
     * and the rows reload through the catalog. */
+  /** TRUNCATE (and DROP-then-recreate reshape) of an UNPARTITIONED
+    * table removes the whole table root — taking FREEZE snapshots
+    * under `_shadow/` with it, though a ClickHouse mutation never
+    * touches backups. Stage `_shadow/` aside for the duration of
+    * `body` and move it back; the snapshots' hardlinked files keep
+    * their inodes alive across the delete, so the staged tree stays
+    * bit-identical at zero copy cost. The stage directory lives next
+    * to the table root (same filesystem — plain rename both ways). */
+  private def preservingShadow[T](spark: SparkSession, bare: String)
+                                 (body: => T): T = {
+    val loc = try Some(tableLoc(spark, bare)) catch { case _: Throwable => None }
+    val shadow = loc.map(_.resolve("_shadow"))
+      .filter(java.nio.file.Files.isDirectory(_))
+    val staged = shadow.map { sh =>
+      val dst = loc.get.getParent.resolve(
+        s"_graft_shadow_stage_${java.util.UUID.randomUUID().toString.take(8)}")
+      java.nio.file.Files.move(sh, dst)
+      dst
+    }
+    try body
+    finally (staged, loc) match {
+      case (Some(st), Some(l)) =>
+        try {
+          java.nio.file.Files.createDirectories(l)
+          val back = l.resolve("_shadow")
+          if (!java.nio.file.Files.exists(back))
+            java.nio.file.Files.move(st, back)
+          else {
+            // body recreated a shadow dir (never expected): merge ours in
+            import scala.jdk.CollectionConverters._
+            val kids = java.nio.file.Files.list(st)
+            try kids.iterator.asScala.toList.foreach(k =>
+              java.nio.file.Files.move(k, back.resolve(k.getFileName)))
+            finally kids.close()
+            java.nio.file.Files.deleteIfExists(st)
+          }
+        } catch { case _: Throwable => () }
+      case _ => ()
+    }
+  }
+
   private def reshape(spark: SparkSession, name: String,
                       f: DataFrame => DataFrame,
                       renameKey: Map[String, String] = Map.empty): DataFrame =
@@ -1052,6 +1108,7 @@ object Ddl {
       .createTempDirectory("graft_reshape").toString
     f(spark.table(bare)).write.mode("overwrite").parquet(tmp)
     val staged = spark.read.parquet(tmp)
+    preservingShadow(spark, bare) {
     spark.sql(s"DROP TABLE $bare")
     val partitioned = staged.columns.contains("_part")
     val colsDdl = staged.schema.fields.filterNot(_.name == "_part")
@@ -1081,6 +1138,13 @@ object Ddl {
       staged.select(newCols.map(staged(_)).toIndexedSeq: _*))
       .write.mode("append").insertInto(bare)
     CatalogStore.save(spark, bare)
+    } // preservingShadow
+    // skip indexes: follow renamed columns, die with dropped ones, and
+    // re-stat against the rewritten files (the DROP+CREATE destroyed
+    // the persisted manifest; onRewrite re-persists it)
+    SkipIndexes.onReshape(spark, key, renameKey,
+      spark.table(bare).columns.map(_.toLowerCase).toSet)
+    SkipIndexes.onRewrite(spark, key)
     spark.emptyDataFrame
     }
 
@@ -1097,6 +1161,7 @@ object Ddl {
       .createTempDirectory("graft_mutation").toString
     f(spark.table(bare)).write.mode("overwrite").parquet(tmp)
     val staged = spark.read.parquet(tmp)
+    preservingShadow(spark, bare) {
     spark.sql(s"TRUNCATE TABLE $bare")
     // the rewrite re-lands through the table's MergeTree layout —
     // ClickHouse mutations write sorted parts too; dropping the
@@ -1109,6 +1174,11 @@ object Ddl {
     // TRUNCATE clears the whole table directory, including the durable
     // meta file — re-persist it
     CatalogStore.save(spark, bare)
+    } // preservingShadow
+    // re-stat skip indexes against the rewritten files and re-persist
+    // the manifest the TRUNCATE destroyed (ClickHouse mutations rebuild
+    // index marks on the new parts the same way)
+    SkipIndexes.onRewrite(spark, normalize(spark, name))
     spark.emptyDataFrame
     }
 

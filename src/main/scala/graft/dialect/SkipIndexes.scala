@@ -220,26 +220,85 @@ object SkipIndexes {
   private[dialect] def onInsert(spark: SparkSession, table: String): Unit = {
     val ixs = registry.getOrElse(table.toLowerCase, Nil)
     if (ixs.isEmpty) return
-    val files = spark.table(table).inputFiles.map(normPath).toSet
+    val raw = spark.table(table).inputFiles
+    val byKey = raw.map(f => normPath(f) -> f).toMap
     ixs.foreach { ix =>
-      val missing = (files -- ix.stats.keySet).toSeq
+      val missing = (byKey.keySet -- ix.stats.keySet).toSeq
       if (missing.nonEmpty) {
         // read exactly the new files; index columns are data columns
         // (never `_part`), so a direct parquet read of the paths works
-        val df = spark.read.parquet(missing.map(rawPathOf(spark, table, _)): _*)
+        val df = spark.read.parquet(missing.map(byKey): _*)
         buildInto(spark, ix, df)
       }
     }
     persist(spark, table.toLowerCase)
   }
 
-  /** The raw (un-normalized) path string Spark can open for a
-    * normalized manifest key. Keys come from input_file_name(), which
-    * is already a readable URI — recover it from the live listing. */
-  private def rawPathOf(spark: SparkSession, table: String,
-                        normKey: String): String =
-    spark.table(table).inputFiles.find(f => normPath(f) == normKey)
-      .getOrElse(normKey)
+  /** Mutation/OPTIMIZE/reshape hook: the table's files were rewritten.
+    * Drop stats keyed to files that no longer exist and stat the files
+    * the rewrite created, then re-persist the manifest — ClickHouse
+    * mutations rebuild skip-index marks on the new parts the same way,
+    * and the re-stat is one aggregation over data the mutation already
+    * rewrote, so the cost stays proportional to the mutation itself.
+    * Without this a mutated table's pruning would silently degrade to
+    * nothing (new files are never pruned) until a manual MATERIALIZE,
+    * and for unpartitioned tables the TRUNCATE inside the mutation
+    * would also have destroyed the persisted manifest. */
+  private[dialect] def onRewrite(spark: SparkSession, table: String): Unit = {
+    val tbl = table.toLowerCase
+    val ixs = registry.getOrElse(tbl, Nil)
+    if (ixs.isEmpty) return
+    val raw = spark.table(tbl).inputFiles
+    val byKey = raw.map(f => normPath(f) -> f).toMap
+    ixs.foreach { ix =>
+      (ix.stats.keySet -- byKey.keySet).foreach(ix.stats.remove)
+      val missing = (byKey.keySet -- ix.stats.keySet).toSeq
+      if (missing.nonEmpty)
+        buildInto(spark, ix, spark.read.parquet(missing.map(byKey): _*))
+    }
+    persist(spark, tbl)
+  }
+
+  /** TRUNCATE hook: data gone, definitions survive (ClickHouse
+    * semantics) — clear stats and re-persist the (stat-less) manifest,
+    * which the TRUNCATE just deleted along with the table directory. */
+  private[dialect] def onTruncate(spark: SparkSession, table: String): Unit = {
+    val tbl = table.toLowerCase
+    val ixs = registry.getOrElse(tbl, Nil)
+    if (ixs.isEmpty) return
+    ixs.foreach(_.stats.clear())
+    persist(spark, tbl)
+  }
+
+  /** Column-level reshape hook (DROP/RENAME/MODIFY COLUMN): indexes
+    * follow a renamed column, die with a dropped one, and lose their
+    * stats either way (the reshape rewrote every file; [[onRewrite]]
+    * re-stats afterwards). */
+  private[dialect] def onReshape(spark: SparkSession, table: String,
+                                 renameKey: Map[String, String],
+                                 remaining: Set[String]): Unit = {
+    val tbl = table.toLowerCase
+    val ixs = registry.getOrElse(tbl, Nil)
+    if (ixs.isEmpty) return
+    val kept = ixs.flatMap { ix =>
+      val col = renameKey.collectFirst {
+        case (from, to) if from.equalsIgnoreCase(ix.column) => to
+      }.getOrElse(ix.column)
+      if (remaining.contains(col.toLowerCase))
+        Some(ix.copy(column = col, stats = TrieMap.empty[String, FileStats]))
+      else None
+    }
+    registry.put(tbl, kept)
+  }
+
+  /** EXCHANGE TABLES drops both sides' indexes (documented divergence);
+    * the persisted manifest in each swapped directory must die too, or
+    * the next JVM restart resurrects index definitions whose stats are
+    * keyed to the OTHER table's pre-swap files. */
+  private[dialect] def onExchange(spark: SparkSession, table: String): Unit = {
+    forgetInMemory(table)
+    Persist.deleteManifest(spark, table.toLowerCase)
+  }
 
   /** Canonical file key: scheme-independent absolute path
     * (`file:///x/y`, `file:/x/y` and listing paths all collide). */
@@ -459,10 +518,21 @@ object SkipIndexes {
       case s: Short => JInt(BigInt(s.toInt))
       case b: Byte => JInt(BigInt(b.toInt))
       case d: Double => JDouble(d)
-      case f: Float => JDouble(f.toDouble)
+      // Float must restore AS Float: widened to Double it compares via
+      // BigDecimal(toString) against the query literal's Float text and
+      // 0.1f-as-Double ("0.10000000149...") != "0.1" — a restored
+      // manifest would wrongly prune files containing exact matches
+      case f: Float => ("__t" -> "f32") ~ ("v" -> JDouble(f.toDouble))
       case d: java.math.BigDecimal => JDecimal(BigDecimal(d))
       case d: java.sql.Date => ("__t" -> "date") ~ ("v" -> d.toString)
-      case t: java.sql.Timestamp => ("__t" -> "ts") ~ ("v" -> t.getTime)
+      // full microsecond fidelity (Spark timestamps are micros; getTime
+      // alone drops the sub-millisecond part, so a restored hi of
+      // 10:00:00.000 would wrongly prune ts > '10:00:00.000' when the
+      // file's true max is 10:00:00.000500)
+      case t: java.sql.Timestamp =>
+        val micros = Math.floorDiv(t.getTime, 1000L) * 1000000L +
+          t.getNanos / 1000L
+        ("__t" -> "ts") ~ ("us" -> micros)
       case s: String => JString(s)
       case other => JString(other.toString)
     }
@@ -477,13 +547,31 @@ object SkipIndexes {
         case JString("date") => java.sql.Date.valueOf((o \ "v") match {
           case JString(s) => s; case _ => "1970-01-01"
         })
-        case JString("ts") => new java.sql.Timestamp((o \ "v") match {
-          case JInt(i) => i.toLong; case JLong(l) => l; case _ => 0L
-        })
+        case JString("f32") => (o \ "v") match {
+          case JDouble(d) => d.toFloat
+          case JInt(i) => i.toFloat
+          case _ => 0f
+        }
+        case JString("ts") => (o \ "us") match {
+          case JInt(us) =>
+            val t = new java.sql.Timestamp(Math.floorDiv(us.toLong, 1000000L) * 1000L)
+            t.setNanos((Math.floorMod(us.toLong, 1000000L) * 1000L).toInt)
+            t
+          case _ => // pre-r13 manifests stored milliseconds under "v"
+            new java.sql.Timestamp((o \ "v") match {
+              case JInt(i) => i.toLong; case JLong(l) => l; case _ => 0L
+            })
+        }
         case _ => null
       }
       case _ => null
     }
+
+    def deleteManifest(spark: SparkSession, tbl: String): Unit =
+      try dirOf(spark, tbl).foreach { d =>
+        java.nio.file.Files.deleteIfExists(d.resolve("indexes.json"))
+        java.nio.file.Files.deleteIfExists(d)
+      } catch { case _: Throwable => () }
 
     def write(spark: SparkSession, tbl: String, ixs: List[Index]): Unit = {
       val dir = dirOf(spark, tbl).getOrElse(return)

@@ -83,7 +83,9 @@ object SkipIndexPrune extends Rule[LogicalPlan] {
   private case class PAnyContains(ss: Seq[String]) extends Pred
 
   private def filePossible(ix: SkipIndexes.Index, st: FileStats,
-                           p: Pred): Boolean = ix.kind match {
+                           p: Pred,
+                           dt: org.apache.spark.sql.types.DataType): Boolean =
+    ix.kind match {
     case MinMax =>
       val lo = st.lo.orNull
       val hi = st.hi.orNull
@@ -97,6 +99,7 @@ object SkipIndexPrune extends Rule[LogicalPlan] {
           cmp(hi, v).forall(c => if (orEq) c >= 0 else c > 0)
         case PLt(v, orEq) =>
           cmp(lo, v).forall(c => if (orEq) c <= 0 else c < 0)
+        case _ => true // substring preds: minmax gives no information
       }
     case SetN(_) => st.values match {
       case None => true // overflowed: no information
@@ -110,9 +113,9 @@ object SkipIndexPrune extends Rule[LogicalPlan] {
       case None => true
       case Some(bits) => p match {
         case PEq(v) =>
-          hashOf(v).forall(SkipIndexes.bloomMightContain(bits, _, nh))
+          hashOf(v, dt).forall(SkipIndexes.bloomMightContain(bits, _, nh))
         case PIn(qs) => qs.exists(q =>
-          hashOf(q).forall(SkipIndexes.bloomMightContain(bits, _, nh)))
+          hashOf(q, dt).forall(SkipIndexes.bloomMightContain(bits, _, nh)))
         case _ => true
       }
     }
@@ -122,7 +125,8 @@ object SkipIndexPrune extends Rule[LogicalPlan] {
         // ALL the guaranteed tokens must be present; an empty token
         // list (fragment with no interior token) gives no information
         def allTokens(ts: Seq[String]): Boolean = ts.forall(t =>
-          hashOf(t).forall(SkipIndexes.bloomMightContain(bits, _, nh)))
+          hashOf(t, org.apache.spark.sql.types.StringType)
+            .forall(SkipIndexes.bloomMightContain(bits, _, nh)))
         p match {
           case PEq(v: String) => allTokens(SkipIndexes.tokensOf(v))
           case PIn(qs) => qs.exists {
@@ -143,8 +147,8 @@ object SkipIndexPrune extends Rule[LogicalPlan] {
       case None => true
       case Some(bits) =>
         def allGrams(s: String): Boolean = SkipIndexes.ngramsOf(s, n)
-          .forall(g => hashOf(g).forall(
-            SkipIndexes.bloomMightContain(bits, _, nh)))
+          .forall(g => hashOf(g, org.apache.spark.sql.types.StringType)
+            .forall(SkipIndexes.bloomMightContain(bits, _, nh)))
         p match {
           case PEq(v: String) => allGrams(v)
           case PIn(qs) => qs.exists {
@@ -159,9 +163,16 @@ object SkipIndexPrune extends Rule[LogicalPlan] {
   }
 
   /** xxhash64 of the EXTERNAL value exactly as the manifest build
-    * hashed the column (`xxhash64(col)` — internal value, seed 42). */
-  private def hashOf(external: Any): Option[Long] = {
-    val lit = try Literal(external) catch { case _: Throwable => return None }
+    * hashed the column (`xxhash64(col)` — internal value of the
+    * COLUMN's type, seed 42). `Literal.create(v, dt)` pins the probe
+    * to the column's type space: a bare `Literal(v)` would re-infer
+    * the type and e.g. hash a Decimal(20,2) probe as a small-precision
+    * unscaled long while the build side hashed the wide byte form —
+    * every bloom test negative, every indexed file wrongly pruned. */
+  private def hashOf(external: Any,
+                     dt: org.apache.spark.sql.types.DataType): Option[Long] = {
+    val lit = try Literal.create(external, dt)
+      catch { case _: Throwable => return None }
     try Some(new XxHash64(Seq(lit)).eval(null).asInstanceOf[Long])
     catch { case _: Throwable => None }
   }
@@ -182,12 +193,13 @@ object SkipIndexPrune extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def leafPred(e: Expression): Option[(String, Pred)] = {
+  private type Leaf = (String, org.apache.spark.sql.types.DataType, Pred)
+  private def leafPred(e: Expression): Option[Leaf] = {
     def ext(l: Literal): Any =
       CatalystTypeConverters.convertToScala(l.value, l.dataType)
-    def mk(a: Expression, l: Literal, p: Pred): Option[(String, Pred)] =
+    def mk(a: Expression, l: Literal, p: Pred): Option[Leaf] =
       colKey(a) match {
-        case Some((key, dt)) if l.dataType == dt => Some((key, p))
+        case Some((key, dt)) if l.dataType == dt => Some((key, dt, p))
         case _ => None
       }
     e match {
@@ -195,10 +207,11 @@ object SkipIndexPrune extends Rule[LogicalPlan] {
       case EqualTo(l: Literal, a) => mk(a, l, PEq(ext(l)))
       case In(a, vs) if colKey(a).isDefined && vs.nonEmpty && vs.forall {
           case l: Literal => l.dataType == colKey(a).get._2; case _ => false } =>
-        Some((colKey(a).get._1, PIn(vs.map { case l: Literal => ext(l) })))
+        Some((colKey(a).get._1, colKey(a).get._2,
+          PIn(vs.map { case l: Literal => ext(l) })))
       case InSet(a, vs) if colKey(a).isDefined =>
         // InSet holds INTERNAL values of the child's type
-        Some((colKey(a).get._1, PIn(vs.toSeq.map(v =>
+        Some((colKey(a).get._1, colKey(a).get._2, PIn(vs.toSeq.map(v =>
           CatalystTypeConverters.convertToScala(v, colKey(a).get._2)))))
       case GreaterThan(a, l: Literal) => mk(a, l, PGt(ext(l), orEqual = false))
       case GreaterThanOrEqual(a, l: Literal) => mk(a, l, PGt(ext(l), orEqual = true))
@@ -211,11 +224,11 @@ object SkipIndexPrune extends Rule[LogicalPlan] {
       // substring guarantees for the token/ngram blooms. The optimizer
       // has already simplified LIKE '%x%' / 'x%' / '%x' into these.
       case Contains(a, Literal(s, _)) if colKey(a).isDefined && s != null =>
-        Some((colKey(a).get._1, PContains(s.toString)))
+        Some((colKey(a).get._1, colKey(a).get._2, PContains(s.toString)))
       case StartsWith(a, Literal(s, _)) if colKey(a).isDefined && s != null =>
-        Some((colKey(a).get._1, PContains(s.toString)))
+        Some((colKey(a).get._1, colKey(a).get._2, PContains(s.toString)))
       case EndsWith(a, Literal(s, _)) if colKey(a).isDefined && s != null =>
-        Some((colKey(a).get._1, PContains(s.toString)))
+        Some((colKey(a).get._1, colKey(a).get._2, PContains(s.toString)))
       // hasToken(col, 't') — the dialect compiles it to whole-token
       // membership over the SAME separator class the index tokenizes
       case ArrayContains(
@@ -223,7 +236,7 @@ object SkipIndexPrune extends Rule[LogicalPlan] {
           Literal(tok, _))
           if colKey(a).isDefined && sep != null &&
             sep.toString == SkipIndexes.TokenSep && tok != null =>
-        Some((colKey(a).get._1, PToken(tok.toString)))
+        Some((colKey(a).get._1, colKey(a).get._2, PToken(tok.toString)))
       // multiSearchAny(col, ['a','b',...]) — the dialect compiles it
       // to exists(needles, n -> contains(col, n)); with a literal
       // needle array the file needs at least ONE possible needle
@@ -243,7 +256,7 @@ object SkipIndexPrune extends Rule[LogicalPlan] {
           case _ => None
         }
         needles.filter(_.nonEmpty)
-          .map(ss => (colKey(a).get._1, PAnyContains(ss)))
+          .map(ss => (colKey(a).get._1, colKey(a).get._2, PAnyContains(ss)))
       case _ => None
     }
   }
@@ -266,9 +279,9 @@ object SkipIndexPrune extends Rule[LogicalPlan] {
       if (evalMaybe(l, file, ixByCol).contains(false) &&
           evalMaybe(r, file, ixByCol).contains(false)) Some(false) else None
     case leaf => leafPred(leaf) match {
-      case Some((col, p)) =>
+      case Some((col, dt, p)) =>
         val impossible = ixByCol.getOrElse(col, Nil).exists(ix =>
-          ix.stats.get(file).exists(st => !filePossible(ix, st, p)))
+          ix.stats.get(file).exists(st => !filePossible(ix, st, p, dt)))
         if (impossible) Some(false) else None
       case None => None
     }

@@ -382,6 +382,226 @@ class SkipIndexSpec extends AnyFunSuite {
     Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.skpt")
   }
 
+  test("mutations re-stat skip indexes: pruning stays active, survives restart, never wrong") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_t")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.skmu")
+    // UNPARTITIONED on purpose: the mutation's TRUNCATE deletes the
+    // whole table root, including the persisted manifest — the
+    // re-stat + re-persist path is what this test gates
+    Engine.execute(spark, """
+      CREATE TABLE graft_t.skmu (k Int64, x Int64)
+      ENGINE=MergeTree() ORDER BY (k)""")
+    for (off <- Seq(0L, 100000L, 200000L))
+      Engine.execute(spark, s"""
+        INSERT INTO graft_t.skmu
+        SELECT number + $off AS k, number + $off AS x FROM numbers(1000)""")
+    Engine.execute(spark, "ALTER TABLE graft_t.skmu ADD INDEX ix x TYPE minmax")
+    Engine.execute(spark, "ALTER TABLE graft_t.skmu MATERIALIZE INDEX ix")
+    Engine.execute(spark, "ALTER TABLE graft_t.skmu DELETE WHERE x % 2 = 1")
+    val total = spark.table("graft_t.skmu").inputFiles.length
+    val q = "SELECT count() AS n FROM graft_t.skmu WHERE x >= 100000 AND x < 100100"
+    assert(Engine.execute(spark, q).collect().head.getLong(0) == 50L,
+      "post-mutation result must be exact (no wrong prune of rewritten files)")
+    // the rewrite may compact to few files — prove the re-stat with a
+    // no-match probe, which must prune EVERY re-statted file
+    val qMiss = "SELECT count() AS n FROM graft_t.skmu WHERE x = 999999999"
+    val miss = Engine.execute(spark, qMiss)
+    assert(miss.collect().head.getLong(0) == 0L)
+    assert(scannedFiles(miss) < total,
+      "mutation must re-stat the rewritten files — pruning should still fire")
+    // the manifest was re-persisted after the TRUNCATE destroyed it
+    CatalogStore.simulateRestart(spark, Seq("graft_t.skmu"))
+    Engine.execute(spark, "SELECT count() FROM graft_t.skmu")
+    assert(Engine.execute(spark, q).collect().head.getLong(0) == 50L)
+    val miss2 = Engine.execute(spark, qMiss)
+    assert(miss2.collect().head.getLong(0) == 0L)
+    assert(scannedFiles(miss2) < total,
+      "restored post-mutation manifest should still prune")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.skmu")
+  }
+
+  test("TRUNCATE keeps index definitions (stats die with the data) across restarts") {
+    mk("graft_t.sktr", Seq((0L, 100L)))
+    Engine.execute(spark, "ALTER TABLE graft_t.sktr ADD INDEX ix x TYPE minmax")
+    Engine.execute(spark, "ALTER TABLE graft_t.sktr MATERIALIZE INDEX ix")
+    Engine.execute(spark, "TRUNCATE TABLE graft_t.sktr")
+    val listed = Engine.execute(spark, """
+      SELECT name, indexed_files FROM system.data_skipping_indices
+      WHERE table = 'sktr'""").collect()
+    assert(listed.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("ix", 0L)), "definition survives TRUNCATE, stats do not")
+    CatalogStore.simulateRestart(spark, Seq("graft_t.sktr"))
+    Engine.execute(spark, "SELECT count() FROM graft_t.sktr")
+    assert(Engine.execute(spark, """
+      SELECT count() AS n FROM system.data_skipping_indices
+      WHERE table = 'sktr'""").collect().head.getLong(0) == 1L,
+      "TRUNCATE re-persisted the (stat-less) manifest the delete destroyed")
+    // new inserts stat incrementally into the surviving definition
+    Engine.execute(spark, """
+      INSERT INTO graft_t.sktr
+      SELECT number, number + 50000, concat('v', toString(number))
+      FROM numbers(100)""")
+    Engine.execute(spark, """
+      INSERT INTO graft_t.sktr
+      SELECT number, number + 90000, concat('w', toString(number))
+      FROM numbers(100)""")
+    val total = spark.table("graft_t.sktr").inputFiles.length
+    val df = Engine.execute(spark,
+      "SELECT count() AS n FROM graft_t.sktr WHERE x >= 90000 AND x < 90010")
+    assert(df.collect().head.getLong(0) == 10L)
+    assert(scannedFiles(df) < total)
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.sktr")
+  }
+
+  test("FREEZE snapshots survive mutations and TRUNCATE on an UNPARTITIONED table") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_t")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.skfz")
+    Engine.execute(spark, """
+      CREATE TABLE graft_t.skfz (k Int64, x Int64)
+      ENGINE=MergeTree() ORDER BY (k)""")
+    Engine.execute(spark,
+      "INSERT INTO graft_t.skfz SELECT number, number FROM numbers(100)")
+    Engine.execute(spark, "ALTER TABLE graft_t.skfz FREEZE WITH NAME 'bk'")
+    def backupRows(): Long = Engine.execute(spark, """
+      SELECT count() AS n FROM system.frozen_parts
+      WHERE table = 'skfz' AND backup_name = 'bk'""").collect().head.getLong(0)
+    assert(backupRows() == 1L)
+    // a mutation TRUNCATEs the unpartitioned table root — the snapshot
+    // must be staged out and restored, not destroyed
+    Engine.execute(spark, "ALTER TABLE graft_t.skfz DELETE WHERE x >= 50")
+    assert(backupRows() == 1L, "mutation must not destroy FREEZE backups")
+    assert(Engine.execute(spark, "SELECT count() AS n FROM graft_t.skfz")
+      .collect().head.getLong(0) == 50L)
+    // OPTIMIZE (compaction rewrite) and user-level TRUNCATE too
+    Engine.execute(spark, "OPTIMIZE TABLE graft_t.skfz")
+    assert(backupRows() == 1L, "OPTIMIZE must not destroy FREEZE backups")
+    Engine.execute(spark, "TRUNCATE TABLE graft_t.skfz")
+    assert(backupRows() == 1L, "TRUNCATE must not destroy FREEZE backups")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.skfz")
+  }
+
+  test("restored minmax stats keep Float type and microsecond timestamps — no wrong prunes") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_t")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.skfd")
+    Engine.execute(spark, """
+      CREATE TABLE graft_t.skfd (k Int64, f Float32, ts DateTime64(6))
+      ENGINE=MergeTree() ORDER BY (k)""")
+    Engine.execute(spark, """
+      INSERT INTO graft_t.skfd VALUES
+      (1, 0.1, '2024-01-01 10:00:00.000500')""")
+    Engine.execute(spark, """
+      INSERT INTO graft_t.skfd VALUES
+      (2, 99.5, '2024-06-01 00:00:00.000000')""")
+    Engine.execute(spark, "ALTER TABLE graft_t.skfd ADD INDEX ixf f TYPE minmax")
+    Engine.execute(spark, "ALTER TABLE graft_t.skfd ADD INDEX ixt ts TYPE minmax")
+    Engine.execute(spark, "ALTER TABLE graft_t.skfd MATERIALIZE INDEX ixf")
+    Engine.execute(spark, "ALTER TABLE graft_t.skfd MATERIALIZE INDEX ixt")
+    val total = spark.table("graft_t.skfd").inputFiles.length
+    // sanity: the index is actually consulted for Float probes
+    val miss = Engine.execute(spark,
+      "SELECT count() AS n FROM graft_t.skfd WHERE f = 55.5")
+    assert(scannedFiles(miss) < total,
+      "Float minmax index should prune a no-match probe (pre-restart)")
+    CatalogStore.simulateRestart(spark, Seq("graft_t.skfd"))
+    Engine.execute(spark, "SELECT count() FROM graft_t.skfd")
+    // Float fidelity: a FLOAT-typed probe (toFloat32 folds to a Float
+    // literal; a bare 0.1 would widen the comparison to Double and
+    // match nothing regardless of the index). Pre-fix the restored
+    // stat was the Double 0.10000000149… whose text never equals
+    // "0.1" — the exact-match row was wrongly pruned.
+    val fEq = Engine.execute(spark,
+      "SELECT count() AS n FROM graft_t.skfd WHERE f = toFloat32(0.1)")
+    assert(fEq.collect().head.getLong(0) == 1L,
+      "restored Float stats must not wrongly prune an exact match")
+    // Timestamp fidelity: file max is 10:00:00.000500; a ms-truncated
+    // restore (10:00:00.000) would wrongly prune ts > 10:00:00.000
+    val tGt = Engine.execute(spark, """
+      SELECT count() AS n FROM graft_t.skfd
+      WHERE ts > '2024-01-01 10:00:00.000' AND ts < '2024-02-01'""")
+    assert(tGt.collect().head.getLong(0) == 1L,
+      "restored timestamp stats must keep microsecond precision")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.skfd")
+  }
+
+  test("bloom probe hashes in the column's type space (wide Decimal equality)") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_t")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.skdc")
+    Engine.execute(spark, """
+      CREATE TABLE graft_t.skdc (k Int64, d Decimal(20, 2))
+      ENGINE=MergeTree() ORDER BY (k)""")
+    Engine.execute(spark, """
+      INSERT INTO graft_t.skdc
+      SELECT number, CAST(number AS DECIMAL(20, 2)) + 0.25 FROM numbers(100)""")
+    Engine.execute(spark, """
+      INSERT INTO graft_t.skdc
+      SELECT number + 500,
+             CAST(number + 70000 AS DECIMAL(20, 2)) + 0.25 FROM numbers(100)""")
+    Engine.execute(spark,
+      "ALTER TABLE graft_t.skdc ADD INDEX ixd d TYPE bloom_filter")
+    Engine.execute(spark, "ALTER TABLE graft_t.skdc MATERIALIZE INDEX ixd")
+    // precision 20 > 18: the build hashed the byte representation; a
+    // probe literal re-inferred at small precision would hash the
+    // unscaled long instead — never matching, wrongly pruning EVERY file
+    val df = Engine.execute(spark,
+      "SELECT count() AS n FROM graft_t.skdc WHERE d = 70005.25")
+    assert(df.collect().head.getLong(0) == 1L,
+      "wide-decimal equality must not be wrongly pruned")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.skdc")
+  }
+
+  test("EXCHANGE TABLES drops indexes durably — no resurrection after restart") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_t")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.exa")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.exb")
+    for (t <- Seq("exa", "exb")) {
+      Engine.execute(spark, s"""
+        CREATE TABLE graft_t.$t (k Int64, x Int64)
+        ENGINE=MergeTree() ORDER BY (k)""")
+      Engine.execute(spark,
+        s"INSERT INTO graft_t.$t SELECT number, number FROM numbers(50)")
+    }
+    Engine.execute(spark, "ALTER TABLE graft_t.exa ADD INDEX ix x TYPE minmax")
+    Engine.execute(spark, "ALTER TABLE graft_t.exa MATERIALIZE INDEX ix")
+    Engine.execute(spark, "EXCHANGE TABLES graft_t.exa AND graft_t.exb")
+    CatalogStore.simulateRestart(spark, Seq("graft_t.exa", "graft_t.exb"))
+    Engine.execute(spark, "SELECT count() FROM graft_t.exa")
+    Engine.execute(spark, "SELECT count() FROM graft_t.exb")
+    assert(Engine.execute(spark, """
+      SELECT count() AS n FROM system.data_skipping_indices
+      WHERE table IN ('exa', 'exb')""").collect().head.getLong(0) == 0L,
+      "swapped directories' persisted manifests must die with the in-memory defs")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.exa")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.exb")
+  }
+
+  test("column reshapes: indexes follow RENAME COLUMN, die with DROP COLUMN") {
+    mk("graft_t.skrs", Seq((0L, 100L), (50000L, 50100L)))
+    Engine.execute(spark, "ALTER TABLE graft_t.skrs ADD INDEX ix x TYPE minmax")
+    Engine.execute(spark, "ALTER TABLE graft_t.skrs MATERIALIZE INDEX ix")
+    Engine.execute(spark, "ALTER TABLE graft_t.skrs RENAME COLUMN x TO y")
+    val listed = Engine.execute(spark, """
+      SELECT expr FROM system.data_skipping_indices WHERE table = 'skrs'""")
+      .collect().map(_.getString(0)).toSeq
+    assert(listed == Seq("y"), "index expression must follow the renamed column")
+    val total = spark.table("graft_t.skrs").inputFiles.length
+    val df = Engine.execute(spark,
+      "SELECT count() AS n FROM graft_t.skrs WHERE y >= 50000 AND y < 50010")
+    assert(df.collect().head.getLong(0) == 10L)
+    // the reshape may compact to few files — a no-match probe must
+    // prune every re-statted file under the NEW column name
+    val miss = Engine.execute(spark,
+      "SELECT count() AS n FROM graft_t.skrs WHERE y = 999999999")
+    assert(miss.collect().head.getLong(0) == 0L)
+    assert(scannedFiles(miss) < total,
+      "renamed-column index re-stats against the rewritten files")
+    Engine.execute(spark, "ALTER TABLE graft_t.skrs DROP COLUMN y")
+    assert(Engine.execute(spark, """
+      SELECT count() AS n FROM system.data_skipping_indices
+      WHERE table = 'skrs'""").collect().head.getLong(0) == 0L,
+      "dropping the indexed column drops the index")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.skrs")
+  }
+
   test("inline INDEX definitions in CREATE TABLE register and system table lists them") {
     Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_t")
     Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.skil")
