@@ -158,6 +158,17 @@ object CatalogStore {
     } catch { case _: Throwable => () }
   }
 
+  def saveFunctions(spark: SparkSession): Unit = if (enabled(spark)) {
+    try {
+      val j: JValue = JArray(UserFunctions.all.map { u =>
+        val x: JValue = ("name" -> u.name) ~ ("params" -> u.params.toList) ~
+          ("body" -> u.body)
+        x
+      }.toList)
+      writeJson(catalogDir(spark).resolve("functions.json"), j)
+    } catch { case _: Throwable => () }
+  }
+
   def saveMatViews(spark: SparkSession): Unit = if (enabled(spark)) {
     try {
       val j: JValue = JArray(Ddl.matViewsAll.map { case (name, mv) =>
@@ -221,7 +232,17 @@ object CatalogStore {
     metas.foreach { case (_, j) => restoreProjections(j) }
     restoreDictionaries(spark)
     restoreMatViews(spark)
+    restoreFunctions(spark)
   }
+
+  private def restoreFunctions(spark: SparkSession): Unit =
+    readJson(catalogDir(spark).resolve("functions.json")).foreach {
+      case JArray(fs) => fs.foreach { f =>
+        for (name <- str(f \ "name"); body <- str(f \ "body"))
+          UserFunctions.restore(name, strs(f \ "params"), body)
+      }
+      case _ => ()
+    }
 
   private def restoreTable(spark: SparkSession, dir: java.nio.file.Path,
                            j: JValue): Unit = try {
@@ -345,7 +366,9 @@ object CatalogStore {
     * unrelated tables mid-suite. */
   private[graft] def simulateRestart(spark: SparkSession,
                                      tables: Seq[String],
-                                     dicts: Seq[String] = Nil): Unit = {
+                                     dicts: Seq[String] = Nil,
+                                     udfs: Seq[String] = Nil): Unit = {
+    udfs.foreach(UserFunctions.forgetInMemory)
     val ec = spark.sharedState.externalCatalog
     val all = tables.flatMap { t =>
       val norm = Ddl.normalizeName(spark, t.replace("`", ""))

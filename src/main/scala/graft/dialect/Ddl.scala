@@ -322,6 +322,11 @@ object Ddl {
   private val dropDictRe =
     "(?is)^\\s*DROP\\s+DICTIONARY\\s+(IF\\s+EXISTS\\s+)?([\\w`.]+)\\s*$".r
   private val showDictRe = "(?is)^\\s*SHOW\\s+DICTIONARIES\\s*$".r
+  // SQL-defined UDFs (macros; UserFunctions.scala)
+  private val createFunctionRe =
+    "(?is)^\\s*CREATE\\s+FUNCTION\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w`]+)\\s+AS\\s+(.+)$".r
+  private val dropFunctionRe =
+    "(?is)^\\s*DROP\\s+FUNCTION\\s+(IF\\s+EXISTS\\s+)?([\\w`]+)\\s*$".r
   private val showProcesslistRe = "(?is)^\\s*SHOW\\s+PROCESSLIST\\s*$".r
   private val setStmtRe = "(?is)^\\s*SET\\s+(.+)$".r
   private val systemReloadDictRe =
@@ -489,6 +494,12 @@ object Ddl {
       case showDictRe() =>
         import spark.implicits._
         Dictionaries.names.toDF("name")
+      case createFunctionRe(ifNot, name, lambda) =>
+        UserFunctions.create(spark, name, lambda, Option(ifNot).isDefined)
+        spark.emptyDataFrame
+      case dropFunctionRe(ifEx, name) =>
+        UserFunctions.drop(spark, name, Option(ifEx).isDefined)
+        spark.emptyDataFrame
       case showProcesslistRe() =>
         Engine.processesSnapshot(spark)
       case setStmtRe(assignments) =>
@@ -2232,6 +2243,7 @@ object Engine {
       "dictionaries" -> (() => Dictionaries.snapshot(spark)),
       "projections" -> (() => Projections.snapshot(spark)),
       "data_skipping_indices" -> (() => SkipIndexes.snapshot(spark)),
+      "functions" -> (() => UserFunctions.snapshot(spark)),
       "frozen_parts" -> (() => Ddl.frozenPartsSnapshot(spark)),
       "metrics" -> (() => Engine.metricsSnapshot(spark)),
       "events" -> (() => Engine.eventsSnapshot(spark)),

@@ -335,6 +335,9 @@ object Transpiler {
 
   def transpile(chSql: String): String = {
     var s = chSql
+    // SQL UDFs (CREATE FUNCTION ... AS (x) -> expr) are macros: expand
+    // call sites first, so every later rewrite sees plain expressions
+    s = UserFunctions.expand(s)
     s = rewriteNamedWindows(s)
     s = rewriteScalarWith(s)
     s = rewriteBracketArrays(s)
@@ -392,11 +395,30 @@ object Transpiler {
       }
       sql
     }
+    // quantileExact family: ClickHouse's exact rule is nth_element at
+    // 0-based index min(floor(p*n), n-1) of the sorted values
+    // (AggregateFunctionQuantileExact — NOT the interpolated
+    // percentile). Exactness requires materializing the group's values
+    // (ClickHouse's own quantileExact does too); quantile() below stays
+    // the scale path.
+    def exactRank(p: String, arg: String): String =
+      s"(CASE WHEN count($arg) > 0 THEN element_at(array_sort(collect_list($arg)), " +
+        s"cast(least(floor(($p) * count($arg)), count($arg) - 1) as int) + 1) END)"
+    s = rewriteParameterized(s, "quantilesExact",
+      (ps, arg) => "array(" +
+        ps.split(",").map(p => exactRank(p.trim, arg)).mkString(", ") + ")")
     // quantiles(p1,p2,..)(x) -> percentile(x, array(p1,p2,..))
-    s = rewriteParameterized(s, "quantiles(?:Exact)?",
+    s = rewriteParameterized(s, "quantiles",
       (ps, arg) => s"percentile($arg, array($ps))")
-    // quantile(p)(x) / quantileExact(p)(x) -> percentile(x, p)
-    s = rewriteParameterized(s, "quantile(?:Exact)?",
+    s = rewriteParameterized(s, "quantileExact", exactRank)
+    // quantileTiming: ClickHouse's timing sketch is EXACT for values in
+    // [0, 30000] ms (integer-ms bins) and clamps outside — mapped to
+    // the exact rule over round+clamp, double result (CH: Float32)
+    s = rewriteParameterized(s, "quantileTiming", (p, arg) =>
+      s"cast(${exactRank(p,
+        s"least(greatest(round(cast(($arg) as double)), 0D), 30000D)")} as double)")
+    // quantile(p)(x) -> percentile(x, p)
+    s = rewriteParameterized(s, "quantile",
       (p, arg) => s"percentile($arg, $p)")
     // topK(k)(x) -> topKAgg(x, k) (space-saving sketch aggregate)
     s = rewriteParameterized(s, "topKWeighted",

@@ -1188,6 +1188,55 @@ object Dialect {
                (['','▏','▎','▍','▌','▋','▊','▉'])[(te % 8) + 1] AS b,
              CASE k WHEN 1 THEN 'one' WHEN 2 THEN 'two'
                     WHEN 3 THEN 'three' ELSE 'many' END AS w
-      FROM e ORDER BY k"""))
+      FROM e ORDER BY k""")),
+
+    // §2.9: SQL-defined UDFs — `CREATE FUNCTION name AS (args) -> expr`
+    // (ClickHouse 25.5 executable UDFs through the delegation point
+    // main.py:190). Macros expand at the call site, so the oracle is
+    // the hand-inlined expression; covers multi-arg, single-arg,
+    // UDF-calling-UDF nesting and precedence-safe substitution.
+    Q("f34_create_function", (s, dir) => {
+      graft.dialect.ChContext.setup(s, dir)
+      graft.dialect.Engine.execute(s, "DROP FUNCTION IF EXISTS graft_lin")
+      graft.dialect.Engine.execute(s,
+        "CREATE FUNCTION graft_lin AS (x, k, b) -> k * x + b")
+      graft.dialect.Engine.execute(s, "DROP FUNCTION IF EXISTS graft_isodd")
+      graft.dialect.Engine.execute(s,
+        "CREATE FUNCTION graft_isodd AS x -> x % 2 = 1")
+      graft.dialect.Engine.execute(s, """
+        SELECT number,
+               graft_lin(number, 2, 1) AS y,
+               graft_isodd(number) AS odd,
+               graft_lin(graft_lin(number, 2, 0), 3, 4) AS nested,
+               graft_lin(number + 1, number, 2) AS prec
+        FROM numbers(10) ORDER BY number""")
+    }, Some("""
+      SELECT range AS number,
+             range * 2 + 1 AS y,
+             range % 2 = 1 AS odd,
+             (range * 2) * 3 + 4 AS nested,
+             range * (range + 1) + 2 AS prec
+      FROM range(10) ORDER BY number""")),
+
+    // G4 tail: quantileExact / quantilesExact / quantileTiming — the
+    // EXACT rule (sorted values, 0-based index min(floor(p*n), n-1),
+    // ClickHouse AggregateFunctionQuantileExact), distinct from the
+    // interpolated percentile that answers quantile(); the oracle
+    // reproduces the same rank arithmetic in DuckDB rather than
+    // trusting any builtin's rounding convention.
+    Q("g26_quantile_exact", ch("""
+      SELECT c_nationkey,
+             CAST(quantileExact(0.5)(c_acctbal) AS Float64) AS med,
+             CAST(quantileExact(0.25)(c_acctbal) AS Float64) AS q1,
+             quantileTiming(0.9)(c_custkey % 20000) AS t90,
+             CAST(arrayElement(quantilesExact(0.1, 0.9)(c_acctbal), 2) AS Float64) AS p90
+      FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""),
+      Some("""
+      SELECT c_nationkey,
+             CAST(list_sort(list(c_acctbal))[LEAST(CAST(floor(0.5 * count(c_acctbal)) AS INT), CAST(count(c_acctbal) AS INT) - 1) + 1] AS DOUBLE) AS med,
+             CAST(list_sort(list(c_acctbal))[LEAST(CAST(floor(0.25 * count(c_acctbal)) AS INT), CAST(count(c_acctbal) AS INT) - 1) + 1] AS DOUBLE) AS q1,
+             CAST(list_sort(list(c_custkey % 20000))[LEAST(CAST(floor(0.9 * count(*)) AS INT), CAST(count(*) AS INT) - 1) + 1] AS DOUBLE) AS t90,
+             CAST(list_sort(list(c_acctbal))[LEAST(CAST(floor(0.9 * count(c_acctbal)) AS INT), CAST(count(c_acctbal) AS INT) - 1) + 1] AS DOUBLE) AS p90
+      FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""))
   )
 }

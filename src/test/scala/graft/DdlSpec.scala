@@ -1305,6 +1305,61 @@ class DdlSpec extends AnyFunSuite {
       "ALTER TABLE graft_spec.pr MATERIALIZE PROJECTION p_g"))
   }
 
+  test("PROJECTION WHERE coverage: key expressions ride the store, everything else falls back exactly") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.prw")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.prw (k Int64, g String, v Int64, w Int64)
+      ENGINE=MergeTree() ORDER BY (k)""")
+    Engine.execute(spark, """
+      INSERT INTO graft_spec.prw SELECT number,
+        if(number % 3 = 0, 'a', if(number % 3 = 1, 'b', 'c')),
+        number * 10, number % 7 FROM numbers(60)""")
+    Engine.execute(spark, """
+      ALTER TABLE graft_spec.prw ADD PROJECTION p_w
+        (SELECT g, count(), sum(v) GROUP BY g)""")
+    Engine.execute(spark, "ALTER TABLE graft_spec.prw MATERIALIZE PROJECTION p_w")
+    def usesStore(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.toString.contains("__proj_p_w")
+    def ground(q: String): Seq[(String, Long, Long)] = {
+      graft.dialect.Projections.enabled = false
+      try Engine.execute(spark, q).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      finally graft.dialect.Projections.enabled = true
+    }
+    def both(q: String, store: Boolean): Unit = {
+      val df = Engine.execute(spark, q)
+      assert(usesStore(df) == store,
+        s"store=${usesStore(df)} expected=$store for: $q")
+      val got = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got === ground(q), s"projection answer diverged for: $q")
+    }
+    // key equality and key EXPRESSIONS (IN, <>, function-of-key) ride
+    // the store: the predicate rebinds onto the store's g column
+    both("""SELECT g, count() AS n, sum(v) AS sv FROM graft_spec.prw
+            WHERE g = 'a' GROUP BY g ORDER BY g""", store = true)
+    both("""SELECT g, count() AS n, sum(v) AS sv FROM graft_spec.prw
+            WHERE g IN ('a', 'c') GROUP BY g ORDER BY g""", store = true)
+    both("""SELECT g, count() AS n, sum(v) AS sv FROM graft_spec.prw
+            WHERE upper(g) <> 'B' GROUP BY g ORDER BY g""", store = true)
+    // an AGGREGATED column in the WHERE needs base rows — the store
+    // holds only per-part partials of v, not v itself
+    both("""SELECT g, count() AS n, sum(v) AS sv FROM graft_spec.prw
+            WHERE v >= 100 GROUP BY g ORDER BY g""", store = false)
+    // a column the projection never saw (w) must fall back
+    both("""SELECT g, count() AS n, sum(v) AS sv FROM graft_spec.prw
+            WHERE w = 3 GROUP BY g ORDER BY g""", store = false)
+    // key AND non-key mixed: one non-key reference poisons the whole
+    // conjunction (no partial split — refusal is the sound default)
+    both("""SELECT g, count() AS n, sum(v) AS sv FROM graft_spec.prw
+            WHERE g = 'a' AND w = 3 GROUP BY g ORDER BY g""", store = false)
+    // the sort-key column k is not a projection key either
+    both("""SELECT g, count() AS n, sum(v) AS sv FROM graft_spec.prw
+            WHERE k < 30 GROUP BY g ORDER BY g""", store = false)
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.prw")
+  }
+
   test("PROJECTION avg/uniq partials: avgState pair merges exactly, uniq sketches union") {
     Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
     Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.pau")
