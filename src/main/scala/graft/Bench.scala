@@ -173,8 +173,8 @@ object Bench {
       case (k, Some(v)) => "\"" + k + "\":" + f"$v%.3f"
       case (k, None)    => "\"" + k + "\":-1"
     }.mkString("{", ",", "}")
-    val abJson = skipAb.map { case (n, on, off, rows) =>
-      f""""$n":{"pruned_sec":$on%.3f,"full_sec":$off%.3f,"speedup":${off / on}%.2f,"rows":$rows}"""
+    val abJson = skipAb.map { case (n, on, off, rows, kept, tot) =>
+      f""""$n":{"pruned_sec":$on%.3f,"full_sec":$off%.3f,"speedup":${off / on}%.2f,"rows":$rows,"files_kept":$kept,"files_total":$tot}"""
     }.mkString("{", ",", "}")
     val samplesFile = new java.io.File("BENCH_samples_latest.json").getAbsoluteFile
     try java.nio.file.Files.write(samplesFile.toPath,
@@ -193,8 +193,8 @@ object Bench {
       case (k, Some(v)) => "\"" + short(k) + "\":" + f"$v%.3f"
       case (k, None)    => "\"" + short(k) + "\":-1"
     }.mkString("{", ",", "}")
-    val abShort = skipAb.map { case (n, on, off, _) =>
-      f""""$n":[$on%.3f,$off%.3f]"""
+    val abShort = skipAb.map { case (n, on, off, _, kept, tot) =>
+      f""""$n":[$on%.3f,$off%.3f,$kept,$tot]"""
     }.mkString("{", ",", "}")
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","headline_total":$headlineTotal%.3f,"cb_total":$cbTotal%.3f,"cb_queries":${cbNames.length},"hits_n":$hitsN,"fixture_build_sec":$fixtureSec%.1f,"ix_build_sec":$ixBuildSec%.1f,"partition_prune_ok":$pruneOk,"skip_ab":$abShort,"loadavg":$loadEnd%.2f,"loadavg_start":$loadStart%.2f,"loadavg_passes":$passLoadsJson,"queries":$qs,"failed":${failed.mkString("[", ",", "]")},"samples_file":"${samplesFile.getName}","sf":"$sfDir"}"""
     // hard guard on the tail-capture contract: if the compact line ever
@@ -236,25 +236,31 @@ object Bench {
 
   /** The cb20/21/22 LIKE shapes on the banded tables, best-of-3 with
     * the prune rule ON vs OFF; row counts must agree (a wrong prune is
-    * a bench failure, not a fast run). Returns (name, on, off, rows). */
-  private def abBlock(spark: SparkSession): Seq[(String, Double, Double, Long)] = {
+    * a bench failure, not a fast run). Also records the PLAN-level
+    * pruning decision (files kept / total) — at the 3M driver scale
+    * the wall-clock is fixed-cost-bound (the whole scan is ~100 ms),
+    * so kept/total is the honest signal; the 30M/100M skipscale
+    * artifacts carry the wall-clock story.
+    * Returns (name, onSec, offSec, rows, keptFiles, totalFiles). */
+  private def abBlock(spark: SparkSession)
+      : Seq[(String, Double, Double, Long, Int, Int)] = {
     import graft.dialect.Engine
     val qs = Seq(
-      ("cb20x",
+      ("cb20x", "clickbench.hits_urlband",
         "SELECT COUNT(*) AS c FROM clickbench.hits_urlband WHERE URL LIKE '%google%'"),
-      ("cb21x", """
+      ("cb21x", "clickbench.hits_urlband", """
         SELECT SearchPhrase, MIN(URL) AS u, COUNT(*) AS c
         FROM clickbench.hits_urlband
         WHERE URL LIKE '%google%' AND SearchPhrase <> ''
         GROUP BY SearchPhrase ORDER BY c DESC, SearchPhrase LIMIT 10"""),
-      ("cb22x", """
+      ("cb22x", "clickbench.hits_titleband", """
         SELECT SearchPhrase, MIN(URL) AS u, MIN(Title) AS t, COUNT(*) AS c,
                COUNT(DISTINCT UserID) AS uu
         FROM clickbench.hits_titleband
         WHERE Title LIKE '%Google%' AND URL NOT LIKE '%.google.%'
           AND SearchPhrase <> ''
         GROUP BY SearchPhrase ORDER BY c DESC, SearchPhrase LIMIT 10"""))
-    qs.map { case (name, q) =>
+    qs.map { case (name, tbl, q) =>
       def best3(): Double = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         Engine.execute(spark, q).write.format("noop").mode("overwrite").save()
@@ -263,13 +269,15 @@ object Bench {
       graft.plans.SkipIndexPrune.enabled = true
       val rowsOn = Engine.execute(spark, q).count()
       val on = best3()
+      val kept = graft.plans.SkipIndexPrune.lastPruneFor(tbl)
       graft.plans.SkipIndexPrune.enabled = false
       val rowsOff = Engine.execute(spark, q).count()
       val off = best3()
       graft.plans.SkipIndexPrune.enabled = true
       require(rowsOn == rowsOff,
         s"$name: pruning changed the row count ($rowsOn vs $rowsOff)")
-      (name, on, off, rowsOn)
+      (name, on, off, rowsOn,
+        kept.map(_._1).getOrElse(-1), kept.map(_._2).getOrElse(-1))
     }
   }
 }
