@@ -141,6 +141,18 @@ object CatalogStore {
   private def catalogDir(spark: SparkSession): java.nio.file.Path =
     warehousePath(spark).resolve("_graft_catalog")
 
+  /** Trash area DROP TABLE stages into (UNDROP's source). Underscore-
+    * prefixed and one level deep, so the restore scan never lists it. */
+  private[dialect] def droppedDir(spark: SparkSession): java.nio.file.Path =
+    warehousePath(spark).resolve("_graft_dropped")
+
+  /** The managed location a table of this name would occupy — where an
+    * UNDROP moves the trashed directory back to. */
+  private[dialect] def managedLocation(spark: SparkSession, db: String,
+                                       tbl: String): java.nio.file.Path =
+    if (db == "default") warehousePath(spark).resolve(tbl)
+    else warehousePath(spark).resolve(s"$db.db").resolve(tbl)
+
   def saveDictionaries(spark: SparkSession): Unit = if (enabled(spark)) {
     try {
       val j: JValue = JArray(Dictionaries.all.map { m =>
@@ -242,6 +254,22 @@ object CatalogStore {
           UserFunctions.restore(name, strs(f \ "params"), body)
       }
       case _ => ()
+    }
+
+  /** UNDROP entry: re-register ONE table from its (just moved back)
+    * directory. Projections are NOT restored — their store tables were
+    * hard-deleted at DROP — and the meta file is re-saved afterwards so
+    * a later full restore doesn't resurrect dangling projection defs.
+    * Returns false if the directory holds no readable meta. */
+  private[dialect] def restoreOne(spark: SparkSession,
+                                  dir: java.nio.file.Path): Boolean =
+    readJson(dir.resolve(MetaFile)) match {
+      case Some(j) =>
+        restoreTable(spark, dir, j)
+        (for (db <- str(j \ "db"); tbl <- str(j \ "table"))
+          yield s"$db.$tbl").foreach(n => save(spark, n))
+        true
+      case None => false
     }
 
   private def restoreTable(spark: SparkSession, dir: java.nio.file.Path,

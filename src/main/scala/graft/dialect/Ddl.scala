@@ -474,9 +474,126 @@ object Ddl {
       "(?:ID\\s+)?(.+?)\\s+TO\\s+TABLE\\s+([\\w`.]+)\\s*$").r
 
   def isDdl(sql: String): Boolean =
-    ("(?is)^\\s*(CREATE|DROP|USE|INSERT|TRUNCATE|ALTER|OPTIMIZE" +
+    ("(?is)^\\s*(CREATE|DROP|UNDROP|USE|INSERT|TRUNCATE|ALTER|OPTIMIZE" +
       "|SHOW|DESCRIBE|DESC|EXISTS|RENAME|SYSTEM|SET|EXCHANGE|DELETE)\\b").r
       .findFirstIn(sql).isDefined
+
+  private val undropTableRe =
+    "(?is)^\\s*UNDROP\\s+TABLE\\s+([\\w`.]+)\\s*$".r
+
+  /** ClickHouse keeps a dropped table's data for
+    * `database_atomic_delay_before_drop_table_sec` (480 s default)
+    * before the final delete; UNDROP inside that window restores it. */
+  private val DropGraceMs = 480L * 1000
+
+  /** DROP TABLE: stage the managed directory (data + meta + skip-index
+    * manifest) into the warehouse trash instead of deleting — UNDROP
+    * can then restore it within the grace window. `SYNC` (ClickHouse's
+    * wait-for-full-removal form) deletes immediately. Tables without a
+    * durable meta file (foreign/temporary) hard-drop as before. The
+    * move is a directory rename: at 100 TB a DROP stays O(1), exactly
+    * like ClickHouse's rename into metadata_dropped/. */
+  private def dropTableStaged(spark: SparkSession, ifExists: Boolean,
+                              name0: String, sync: Boolean): DataFrame = {
+    val bare = name0.replace("`", "")
+    purgeExpiredDropped(spark)
+    val exists =
+      try spark.catalog.tableExists(bare) catch { case _: Throwable => false }
+    if (!exists) // IF EXISTS: no-op; else raise Spark's standard error
+      return if (ifExists) spark.emptyDataFrame
+             else spark.sql(s"DROP TABLE $bare")
+    val norm = normalize(spark, bare)
+    val loc = try Some(tableLoc(spark, bare)) catch { case _: Throwable => None }
+    val staged = !sync && CatalogStore.enabled(spark) && loc.exists(d =>
+      java.nio.file.Files.isRegularFile(d.resolve("_graft_meta.json")))
+    if (!staged) return spark.sql(s"DROP TABLE $bare")
+    val Array(db, tbl) = norm.split("\\.", 2)
+    // flip MANAGED -> EXTERNAL so the catalog drop leaves the files
+    val ec = spark.sharedState.externalCatalog
+    try ec.alterTable(ec.getTable(db, tbl).copy(
+      tableType = org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL))
+    catch { case _: Throwable => return spark.sql(s"DROP TABLE $bare") }
+    val out = spark.sql(s"DROP TABLE `$db`.`$tbl`")
+    try {
+      val trash = CatalogStore.droppedDir(spark)
+        .resolve(s"$db.$tbl.${System.currentTimeMillis()}")
+      java.nio.file.Files.createDirectories(trash.getParent)
+      java.nio.file.Files.move(loc.get, trash)
+    } catch { case _: Throwable => () } // best effort: a failed stage
+                                        // leaves an orphan dir, which
+                                        // cleanOrphanLocation handles
+    out
+  }
+
+  /** `UNDROP TABLE t`: move the newest trashed directory back to its
+    * managed location and re-register it (schema, MergeTree metadata,
+    * skip indexes). Projections do not come back — their store tables
+    * were hard-deleted at DROP (documented divergence; ClickHouse keeps
+    * them inside the parts). */
+  private def undropTable(spark: SparkSession, name0: String): DataFrame = {
+    val bare = name0.replace("`", "")
+    val norm = normalize(spark, bare)
+    if (spark.catalog.tableExists(bare))
+      throw new IllegalArgumentException(
+        s"cannot UNDROP $norm: a table with this name exists")
+    val Array(db, tbl) = norm.split("\\.", 2)
+    val root = CatalogStore.droppedDir(spark)
+    val prefix = s"$db.$tbl."
+    val newest = listDirs(root)
+      .filter(p => p.getFileName.toString.startsWith(prefix) &&
+        p.getFileName.toString.stripPrefix(prefix).forall(_.isDigit))
+      .sortBy(_.getFileName.toString.stripPrefix(prefix).toLong)
+      .lastOption.getOrElse(throw new IllegalArgumentException(
+        s"no recently dropped table $norm to UNDROP"))
+    val target = CatalogStore.managedLocation(spark, db, tbl)
+    java.nio.file.Files.createDirectories(target.getParent)
+    java.nio.file.Files.move(newest, target)
+    if (!CatalogStore.restoreOne(spark, target) ||
+        !spark.catalog.tableExists(bare))
+      throw new IllegalStateException(s"UNDROP $norm: restore failed")
+    spark.emptyDataFrame
+  }
+
+  /** Trash entries past the ClickHouse grace window die lazily on the
+    * next DROP (no background thread to leak). */
+  private def purgeExpiredDropped(spark: SparkSession): Unit = try {
+    val now = System.currentTimeMillis()
+    listDirs(CatalogStore.droppedDir(spark)).foreach { p =>
+      val ts = p.getFileName.toString.split("\\.").lastOption
+        .filter(_.forall(_.isDigit)).map(_.toLong)
+      if (ts.exists(now - _ > DropGraceMs)) deleteRecursively(p)
+    }
+  } catch { case _: Throwable => () }
+
+  private def listDirs(d: java.nio.file.Path): Seq[java.nio.file.Path] =
+    if (!java.nio.file.Files.isDirectory(d)) Nil
+    else {
+      val s = java.nio.file.Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toList.filter(java.nio.file.Files.isDirectory(_))
+      } finally s.close()
+    }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
+  /** `system.dropped_tables` face: what UNDROP can still restore. */
+  private[graft] def droppedTablesSnapshot(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    listDirs(CatalogStore.droppedDir(spark)).flatMap { p =>
+      val n = p.getFileName.toString
+      val i = n.lastIndexOf('.')
+      val j = n.indexOf('.')
+      if (i <= j || !n.substring(i + 1).forall(_.isDigit)) None
+      else Some((n.substring(0, j), n.substring(j + 1, i),
+        new java.sql.Timestamp(n.substring(i + 1).toLong)))
+    }.sortBy(r => (r._1, r._2))
+      .toDF("database", "table", "table_dropped_time")
+  }
 
   /** Execute one ClickHouse DDL/DML statement. */
   def execute(spark: SparkSession, sql: String): DataFrame = {
@@ -876,23 +993,31 @@ object Ddl {
             val truncated =
               ("(?is)^\\s*TRUNCATE\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?([\\w`.]+)".r
                 .findFirstMatchIn(s).map(_.group(1)))
-            val out = truncated match {
+            val dropTableM =
+              ("(?is)^\\s*DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?([\\w`.]+)" +
+                "(\\s+SYNC)?\\s*$").r.findFirstMatchIn(s)
+            val out = (truncated, dropTableM) match {
               // a user-level TRUNCATE wipes the table dir: FREEZE
               // snapshots survive (staged aside, ClickHouse keeps
               // shadow/ across TRUNCATE), the durable meta file and
               // the skip-index manifest re-persist — definitions
               // survive a TRUNCATE, their stats do not (data gone)
-              case Some(n) =>
+              case (Some(n), _) =>
                 val o = preservingShadow(spark, n.replace("`", "")) {
                   spark.sql(s)
                 }
                 CatalogStore.save(spark, n)
                 SkipIndexes.onTruncate(spark, normalize(spark, n))
                 o
-              case None => spark.sql(s)
+              case (_, Some(m)) =>
+                dropTableStaged(spark, Option(m.group(1)).isDefined,
+                  m.group(2), sync = Option(m.group(3)).isDefined)
+              case _ => spark.sql(s)
             }
             out
         }
+      case undropTableRe(name) =>
+        undropTable(spark, name)
       case other =>
         throw new IllegalArgumentException(s"unsupported DDL: $other")
     }
@@ -2244,6 +2369,7 @@ object Engine {
       "projections" -> (() => Projections.snapshot(spark)),
       "data_skipping_indices" -> (() => SkipIndexes.snapshot(spark)),
       "functions" -> (() => UserFunctions.snapshot(spark)),
+      "dropped_tables" -> (() => Ddl.droppedTablesSnapshot(spark)),
       "frozen_parts" -> (() => Ddl.frozenPartsSnapshot(spark)),
       "metrics" -> (() => Engine.metricsSnapshot(spark)),
       "events" -> (() => Engine.eventsSnapshot(spark)),

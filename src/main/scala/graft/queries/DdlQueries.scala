@@ -506,6 +506,35 @@ object DdlQueries {
              sum(CAST(o_totalprice AS DECIMAL(14,2))) AS sum_price
       FROM orders GROUP BY 1 ORDER BY ym""")),
 
+    // S19: DROP stages into the warehouse trash, UNDROP restores the
+    // table (rows + MergeTree metadata) inside ClickHouse's 480 s
+    // grace window; SYNC is the immediate hard delete. The oracle
+    // reproduces what the restored table must still answer.
+    Q("s19_undrop", (s, dir) => {
+      ChContext.setup(s, dir)
+      Engine.execute(s, "CREATE DATABASE IF NOT EXISTS graft_t")
+      Engine.execute(s, "DROP TABLE IF EXISTS graft_t.ud19 SYNC")
+      Engine.execute(s, """
+        CREATE TABLE graft_t.ud19 (c_custkey Int64, c_acctbal Float64)
+        ENGINE=MergeTree() ORDER BY (c_custkey)""")
+      Engine.execute(s, """
+        INSERT INTO graft_t.ud19
+        SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 = 0""")
+      Engine.execute(s, "DROP TABLE graft_t.ud19")
+      val trashed = Engine.execute(s, """
+        SELECT count() AS n FROM system.dropped_tables
+        WHERE database = 'graft_t' AND table = 'ud19'""")
+        .collect().head.getLong(0)
+      require(trashed == 1L, s"expected 1 trash entry for ud19, got $trashed")
+      Engine.execute(s, "UNDROP TABLE graft_t.ud19")
+      Engine.execute(s, """
+        SELECT count() AS n,
+               sum(CAST(c_acctbal AS Decimal(14,2))) AS bal
+        FROM graft_t.ud19""")
+    }, Some("""
+      SELECT count(*) AS n, sum(CAST(c_acctbal AS DECIMAL(14,2))) AS bal
+      FROM customer WHERE c_custkey % 3 = 0""")),
+
     // External dictionary: CREATE DICTIONARY over nation, then the
     // dictGet/dictHas/dictGetOrDefault lookup family against supplier
     // keys — present keys resolve, absent keys (+100) fall back to the

@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dialect.{CatalogStore, Engine}
+
+/** DROP TABLE trash-staging + UNDROP TABLE (ClickHouse keeps dropped
+  * tables for database_atomic_delay_before_drop_table_sec before the
+  * final delete; UNDROP restores inside that window; SYNC skips it). */
+class UndropSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.length
+    }.sum
+
+  test("DROP TABLE stages for UNDROP; SYNC deletes immediately; restore keeps indexes, drops projections") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.ud SYNC")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.ud (k Int64, x Int64)
+      ENGINE=MergeTree() ORDER BY (k)""")
+    for (off <- Seq(0L, 50000L))
+      Engine.execute(spark, s"""
+        INSERT INTO graft_spec.ud SELECT number, number + $off FROM numbers(100)""")
+    Engine.execute(spark, "ALTER TABLE graft_spec.ud ADD INDEX ix x TYPE minmax")
+    Engine.execute(spark, "ALTER TABLE graft_spec.ud MATERIALIZE INDEX ix")
+    Engine.execute(spark, """
+      ALTER TABLE graft_spec.ud ADD PROJECTION pu (SELECT k, count() GROUP BY k)""")
+    Engine.execute(spark, "ALTER TABLE graft_spec.ud MATERIALIZE PROJECTION pu")
+
+    Engine.execute(spark, "DROP TABLE graft_spec.ud")
+    assert(!spark.catalog.tableExists("graft_spec.ud"))
+    val listed = Engine.execute(spark, """
+      SELECT database, table FROM system.dropped_tables
+      WHERE table = 'ud'""").collect()
+    assert(listed.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("graft_spec", "ud")), "dropped table must be UNDROP-able and listed")
+
+    Engine.execute(spark, "UNDROP TABLE graft_spec.ud")
+    assert(Engine.execute(spark, "SELECT count() AS n FROM graft_spec.ud")
+      .collect().head.getLong(0) == 200L, "UNDROP restores the rows")
+    // skip index came back with its manifest (file keys match: the
+    // directory moved back to the identical location)
+    val total = spark.table("graft_spec.ud").inputFiles.length
+    val miss = Engine.execute(spark,
+      "SELECT count() AS n FROM graft_spec.ud WHERE x = 999999999")
+    assert(miss.collect().head.getLong(0) == 0L)
+    assert(scannedFiles(miss) < total, "restored skip index should still prune")
+    // projections do NOT come back (stores were hard-deleted)
+    assert(Engine.execute(spark, """
+      SELECT count() AS n FROM system.projections
+      WHERE table = 'graft_spec.ud'""").collect().head.getLong(0) == 0L)
+    // nothing left to undrop now
+    intercept[Exception](Engine.execute(spark, "UNDROP TABLE graft_spec.ud"))
+
+    // a re-created name blocks UNDROP
+    Engine.execute(spark, "DROP TABLE graft_spec.ud")
+    Engine.execute(spark,
+      "CREATE TABLE graft_spec.ud (a Int64) ENGINE=Memory")
+    intercept[Exception](Engine.execute(spark, "UNDROP TABLE graft_spec.ud"))
+
+    // SYNC = ClickHouse's wait-for-full-removal: no trash entry
+    Engine.execute(spark, "DROP TABLE graft_spec.ud SYNC")
+    assert(Engine.execute(spark, """
+      SELECT count() AS n FROM system.dropped_tables
+      WHERE table = 'ud' AND database = 'graft_spec'""").collect()
+      .head.getLong(0) >= 1L, "the first (staged) drop is still in trash")
+    // drain the remaining staged entry to leave a clean slate
+    Engine.execute(spark, "UNDROP TABLE graft_spec.ud")
+    Engine.execute(spark, "DROP TABLE graft_spec.ud SYNC")
+    assert(Engine.execute(spark, """
+      SELECT count() AS n FROM system.dropped_tables
+      WHERE table = 'ud' AND database = 'graft_spec'""").collect()
+      .head.getLong(0) == 0L)
+    intercept[Exception](Engine.execute(spark, "UNDROP TABLE graft_spec.ud"))
+  }
+
+  test("UNDROP works across a restart (trash survives on disk)") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.udr SYNC")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.udr (k Int64) ENGINE=MergeTree() ORDER BY (k)""")
+    Engine.execute(spark,
+      "INSERT INTO graft_spec.udr SELECT number FROM numbers(42)")
+    Engine.execute(spark, "DROP TABLE graft_spec.udr")
+    CatalogStore.simulateRestart(spark, Nil)
+    Engine.execute(spark, "SELECT 1") // trigger the lazy restore
+    assert(!spark.catalog.tableExists("graft_spec.udr"),
+      "a restore must not resurrect dropped tables")
+    Engine.execute(spark, "UNDROP TABLE graft_spec.udr")
+    assert(Engine.execute(spark, "SELECT count() AS n FROM graft_spec.udr")
+      .collect().head.getLong(0) == 42L)
+    Engine.execute(spark, "DROP TABLE graft_spec.udr SYNC")
+  }
+}
