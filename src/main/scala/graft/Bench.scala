@@ -223,7 +223,7 @@ object Bench {
         try spark.catalog.tableExists(tbl) && spark.table(tbl).count() == n
         catch { case _: Throwable => false }
       if (!loaded) {
-        Engine.execute(spark, s"DROP TABLE IF EXISTS $tbl")
+        Engine.execute(spark, s"DROP TABLE IF EXISTS $tbl SYNC")
         Engine.execute(spark,
           s"CREATE TABLE $tbl ($cols) ENGINE=MergeTree() ORDER BY ($orderCol)")
         Engine.execute(spark, s"INSERT INTO $tbl $sel")

@@ -27,7 +27,7 @@ object SkipBench {
     import graft.dialect.Engine
     val t = "graft_bench.skipscale"
     Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_bench")
-    Engine.execute(spark, s"DROP TABLE IF EXISTS $t")
+    Engine.execute(spark, s"DROP TABLE IF EXISTS $t SYNC")
     Engine.execute(spark, s"""
       CREATE TABLE $t (k Int64, band Int64, bucket Int64, txt String)
       ENGINE=MergeTree() ORDER BY (k)""")
@@ -119,7 +119,7 @@ object SkipBench {
       spark.table(t).inputFiles.head).getPath).getParentFile
     val manifest = new java.io.File(loc, "_graft_skipidx/indexes.json")
     println(f"""{"metric":"skip_index_scale","rows":$n,"batches":$batches,"files":$files,"load_sec":$loadSec%.1f,"materialize_ngram_sec":$buildNgram%.1f,"materialize_minmax_sec":$buildMinmax%.1f,"materialize_proj_sec":$buildProj%.1f,"proj_rewrite_sec":$projOn%.3f,"proj_full_sec":$projOff%.2f,"proj_speedup":${projOff / projOn}%.1f,"like_pruned_sec":$likeOn%.2f,"like_full_sec":$likeOff%.2f,"like_speedup":${likeOff / likeOn}%.2f,"band_pruned_sec":$bandOn%.2f,"band_full_sec":$bandOff%.2f,"band_speedup":${bandOff / bandOn}%.2f,"like_kept":${likeKept.map(_._1).getOrElse(-1)},"like_total":${likeKept.map(_._2).getOrElse(-1)},"band_kept":${kept.map(_._1).getOrElse(-1)},"band_total":${kept.map(_._2).getOrElse(-1)},"manifest_bytes":${manifest.length()},"like_rows":$lr1,"band_rows":$br1}""")
-    Engine.execute(spark, s"DROP TABLE IF EXISTS $t")
+    Engine.execute(spark, s"DROP TABLE IF EXISTS $t SYNC")
     spark.stop()
   }
 }

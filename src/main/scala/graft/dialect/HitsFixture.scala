@@ -304,7 +304,7 @@ object HitsFixture {
         try spark.catalog.tableExists(table) && spark.table(table).count() == N
         catch { case _: Throwable => false }
       if (!loaded) {
-        Engine.execute(spark, s"DROP TABLE IF EXISTS $table")
+        Engine.execute(spark, s"DROP TABLE IF EXISTS $table SYNC")
         Engine.execute(spark, ddl)
         Engine.execute(spark, insertSql)
       }
@@ -335,7 +335,7 @@ object HitsFixture {
       try spark.catalog.tableExists(tbl) && spark.table(tbl).count() == n
       catch { case _: Throwable => false }
     if (!loaded) {
-      Engine.execute(spark, s"DROP TABLE IF EXISTS $tbl")
+      Engine.execute(spark, s"DROP TABLE IF EXISTS $tbl SYNC")
       Engine.execute(spark, ddl.replace(table, tbl))
       var off = 0L
       while (off < n) {

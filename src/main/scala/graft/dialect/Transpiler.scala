@@ -410,6 +410,17 @@ object Transpiler {
     // quantiles(p1,p2,..)(x) -> percentile(x, array(p1,p2,..))
     s = rewriteParameterized(s, "quantiles",
       (ps, arg) => s"percentile($arg, array($ps))")
+    // Low/High: element at floor/ceil of p*(n-1) — ClickHouse's
+    // python-median_low/median_high analogs (docs: quantileExactLow /
+    // quantileExactHigh), distinct from plain quantileExact's
+    // floor(p*n) nth_element rule
+    def exactLowHigh(p: String, arg: String, f: String): String =
+      s"(CASE WHEN count($arg) > 0 THEN element_at(array_sort(collect_list($arg)), " +
+        s"cast($f(($p) * (count($arg) - 1)) as int) + 1) END)"
+    s = rewriteParameterized(s, "quantileExactLow",
+      (p, arg) => exactLowHigh(p, arg, "floor"))
+    s = rewriteParameterized(s, "quantileExactHigh",
+      (p, arg) => exactLowHigh(p, arg, "ceil"))
     s = rewriteParameterized(s, "quantileExact", exactRank)
     // quantileTiming: ClickHouse's timing sketch is EXACT for values in
     // [0, 30000] ms (integer-ms bins) and clamps outside — mapped to

@@ -1229,14 +1229,18 @@ object Dialect {
              CAST(quantileExact(0.5)(c_acctbal) AS Float64) AS med,
              CAST(quantileExact(0.25)(c_acctbal) AS Float64) AS q1,
              quantileTiming(0.9)(c_custkey % 20000) AS t90,
-             CAST(arrayElement(quantilesExact(0.1, 0.9)(c_acctbal), 2) AS Float64) AS p90
+             CAST(arrayElement(quantilesExact(0.1, 0.9)(c_acctbal), 2) AS Float64) AS p90,
+             CAST(quantileExactLow(0.5)(c_acctbal) AS Float64) AS med_lo,
+             CAST(quantileExactHigh(0.5)(c_acctbal) AS Float64) AS med_hi
       FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""),
       Some("""
       SELECT c_nationkey,
              CAST(list_sort(list(c_acctbal))[LEAST(CAST(floor(0.5 * count(c_acctbal)) AS INT), CAST(count(c_acctbal) AS INT) - 1) + 1] AS DOUBLE) AS med,
              CAST(list_sort(list(c_acctbal))[LEAST(CAST(floor(0.25 * count(c_acctbal)) AS INT), CAST(count(c_acctbal) AS INT) - 1) + 1] AS DOUBLE) AS q1,
              CAST(list_sort(list(c_custkey % 20000))[LEAST(CAST(floor(0.9 * count(*)) AS INT), CAST(count(*) AS INT) - 1) + 1] AS DOUBLE) AS t90,
-             CAST(list_sort(list(c_acctbal))[LEAST(CAST(floor(0.9 * count(c_acctbal)) AS INT), CAST(count(c_acctbal) AS INT) - 1) + 1] AS DOUBLE) AS p90
+             CAST(list_sort(list(c_acctbal))[LEAST(CAST(floor(0.9 * count(c_acctbal)) AS INT), CAST(count(c_acctbal) AS INT) - 1) + 1] AS DOUBLE) AS p90,
+             CAST(list_sort(list(c_acctbal))[CAST(floor(0.5 * (count(c_acctbal) - 1)) AS INT) + 1] AS DOUBLE) AS med_lo,
+             CAST(list_sort(list(c_acctbal))[CAST(ceil(0.5 * (count(c_acctbal) - 1)) AS INT) + 1] AS DOUBLE) AS med_hi
       FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""))
   )
 }
