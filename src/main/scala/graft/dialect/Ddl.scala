@@ -324,9 +324,15 @@ object Ddl {
   private val showDictRe = "(?is)^\\s*SHOW\\s+DICTIONARIES\\s*$".r
   // SQL-defined UDFs (macros; UserFunctions.scala)
   private val createFunctionRe =
-    "(?is)^\\s*CREATE\\s+FUNCTION\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w`]+)\\s+AS\\s+(.+)$".r
+    ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?FUNCTION\\s+" +
+      "(IF\\s+NOT\\s+EXISTS\\s+)?([\\w`]+)\\s+AS\\s+(.+)$").r
   private val dropFunctionRe =
     "(?is)^\\s*DROP\\s+FUNCTION\\s+(IF\\s+EXISTS\\s+)?([\\w`]+)\\s*$".r
+  // ClickHouse DROP DATABASE drops the database WITH its tables (and
+  // accepts SYNC); Spark demands an explicit CASCADE for non-empty
+  private val dropDatabaseRe =
+    ("(?is)^\\s*DROP\\s+DATABASE\\s+(IF\\s+EXISTS\\s+)?([\\w`]+)" +
+      "(\\s+SYNC)?\\s*$").r
   private val showProcesslistRe = "(?is)^\\s*SHOW\\s+PROCESSLIST\\s*$".r
   private val setStmtRe = "(?is)^\\s*SET\\s+(.+)$".r
   private val systemReloadDictRe =
@@ -611,12 +617,34 @@ object Ddl {
       case showDictRe() =>
         import spark.implicits._
         Dictionaries.names.toDF("name")
-      case createFunctionRe(ifNot, name, lambda) =>
+      case createFunctionRe(orReplace, ifNot, name, lambda) =>
+        if (Option(orReplace).isDefined)
+          UserFunctions.drop(spark, name, ifExists = true)
         UserFunctions.create(spark, name, lambda, Option(ifNot).isDefined)
         spark.emptyDataFrame
       case dropFunctionRe(ifEx, name) =>
         UserFunctions.drop(spark, name, Option(ifEx).isDefined)
         spark.emptyDataFrame
+      case dropDatabaseRe(ifEx, name0, _) =>
+        // ClickHouse semantics: the database goes WITH its tables. All
+        // in-memory registries for those tables must go too — a later
+        // same-named CREATE must start clean (the EXCHANGE/RENAME
+        // hygiene invariant, database-wide).
+        val db = name0.replace("`", "").toLowerCase
+        if (db == "system" || db == "default")
+          throw new IllegalArgumentException(s"cannot drop database $db")
+        val norms = tables.keys.filter(_.startsWith(db + ".")).toList
+        norms.foreach { norm =>
+          tables.remove(norm)
+          SkipIndexes.forgetInMemory(norm)
+          Projections.forTable(norm).foreach { p =>
+            try spark.sql(s"DROP TABLE IF EXISTS ${p.store}")
+            catch { case _: Throwable => () }
+          }
+          Projections.forgetInMemory(norm)
+        }
+        forgetMatViewsFor(norms.map(_.toLowerCase).toSet)
+        spark.sql(s"DROP DATABASE ${Option(ifEx).getOrElse("")} `$db` CASCADE")
       case showProcesslistRe() =>
         Engine.processesSnapshot(spark)
       case setStmtRe(assignments) =>

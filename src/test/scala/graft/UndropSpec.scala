@@ -79,6 +79,37 @@ class UndropSpec extends AnyFunSuite {
     intercept[Exception](Engine.execute(spark, "UNDROP TABLE graft_spec.ud"))
   }
 
+  test("DROP DATABASE cascades like ClickHouse and scrubs every registry") {
+    Engine.execute(spark, "DROP DATABASE IF EXISTS graft_dbx SYNC")
+    Engine.execute(spark, "CREATE DATABASE graft_dbx")
+    Engine.execute(spark, """
+      CREATE TABLE graft_dbx.t1 (k Int64, x Int64)
+      ENGINE=MergeTree() ORDER BY (k)""")
+    Engine.execute(spark,
+      "INSERT INTO graft_dbx.t1 SELECT number, number FROM numbers(10)")
+    Engine.execute(spark, "ALTER TABLE graft_dbx.t1 ADD INDEX ix x TYPE minmax")
+    Engine.execute(spark, """
+      ALTER TABLE graft_dbx.t1 ADD PROJECTION p (SELECT k, count() GROUP BY k)""")
+    Engine.execute(spark, "CREATE TABLE graft_dbx.t2 (a Int64) ENGINE=Memory")
+    // ClickHouse drops a NON-EMPTY database without any CASCADE keyword
+    Engine.execute(spark, "DROP DATABASE graft_dbx")
+    assert(!spark.catalog.databaseExists("graft_dbx"))
+    assert(Engine.execute(spark, """
+      SELECT count() AS n FROM system.data_skipping_indices
+      WHERE database = 'graft_dbx'""").collect().head.getLong(0) == 0L)
+    assert(Engine.execute(spark, """
+      SELECT count() AS n FROM system.projections
+      WHERE table LIKE 'graft_dbx%'""").collect().head.getLong(0) == 0L)
+    // a fresh same-named database + table starts clean
+    Engine.execute(spark, "CREATE DATABASE graft_dbx")
+    Engine.execute(spark, """
+      CREATE TABLE graft_dbx.t1 (k Int64, x Int64) ENGINE=Memory""")
+    assert(Engine.execute(spark, "SELECT count() AS n FROM graft_dbx.t1")
+      .collect().head.getLong(0) == 0L)
+    Engine.execute(spark, "DROP DATABASE graft_dbx SYNC")
+    intercept[Exception](Engine.execute(spark, "DROP DATABASE system"))
+  }
+
   test("UNDROP works across a restart (trash survives on disk)") {
     Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
     Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.udr SYNC")

@@ -61,6 +61,17 @@ class UserFunctionSpec extends AnyFunSuite {
     Seq("uf_dup", "uf_a", "uf_b").foreach(f => exec(s"DROP FUNCTION $f"))
   }
 
+  test("CREATE OR REPLACE FUNCTION swaps the definition in place") {
+    exec("DROP FUNCTION IF EXISTS uf_rep")
+    exec("CREATE FUNCTION uf_rep AS (x) -> x + 1")
+    assert(exec("SELECT uf_rep(1) AS v").collect().head.getInt(0) == 2)
+    exec("CREATE OR REPLACE FUNCTION uf_rep AS (x) -> x * 10")
+    assert(exec("SELECT uf_rep(1) AS v").collect().head.getInt(0) == 10)
+    // still refuses builtin names even with OR REPLACE
+    intercept[Exception](exec("CREATE OR REPLACE FUNCTION lower AS (x) -> x"))
+    exec("DROP FUNCTION uf_rep")
+  }
+
   test("string literals are never expanded; params don't touch strings") {
     exec("DROP FUNCTION IF EXISTS uf_tag")
     exec("CREATE FUNCTION uf_tag AS (x) -> concat('x=(', toString(x), ')')")
