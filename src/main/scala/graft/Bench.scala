@@ -139,16 +139,23 @@ object Bench {
     // from the layout). Tables + manifests persist across JVMs via the
     // durable catalog — the build is a one-time cost per fixture size.
     val ixT0 = System.nanoTime()
-    val skipAb = try {
-      ensureBanded(spark, hitsN)
-      abBlock(spark)
-    } catch {
-      case e: Throwable =>
-        System.err.println(s"BENCH skip-A/B failed: ${e.getMessage}")
-        Nil
-    }
-    val ixBuildSec = (System.nanoTime() - ixT0) / 1e9 -
-      skipAb.map(r => r._2 + r._3).sum
+    val ixBuildOk =
+      try { ensureBanded(spark, hitsN); true }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH banded-fixture build failed: ${e.getMessage}")
+          false
+      }
+    // build cost timed around ensureBanded ALONE — subtracting only the
+    // best-of samples under-counted the A/B's own runtime into it
+    val ixBuildSec = (System.nanoTime() - ixT0) / 1e9
+    val skipAb =
+      if (!ixBuildOk) Nil
+      else try abBlock(spark) catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH skip-A/B failed: ${e.getMessage}")
+          Nil
+      }
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
     val total = results.flatMap(_._2).sum
     val headlineTotal = results.filter(r => headline.contains(r._1)).flatMap(_._2).sum
@@ -266,17 +273,25 @@ object Bench {
         Engine.execute(spark, q).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }.min
+      // the equality guard compares the RESULT VALUES, not row counts —
+      // a COUNT(*) query returns one row no matter what it counted, and
+      // the LIMIT 10 shapes return ten rows even with divergent content
+      def signature(): (Long, Int) = {
+        val rows = Engine.execute(spark, q).collect()
+        (rows.length.toLong,
+          rows.map(_.toString).sorted.mkString("|").hashCode)
+      }
       graft.plans.SkipIndexPrune.enabled = true
-      val rowsOn = Engine.execute(spark, q).count()
+      val sigOn = signature()
       val on = best3()
       val kept = graft.plans.SkipIndexPrune.lastPruneFor(tbl)
       graft.plans.SkipIndexPrune.enabled = false
-      val rowsOff = Engine.execute(spark, q).count()
+      val sigOff = signature()
       val off = best3()
       graft.plans.SkipIndexPrune.enabled = true
-      require(rowsOn == rowsOff,
-        s"$name: pruning changed the row count ($rowsOn vs $rowsOff)")
-      (name, on, off, rowsOn,
+      require(sigOn == sigOff,
+        s"$name: pruning changed the answer ($sigOn vs $sigOff)")
+      (name, on, off, sigOn._1,
         kept.map(_._1).getOrElse(-1), kept.map(_._2).getOrElse(-1))
     }
   }

@@ -537,6 +537,7 @@ object Ddl {
     * were hard-deleted at DROP (documented divergence; ClickHouse keeps
     * them inside the parts). */
   private def undropTable(spark: SparkSession, name0: String): DataFrame = {
+    purgeExpiredDropped(spark) // the grace window binds UNDROP itself
     val bare = name0.replace("`", "")
     val norm = normalize(spark, bare)
     if (spark.catalog.tableExists(bare))
@@ -590,6 +591,7 @@ object Ddl {
   /** `system.dropped_tables` face: what UNDROP can still restore. */
   private[graft] def droppedTablesSnapshot(spark: SparkSession): DataFrame = {
     import spark.implicits._
+    purgeExpiredDropped(spark) // never list what UNDROP would refuse
     listDirs(CatalogStore.droppedDir(spark)).flatMap { p =>
       val n = p.getFileName.toString
       val i = n.lastIndexOf('.')
@@ -618,9 +620,8 @@ object Ddl {
         import spark.implicits._
         Dictionaries.names.toDF("name")
       case createFunctionRe(orReplace, ifNot, name, lambda) =>
-        if (Option(orReplace).isDefined)
-          UserFunctions.drop(spark, name, ifExists = true)
-        UserFunctions.create(spark, name, lambda, Option(ifNot).isDefined)
+        UserFunctions.create(spark, name, lambda, Option(ifNot).isDefined,
+          orReplace = Option(orReplace).isDefined)
         spark.emptyDataFrame
       case dropFunctionRe(ifEx, name) =>
         UserFunctions.drop(spark, name, Option(ifEx).isDefined)
@@ -643,7 +644,18 @@ object Ddl {
           }
           Projections.forgetInMemory(norm)
         }
-        forgetMatViewsFor(norms.map(_.toLowerCase).toSet)
+        // materialized views die with the database whenever their name,
+        // target or source lives in it — including MVs over tables the
+        // registry never saw — and the removal must PERSIST, or the
+        // central matviews.json resurrects them on the next restart,
+        // fanning inserts into deleted targets
+        val dbPrefix = db + "."
+        matViews.filter { case (name, mv) =>
+          name.toLowerCase.startsWith(dbPrefix) ||
+            mv.target.toLowerCase.startsWith(dbPrefix) ||
+            mv.src.toLowerCase.startsWith(dbPrefix)
+        }.keys.foreach(matViews.remove)
+        CatalogStore.saveMatViews(spark)
         spark.sql(s"DROP DATABASE ${Option(ifEx).getOrElse("")} `$db` CASCADE")
       case showProcesslistRe() =>
         Engine.processesSnapshot(spark)

@@ -38,11 +38,15 @@ object UserFunctions {
   def exists(name: String): Boolean =
     registry.contains(name.replace("`", "").toLowerCase)
 
+  /** `orReplace` swaps the definition ATOMICALLY: validation (builtin
+    * guard, lambda parse) happens before the registry is touched, so a
+    * malformed replacement leaves the old function intact — ClickHouse
+    * CREATE OR REPLACE semantics. */
   def create(spark: SparkSession, name0: String, lambda: String,
-             ifNotExists: Boolean): Unit = {
+             ifNotExists: Boolean, orReplace: Boolean = false): Unit = {
     val name = name0.replace("`", "").trim
     val key = name.toLowerCase
-    if (registry.contains(key)) {
+    if (!orReplace && registry.contains(key)) {
       if (ifNotExists) return
       throw new IllegalArgumentException(
         s"function $name already exists (DROP FUNCTION it first)")
@@ -195,6 +199,18 @@ object UserFunctions {
     if (registry.isEmpty) return sql0
     var sql = sql0
     var rounds = 0
+    // every SUBSTITUTION counts, not just outer rounds: a directly
+    // self-recursive body re-matches inside its own expansion within
+    // the inner loop, which never returns to the round counter — only
+    // a per-substitution cap turns that into an error instead of an
+    // unboundedly growing string
+    var subs = 0
+    def bumpSubs(): Unit = {
+      subs += 1
+      if (subs > 500) throw new IllegalArgumentException(
+        "SQL UDF expansion exceeded 500 substitutions — recursive " +
+          "CREATE FUNCTION definitions are not supported")
+    }
     var changed = true
     while (changed) {
       changed = false
@@ -229,6 +245,7 @@ object UserFunctions {
                   }
                   sql = sql.substring(0, start) + "(" + expanded + ")" +
                     sql.substring(close + 1)
+                  bumpSubs()
                   changed = true
                   searchFrom = start
                 }

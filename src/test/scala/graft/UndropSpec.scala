@@ -91,9 +91,25 @@ class UndropSpec extends AnyFunSuite {
     Engine.execute(spark, """
       ALTER TABLE graft_dbx.t1 ADD PROJECTION p (SELECT k, count() GROUP BY k)""")
     Engine.execute(spark, "CREATE TABLE graft_dbx.t2 (a Int64) ENGINE=Memory")
+    // an MV living in the database, fed by a table OUTSIDE it
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_t")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.mvsrc SYNC")
+    Engine.execute(spark,
+      "CREATE TABLE graft_t.mvsrc (k Int64) ENGINE=Memory")
+    Engine.execute(spark, """
+      CREATE MATERIALIZED VIEW graft_dbx.mv TO graft_dbx.t2 AS
+      SELECT k AS a FROM graft_t.mvsrc""")
     // ClickHouse drops a NON-EMPTY database without any CASCADE keyword
     Engine.execute(spark, "DROP DATABASE graft_dbx")
     assert(!spark.catalog.databaseExists("graft_dbx"))
+    // the MV must die DURABLY with its database: after a restart an
+    // insert into the outside source must not fan out into the deleted
+    // target (pre-fix, matviews.json resurrected it)
+    CatalogStore.simulateRestart(spark, Seq("graft_t.mvsrc"))
+    Engine.execute(spark, "INSERT INTO graft_t.mvsrc VALUES (7)")
+    assert(Engine.execute(spark, "SELECT count() AS n FROM graft_t.mvsrc")
+      .collect().head.getLong(0) == 1L)
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_t.mvsrc SYNC")
     assert(Engine.execute(spark, """
       SELECT count() AS n FROM system.data_skipping_indices
       WHERE database = 'graft_dbx'""").collect().head.getLong(0) == 0L)

@@ -58,7 +58,15 @@ class UserFunctionSpec extends AnyFunSuite {
     exec("CREATE FUNCTION uf_b AS (x) -> uf_a(x) + 1")
     val e = intercept[Exception](exec("SELECT uf_a(1) AS v"))
     assert(e.getMessage.contains("recursive"))
-    Seq("uf_dup", "uf_a", "uf_b").foreach(f => exec(s"DROP FUNCTION $f"))
+    // DIRECT self-recursion re-matches inside its own expansion (the
+    // round counter alone never fires) — the substitution cap must
+    // turn it into an error, not a hang
+    exec("DROP FUNCTION IF EXISTS uf_self")
+    exec("CREATE FUNCTION uf_self AS (x) -> uf_self(x) + 1")
+    val e2 = intercept[Exception](exec("SELECT uf_self(1) AS v"))
+    assert(e2.getMessage.contains("recursive"))
+    Seq("uf_dup", "uf_a", "uf_b", "uf_self")
+      .foreach(f => exec(s"DROP FUNCTION $f"))
   }
 
   test("CREATE OR REPLACE FUNCTION swaps the definition in place") {
@@ -69,6 +77,11 @@ class UserFunctionSpec extends AnyFunSuite {
     assert(exec("SELECT uf_rep(1) AS v").collect().head.getInt(0) == 10)
     // still refuses builtin names even with OR REPLACE
     intercept[Exception](exec("CREATE OR REPLACE FUNCTION lower AS (x) -> x"))
+    // a MALFORMED replacement must leave the old definition intact
+    // (validation before mutation — ClickHouse semantics)
+    intercept[Exception](exec("CREATE OR REPLACE FUNCTION uf_rep AS x + 1"))
+    assert(exec("SELECT uf_rep(1) AS v").collect().head.getInt(0) == 10,
+      "a failed OR REPLACE must not destroy the existing function")
     exec("DROP FUNCTION uf_rep")
   }
 
