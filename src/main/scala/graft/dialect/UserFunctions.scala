@@ -114,11 +114,11 @@ object UserFunctions {
 
   /** index of the FIRST `->` at paren depth 0 outside strings, or -1 */
   private def topLevelArrow(s: String): Int = {
-    var i = 0; var depth = 0; var q = false
+    val mask = stringMask(s)
+    var i = 0; var depth = 0
     while (i < s.length - 1) {
-      val c = s.charAt(i)
-      if (c == '\'') q = !q
-      else if (!q) {
+      if (!mask(i)) {
+        val c = s.charAt(i)
         if (c == '(') depth += 1
         else if (c == ')') depth -= 1
         else if (depth == 0 && c == '-' && s.charAt(i + 1) == '>') return i
@@ -128,24 +128,38 @@ object UserFunctions {
     -1
   }
 
-  /** true at positions inside (or delimiting) single-quoted strings */
+  /** true at positions inside (or delimiting) single-quoted strings.
+    * Handles both ClickHouse escape forms — backslash (`'O\'Brien'`)
+    * and doubling (`'O''Brien'`) — like Transpiler.depthMap; a naive
+    * quote-toggle would desync after `\'` and flip every position after
+    * it in/out of string state, letting macro expansion fire inside a
+    * literal (or skip a real call). */
   private def stringMask(s: String): Array[Boolean] = {
     val in = new Array[Boolean](s.length)
     var i = 0; var q = false
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '\'') { in(i) = true; q = !q } else in(i) = q
+      if (q) {
+        in(i) = true
+        c match {
+          case '\\' if i + 1 < s.length =>
+            in(i + 1) = true; i += 1 // escaped char: consume it
+          case '\'' if i + 1 < s.length && s.charAt(i + 1) == '\'' =>
+            in(i + 1) = true; i += 1 // doubled quote
+          case '\'' => q = false
+          case _ => ()
+        }
+      } else if (c == '\'') { in(i) = true; q = true }
       i += 1
     }
     in
   }
 
-  private def matchingParen(s: String, open: Int): Int = {
-    var i = open; var depth = 0; var q = false
+  private def matchingParen(s: String, open: Int, mask: Array[Boolean]): Int = {
+    var i = open; var depth = 0
     while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '\'') q = !q
-      else if (!q) {
+      if (!mask(i)) {
+        val c = s.charAt(i)
         if (c == '(') depth += 1
         else if (c == ')') { depth -= 1; if (depth == 0) return i }
       }
@@ -155,12 +169,12 @@ object UserFunctions {
   }
 
   private def splitTopLevelCommas(s: String): Seq[String] = {
+    val mask = stringMask(s)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var depth = 0; var q = false; var start = 0; var i = 0
+    var depth = 0; var start = 0; var i = 0
     while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '\'') q = !q
-      else if (!q) {
+      if (!mask(i)) {
+        val c = s.charAt(i)
         if (c == '(' || c == '[') depth += 1
         else if (c == ')' || c == ']') depth -= 1
         else if (c == ',' && depth == 0) {
@@ -173,18 +187,30 @@ object UserFunctions {
     out.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
-  /** Substitute `param` (identifier-boundary, outside strings) with the
-    * parenthesized argument. */
-  private def substParam(body: String, param: String, arg: String): String = {
-    val re = ("(?i)(?<![\\w`])" +
-      java.util.regex.Pattern.quote(param) + "(?![\\w`])").r
+  /** Substitute ALL parameters SIMULTANEOUSLY (identifier-boundary,
+    * outside strings) with their parenthesized arguments — one pass over
+    * the original body, never over substituted text. Sequential
+    * substitution would capture: with `(x, k) -> k * x`, the call
+    * `f(k, 2)` against a table column `k` first rewrites x→(k), then the
+    * second pass rewrites THAT k→(2), silently producing (2)*((2))
+    * instead of (2)*(k). ClickHouse substitutes argument ASTs
+    * simultaneously; a single alternation pass is the textual
+    * equivalent. */
+  private def substParams(body: String, params: Seq[String],
+                          args: Seq[String]): String = {
+    if (params.isEmpty) return body
+    val argFor: Map[String, String] =
+      params.zip(args).map { case (p, a) => p.toLowerCase -> a }.toMap
+    val re = ("(?i)(?<![\\w`])(" +
+      params.map(java.util.regex.Pattern.quote).mkString("|") +
+      ")(?![\\w`])").r
     val mask = stringMask(body)
     val sb = new StringBuilder
     var last = 0
     re.findAllMatchIn(body).foreach { m =>
-      if (m.start >= last && !mask(m.start)) {
+      if (!mask(m.start)) {
         sb.append(body.substring(last, m.start))
-          .append('(').append(arg).append(')')
+          .append('(').append(argFor(m.group(1).toLowerCase)).append(')')
         last = m.end
       }
     }
@@ -231,7 +257,7 @@ object UserFunctions {
               val openParen = searchFrom + m0.end - 1
               if (mask(start)) searchFrom = start + 1
               else {
-                val close = matchingParen(sql, openParen)
+                val close = matchingParen(sql, openParen, mask)
                 if (close < 0) { continue = false }
                 else {
                   val args = splitTopLevelCommas(
@@ -240,9 +266,7 @@ object UserFunctions {
                     throw new IllegalArgumentException(
                       s"function ${udf.name} expects ${udf.params.length} " +
                         s"argument(s), got ${args.length}")
-                  val expanded = udf.params.zip(args).foldLeft(udf.body) {
-                    case (b, (p, a)) => substParam(b, p, a)
-                  }
+                  val expanded = substParams(udf.body, udf.params, args)
                   sql = sql.substring(0, start) + "(" + expanded + ")" +
                     sql.substring(close + 1)
                   bumpSubs()

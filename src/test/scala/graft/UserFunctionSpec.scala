@@ -95,6 +95,47 @@ class UserFunctionSpec extends AnyFunSuite {
     exec("DROP FUNCTION uf_tag")
   }
 
+  test("backslash-escaped quote in a literal doesn't desync the mask") {
+    exec("DROP FUNCTION IF EXISTS uf_esc")
+    exec("CREATE FUNCTION uf_esc AS (x) -> x * 3")
+    // the \' inside the literal must not flip string state: the literal
+    // mentioning uf_esc(y) stays verbatim, the REAL call after it expands
+    val r = exec(
+      """SELECT 'don\'t call uf_esc(9)' AS lit, uf_esc(7) AS v""")
+      .collect().head
+    assert(r.getString(0) == "don't call uf_esc(9)",
+      "literal with \\' must survive expansion untouched")
+    assert(r.getInt(1) == 21, "the real call after the \\' literal must expand")
+    // doubled-quote form too
+    val r2 = exec(
+      """SELECT 'it''s uf_esc(1)' AS lit, uf_esc(2) AS v""").collect().head
+    assert(r2.getString(0) == "it's uf_esc(1)")
+    assert(r2.getInt(1) == 6)
+    exec("DROP FUNCTION uf_esc")
+  }
+
+  test("parameters substitute simultaneously — no argument capture") {
+    exec("DROP FUNCTION IF EXISTS uf_cap")
+    exec("CREATE FUNCTION uf_cap AS (x, k) -> k * x")
+    exec("CREATE DATABASE IF NOT EXISTS graft_t")
+    exec("DROP TABLE IF EXISTS graft_t.ufcap")
+    exec("CREATE TABLE graft_t.ufcap (k Int64) ENGINE=Memory")
+    exec("INSERT INTO graft_t.ufcap SELECT number FROM numbers(4)")
+    // f(k, 2): x:=column k, k:=2 — sequential substitution would capture
+    // the substituted column k and produce (2)*((2))=4 for every row;
+    // simultaneous substitution yields 2*k = 0,2,4,6
+    val r = exec(
+      "SELECT uf_cap(k, 2) AS v FROM graft_t.ufcap ORDER BY v").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(0L, 2L, 4L, 6L),
+      "argument containing a later parameter's name must not be re-substituted")
+    // swapped order as well: f(2, k) = k*2 — same values, proves both slots
+    val r2 = exec(
+      "SELECT uf_cap(2, k) AS v FROM graft_t.ufcap ORDER BY v").collect()
+    assert(r2.map(_.getLong(0)).toSeq == Seq(0L, 2L, 4L, 6L))
+    exec("DROP FUNCTION uf_cap")
+    exec("DROP TABLE IF EXISTS graft_t.ufcap")
+  }
+
   test("system.functions lists UDFs with origin SQLUserDefined") {
     exec("DROP FUNCTION IF EXISTS uf_vis")
     exec("CREATE FUNCTION uf_vis AS (x) -> x")
