@@ -521,10 +521,16 @@ object Ddl {
     catch { case _: Throwable => return spark.sql(s"DROP TABLE $bare") }
     val out = spark.sql(s"DROP TABLE `$db`.`$tbl`")
     try {
-      val trash = CatalogStore.droppedDir(spark)
-        .resolve(s"$db.$tbl.${System.currentTimeMillis()}")
-      java.nio.file.Files.createDirectories(trash.getParent)
-      java.nio.file.Files.move(loc.get, trash)
+      val root = CatalogStore.droppedDir(spark)
+      java.nio.file.Files.createDirectories(root)
+      // drop/recreate/drop of the same name within one millisecond must
+      // not collide (a swallowed FileAlreadyExistsException would orphan
+      // the stage and leave UNDROP restoring the OLDER generation) —
+      // bump the stamp until the name is free; the stamp stays a plain
+      // millis so the grace-window parsing is untouched
+      var ts = System.currentTimeMillis()
+      while (java.nio.file.Files.exists(root.resolve(s"$db.$tbl.$ts"))) ts += 1
+      java.nio.file.Files.move(loc.get, root.resolve(s"$db.$tbl.$ts"))
     } catch { case _: Throwable => () } // best effort: a failed stage
                                         // leaves an orphan dir, which
                                         // cleanOrphanLocation handles
@@ -552,12 +558,26 @@ object Ddl {
       .sortBy(_.getFileName.toString.stripPrefix(prefix).toLong)
       .lastOption.getOrElse(throw new IllegalArgumentException(
         s"no recently dropped table $norm to UNDROP"))
+    // validate BEFORE the move: an unreadable meta would otherwise
+    // strand the data at the managed location with no catalog entry and
+    // no trash entry — where the next CREATE's cleanOrphanLocation
+    // would silently wipe exactly what UNDROP was trying to save
+    if (!java.nio.file.Files.isRegularFile(newest.resolve("_graft_meta.json")))
+      throw new IllegalStateException(
+        s"UNDROP $norm: dropped data has no readable _graft_meta.json")
     val target = CatalogStore.managedLocation(spark, db, tbl)
     java.nio.file.Files.createDirectories(target.getParent)
     java.nio.file.Files.move(newest, target)
-    if (!CatalogStore.restoreOne(spark, target) ||
-        !spark.catalog.tableExists(bare))
+    val ok = try CatalogStore.restoreOne(spark, target) &&
+      spark.catalog.tableExists(bare) catch { case _: Throwable => false }
+    if (!ok) {
+      // restore failed after the move: put the data BACK in the trash
+      // (same timestamped name, so the grace window keeps counting from
+      // the original drop) before surfacing the error
+      try java.nio.file.Files.move(target, newest)
+      catch { case _: Throwable => () }
       throw new IllegalStateException(s"UNDROP $norm: restore failed")
+    }
     spark.emptyDataFrame
   }
 
@@ -656,6 +676,15 @@ object Ddl {
             mv.src.toLowerCase.startsWith(dbPrefix)
         }.keys.foreach(matViews.remove)
         CatalogStore.saveMatViews(spark)
+        // delayed-drop entries die with the database (ClickHouse removes
+        // them too): otherwise system.dropped_tables keeps listing
+        // tables of a destroyed database, and after a same-named CREATE
+        // DATABASE an UNDROP would resurrect a table from the dropped
+        // generation
+        try listDirs(CatalogStore.droppedDir(spark))
+          .filter(_.getFileName.toString.toLowerCase.startsWith(db + "."))
+          .foreach(deleteRecursively)
+        catch { case _: Throwable => () }
         spark.sql(s"DROP DATABASE ${Option(ifEx).getOrElse("")} `$db` CASCADE")
       case showProcesslistRe() =>
         Engine.processesSnapshot(spark)

@@ -126,6 +126,54 @@ class UndropSpec extends AnyFunSuite {
     intercept[Exception](Engine.execute(spark, "DROP DATABASE system"))
   }
 
+  test("rapid drop/recreate/drop keeps BOTH generations; UNDROP restores the newest") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.udg SYNC")
+    // two full drop cycles inside (typically) the same millisecond: the
+    // trash names must not collide — a swallowed FileAlreadyExists would
+    // orphan the newer stage and leave UNDROP restoring stale data
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.udg (k Int64) ENGINE=MergeTree() ORDER BY (k)""")
+    Engine.execute(spark, "INSERT INTO graft_spec.udg SELECT number FROM numbers(5)")
+    Engine.execute(spark, "DROP TABLE graft_spec.udg")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.udg (k Int64) ENGINE=MergeTree() ORDER BY (k)""")
+    Engine.execute(spark, "INSERT INTO graft_spec.udg SELECT number FROM numbers(9)")
+    Engine.execute(spark, "DROP TABLE graft_spec.udg")
+    val staged = Engine.execute(spark, """
+      SELECT count() AS n FROM system.dropped_tables
+      WHERE database = 'graft_spec' AND table = 'udg'""").collect().head.getLong(0)
+    assert(staged == 2L, s"both drop generations must stage (got $staged)")
+    Engine.execute(spark, "UNDROP TABLE graft_spec.udg")
+    assert(Engine.execute(spark, "SELECT count() AS n FROM graft_spec.udg")
+      .collect().head.getLong(0) == 9L, "UNDROP must restore the NEWEST generation")
+    Engine.execute(spark, "DROP TABLE graft_spec.udg SYNC")
+    Engine.execute(spark, "UNDROP TABLE graft_spec.udg") // older generation
+    assert(Engine.execute(spark, "SELECT count() AS n FROM graft_spec.udg")
+      .collect().head.getLong(0) == 5L)
+    Engine.execute(spark, "DROP TABLE graft_spec.udg SYNC")
+  }
+
+  test("DROP DATABASE removes its delayed-drop entries (no cross-generation UNDROP)") {
+    Engine.execute(spark, "DROP DATABASE IF EXISTS graft_dbu SYNC")
+    Engine.execute(spark, "CREATE DATABASE graft_dbu")
+    Engine.execute(spark, """
+      CREATE TABLE graft_dbu.t (k Int64) ENGINE=MergeTree() ORDER BY (k)""")
+    Engine.execute(spark, "INSERT INTO graft_dbu.t SELECT number FROM numbers(3)")
+    Engine.execute(spark, "DROP TABLE graft_dbu.t") // staged in trash
+    Engine.execute(spark, "DROP DATABASE graft_dbu")
+    // ClickHouse removes delayed-drop entries with the database:
+    // system.dropped_tables must not list tables of a destroyed database
+    assert(Engine.execute(spark, """
+      SELECT count() AS n FROM system.dropped_tables
+      WHERE database = 'graft_dbu'""").collect().head.getLong(0) == 0L)
+    // and a recreated same-named database must not resurrect the old
+    // generation via UNDROP
+    Engine.execute(spark, "CREATE DATABASE graft_dbu")
+    intercept[Exception](Engine.execute(spark, "UNDROP TABLE graft_dbu.t"))
+    Engine.execute(spark, "DROP DATABASE graft_dbu SYNC")
+  }
+
   test("UNDROP works across a restart (trash survives on disk)") {
     Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
     Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.udr SYNC")
