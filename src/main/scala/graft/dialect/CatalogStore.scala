@@ -118,6 +118,8 @@ object CatalogStore {
         ("sampleBy" -> meta.flatMap(_.sampleBy)) ~
         ("replacingVer" -> meta.flatMap(_.replacingVer)) ~
         ("summingCols" -> meta.flatMap(_.summingCols).map(_.toList)) ~
+        ("collapsingSign" -> meta.flatMap(_.collapsing).map(_._1)) ~
+        ("collapsingVer" -> meta.flatMap(_.collapsing).map(_._2)) ~
         ("ttl" -> meta.flatMap(_.ttl)) ~
         ("projections" -> projs.map { p =>
           ("name" -> p.name) ~ ("keys" -> p.keys.toList) ~
@@ -311,7 +313,11 @@ object CatalogStore {
         case JArray(xs) => Some(xs.flatMap(str))
         case _ => None
       },
-      ttl = str(j \ "ttl")))
+      ttl = str(j \ "ttl"),
+      // collapsingVer is "" for the unversioned engine — a legitimate
+      // value, so key presence (the sign) drives the Option
+      collapsing = str(j \ "collapsingSign").map(sg =>
+        (sg, str(j \ "collapsingVer").getOrElse("")))))
     // Nested columns persist physically as dotted parallel arrays —
     // re-register their prefixes so `col.field` access keeps working
     cols.foreach { c =>

@@ -40,7 +40,8 @@ object Ddl {
                                         sampleBy: Option[String] = None,
                                         replacingVer: Option[String] = None,
                                         summingCols: Option[Seq[String]] = None,
-                                        ttl: Option[String] = None)
+                                        ttl: Option[String] = None,
+                                        collapsing: Option[(String, String)] = None)
   private val tables = TrieMap.empty[String, TableMeta]
 
   // durable-catalog accessors (CatalogStore persists/restores this map)
@@ -191,6 +192,46 @@ object Ddl {
     }
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** For a CollapsingMergeTree / VersionedCollapsingMergeTree table:
+    * (sorting key, sign column, version column or "" for the
+    * unversioned engine). */
+  def collapsingMeta(spark: SparkSession,
+                     name: String): Option[(Seq[String], String, String)] =
+    tables.get(normalize(spark, name))
+      .flatMap(m => m.collapsing.map { case (s, v) => (m.orderBy, s, v) })
+
+  /** The collapse a CollapsingMergeTree FINAL merge performs (the CDC
+    * ingest idiom — reference surface main.py:190 via chdb): per
+    * sorting key the ±1 `sign` rows net out — net 0 removes the key
+    * entirely, a positive net keeps one state (+1) row, a negative net
+    * one cancel (−1) row. ClickHouse keeps the LAST state / FIRST
+    * cancel by insertion order, which parquet storage doesn't track;
+    * the deterministic md5-fingerprint tie-break stands in, and in
+    * correct collapsing usage there is exactly one candidate row per
+    * key anyway. With a version column (VersionedCollapsingMergeTree)
+    * the net is per (key, version), so a cancel row only annihilates
+    * the generation it duplicates — order-independent, exactly the
+    * guarantee the versioned engine adds. One hash shuffle on the key
+    * feeds both window passes. */
+  private[dialect] def collapsingFold(df: DataFrame, keys: Seq[String],
+                                      signCol: String, ver: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val keyCols = (keys ++ (if (ver.nonEmpty) Seq(ver) else Nil)).map { k =>
+      if (df.columns.contains(k)) col(k)
+      else org.apache.spark.sql.functions.expr(Transpiler.transpile(k))
+    }
+    val wNet = org.apache.spark.sql.expressions.Window.partitionBy(keyCols: _*)
+    val fp = md5(to_json(struct(df.columns.map(col).toIndexedSeq: _*)))
+    val wPick = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols: _*).orderBy(fp.asc)
+    df.withColumn("__net", sum(col(signCol)).over(wNet))
+      .filter(col("__net") =!= 0 &&
+        col(signCol).cast("long") === signum(col("__net")).cast("long"))
+      .withColumn("__rn", row_number().over(wPick))
+      .filter(col("__rn") === 1)
+      .drop("__net", "__rn")
   }
 
   /** The keep-latest dedup a ReplacingMergeTree merge performs: one row
@@ -989,11 +1030,15 @@ object Ddl {
             withTtl(d)
           })
         } else
-        (replacingMeta(spark, om.group(1)), summingMeta(spark, om.group(1))) match {
-          case (Some((keys, ver)), _) if keys.nonEmpty =>
+        (replacingMeta(spark, om.group(1)), summingMeta(spark, om.group(1)),
+          collapsingMeta(spark, om.group(1))) match {
+          case (Some((keys, ver)), _, _) if keys.nonEmpty =>
             mutate(spark, om.group(1), df => withTtl(replacingDedup(df, keys, ver)))
-          case (_, Some((keys, cols))) if keys.nonEmpty =>
+          case (_, Some((keys, cols)), _) if keys.nonEmpty =>
             mutate(spark, om.group(1), df => withTtl(summingMerge(df, keys, cols)))
+          case (_, _, Some((keys, sign, ver))) if keys.nonEmpty =>
+            mutate(spark, om.group(1),
+              df => withTtl(collapsingFold(df, keys, sign, ver)))
           case _ if ttlOf.isDefined =>
             mutate(spark, om.group(1), withTtl)
           case _ =>
@@ -1124,6 +1169,10 @@ object Ddl {
     val engine = meta match {
       case Some(m) if m.replacingVer.isDefined =>
         s"ReplacingMergeTree(${m.replacingVer.get})"
+      case Some(m) if m.collapsing.isDefined =>
+        val (sg, vr) = m.collapsing.get
+        if (vr.isEmpty) s"CollapsingMergeTree($sg)"
+        else s"VersionedCollapsingMergeTree($sg, $vr)"
       case Some(m) if m.summingCols.isDefined =>
         val cs = m.summingCols.get
         if (cs.isEmpty) "SummingMergeTree()"
@@ -1182,6 +1231,8 @@ object Ddl {
           val engine =
             if (meta.replacingVer.nonEmpty) "ReplacingMergeTree"
             else if (meta.summingCols.nonEmpty) "SummingMergeTree"
+            else if (meta.collapsing.exists(_._2.isEmpty)) "CollapsingMergeTree"
+            else if (meta.collapsing.nonEmpty) "VersionedCollapsingMergeTree"
             else "MergeTree"
           val loc = new java.io.File(
             new java.net.URI(cat.getTableMetadata(ident).location.toString))
@@ -1758,7 +1809,8 @@ object Ddl {
     }
     engine.toLowerCase match {
       case "memory" | "mergetree" | "replacingmergetree"
-           | "summingmergetree" => ()
+           | "summingmergetree" | "collapsingmergetree"
+           | "versionedcollapsingmergetree" => ()
       // Log-family engines: unmerged append-only storage — the managed
       // parquet mapping makes them behave exactly like Memory here
       case "log" | "tinylog" | "stripelog" => ()
@@ -1775,6 +1827,19 @@ object Ddl {
         Some(engineArgs.replace("`", "").split(",")
           .map(_.trim).filter(_.nonEmpty).toSeq)
       else None
+    // CollapsingMergeTree(sign) / VersionedCollapsingMergeTree(sign, ver)
+    val collapsing =
+      if (engine.equalsIgnoreCase("collapsingmergetree") ||
+          engine.equalsIgnoreCase("versionedcollapsingmergetree")) {
+        val versioned = engine.equalsIgnoreCase("versionedcollapsingmergetree")
+        val args = engineArgs.replace("`", "").split(",")
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        val want = if (versioned) 2 else 1
+        if (args.length != want) throw new IllegalArgumentException(
+          s"ENGINE=$engine needs $want argument(s) " +
+            s"(sign${if (versioned) ", version" else ""}), got: $engineArgs")
+        Some((args.head, if (versioned) args(1) else ""))
+      } else None
     val clauses = suffixClauses(rest)
     val partExpr = clauses.get("PARTITION BY")
     // keys may be expressions (hits DDL: ORDER BY (CounterID, EventDate,
@@ -1847,7 +1912,7 @@ object Ddl {
     SkipIndexes.forgetInMemory(norm)
     tables.put(norm,
       TableMeta(partExpr, orderCols, sampleBy, replacingVer, summingCols,
-        ttl))
+        ttl, collapsing))
     indexDefs.map(_.trim).foreach {
       case inlineIndexRe(iname, iexpr, itype, igran) =>
         SkipIndexes.add(spark, norm,
@@ -2469,11 +2534,14 @@ object Engine {
         java.util.regex.Matcher.quoteReplacement(s"$kw $view")
       }
       (Ddl.replacingMeta(spark, m.group(2)),
-        Ddl.summingMeta(spark, m.group(2))) match {
-        case (Some((keys, ver)), _) if keys.nonEmpty =>
+        Ddl.summingMeta(spark, m.group(2)),
+        Ddl.collapsingMeta(spark, m.group(2))) match {
+        case (Some((keys, ver)), _, _) if keys.nonEmpty =>
           sub(Ddl.replacingDedup(spark.table(bare), keys, ver))
-        case (_, Some((keys, cols))) if keys.nonEmpty =>
+        case (_, Some((keys, cols)), _) if keys.nonEmpty =>
           sub(Ddl.summingMerge(spark.table(bare), keys, cols))
+        case (_, _, Some((keys, sign, ver))) if keys.nonEmpty =>
+          sub(Ddl.collapsingFold(spark.table(bare), keys, sign, ver))
         case _ => m.matched
       }
     })

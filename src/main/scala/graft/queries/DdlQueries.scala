@@ -122,6 +122,72 @@ object DdlQueries {
       SELECT * FROM (VALUES (1, 'new', 15), (2, 'only', 7))
         t(id, payload, hits) ORDER BY id""")),
 
+    // S4d: CollapsingMergeTree(sign) — the CDC ingest idiom: +1 state
+    // rows, -1 cancel rows duplicating them; FINAL nets sign per
+    // sorting key, so cancelled keys vanish. The oracle recomputes the
+    // fold from orders directly (even keys got a cancel → only odd
+    // keys survive, with their state row's values).
+    Q("s20_collapsing", (s, dir) => {
+      ChContext.setup(s, dir)
+      Engine.execute(s, "CREATE DATABASE IF NOT EXISTS graft_t")
+      Engine.execute(s, "DROP TABLE IF EXISTS graft_t.cps")
+      Engine.execute(s, """
+        CREATE TABLE graft_t.cps (id Int64, qty Int64, sign Int8)
+        ENGINE=CollapsingMergeTree(sign) ORDER BY (id)""")
+      Engine.execute(s, """
+        INSERT INTO graft_t.cps
+        SELECT o_orderkey, toInt64(floor(o_totalprice)), toInt8(1)
+        FROM orders""")
+      Engine.execute(s, """
+        INSERT INTO graft_t.cps
+        SELECT o_orderkey, toInt64(floor(o_totalprice)), toInt8(-1)
+        FROM orders WHERE o_orderkey % 2 = 0""")
+      Engine.execute(s, """
+        SELECT id % 7 AS bucket, count() AS n, sum(qty) AS sq
+        FROM graft_t.cps FINAL GROUP BY bucket ORDER BY bucket""")
+    }, Some("""
+      SELECT o_orderkey % 7 AS bucket, count(*) AS n,
+             CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS sq
+      FROM orders WHERE o_orderkey % 2 = 1
+      GROUP BY 1 ORDER BY bucket""")),
+
+    // S4e: VersionedCollapsingMergeTree(sign, ver) — cancels only
+    // annihilate the generation (version) they duplicate, so a later
+    // re-state under a new version survives regardless of row order.
+    // OPTIMIZE ... FINAL materializes the fold (no FINAL on the read):
+    // every third customer's gen-1 state is cancelled and re-stated at
+    // gen 2 with qty+555; everyone else keeps gen 1.
+    Q("s21_versioned_collapsing", (s, dir) => {
+      ChContext.setup(s, dir)
+      Engine.execute(s, "CREATE DATABASE IF NOT EXISTS graft_t")
+      Engine.execute(s, "DROP TABLE IF EXISTS graft_t.vcp")
+      Engine.execute(s, """
+        CREATE TABLE graft_t.vcp (id Int64, qty Int64, sign Int8, ver UInt32)
+        ENGINE=VersionedCollapsingMergeTree(sign, ver) ORDER BY (id)""")
+      Engine.execute(s, """
+        INSERT INTO graft_t.vcp
+        SELECT c_custkey, toInt64(floor(c_acctbal * 100)), toInt8(1), 1
+        FROM customer""")
+      Engine.execute(s, """
+        INSERT INTO graft_t.vcp
+        SELECT c_custkey, toInt64(floor(c_acctbal * 100)), toInt8(-1), 1
+        FROM customer WHERE c_custkey % 3 = 0""")
+      Engine.execute(s, """
+        INSERT INTO graft_t.vcp
+        SELECT c_custkey, toInt64(floor(c_acctbal * 100)) + 555, toInt8(1), 2
+        FROM customer WHERE c_custkey % 3 = 0""")
+      Engine.execute(s, "OPTIMIZE TABLE graft_t.vcp FINAL")
+      Engine.execute(s, """
+        SELECT count() AS n, sum(qty) AS sq, sum(ver) AS sv
+        FROM graft_t.vcp""")
+    }, Some("""
+      SELECT count(*) AS n,
+             CAST(sum(CASE WHEN c_custkey % 3 = 0
+               THEN CAST(floor(c_acctbal * 100) AS BIGINT) + 555
+               ELSE CAST(floor(c_acctbal * 100) AS BIGINT) END) AS BIGINT) AS sq,
+             CAST(sum(CASE WHEN c_custkey % 3 = 0 THEN 2 ELSE 1 END) AS BIGINT) AS sv
+      FROM customer""")),
+
     // S4c: schema-changing ALTERs (DROP/RENAME/MODIFY COLUMN) rewrite
     // the table copy-on-write and RENAME TABLE carries the metadata —
     // the oracle is the equivalent transformation straight over parquet
