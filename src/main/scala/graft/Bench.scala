@@ -180,8 +180,8 @@ object Bench {
       case (k, Some(v)) => "\"" + k + "\":" + f"$v%.3f"
       case (k, None)    => "\"" + k + "\":-1"
     }.mkString("{", ",", "}")
-    val abJson = skipAb.map { case (n, on, off, rows, kept, tot) =>
-      f""""$n":{"pruned_sec":$on%.3f,"full_sec":$off%.3f,"speedup":${off / on}%.2f,"rows":$rows,"files_kept":$kept,"files_total":$tot}"""
+    val abJson = skipAb.map { case (n, on, off, rows, kept, tot, kb, tb) =>
+      f""""$n":{"pruned_sec":$on%.3f,"full_sec":$off%.3f,"speedup":${off / on}%.2f,"rows":$rows,"files_kept":$kept,"files_total":$tot,"bytes_kept":$kb,"bytes_total":$tb}"""
     }.mkString("{", ",", "}")
     val samplesFile = new java.io.File("BENCH_samples_latest.json").getAbsoluteFile
     try java.nio.file.Files.write(samplesFile.toPath,
@@ -200,8 +200,8 @@ object Bench {
       case (k, Some(v)) => "\"" + short(k) + "\":" + f"$v%.3f"
       case (k, None)    => "\"" + short(k) + "\":-1"
     }.mkString("{", ",", "}")
-    val abShort = skipAb.map { case (n, on, off, _, kept, tot) =>
-      f""""$n":[$on%.3f,$off%.3f,$kept,$tot]"""
+    val abShort = skipAb.map { case (n, on, off, _, kept, tot, kb, tb) =>
+      f""""$n":[$on%.3f,$off%.3f,$kept,$tot,$kb,$tb]"""
     }.mkString("{", ",", "}")
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","headline_total":$headlineTotal%.3f,"cb_total":$cbTotal%.3f,"cb_queries":${cbNames.length},"hits_n":$hitsN,"fixture_build_sec":$fixtureSec%.1f,"ix_build_sec":$ixBuildSec%.1f,"partition_prune_ok":$pruneOk,"skip_ab":$abShort,"loadavg":$loadEnd%.2f,"loadavg_start":$loadStart%.2f,"loadavg_passes":$passLoadsJson,"queries":$qs,"failed":${failed.mkString("[", ",", "]")},"samples_file":"${samplesFile.getName}","sf":"$sfDir"}"""
     // hard guard on the tail-capture contract: if the compact line ever
@@ -248,9 +248,12 @@ object Bench {
     * the wall-clock is fixed-cost-bound (the whole scan is ~100 ms),
     * so kept/total is the honest signal; the 30M/100M skipscale
     * artifacts carry the wall-clock story.
-    * Returns (name, onSec, offSec, rows, keptFiles, totalFiles). */
+    * Returns (name, onSec, offSec, rows, keptFiles, totalFiles,
+    * keptBytes, totalBytes) — the byte pair is the IO-reduction signal
+    * for probes whose wall-clock sits under the fixed-cost floor at
+    * the 3M driver scale. */
   private def abBlock(spark: SparkSession)
-      : Seq[(String, Double, Double, Long, Int, Int)] = {
+      : Seq[(String, Double, Double, Long, Int, Int, Long, Long)] = {
     import graft.dialect.Engine
     val qs = Seq(
       ("cb20x", "clickbench.hits_urlband",
@@ -266,7 +269,16 @@ object Bench {
         FROM clickbench.hits_titleband
         WHERE Title LIKE '%Google%' AND URL NOT LIKE '%.google.%'
           AND SearchPhrase <> ''
-        GROUP BY SearchPhrase ORDER BY c DESC, SearchPhrase LIMIT 10"""))
+        GROUP BY SearchPhrase ORDER BY c DESC, SearchPhrase LIMIT 10"""),
+      // SCAN-dominated probe (the cb20x-22x trio is agg-dominated and
+      // reads ~1x wall-clock at 3M by design): the cost here IS
+      // decompressing + LIKE-scanning every URL and materializing both
+      // columns — a rare needle (1 in 4600 rows, URL-clustered) that
+      // the ngrambf index confines to few files, so the wall-clock win
+      // shows on hits itself, not only on the skipscale probe table
+      ("cb23x", "clickbench.hits_urlband", """
+        SELECT URL, SearchPhrase FROM clickbench.hits_urlband
+        WHERE URL LIKE '%/p/4399%'"""))
     qs.map { case (name, tbl, q) =>
       def best3(): Double = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
@@ -285,6 +297,7 @@ object Bench {
       val sigOn = signature()
       val on = best3()
       val kept = graft.plans.SkipIndexPrune.lastPruneFor(tbl)
+      val keptB = graft.plans.SkipIndexPrune.lastPruneBytesFor(tbl)
       graft.plans.SkipIndexPrune.enabled = false
       val sigOff = signature()
       val off = best3()
@@ -292,7 +305,8 @@ object Bench {
       require(sigOn == sigOff,
         s"$name: pruning changed the answer ($sigOn vs $sigOff)")
       (name, on, off, sigOn._1,
-        kept.map(_._1).getOrElse(-1), kept.map(_._2).getOrElse(-1))
+        kept.map(_._1).getOrElse(-1), kept.map(_._2).getOrElse(-1),
+        keptB.map(_._1).getOrElse(-1L), keptB.map(_._2).getOrElse(-1L))
     }
   }
 }

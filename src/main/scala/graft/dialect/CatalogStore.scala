@@ -120,6 +120,8 @@ object CatalogStore {
         ("summingCols" -> meta.flatMap(_.summingCols).map(_.toList)) ~
         ("collapsingSign" -> meta.flatMap(_.collapsing).map(_._1)) ~
         ("collapsingVer" -> meta.flatMap(_.collapsing).map(_._2)) ~
+        ("columnDefaults" -> meta.map(_.columnDefaults.toList.map(p =>
+          ("name" -> p._1) ~ ("expr" -> p._2))).getOrElse(Nil)) ~
         ("ttl" -> meta.flatMap(_.ttl)) ~
         ("projections" -> projs.map { p =>
           ("name" -> p.name) ~ ("keys" -> p.keys.toList) ~
@@ -163,6 +165,8 @@ object CatalogStore {
           ("source" -> m.source) ~
           ("rangeLo" -> m.range.map(_._1)) ~
           ("rangeHi" -> m.range.map(_._2)) ~
+          ("lifetimeMin" -> m.lifetime.map(_._1)) ~
+          ("lifetimeMax" -> m.lifetime.map(_._2)) ~
           ("attrs" -> m.attrs.toList.map(a =>
             ("name" -> a.name) ~ ("chType" -> a.chType) ~
             ("default" -> a.default)))
@@ -317,7 +321,12 @@ object CatalogStore {
       // collapsingVer is "" for the unversioned engine — a legitimate
       // value, so key presence (the sign) drives the Option
       collapsing = str(j \ "collapsingSign").map(sg =>
-        (sg, str(j \ "collapsingVer").getOrElse("")))))
+        (sg, str(j \ "collapsingVer").getOrElse(""))),
+      columnDefaults = (j \ "columnDefaults") match {
+        case JArray(ds) => ds.flatMap(d =>
+          for (n <- str(d \ "name"); e <- str(d \ "expr")) yield (n, e))
+        case _ => Nil
+      }))
     // Nested columns persist physically as dotted parallel arrays —
     // re-register their prefixes so `col.field` access keeps working
     cols.foreach { c =>
@@ -369,9 +378,17 @@ object CatalogStore {
               }
               val range = for (lo <- str(d \ "rangeLo"); hi <- str(d \ "rangeHi"))
                 yield (lo, hi)
+              def num(j: JValue): Option[Long] = j match {
+                case JInt(n) => Some(n.toLong)
+                case JLong(n) => Some(n)
+                case _ => None
+              }
+              val lifetime =
+                for (lo <- num(d \ "lifetimeMin"); hi <- num(d \ "lifetimeMax"))
+                  yield (lo, hi)
               if (attrs.nonEmpty)
                 Dictionaries.create(spark, name, keyCol, attrs, source,
-                  ifNotExists = true, range)
+                  ifNotExists = true, range, lifetime)
             }
           }
         } catch { case _: Throwable => () }

@@ -41,7 +41,8 @@ object Ddl {
                                         replacingVer: Option[String] = None,
                                         summingCols: Option[Seq[String]] = None,
                                         ttl: Option[String] = None,
-                                        collapsing: Option[(String, String)] = None)
+                                        collapsing: Option[(String, String)] = None,
+                                        columnDefaults: Seq[(String, String)] = Nil)
   private val tables = TrieMap.empty[String, TableMeta]
 
   // durable-catalog accessors (CatalogStore persists/restores this map)
@@ -192,6 +193,98 @@ object Ddl {
     }
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** `TTL expr [DELETE] [, expr TO DISK 'd' | TO VOLUME 'v' ...]` —
+    * ClickHouse's full table-TTL tail (the hits-style DDL shape). The
+    * row-expiry (DELETE) expression is what merges apply: OPTIMIZE
+    * TABLE drops expired rows; reads before the merge still see them.
+    * Storage-movement clauses (`TO DISK`/`TO VOLUME`) parse and are
+    * DOCUMENTED NO-OPS: this engine has one storage tier (the
+    * warehouse), so there is nowhere to move parts — identical to
+    * ClickHouse configured with a single default volume. `GROUP BY` /
+    * `RECOMPRESS` TTL actions are refused loudly rather than silently
+    * mis-applied. */
+  private[dialect] def parseTtlSpec(t: String): Option[String] = {
+    val parts = splitTopLevel(t).map(_.trim).filter(_.nonEmpty)
+    val rest = parts.filterNot(p => // movement clauses: accepted no-ops
+      "(?is)\\bTO\\s+(DISK|VOLUME)\\s".r.findFirstIn(p).isDefined)
+    rest.find(p =>
+      "(?is)\\b(GROUP\\s+BY|RECOMPRESS|WHERE)\\b".r.findFirstIn(p).isDefined)
+      .foreach(p => throw new IllegalArgumentException(
+        s"unsupported TTL action (only DELETE and TO DISK/VOLUME parse): $p"))
+    rest match {
+      case Nil => None // movement-only TTL: nothing for merges to apply
+      case one :: Nil =>
+        Some("(?is)\\s+DELETE\\s*$".r.replaceAllIn(one, ""))
+      case _ => throw new IllegalArgumentException(
+        s"multiple DELETE TTL expressions in one table TTL: $t")
+    }
+  }
+
+  /** Index of a depth-0, outside-string, identifier-bounded `kw` in
+    * `s`, or -1 — Enum8('DEFAULT' = 1) and Decimal(10,2) never match. */
+  private def topLevelKeyword(s: String, kw: String): Int = {
+    var depth = 0; var q = false; var i = 0
+    def isIdent(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (q) {
+        if (c == '\\') i += 1
+        else if (c == '\'') q = false
+      } else c match {
+        case '\'' => q = true
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case _ =>
+          if (depth == 0 && i + kw.length <= s.length &&
+              s.regionMatches(true, i, kw, 0, kw.length) &&
+              (i == 0 || !isIdent(s.charAt(i - 1))) &&
+              (i + kw.length == s.length || !isIdent(s.charAt(i + kw.length))))
+            return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Split a column definition's tail (`Type [DEFAULT expr]`) —
+    * ClickHouse's insertable-default modifier. MATERIALIZED / ALIAS /
+    * EPHEMERAL columns (computed, never insertable) are refused loudly
+    * rather than mis-parsed as part of the type. */
+  private def splitColDefault(cn: String,
+                              ct: String): (String, Option[String]) = {
+    Seq("MATERIALIZED", "ALIAS", "EPHEMERAL").foreach { kw =>
+      if (topLevelKeyword(ct, kw) >= 0) throw new IllegalArgumentException(
+        s"column $cn: $kw columns are not supported " +
+          "(computed columns have no storage equivalent here); " +
+          "use DEFAULT or compute the expression in queries")
+    }
+    val di = topLevelKeyword(ct, "DEFAULT")
+    if (di < 0) (ct, None)
+    else {
+      val e = ct.substring(di + "DEFAULT".length).trim
+      if (e.isEmpty) throw new IllegalArgumentException(
+        s"column $cn: empty DEFAULT expression")
+      (ct.substring(0, di).trim, Some(e))
+    }
+  }
+
+  /** The value an INSERT that omits column `f` stores: the declared
+    * DEFAULT expression (evaluated over the inserted block, so it may
+    * reference the block's provided columns — `b DEFAULT a * 2`), else
+    * NULL (this engine's columns are nullable, the `Nullable(T)`
+    * behavior; ClickHouse's non-Nullable zero-fill applies only to a
+    * nullability notion parquet storage doesn't carry). */
+  private def defaultFill(meta: Option[TableMeta],
+                          f: org.apache.spark.sql.types.StructField)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    meta.flatMap(_.columnDefaults.find(_._1.equalsIgnoreCase(f.name))) match {
+      case Some((_, e)) =>
+        expr(Transpiler.transpile(e)).cast(f.dataType).as(f.name)
+      case None => lit(null).cast(f.dataType).as(f.name)
+    }
   }
 
   /** For a CollapsingMergeTree / VersionedCollapsingMergeTree table:
@@ -423,6 +516,16 @@ object Ddl {
     val range = "(?is)\\bRANGE\\s*\\(\\s*MIN\\s+([\\w`]+)\\s+MAX\\s+([\\w`]+)\\s*\\)".r
       .findFirstMatchIn(rest)
       .map(m => (m.group(1).replace("`", ""), m.group(2).replace("`", "")))
+    // LIFETIME(n) = LIFETIME(MIN n MAX n) — refresh window in seconds;
+    // a lookup past MAX re-reads the source lazily (pull model)
+    val lifetime =
+      "(?is)\\bLIFETIME\\s*\\(\\s*(?:MIN\\s+(\\d+)\\s+MAX\\s+(\\d+)|(\\d+))\\s*\\)".r
+        .findFirstMatchIn(rest).map { m =>
+          Option(m.group(3)) match {
+            case Some(n) => (n.toLong, n.toLong)
+            case None => (m.group(1).toLong, m.group(2).toLong)
+          }
+        }
     val rangeCols = range.toSeq.flatMap(r => Seq(r._1, r._2))
       .map(_.toLowerCase).toSet
     val colRe = "(?is)^\\s*([\\w`]+)\\s+(.+?)(?:\\s+DEFAULT\\s+(.+))?\\s*$".r
@@ -449,7 +552,8 @@ object Ddl {
         .getOrElse(throw new IllegalArgumentException(
           s"CREATE DICTIONARY $name: column $c not in $source")).name
     }
-    Dictionaries.create(spark, name, keyCol, attrs, source, ifNot, range)
+    Dictionaries.create(spark, name, keyCol, attrs, source, ifNot, range,
+      lifetime)
     CatalogStore.saveDictionaries(spark)
     val bareN0 = name.replace("`", "")
     src.select(cols.head, cols.tail: _*).createOrReplaceTempView(
@@ -881,13 +985,31 @@ object Ddl {
       case alterAddColRe(name, ifNot, colDef) =>
         val t = colDef.trim
         val sp = t.indexOf(' ')
-        val (cn, ct) = (t.substring(0, sp).trim, t.substring(sp + 1).trim)
+        val (cn, ct0) = (t.substring(0, sp).trim, t.substring(sp + 1).trim)
+        val (ct, defExpr) = splitColDefault(cn, ct0)
         val exists = Option(ifNot).isDefined && spark.table(name.replace("`", ""))
           .columns.exists(_.equalsIgnoreCase(cn.replace("`", "")))
         if (exists) spark.emptyDataFrame
         else {
+          val sparkType = Transpiler.mapTypeNames(ct)
           val out = spark.sql(
-            s"ALTER TABLE $name ADD COLUMNS ($cn ${Transpiler.mapTypeNames(ct)})")
+            s"ALTER TABLE $name ADD COLUMNS ($cn $sparkType)")
+          defExpr.foreach { e =>
+            // register for future INSERTs, then materialize into the
+            // EXISTING rows (ClickHouse computes the default lazily on
+            // old parts and bakes it in at the next merge; here the
+            // bake happens eagerly — one distributed rewrite, the same
+            // cost model as this engine's mutations)
+            val key = normalize(spark, name)
+            tables.put(key, tables.getOrElse(key, TableMeta(None, Nil))
+              .copy(columnDefaults = tables.get(key)
+                .map(_.columnDefaults).getOrElse(Nil) :+
+                (cn.replace("`", "") -> e)))
+            reshape(spark, name, df => df.withColumn(cn.replace("`", ""),
+              org.apache.spark.sql.functions.expr(Transpiler.transpile(e))
+                .cast(org.apache.spark.sql.types.DataType
+                  .fromDDL(sparkType))))
+          }
           CatalogStore.save(spark, name)
           out
         }
@@ -897,15 +1019,27 @@ object Ddl {
         val present = spark.table(name.replace("`", ""))
           .columns.exists(_.equalsIgnoreCase(c))
         if (!present && Option(ifExists).isDefined) spark.emptyDataFrame
-        else reshape(spark, name, _.drop(c))
+        else {
+          val key = normalize(spark, name)
+          tables.get(key).foreach(m => tables.put(key, m.copy(
+            columnDefaults = m.columnDefaults
+              .filterNot(_._1.equalsIgnoreCase(c)))))
+          reshape(spark, name, _.drop(c))
+        }
       case alterRenameColRe(name, ifExists, from0, to0) =>
         val (from, to) = (from0.replace("`", ""), to0.replace("`", ""))
         guardKeyColumn(spark, name, from, "RENAME")
         val present = spark.table(name.replace("`", ""))
           .columns.exists(_.equalsIgnoreCase(from))
         if (!present && Option(ifExists).isDefined) spark.emptyDataFrame
-        else reshape(spark, name, _.withColumnRenamed(from, to),
-          renameKey = Map(from -> to))
+        else {
+          val key = normalize(spark, name)
+          tables.get(key).foreach(m => tables.put(key, m.copy(
+            columnDefaults = m.columnDefaults.map { case (n, e) =>
+              (if (n.equalsIgnoreCase(from)) to else n) -> e })))
+          reshape(spark, name, _.withColumnRenamed(from, to),
+            renameKey = Map(from -> to))
+        }
       case alterModifyColRe(name, ifExists, col0, newType)
           if !newType.trim.matches("(?i)^(COLUMN)\\b.*") =>
         val c = col0.replace("`", "")
@@ -921,9 +1055,9 @@ object Ddl {
         // TTL is MergeTree metadata; like CREATE's TTL clause it takes
         // effect at the next merge (OPTIMIZE), not retroactively
         val key = normalize(spark, name)
-        val cleaned = "(?is)\\s+DELETE\\s*$".r.replaceAllIn(t.trim, "")
+        val cleaned = parseTtlSpec(t.trim)
         tables.put(key, tables.getOrElse(key, TableMeta(None, Nil))
-          .copy(ttl = Some(cleaned)))
+          .copy(ttl = cleaned))
         CatalogStore.save(spark, name)
         spark.emptyDataFrame
       case alterRemoveTtlRe(name) =>
@@ -1161,7 +1295,12 @@ object Ddl {
     val norm = normalize(spark, bare)
     val meta = tables.get(norm)
     val cols = spark.table(bare).schema.fields.filterNot(_.name == "_part")
-      .map(f => s"`${f.name}` ${graft.formats.ChTypeNames.fieldName(f)}")
+      .map { f =>
+        val d = meta.flatMap(_.columnDefaults
+            .find(_._1.equalsIgnoreCase(f.name)))
+          .map(p => s" DEFAULT ${p._2}").getOrElse("")
+        s"`${f.name}` ${graft.formats.ChTypeNames.fieldName(f)}$d"
+      }
     val indexes = SkipIndexes.forTable(norm).sortBy(_.name).map { ix =>
       val g = if (ix.granularity != 1) s" GRANULARITY ${ix.granularity}" else ""
       s"INDEX ${ix.name} ${ix.exprKey} TYPE ${SkipIndexes.kindNameOf(ix.kind)}$g"
@@ -1196,12 +1335,19 @@ object Ddl {
   }
 
   /** `DESCRIBE TABLE t` in the ClickHouse 7-column shape (clients read
-    * name/type; the rest are empty here — no defaults/codecs/TTLs). */
+    * name/type; DEFAULT columns carry their expression — no
+    * codecs/TTLs). */
   private def describeTable(spark: SparkSession, name: String): DataFrame = {
     import spark.implicits._
+    val meta = tables.get(normalize(spark, name.replace("`", "")))
     spark.table(name.replace("`", "")).schema.fields.toSeq
-      .map(f => (f.name, graft.formats.ChTypeNames.fieldName(f),
-        "", "", "", "", ""))
+      .map { f =>
+        val d = meta.flatMap(_.columnDefaults
+          .find(_._1.equalsIgnoreCase(f.name))).map(_._2)
+        (f.name, graft.formats.ChTypeNames.fieldName(f),
+          if (d.isDefined) "DEFAULT" else "", d.getOrElse(""),
+          "", "", "")
+      }
       .toDF("name", "type", "default_type", "default_expression",
         "comment", "codec_expression", "ttl_expression")
   }
@@ -1855,11 +2001,7 @@ object Ddl {
       }
       .getOrElse(Nil)
     val sampleBy = clauses.get("SAMPLE BY")
-    // `TTL d + INTERVAL 90 DAY [DELETE]` — row expiry, applied when a
-    // merge runs (ClickHouse semantics): OPTIMIZE TABLE drops expired
-    // rows; reads before the merge still see them, like ClickHouse
-    val ttl = clauses.get("TTL")
-      .map(t => "(?is)\\s+DELETE\\s*$".r.replaceAllIn(t, ""))
+    val ttl = clauses.get("TTL").flatMap(parseTtlSpec)
     // inline `INDEX name expr TYPE kind [GRANULARITY g]` entries in the
     // column list (ClickHouse DDL form) — collected here, registered
     // after the table exists
@@ -1868,10 +2010,24 @@ object Ddl {
         "(\\w+(?:\\s*\\([^)]*\\))?)(?:\\s+GRANULARITY\\s+(\\d+))?$").r
     val (indexDefs, colOnlyDefs) = splitTopLevel(colDefs)
       .partition(d => "(?is)^\\s*INDEX\\s".r.findFirstIn(d).isDefined)
+    val colDefaults = Seq.newBuilder[(String, String)]
     val sparkCols = colOnlyDefs.flatMap { d =>
       val t = d.trim
       val sp = t.indexOf(' ') // name, then type (type may contain spaces)
-      val (cn, ct) = (t.substring(0, sp).trim, t.substring(sp + 1).trim)
+      val (cn0, ct0) = (t.substring(0, sp).trim, t.substring(sp + 1).trim)
+      // per-COLUMN TTL (`c String TTL d + INTERVAL 1 DAY`) resets
+      // expired CELLS to the column default on merge — a different
+      // mechanism from row TTL with no equivalent here; refuse loudly
+      // instead of mis-parsing it as part of the type
+      if (topLevelKeyword(ct0, "TTL") >= 0)
+        throw new IllegalArgumentException(
+          s"column-level TTL is not supported (column $cn0); " +
+            "use a table-level TTL clause for row expiry")
+      // `c Type DEFAULT expr` — the insertable-default modifier:
+      // INSERTs omitting the column store the expression's value
+      val (ct, defExpr) = splitColDefault(cn0, ct0)
+      val cn = cn0
+      defExpr.foreach(e => colDefaults += (cn.replace("`", "") -> e))
       if (ct.matches("(?is)^Nested\\s*\\(.*\\)$")) {
         // ClickHouse stores Nested as parallel per-field arrays with
         // dotted physical names; queries keep writing `col.field`
@@ -1912,7 +2068,7 @@ object Ddl {
     SkipIndexes.forgetInMemory(norm)
     tables.put(norm,
       TableMeta(partExpr, orderCols, sampleBy, replacingVer, summingCols,
-        ttl, collapsing))
+        ttl, collapsing, colDefaults.result()))
     indexDefs.map(_.trim).foreach {
       case inlineIndexRe(iname, iexpr, itype, igran) =>
         SkipIndexes.add(spark, norm,
@@ -2052,6 +2208,8 @@ object Ddl {
   // "[(cols)] VALUES <tuples>" INSERT body (column list optional)
   private val valuesBodyRe =
     "(?is)^(?:\\(([^)]*)\\)\\s*)?VALUES\\s+(.+)$".r
+  private val colListSelectRe =
+    "(?is)^\\(([^)]*)\\)\\s*(SELECT|WITH)\\b(.*)$".r
 
   /** INSERT INTO t SELECT/VALUES — all MergeTree layouts land through
     * [[appendAligned]]; VALUES rows parse via Spark's inline VALUES
@@ -2071,7 +2229,29 @@ object Ddl {
     val meta = tables.get(normalize(spark, name))
     val hasLayout =
       meta.exists(t => t.partitionExpr.nonEmpty || t.orderBy.nonEmpty)
-    if (hasLayout && body.toUpperCase.startsWith("SELECT")) {
+    // `INSERT INTO t (a, b) SELECT ...` — the listed columns take the
+    // SELECT's output positionally; every other column gets its
+    // declared DEFAULT (else NULL), same contract as the VALUES form
+    val colListSel = colListSelectRe.findFirstMatchIn(body)
+    if (colListSel.isDefined) {
+      val mm = colListSel.get
+      val listed = mm.group(1).split(",").map(_.trim.replace("`", ""))
+        .filter(_.nonEmpty).toIndexedSeq
+      val sel = spark.sql(Transpiler.transpile(mm.group(2) + mm.group(3)))
+      if (sel.columns.length != listed.length)
+        throw new IllegalArgumentException(
+          s"INSERT column list has ${listed.length} column(s) but the " +
+            s"SELECT produces ${sel.columns.length}")
+      val named = sel.toDF(listed: _*)
+      val full = spark.table(name.replace("`", "")).schema
+      val out = full.fields.filterNot(_.name == "_part").map { f =>
+        if (named.columns.exists(_.equalsIgnoreCase(f.name)))
+          org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
+        else defaultFill(meta, f)
+      }
+      appendAligned(spark, name, named.select(out.toIndexedSeq: _*))
+      spark.emptyDataFrame
+    } else if (hasLayout && body.toUpperCase.startsWith("SELECT")) {
       appendAligned(spark, name, spark.sql(Transpiler.transpile(body)))
       spark.emptyDataFrame
     } else if (valuesBodyRe.findFirstMatchIn(body).isDefined) {
@@ -2090,12 +2270,12 @@ object Ddl {
         case None => parsed.toDF(
           full.fields.map(_.name).filterNot(_ == "_part").toIndexedSeq: _*)
       }
-      // fill unlisted columns with NULLs, emit in table column order
+      // fill unlisted columns with their declared DEFAULT (else NULL),
+      // emit in table column order
       val out = full.fields.filterNot(_.name == "_part").map { f =>
         if (named.columns.contains(f.name))
           org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
-        else org.apache.spark.sql.functions.lit(null)
-          .cast(f.dataType).as(f.name)
+        else defaultFill(meta, f)
       }
       appendAligned(spark, name, named.select(out.toIndexedSeq: _*))
       spark.emptyDataFrame
@@ -2118,26 +2298,36 @@ object Ddl {
   private def insertBlock(spark: SparkSession, name: String,
                           body: String): Option[DataFrame] = {
     val bare = name.replace("`", "")
+    val meta = tables.get(normalize(spark, name))
     val cols = spark.table(bare).columns.filterNot(_ == "_part").toIndexedSeq
-    if (body.toUpperCase.startsWith("SELECT"))
+    def fillFrom(named: DataFrame): DataFrame = {
+      val full = spark.table(bare).schema
+      val out = full.fields.filterNot(_.name == "_part").map { f =>
+        if (named.columns.exists(_.equalsIgnoreCase(f.name)))
+          org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
+        else defaultFill(meta, f)
+      }
+      named.select(out.toIndexedSeq: _*)
+    }
+    val colListSel = colListSelectRe.findFirstMatchIn(body)
+    if (colListSel.isDefined) {
+      val mm = colListSel.get
+      val listed = mm.group(1).split(",").map(_.trim.replace("`", ""))
+        .filter(_.nonEmpty).toIndexedSeq
+      Some(fillFrom(spark.sql(
+        Transpiler.transpile(mm.group(2) + mm.group(3))).toDF(listed: _*)))
+    } else if (body.toUpperCase.startsWith("SELECT"))
       Some(spark.sql(Transpiler.transpile(body)).toDF(cols: _*))
     else valuesBodyRe.findFirstMatchIn(body).map { vm =>
       val parsed = spark.sql(
         Transpiler.transpile("SELECT * FROM VALUES " + vm.group(2)))
-      val full = spark.table(bare).schema
       val listed = Option(vm.group(1)).map(_.split(",")
         .map(_.trim.replace("`", "")).toSeq)
       val named = listed match {
         case Some(cs) => parsed.toDF(cs: _*)
         case None => parsed.toDF(cols: _*)
       }
-      val out = full.fields.filterNot(_.name == "_part").map { f =>
-        if (named.columns.contains(f.name))
-          org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
-        else org.apache.spark.sql.functions.lit(null)
-          .cast(f.dataType).as(f.name)
-      }
-      named.select(out.toIndexedSeq: _*)
+      fillFrom(named)
     }
   }
 

@@ -41,9 +41,13 @@ object Dictionaries {
     * @param range `RANGE(MIN lo MAX hi)` columns for RANGE_HASHED
     *              layouts — enables the 4-arg `dictGet(d, a, key, at)`
     *              validity-interval lookup. */
+  /** @param lifetime `LIFETIME(MIN a MAX b)` in seconds — (n, n) for
+    *                  the single-value form, None/0 = static (never
+    *                  refreshes, ClickHouse LIFETIME(0)). */
   case class Meta(name: String, keyCol: String, attrs: Seq[Attr],
                   source: String, spark: SparkSession,
-                  range: Option[(String, String)] = None)
+                  range: Option[(String, String)] = None,
+                  lifetime: Option[(Long, Long)] = None)
 
   private val dicts = TrieMap.empty[String, Meta] // lowercased bare name
   /** (dict, attr) -> (map literal, key spark type, value spark type) */
@@ -64,12 +68,18 @@ object Dictionaries {
     * correctness cost. */
   @volatile var maxEntries: Int = 1 * 1000 * 1000
 
+  /** dict → millis of the last successful source materialization
+    * (`system.dictionaries.last_successful_update_time`); private[graft]
+    * so specs can backdate it instead of sleeping through a LIFETIME. */
+  private[graft] val loadTimes = TrieMap.empty[String, Long]
+
   def create(spark: SparkSession, name: String, keyCol: String,
              attrs: Seq[Attr], source: String, ifNotExists: Boolean,
-             range: Option[(String, String)] = None): Unit = {
+             range: Option[(String, String)] = None,
+             lifetime: Option[(Long, Long)] = None): Unit = {
     val key = bare(name)
     if (dicts.contains(key) && ifNotExists) return
-    dicts.put(key, Meta(key, keyCol, attrs, source, spark, range))
+    dicts.put(key, Meta(key, keyCol, attrs, source, spark, range, lifetime))
     attrs.foreach { a =>
       cache.remove((key, a.name.toLowerCase))
       rangeCache.remove((key, a.name.toLowerCase))
@@ -81,11 +91,13 @@ object Dictionaries {
     val removed = dicts.remove(bare(name))
     if (removed.isEmpty && !ifExists)
       throw new IllegalArgumentException(s"Dictionary $name does not exist")
-    removed.foreach(m =>
+    removed.foreach { m =>
       m.attrs.foreach { a =>
         cache.remove((m.name, a.name.toLowerCase))
         rangeCache.remove((m.name, a.name.toLowerCase))
-      })
+      }
+      loadTimes.remove(m.name)
+    }
   }
 
   /** `SYSTEM RELOAD DICTIONARY name` / `... DICTIONARIES`: the next
@@ -112,20 +124,40 @@ object Dictionaries {
     cache.keys.filter(_._1 == k).foreach(cache.remove)
     rangeCache.keys.filter(_._1 == k).foreach(rangeCache.remove)
     fitsCache.remove(k)
+    loadTimes.remove(k)
   }
+
+  /** LIFETIME staleness (the pull model, checked at expression build —
+    * never per row): when the newest materialization is older than
+    * LIFETIME's MAX seconds, the lookup drops the cache so the source
+    * re-reads lazily — exactly what SYSTEM RELOAD DICTIONARY does, on a
+    * timer. LIFETIME(0) or no LIFETIME = static dictionary. */
+  private def ensureFresh(m: Meta): Unit =
+    for ((_, maxSec) <- m.lifetime if maxSec > 0;
+         ts <- loadTimes.get(m.name)
+         if System.currentTimeMillis() - ts > maxSec * 1000L)
+      invalidate(Some(m.name))
 
   def exists(name: String): Boolean = dicts.contains(bare(name))
 
-  /** system.dictionaries live frame (columns clients read by name). */
+  /** system.dictionaries live frame (columns clients read by name —
+    * real tooling polls `last_successful_update_time` against
+    * `lifetime_max` to alert on stale dictionaries). */
   def snapshot(spark: SparkSession): DataFrame = {
     import spark.implicits._
     dicts.values.toSeq.sortBy(_.name)
       .map { m =>
-        val loaded = m.attrs.exists(a => cache.contains((m.name, a.name.toLowerCase)))
+        val loaded = m.attrs.exists(a =>
+          cache.contains((m.name, a.name.toLowerCase)) ||
+            rangeCache.contains((m.name, a.name.toLowerCase)))
         (m.name, m.keyCol, m.attrs.map(_.name).mkString(","),
-          m.source, if (loaded) "LOADED" else "NOT_LOADED")
+          m.source, if (loaded) "LOADED" else "NOT_LOADED",
+          m.lifetime.map(_._1).getOrElse(0L),
+          m.lifetime.map(_._2).getOrElse(0L),
+          loadTimes.get(m.name).map(new java.sql.Timestamp(_)).orNull)
       }
-      .toDF("name", "key", "attribute_names", "source", "status")
+      .toDF("name", "key", "attribute_names", "source", "status",
+        "lifetime_min", "lifetime_max", "last_successful_update_time")
   }
 
   // ---- expression builders (registered under dictGet* in ChFunctions) ----
@@ -138,6 +170,7 @@ object Dictionaries {
     require(args.length == 3 || args.length == 4,
       "dictGet(dict, attr, key[, range_at]) takes 3 or 4 arguments")
     val (m, attr) = resolve(args(0), args(1))
+    ensureFresh(m)
     if (args.length == 4) {
       // beyond-cap RANGE_HASHED sources degrade to a correlated
       // subquery too — the 4-arg early-return used to bypass the
@@ -187,6 +220,7 @@ object Dictionaries {
     require(args.length == 4,
       "dictGetOrDefault(dict, attr, key, default) takes 4 arguments")
     val (m, attr) = resolve(args(0), args(1))
+    ensureFresh(m)
     if (!fitsLiteral(m)) {
       val (sub, _, valDt) = subqueryLookup(m, attr, args(2))
       return Coalesce(Seq(sub, Cast(args(3), valDt)))
@@ -201,6 +235,7 @@ object Dictionaries {
     require(args.length == 3,
       "dictGetOrNull(dict, attr, key) takes 3 arguments")
     val (m, attr) = resolve(args(0), args(1))
+    ensureFresh(m)
     if (!fitsLiteral(m)) return subqueryLookup(m, attr, args(2))._1
     val (mapLit, keyDt, _) = loadedMap(m, attr)
     ElementAt(mapLit, Cast(args(2), keyDt), None, false)
@@ -210,6 +245,7 @@ object Dictionaries {
   def dictHas(args: Seq[Expression]): Expression = {
     require(args.length == 2, "dictHas(dict, key) takes 2 arguments")
     val m = meta(litStr(args(0), "dictHas"))
+    ensureFresh(m)
     if (!fitsLiteral(m)) {
       // EXISTS over the source: the subquery rewrites to a semi join
       val (keyF, _) = sourceFields(m, m.attrs.head.name.toLowerCase)
@@ -382,6 +418,7 @@ object Dictionaries {
         .map(r => r.get(0) -> r.get(1)).toMap
       val lit = Literal.create(kv,
         MapType(keyF.dataType, valF.dataType, valueContainsNull = true))
+      loadTimes.put(m.name, System.currentTimeMillis())
       (lit, keyF.dataType, valF.dataType)
     })
 
@@ -418,6 +455,7 @@ object Dictionaries {
         }
       val lit = Literal.create(kv,
         MapType(keyF.dataType, ArrayType(structDt), valueContainsNull = false))
+      loadTimes.put(m.name, System.currentTimeMillis())
       (lit, keyF.dataType, valF.dataType, loF.dataType)
     })
 

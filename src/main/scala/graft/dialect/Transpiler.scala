@@ -422,9 +422,13 @@ object Transpiler {
     s = rewriteParameterized(s, "quantileExactHigh",
       (p, arg) => exactLowHigh(p, arg, "ceil"))
     s = rewriteParameterized(s, "quantileExact", exactRank)
-    // quantileTiming: ClickHouse's timing sketch is EXACT for values in
-    // [0, 30000] ms (integer-ms bins) and clamps outside — mapped to
-    // the exact rule over round+clamp, double result (CH: Float32)
+    // quantileTiming: mapped to the exact rank rule over round+clamp to
+    // [0, 30000] ms, double result (CH: Float32). INTENTIONAL
+    // DIVERGENCE at large state: ClickHouse's QuantileTiming is only
+    // exact while the state is small (<=5670 values / values <=1024);
+    // beyond that it coarsens to 16 ms bins. Here the answer stays
+    // exact at every scale — a strictly tighter result than the
+    // upstream sketch, never a different distribution model.
     s = rewriteParameterized(s, "quantileTiming", (p, arg) =>
       s"cast(${exactRank(p,
         s"least(greatest(round(cast(($arg) as double)), 0D), 30000D)")} as double)")

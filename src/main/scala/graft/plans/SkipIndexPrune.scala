@@ -45,6 +45,15 @@ object SkipIndexPrune extends Rule[LogicalPlan] {
   def lastPruneFor(table: String): Option[(Int, Int)] =
     lastPrune.get(table.toLowerCase)
 
+  /** Bytes the pruning decision kept vs the table's total — the
+    * IO-reduction signal for scans whose wall-clock sits under the
+    * fixed-cost floor at small scale (driver-side file metadata, no
+    * data read). */
+  private val lastPruneBytes =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+  def lastPruneBytesFor(table: String): Option[(Long, Long)] =
+    lastPruneBytes.get(table.toLowerCase)
+
   /** Order two EXTERNAL values of the same column type; None = types
     * this rule does not reason about (then the file is kept). */
   private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
@@ -314,6 +323,13 @@ object SkipIndexPrune extends Rule[LogicalPlan] {
             val pruned = new PrunedFileIndex(hfs.location, excluded)
             lastPrune.put(key.toLowerCase,
               (pruned.inputFiles.length, hfs.location.inputFiles.length))
+            try {
+              def bytes(ix: FileIndex): Long =
+                ix.listFiles(Nil, Nil).iterator
+                  .flatMap(_.files).map(_.getLen).sum
+              lastPruneBytes.put(key.toLowerCase,
+                (bytes(pruned), bytes(hfs.location)))
+            } catch { case _: Throwable => () }
             Filter(cond, rel.copy(relation =
               hfs.copy(location = pruned)(hfs.sparkSession)))
           }

@@ -188,6 +188,40 @@ object DdlQueries {
              CAST(sum(CASE WHEN c_custkey % 3 = 0 THEN 2 ELSE 1 END) AS BIGINT) AS sv
       FROM customer""")),
 
+    // S5c: column DEFAULT expressions — INSERTs omitting a column store
+    // the declared expression's value (which may reference the inserted
+    // columns: val DEFAULT id * 3); exercised through BOTH subset-insert
+    // forms (column-list VALUES-free SELECT and partial column lists)
+    Q("s22_default_columns", (s, dir) => {
+      ChContext.setup(s, dir)
+      Engine.execute(s, "CREATE DATABASE IF NOT EXISTS graft_t")
+      Engine.execute(s, "DROP TABLE IF EXISTS graft_t.defq")
+      Engine.execute(s, """
+        CREATE TABLE graft_t.defq (
+          id Int64, status String DEFAULT 'pending',
+          val Int64 DEFAULT id * 3, tag String)
+        ENGINE=MergeTree() ORDER BY (id)""")
+      Engine.execute(s, """
+        INSERT INTO graft_t.defq (id)
+        SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 1""")
+      Engine.execute(s, """
+        INSERT INTO graft_t.defq (id, status)
+        SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 10 = 2""")
+      Engine.execute(s, """
+        SELECT status, count() AS n, sum(val) AS sv,
+               countIf(tag IS NULL) AS nuls
+        FROM graft_t.defq GROUP BY status ORDER BY status""")
+    }, Some("""
+      SELECT status, count(*) AS n, CAST(sum(val) AS BIGINT) AS sv,
+             count(*) AS nuls
+      FROM (
+        SELECT 'pending' AS status, o_orderkey * 3 AS val FROM orders
+        WHERE o_orderkey % 10 = 1
+        UNION ALL
+        SELECT o_orderstatus AS status, o_orderkey * 3 AS val FROM orders
+        WHERE o_orderkey % 10 = 2)
+      GROUP BY status ORDER BY status""")),
+
     // S4c: schema-changing ALTERs (DROP/RENAME/MODIFY COLUMN) rewrite
     // the table copy-on-write and RENAME TABLE carries the metadata —
     // the oracle is the equivalent transformation straight over parquet

@@ -631,6 +631,57 @@ class DdlSpec extends AnyFunSuite {
     assert(rows() === Seq(2L, 3L))
   }
 
+  test("TTL breadth: TO VOLUME/DISK clauses parse as no-ops, SHOW CREATE round-trips, column TTL refused") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.ttl_full")
+    // the full hits-style TTL tail: DELETE expiry + movement clauses
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.ttl_full (k Int64, d DateTime)
+      ENGINE=MergeTree() ORDER BY k
+      TTL d + INTERVAL 30 DAY DELETE,
+          d + INTERVAL 7 DAY TO VOLUME 'cold',
+          d + INTERVAL 1 DAY TO DISK 'ssd'""")
+    Engine.execute(spark, """
+      INSERT INTO graft_spec.ttl_full VALUES
+      (1, '2000-01-01 00:00:00'), (2, '2099-01-01 00:00:00')""")
+    // movement clauses are no-ops (single storage tier); the DELETE
+    // expiry still drives the merge
+    Engine.execute(spark, "OPTIMIZE TABLE graft_spec.ttl_full FINAL")
+    assert(Engine.execute(spark, "SELECT k FROM graft_spec.ttl_full")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // SHOW CREATE round-trips the effective TTL and re-executes
+    val stmt = Engine.execute(spark, "SHOW CREATE TABLE graft_spec.ttl_full")
+      .collect().head.getString(0)
+    assert(stmt.contains("TTL d + INTERVAL 30 DAY"), stmt)
+    Engine.execute(spark, "DROP TABLE graft_spec.ttl_full SYNC")
+    Engine.execute(spark, stmt)
+    assert(Engine.execute(spark, "SHOW CREATE TABLE graft_spec.ttl_full")
+      .collect().head.getString(0).contains("TTL d + INTERVAL 30 DAY"),
+      "re-executing SHOW CREATE output must preserve the TTL")
+    Engine.execute(spark, "DROP TABLE graft_spec.ttl_full SYNC")
+    // movement-only TTL: accepted, nothing for merges to apply
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.ttl_mv")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.ttl_mv (k Int64, d DateTime)
+      ENGINE=MergeTree() ORDER BY k TTL d + INTERVAL 7 DAY TO VOLUME 'cold'""")
+    Engine.execute(spark,
+      "INSERT INTO graft_spec.ttl_mv VALUES (1, '2000-01-01 00:00:00')")
+    Engine.execute(spark, "OPTIMIZE TABLE graft_spec.ttl_mv FINAL")
+    assert(Engine.execute(spark, "SELECT count() AS n FROM graft_spec.ttl_mv")
+      .collect().head.getLong(0) == 1L)
+    Engine.execute(spark, "DROP TABLE graft_spec.ttl_mv SYNC")
+    // column-level TTL and GROUP BY TTL actions refuse loudly
+    val e1 = intercept[Exception](Engine.execute(spark, """
+      CREATE TABLE graft_spec.ttl_col (k Int64, v String TTL d + INTERVAL 1 DAY,
+        d DateTime) ENGINE=MergeTree() ORDER BY k"""))
+    assert(e1.getMessage.contains("column-level TTL"))
+    val e2 = intercept[Exception](Engine.execute(spark, """
+      CREATE TABLE graft_spec.ttl_gb (k Int64, v Int64, d DateTime)
+      ENGINE=MergeTree() ORDER BY k
+      TTL d + INTERVAL 1 DAY GROUP BY k SET v = sum(v)"""))
+    assert(e2.getMessage.contains("unsupported TTL action"))
+  }
+
   test("system.processes lists tagged queries; KILL QUERY retires them") {
     // observer runs on its OWN thread, like a second connection — a
     // same-thread probe would retire the victim's entry first (the
@@ -719,6 +770,56 @@ class DdlSpec extends AnyFunSuite {
     Engine.execute(spark, "DROP DICTIONARY d_spec")
     assertThrows[Exception](Engine.execute(spark,
       "SELECT dictGet('d_spec', 'name', 1)"))
+  }
+
+  test("LIFETIME drives staleness: past MAX the next lookup re-loads lazily; system.dictionaries shows the timestamps") {
+    import graft.dialect.Dictionaries
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.dim_lt")
+    Engine.execute(spark,
+      "CREATE TABLE graft_spec.dim_lt (id UInt64, name String) ENGINE=Memory")
+    Engine.execute(spark, "INSERT INTO graft_spec.dim_lt VALUES (1, 'a')")
+    Engine.execute(spark, "DROP DICTIONARY IF EXISTS d_lt")
+    Engine.execute(spark, """
+      CREATE DICTIONARY d_lt (id UInt64, name String DEFAULT '?')
+      PRIMARY KEY id
+      SOURCE(CLICKHOUSE(TABLE 'graft_spec.dim_lt'))
+      LAYOUT(HASHED()) LIFETIME(MIN 60 MAX 120)""")
+    // not loaded yet: no last_successful_update_time
+    val pre = Engine.execute(spark, """
+      SELECT status, lifetime_min, lifetime_max, last_successful_update_time
+      FROM system.dictionaries WHERE name = 'd_lt'""").collect().head
+    assert(pre.getString(0) == "NOT_LOADED" && pre.isNullAt(3))
+    assert(pre.getLong(1) == 60L && pre.getLong(2) == 120L)
+    // first lookup materializes and stamps the load time
+    assert(Engine.execute(spark, "SELECT dictGet('d_lt', 'name', 1)")
+      .collect().head.getString(0) == "a")
+    val t1 = Engine.execute(spark, """
+      SELECT last_successful_update_time FROM system.dictionaries
+      WHERE name = 'd_lt'""").collect().head.getTimestamp(0)
+    assert(t1 != null)
+    // inside the window the cache holds: a source change is invisible
+    Engine.execute(spark, "INSERT INTO graft_spec.dim_lt VALUES (2, 'b')")
+    assert(Engine.execute(spark, "SELECT dictGet('d_lt', 'name', 2)")
+      .collect().head.getString(0) == "?")
+    // backdate the load past MAX (instead of sleeping 2 minutes): the
+    // next lookup must drop the cache and re-read the source
+    Dictionaries.loadTimes.put("d_lt", System.currentTimeMillis() - 121000L)
+    assert(Engine.execute(spark, "SELECT dictGet('d_lt', 'name', 2)")
+      .collect().head.getString(0) == "b",
+      "a stale read past LIFETIME MAX must re-load lazily")
+    val t2 = Engine.execute(spark, """
+      SELECT last_successful_update_time FROM system.dictionaries
+      WHERE name = 'd_lt'""").collect().head.getTimestamp(0)
+    assert(t2.getTime > System.currentTimeMillis() - 60000L,
+      "the re-load must refresh last_successful_update_time")
+    // SYSTEM RELOAD also refreshes the timestamp on the next lookup
+    val before = Dictionaries.loadTimes("d_lt")
+    Engine.execute(spark, "SYSTEM RELOAD DICTIONARY d_lt")
+    Engine.execute(spark, "SELECT dictGet('d_lt', 'name', 1)").collect()
+    assert(Dictionaries.loadTimes("d_lt") >= before)
+    Engine.execute(spark, "DROP DICTIONARY d_lt")
+    Engine.execute(spark, "DROP TABLE graft_spec.dim_lt SYNC")
   }
 
   test("a >1M-row DICTIONARY takes the join path under the DEFAULT cap") {

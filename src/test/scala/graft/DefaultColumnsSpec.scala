@@ -1,0 +1,148 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dialect.{CatalogStore, Engine}
+
+/** Column DEFAULT expressions (`c Type DEFAULT expr`): INSERTs that
+  * omit the column store the expression's value — evaluated over the
+  * inserted block, so defaults may reference the provided columns
+  * (`b DEFAULT a * 2`, ClickHouse semantics). Computed column kinds
+  * (MATERIALIZED / ALIAS / EPHEMERAL) are refused loudly. */
+class DefaultColumnsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def exec(q: String) = Engine.execute(spark, q)
+
+  test("VALUES with a column subset fills declared defaults; explicit values win") {
+    exec("CREATE DATABASE IF NOT EXISTS graft_spec")
+    exec("DROP TABLE IF EXISTS graft_spec.defs")
+    exec("""
+      CREATE TABLE graft_spec.defs (
+        id Int64,
+        status String DEFAULT 'new',
+        score Int64 DEFAULT id * 10,
+        note String)
+      ENGINE=MergeTree() ORDER BY (id)""")
+    exec("INSERT INTO graft_spec.defs (id) VALUES (1), (2)")
+    exec("INSERT INTO graft_spec.defs (id, status) VALUES (3, 'done')")
+    exec("INSERT INTO graft_spec.defs VALUES (4, 'x', 999, 'full')")
+    val rows = exec("""
+      SELECT id, status, score, note FROM graft_spec.defs ORDER BY id""")
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      if (r.isNullAt(3)) null else r.getString(3))).toSeq == Seq(
+      (1L, "new", 10L, null),   // both defaults; no-default note stays NULL
+      (2L, "new", 20L, null),
+      (3L, "done", 30L, null),  // explicit status, defaulted score
+      (4L, "x", 999L, "full"))) // full list: nothing defaulted
+  }
+
+  test("INSERT (cols) SELECT fills defaults the same way") {
+    exec("CREATE DATABASE IF NOT EXISTS graft_spec")
+    exec("DROP TABLE IF EXISTS graft_spec.defsel")
+    exec("""
+      CREATE TABLE graft_spec.defsel (
+        k Int64, tag String DEFAULT 'auto', dbl Int64 DEFAULT k + k)
+      ENGINE=Memory""")
+    exec("""
+      INSERT INTO graft_spec.defsel (k) SELECT number FROM numbers(3)""")
+    val rows = exec(
+      "SELECT k, tag, dbl FROM graft_spec.defsel ORDER BY k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq == Seq((0L, "auto", 0L), (1L, "auto", 2L), (2L, "auto", 4L)))
+    // arity mismatch between the list and the SELECT fails loudly
+    intercept[Exception](exec("""
+      INSERT INTO graft_spec.defsel (k) SELECT number, number FROM numbers(1)"""))
+  }
+
+  test("SHOW CREATE and DESCRIBE carry the DEFAULT; definition survives a restart") {
+    exec("CREATE DATABASE IF NOT EXISTS graft_spec")
+    exec("DROP TABLE IF EXISTS graft_spec.defshow")
+    exec("""
+      CREATE TABLE graft_spec.defshow (id Int64, st String DEFAULT 'q')
+      ENGINE=MergeTree() ORDER BY (id)""")
+    val stmt = exec("SHOW CREATE TABLE graft_spec.defshow")
+      .collect().head.getString(0)
+    assert(stmt.contains("DEFAULT 'q'"), stmt)
+    val st = exec("DESCRIBE TABLE graft_spec.defshow").collect()
+      .find(_.getString(0) == "st").get
+    assert(st.getString(2) == "DEFAULT" && st.getString(3) == "'q'")
+    // restart: the default restores from _graft_meta.json
+    exec("INSERT INTO graft_spec.defshow (id) VALUES (1)")
+    CatalogStore.simulateRestart(spark, Seq("graft_spec.defshow"))
+    exec("INSERT INTO graft_spec.defshow (id) VALUES (2)")
+    assert(exec("""
+      SELECT count() AS n FROM graft_spec.defshow WHERE st = 'q'""")
+      .collect().head.getLong(0) == 2L,
+      "the DEFAULT must survive the restart")
+  }
+
+  test("computed column kinds refuse loudly; empty DEFAULT refuses") {
+    exec("CREATE DATABASE IF NOT EXISTS graft_spec")
+    for (kw <- Seq("MATERIALIZED id * 2", "ALIAS id", "EPHEMERAL")) {
+      val e = intercept[Exception](exec(s"""
+        CREATE TABLE graft_spec.defbad (id Int64, c Int64 $kw)
+        ENGINE=Memory"""))
+      assert(e.getMessage.contains("not supported"), s"$kw: ${e.getMessage}")
+    }
+    // Enum values spelling DEFAULT inside a string never trip the scan
+    exec("DROP TABLE IF EXISTS graft_spec.defenum")
+    exec("""
+      CREATE TABLE graft_spec.defenum (
+        id Int64, e Enum8('DEFAULT' = 1, 'other' = 2)) ENGINE=Memory""")
+    exec("INSERT INTO graft_spec.defenum VALUES (1, 'DEFAULT')")
+    assert(exec("SELECT e FROM graft_spec.defenum").collect()
+      .head.getString(0) == "DEFAULT")
+    exec("DROP TABLE graft_spec.defenum SYNC")
+  }
+
+  test("ALTER ADD COLUMN DEFAULT backfills existing rows and applies to new inserts") {
+    exec("CREATE DATABASE IF NOT EXISTS graft_spec")
+    exec("DROP TABLE IF EXISTS graft_spec.defadd")
+    exec("""
+      CREATE TABLE graft_spec.defadd (id Int64)
+      ENGINE=MergeTree() ORDER BY (id)""")
+    exec("INSERT INTO graft_spec.defadd VALUES (1), (2)")
+    exec("ALTER TABLE graft_spec.defadd ADD COLUMN grade String DEFAULT 'B'")
+    // existing rows materialize the default (ClickHouse computes it on
+    // read for old parts; the observable value is the same)
+    assert(exec("""
+      SELECT count() AS n FROM graft_spec.defadd WHERE grade = 'B'""")
+      .collect().head.getLong(0) == 2L)
+    exec("INSERT INTO graft_spec.defadd (id) VALUES (3)")
+    assert(exec("""
+      SELECT count() AS n FROM graft_spec.defadd WHERE grade = 'B'""")
+      .collect().head.getLong(0) == 3L)
+    // DROP COLUMN forgets the default; re-adding the name starts clean
+    exec("ALTER TABLE graft_spec.defadd DROP COLUMN grade")
+    exec("ALTER TABLE graft_spec.defadd ADD COLUMN grade String")
+    exec("INSERT INTO graft_spec.defadd (id) VALUES (4)")
+    assert(exec("""
+      SELECT count() AS n FROM graft_spec.defadd WHERE grade = 'B'""")
+      .collect().head.getLong(0) == 0L,
+      "a dropped column's DEFAULT must not haunt a re-added column")
+    exec("DROP TABLE graft_spec.defadd SYNC")
+    exec("DROP TABLE IF EXISTS graft_spec.defs SYNC")
+    exec("DROP TABLE IF EXISTS graft_spec.defsel SYNC")
+    exec("DROP TABLE IF EXISTS graft_spec.defshow SYNC")
+  }
+
+  test("materialized views fire on default-filled blocks") {
+    exec("CREATE DATABASE IF NOT EXISTS graft_spec")
+    exec("DROP TABLE IF EXISTS graft_spec.defmv_src")
+    exec("DROP TABLE IF EXISTS graft_spec.defmv_out")
+    exec("""
+      CREATE TABLE graft_spec.defmv_src (
+        id Int64, w Int64 DEFAULT id * 100) ENGINE=Memory""")
+    exec("CREATE TABLE graft_spec.defmv_out (s Int64) ENGINE=Memory")
+    exec("""
+      CREATE MATERIALIZED VIEW graft_spec.defmv TO graft_spec.defmv_out AS
+      SELECT sum(w) AS s FROM graft_spec.defmv_src""")
+    exec("INSERT INTO graft_spec.defmv_src (id) VALUES (1), (2)")
+    assert(exec("SELECT sum(s) AS t FROM graft_spec.defmv_out")
+      .collect().head.getLong(0) == 300L,
+      "the MV must see the default-filled block, not NULLs")
+    exec("DROP TABLE graft_spec.defmv_out SYNC")
+    exec("DROP TABLE graft_spec.defmv_src SYNC")
+  }
+}
