@@ -270,6 +270,16 @@ object Ddl {
     }
   }
 
+  /** An INSERT column list naming a column the table doesn't have must
+    * error (ClickHouse: NO_SUCH_COLUMN_IN_TABLE) — the fill loop below
+    * only copies names that match, so a typo would otherwise silently
+    * DROP that value and store the default instead. */
+  private def requireTableCols(name: String, listed: Seq[String],
+      full: org.apache.spark.sql.types.StructType): Unit =
+    listed.find(c => !full.fields.exists(_.name.equalsIgnoreCase(c)))
+      .foreach(c => throw new IllegalArgumentException(
+        s"INSERT column list: no column $c in table $name"))
+
   /** The value an INSERT that omits column `f` stores: the declared
     * DEFAULT expression (evaluated over the inserted block, so it may
     * reference the block's provided columns — `b DEFAULT a * 2`), else
@@ -2244,6 +2254,7 @@ object Ddl {
             s"SELECT produces ${sel.columns.length}")
       val named = sel.toDF(listed: _*)
       val full = spark.table(name.replace("`", "")).schema
+      requireTableCols(name, listed, full)
       val out = full.fields.filterNot(_.name == "_part").map { f =>
         if (named.columns.exists(_.equalsIgnoreCase(f.name)))
           org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
@@ -2265,6 +2276,7 @@ object Ddl {
       val full = spark.table(name.replace("`", "")).schema
       val listed = Option(vm.group(1)).map(_.split(",")
         .map(_.trim.replace("`", "")).toSeq)
+      listed.foreach(requireTableCols(name, _, full))
       val named = listed match {
         case Some(cs) => parsed.toDF(cs: _*)
         case None => parsed.toDF(
@@ -2314,6 +2326,7 @@ object Ddl {
       val mm = colListSel.get
       val listed = mm.group(1).split(",").map(_.trim.replace("`", ""))
         .filter(_.nonEmpty).toIndexedSeq
+      requireTableCols(name, listed, spark.table(bare).schema)
       Some(fillFrom(spark.sql(
         Transpiler.transpile(mm.group(2) + mm.group(3))).toDF(listed: _*)))
     } else if (body.toUpperCase.startsWith("SELECT"))
@@ -2323,6 +2336,7 @@ object Ddl {
         Transpiler.transpile("SELECT * FROM VALUES " + vm.group(2)))
       val listed = Option(vm.group(1)).map(_.split(",")
         .map(_.trim.replace("`", "")).toSeq)
+      listed.foreach(requireTableCols(name, _, spark.table(bare).schema))
       val named = listed match {
         case Some(cs) => parsed.toDF(cs: _*)
         case None => parsed.toDF(cols: _*)

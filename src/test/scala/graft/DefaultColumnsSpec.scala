@@ -53,6 +53,14 @@ class DefaultColumnsSpec extends AnyFunSuite {
     // arity mismatch between the list and the SELECT fails loudly
     intercept[Exception](exec("""
       INSERT INTO graft_spec.defsel (k) SELECT number, number FROM numbers(1)"""))
+    // a typo'd column in the list errors (ClickHouse
+    // NO_SUCH_COLUMN_IN_TABLE) instead of silently dropping the value
+    val e = intercept[Exception](exec("""
+      INSERT INTO graft_spec.defsel (kk) SELECT number FROM numbers(1)"""))
+    assert(e.getMessage.contains("no column kk"), e.getMessage)
+    val e2 = intercept[Exception](exec(
+      "INSERT INTO graft_spec.defsel (k, typo) VALUES (1, 2)"))
+    assert(e2.getMessage.contains("no column typo"), e2.getMessage)
   }
 
   test("SHOW CREATE and DESCRIBE carry the DEFAULT; definition survives a restart") {
