@@ -122,6 +122,9 @@ object CatalogStore {
         ("collapsingVer" -> meta.flatMap(_.collapsing).map(_._2)) ~
         ("columnDefaults" -> meta.map(_.columnDefaults.toList.map(p =>
           ("name" -> p._1) ~ ("expr" -> p._2))).getOrElse(Nil)) ~
+        ("columnComments" -> meta.map(_.columnComments.toList.map(p =>
+          ("name" -> p._1) ~ ("text" -> p._2))).getOrElse(Nil)) ~
+        ("tableComment" -> meta.flatMap(_.tableComment)) ~
         ("ttl" -> meta.flatMap(_.ttl)) ~
         ("projections" -> projs.map { p =>
           ("name" -> p.name) ~ ("keys" -> p.keys.toList) ~
@@ -326,7 +329,13 @@ object CatalogStore {
         case JArray(ds) => ds.flatMap(d =>
           for (n <- str(d \ "name"); e <- str(d \ "expr")) yield (n, e))
         case _ => Nil
-      }))
+      },
+      columnComments = (j \ "columnComments") match {
+        case JArray(ds) => ds.flatMap(d =>
+          for (n <- str(d \ "name"); e <- str(d \ "text")) yield (n, e))
+        case _ => Nil
+      },
+      tableComment = str(j \ "tableComment")))
     // Nested columns persist physically as dotted parallel arrays —
     // re-register their prefixes so `col.field` access keeps working
     cols.foreach { c =>

@@ -42,7 +42,9 @@ object Ddl {
                                         summingCols: Option[Seq[String]] = None,
                                         ttl: Option[String] = None,
                                         collapsing: Option[(String, String)] = None,
-                                        columnDefaults: Seq[(String, String)] = Nil)
+                                        columnDefaults: Seq[(String, String)] = Nil,
+                                        columnComments: Seq[(String, String)] = Nil,
+                                        tableComment: Option[String] = None)
   private val tables = TrieMap.empty[String, TableMeta]
 
   // durable-catalog accessors (CatalogStore persists/restores this map)
@@ -248,26 +250,66 @@ object Ddl {
     -1
   }
 
-  /** Split a column definition's tail (`Type [DEFAULT expr]`) —
-    * ClickHouse's insertable-default modifier. MATERIALIZED / ALIAS /
-    * EPHEMERAL columns (computed, never insertable) are refused loudly
-    * rather than mis-parsed as part of the type. */
-  private def splitColDefault(cn: String,
-                              ct: String): (String, Option[String]) = {
+  /** The `ENGINE = ...` tail of a statement, verbatim (the clone form's
+    * optional engine override). */
+  private def engineOverrideOf(s: String): Option[String] =
+    "(?is)\\bENGINE\\s*=\\s*(.+)$".r.findFirstMatchIn(s)
+      .map(m => "ENGINE = " + m.group(1).trim)
+
+  /** Parsed column-definition tail: the bare type plus its modifiers. */
+  private[dialect] case class ColTail(tpe: String,
+                                      default: Option[String],
+                                      comment: Option[String])
+
+  /** Split a column definition's tail
+    * (`Type [DEFAULT expr] [COMMENT 'text'] [CODEC(...)]`, any order) —
+    * ClickHouse's column decorations. `CODEC` is accepted and dropped
+    * (a DOCUMENTED no-op: parquet applies its own column compression;
+    * there is no per-column codec to honor). MATERIALIZED / ALIAS /
+    * EPHEMERAL columns (computed, never insertable) and column-level
+    * TTL are refused loudly rather than mis-parsed as part of the
+    * type. */
+  private def splitColDefault(cn: String, ct: String): ColTail = {
     Seq("MATERIALIZED", "ALIAS", "EPHEMERAL").foreach { kw =>
       if (topLevelKeyword(ct, kw) >= 0) throw new IllegalArgumentException(
         s"column $cn: $kw columns are not supported " +
           "(computed columns have no storage equivalent here); " +
           "use DEFAULT or compute the expression in queries")
     }
-    val di = topLevelKeyword(ct, "DEFAULT")
-    if (di < 0) (ct, None)
-    else {
-      val e = ct.substring(di + "DEFAULT".length).trim
-      if (e.isEmpty) throw new IllegalArgumentException(
-        s"column $cn: empty DEFAULT expression")
-      (ct.substring(0, di).trim, Some(e))
+    if (topLevelKeyword(ct, "TTL") >= 0) throw new IllegalArgumentException(
+      s"column-level TTL is not supported (column $cn); " +
+        "use a table-level TTL clause for row expiry")
+    // every modifier start, in text order; each segment runs to the
+    // next modifier (expressions never contain these words at depth 0)
+    val marks = Seq("DEFAULT", "COMMENT", "CODEC")
+      .map(k => k -> topLevelKeyword(ct, k)).filter(_._2 >= 0).sortBy(_._2)
+    val tpe = marks.headOption.map(m => ct.substring(0, m._2).trim)
+      .getOrElse(ct.trim)
+    if (tpe.isEmpty) throw new IllegalArgumentException(
+      s"column $cn: missing type before ${marks.head._1}")
+    var default: Option[String] = None
+    var comment: Option[String] = None
+    marks.zipWithIndex.foreach { case ((kw, at), i) =>
+      val end = marks.lift(i + 1).map(_._2).getOrElse(ct.length)
+      val body = ct.substring(at + kw.length, end).trim
+      kw match {
+        case "DEFAULT" =>
+          if (body.isEmpty) throw new IllegalArgumentException(
+            s"column $cn: empty DEFAULT expression")
+          default = Some(body)
+        case "COMMENT" =>
+          if (!(body.startsWith("'") && body.endsWith("'") && body.length >= 2))
+            throw new IllegalArgumentException(
+              s"column $cn: COMMENT takes a quoted string, got: $body")
+          comment = Some(body.substring(1, body.length - 1).replace("''", "'"))
+        case "CODEC" =>
+          if (!body.startsWith("(") || !body.endsWith(")"))
+            throw new IllegalArgumentException(
+              s"column $cn: CODEC takes a parenthesized codec list")
+          () // accepted, dropped — see the doc comment
+      }
     }
+    ColTail(tpe, default, comment)
   }
 
   /** An INSERT column list naming a column the table doesn't have must
@@ -371,6 +413,10 @@ object Ddl {
     ("(?is)^\\s*CREATE\\s+(TEMPORARY\\s+)?TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?" +
       "([\\w`.]+)\\s*(?:ENGINE\\s*=\\s*(\\w+)\\s*(?:\\(\\s*([^)]*)\\))?" +
       "(.*?))?\\s+AS\\s+(SELECT|WITH)\\b(.*)$").r
+  // CREATE TABLE t2 AS t1 [ENGINE=...] — structure clone, no data
+  private val createCloneRe =
+    ("(?is)^\\s*CREATE\\s+TABLE\\s+(?:(IF\\s+NOT\\s+EXISTS)\\s+)?" +
+      "([\\w`.]+)\\s+AS\\s+([\\w`.]+)\\s*(?:ENGINE\\s*=.*)?$").r
   // TEMPORARY with no ENGINE clause (ClickHouse defaults it to Memory)
   private val createTempTableRe =
     ("(?is)^\\s*CREATE\\s+TEMPORARY\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w`.]+)\\s*" +
@@ -380,7 +426,8 @@ object Ddl {
     * nest calls arbitrarily — `cityHash64(toString(x))` works; the old
     * regexes stopped at one level). Returns keyword → clause body. */
   private val suffixKeywords = Seq(
-    "PARTITION BY", "ORDER BY", "SAMPLE BY", "PRIMARY KEY", "TTL", "SETTINGS")
+    "PARTITION BY", "ORDER BY", "SAMPLE BY", "PRIMARY KEY", "TTL",
+    "SETTINGS", "COMMENT")
   private[graft] def suffixClauses(rest: String): Map[String, String] = {
     // keyword match at i, whitespace-flexible between words; '_' and '`'
     // count as identifier chars (\b semantics) so a column named
@@ -882,6 +929,27 @@ object Ddl {
               spark.catalog.tableExists(bare)) df
           else { df.createOrReplaceTempView(bare); df }
         }
+      case createCloneRe(ifNot, newName, srcName)
+          if !srcName.replace("`", "").matches("(?i)(select|with)") =>
+        // `CREATE TABLE t2 AS t1 [ENGINE=E]`: structure clone —
+        // columns, defaults, comments, indexes and (unless overridden)
+        // the engine with its PARTITION/ORDER/SAMPLE BY/TTL tail.
+        // Implementation: SHOW CREATE round-trips (spec-guaranteed), so
+        // the clone IS the source's SHOW CREATE with the name swapped
+        // (+ optional engine-tail swap). No data is copied (CH
+        // semantics).
+        val src = srcName.replace("`", "")
+        spark.table(src) // must exist — Spark's standard error if not
+        val stmt0 = showCreateTable(spark, src).collect().head.getString(0)
+        val ine = if (ifNot != null) "IF NOT EXISTS " else ""
+        var stmt = stmt0.replaceFirst("(?s)^CREATE TABLE [^\\n]+\\n",
+          java.util.regex.Matcher.quoteReplacement(
+            s"CREATE TABLE $ine${newName.replace("`", "")}\n"))
+        engineOverrideOf(s).foreach { ov =>
+          val cut = stmt.indexOf("\nENGINE = ")
+          stmt = stmt.substring(0, cut) + "\n" + ov
+        }
+        execute(spark, stmt)
       case createTableRe(temp, ifNot, name, cols, engine, engineArgs, rest) =>
         // TEMPORARY: session-lifetime table (ClickHouse drops it when
         // the session ends). It lands in the session's CURRENT database
@@ -996,7 +1064,8 @@ object Ddl {
         val t = colDef.trim
         val sp = t.indexOf(' ')
         val (cn, ct0) = (t.substring(0, sp).trim, t.substring(sp + 1).trim)
-        val (ct, defExpr) = splitColDefault(cn, ct0)
+        val tail0 = splitColDefault(cn, ct0)
+        val (ct, defExpr) = (tail0.tpe, tail0.default)
         val exists = Option(ifNot).isDefined && spark.table(name.replace("`", ""))
           .columns.exists(_.equalsIgnoreCase(cn.replace("`", "")))
         if (exists) spark.emptyDataFrame
@@ -1004,6 +1073,13 @@ object Ddl {
           val sparkType = Transpiler.mapTypeNames(ct)
           val out = spark.sql(
             s"ALTER TABLE $name ADD COLUMNS ($cn $sparkType)")
+          tail0.comment.foreach { cm =>
+            val key = normalize(spark, name)
+            tables.put(key, tables.getOrElse(key, TableMeta(None, Nil))
+              .copy(columnComments = tables.get(key)
+                .map(_.columnComments).getOrElse(Nil) :+
+                (cn.replace("`", "") -> cm)))
+          }
           defExpr.foreach { e =>
             // register for future INSERTs, then materialize into the
             // EXISTING rows (ClickHouse computes the default lazily on
@@ -1033,6 +1109,8 @@ object Ddl {
           val key = normalize(spark, name)
           tables.get(key).foreach(m => tables.put(key, m.copy(
             columnDefaults = m.columnDefaults
+              .filterNot(_._1.equalsIgnoreCase(c)),
+            columnComments = m.columnComments
               .filterNot(_._1.equalsIgnoreCase(c)))))
           reshape(spark, name, _.drop(c))
         }
@@ -1046,6 +1124,8 @@ object Ddl {
           val key = normalize(spark, name)
           tables.get(key).foreach(m => tables.put(key, m.copy(
             columnDefaults = m.columnDefaults.map { case (n, e) =>
+              (if (n.equalsIgnoreCase(from)) to else n) -> e },
+            columnComments = m.columnComments.map { case (n, e) =>
               (if (n.equalsIgnoreCase(from)) to else n) -> e })))
           reshape(spark, name, _.withColumnRenamed(from, to),
             renameKey = Map(from -> to))
@@ -1309,7 +1389,10 @@ object Ddl {
         val d = meta.flatMap(_.columnDefaults
             .find(_._1.equalsIgnoreCase(f.name)))
           .map(p => s" DEFAULT ${p._2}").getOrElse("")
-        s"`${f.name}` ${graft.formats.ChTypeNames.fieldName(f)}$d"
+        val cm = meta.flatMap(_.columnComments
+            .find(_._1.equalsIgnoreCase(f.name)))
+          .map(p => s" COMMENT '${p._2.replace("'", "''")}'").getOrElse("")
+        s"`${f.name}` ${graft.formats.ChTypeNames.fieldName(f)}$d$cm"
       }
     val indexes = SkipIndexes.forTable(norm).sortBy(_.name).map { ix =>
       val g = if (ix.granularity != 1) s" GRANULARITY ${ix.granularity}" else ""
@@ -1335,7 +1418,9 @@ object Ddl {
         (if (m.orderBy.nonEmpty)
           Seq(s"ORDER BY (${m.orderBy.mkString(", ")})") else Nil) ++
         m.sampleBy.map(e => s"SAMPLE BY $e").toSeq ++
-        m.ttl.map(e => s"TTL $e").toSeq
+        m.ttl.map(e => s"TTL $e").toSeq ++
+        m.tableComment.map(c =>
+          s"COMMENT '${c.replace("'", "''")}'").toSeq
     }
     val stmt = s"CREATE TABLE $norm\n(\n    " +
       (cols ++ indexes).mkString(",\n    ") +
@@ -1354,9 +1439,11 @@ object Ddl {
       .map { f =>
         val d = meta.flatMap(_.columnDefaults
           .find(_._1.equalsIgnoreCase(f.name))).map(_._2)
+        val cm = meta.flatMap(_.columnComments
+          .find(_._1.equalsIgnoreCase(f.name))).map(_._2)
         (f.name, graft.formats.ChTypeNames.fieldName(f),
           if (d.isDefined) "DEFAULT" else "", d.getOrElse(""),
-          "", "", "")
+          cm.getOrElse(""), "", "")
       }
       .toDF("name", "type", "default_type", "default_expression",
         "comment", "codec_expression", "ttl_expression")
@@ -2012,6 +2099,14 @@ object Ddl {
       .getOrElse(Nil)
     val sampleBy = clauses.get("SAMPLE BY")
     val ttl = clauses.get("TTL").flatMap(parseTtlSpec)
+    // table-level `COMMENT 'text'` (the last CREATE clause in CH)
+    val tableComment = clauses.get("COMMENT").map { c0 =>
+      val c = c0.trim
+      if (!(c.startsWith("'") && c.endsWith("'") && c.length >= 2))
+        throw new IllegalArgumentException(
+          s"table COMMENT takes a quoted string, got: $c")
+      c.substring(1, c.length - 1).replace("''", "'")
+    }
     // inline `INDEX name expr TYPE kind [GRANULARITY g]` entries in the
     // column list (ClickHouse DDL form) — collected here, registered
     // after the table exists
@@ -2021,23 +2116,18 @@ object Ddl {
     val (indexDefs, colOnlyDefs) = splitTopLevel(colDefs)
       .partition(d => "(?is)^\\s*INDEX\\s".r.findFirstIn(d).isDefined)
     val colDefaults = Seq.newBuilder[(String, String)]
+    val colComments = Seq.newBuilder[(String, String)]
     val sparkCols = colOnlyDefs.flatMap { d =>
       val t = d.trim
       val sp = t.indexOf(' ') // name, then type (type may contain spaces)
-      val (cn0, ct0) = (t.substring(0, sp).trim, t.substring(sp + 1).trim)
-      // per-COLUMN TTL (`c String TTL d + INTERVAL 1 DAY`) resets
-      // expired CELLS to the column default on merge — a different
-      // mechanism from row TTL with no equivalent here; refuse loudly
-      // instead of mis-parsing it as part of the type
-      if (topLevelKeyword(ct0, "TTL") >= 0)
-        throw new IllegalArgumentException(
-          s"column-level TTL is not supported (column $cn0); " +
-            "use a table-level TTL clause for row expiry")
-      // `c Type DEFAULT expr` — the insertable-default modifier:
-      // INSERTs omitting the column store the expression's value
-      val (ct, defExpr) = splitColDefault(cn0, ct0)
-      val cn = cn0
-      defExpr.foreach(e => colDefaults += (cn.replace("`", "") -> e))
+      val (cn, ct0) = (t.substring(0, sp).trim, t.substring(sp + 1).trim)
+      // `c Type DEFAULT expr COMMENT '..' CODEC(..)` — the column
+      // decorations: DEFAULT drives omitted-column INSERT fill, COMMENT
+      // is stored for DESCRIBE/SHOW CREATE, CODEC is a documented no-op
+      val tail = splitColDefault(cn, ct0)
+      val ct = tail.tpe
+      tail.default.foreach(e => colDefaults += (cn.replace("`", "") -> e))
+      tail.comment.foreach(c => colComments += (cn.replace("`", "") -> c))
       if (ct.matches("(?is)^Nested\\s*\\(.*\\)$")) {
         // ClickHouse stores Nested as parallel per-field arrays with
         // dotted physical names; queries keep writing `col.field`
@@ -2078,7 +2168,8 @@ object Ddl {
     SkipIndexes.forgetInMemory(norm)
     tables.put(norm,
       TableMeta(partExpr, orderCols, sampleBy, replacingVer, summingCols,
-        ttl, collapsing, colDefaults.result()))
+        ttl, collapsing, colDefaults.result(), colComments.result(),
+        tableComment))
     indexDefs.map(_.trim).foreach {
       case inlineIndexRe(iname, iexpr, itype, igran) =>
         SkipIndexes.add(spark, norm,

@@ -222,6 +222,33 @@ object DdlQueries {
         WHERE o_orderkey % 10 = 2)
       GROUP BY status ORDER BY status""")),
 
+    // S3d: the decorated-DDL tail (CODEC/COMMENT accepted, DEFAULT
+    // live) + CREATE TABLE ... AS <table> structure clone: the clone
+    // inherits columns AND defaults, takes a partial-column INSERT,
+    // and the default fills from the inserted block
+    Q("s23_clone_decorated", (s, dir) => {
+      ChContext.setup(s, dir)
+      Engine.execute(s, "CREATE DATABASE IF NOT EXISTS graft_t")
+      Engine.execute(s, "DROP TABLE IF EXISTS graft_t.decob")
+      Engine.execute(s, "DROP TABLE IF EXISTS graft_t.decoc")
+      Engine.execute(s, """
+        CREATE TABLE graft_t.decob (
+          k Int64 CODEC(ZSTD(1)),
+          nat Int64 COMMENT 'nation key',
+          bal Int64 DEFAULT k % 100)
+        ENGINE=MergeTree() ORDER BY (k) COMMENT 'supplier shape'""")
+      Engine.execute(s, "CREATE TABLE graft_t.decoc AS graft_t.decob")
+      Engine.execute(s, """
+        INSERT INTO graft_t.decoc (k, nat)
+        SELECT s_suppkey, s_nationkey FROM supplier""")
+      Engine.execute(s, """
+        SELECT nat % 5 AS g, count() AS n, sum(bal) AS sb
+        FROM graft_t.decoc GROUP BY g ORDER BY g""")
+    }, Some("""
+      SELECT CAST(s_nationkey % 5 AS BIGINT) AS g, count(*) AS n,
+             CAST(sum(s_suppkey % 100) AS BIGINT) AS sb
+      FROM supplier GROUP BY 1 ORDER BY g""")),
+
     // S4c: schema-changing ALTERs (DROP/RENAME/MODIFY COLUMN) rewrite
     // the table copy-on-write and RENAME TABLE carries the metadata —
     // the oracle is the equivalent transformation straight over parquet

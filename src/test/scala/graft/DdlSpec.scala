@@ -682,6 +682,60 @@ class DdlSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("unsupported TTL action"))
   }
 
+  test("column CODEC/COMMENT decorations parse; table COMMENT; CREATE TABLE AS clones structure") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.deco")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.deco2")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.deco3")
+    // the real-world hits-style column tail: type + DEFAULT + COMMENT +
+    // CODEC in one definition, plus a table-level COMMENT
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.deco (
+        id Int64 CODEC(Delta, ZSTD(3)),
+        st String DEFAULT 'q' COMMENT 'state col' CODEC(LZ4),
+        note String COMMENT 'it''s free-form')
+      ENGINE=MergeTree() ORDER BY (id)
+      COMMENT 'decorated table'""")
+    val d = Engine.execute(spark, "DESCRIBE TABLE graft_spec.deco").collect()
+      .map(r => r.getString(0) -> (r.getString(2), r.getString(3), r.getString(4))).toMap
+    assert(d("st") == (("DEFAULT", "'q'", "state col")))
+    assert(d("note")._3 == "it's free-form")
+    assert(d("id") == (("", "", "")))
+    val stmt = Engine.execute(spark, "SHOW CREATE TABLE graft_spec.deco")
+      .collect().head.getString(0)
+    assert(stmt.contains("DEFAULT 'q' COMMENT 'state col'"), stmt)
+    assert(stmt.contains("COMMENT 'decorated table'"), stmt)
+    // CODEC is a documented no-op: not round-tripped, data unaffected
+    Engine.execute(spark, "INSERT INTO graft_spec.deco (id) VALUES (1)")
+    assert(Engine.execute(spark,
+      "SELECT st FROM graft_spec.deco").collect().head.getString(0) == "q")
+    // clone: structure (defaults, comments, engine tail) — no data
+    Engine.execute(spark, "CREATE TABLE graft_spec.deco2 AS graft_spec.deco")
+    assert(Engine.execute(spark, "SELECT count() AS n FROM graft_spec.deco2")
+      .collect().head.getLong(0) == 0L, "a clone copies structure, never data")
+    Engine.execute(spark, "INSERT INTO graft_spec.deco2 (id) VALUES (7)")
+    assert(Engine.execute(spark,
+      "SELECT st FROM graft_spec.deco2").collect().head.getString(0) == "q",
+      "the clone inherits column DEFAULTs")
+    assert(Engine.execute(spark, "SHOW CREATE TABLE graft_spec.deco2")
+      .collect().head.getString(0).contains("COMMENT 'state col'"))
+    // IF NOT EXISTS form is a no-op on an existing clone
+    Engine.execute(spark,
+      "CREATE TABLE IF NOT EXISTS graft_spec.deco2 AS graft_spec.deco")
+    assert(Engine.execute(spark, "SELECT count() AS n FROM graft_spec.deco2")
+      .collect().head.getLong(0) == 1L)
+    // engine override replaces the engine tail
+    Engine.execute(spark,
+      "CREATE TABLE graft_spec.deco3 AS graft_spec.deco ENGINE=Memory")
+    assert(Engine.execute(spark, "SHOW CREATE TABLE graft_spec.deco3")
+      .collect().head.getString(0).contains("ENGINE = Memory"))
+    // cloning a missing table errors
+    intercept[Exception](Engine.execute(spark,
+      "CREATE TABLE graft_spec.deco4 AS graft_spec.nope"))
+    Seq("deco", "deco2", "deco3").foreach(t =>
+      Engine.execute(spark, s"DROP TABLE graft_spec.$t SYNC"))
+  }
+
   test("system.processes lists tagged queries; KILL QUERY retires them") {
     // observer runs on its OWN thread, like a second connection — a
     // same-thread probe would retire the victim's entry first (the
