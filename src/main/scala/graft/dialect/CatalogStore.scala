@@ -46,6 +46,9 @@ import scala.collection.concurrent.TrieMap
 object CatalogStore {
 
   private val MetaFile = "_graft_meta.json"
+  /** `DETACH TABLE ... PERMANENTLY` marker: a dir carrying it is
+    * invisible to the warehouse restore until ATTACH removes it. */
+  private[dialect] val DetachedMarker = "_graft_detached_permanently"
   private val Version = 1
 
   private[dialect] def enabled(spark: SparkSession): Boolean =
@@ -246,7 +249,10 @@ object CatalogStore {
       if (c.getFileName.toString.endsWith(".db")) children(c) else Seq(c)
     }
     val metas = candidates.flatMap { dir =>
-      readJson(dir.resolve(MetaFile)).map(j => (dir, j))
+      // permanently-detached tables stay invisible across restarts
+      // (plain DETACH re-attaches on restart, ClickHouse semantics)
+      if (java.nio.file.Files.exists(dir.resolve(DetachedMarker))) None
+      else readJson(dir.resolve(MetaFile)).map(j => (dir, j))
     }
     metas.foreach { case (dir, j) => restoreTable(spark, dir, j) }
     // second pass: projections reference their (now restored) stores

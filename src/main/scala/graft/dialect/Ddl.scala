@@ -683,11 +683,91 @@ object Ddl {
 
   def isDdl(sql: String): Boolean =
     ("(?is)^\\s*(CREATE|DROP|UNDROP|USE|INSERT|TRUNCATE|ALTER|OPTIMIZE" +
-      "|SHOW|DESCRIBE|DESC|EXISTS|RENAME|SYSTEM|SET|EXCHANGE|DELETE)\\b").r
+      "|SHOW|DESCRIBE|DESC|EXISTS|RENAME|SYSTEM|SET|EXCHANGE|DELETE" +
+      "|DETACH|ATTACH)\\b").r
       .findFirstIn(sql).isDefined
 
   private val undropTableRe =
     "(?is)^\\s*UNDROP\\s+TABLE\\s+([\\w`.]+)\\s*$".r
+  private val detachTableRe =
+    ("(?is)^\\s*DETACH\\s+TABLE\\s+(?:(IF\\s+EXISTS)\\s+)?([\\w`.]+)" +
+      "(\\s+PERMANENTLY)?\\s*$").r
+  private val attachTableRe =
+    "(?is)^\\s*ATTACH\\s+TABLE\\s+(?:(IF\\s+NOT\\s+EXISTS)\\s+)?([\\w`.]+)\\s*$".r
+
+  /** Tables detached THIS session (plain DETACH): invisible to queries
+    * but their name stays reserved — CREATE over it refuses. A restart
+    * re-attaches them (ClickHouse semantics); PERMANENTLY writes a
+    * marker the warehouse restore honors instead. */
+  private val detachedNames =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** `DETACH TABLE t [PERMANENTLY]`: forget the table in the catalog
+    * but keep its directory (data + meta + index manifests) exactly
+    * where it is — ATTACH re-registers from the meta file, metadata
+    * only, zero data movement. Only durable (meta-carrying) tables can
+    * detach; projections do not survive (their stores are separate
+    * tables — same documented boundary as UNDROP). */
+  private def detachTable(spark: SparkSession, ifExists: Boolean,
+                          name0: String, permanently: Boolean): DataFrame = {
+    val bare = name0.replace("`", "")
+    val exists =
+      try spark.catalog.tableExists(bare) catch { case _: Throwable => false }
+    if (!exists) {
+      if (ifExists) return spark.emptyDataFrame
+      throw new IllegalArgumentException(s"cannot DETACH $bare: no such table")
+    }
+    val norm = normalize(spark, bare)
+    val loc = tableLoc(spark, bare)
+    if (!java.nio.file.Files.isRegularFile(loc.resolve("_graft_meta.json")))
+      throw new IllegalArgumentException(
+        s"cannot DETACH $norm: not a durable (meta-carrying) table")
+    val Array(db, tbl) = norm.split("\\.", 2)
+    // flip MANAGED -> EXTERNAL so the catalog drop leaves the files
+    val ec = spark.sharedState.externalCatalog
+    ec.alterTable(ec.getTable(db, tbl).copy(
+      tableType = org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL))
+    spark.sql(s"DROP TABLE `$db`.`$tbl`")
+    tables.remove(norm)
+    SkipIndexes.forgetInMemory(norm)
+    Projections.forTable(norm).foreach { p =>
+      try spark.sql(s"DROP TABLE IF EXISTS ${p.store}")
+      catch { case _: Throwable => () }
+    }
+    Projections.forgetInMemory(norm)
+    if (permanently)
+      try java.nio.file.Files.createFile(
+        loc.resolve(CatalogStore.DetachedMarker))
+      catch { case _: Throwable => () }
+    detachedNames.add(norm)
+    spark.emptyDataFrame
+  }
+
+  /** `ATTACH TABLE t`: re-register a detached table from its on-disk
+    * meta file. */
+  private def attachTable(spark: SparkSession, ifNotExists: Boolean,
+                          name0: String): DataFrame = {
+    val bare = name0.replace("`", "")
+    val norm = normalize(spark, bare)
+    if (spark.catalog.tableExists(bare)) {
+      if (ifNotExists) return spark.emptyDataFrame
+      throw new IllegalArgumentException(
+        s"cannot ATTACH $norm: a table with this name exists")
+    }
+    val Array(db, tbl) = norm.split("\\.", 2)
+    val dir = CatalogStore.managedLocation(spark, db, tbl)
+    if (!java.nio.file.Files.isRegularFile(dir.resolve("_graft_meta.json")))
+      throw new IllegalArgumentException(
+        s"cannot ATTACH $norm: no detached data at $dir")
+    try java.nio.file.Files.deleteIfExists(
+      dir.resolve(CatalogStore.DetachedMarker))
+    catch { case _: Throwable => () }
+    detachedNames.remove(norm)
+    if (!CatalogStore.restoreOne(spark, dir) ||
+        !spark.catalog.tableExists(bare))
+      throw new IllegalStateException(s"ATTACH $norm: restore failed")
+    spark.emptyDataFrame
+  }
 
   /** ClickHouse keeps a dropped table's data for
     * `database_atomic_delay_before_drop_table_sec` (480 s default)
@@ -1356,6 +1436,11 @@ object Ddl {
         }
       case undropTableRe(name) =>
         undropTable(spark, name)
+      case detachTableRe(ifEx, name, perm) =>
+        detachTable(spark, Option(ifEx).isDefined, name,
+          permanently = Option(perm).isDefined)
+      case attachTableRe(ifNot, name) =>
+        attachTable(spark, Option(ifNot).isDefined, name)
       case other =>
         throw new IllegalArgumentException(s"unsupported DDL: $other")
     }
@@ -2450,7 +2535,21 @@ object Ddl {
     val known =
       try spark.catalog.tableExists(bare)
       catch { case _: Throwable => false }
-    if (!known)
+    if (!known) {
+      // a DETACHED table's data is parked, not orphaned: CREATE over
+      // its name must refuse (ClickHouse: "table is detached"), never
+      // silently wipe what ATTACH is supposed to bring back
+      val norm = s"${db.toLowerCase}.${tbl.toLowerCase}"
+      lazy val marker =
+        try {
+          val dbLoc = spark.sessionState.catalog.getDatabaseMetadata(db).locationUri
+          java.nio.file.Files.exists(java.nio.file.Paths.get(
+            new java.net.URI(s"$dbLoc/$tbl/${CatalogStore.DetachedMarker}")))
+        } catch { case _: Throwable => false }
+      if (detachedNames.contains(norm) || marker)
+        throw new IllegalArgumentException(
+          s"table $norm is DETACHED; ATTACH TABLE it (or attach and drop)" +
+            " before reusing the name")
       try {
         val dbLoc = spark.sessionState.catalog.getDatabaseMetadata(db).locationUri
         val loc = java.nio.file.Paths.get(new java.net.URI(s"$dbLoc/$tbl"))
@@ -2460,6 +2559,7 @@ object Ddl {
             .foreach(java.nio.file.Files.deleteIfExists(_))
         }
       } catch { case _: Throwable => () } // db missing / non-file scheme
+    }
   }
 
   private def normalize(spark: SparkSession, name: String): String = {

@@ -249,6 +249,29 @@ object DdlQueries {
              CAST(sum(s_suppkey % 100) AS BIGINT) AS sb
       FROM supplier GROUP BY 1 ORDER BY g""")),
 
+    // S3e: DETACH/ATTACH TABLE — park the data, forget the catalog
+    // entry, re-register from the on-disk meta (metadata-only, zero
+    // data movement); the round-trip must read back exactly the
+    // parquet-derived truth
+    Q("s24_detach_attach", (s, dir) => {
+      ChContext.setup(s, dir)
+      Engine.execute(s, "CREATE DATABASE IF NOT EXISTS graft_t")
+      Engine.execute(s, "DROP TABLE IF EXISTS graft_t.da SYNC")
+      Engine.execute(s, """
+        CREATE TABLE graft_t.da (k Int64, sz Int64)
+        ENGINE=MergeTree() ORDER BY (k)""")
+      Engine.execute(s,
+        "INSERT INTO graft_t.da SELECT p_partkey, p_size FROM part")
+      Engine.execute(s, "DETACH TABLE graft_t.da")
+      Engine.execute(s, "ATTACH TABLE graft_t.da")
+      Engine.execute(s, """
+        SELECT count() AS n, sum(sz) AS ss, min(k) AS mk, max(k) AS xk
+        FROM graft_t.da""")
+    }, Some("""
+      SELECT count(*) AS n, CAST(sum(p_size) AS BIGINT) AS ss,
+             CAST(min(p_partkey) AS BIGINT) AS mk,
+             CAST(max(p_partkey) AS BIGINT) AS xk FROM part""")),
+
     // S4c: schema-changing ALTERs (DROP/RENAME/MODIFY COLUMN) rewrite
     // the table copy-on-write and RENAME TABLE carries the metadata —
     // the oracle is the equivalent transformation straight over parquet
