@@ -1298,7 +1298,21 @@ object ChContext {
 
   def tablesLive(spark: SparkSession): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    allTables(spark).toDF("database", "name")
+    allTables(spark).map { case (db, t) =>
+      val norm = s"${if (db.isEmpty) "default" else db}.$t".toLowerCase
+      val meta = Ddl.metaOf(norm)
+      val engine = meta match {
+        case Some(m) if m.replacingVer.nonEmpty => "ReplacingMergeTree"
+        case Some(m) if m.summingCols.nonEmpty => "SummingMergeTree"
+        case Some(m) if m.collapsing.exists(_._2.isEmpty) => "CollapsingMergeTree"
+        case Some(m) if m.collapsing.nonEmpty => "VersionedCollapsingMergeTree"
+        case Some(m) if m.partitionExpr.nonEmpty || m.orderBy.nonEmpty ||
+            m.sampleBy.nonEmpty || m.ttl.nonEmpty => "MergeTree"
+        case Some(_) => "Memory"
+        case None => "View" // temp views + foreign registrations
+      }
+      (db, t, engine, meta.flatMap(_.tableComment).getOrElse(""))
+    }.toDF("database", "name", "engine", "comment")
   }
 
   /** Per-column catalog (ClickHouse system.columns shape the Play UI

@@ -729,6 +729,12 @@ class DdlSpec extends AnyFunSuite {
       "CREATE TABLE graft_spec.deco3 AS graft_spec.deco ENGINE=Memory")
     assert(Engine.execute(spark, "SHOW CREATE TABLE graft_spec.deco3")
       .collect().head.getString(0).contains("ENGINE = Memory"))
+    // system.tables carries engine + comment (what DBeaver-style
+    // clients list)
+    val st = Engine.execute(spark, """
+      SELECT engine, comment FROM system.tables
+      WHERE database = 'graft_spec' AND name = 'deco'""").collect().head
+    assert(st.getString(0) == "MergeTree" && st.getString(1) == "decorated table")
     // cloning a missing table errors
     intercept[Exception](Engine.execute(spark,
       "CREATE TABLE graft_spec.deco4 AS graft_spec.nope"))
