@@ -1309,6 +1309,17 @@ object Ddl {
         // compaction hint with no visible result contract: no-op.
         val om = "(?is)^\\s*OPTIMIZE\\s+TABLE\\s+([\\w`.]+)".r
           .findFirstMatchIn(s).get
+        // `OPTIMIZE ... PARTITION p` scopes the merge to one partition
+        // (ClickHouse never merges across partitions; at scale this is
+        // the difference between rewriting one month and the whole
+        // table)
+        val partOf = "(?is)\\bPARTITION\\s+(?:ID\\s+)?('?[\\w]+'?)".r
+          .findFirstMatchIn(s).map(m => parsePartValue(m.group(1)))
+        def mutateScoped(f: DataFrame => DataFrame): DataFrame =
+          partOf match {
+            case None => mutate(spark, om.group(1), f)
+            case Some(p) => mutatePartition(spark, om.group(1), p, f)
+          }
         val ttlOf = tables.get(normalize(spark, om.group(1))).flatMap(_.ttl)
         def withTtl(df: DataFrame): DataFrame = ttlOf match {
           // a merge applies row TTL: keep rows whose expiry is still
@@ -1328,23 +1339,22 @@ object Ddl {
             case cs => splitTopLevel(cs).map(_.trim.replace("`", ""))
               .filter(_.nonEmpty)
           }
-          mutate(spark, om.group(1), { df =>
+          mutateScoped { df =>
             val d = if (byCols.isEmpty) df.dropDuplicates()
                     else df.dropDuplicates(byCols)
             withTtl(d)
-          })
+          }
         } else
         (replacingMeta(spark, om.group(1)), summingMeta(spark, om.group(1)),
           collapsingMeta(spark, om.group(1))) match {
           case (Some((keys, ver)), _, _) if keys.nonEmpty =>
-            mutate(spark, om.group(1), df => withTtl(replacingDedup(df, keys, ver)))
+            mutateScoped(df => withTtl(replacingDedup(df, keys, ver)))
           case (_, Some((keys, cols)), _) if keys.nonEmpty =>
-            mutate(spark, om.group(1), df => withTtl(summingMerge(df, keys, cols)))
+            mutateScoped(df => withTtl(summingMerge(df, keys, cols)))
           case (_, _, Some((keys, sign, ver))) if keys.nonEmpty =>
-            mutate(spark, om.group(1),
-              df => withTtl(collapsingFold(df, keys, sign, ver)))
+            mutateScoped(df => withTtl(collapsingFold(df, keys, sign, ver)))
           case _ if ttlOf.isDefined =>
-            mutate(spark, om.group(1), withTtl)
+            mutateScoped(withTtl)
           case _ =>
             // plain MergeTree: OPTIMIZE forces the merge ClickHouse
             // performs — here a compaction rewrite through the table's
@@ -1354,7 +1364,7 @@ object Ddl {
             // parallelism should come from row groups, not from
             // thousands of tiny parts. Foreign (non-DDL) tables have
             // no layout metadata and compact unordered.
-            mutate(spark, om.group(1), identity)
+            mutateScoped(identity)
         }
       // ---- client-compat introspection (ClickHouse output shapes:
       // drivers and UIs read these columns by NAME) ----
@@ -1764,6 +1774,45 @@ object Ddl {
     // index marks on the new parts the same way)
     SkipIndexes.onRewrite(spark, normalize(spark, name))
     spark.emptyDataFrame
+    }
+
+  /** Partition-scoped mutation: rewrite ONLY `_part = p`. At 100 TB an
+    * `OPTIMIZE ... PARTITION` must not rewrite the other 99.9% of the
+    * table — ClickHouse merges within the named partition only. The
+    * rewrite lands through dynamic partition overwrite (one partition
+    * directory replaced, the rest untouched); a transform that empties
+    * the partition drops it. */
+  private def mutatePartition(spark: SparkSession, name: String, p: Int,
+                              f: DataFrame => DataFrame): DataFrame =
+    appendLocks.getOrElseUpdate(normalize(spark, name), new Object).synchronized {
+      Projections.invalidate(spark, normalize(spark, name))
+      val bare = name.replace("`", "")
+      requirePartitioned(spark, bare)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_mutation").toString
+      f(spark.table(bare)
+          .filter(org.apache.spark.sql.functions.col("_part") === p))
+        .write.mode("overwrite").parquet(tmp)
+      val staged = spark.read.parquet(tmp)
+      if (staged.isEmpty) dropPartition(spark, name, p) // reentrant lock
+      else {
+        val targetCols = spark.table(bare).columns.filterNot(_ == "_part")
+        val prev =
+          spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try layoutAligned(spark, name,
+            staged.select(targetCols.map(staged(_)).toIndexedSeq: _*))
+          .write.mode("overwrite").insertInto(bare)
+        finally prev match {
+          case Some(v) =>
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None =>
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+        spark.catalog.refreshTable(bare)
+      }
+      SkipIndexes.onRewrite(spark, normalize(spark, name))
+      spark.emptyDataFrame
     }
 
   /** CH partition ids arrive bare (201306), quoted ('201306'), or as

@@ -742,6 +742,41 @@ class DdlSpec extends AnyFunSuite {
       Engine.execute(spark, s"DROP TABLE graft_spec.$t SYNC"))
   }
 
+  test("OPTIMIZE TABLE ... PARTITION scopes the merge to one partition") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.optp SYNC")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.optp (k Int64, v Int64, d Date)
+      ENGINE=ReplacingMergeTree(v) PARTITION BY toYYYYMM(d) ORDER BY (k)""")
+    // duplicate keys in BOTH monthly partitions
+    Engine.execute(spark, """
+      INSERT INTO graft_spec.optp VALUES
+      (1, 1, '2024-01-10'), (1, 2, '2024-01-20'),
+      (2, 1, '2024-02-10'), (2, 2, '2024-02-20')""")
+    Engine.execute(spark, "OPTIMIZE TABLE graft_spec.optp PARTITION 202401 FINAL")
+    // January merged (keep-latest), February untouched — a scoped
+    // OPTIMIZE must never rewrite the rest of the table
+    val counts = Engine.execute(spark, """
+      SELECT _part AS p, count() AS n FROM graft_spec.optp
+      GROUP BY p ORDER BY p""").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(counts == Seq((202401, 1L), (202402, 2L)), counts.toString)
+    assert(Engine.execute(spark, """
+      SELECT v FROM graft_spec.optp WHERE _part = 202401""")
+      .collect().head.getLong(0) == 2L, "the partition merge keeps max version")
+    // a TTL that expires an entire partition DROPS it under the scoped
+    // form (and leaves the other partition alone)
+    Engine.execute(spark,
+      "ALTER TABLE graft_spec.optp MODIFY TTL d + INTERVAL 30 DAY")
+    Engine.execute(spark, "OPTIMIZE TABLE graft_spec.optp PARTITION 202401 FINAL")
+    val left = Engine.execute(spark, """
+      SELECT _part AS p, count() AS n FROM graft_spec.optp
+      GROUP BY p ORDER BY p""").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(left == Seq((202402, 2L)), left.toString)
+    Engine.execute(spark, "DROP TABLE graft_spec.optp SYNC")
+  }
+
   test("EXPLAIN returns plan lines in the clickhouse-client shape") {
     val plan = Engine.execute(spark,
       "EXPLAIN SELECT count() FROM numbers(10) WHERE number > 3")
