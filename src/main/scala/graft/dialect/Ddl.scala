@@ -619,14 +619,16 @@ object Ddl {
   }
 
   private val alterDeleteRe =
-    "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+DELETE\\s+WHERE\\s+(.+)$".r
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+DELETE" +
+      "(?:\\s+IN\\s+PARTITION\\s+(?:ID\\s+)?('?[\\w]+'?))?\\s+WHERE\\s+(.+)$").r
   // ClickHouse 22.8+ lightweight-delete spelling; same mutation here
   // (the parquet model has no delete masks — every delete is the
   // copy-on-write rewrite ALTER DELETE also performs)
   private val deleteFromRe =
     "(?is)^\\s*DELETE\\s+FROM\\s+([\\w`.]+)\\s+WHERE\\s+(.+)$".r
   private val alterUpdateRe =
-    "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+UPDATE\\s+(.+?)\\s+WHERE\\s+(.+)$".r
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+UPDATE\\s+(.+?)" +
+      "(?:\\s+IN\\s+PARTITION\\s+(?:ID\\s+)?('?[\\w]+'?))?\\s+WHERE\\s+(.+)$").r
   // partition lifecycle (ClickHouse's cheap data-management tier: at
   // 100 TB, retention is a partition metadata op, never a rewrite)
   private val alterDropPartRe =
@@ -1072,27 +1074,37 @@ object Ddl {
         out
       case _ if "(?is)^\\s*INSERT\\b".r.findFirstIn(s).isDefined =>
         insert(spark, s)
-      case alterDeleteRe(name, cond) =>
-        mutate(spark, name, df => df.filter(
+      case alterDeleteRe(name, inPart, cond) =>
+        // `IN PARTITION p` scopes the rewrite to one partition — at
+        // scale the difference between one month and the whole table
+        val del = (df: DataFrame) => df.filter(
           org.apache.spark.sql.functions.not(
-            org.apache.spark.sql.functions.expr(Transpiler.transpile(cond)))))
+            org.apache.spark.sql.functions.expr(Transpiler.transpile(cond))))
+        Option(inPart) match {
+          case Some(p) => mutatePartition(spark, name, parsePartValue(p), del)
+          case None => mutate(spark, name, del)
+        }
       case deleteFromRe(name, cond) =>
         mutate(spark, name, df => df.filter(
           org.apache.spark.sql.functions.not(
             org.apache.spark.sql.functions.expr(Transpiler.transpile(cond)))))
-      case alterUpdateRe(name, assignments, cond) =>
-        // ALTER TABLE t UPDATE a = expr, b = expr WHERE cond
+      case alterUpdateRe(name, assignments, inPart, cond) =>
+        // ALTER TABLE t UPDATE a = expr, b = expr [IN PARTITION p] WHERE cond
         val sets = splitTopLevel(assignments).map { a =>
           val Array(c, e) = a.split("=", 2)
           c.trim.replace("`", "") -> Transpiler.transpile(e.trim)
         }
-        mutate(spark, name, { df =>
+        val upd = (df: DataFrame) => {
           import org.apache.spark.sql.functions.{expr, when, col}
           val condC = expr(Transpiler.transpile(cond))
           sets.foldLeft(df) { case (d, (c, e)) =>
             d.withColumn(c, when(condC, expr(e)).otherwise(col(c)))
           }
-        })
+        }
+        Option(inPart) match {
+          case Some(p) => mutatePartition(spark, name, parsePartValue(p), upd)
+          case None => mutate(spark, name, upd)
+        }
       case addProjectionRe(name, ifNot, pname, sel, keys) =>
         Projections.add(spark, normalize(spark, name),
           pname.replace("`", ""), sel, keys, Option(ifNot).isDefined)

@@ -777,6 +777,31 @@ class DdlSpec extends AnyFunSuite {
     Engine.execute(spark, "DROP TABLE graft_spec.optp SYNC")
   }
 
+  test("ALTER UPDATE/DELETE IN PARTITION rewrite only the named partition") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.mutp SYNC")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.mutp (k Int64, v Int64, d Date)
+      ENGINE=MergeTree() PARTITION BY toYYYYMM(d) ORDER BY (k)""")
+    Engine.execute(spark, """
+      INSERT INTO graft_spec.mutp VALUES
+      (1, 10, '2024-01-10'), (2, 10, '2024-01-20'),
+      (3, 10, '2024-02-10'), (4, 10, '2024-02-20')""")
+    // the WHERE is true everywhere, but IN PARTITION confines the write
+    Engine.execute(spark, """
+      ALTER TABLE graft_spec.mutp UPDATE v = v + 1
+      IN PARTITION 202401 WHERE v = 10""")
+    assert(Engine.execute(spark, """
+      SELECT sum(v) AS s FROM graft_spec.mutp""").collect().head.getLong(0)
+      == 42L, "11+11+10+10: only January rows updated")
+    Engine.execute(spark, """
+      ALTER TABLE graft_spec.mutp DELETE IN PARTITION 202402 WHERE v = 10""")
+    val left = Engine.execute(spark,
+      "SELECT k FROM graft_spec.mutp ORDER BY k").collect().map(_.getLong(0))
+    assert(left.toSeq == Seq(1L, 2L), "only February rows deleted")
+    Engine.execute(spark, "DROP TABLE graft_spec.mutp SYNC")
+  }
+
   test("EXPLAIN returns plan lines in the clickhouse-client shape") {
     val plan = Engine.execute(spark,
       "EXPLAIN SELECT count() FROM numbers(10) WHERE number > 3")
