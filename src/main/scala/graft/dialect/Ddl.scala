@@ -184,16 +184,21 @@ object Ddl {
     // summing semantics need plain-column keys (the ClickHouse usage);
     // expression keys fall back to no merge rather than guessing
     if (!keys.forall(df.columns.contains)) return df
+    // ClickHouse merges WITHIN partitions only: the materialized
+    // partition column joins the key set, so rows never collapse (or
+    // sum) across partitions — and _part itself is never summed
+    val keys2 = (if (df.columns.contains("_part")) Seq("_part") else Nil) ++
+      keys
     val sumCols =
       if (explicitCols.nonEmpty) explicitCols
-      else df.schema.fields.filter(f => !keys.contains(f.name) &&
+      else df.schema.fields.filter(f => !keys2.contains(f.name) &&
         f.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
-    val aggs = df.columns.filterNot(keys.contains).toSeq.map { c =>
+    val aggs = df.columns.filterNot(keys2.contains).toSeq.map { c =>
       if (sumCols.contains(c))
         sum(col(c)).cast(df.schema(c).dataType).as(c)
       else first(col(c)).as(c)
     }
-    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    df.groupBy(keys2.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
@@ -363,10 +368,12 @@ object Ddl {
   private[dialect] def collapsingFold(df: DataFrame, keys: Seq[String],
                                       signCol: String, ver: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val keyCols = (keys ++ (if (ver.nonEmpty) Seq(ver) else Nil)).map { k =>
-      if (df.columns.contains(k)) col(k)
-      else org.apache.spark.sql.functions.expr(Transpiler.transpile(k))
-    }
+    val keyCols = (if (df.columns.contains("_part")) Seq(col("_part"))
+      else Nil) ++ // CH merges within partitions
+      (keys ++ (if (ver.nonEmpty) Seq(ver) else Nil)).map { k =>
+        if (df.columns.contains(k)) col(k)
+        else org.apache.spark.sql.functions.expr(Transpiler.transpile(k))
+      }
     val wNet = org.apache.spark.sql.expressions.Window.partitionBy(keyCols: _*)
     val fp = md5(to_json(struct(df.columns.map(col).toIndexedSeq: _*)))
     val wPick = org.apache.spark.sql.expressions.Window
@@ -390,8 +397,10 @@ object Ddl {
     val orderCol =
       if (ver.nonEmpty) col(ver).desc
       else md5(to_json(struct(df.columns.map(col).toIndexedSeq: _*))).asc
-    // sorting keys may be expressions (intHash32(u)) — transpile those
-    val keyCols = keys.map { k =>
+    // sorting keys may be expressions (intHash32(u)) — transpile those;
+    // the partition column joins the keys (CH merges within partitions)
+    val keyCols = (if (df.columns.contains("_part")) Seq(col("_part"))
+      else Nil) ++ keys.map { k =>
       if (df.columns.contains(k)) col(k)
       else org.apache.spark.sql.functions.expr(Transpiler.transpile(k))
     }

@@ -777,6 +777,41 @@ class DdlSpec extends AnyFunSuite {
     Engine.execute(spark, "DROP TABLE graft_spec.optp SYNC")
   }
 
+  test("FINAL merges within partitions only (ClickHouse semantics)") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.pfin SYNC")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.pfin (k Int64, v Int64, d Date)
+      ENGINE=ReplacingMergeTree(v) PARTITION BY toYYYYMM(d) ORDER BY (k)""")
+    // the SAME key in two partitions: CH FINAL keeps one row PER
+    // PARTITION — cross-partition rows never merge
+    Engine.execute(spark, """
+      INSERT INTO graft_spec.pfin VALUES
+      (1, 1, '2024-01-10'), (1, 2, '2024-01-20'),
+      (1, 5, '2024-02-10')""")
+    val rows = Engine.execute(spark, """
+      SELECT _part AS p, v FROM graft_spec.pfin FINAL ORDER BY p""")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(rows == Seq((202401, 2L), (202402, 5L)),
+      s"FINAL must keep one row per (partition, key): $rows")
+    // partitioned SummingMergeTree: sums stay partition-local and the
+    // partition column itself is never summed
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.psum SYNC")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.psum (k Int64, hits Int64, d Date)
+      ENGINE=SummingMergeTree(hits) PARTITION BY toYYYYMM(d) ORDER BY (k)""")
+    Engine.execute(spark, """
+      INSERT INTO graft_spec.psum VALUES
+      (1, 10, '2024-01-10'), (1, 5, '2024-01-20'), (1, 7, '2024-02-10')""")
+    Engine.execute(spark, "OPTIMIZE TABLE graft_spec.psum FINAL")
+    val sums = Engine.execute(spark, """
+      SELECT _part AS p, hits FROM graft_spec.psum ORDER BY p""")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(sums == Seq((202401, 15L), (202402, 7L)), sums.toString)
+    Engine.execute(spark, "DROP TABLE graft_spec.pfin SYNC")
+    Engine.execute(spark, "DROP TABLE graft_spec.psum SYNC")
+  }
+
   test("ALTER UPDATE/DELETE IN PARTITION rewrite only the named partition") {
     Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
     Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.mutp SYNC")
