@@ -2865,8 +2865,7 @@ object Engine {
     val statements = splitStatements(rawSql)
     statements.map { st0 =>
       val st = graft.sources.UrlTableFunction.rewrite(spark, st0)
-      if (explainRe.findFirstMatchIn(st).isDefined) explain(spark, st)
-      else if (Ddl.isDdl(st)) Ddl.execute(spark, st)
+      if (Ddl.isDdl(st)) Ddl.execute(spark, st)
       else {
         val (noFmt, fmt) = Transpiler.extractFormat(st)
         outfileRe.findFirstMatchIn(noFmt) match {
@@ -3267,32 +3266,6 @@ object Engine {
     * clause (SURVEY §2.6 O4) as a row_number window over the inner
     * query's ORDER BY, and `ORDER BY ... WITH FILL` via the
     * gap-filling operator. */
-  private val explainRe =
-    ("(?is)^\\s*EXPLAIN\\b(?:\\s+(AST|SYNTAX|PLAN|PIPELINE|ESTIMATE))?" +
-      "\\s+((?:SELECT|WITH)\\b.+)$").r
-
-  /** ClickHouse `EXPLAIN [mode] SELECT ...` → one row per plan line,
-    * single `explain` column (clickhouse-client's shape). Modes map to
-    * the nearest Spark artifact: SYNTAX = the transpiled SQL (CH shows
-    * the rewritten query), AST = the analyzed logical plan, PIPELINE =
-    * the executed physical plan, PLAN/ESTIMATE/default = the formatted
-    * physical plan with codegen spans. */
-  private def explain(spark: SparkSession, st: String): DataFrame = {
-    import spark.implicits._
-    val m = explainRe.findFirstMatchIn(st).get
-    val mode = Option(m.group(1)).map(_.trim.toUpperCase).getOrElse("PLAN")
-    val inner = m.group(2)
-    val text = mode match {
-      case "SYNTAX" => Transpiler.transpile(UserFunctions.expand(inner))
-      case "AST" => query(spark, inner).queryExecution.analyzed.treeString
-      case "PIPELINE" =>
-        query(spark, inner).queryExecution.executedPlan.treeString
-      case _ => query(spark, inner).queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    }
-    text.split("\n").toIndexedSeq.toDF("explain")
-  }
-
   private def query(spark: SparkSession, bare00: String): DataFrame = {
     val (bare0, settings) = Transpiler.extractSettings(bare00)
     applySettings(spark, queryInner(spark, bare0), settings)

@@ -837,32 +837,6 @@ class DdlSpec extends AnyFunSuite {
     Engine.execute(spark, "DROP TABLE graft_spec.mutp SYNC")
   }
 
-  test("EXPLAIN returns plan lines in the clickhouse-client shape") {
-    val plan = Engine.execute(spark,
-      "EXPLAIN SELECT count() FROM numbers(10) WHERE number > 3")
-    assert(plan.columns.toSeq == Seq("explain"))
-    val lines = plan.collect().map(_.getString(0))
-    assert(lines.exists(_.contains("Physical Plan")), lines.take(5).mkString("\n"))
-    // SYNTAX shows the transpiled (rewritten) query, CH-style — the
-    // numbers() table function appears in its rewritten range() form
-    val syn = Engine.execute(spark,
-      "EXPLAIN SYNTAX SELECT toInt64(number) FROM numbers(5)")
-      .collect().map(_.getString(0)).mkString("\n")
-    assert(syn.toLowerCase.contains("range(5)"), syn)
-    // PIPELINE = executed physical plan; AST = analyzed logical plan
-    assert(Engine.execute(spark, "EXPLAIN PIPELINE SELECT 1").collect().nonEmpty)
-    assert(Engine.execute(spark, "EXPLAIN AST SELECT 1").collect().nonEmpty)
-    // EXPLAIN over dialect-rewritten constructs (FINAL) still plans
-    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
-    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.expf SYNC")
-    Engine.execute(spark, """
-      CREATE TABLE graft_spec.expf (k Int64, v Int64)
-      ENGINE=ReplacingMergeTree(v) ORDER BY (k)""")
-    assert(Engine.execute(spark,
-      "EXPLAIN SELECT k FROM graft_spec.expf FINAL").collect().nonEmpty)
-    Engine.execute(spark, "DROP TABLE graft_spec.expf SYNC")
-  }
-
   test("system.processes lists tagged queries; KILL QUERY retires them") {
     // observer runs on its OWN thread, like a second connection — a
     // same-thread probe would retire the victim's entry first (the
