@@ -1111,7 +1111,22 @@ object Ddl {
           }
         }
         Option(inPart) match {
-          case Some(p) => mutatePartition(spark, name, parsePartValue(p), upd)
+          case Some(p) =>
+            // updating a partition-source column under IN PARTITION
+            // would re-derive _part and land rows in ANOTHER partition,
+            // where the scoped dynamic overwrite would replace that
+            // partition wholesale — refuse, like ClickHouse refuses
+            // partition-key updates in mutations
+            tables.get(normalize(spark, name)).flatMap(_.partitionExpr)
+              .foreach { pe =>
+                sets.map(_._1).find(c =>
+                  ("(?i)(?<![\\w])" + java.util.regex.Pattern.quote(c) +
+                    "(?![\\w])").r.findFirstIn(pe).isDefined)
+                  .foreach(c => throw new IllegalArgumentException(
+                    s"cannot UPDATE column $c: it feeds the PARTITION BY " +
+                      s"expression ($pe)"))
+              }
+            mutatePartition(spark, name, parsePartValue(p), upd)
           case None => mutate(spark, name, upd)
         }
       case addProjectionRe(name, ifNot, pname, sel, keys) =>

@@ -829,6 +829,13 @@ class DdlSpec extends AnyFunSuite {
     assert(Engine.execute(spark, """
       SELECT sum(v) AS s FROM graft_spec.mutp""").collect().head.getLong(0)
       == 42L, "11+11+10+10: only January rows updated")
+    // updating a partition-source column under IN PARTITION would move
+    // rows into another partition that the scoped overwrite would then
+    // clobber — refused, like ClickHouse's partition-key-update ban
+    val e = intercept[Exception](Engine.execute(spark, """
+      ALTER TABLE graft_spec.mutp UPDATE d = toDate('2024-03-01')
+      IN PARTITION 202401 WHERE v > 0"""))
+    assert(e.getMessage.contains("PARTITION BY"), e.getMessage)
     Engine.execute(spark, """
       ALTER TABLE graft_spec.mutp DELETE IN PARTITION 202402 WHERE v = 10""")
     val left = Engine.execute(spark,
