@@ -507,7 +507,7 @@ object Ddl {
       "(IF\\s+EXISTS\\s+)?([\\w`]+)\\s+TO\\s+([\\w`]+)\\s*$").r
   private val alterModifyColRe =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+MODIFY\\s+COLUMN\\s+" +
-      "(IF\\s+EXISTS\\s+)?([\\w`]+)\\s+([\\w() ,]+)\\s*$").r
+      "(IF\\s+EXISTS\\s+)?([\\w`]+)\\s+(.+?)\\s*$").r
   private val alterModifyTtlRe =
     "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+MODIFY\\s+TTL\\s+(.+)$".r
   private val alterRemoveTtlRe =
@@ -1248,14 +1248,39 @@ object Ddl {
         }
       case alterModifyColRe(name, ifExists, col0, newType)
           if !newType.trim.matches("(?i)^(COLUMN)\\b.*") =>
+        // `MODIFY COLUMN c [Type] [DEFAULT expr]` and the
+        // `REMOVE DEFAULT` form — a type change is a copy-on-write
+        // cast rewrite; a DEFAULT change is metadata only
         val c = col0.replace("`", "")
         val present = spark.table(name.replace("`", ""))
           .columns.exists(_.equalsIgnoreCase(c))
         if (!present && Option(ifExists).isDefined) spark.emptyDataFrame
         else {
-          val sparkType = Transpiler.mapTypeNames(newType.trim)
-          reshape(spark, name, df => df.withColumn(c,
-            org.apache.spark.sql.functions.col(c).cast(sparkType)))
+          val key = normalize(spark, name)
+          val tail = newType.trim
+          def setDefault(d: Option[String]): Unit = {
+            tables.put(key, tables.getOrElse(key, TableMeta(None, Nil))
+              .copy(columnDefaults = tables.get(key)
+                .map(_.columnDefaults).getOrElse(Nil)
+                .filterNot(_._1.equalsIgnoreCase(c)) ++ d.map(c -> _)))
+            CatalogStore.save(spark, name)
+          }
+          if (tail.matches("(?is)^REMOVE\\s+DEFAULT$")) {
+            setDefault(None)
+            spark.emptyDataFrame
+          } else {
+            val (tpe, defExpr) =
+              if ("(?is)^DEFAULT\\s".r.findFirstIn(tail).isDefined)
+                ("", Some(tail.replaceFirst("(?is)^DEFAULT\\s+", "")))
+              else { val ct = splitColDefault(c, tail); (ct.tpe, ct.default) }
+            if (tpe.nonEmpty) {
+              val sparkType = Transpiler.mapTypeNames(tpe)
+              reshape(spark, name, df => df.withColumn(c,
+                org.apache.spark.sql.functions.col(c).cast(sparkType)))
+            }
+            defExpr.foreach(e => setDefault(Some(e)))
+            spark.emptyDataFrame
+          }
         }
       case alterModifyTtlRe(name, t) =>
         // TTL is MergeTree metadata; like CREATE's TTL clause it takes

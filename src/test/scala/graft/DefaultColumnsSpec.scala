@@ -135,6 +135,34 @@ class DefaultColumnsSpec extends AnyFunSuite {
     exec("DROP TABLE IF EXISTS graft_spec.defshow SYNC")
   }
 
+  test("MODIFY COLUMN changes/removes the DEFAULT; type change keeps it") {
+    exec("CREATE DATABASE IF NOT EXISTS graft_spec")
+    exec("DROP TABLE IF EXISTS graft_spec.defmod")
+    exec("""
+      CREATE TABLE graft_spec.defmod (id Int64, st String DEFAULT 'a')
+      ENGINE=MergeTree() ORDER BY (id)""")
+    exec("ALTER TABLE graft_spec.defmod MODIFY COLUMN st DEFAULT 'b'")
+    exec("INSERT INTO graft_spec.defmod (id) VALUES (1)")
+    assert(exec("SELECT st FROM graft_spec.defmod WHERE id = 1")
+      .collect().head.getString(0) == "b", "MODIFY ... DEFAULT swaps the fill")
+    // restart: the swapped default persisted
+    CatalogStore.simulateRestart(spark, Seq("graft_spec.defmod"))
+    exec("INSERT INTO graft_spec.defmod (id) VALUES (2)")
+    assert(exec("SELECT st FROM graft_spec.defmod WHERE id = 2")
+      .collect().head.getString(0) == "b")
+    // full form: type + new default in one statement
+    exec("ALTER TABLE graft_spec.defmod MODIFY COLUMN st String DEFAULT 'c'")
+    exec("INSERT INTO graft_spec.defmod (id) VALUES (3)")
+    assert(exec("SELECT st FROM graft_spec.defmod WHERE id = 3")
+      .collect().head.getString(0) == "c")
+    exec("ALTER TABLE graft_spec.defmod MODIFY COLUMN st REMOVE DEFAULT")
+    exec("INSERT INTO graft_spec.defmod (id) VALUES (4)")
+    assert(exec("""
+      SELECT count() AS n FROM graft_spec.defmod WHERE id = 4 AND st IS NULL""")
+      .collect().head.getLong(0) == 1L, "REMOVE DEFAULT restores NULL fill")
+    exec("DROP TABLE graft_spec.defmod SYNC")
+  }
+
   test("materialized views fire on default-filled blocks") {
     exec("CREATE DATABASE IF NOT EXISTS graft_spec")
     exec("DROP TABLE IF EXISTS graft_spec.defmv_src")
