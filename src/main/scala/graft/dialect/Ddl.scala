@@ -635,9 +635,13 @@ object Ddl {
   // copy-on-write rewrite ALTER DELETE also performs)
   private val deleteFromRe =
     "(?is)^\\s*DELETE\\s+FROM\\s+([\\w`.]+)\\s+WHERE\\s+(.+)$".r
+  // Only the head is regex-matched; the assignment list / IN PARTITION
+  // / WHERE split happens on depth-0-outside-string scans in the
+  // handler — a string literal containing the words "in partition" or
+  // "where" must not split the statement (topLevelKeyword is the
+  // string-aware locator the optional-regex-group form lacked).
   private val alterUpdateRe =
-    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+UPDATE\\s+(.+?)" +
-      "(?:\\s+IN\\s+PARTITION\\s+(?:ID\\s+)?('?[\\w]+'?))?\\s+WHERE\\s+(.+)$").r
+    "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w`.]+)\\s+UPDATE\\s+(.+)$".r
   // partition lifecycle (ClickHouse's cheap data-management tier: at
   // 100 TB, retention is a partition metadata op, never a rewrite)
   private val alterDropPartRe =
@@ -734,6 +738,20 @@ object Ddl {
       throw new IllegalArgumentException(
         s"cannot DETACH $norm: not a durable (meta-carrying) table")
     val Array(db, tbl) = norm.split("\\.", 2)
+    // Projections do not survive a DETACH (their stores are separate
+    // tables, hard-dropped here). Forget them and RE-SAVE the meta
+    // file BEFORE the catalog drop — otherwise the on-disk
+    // _graft_meta.json keeps the projection defs (complete=true) and a
+    // JVM restart's auto-re-attach resurrects them over a store that
+    // no longer exists: the next INSERT would recreate the store with
+    // only that batch's partial and GROUP BYs would silently rewrite
+    // to wrong aggregates. Mirrors restoreOne's re-save after UNDROP.
+    Projections.forTable(norm).foreach { p =>
+      try spark.sql(s"DROP TABLE IF EXISTS ${p.store}")
+      catch { case _: Throwable => () }
+    }
+    Projections.forgetInMemory(norm)
+    CatalogStore.save(spark, norm)
     // flip MANAGED -> EXTERNAL so the catalog drop leaves the files
     val ec = spark.sharedState.externalCatalog
     ec.alterTable(ec.getTable(db, tbl).copy(
@@ -741,11 +759,6 @@ object Ddl {
     spark.sql(s"DROP TABLE `$db`.`$tbl`")
     tables.remove(norm)
     SkipIndexes.forgetInMemory(norm)
-    Projections.forTable(norm).foreach { p =>
-      try spark.sql(s"DROP TABLE IF EXISTS ${p.store}")
-      catch { case _: Throwable => () }
-    }
-    Projections.forgetInMemory(norm)
     if (permanently)
       try java.nio.file.Files.createFile(
         loc.resolve(CatalogStore.DetachedMarker))
@@ -1097,8 +1110,30 @@ object Ddl {
         mutate(spark, name, df => df.filter(
           org.apache.spark.sql.functions.not(
             org.apache.spark.sql.functions.expr(Transpiler.transpile(cond)))))
-      case alterUpdateRe(name, assignments, inPart, cond) =>
+      case alterUpdateRe(name, updateTail) =>
         // ALTER TABLE t UPDATE a = expr, b = expr [IN PARTITION p] WHERE cond
+        val rest = updateTail.trim
+        val wherePos = topLevelKeyword(rest, "WHERE")
+        if (wherePos < 0) throw new IllegalArgumentException(
+          s"ALTER TABLE UPDATE needs a WHERE clause: $rest")
+        val cond = rest.substring(wherePos + "WHERE".length).trim
+        val head = rest.substring(0, wherePos).trim
+        // optional `IN PARTITION [ID] p` tail: located as a depth-0
+        // outside-string PARTITION token directly preceded by IN (an
+        // assignment's `x IN (...)` has `(` there, a string literal
+        // never reaches the scan)
+        val pPos = topLevelKeyword(head, "PARTITION")
+        val partClause: Option[(Int, String)] =
+          if (pPos <= 0) None
+          else "(?is)\\bIN\\s*$".r.findFirstMatchIn(head.substring(0, pPos))
+            .flatMap { im =>
+              "(?is)^PARTITION\\s+(?:ID\\s+)?('?[\\w]+'?)\\s*$".r
+                .findFirstMatchIn(head.substring(pPos))
+                .map(pm => (im.start, pm.group(1)))
+            }
+        val assignments = partClause.map(c => head.substring(0, c._1).trim)
+          .getOrElse(head)
+        val inPart: String = partClause.map(_._2).orNull
         val sets = splitTopLevel(assignments).map { a =>
           val Array(c, e) = a.split("=", 2)
           c.trim.replace("`", "") -> Transpiler.transpile(e.trim)
@@ -1265,20 +1300,43 @@ object Ddl {
                 .filterNot(_._1.equalsIgnoreCase(c)) ++ d.map(c -> _)))
             CatalogStore.save(spark, name)
           }
+          def setComment(cm: String): Unit = {
+            tables.put(key, tables.getOrElse(key, TableMeta(None, Nil))
+              .copy(columnComments = tables.get(key)
+                .map(_.columnComments).getOrElse(Nil)
+                .filterNot(_._1.equalsIgnoreCase(c)) :+ (c -> cm)))
+            CatalogStore.save(spark, name)
+          }
           if (tail.matches("(?is)^REMOVE\\s+DEFAULT$")) {
             setDefault(None)
             spark.emptyDataFrame
+          } else if (tail.matches("(?is)^REMOVE\\s+COMMENT$")) {
+            tables.get(key).foreach(m => tables.put(key, m.copy(
+              columnComments = m.columnComments
+                .filterNot(_._1.equalsIgnoreCase(c)))))
+            CatalogStore.save(spark, name)
+            spark.emptyDataFrame
           } else {
-            val (tpe, defExpr) =
-              if ("(?is)^DEFAULT\\s".r.findFirstIn(tail).isDefined)
-                ("", Some(tail.replaceFirst("(?is)^DEFAULT\\s+", "")))
-              else { val ct = splitColDefault(c, tail); (ct.tpe, ct.default) }
+            val (tpe, defExpr, comment) =
+              if ("(?is)^DEFAULT\\s".r.findFirstIn(tail).isDefined ||
+                  "(?is)^COMMENT\\s".r.findFirstIn(tail).isDefined) {
+                // modifier-only forms (no type change): reuse the
+                // column-definition tail parser with the type absent
+                val ct = splitColDefault(c, s"__keep $tail")
+                ("", ct.default, ct.comment)
+              } else {
+                val ct = splitColDefault(c, tail)
+                (ct.tpe, ct.default, ct.comment)
+              }
             if (tpe.nonEmpty) {
               val sparkType = Transpiler.mapTypeNames(tpe)
               reshape(spark, name, df => df.withColumn(c,
                 org.apache.spark.sql.functions.col(c).cast(sparkType)))
             }
             defExpr.foreach(e => setDefault(Some(e)))
+            // MODIFY ... COMMENT 'x' updates the stored comment (was
+            // silently dropped — the one wrong option)
+            comment.foreach(setComment)
             spark.emptyDataFrame
           }
         }
@@ -2213,6 +2271,43 @@ object Ddl {
       spark.emptyDataFrame
     }
 
+  /** Resolve the transpiled PARTITION BY expression against the
+    * declared column schema and refuse non-integral results — the
+    * materialized `_part` partition key is INT (see [[parsePartValue]],
+    * which states the same contract at the consuming end). Runs over an
+    * EMPTY frame with the CREATE's schema: pure analysis, no data. An
+    * unparseable schema skips the check (CREATE itself will surface
+    * the real error). */
+  private def validatePartitionType(spark: SparkSession, name: String,
+                                    partExpr: String,
+                                    sparkCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.types._
+    val schema =
+      try StructType.fromDDL(sparkCols.mkString(", "))
+      catch { case _: Throwable => return }
+    ChFunctions.register(spark) // toYYYYMM etc. must resolve
+    val dt =
+      try spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+        .select(org.apache.spark.sql.functions
+          .expr(Transpiler.transpile(partExpr)))
+        .schema.head.dataType
+      catch {
+        case e: Throwable => throw new IllegalArgumentException(
+          s"PARTITION BY $partExpr does not resolve against the " +
+            s"table's columns ($name): ${e.getMessage}")
+      }
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case d: DecimalType if d.scale == 0 => ()
+      case other => throw new IllegalArgumentException(
+        s"PARTITION BY must be an integral expression (the materialized " +
+          s"`_part` partition key is INT); '$partExpr' resolves to " +
+          s"${other.sql}. Wrap dates as toYYYYMM(col)/toYYYYMMDD(col) " +
+          "and strings as a hash or code, e.g. cityHash64(col) % 16")
+    }
+  }
+
   private def createTable(spark: SparkSession, ifNotExists: Boolean,
                           name: String, colDefs: String, engine0: String,
                           engineArgs0: String, rest: String,
@@ -2340,6 +2435,15 @@ object Ddl {
         }
       } else Seq(s"$cn ${Transpiler.mapTypeNames(ct)}")
     }
+    // CREATE-time PARTITION BY type contract: the partition expression
+    // materializes into the INT `_part` column (the parsePartValue
+    // contract every partition operation assumes). A non-integral
+    // expression — `PARTITION BY region` on a String column — would
+    // cast to NULL for every row under non-ANSI semantics: one
+    // degenerate partition, pruning dead, partition ops useless, no
+    // error anywhere. Refuse it here, loudly, before the table exists.
+    partExpr.foreach(pe =>
+      validatePartitionType(spark, name, pe, sparkCols))
     cleanOrphanLocation(spark, name)
     val ine = if (ifNotExists) "IF NOT EXISTS " else ""
     val ddl = partExpr match {

@@ -1994,4 +1994,105 @@ class DdlSpec extends AnyFunSuite {
     Engine.execute(spark, "ALTER TABLE graft_spec.plm ATTACH PARTITION 202405")
     assert(n() === 10L)
   }
+
+  test("CREATE refuses non-integral PARTITION BY; integral forms pass") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.ptv")
+    // String partition expr: would NULL-cast every row into one
+    // degenerate partition — must refuse at CREATE, loudly
+    val eStr = intercept[Exception](Engine.execute(spark, """
+      CREATE TABLE graft_spec.ptv (k Int64, region String)
+      ENGINE=MergeTree() PARTITION BY region ORDER BY (k)"""))
+    assert(eStr.getMessage.contains("integral"), eStr.getMessage)
+    // Date partition expr: same trap (cast(date as int) is NULL)
+    val eDate = intercept[Exception](Engine.execute(spark, """
+      CREATE TABLE graft_spec.ptv (k Int64, d Date)
+      ENGINE=MergeTree() PARTITION BY d ORDER BY (k)"""))
+    assert(eDate.getMessage.contains("toYYYYMM"), eDate.getMessage)
+    // unresolvable expr: names the problem instead of NULLing
+    val eBad = intercept[Exception](Engine.execute(spark, """
+      CREATE TABLE graft_spec.ptv (k Int64, d Date)
+      ENGINE=MergeTree() PARTITION BY toYYYYMM(nope) ORDER BY (k)"""))
+    assert(eBad.getMessage.contains("does not resolve"), eBad.getMessage)
+    // the refused CREATEs must not leave a half-created table behind
+    assert(!spark.catalog.tableExists("graft_spec.ptv"))
+    // canonical integral forms still create fine
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.ptv (k Int64, d Date, region String)
+      ENGINE=MergeTree() PARTITION BY toYYYYMM(d) ORDER BY (k)""")
+    Engine.execute(spark,
+      "INSERT INTO graft_spec.ptv VALUES (1, '2024-03-05', 'eu')")
+    assert(Engine.execute(spark,
+      "SELECT _part FROM graft_spec.ptv").collect().head.getInt(0) === 202403)
+    Engine.execute(spark, "DROP TABLE graft_spec.ptv SYNC")
+    // a hash-bucketed string partition is the suggested legal spelling
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.ptv2 SYNC")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.ptv2 (k Int64, region String)
+      ENGINE=MergeTree() PARTITION BY cityHash64(region) % 16 ORDER BY (k)""")
+    Engine.execute(spark, "DROP TABLE graft_spec.ptv2 SYNC")
+  }
+
+  test("MODIFY COLUMN stores COMMENT (with or without a type change)") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.mcc")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.mcc (k Int64, v Int32 COMMENT 'old')
+      ENGINE=MergeTree() ORDER BY (k)""")
+    def commentOf(c: String): String = Engine.execute(spark,
+      s"DESCRIBE graft_spec.mcc").collect()
+      .find(_.getString(0) == c).get.getString(4)
+    assert(commentOf("v") === "old")
+    // comment-only MODIFY
+    Engine.execute(spark,
+      "ALTER TABLE graft_spec.mcc MODIFY COLUMN v COMMENT 'counts stuff'")
+    assert(commentOf("v") === "counts stuff")
+    // type change + comment in one statement: both must land
+    Engine.execute(spark,
+      "ALTER TABLE graft_spec.mcc MODIFY COLUMN v Int64 COMMENT 'wide now'")
+    assert(commentOf("v") === "wide now")
+    assert(spark.table("graft_spec.mcc").schema("v")
+      .dataType.simpleString === "bigint")
+    // DEFAULT + COMMENT combined: default no longer swallows the tail
+    Engine.execute(spark, """
+      ALTER TABLE graft_spec.mcc MODIFY COLUMN v DEFAULT k * 2 COMMENT 'dc'""")
+    assert(commentOf("v") === "dc")
+    Engine.execute(spark, "INSERT INTO graft_spec.mcc (k) VALUES (21)")
+    assert(Engine.execute(spark,
+      "SELECT v FROM graft_spec.mcc WHERE k = 21")
+      .collect().head.getLong(0) === 42L)
+    // REMOVE COMMENT clears it
+    Engine.execute(spark,
+      "ALTER TABLE graft_spec.mcc MODIFY COLUMN v REMOVE COMMENT")
+    assert(commentOf("v") === "")
+    Engine.execute(spark, "DROP TABLE graft_spec.mcc SYNC")
+  }
+
+  test("UPDATE with 'in partition'/'where' inside string literals parses") {
+    Engine.execute(spark, "CREATE DATABASE IF NOT EXISTS graft_spec")
+    Engine.execute(spark, "DROP TABLE IF EXISTS graft_spec.upds")
+    Engine.execute(spark, """
+      CREATE TABLE graft_spec.upds (id Int64, note String, flag Int64)
+      ENGINE=MergeTree() ORDER BY (id)""")
+    Engine.execute(spark,
+      "INSERT INTO graft_spec.upds VALUES (1, 'a', 0), (2, 'b', 0)")
+    // the literal contains both clause keywords — the masked scan must
+    // not split the statement inside the string
+    Engine.execute(spark, """
+      ALTER TABLE graft_spec.upds
+      UPDATE note = 'moved in partition 3 where it was' WHERE id = 1""")
+    val got = Engine.execute(spark,
+      "SELECT note FROM graft_spec.upds WHERE id = 1")
+      .collect().head.getString(0)
+    assert(got === "moved in partition 3 where it was")
+    // a top-level `x IN (...)` in an assignment is NOT an IN PARTITION
+    Engine.execute(spark, """
+      ALTER TABLE graft_spec.upds
+      UPDATE flag = if(id IN (1, 5), 1, 0) WHERE id >= 1""")
+    val flags = Engine.execute(spark,
+      "SELECT id, flag FROM graft_spec.upds ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(flags === Seq((1L, 1L), (2L, 0L)))
+    Engine.execute(spark, "DROP TABLE graft_spec.upds SYNC")
+  }
 }

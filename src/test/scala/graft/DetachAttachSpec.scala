@@ -74,4 +74,46 @@ class DetachAttachSpec extends AnyFunSuite {
     exec("DROP TABLE graft_spec.detp SYNC")
     exec("DROP TABLE graft_spec.dett SYNC")
   }
+
+  test("DETACH purges projection defs from the on-disk meta (no restart resurrection)") {
+    exec("CREATE DATABASE IF NOT EXISTS graft_spec")
+    exec("DROP TABLE IF EXISTS graft_spec.detpj SYNC")
+    exec("""
+      CREATE TABLE graft_spec.detpj (k Int64, grp String)
+      ENGINE=MergeTree() ORDER BY (k)""")
+    exec("""
+      INSERT INTO graft_spec.detpj
+      SELECT number, toString(number % 3) FROM numbers(30)""")
+    exec("""
+      ALTER TABLE graft_spec.detpj ADD PROJECTION p_g
+        (SELECT grp, count(), sum(k) GROUP BY grp)""")
+    exec("ALTER TABLE graft_spec.detpj MATERIALIZE PROJECTION p_g")
+    exec("DETACH TABLE graft_spec.detpj")
+    // restart: plain DETACH auto-re-attaches from the on-disk meta —
+    // which must NOT carry the projection defs anymore (their store
+    // was hard-dropped at DETACH; a resurrected def would make the
+    // next INSERT recreate the store with only that batch's partial
+    // and GROUP BYs would silently answer wrong aggregates from it)
+    CatalogStore.simulateRestart(spark, Nil)
+    exec("SELECT 1") // trigger the lazy restore
+    assert(spark.catalog.tableExists("graft_spec.detpj"))
+    val sysProj = exec("""
+      SELECT count() AS n FROM system.projections
+      WHERE table = 'graft_spec.detpj'""").collect().head.getLong(0)
+    assert(sysProj === 0L,
+      "projection defs resurrected from a stale meta file after DETACH")
+    exec("""
+      INSERT INTO graft_spec.detpj
+      SELECT number + 100, toString(number % 3) FROM numbers(30)""")
+    val got = exec("""
+      SELECT grp, count() AS n, sum(k) AS sk
+      FROM graft_spec.detpj GROUP BY grp ORDER BY grp""").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // 60 rows total, both batches — a resurrected projection would
+    // report only the second batch's 30
+    assert(got.map(_._2).sum === 60L, got)
+    assert(got.map(_._3).sum === (0 until 30).map(_.toLong).sum +
+      (100 until 130).map(_.toLong).sum, got)
+    exec("DROP TABLE graft_spec.detpj SYNC")
+  }
 }
