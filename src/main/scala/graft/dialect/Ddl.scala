@@ -327,22 +327,68 @@ object Ddl {
       .foreach(c => throw new IllegalArgumentException(
         s"INSERT column list: no column $c in table $name"))
 
-  /** The value an INSERT that omits column `f` stores: the declared
-    * DEFAULT expression (evaluated over the inserted block, so it may
-    * reference the block's provided columns — `b DEFAULT a * 2`), else
-    * NULL (this engine's columns are nullable, the `Nullable(T)`
-    * behavior; ClickHouse's non-Nullable zero-fill applies only to a
-    * nullability notion parquet storage doesn't carry). */
-  private def defaultFill(meta: Option[TableMeta],
-                          f: org.apache.spark.sql.types.StructField)
-      : org.apache.spark.sql.Column = {
+  /** Identifier-boundary, case-insensitive match for a column name
+    * inside an expression text (shared by the default-chain resolver,
+    * RENAME's expression rewrite and DROP's reference guard). */
+  private def identRe(name: String): scala.util.matching.Regex =
+    ("(?i)(?<![\\w`])" + java.util.regex.Pattern.quote(name) +
+      "(?![\\w`])").r
+
+  /** Expand `named` — a block holding SOME of the table's insertable
+    * columns (matched case-insensitively, ClickHouse's resolution) —
+    * to the full insertable column set in table order. Missing columns
+    * evaluate their declared DEFAULT expressions; a default may
+    * reference the block's provided columns AND other omitted
+    * defaulted columns (`b DEFAULT a * 2, c DEFAULT b + 1` — ClickHouse
+    * resolves the chain), so fills apply in dependency order; cyclic
+    * chains refuse loudly. Columns with no DEFAULT fill NULL (this
+    * engine's columns are nullable, the `Nullable(T)` behavior;
+    * ClickHouse's non-Nullable zero-fill applies to a nullability
+    * notion parquet storage doesn't carry). The single home for the
+    * omitted-column rule: VALUES, column-list SELECT, text formats and
+    * the binary bulk formats all funnel here. */
+  private[dialect] def fillInsertable(spark: SparkSession, name: String,
+                                      named: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    meta.flatMap(_.columnDefaults.find(_._1.equalsIgnoreCase(f.name))) match {
-      case Some((_, e)) =>
-        expr(Transpiler.transpile(e)).cast(f.dataType).as(f.name)
-      case None => lit(null).cast(f.dataType).as(f.name)
+    val full = spark.table(name.replace("`", "")).schema
+    val meta = tables.get(normalize(spark, name))
+    val fields = insertableFields(spark, name, full)
+    def has(df: DataFrame, n: String) = df.columns.exists(_.equalsIgnoreCase(n))
+    val defaults = meta.map(_.columnDefaults).getOrElse(Nil)
+    def defaultOf(n: String) = defaults.find(_._1.equalsIgnoreCase(n)).map(_._2)
+    // 1) missing non-defaulted columns become NULL first (a default
+    //    expression may legitimately read them)
+    var df = fields.foldLeft(named) { (d, f) =>
+      if (has(d, f.name) || defaultOf(f.name).isDefined) d
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
     }
+    // 2) missing defaulted columns in dependency order
+    var pending = fields.filter(f => !has(df, f.name)).toList
+    while (pending.nonEmpty) {
+      val (ready, blocked) = pending.partition { f =>
+        val e = Transpiler.transpile(defaultOf(f.name).get)
+        pending.forall(p => identRe(p.name).findFirstIn(e).isEmpty)
+      }
+      if (ready.isEmpty) throw new IllegalArgumentException(
+        s"cyclic DEFAULT expressions among columns " +
+          s"${pending.map(_.name).mkString(", ")} of $name")
+      ready.foreach { f =>
+        df = df.withColumn(f.name,
+          expr(Transpiler.transpile(defaultOf(f.name).get)).cast(f.dataType))
+      }
+      pending = blocked
+    }
+    df.select(fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
   }
+
+  /** The columns an INSERT provides values for: every physical column
+    * minus the derived `_part` partition key (and, once MATERIALIZED
+    * columns exist, minus those — always computed, never insertable). */
+  private[dialect] def insertableFields(spark: SparkSession, name: String,
+      full: org.apache.spark.sql.types.StructType)
+      : Array[org.apache.spark.sql.types.StructField] =
+    full.fields.filterNot(_.name == "_part")
 
   /** For a CollapsingMergeTree / VersionedCollapsingMergeTree table:
     * (sorting key, sign column, version column or "" for the
@@ -1258,6 +1304,16 @@ object Ddl {
         if (!present && Option(ifExists).isDefined) spark.emptyDataFrame
         else {
           val key = normalize(spark, name)
+          // another column's DEFAULT referencing the dropped column
+          // would leave an unresolvable expression behind — the next
+          // subset INSERT fails at analysis. Refuse now (ClickHouse
+          // refuses these too), naming the dependent.
+          tables.get(key).foreach(_.columnDefaults
+            .filterNot(_._1.equalsIgnoreCase(c))
+            .find { case (_, e) => identRe(c).findFirstIn(e).isDefined }
+            .foreach { case (n, e) => throw new IllegalArgumentException(
+              s"cannot DROP COLUMN $c: column $n's DEFAULT ($e) " +
+                "references it — drop or modify that DEFAULT first") })
           tables.get(key).foreach(m => tables.put(key, m.copy(
             columnDefaults = m.columnDefaults
               .filterNot(_._1.equalsIgnoreCase(c)),
@@ -1273,9 +1329,15 @@ object Ddl {
         if (!present && Option(ifExists).isDefined) spark.emptyDataFrame
         else {
           val key = normalize(spark, name)
+          // rename the column's own entries AND rewrite every other
+          // stored DEFAULT expression referencing it (identifier-
+          // boundary substitution — without this a later subset INSERT
+          // fails on the unresolved old name)
           tables.get(key).foreach(m => tables.put(key, m.copy(
             columnDefaults = m.columnDefaults.map { case (n, e) =>
-              (if (n.equalsIgnoreCase(from)) to else n) -> e },
+              (if (n.equalsIgnoreCase(from)) to else n) ->
+                identRe(from).replaceAllIn(e,
+                  java.util.regex.Matcher.quoteReplacement(to)) },
             columnComments = m.columnComments.map { case (n, e) =>
               (if (n.equalsIgnoreCase(from)) to else n) -> e })))
           reshape(spark, name, _.withColumnRenamed(from, to),
@@ -2645,12 +2707,7 @@ object Ddl {
       val named = sel.toDF(listed: _*)
       val full = spark.table(name.replace("`", "")).schema
       requireTableCols(name, listed, full)
-      val out = full.fields.filterNot(_.name == "_part").map { f =>
-        if (named.columns.exists(_.equalsIgnoreCase(f.name)))
-          org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
-        else defaultFill(meta, f)
-      }
-      appendAligned(spark, name, named.select(out.toIndexedSeq: _*))
+      appendAligned(spark, name, fillInsertable(spark, name, named))
       spark.emptyDataFrame
     } else if (hasLayout && body.toUpperCase.startsWith("SELECT")) {
       appendAligned(spark, name, spark.sql(Transpiler.transpile(body)))
@@ -2670,16 +2727,11 @@ object Ddl {
       val named = listed match {
         case Some(cs) => parsed.toDF(cs: _*)
         case None => parsed.toDF(
-          full.fields.map(_.name).filterNot(_ == "_part").toIndexedSeq: _*)
+          insertableFields(spark, name, full).map(_.name).toIndexedSeq: _*)
       }
       // fill unlisted columns with their declared DEFAULT (else NULL),
       // emit in table column order
-      val out = full.fields.filterNot(_.name == "_part").map { f =>
-        if (named.columns.contains(f.name))
-          org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
-        else defaultFill(meta, f)
-      }
-      appendAligned(spark, name, named.select(out.toIndexedSeq: _*))
+      appendAligned(spark, name, fillInsertable(spark, name, named))
       spark.emptyDataFrame
     } else if (hasLayout) {
       throw new IllegalArgumentException(
@@ -2700,17 +2752,10 @@ object Ddl {
   private def insertBlock(spark: SparkSession, name: String,
                           body: String): Option[DataFrame] = {
     val bare = name.replace("`", "")
-    val meta = tables.get(normalize(spark, name))
-    val cols = spark.table(bare).columns.filterNot(_ == "_part").toIndexedSeq
-    def fillFrom(named: DataFrame): DataFrame = {
-      val full = spark.table(bare).schema
-      val out = full.fields.filterNot(_.name == "_part").map { f =>
-        if (named.columns.exists(_.equalsIgnoreCase(f.name)))
-          org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
-        else defaultFill(meta, f)
-      }
-      named.select(out.toIndexedSeq: _*)
-    }
+    val cols = insertableFields(spark, name, spark.table(bare).schema)
+      .map(_.name).toIndexedSeq
+    def fillFrom(named: DataFrame): DataFrame =
+      fillInsertable(spark, name, named)
     val colListSel = colListSelectRe.findFirstMatchIn(body)
     if (colListSel.isDefined) {
       val mm = colListSel.get
@@ -3630,11 +3675,9 @@ object Engine {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq),
       StructType(fields.toIndexedSeq))
-    val out = full.fields.filterNot(_.name == "_part").map { f =>
-      if (names.contains(f.name)) org.apache.spark.sql.functions.col(f.name)
-      else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
-    }
-    Ddl.appendAligned(spark, table, df.select(out.toIndexedSeq: _*))
+    // unprovided columns fill with their declared DEFAULT (else NULL),
+    // matched case-insensitively — same contract as the VALUES form
+    Ddl.appendAligned(spark, table, Ddl.fillInsertable(spark, table, df))
     spark.emptyDataFrame
   }
 
@@ -3661,11 +3704,7 @@ object Engine {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq),
       StructType(fields.toIndexedSeq))
-    val out = full.fields.filterNot(_.name == "_part").map { f =>
-      if (names.contains(f.name)) org.apache.spark.sql.functions.col(f.name)
-      else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
-    }
-    Ddl.appendAligned(spark, table, df.select(out.toIndexedSeq: _*))
+    Ddl.appendAligned(spark, table, Ddl.fillInsertable(spark, table, df))
     spark.emptyDataFrame
   }
 
@@ -3693,14 +3732,8 @@ object Engine {
         else throw new IllegalArgumentException(
           s"$format payload has ${parsed.columns.length} columns, " +
             s"expected ${announced.length} (${announced.mkString(", ")})")
-      val out = full.fields.filterNot(_.name == "_part").map { f =>
-        if (named.columns.contains(f.name))
-          org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
-        else org.apache.spark.sql.functions.lit(null)
-          .cast(f.dataType).as(f.name)
-      }
       // appendAligned writes eagerly, so the scratch file can go in finally
-      Ddl.appendAligned(spark, table, named.select(out.toIndexedSeq: _*))
+      Ddl.appendAligned(spark, table, Ddl.fillInsertable(spark, table, named))
       spark.emptyDataFrame
     } finally java.nio.file.Files.deleteIfExists(tmp)
   }
@@ -3848,13 +3881,9 @@ object Engine {
       case other =>
         throw new IllegalArgumentException(s"INSERT FORMAT $other not supported")
     }
-    // fill unlisted columns with NULLs, emit in table column order
-    val out = full.fields.filterNot(_.name == "_part").map { f =>
-      if (parsed.columns.contains(f.name))
-        org.apache.spark.sql.functions.col(f.name)
-      else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
-    }
-    Ddl.appendAligned(spark, table, parsed.select(out.toIndexedSeq: _*))
+    // fill unlisted columns with their declared DEFAULT (else NULL),
+    // emit in table column order
+    Ddl.appendAligned(spark, table, Ddl.fillInsertable(spark, table, parsed))
     spark.emptyDataFrame
   }
 }

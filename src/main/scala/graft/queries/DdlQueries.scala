@@ -190,8 +190,10 @@ object DdlQueries {
 
     // S5c: column DEFAULT expressions — INSERTs omitting a column store
     // the declared expression's value (which may reference the inserted
-    // columns: val DEFAULT id * 3); exercised through BOTH subset-insert
-    // forms (column-list VALUES-free SELECT and partial column lists)
+    // columns — val DEFAULT id * 3 — AND other omitted defaulted
+    // columns: val2 DEFAULT val + 1 resolves through the chain,
+    // ClickHouse semantics); exercised through BOTH subset-insert forms
+    // (column-list VALUES-free SELECT and partial column lists)
     Q("s22_default_columns", (s, dir) => {
       ChContext.setup(s, dir)
       Engine.execute(s, "CREATE DATABASE IF NOT EXISTS graft_t")
@@ -199,7 +201,7 @@ object DdlQueries {
       Engine.execute(s, """
         CREATE TABLE graft_t.defq (
           id Int64, status String DEFAULT 'pending',
-          val Int64 DEFAULT id * 3, tag String)
+          val Int64 DEFAULT id * 3, val2 Int64 DEFAULT val + 1, tag String)
         ENGINE=MergeTree() ORDER BY (id)""")
       Engine.execute(s, """
         INSERT INTO graft_t.defq (id)
@@ -208,12 +210,12 @@ object DdlQueries {
         INSERT INTO graft_t.defq (id, status)
         SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 10 = 2""")
       Engine.execute(s, """
-        SELECT status, count() AS n, sum(val) AS sv,
+        SELECT status, count() AS n, sum(val) AS sv, sum(val2) AS sv2,
                countIf(tag IS NULL) AS nuls
         FROM graft_t.defq GROUP BY status ORDER BY status""")
     }, Some("""
       SELECT status, count(*) AS n, CAST(sum(val) AS BIGINT) AS sv,
-             count(*) AS nuls
+             CAST(sum(val + 1) AS BIGINT) AS sv2, count(*) AS nuls
       FROM (
         SELECT 'pending' AS status, o_orderkey * 3 AS val FROM orders
         WHERE o_orderkey % 10 = 1

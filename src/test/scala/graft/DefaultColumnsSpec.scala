@@ -181,4 +181,100 @@ class DefaultColumnsSpec extends AnyFunSuite {
     exec("DROP TABLE graft_spec.defmv_out SYNC")
     exec("DROP TABLE graft_spec.defmv_src SYNC")
   }
+
+  test("chained DEFAULTs resolve in dependency order; cycles refuse") {
+    exec("CREATE DATABASE IF NOT EXISTS graft_spec")
+    exec("DROP TABLE IF EXISTS graft_spec.defchain")
+    exec("""
+      CREATE TABLE graft_spec.defchain (
+        id Int64, c Int64 DEFAULT b + 1, b Int64 DEFAULT a * 2,
+        a Int64 DEFAULT id + 10)
+      ENGINE=MergeTree() ORDER BY (id)""")
+    // all three omitted: a <- id, b <- a, c <- b — declaration order
+    // must not matter (c is declared before its dependency b)
+    exec("INSERT INTO graft_spec.defchain (id) VALUES (5)")
+    val r = exec("""
+      SELECT a, b, c FROM graft_spec.defchain WHERE id = 5""")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((15L, 30L, 31L)))
+    // partially provided: b given, c chains off the PROVIDED b
+    exec("INSERT INTO graft_spec.defchain (id, b) VALUES (6, 100)")
+    val r2 = exec("""
+      SELECT a, b, c FROM graft_spec.defchain WHERE id = 6""")
+      .collect().head
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) === ((16L, 100L, 101L)))
+    exec("DROP TABLE graft_spec.defchain SYNC")
+    // a cyclic chain refuses loudly at INSERT
+    exec("DROP TABLE IF EXISTS graft_spec.defcyc")
+    exec("""
+      CREATE TABLE graft_spec.defcyc (
+        id Int64, x Int64 DEFAULT y + 1, y Int64 DEFAULT x + 1)
+      ENGINE=Memory""")
+    val e = intercept[Exception](
+      exec("INSERT INTO graft_spec.defcyc (id) VALUES (1)"))
+    assert(e.getMessage.contains("cyclic"), e.getMessage)
+    exec("DROP TABLE graft_spec.defcyc SYNC")
+  }
+
+  test("INSERT column lists resolve case-insensitively (no silent default swap)") {
+    exec("CREATE DATABASE IF NOT EXISTS graft_spec")
+    exec("DROP TABLE IF EXISTS graft_spec.defcase")
+    exec("""
+      CREATE TABLE graft_spec.defcase (id Int64, v Int64 DEFAULT 7)
+      ENGINE=MergeTree() ORDER BY (id)""")
+    // `Id`/`V` differ only in case: ClickHouse resolves them to the
+    // declared columns — the provided value must land, NOT the default
+    exec("INSERT INTO graft_spec.defcase (Id, V) VALUES (1, 42)")
+    assert(exec("SELECT v FROM graft_spec.defcase WHERE id = 1")
+      .collect().head.getLong(0) === 42L,
+      "case-differing column list silently swapped the value for the DEFAULT")
+    // ...and in the column-list SELECT form
+    exec("INSERT INTO graft_spec.defcase (ID) SELECT 2")
+    assert(exec("SELECT v FROM graft_spec.defcase WHERE id = 2")
+      .collect().head.getLong(0) === 7L)
+    exec("DROP TABLE graft_spec.defcase SYNC")
+  }
+
+  test("RENAME rewrites referencing DEFAULTs; DROP of a referenced column refuses") {
+    exec("CREATE DATABASE IF NOT EXISTS graft_spec")
+    exec("DROP TABLE IF EXISTS graft_spec.defref")
+    exec("""
+      CREATE TABLE graft_spec.defref (
+        k Int64, bonus Int64 DEFAULT k * 5, note String)
+      ENGINE=MergeTree() ORDER BY (k)""")
+    // dropping k is guarded twice: it is the sorting key AND referenced;
+    // use a non-key reference instead
+    exec("ALTER TABLE graft_spec.defref ADD COLUMN base Int64")
+    exec("ALTER TABLE graft_spec.defref MODIFY COLUMN bonus DEFAULT base * 5")
+    val e = intercept[Exception](
+      exec("ALTER TABLE graft_spec.defref DROP COLUMN base"))
+    assert(e.getMessage.contains("DEFAULT"), e.getMessage)
+    // rename the referenced column: the stored expression follows
+    exec("ALTER TABLE graft_spec.defref RENAME COLUMN base TO seed")
+    val de = exec("DESCRIBE graft_spec.defref").collect()
+      .find(_.getString(0) == "bonus").get.getString(3)
+    assert(de.contains("seed"), s"DEFAULT not rewritten on RENAME: $de")
+    exec("INSERT INTO graft_spec.defref (k, seed) VALUES (1, 9)")
+    assert(exec("SELECT bonus FROM graft_spec.defref WHERE k = 1")
+      .collect().head.getLong(0) === 45L)
+    exec("DROP TABLE graft_spec.defref SYNC")
+  }
+
+  test("binary and text format inserts honor DEFAULTs for omitted columns") {
+    exec("CREATE DATABASE IF NOT EXISTS graft_spec")
+    exec("DROP TABLE IF EXISTS graft_spec.deffmt")
+    exec("""
+      CREATE TABLE graft_spec.deffmt (
+        id Int64, lvl String DEFAULT 'std', amt Int64 DEFAULT id * 2)
+      ENGINE=MergeTree() ORDER BY (id)""")
+    // CSV payload listing only id: lvl/amt fill from their DEFAULTs
+    // (ClickHouse input_format_defaults_for_omitted_fields=1 default)
+    Engine.execute(spark,
+      "INSERT INTO graft_spec.deffmt (id) FORMAT CSV\n11\n12")
+    val rows = exec("""
+      SELECT id, lvl, amt FROM graft_spec.deffmt ORDER BY id""").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows === Seq((11L, "std", 22L), (12L, "std", 24L)))
+    exec("DROP TABLE graft_spec.deffmt SYNC")
+  }
 }
