@@ -127,6 +127,11 @@ object CatalogStore {
           ("name" -> p._1) ~ ("expr" -> p._2))).getOrElse(Nil)) ~
         ("columnComments" -> meta.map(_.columnComments.toList.map(p =>
           ("name" -> p._1) ~ ("text" -> p._2))).getOrElse(Nil)) ~
+        ("columnMaterialized" -> meta.map(_.columnMaterialized.toList.map(p =>
+          ("name" -> p._1) ~ ("expr" -> p._2))).getOrElse(Nil)) ~
+        ("aggregating" -> meta.exists(_.aggregating)) ~
+        ("aggCols" -> meta.map(_.aggCols.toList.map(p =>
+          ("name" -> p._1) ~ ("spec" -> p._2))).getOrElse(Nil)) ~
         ("tableComment" -> meta.flatMap(_.tableComment)) ~
         ("ttl" -> meta.flatMap(_.ttl)) ~
         ("projections" -> projs.map { p =>
@@ -341,7 +346,18 @@ object CatalogStore {
           for (n <- str(d \ "name"); e <- str(d \ "text")) yield (n, e))
         case _ => Nil
       },
-      tableComment = str(j \ "tableComment")))
+      tableComment = str(j \ "tableComment"),
+      columnMaterialized = (j \ "columnMaterialized") match {
+        case JArray(ds) => ds.flatMap(d =>
+          for (n <- str(d \ "name"); e <- str(d \ "expr")) yield (n, e))
+        case _ => Nil
+      },
+      aggregating = (j \ "aggregating") == JBool(true),
+      aggCols = (j \ "aggCols") match {
+        case JArray(ds) => ds.flatMap(d =>
+          for (n <- str(d \ "name"); e <- str(d \ "spec")) yield (n, e))
+        case _ => Nil
+      }))
     // Nested columns persist physically as dotted parallel arrays —
     // re-register their prefixes so `col.field` access keeps working
     cols.foreach { c =>

@@ -44,7 +44,10 @@ object Ddl {
                                         collapsing: Option[(String, String)] = None,
                                         columnDefaults: Seq[(String, String)] = Nil,
                                         columnComments: Seq[(String, String)] = Nil,
-                                        tableComment: Option[String] = None)
+                                        tableComment: Option[String] = None,
+                                        columnMaterialized: Seq[(String, String)] = Nil,
+                                        aggregating: Boolean = false,
+                                        aggCols: Seq[(String, String)] = Nil)
   private val tables = TrieMap.empty[String, TableMeta]
 
   // durable-catalog accessors (CatalogStore persists/restores this map)
@@ -202,6 +205,73 @@ object Ddl {
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** Spark storage type of an `AggregateFunction(fn, T)` partial state
+    * — the same representation the -State combinators produce (see
+    * ChFunctions: count/sum/min/max use their natural running value,
+    * avg the (sum, count) struct, uniq a DataSketches HLL sketch), so
+    * an INSERT ... SELECT fnState(...) lands without conversion. */
+  private def aggStateType(cn: String, spec: String): String = {
+    import org.apache.spark.sql.types._
+    val parts = splitTopLevel(spec).map(_.trim)
+    val fn = parts.head.toLowerCase
+    def inner = Transpiler.mapTypeNames(parts(1))
+    fn match {
+      case "count" => "BIGINT"
+      case "sum" =>
+        DataType.fromDDL(inner) match {
+          case d: DecimalType => s"DECIMAL(38,${d.scale})"
+          case FloatType | DoubleType => "DOUBLE"
+          case _ => "BIGINT"
+        }
+      case "min" | "max" => inner
+      case "avg" => "STRUCT<s: DOUBLE, c: BIGINT>"
+      case "uniq" => "BINARY"
+      case other => throw new IllegalArgumentException(
+        s"column $cn: AggregateFunction($other, ...) is not supported " +
+          "(supported state families: count, sum, min, max, avg, uniq)")
+    }
+  }
+
+  /** For an AggregatingMergeTree table: (sorting keys, the
+    * AggregateFunction columns as name -> "fn, T" spec). */
+  def aggregatingMeta(spark: SparkSession,
+                      name: String): Option[(Seq[String], Seq[(String, String)])] =
+    tables.get(normalize(spark, name))
+      .filter(_.aggregating).map(m => (m.orderBy, m.aggCols))
+
+  /** The merge an AggregatingMergeTree FINAL performs: per sorting key,
+    * AggregateFunction columns combine by their state's merge (count/
+    * sum re-sum, min/max re-extremize, avg sums the (sum, count) pair,
+    * uniq unions the HLL sketches); ordinary columns keep a
+    * deterministic representative (min — ClickHouse keeps "any").
+    * Like every merge family here, `_part` joins the keys (ClickHouse
+    * never merges across partitions). One hash shuffle; the querying
+    * pattern stays `fnMerge(col) GROUP BY k`, which aggregates across
+    * the merged (or unmerged) rows identically. */
+  private[dialect] def aggregatingMerge(df: DataFrame, keys: Seq[String],
+                                        aggCols: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val keyCols = (if (df.columns.contains("_part")) Seq("_part") else Nil) ++
+      keys.filter(df.columns.contains) // expression keys fall back to min
+    def specOf(c: String) = aggCols.find(_._1.equalsIgnoreCase(c))
+      .map(p => splitTopLevel(p._2).head.trim.toLowerCase)
+    val aggs = df.columns.filterNot(keyCols.contains).toSeq.map { c =>
+      val dt = df.schema(c).dataType
+      specOf(c) match {
+        case Some("count") | Some("sum") => sum(col(c)).cast(dt).as(c)
+        case Some("min") => min(col(c)).as(c)
+        case Some("max") => max(col(c)).as(c)
+        case Some("avg") => struct(
+          sum(col(c)("s")).cast("double").as("s"),
+          sum(col(c)("c")).cast("bigint").as("c")).as(c)
+        case Some("uniq") => expr(s"hll_union_agg(`$c`)").as(c)
+        case _ => min(col(c)).as(c)
+      }
+    }
+    df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** `TTL expr [DELETE] [, expr TO DISK 'd' | TO VOLUME 'v' ...]` —
     * ClickHouse's full table-TTL tail (the hits-style DDL shape). The
     * row-expiry (DELETE) expression is what merges apply: OPTIMIZE
@@ -264,29 +334,31 @@ object Ddl {
   /** Parsed column-definition tail: the bare type plus its modifiers. */
   private[dialect] case class ColTail(tpe: String,
                                       default: Option[String],
-                                      comment: Option[String])
+                                      comment: Option[String],
+                                      materialized: Option[String] = None)
 
-  /** Split a column definition's tail
-    * (`Type [DEFAULT expr] [COMMENT 'text'] [CODEC(...)]`, any order) —
+  /** Split a column definition's tail (`Type [DEFAULT expr |
+    * MATERIALIZED expr] [COMMENT 'text'] [CODEC(...)]`, any order) —
     * ClickHouse's column decorations. `CODEC` is accepted and dropped
     * (a DOCUMENTED no-op: parquet applies its own column compression;
-    * there is no per-column codec to honor). MATERIALIZED / ALIAS /
-    * EPHEMERAL columns (computed, never insertable) and column-level
-    * TTL are refused loudly rather than mis-parsed as part of the
-    * type. */
+    * there is no per-column codec to honor). `MATERIALIZED expr` is
+    * computed on every insert, never insertable, hidden from `SELECT *`
+    * (ClickHouse semantics — see the insert paths / star rewrite).
+    * ALIAS / EPHEMERAL columns and column-level TTL are refused loudly
+    * rather than mis-parsed as part of the type. */
   private def splitColDefault(cn: String, ct: String): ColTail = {
-    Seq("MATERIALIZED", "ALIAS", "EPHEMERAL").foreach { kw =>
+    Seq("ALIAS", "EPHEMERAL").foreach { kw =>
       if (topLevelKeyword(ct, kw) >= 0) throw new IllegalArgumentException(
         s"column $cn: $kw columns are not supported " +
-          "(computed columns have no storage equivalent here); " +
-          "use DEFAULT or compute the expression in queries")
+          "(ALIAS has no storage and EPHEMERAL no read surface here); " +
+          "use DEFAULT or MATERIALIZED, or compute the expression in queries")
     }
     if (topLevelKeyword(ct, "TTL") >= 0) throw new IllegalArgumentException(
       s"column-level TTL is not supported (column $cn); " +
         "use a table-level TTL clause for row expiry")
     // every modifier start, in text order; each segment runs to the
     // next modifier (expressions never contain these words at depth 0)
-    val marks = Seq("DEFAULT", "COMMENT", "CODEC")
+    val marks = Seq("DEFAULT", "MATERIALIZED", "COMMENT", "CODEC")
       .map(k => k -> topLevelKeyword(ct, k)).filter(_._2 >= 0).sortBy(_._2)
     val tpe = marks.headOption.map(m => ct.substring(0, m._2).trim)
       .getOrElse(ct.trim)
@@ -294,6 +366,7 @@ object Ddl {
       s"column $cn: missing type before ${marks.head._1}")
     var default: Option[String] = None
     var comment: Option[String] = None
+    var materialized: Option[String] = None
     marks.zipWithIndex.foreach { case ((kw, at), i) =>
       val end = marks.lift(i + 1).map(_._2).getOrElse(ct.length)
       val body = ct.substring(at + kw.length, end).trim
@@ -302,6 +375,10 @@ object Ddl {
           if (body.isEmpty) throw new IllegalArgumentException(
             s"column $cn: empty DEFAULT expression")
           default = Some(body)
+        case "MATERIALIZED" =>
+          if (body.isEmpty) throw new IllegalArgumentException(
+            s"column $cn: empty MATERIALIZED expression")
+          materialized = Some(body)
         case "COMMENT" =>
           if (!(body.startsWith("'") && body.endsWith("'") && body.length >= 2))
             throw new IllegalArgumentException(
@@ -314,18 +391,30 @@ object Ddl {
           () // accepted, dropped — see the doc comment
       }
     }
-    ColTail(tpe, default, comment)
+    if (default.isDefined && materialized.isDefined)
+      throw new IllegalArgumentException(
+        s"column $cn: DEFAULT and MATERIALIZED are mutually exclusive")
+    ColTail(tpe, default, comment, materialized)
   }
 
   /** An INSERT column list naming a column the table doesn't have must
     * error (ClickHouse: NO_SUCH_COLUMN_IN_TABLE) — the fill loop below
     * only copies names that match, so a typo would otherwise silently
-    * DROP that value and store the default instead. */
-  private def requireTableCols(name: String, listed: Seq[String],
-      full: org.apache.spark.sql.types.StructType): Unit =
+    * DROP that value and store the default instead. Listing a
+    * MATERIALIZED column errors too (ClickHouse: "Cannot insert column
+    * ..., because it is MATERIALIZED column"). */
+  private def requireTableCols(spark: SparkSession, name: String,
+      listed: Seq[String],
+      full: org.apache.spark.sql.types.StructType): Unit = {
     listed.find(c => !full.fields.exists(_.name.equalsIgnoreCase(c)))
       .foreach(c => throw new IllegalArgumentException(
         s"INSERT column list: no column $c in table $name"))
+    val mat = materializedCols(spark, name)
+    listed.find(c => mat(c.toLowerCase))
+      .foreach(c => throw new IllegalArgumentException(
+        s"cannot insert column $c of $name: it is a MATERIALIZED column " +
+          "(always computed, never inserted)"))
+  }
 
   /** Identifier-boundary, case-insensitive match for a column name
     * inside an expression text (shared by the default-chain resolver,
@@ -383,12 +472,25 @@ object Ddl {
   }
 
   /** The columns an INSERT provides values for: every physical column
-    * minus the derived `_part` partition key (and, once MATERIALIZED
-    * columns exist, minus those — always computed, never insertable). */
+    * minus the derived `_part` partition key and minus MATERIALIZED
+    * columns (always computed, never insertable — ClickHouse
+    * semantics). */
   private[dialect] def insertableFields(spark: SparkSession, name: String,
       full: org.apache.spark.sql.types.StructType)
-      : Array[org.apache.spark.sql.types.StructField] =
+      : Array[org.apache.spark.sql.types.StructField] = {
+    val mat = tables.get(normalize(spark, name))
+      .map(_.columnMaterialized.map(_._1)).getOrElse(Nil)
     full.fields.filterNot(_.name == "_part")
+      .filterNot(f => mat.exists(_.equalsIgnoreCase(f.name)))
+  }
+
+  /** The table's materialized-column names (lowercased), for the star
+    * rewrite and the insert guards. */
+  private[graft] def materializedCols(spark: SparkSession,
+                                      name: String): Set[String] =
+    tables.get(normalize(spark, name))
+      .map(_.columnMaterialized.map(_._1.toLowerCase).toSet)
+      .getOrElse(Set.empty)
 
   /** For a CollapsingMergeTree / VersionedCollapsingMergeTree table:
     * (sorting key, sign column, version column or "" for the
@@ -1184,6 +1286,14 @@ object Ddl {
           val Array(c, e) = a.split("=", 2)
           c.trim.replace("`", "") -> Transpiler.transpile(e.trim)
         }
+        // MATERIALIZED columns are computed, never assigned (ClickHouse
+        // refuses mutations on them)
+        locally {
+          val mat = materializedCols(spark, name)
+          sets.map(_._1).find(c => mat(c.toLowerCase))
+            .foreach(c => throw new IllegalArgumentException(
+              s"cannot UPDATE column $c: it is a MATERIALIZED column"))
+        }
         val upd = (df: DataFrame) => {
           import org.apache.spark.sql.functions.{expr, when, col}
           val condC = expr(Transpiler.transpile(cond))
@@ -1277,18 +1387,24 @@ object Ddl {
                 .map(_.columnComments).getOrElse(Nil) :+
                 (cn.replace("`", "") -> cm)))
           }
-          defExpr.foreach { e =>
+          (defExpr ++ tail0.materialized).foreach { e =>
             // register for future INSERTs, then materialize into the
             // EXISTING rows (ClickHouse computes the default lazily on
             // old parts and bakes it in at the next merge; here the
             // bake happens eagerly — one distributed rewrite, the same
             // cost model as this engine's mutations)
             val key = normalize(spark, name)
+            val c = cn.replace("`", "")
             tables.put(key, tables.getOrElse(key, TableMeta(None, Nil))
-              .copy(columnDefaults = tables.get(key)
-                .map(_.columnDefaults).getOrElse(Nil) :+
-                (cn.replace("`", "") -> e)))
-            reshape(spark, name, df => df.withColumn(cn.replace("`", ""),
+              .copy(columnDefaults =
+                if (defExpr.isDefined) tables.get(key)
+                  .map(_.columnDefaults).getOrElse(Nil) :+ (c -> e)
+                else tables.get(key).map(_.columnDefaults).getOrElse(Nil),
+                columnMaterialized =
+                if (tail0.materialized.isDefined) tables.get(key)
+                  .map(_.columnMaterialized).getOrElse(Nil) :+ (c -> e)
+                else tables.get(key).map(_.columnMaterialized).getOrElse(Nil)))
+            reshape(spark, name, df => df.withColumn(c,
               org.apache.spark.sql.functions.expr(Transpiler.transpile(e))
                 .cast(org.apache.spark.sql.types.DataType
                   .fromDDL(sparkType))))
@@ -1308,16 +1424,22 @@ object Ddl {
           // would leave an unresolvable expression behind — the next
           // subset INSERT fails at analysis. Refuse now (ClickHouse
           // refuses these too), naming the dependent.
-          tables.get(key).foreach(_.columnDefaults
-            .filterNot(_._1.equalsIgnoreCase(c))
-            .find { case (_, e) => identRe(c).findFirstIn(e).isDefined }
-            .foreach { case (n, e) => throw new IllegalArgumentException(
-              s"cannot DROP COLUMN $c: column $n's DEFAULT ($e) " +
-                "references it — drop or modify that DEFAULT first") })
+          tables.get(key).foreach { m =>
+            (m.columnDefaults.map(("DEFAULT", _)) ++
+              m.columnMaterialized.map(("MATERIALIZED", _)))
+              .filterNot(_._2._1.equalsIgnoreCase(c))
+              .find { case (_, (_, e)) => identRe(c).findFirstIn(e).isDefined }
+              .foreach { case (kind, (n, e)) =>
+                throw new IllegalArgumentException(
+                  s"cannot DROP COLUMN $c: column $n's $kind ($e) " +
+                    s"references it — drop or modify that $kind first") }
+          }
           tables.get(key).foreach(m => tables.put(key, m.copy(
             columnDefaults = m.columnDefaults
               .filterNot(_._1.equalsIgnoreCase(c)),
             columnComments = m.columnComments
+              .filterNot(_._1.equalsIgnoreCase(c)),
+            columnMaterialized = m.columnMaterialized
               .filterNot(_._1.equalsIgnoreCase(c)))))
           reshape(spark, name, _.drop(c))
         }
@@ -1335,6 +1457,10 @@ object Ddl {
           // fails on the unresolved old name)
           tables.get(key).foreach(m => tables.put(key, m.copy(
             columnDefaults = m.columnDefaults.map { case (n, e) =>
+              (if (n.equalsIgnoreCase(from)) to else n) ->
+                identRe(from).replaceAllIn(e,
+                  java.util.regex.Matcher.quoteReplacement(to)) },
+            columnMaterialized = m.columnMaterialized.map { case (n, e) =>
               (if (n.equalsIgnoreCase(from)) to else n) ->
                 identRe(from).replaceAllIn(e,
                   java.util.regex.Matcher.quoteReplacement(to)) },
@@ -1379,26 +1505,35 @@ object Ddl {
             CatalogStore.save(spark, name)
             spark.emptyDataFrame
           } else {
-            val (tpe, defExpr, comment) =
-              if ("(?is)^DEFAULT\\s".r.findFirstIn(tail).isDefined ||
-                  "(?is)^COMMENT\\s".r.findFirstIn(tail).isDefined) {
+            val (tpe, ct) =
+              if ("(?is)^(DEFAULT|MATERIALIZED|COMMENT)\\s".r
+                  .findFirstIn(tail).isDefined) {
                 // modifier-only forms (no type change): reuse the
                 // column-definition tail parser with the type absent
-                val ct = splitColDefault(c, s"__keep $tail")
-                ("", ct.default, ct.comment)
+                ("", splitColDefault(c, s"__keep $tail"))
               } else {
-                val ct = splitColDefault(c, tail)
-                (ct.tpe, ct.default, ct.comment)
+                val t = splitColDefault(c, tail)
+                (t.tpe, t)
               }
             if (tpe.nonEmpty) {
               val sparkType = Transpiler.mapTypeNames(tpe)
               reshape(spark, name, df => df.withColumn(c,
                 org.apache.spark.sql.functions.col(c).cast(sparkType)))
             }
-            defExpr.foreach(e => setDefault(Some(e)))
+            ct.default.foreach(e => setDefault(Some(e)))
+            // MODIFY ... MATERIALIZED expr swaps the computed
+            // expression (future inserts only, like ClickHouse — old
+            // parts keep their values until rewritten)
+            ct.materialized.foreach { e =>
+              tables.put(key, tables.getOrElse(key, TableMeta(None, Nil))
+                .copy(columnMaterialized = tables.get(key)
+                  .map(_.columnMaterialized).getOrElse(Nil)
+                  .filterNot(_._1.equalsIgnoreCase(c)) :+ (c -> e)))
+              CatalogStore.save(spark, name)
+            }
             // MODIFY ... COMMENT 'x' updates the stored comment (was
             // silently dropped — the one wrong option)
-            comment.foreach(setComment)
+            ct.comment.foreach(setComment)
             spark.emptyDataFrame
           }
         }
@@ -1527,13 +1662,16 @@ object Ddl {
           }
         } else
         (replacingMeta(spark, om.group(1)), summingMeta(spark, om.group(1)),
-          collapsingMeta(spark, om.group(1))) match {
-          case (Some((keys, ver)), _, _) if keys.nonEmpty =>
+          collapsingMeta(spark, om.group(1)),
+          aggregatingMeta(spark, om.group(1))) match {
+          case (Some((keys, ver)), _, _, _) if keys.nonEmpty =>
             mutateScoped(df => withTtl(replacingDedup(df, keys, ver)))
-          case (_, Some((keys, cols)), _) if keys.nonEmpty =>
+          case (_, Some((keys, cols)), _, _) if keys.nonEmpty =>
             mutateScoped(df => withTtl(summingMerge(df, keys, cols)))
-          case (_, _, Some((keys, sign, ver))) if keys.nonEmpty =>
+          case (_, _, Some((keys, sign, ver)), _) if keys.nonEmpty =>
             mutateScoped(df => withTtl(collapsingFold(df, keys, sign, ver)))
+          case (_, _, _, Some((keys, aggCols))) if keys.nonEmpty =>
+            mutateScoped(df => withTtl(aggregatingMerge(df, keys, aggCols)))
           case _ if ttlOf.isDefined =>
             mutateScoped(withTtl)
           case _ =>
@@ -1665,10 +1803,17 @@ object Ddl {
         val d = meta.flatMap(_.columnDefaults
             .find(_._1.equalsIgnoreCase(f.name)))
           .map(p => s" DEFAULT ${p._2}").getOrElse("")
+        val mz = meta.flatMap(_.columnMaterialized
+            .find(_._1.equalsIgnoreCase(f.name)))
+          .map(p => s" MATERIALIZED ${p._2}").getOrElse("")
         val cm = meta.flatMap(_.columnComments
             .find(_._1.equalsIgnoreCase(f.name)))
           .map(p => s" COMMENT '${p._2.replace("'", "''")}'").getOrElse("")
-        s"`${f.name}` ${graft.formats.ChTypeNames.fieldName(f)}$d$cm"
+        val chType = meta.flatMap(_.aggCols
+            .find(_._1.equalsIgnoreCase(f.name)))
+          .map(p => s"AggregateFunction(${p._2})")
+          .getOrElse(graft.formats.ChTypeNames.fieldName(f))
+        s"`${f.name}` $chType$d$mz$cm"
       }
     val indexes = SkipIndexes.forTable(norm).sortBy(_.name).map { ix =>
       val g = if (ix.granularity != 1) s" GRANULARITY ${ix.granularity}" else ""
@@ -1685,6 +1830,7 @@ object Ddl {
         val cs = m.summingCols.get
         if (cs.isEmpty) "SummingMergeTree()"
         else s"SummingMergeTree(${cs.mkString(", ")})"
+      case Some(m) if m.aggregating => "AggregatingMergeTree()"
       case Some(m) if m.partitionExpr.nonEmpty || m.orderBy.nonEmpty ||
           m.sampleBy.nonEmpty || m.ttl.nonEmpty => "MergeTree()"
       case _ => "Memory"
@@ -1715,10 +1861,17 @@ object Ddl {
       .map { f =>
         val d = meta.flatMap(_.columnDefaults
           .find(_._1.equalsIgnoreCase(f.name))).map(_._2)
+        val mz = meta.flatMap(_.columnMaterialized
+          .find(_._1.equalsIgnoreCase(f.name))).map(_._2)
         val cm = meta.flatMap(_.columnComments
           .find(_._1.equalsIgnoreCase(f.name))).map(_._2)
-        (f.name, graft.formats.ChTypeNames.fieldName(f),
-          if (d.isDefined) "DEFAULT" else "", d.getOrElse(""),
+        val chType = meta.flatMap(_.aggCols
+          .find(_._1.equalsIgnoreCase(f.name)))
+          .map(p => s"AggregateFunction(${p._2})")
+          .getOrElse(graft.formats.ChTypeNames.fieldName(f))
+        (f.name, chType,
+          if (mz.isDefined) "MATERIALIZED" else if (d.isDefined) "DEFAULT" else "",
+          mz.orElse(d).getOrElse(""),
           cm.getOrElse(""), "", "")
       }
       .toDF("name", "type", "default_type", "default_expression",
@@ -1752,6 +1905,7 @@ object Ddl {
             else if (meta.summingCols.nonEmpty) "SummingMergeTree"
             else if (meta.collapsing.exists(_._2.isEmpty)) "CollapsingMergeTree"
             else if (meta.collapsing.nonEmpty) "VersionedCollapsingMergeTree"
+            else if (meta.aggregating) "AggregatingMergeTree"
             else "MergeTree"
           val loc = new java.io.File(
             new java.net.URI(cat.getTableMetadata(ident).location.toString))
@@ -2405,12 +2559,15 @@ object Ddl {
     engine.toLowerCase match {
       case "memory" | "mergetree" | "replacingmergetree"
            | "summingmergetree" | "collapsingmergetree"
-           | "versionedcollapsingmergetree" => ()
+           | "versionedcollapsingmergetree" | "aggregatingmergetree" => ()
       // Log-family engines: unmerged append-only storage — the managed
       // parquet mapping makes them behave exactly like Memory here
       case "log" | "tinylog" | "stripelog" => ()
       case other => throw new IllegalArgumentException(s"unsupported engine: $other")
     }
+    // AggregatingMergeTree: rows carry AggregateFunction(...) partial
+    // states; FINAL / OPTIMIZE FINAL merge them per sorting key
+    val aggregating = engine.equalsIgnoreCase("aggregatingmergetree")
     // ReplacingMergeTree[(ver)] / SummingMergeTree[(cols)]: remember
     // the merge inputs so FINAL and OPTIMIZE ... FINAL apply them
     val replacingVer =
@@ -2469,18 +2626,32 @@ object Ddl {
       .partition(d => "(?is)^\\s*INDEX\\s".r.findFirstIn(d).isDefined)
     val colDefaults = Seq.newBuilder[(String, String)]
     val colComments = Seq.newBuilder[(String, String)]
+    val colMats = Seq.newBuilder[(String, String)]
+    val colAggs = Seq.newBuilder[(String, String)]
     val sparkCols = colOnlyDefs.flatMap { d =>
       val t = d.trim
       val sp = t.indexOf(' ') // name, then type (type may contain spaces)
       val (cn, ct0) = (t.substring(0, sp).trim, t.substring(sp + 1).trim)
       // `c Type DEFAULT expr COMMENT '..' CODEC(..)` — the column
-      // decorations: DEFAULT drives omitted-column INSERT fill, COMMENT
-      // is stored for DESCRIBE/SHOW CREATE, CODEC is a documented no-op
+      // decorations: DEFAULT drives omitted-column INSERT fill,
+      // MATERIALIZED makes the column computed-only, COMMENT is stored
+      // for DESCRIBE/SHOW CREATE, CODEC is a documented no-op
       val tail = splitColDefault(cn, ct0)
       val ct = tail.tpe
       tail.default.foreach(e => colDefaults += (cn.replace("`", "") -> e))
       tail.comment.foreach(c => colComments += (cn.replace("`", "") -> c))
-      if (ct.matches("(?is)^Nested\\s*\\(.*\\)$")) {
+      tail.materialized.foreach(e => colMats += (cn.replace("`", "") -> e))
+      if (ct.matches("(?is)^AggregateFunction\\s*\\(.*\\)$")) {
+        // `c AggregateFunction(fn, T)`: the stored partial state —
+        // physically the -State combinator's value representation
+        // (count/sum: running value; avg: (sum,count) struct; uniq:
+        // HLL sketch bytes). Recorded so FINAL/OPTIMIZE FINAL know the
+        // merge and SHOW CREATE/DESCRIBE render the declared type.
+        val spec = ct.substring(ct.indexOf('(') + 1, ct.lastIndexOf(')'))
+          .trim.replace("`", "")
+        colAggs += (cn.replace("`", "") -> spec)
+        Seq(s"$cn ${aggStateType(cn, spec)}")
+      } else if (ct.matches("(?is)^Nested\\s*\\(.*\\)$")) {
         // ClickHouse stores Nested as parallel per-field arrays with
         // dotted physical names; queries keep writing `col.field`
         // (rewritten to one backticked identifier by the transpiler)
@@ -2530,7 +2701,7 @@ object Ddl {
     tables.put(norm,
       TableMeta(partExpr, orderCols, sampleBy, replacingVer, summingCols,
         ttl, collapsing, colDefaults.result(), colComments.result(),
-        tableComment))
+        tableComment, colMats.result(), aggregating, colAggs.result()))
     indexDefs.map(_.trim).foreach {
       case inlineIndexRe(iname, iexpr, itype, igran) =>
         SkipIndexes.add(spark, norm,
@@ -2558,10 +2729,19 @@ object Ddl {
   private[graft] def appendAligned(spark: SparkSession, name: String,
                                    src0: DataFrame): Unit = {
     val bare = name.replace("`", "")
-    val targetCols = spark.table(bare).columns.filterNot(_ == "_part")
+    val full = spark.table(bare).schema
+    val insertCols = insertableFields(spark, name, full).map(_.name)
+    if (src0.columns.length != insertCols.length)
+      throw new IllegalArgumentException(
+        s"INSERT into $bare expects ${insertCols.length} column(s) " +
+          s"(${insertCols.mkString(", ")}), got ${src0.columns.length}")
     // the partition/sort exprs are written against the TARGET column
-    // names; rename the source positionally first
-    val src = src0.toDF(targetCols.toIndexedSeq: _*)
+    // names; rename the source positionally first, then compute the
+    // MATERIALIZED columns over the block (always computed at insert,
+    // never provided — their expressions may reference the insertable
+    // columns and each other, so they fill in dependency order)
+    val src = materializeFill(spark, name, full,
+      src0.toDF(insertCols.toIndexedSeq: _*))
     val df = layoutAligned(spark, name, src)
     // Concurrent INSERTs into one table share the FileOutputCommitter
     // staging dir (_temporary/0) — unserialized, one job's commit
@@ -2583,6 +2763,41 @@ object Ddl {
 
   private val appendLocks =
     scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  /** Compute the table's MATERIALIZED columns over an inserted block
+    * (which holds exactly the insertable columns) and emit the full
+    * non-`_part` column set in table order. Expressions fill in
+    * dependency order — a materialized column may reference other
+    * materialized columns; cycles refuse loudly. No-op for tables
+    * without materialized columns. */
+  private def materializeFill(spark: SparkSession, name: String,
+      full: org.apache.spark.sql.types.StructType,
+      block: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val mats = tables.get(normalize(spark, name))
+      .map(_.columnMaterialized).getOrElse(Nil)
+    if (mats.isEmpty) return block
+    def exprOf(n: String) = mats.find(_._1.equalsIgnoreCase(n)).map(_._2)
+    var df = block
+    var pending = full.fields
+      .filter(f => exprOf(f.name).isDefined).toList
+    while (pending.nonEmpty) {
+      val (ready, blocked) = pending.partition { f =>
+        val e = Transpiler.transpile(exprOf(f.name).get)
+        pending.forall(p => identRe(p.name).findFirstIn(e).isEmpty)
+      }
+      if (ready.isEmpty) throw new IllegalArgumentException(
+        s"cyclic MATERIALIZED expressions among columns " +
+          s"${pending.map(_.name).mkString(", ")} of $name")
+      ready.foreach { f =>
+        df = df.withColumn(f.name,
+          expr(Transpiler.transpile(exprOf(f.name).get)).cast(f.dataType))
+      }
+      pending = blocked
+    }
+    df.select(full.fields.filterNot(_.name == "_part")
+      .map(f => col(f.name)).toIndexedSeq: _*)
+  }
 
   /** Apply the table's MergeTree physical layout to a frame holding
     * its non-`_part` columns: materialize the PARTITION BY expression
@@ -2689,8 +2904,9 @@ object Ddl {
     val name = distributedTargets.getOrElse(
       name0.replace("`", "").toLowerCase, name0)
     val meta = tables.get(normalize(spark, name))
-    val hasLayout =
-      meta.exists(t => t.partitionExpr.nonEmpty || t.orderBy.nonEmpty)
+    val hasLayout = // materialized columns also need the aligned path
+      meta.exists(t => t.partitionExpr.nonEmpty || t.orderBy.nonEmpty ||
+        t.columnMaterialized.nonEmpty)
     // `INSERT INTO t (a, b) SELECT ...` — the listed columns take the
     // SELECT's output positionally; every other column gets its
     // declared DEFAULT (else NULL), same contract as the VALUES form
@@ -2706,7 +2922,7 @@ object Ddl {
             s"SELECT produces ${sel.columns.length}")
       val named = sel.toDF(listed: _*)
       val full = spark.table(name.replace("`", "")).schema
-      requireTableCols(name, listed, full)
+      requireTableCols(spark, name, listed, full)
       appendAligned(spark, name, fillInsertable(spark, name, named))
       spark.emptyDataFrame
     } else if (hasLayout && body.toUpperCase.startsWith("SELECT")) {
@@ -2723,7 +2939,7 @@ object Ddl {
       val full = spark.table(name.replace("`", "")).schema
       val listed = Option(vm.group(1)).map(_.split(",")
         .map(_.trim.replace("`", "")).toSeq)
-      listed.foreach(requireTableCols(name, _, full))
+      listed.foreach(requireTableCols(spark, name, _, full))
       val named = listed match {
         case Some(cs) => parsed.toDF(cs: _*)
         case None => parsed.toDF(
@@ -2761,7 +2977,7 @@ object Ddl {
       val mm = colListSel.get
       val listed = mm.group(1).split(",").map(_.trim.replace("`", ""))
         .filter(_.nonEmpty).toIndexedSeq
-      requireTableCols(name, listed, spark.table(bare).schema)
+      requireTableCols(spark, name, listed, spark.table(bare).schema)
       Some(fillFrom(spark.sql(
         Transpiler.transpile(mm.group(2) + mm.group(3))).toDF(listed: _*)))
     } else if (body.toUpperCase.startsWith("SELECT"))
@@ -2771,7 +2987,7 @@ object Ddl {
         Transpiler.transpile("SELECT * FROM VALUES " + vm.group(2)))
       val listed = Option(vm.group(1)).map(_.split(",")
         .map(_.trim.replace("`", "")).toSeq)
-      listed.foreach(requireTableCols(name, _, spark.table(bare).schema))
+      listed.foreach(requireTableCols(spark, name, _, spark.table(bare).schema))
       val named = listed match {
         case Some(cs) => parsed.toDF(cs: _*)
         case None => parsed.toDF(cols: _*)
@@ -3172,6 +3388,47 @@ object Engine {
     }
   }
 
+  /** ClickHouse hides MATERIALIZED columns from `SELECT *` while
+    * keeping them selectable by name. The physical parquet column
+    * exists, so a bare select-list `*` over a table with materialized
+    * columns expands to the visible column list here (analysis-time
+    * expansion, the expandStarModifiers style). Only a star directly
+    * following `SELECT [DISTINCT]` expands — `count(*)` and `a * b`
+    * are untouched; each star pairs with the next `FROM <name>` after
+    * it, so subquery stars expand against their own tables. Tables
+    * without materialized columns pass through unchanged. */
+  private def rewriteMaterializedStar(spark: SparkSession,
+                                      sql0: String): String = {
+    if (!sql0.contains("*")) return sql0
+    val starRe = "(?is)\\bSELECT\\s+(?:DISTINCT\\s+)?\\*".r
+    val fromRe = "(?is)\\bFROM\\s+([\\w`.]+)".r
+    var s = sql0; var searchFrom = 0; var guard = 0
+    while (guard < 16) {
+      guard += 1
+      starRe.findFirstMatchIn(s.substring(searchFrom)) match {
+        case None => return s
+        case Some(m) =>
+          val starAt = searchFrom + m.end - 1
+          val cols = fromRe.findFirstMatchIn(s.substring(starAt))
+            .map(_.group(1).replace("`", "")).flatMap { bare =>
+              val mat = Ddl.materializedCols(spark, bare)
+              if (mat.isEmpty) None
+              else scala.util.Try(spark.table(bare).schema.fieldNames.toSeq)
+                .toOption.map(_.filterNot(_ == "_part")
+                  .filterNot(c => mat(c.toLowerCase)))
+            }
+          cols match {
+            case Some(cs) if cs.nonEmpty =>
+              val repl = cs.map(c => s"`$c`").mkString(", ")
+              s = s.substring(0, starAt) + repl + s.substring(starAt + 1)
+              searchFrom = starAt + repl.length
+            case _ => searchFrom = starAt + 1
+          }
+      }
+    }
+    s
+  }
+
   private val finalRe = "(?i)\\b(FROM|JOIN)\\s+([\\w`.]+)\\s+FINAL\\b".r
 
   /** `FROM t FINAL` on a Replacing/SummingMergeTree applies the
@@ -3189,13 +3446,16 @@ object Engine {
       }
       (Ddl.replacingMeta(spark, m.group(2)),
         Ddl.summingMeta(spark, m.group(2)),
-        Ddl.collapsingMeta(spark, m.group(2))) match {
-        case (Some((keys, ver)), _, _) if keys.nonEmpty =>
+        Ddl.collapsingMeta(spark, m.group(2)),
+        Ddl.aggregatingMeta(spark, m.group(2))) match {
+        case (Some((keys, ver)), _, _, _) if keys.nonEmpty =>
           sub(Ddl.replacingDedup(spark.table(bare), keys, ver))
-        case (_, Some((keys, cols)), _) if keys.nonEmpty =>
+        case (_, Some((keys, cols)), _, _) if keys.nonEmpty =>
           sub(Ddl.summingMerge(spark.table(bare), keys, cols))
-        case (_, _, Some((keys, sign, ver))) if keys.nonEmpty =>
+        case (_, _, Some((keys, sign, ver)), _) if keys.nonEmpty =>
           sub(Ddl.collapsingFold(spark.table(bare), keys, sign, ver))
+        case (_, _, _, Some((keys, aggCols))) if keys.nonEmpty =>
+          sub(Ddl.aggregatingMerge(spark.table(bare), keys, aggCols))
         case _ => m.matched
       }
     })
@@ -3502,8 +3762,9 @@ object Engine {
     }
     val bare = rewriteAsofJoin(spark, rewriteAnyJoin(spark,
       rewriteFinal(spark,
-        rewriteSample(spark, Transpiler.expandStarModifiers(spark,
-          rewriteSystemParts(spark, bare0))))))
+        rewriteSample(spark, rewriteMaterializedStar(spark,
+          Transpiler.expandStarModifiers(spark,
+            rewriteSystemParts(spark, bare0)))))))
     Transpiler.withFillParts(bare) match {
       case Some((inner, prefix, fillKey, from, to, step, interp)) =>
         return graft.operators.WithFill(
@@ -3622,17 +3883,26 @@ object Engine {
     Set("rowbinary", "rowbinarywithnamesandtypes", "native",
       "parquet", "orc", "arrow", "arrowstream")(format.toLowerCase)
 
-  /** INSERT target structure: the named columns, or every physical
-    * column minus the derived `_part` partition key. The single home
-    * for this rule — HTTP binary formats, Arrow, and the native
-    * streaming INSERT sample block must all agree on it. */
-  private[graft] def targetSchema(full: org.apache.spark.sql.types.StructType,
+  /** INSERT target structure: the named columns, or every INSERTABLE
+    * column (physical minus the derived `_part` partition key minus
+    * MATERIALIZED columns). The single home for this rule — HTTP
+    * binary formats, Arrow, and the native streaming INSERT sample
+    * block must all agree on it. Naming a MATERIALIZED column
+    * explicitly refuses, like the SQL column-list forms. */
+  private[graft] def targetSchema(spark: SparkSession, table: String,
                                   cols: Option[Seq[String]])
       : org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types.StructType
+    val full = spark.table(table.replace("`", "")).schema
     cols match {
-      case Some(cs) => StructType(cs.map(c => full(full.fieldIndex(c))))
-      case None => StructType(full.fields.filterNot(_.name == "_part"))
+      case Some(cs) =>
+        val mat = Ddl.materializedCols(spark, table)
+        cs.find(c => mat(c.toLowerCase)).foreach(c =>
+          throw new IllegalArgumentException(
+            s"cannot insert column $c of $table: it is a MATERIALIZED " +
+              "column (always computed, never inserted)"))
+        StructType(cs.map(c => full(full.fieldIndex(c))))
+      case None => StructType(Ddl.insertableFields(spark, table, full))
     }
   }
 
@@ -3641,7 +3911,7 @@ object Engine {
                            payload: Array[Byte]): DataFrame = {
     import org.apache.spark.sql.types._
     val full = spark.table(table).schema
-    val target = targetSchema(full, cols)
+    val target = targetSchema(spark, table, cols)
     val announced = target.fields.toSeq
       .map(f => f.name -> graft.formats.ChTypeNames.fieldName(f))
     val (names, raw) = format match {
@@ -3666,7 +3936,7 @@ object Engine {
                                        raw: Seq[Seq[Any]]): DataFrame = {
     import org.apache.spark.sql.types._
     val full = spark.table(table).schema
-    val target = targetSchema(full, cols)
+    val target = targetSchema(spark, table, cols)
     val fields = names.map(n => target(target.fieldIndex(n)))
     val rows = raw.map { vs =>
       org.apache.spark.sql.Row.fromSeq(
@@ -3689,7 +3959,7 @@ object Engine {
                           payload: Array[Byte]): DataFrame = {
     import org.apache.spark.sql.types._
     val full = spark.table(table).schema
-    val target = targetSchema(full, cols)
+    val target = targetSchema(spark, table, cols)
     val (names0, raw) = graft.formats.ArrowCodec.decode(payload, file)
     // a headerless client can't exist for Arrow (the schema is in the
     // framing), but names may be positional placeholders — fall back to
@@ -3811,12 +4081,7 @@ object Engine {
       return Ddl.insert(spark, s"INSERT INTO $table ${colList}VALUES $data")
     }
     val full = spark.table(table).schema
-    val target = cols match {
-      case Some(cs) => org.apache.spark.sql.types.StructType(
-        cs.map(c => full(full.fieldIndex(c))))
-      case None => org.apache.spark.sql.types.StructType(
-        full.fields.filterNot(_.name == "_part"))
-    }
+    val target = targetSchema(spark, table, cols)
     val allLines = data.trim.split("\n").toIndexedSeq
     val lines = allLines.toDS()
     val parsed = format.toLowerCase match {

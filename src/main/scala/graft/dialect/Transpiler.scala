@@ -1306,6 +1306,7 @@ object ChContext {
         case Some(m) if m.summingCols.nonEmpty => "SummingMergeTree"
         case Some(m) if m.collapsing.exists(_._2.isEmpty) => "CollapsingMergeTree"
         case Some(m) if m.collapsing.nonEmpty => "VersionedCollapsingMergeTree"
+        case Some(m) if m.aggregating => "AggregatingMergeTree"
         case Some(m) if m.partitionExpr.nonEmpty || m.orderBy.nonEmpty ||
             m.sampleBy.nonEmpty || m.ttl.nonEmpty => "MergeTree"
         case Some(_) => "Memory"

@@ -251,6 +251,42 @@ object DdlQueries {
              CAST(sum(s_suppkey % 100) AS BIGINT) AS sb
       FROM supplier GROUP BY 1 ORDER BY g""")),
 
+    // S5d: MATERIALIZED columns — computed on every insert path, never
+    // insertable, hidden from SELECT * but selectable by name
+    // (ClickHouse semantics; reference surface main.py:190 via chdb).
+    // `bucket` chains off `cents` (materialized-over-materialized), and
+    // the rows land through BOTH insert forms; star_cols pins the
+    // SELECT * exclusion (2 visible of 4 physical columns).
+    Q("s25_materialized_col", (s, dir) => {
+      ChContext.setup(s, dir)
+      Engine.execute(s, "CREATE DATABASE IF NOT EXISTS graft_t")
+      Engine.execute(s, "DROP TABLE IF EXISTS graft_t.matq")
+      Engine.execute(s, """
+        CREATE TABLE graft_t.matq (
+          id Int64, price Float64,
+          cents Int64 MATERIALIZED toInt64(floor(price * 100)),
+          bucket Int64 MATERIALIZED cents % 10)
+        ENGINE=MergeTree() ORDER BY (id)""")
+      Engine.execute(s, """
+        INSERT INTO graft_t.matq
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0""")
+      Engine.execute(s, """
+        INSERT INTO graft_t.matq (id, price)
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 1""")
+      val starCols =
+        Engine.execute(s, "SELECT * FROM graft_t.matq").columns.length
+      Engine.execute(s, s"""
+        SELECT bucket, count() AS n, sum(cents) AS sc,
+               $starCols AS star_cols
+        FROM graft_t.matq GROUP BY bucket ORDER BY bucket""")
+    }, Some("""
+      SELECT CAST(floor(o_totalprice * 100) AS BIGINT) % 10 AS bucket,
+             count(*) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sc,
+             2 AS star_cols
+      FROM orders WHERE o_orderkey % 3 IN (0, 1)
+      GROUP BY 1 ORDER BY bucket""")),
+
     // S3e: DETACH/ATTACH TABLE — park the data, forget the catalog
     // entry, re-register from the on-disk meta (metadata-only, zero
     // data movement); the round-trip must read back exactly the
@@ -273,6 +309,54 @@ object DdlQueries {
       SELECT count(*) AS n, CAST(sum(p_size) AS BIGINT) AS ss,
              CAST(min(p_partkey) AS BIGINT) AS mk,
              CAST(max(p_partkey) AS BIGINT) AS xk FROM part""")),
+
+    // S4f: AggregatingMergeTree — AggregateFunction(fn, T) columns hold
+    // partial states (the -State representation), fed per-block by a
+    // TO-form materialized view; OPTIMIZE ... FINAL merges the stored
+    // partials per sorting key (parts=1 pins that the merge actually
+    // collapsed the two per-INSERT rows) and the -Merge combinators
+    // finalize. The oracle recomputes the aggregates straight from
+    // orders.
+    Q("s26_aggregating", (s, dir) => {
+      ChContext.setup(s, dir)
+      Engine.execute(s, "CREATE DATABASE IF NOT EXISTS graft_t")
+      Engine.execute(s, "DROP TABLE IF EXISTS graft_t.aggmv")
+      Engine.execute(s, "DROP TABLE IF EXISTS graft_t.aggt")
+      Engine.execute(s, "DROP TABLE IF EXISTS graft_t.aggsrc")
+      Engine.execute(s, """
+        CREATE TABLE graft_t.aggsrc (st String, cents Int64) ENGINE=Memory""")
+      Engine.execute(s, """
+        CREATE TABLE graft_t.aggt (
+          st String,
+          cnt AggregateFunction(count, UInt64),
+          total AggregateFunction(sum, Int64),
+          hi AggregateFunction(max, Int64))
+        ENGINE=AggregatingMergeTree() ORDER BY (st)""")
+      Engine.execute(s, """
+        CREATE MATERIALIZED VIEW graft_t.aggmv TO graft_t.aggt AS
+        SELECT st, countState() AS cnt, sumState(cents) AS total,
+               maxState(cents) AS hi
+        FROM graft_t.aggsrc GROUP BY st""")
+      Engine.execute(s, """
+        INSERT INTO graft_t.aggsrc
+        SELECT o_orderstatus, toInt64(floor(o_totalprice * 100))
+        FROM orders WHERE o_orderkey % 4 = 0""")
+      Engine.execute(s, """
+        INSERT INTO graft_t.aggsrc
+        SELECT o_orderstatus, toInt64(floor(o_totalprice * 100))
+        FROM orders WHERE o_orderkey % 4 = 1""")
+      Engine.execute(s, "OPTIMIZE TABLE graft_t.aggt FINAL")
+      Engine.execute(s, """
+        SELECT st, countMerge(cnt) AS n, sumMerge(total) AS sc,
+               maxMerge(hi) AS mx, count() AS parts
+        FROM graft_t.aggt GROUP BY st ORDER BY st""")
+    }, Some("""
+      SELECT o_orderstatus AS st, count(*) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sc,
+             CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mx,
+             CAST(1 AS BIGINT) AS parts
+      FROM orders WHERE o_orderkey % 4 IN (0, 1)
+      GROUP BY 1 ORDER BY st""")),
 
     // S4c: schema-changing ALTERs (DROP/RENAME/MODIFY COLUMN) rewrite
     // the table copy-on-write and RENAME TABLE carries the metadata —

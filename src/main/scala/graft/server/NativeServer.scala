@@ -373,7 +373,7 @@ class NativeServer(spark: SparkSession, port: Int,
                                     serFlag: Boolean,
                                     compressed: Boolean): Unit = {
     val bare = table.replace("`", "")
-    val target = Engine.targetSchema(session.table(bare).schema, cols)
+    val target = Engine.targetSchema(session, bare, cols)
     def readBlock(): (String, Seq[(String, String, Vector[Any])]) = {
       val tableName = readStr(in)
       val block =

@@ -87,7 +87,10 @@ class DefaultColumnsSpec extends AnyFunSuite {
 
   test("computed column kinds refuse loudly; empty DEFAULT refuses") {
     exec("CREATE DATABASE IF NOT EXISTS graft_spec")
-    for (kw <- Seq("MATERIALIZED id * 2", "ALIAS id", "EPHEMERAL")) {
+    exec("DROP TABLE IF EXISTS graft_spec.defbad SYNC")
+    // MATERIALIZED is supported since round 15 (MaterializedColumnSpec);
+    // ALIAS / EPHEMERAL still refuse with a pointer to the alternatives
+    for (kw <- Seq("ALIAS id", "EPHEMERAL")) {
       val e = intercept[Exception](exec(s"""
         CREATE TABLE graft_spec.defbad (id Int64, c Int64 $kw)
         ENGINE=Memory"""))
