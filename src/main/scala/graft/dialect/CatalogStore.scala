@@ -129,6 +129,12 @@ object CatalogStore {
           ("name" -> p._1) ~ ("text" -> p._2))).getOrElse(Nil)) ~
         ("columnMaterialized" -> meta.map(_.columnMaterialized.toList.map(p =>
           ("name" -> p._1) ~ ("expr" -> p._2))).getOrElse(Nil)) ~
+        ("columnAliases" -> meta.map(_.columnAliases.toList.map(p =>
+          ("name" -> p._1) ~ ("type" -> p._2) ~ ("expr" -> p._3)))
+          .getOrElse(Nil)) ~
+        ("columnEphemeral" -> meta.map(_.columnEphemeral.toList.map(p =>
+          ("name" -> p._1) ~ ("type" -> p._2) ~ ("expr" -> p._3)))
+          .getOrElse(Nil)) ~
         ("aggregating" -> meta.exists(_.aggregating)) ~
         ("aggCols" -> meta.map(_.aggCols.toList.map(p =>
           ("name" -> p._1) ~ ("spec" -> p._2))).getOrElse(Nil)) ~
@@ -356,6 +362,18 @@ object CatalogStore {
       aggCols = (j \ "aggCols") match {
         case JArray(ds) => ds.flatMap(d =>
           for (n <- str(d \ "name"); e <- str(d \ "spec")) yield (n, e))
+        case _ => Nil
+      },
+      columnAliases = (j \ "columnAliases") match {
+        case JArray(ds) => ds.flatMap(d =>
+          for (n <- str(d \ "name"); t <- str(d \ "type");
+               e <- str(d \ "expr")) yield (n, t, e))
+        case _ => Nil
+      },
+      columnEphemeral = (j \ "columnEphemeral") match {
+        case JArray(ds) => ds.flatMap(d =>
+          for (n <- str(d \ "name"); t <- str(d \ "type");
+               e <- str(d \ "expr")) yield (n, t, e))
         case _ => Nil
       }))
     // Nested columns persist physically as dotted parallel arrays —

@@ -47,7 +47,13 @@ object Ddl {
                                         tableComment: Option[String] = None,
                                         columnMaterialized: Seq[(String, String)] = Nil,
                                         aggregating: Boolean = false,
-                                        aggCols: Seq[(String, String)] = Nil)
+                                        aggCols: Seq[(String, String)] = Nil,
+                                        // (name, CH type, expr) — no storage:
+                                        // ALIAS computes at read, EPHEMERAL
+                                        // exists only inside an INSERT (expr
+                                        // "" = no default)
+                                        columnAliases: Seq[(String, String, String)] = Nil,
+                                        columnEphemeral: Seq[(String, String, String)] = Nil)
   private val tables = TrieMap.empty[String, TableMeta]
 
   // durable-catalog accessors (CatalogStore persists/restores this map)
@@ -331,35 +337,36 @@ object Ddl {
     "(?is)\\bENGINE\\s*=\\s*(.+)$".r.findFirstMatchIn(s)
       .map(m => "ENGINE = " + m.group(1).trim)
 
-  /** Parsed column-definition tail: the bare type plus its modifiers. */
+  /** Parsed column-definition tail: the bare type plus its modifiers.
+    * `ephemeral` is Some("") for a bare EPHEMERAL (no default). */
   private[dialect] case class ColTail(tpe: String,
                                       default: Option[String],
                                       comment: Option[String],
-                                      materialized: Option[String] = None)
+                                      materialized: Option[String] = None,
+                                      alias: Option[String] = None,
+                                      ephemeral: Option[String] = None)
 
   /** Split a column definition's tail (`Type [DEFAULT expr |
-    * MATERIALIZED expr] [COMMENT 'text'] [CODEC(...)]`, any order) —
-    * ClickHouse's column decorations. `CODEC` is accepted and dropped
-    * (a DOCUMENTED no-op: parquet applies its own column compression;
-    * there is no per-column codec to honor). `MATERIALIZED expr` is
-    * computed on every insert, never insertable, hidden from `SELECT *`
-    * (ClickHouse semantics — see the insert paths / star rewrite).
-    * ALIAS / EPHEMERAL columns and column-level TTL are refused loudly
-    * rather than mis-parsed as part of the type. */
+    * MATERIALIZED expr | ALIAS expr | EPHEMERAL [expr]]
+    * [COMMENT 'text'] [CODEC(...)]`, any order) — ClickHouse's column
+    * decorations. `CODEC` is accepted and dropped (a DOCUMENTED no-op:
+    * parquet applies its own column compression; there is no per-column
+    * codec to honor). `MATERIALIZED expr` is computed on every insert,
+    * never insertable, hidden from `SELECT *`; `ALIAS expr` has no
+    * storage at all and computes at read; `EPHEMERAL [expr]` exists
+    * only inside an INSERT (other columns' DEFAULT/MATERIALIZED
+    * expressions may read it, nothing stores it) — all ClickHouse
+    * semantics. Column-level TTL is refused loudly rather than
+    * mis-parsed as part of the type. */
   private def splitColDefault(cn: String, ct: String): ColTail = {
-    Seq("ALIAS", "EPHEMERAL").foreach { kw =>
-      if (topLevelKeyword(ct, kw) >= 0) throw new IllegalArgumentException(
-        s"column $cn: $kw columns are not supported " +
-          "(ALIAS has no storage and EPHEMERAL no read surface here); " +
-          "use DEFAULT or MATERIALIZED, or compute the expression in queries")
-    }
     if (topLevelKeyword(ct, "TTL") >= 0) throw new IllegalArgumentException(
       s"column-level TTL is not supported (column $cn); " +
         "use a table-level TTL clause for row expiry")
     // every modifier start, in text order; each segment runs to the
     // next modifier (expressions never contain these words at depth 0)
-    val marks = Seq("DEFAULT", "MATERIALIZED", "COMMENT", "CODEC")
-      .map(k => k -> topLevelKeyword(ct, k)).filter(_._2 >= 0).sortBy(_._2)
+    val marks =
+      Seq("DEFAULT", "MATERIALIZED", "ALIAS", "EPHEMERAL", "COMMENT", "CODEC")
+        .map(k => k -> topLevelKeyword(ct, k)).filter(_._2 >= 0).sortBy(_._2)
     val tpe = marks.headOption.map(m => ct.substring(0, m._2).trim)
       .getOrElse(ct.trim)
     if (tpe.isEmpty) throw new IllegalArgumentException(
@@ -367,6 +374,8 @@ object Ddl {
     var default: Option[String] = None
     var comment: Option[String] = None
     var materialized: Option[String] = None
+    var alias: Option[String] = None
+    var ephemeral: Option[String] = None
     marks.zipWithIndex.foreach { case ((kw, at), i) =>
       val end = marks.lift(i + 1).map(_._2).getOrElse(ct.length)
       val body = ct.substring(at + kw.length, end).trim
@@ -379,6 +388,12 @@ object Ddl {
           if (body.isEmpty) throw new IllegalArgumentException(
             s"column $cn: empty MATERIALIZED expression")
           materialized = Some(body)
+        case "ALIAS" =>
+          if (body.isEmpty) throw new IllegalArgumentException(
+            s"column $cn: empty ALIAS expression")
+          alias = Some(body)
+        case "EPHEMERAL" =>
+          ephemeral = Some(body) // "" = no default value
         case "COMMENT" =>
           if (!(body.startsWith("'") && body.endsWith("'") && body.length >= 2))
             throw new IllegalArgumentException(
@@ -391,10 +406,11 @@ object Ddl {
           () // accepted, dropped — see the doc comment
       }
     }
-    if (default.isDefined && materialized.isDefined)
+    if (Seq(default, materialized, alias, ephemeral).count(_.isDefined) > 1)
       throw new IllegalArgumentException(
-        s"column $cn: DEFAULT and MATERIALIZED are mutually exclusive")
-    ColTail(tpe, default, comment, materialized)
+        s"column $cn: DEFAULT / MATERIALIZED / ALIAS / EPHEMERAL are " +
+          "mutually exclusive")
+    ColTail(tpe, default, comment, materialized, alias, ephemeral)
   }
 
   /** An INSERT column list naming a column the table doesn't have must
@@ -406,7 +422,13 @@ object Ddl {
   private def requireTableCols(spark: SparkSession, name: String,
       listed: Seq[String],
       full: org.apache.spark.sql.types.StructType): Unit = {
-    listed.find(c => !full.fields.exists(_.name.equalsIgnoreCase(c)))
+    val eph = ephemeralDefs(spark, name)
+    listed.find(c => aliasDefs(spark, name).exists(_._1.equalsIgnoreCase(c)))
+      .foreach(c => throw new IllegalArgumentException(
+        s"cannot insert column $c of $name: it is an ALIAS column " +
+          "(computed at read, never stored)"))
+    listed.find(c => !full.fields.exists(_.name.equalsIgnoreCase(c)) &&
+        !eph.exists(_._1.equalsIgnoreCase(c)))
       .foreach(c => throw new IllegalArgumentException(
         s"INSERT column list: no column $c in table $name"))
     val mat = materializedCols(spark, name)
@@ -414,6 +436,50 @@ object Ddl {
       .foreach(c => throw new IllegalArgumentException(
         s"cannot insert column $c of $name: it is a MATERIALIZED column " +
           "(always computed, never inserted)"))
+  }
+
+  /** The table's ALIAS columns (name, CH type, expr) — no storage;
+    * computed at read by [[aliasEnrich]]. */
+  private[graft] def aliasDefs(spark: SparkSession,
+                               name: String): Seq[(String, String, String)] =
+    tables.get(normalize(spark, name)).map(_.columnAliases).getOrElse(Nil)
+
+  /** The table's EPHEMERAL columns (name, CH type, default expr or "")
+    * — insert-time-only inputs other columns' DEFAULT/MATERIALIZED
+    * expressions may read; nothing stores them. */
+  private[graft] def ephemeralDefs(spark: SparkSession,
+                                   name: String): Seq[(String, String, String)] =
+    tables.get(normalize(spark, name)).map(_.columnEphemeral).getOrElse(Nil)
+
+  /** Attach the table's ALIAS columns to a frame in dependency order
+    * (an alias may reference other aliases; cycles refuse loudly),
+    * cast to the declared type. Purely declarative — Catalyst's column
+    * pruning drops any alias the query never references, so the scan
+    * reads nothing extra for unused aliases. */
+  private[graft] def aliasEnrich(spark: SparkSession, name: String,
+                                 df0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val defs = aliasDefs(spark, name)
+    if (defs.isEmpty) return df0
+    var df = df0
+    var pending = defs.toList
+    while (pending.nonEmpty) {
+      val (ready, blocked) = pending.partition { a =>
+        val e = Transpiler.transpile(a._3)
+        pending.filterNot(_._1 == a._1)
+          .forall(p => identRe(p._1).findFirstIn(e).isEmpty)
+      }
+      if (ready.isEmpty) throw new IllegalArgumentException(
+        s"cyclic ALIAS expressions among columns " +
+          s"${pending.map(_._1).mkString(", ")} of $name")
+      ready.foreach { a =>
+        df = df.withColumn(a._1, expr(Transpiler.transpile(a._3))
+          .cast(org.apache.spark.sql.types.DataType.fromDDL(
+            Transpiler.mapTypeNames(a._2))))
+      }
+      pending = blocked
+    }
+    df
   }
 
   /** Identifier-boundary, case-insensitive match for a column name
@@ -433,9 +499,13 @@ object Ddl {
     * chains refuse loudly. Columns with no DEFAULT fill NULL (this
     * engine's columns are nullable, the `Nullable(T)` behavior;
     * ClickHouse's non-Nullable zero-fill applies to a nullability
-    * notion parquet storage doesn't carry). The single home for the
-    * omitted-column rule: VALUES, column-list SELECT, text formats and
-    * the binary bulk formats all funnel here. */
+    * notion parquet storage doesn't carry). EPHEMERAL columns —
+    * provided in the block or filled from their own defaults — ride
+    * along AFTER the insertable set (declared order) so the aligned
+    * append can feed them to MATERIALIZED expressions before dropping
+    * them. The single home for the omitted-column rule: VALUES,
+    * column-list SELECT, text formats and the binary bulk formats all
+    * funnel here. */
   private[dialect] def fillInsertable(spark: SparkSession, name: String,
                                       named: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -451,6 +521,10 @@ object Ddl {
       if (has(d, f.name) || defaultOf(f.name).isDefined) d
       else d.withColumn(f.name, lit(null).cast(f.dataType))
     }
+    // 1b) EPHEMERAL columns not provided by the block fill from their
+    //     own declared defaults (or NULL) — the storage defaults below
+    //     may read them (ClickHouse's evaluation order)
+    df = fillEphemerals(spark, name, df)
     // 2) missing defaulted columns in dependency order
     var pending = fields.filter(f => !has(df, f.name)).toList
     while (pending.nonEmpty) {
@@ -467,8 +541,49 @@ object Ddl {
       }
       pending = blocked
     }
-    df.select(fields.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    val ephs = meta.map(_.columnEphemeral).getOrElse(Nil)
+    df.select((fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq ++
+      ephs.map(e => col(e._1).cast(org.apache.spark.sql.types.DataType
+        .fromDDL(Transpiler.mapTypeNames(e._2))).as(e._1))): _*)
+  }
+
+  /** Add any of the table's EPHEMERAL columns missing from `df`: the
+    * declared default expression (which may read the block's provided
+    * columns and other ephemerals — dependency-ordered, cycles refuse)
+    * or NULL. Provided ephemerals pass through untouched. No-op for
+    * tables without ephemerals. */
+  private def fillEphemerals(spark: SparkSession, name: String,
+                             df0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ephs = tables.get(normalize(spark, name))
+      .map(_.columnEphemeral).getOrElse(Nil)
+    if (ephs.isEmpty) return df0
+    def typeOf(e: (String, String, String)) =
+      org.apache.spark.sql.types.DataType.fromDDL(
+        Transpiler.mapTypeNames(e._2))
+    def present(d: DataFrame, n: String) =
+      d.columns.exists(_.equalsIgnoreCase(n))
+    var df = df0
+    ephs.filter(e => !present(df, e._1) && e._3.isEmpty).foreach { e =>
+      df = df.withColumn(e._1, lit(null).cast(typeOf(e)))
+    }
+    var pending = ephs.filter(e => !present(df, e._1)).toList
+    while (pending.nonEmpty) {
+      val (ready, blocked) = pending.partition { e =>
+        val x = Transpiler.transpile(e._3)
+        pending.forall(p => identRe(p._1).findFirstIn(x).isEmpty)
+      }
+      if (ready.isEmpty) throw new IllegalArgumentException(
+        s"cyclic EPHEMERAL default expressions among columns " +
+          s"${pending.map(_._1).mkString(", ")} of $name")
+      ready.foreach { e =>
+        df = df.withColumn(e._1,
+          expr(Transpiler.transpile(e._3)).cast(typeOf(e)))
+      }
+      pending = blocked
+    }
+    df
   }
 
   /** The columns an INSERT provides values for: every physical column
@@ -1293,6 +1408,14 @@ object Ddl {
           sets.map(_._1).find(c => mat(c.toLowerCase))
             .foreach(c => throw new IllegalArgumentException(
               s"cannot UPDATE column $c: it is a MATERIALIZED column"))
+          // ALIAS/EPHEMERAL columns have no storage to mutate — an
+          // UPDATE naming one would silently ADD a physical column
+          sets.map(_._1).find(c =>
+            (aliasDefs(spark, name) ++ ephemeralDefs(spark, name))
+              .exists(_._1.equalsIgnoreCase(c)))
+            .foreach(c => throw new IllegalArgumentException(
+              s"cannot UPDATE column $c: it has no storage " +
+                "(ALIAS/EPHEMERAL column)"))
         }
         val upd = (df: DataFrame) => {
           import org.apache.spark.sql.functions.{expr, when, col}
@@ -1376,7 +1499,35 @@ object Ddl {
         val exists = Option(ifNot).isDefined && spark.table(name.replace("`", ""))
           .columns.exists(_.equalsIgnoreCase(cn.replace("`", "")))
         if (exists) spark.emptyDataFrame
-        else {
+        else if (tail0.alias.isDefined || tail0.ephemeral.isDefined) {
+          // no storage — a pure metadata add (nothing to backfill)
+          val key = normalize(spark, name)
+          val c = cn.replace("`", "")
+          val m0 = tables.getOrElse(key, TableMeta(None, Nil))
+          val already = (m0.columnAliases ++ m0.columnEphemeral)
+            .exists(_._1.equalsIgnoreCase(c))
+          if (already && Option(ifNot).isDefined) spark.emptyDataFrame
+          else if (already) throw new IllegalArgumentException(
+            s"column $c already exists in $name")
+          else {
+            tables.put(key, m0.copy(
+              columnAliases = m0.columnAliases ++
+                tail0.alias.map(e => (c, ct, e)),
+              columnEphemeral = m0.columnEphemeral ++
+                tail0.ephemeral.map(e => (c, ct, e)),
+              columnComments = m0.columnComments ++
+                tail0.comment.map(c -> _)))
+            CatalogStore.save(spark, name)
+            spark.emptyDataFrame
+          }
+        } else if (tables.get(normalize(spark, name)).exists(m =>
+            (m.columnAliases ++ m.columnEphemeral)
+              .exists(_._1.equalsIgnoreCase(cn.replace("`", ""))))) {
+          if (Option(ifNot).isDefined) spark.emptyDataFrame
+          else throw new IllegalArgumentException(
+            s"column ${cn.replace("`", "")} already exists in $name " +
+              "(as an ALIAS/EPHEMERAL column)")
+        } else {
           val sparkType = Transpiler.mapTypeNames(ct)
           val out = spark.sql(
             s"ALTER TABLE $name ADD COLUMNS ($cn $sparkType)")
@@ -1415,58 +1566,89 @@ object Ddl {
       case alterDropColRe(name, ifExists, col0) =>
         val c = col0.replace("`", "")
         guardKeyColumn(spark, name, c, "DROP")
-        val present = spark.table(name.replace("`", ""))
-          .columns.exists(_.equalsIgnoreCase(c))
-        if (!present && Option(ifExists).isDefined) spark.emptyDataFrame
-        else {
-          val key = normalize(spark, name)
-          // another column's DEFAULT referencing the dropped column
-          // would leave an unresolvable expression behind — the next
-          // subset INSERT fails at analysis. Refuse now (ClickHouse
-          // refuses these too), naming the dependent.
-          tables.get(key).foreach { m =>
-            (m.columnDefaults.map(("DEFAULT", _)) ++
-              m.columnMaterialized.map(("MATERIALIZED", _)))
-              .filterNot(_._2._1.equalsIgnoreCase(c))
-              .find { case (_, (_, e)) => identRe(c).findFirstIn(e).isDefined }
-              .foreach { case (kind, (n, e)) =>
-                throw new IllegalArgumentException(
-                  s"cannot DROP COLUMN $c: column $n's $kind ($e) " +
-                    s"references it — drop or modify that $kind first") }
-          }
+        val key = normalize(spark, name)
+        // another column's DEFAULT referencing the dropped column
+        // would leave an unresolvable expression behind — the next
+        // subset INSERT (or alias read) fails at analysis. Refuse now
+        // (ClickHouse refuses these too), naming the dependent.
+        def guardDependents(): Unit = tables.get(key).foreach { m =>
+          (m.columnDefaults.map(("DEFAULT", _)) ++
+            m.columnMaterialized.map(("MATERIALIZED", _)) ++
+            m.columnAliases.map(a => ("ALIAS", (a._1, a._3))) ++
+            m.columnEphemeral.filter(_._3.nonEmpty)
+              .map(e => ("EPHEMERAL default", (e._1, e._3))))
+            .filterNot(_._2._1.equalsIgnoreCase(c))
+            .find { case (_, (_, e)) => identRe(c).findFirstIn(e).isDefined }
+            .foreach { case (kind, (n, e)) =>
+              throw new IllegalArgumentException(
+                s"cannot DROP COLUMN $c: column $n's $kind ($e) " +
+                  s"references it — drop or modify that $kind first") }
+        }
+        val virtual = tables.get(key).exists(m =>
+          (m.columnAliases ++ m.columnEphemeral)
+            .exists(_._1.equalsIgnoreCase(c)))
+        if (virtual) {
+          // ALIAS/EPHEMERAL: registry-only removal, nothing physical
+          guardDependents()
           tables.get(key).foreach(m => tables.put(key, m.copy(
-            columnDefaults = m.columnDefaults
+            columnAliases = m.columnAliases
+              .filterNot(_._1.equalsIgnoreCase(c)),
+            columnEphemeral = m.columnEphemeral
               .filterNot(_._1.equalsIgnoreCase(c)),
             columnComments = m.columnComments
-              .filterNot(_._1.equalsIgnoreCase(c)),
-            columnMaterialized = m.columnMaterialized
               .filterNot(_._1.equalsIgnoreCase(c)))))
-          reshape(spark, name, _.drop(c))
+          CatalogStore.save(spark, name)
+          spark.emptyDataFrame
+        } else {
+          val present = spark.table(name.replace("`", ""))
+            .columns.exists(_.equalsIgnoreCase(c))
+          if (!present && Option(ifExists).isDefined) spark.emptyDataFrame
+          else {
+            guardDependents()
+            tables.get(key).foreach(m => tables.put(key, m.copy(
+              columnDefaults = m.columnDefaults
+                .filterNot(_._1.equalsIgnoreCase(c)),
+              columnComments = m.columnComments
+                .filterNot(_._1.equalsIgnoreCase(c)),
+              columnMaterialized = m.columnMaterialized
+                .filterNot(_._1.equalsIgnoreCase(c)))))
+            reshape(spark, name, _.drop(c))
+          }
         }
       case alterRenameColRe(name, ifExists, from0, to0) =>
         val (from, to) = (from0.replace("`", ""), to0.replace("`", ""))
         guardKeyColumn(spark, name, from, "RENAME")
-        val present = spark.table(name.replace("`", ""))
+        val key = normalize(spark, name)
+        val virtual = tables.get(key).exists(m =>
+          (m.columnAliases ++ m.columnEphemeral)
+            .exists(_._1.equalsIgnoreCase(from)))
+        val present = virtual || spark.table(name.replace("`", ""))
           .columns.exists(_.equalsIgnoreCase(from))
         if (!present && Option(ifExists).isDefined) spark.emptyDataFrame
         else {
-          val key = normalize(spark, name)
           // rename the column's own entries AND rewrite every other
-          // stored DEFAULT expression referencing it (identifier-
-          // boundary substitution — without this a later subset INSERT
-          // fails on the unresolved old name)
+          // stored DEFAULT/MATERIALIZED/ALIAS/EPHEMERAL expression
+          // referencing it (identifier-boundary substitution — without
+          // this a later subset INSERT or alias read fails on the
+          // unresolved old name)
+          def ren(e: String) = identRe(from).replaceAllIn(e,
+            java.util.regex.Matcher.quoteReplacement(to))
           tables.get(key).foreach(m => tables.put(key, m.copy(
             columnDefaults = m.columnDefaults.map { case (n, e) =>
-              (if (n.equalsIgnoreCase(from)) to else n) ->
-                identRe(from).replaceAllIn(e,
-                  java.util.regex.Matcher.quoteReplacement(to)) },
+              (if (n.equalsIgnoreCase(from)) to else n) -> ren(e) },
             columnMaterialized = m.columnMaterialized.map { case (n, e) =>
-              (if (n.equalsIgnoreCase(from)) to else n) ->
-                identRe(from).replaceAllIn(e,
-                  java.util.regex.Matcher.quoteReplacement(to)) },
+              (if (n.equalsIgnoreCase(from)) to else n) -> ren(e) },
+            columnAliases = m.columnAliases.map { case (n, t, e) =>
+              (if (n.equalsIgnoreCase(from)) to else n, t, ren(e)) },
+            columnEphemeral = m.columnEphemeral.map { case (n, t, e) =>
+              (if (n.equalsIgnoreCase(from)) to else n, t,
+                if (e.isEmpty) e else ren(e)) },
             columnComments = m.columnComments.map { case (n, e) =>
               (if (n.equalsIgnoreCase(from)) to else n) -> e })))
-          reshape(spark, name, _.withColumnRenamed(from, to),
+          if (virtual) { // no physical column to move
+            CatalogStore.save(spark, name)
+            spark.emptyDataFrame
+          } else reshape(spark, name, _.withColumnRenamed(from, to),
             renameKey = Map(from -> to))
         }
       case alterModifyColRe(name, ifExists, col0, newType)
@@ -1475,6 +1657,19 @@ object Ddl {
         // `REMOVE DEFAULT` form — a type change is a copy-on-write
         // cast rewrite; a DEFAULT change is metadata only
         val c = col0.replace("`", "")
+        locally {
+          val key = normalize(spark, name)
+          tables.get(key).foreach { m =>
+            if (m.columnAliases.exists(_._1.equalsIgnoreCase(c)))
+              throw new IllegalArgumentException(
+                s"cannot MODIFY COLUMN $c: it is an ALIAS column — " +
+                  "DROP and re-ADD it with the new definition")
+            if (m.columnEphemeral.exists(_._1.equalsIgnoreCase(c)))
+              throw new IllegalArgumentException(
+                s"cannot MODIFY COLUMN $c: it is an EPHEMERAL column — " +
+                  "DROP and re-ADD it with the new definition")
+          }
+        }
         val present = spark.table(name.replace("`", ""))
           .columns.exists(_.equalsIgnoreCase(c))
         if (!present && Option(ifExists).isDefined) spark.emptyDataFrame
@@ -1815,6 +2010,18 @@ object Ddl {
           .getOrElse(graft.formats.ChTypeNames.fieldName(f))
         s"`${f.name}` $chType$d$mz$cm"
       }
+    // ALIAS/EPHEMERAL columns have no physical field — rendered from
+    // the stored (name, CH type, expr) metadata after the physical set
+    val virtualCols = meta.toSeq.flatMap { m =>
+      def cmOf(n: String) = m.columnComments
+        .find(_._1.equalsIgnoreCase(n))
+        .map(p => s" COMMENT '${p._2.replace("'", "''")}'").getOrElse("")
+      m.columnAliases.map(a =>
+        s"`${a._1}` ${a._2} ALIAS ${a._3}${cmOf(a._1)}") ++
+        m.columnEphemeral.map(e =>
+          s"`${e._1}` ${e._2} EPHEMERAL" +
+            (if (e._3.nonEmpty) s" ${e._3}" else "") + cmOf(e._1))
+    }
     val indexes = SkipIndexes.forTable(norm).sortBy(_.name).map { ix =>
       val g = if (ix.granularity != 1) s" GRANULARITY ${ix.granularity}" else ""
       s"INDEX ${ix.name} ${ix.exprKey} TYPE ${SkipIndexes.kindNameOf(ix.kind)}$g"
@@ -1845,7 +2052,7 @@ object Ddl {
           s"COMMENT '${c.replace("'", "''")}'").toSeq
     }
     val stmt = s"CREATE TABLE $norm\n(\n    " +
-      (cols ++ indexes).mkString(",\n    ") +
+      (cols ++ virtualCols ++ indexes).mkString(",\n    ") +
       s"\n)\nENGINE = $engine" +
       (if (clauses.isEmpty) "" else clauses.mkString("\n", "\n", ""))
     Seq(stmt).toDF("statement")
@@ -1857,7 +2064,7 @@ object Ddl {
   private def describeTable(spark: SparkSession, name: String): DataFrame = {
     import spark.implicits._
     val meta = tables.get(normalize(spark, name.replace("`", "")))
-    spark.table(name.replace("`", "")).schema.fields.toSeq
+    val physical = spark.table(name.replace("`", "")).schema.fields.toSeq
       .map { f =>
         val d = meta.flatMap(_.columnDefaults
           .find(_._1.equalsIgnoreCase(f.name))).map(_._2)
@@ -1874,6 +2081,16 @@ object Ddl {
           mz.orElse(d).getOrElse(""),
           cm.getOrElse(""), "", "")
       }
+    // ALIAS/EPHEMERAL columns (no physical field) after the stored set
+    val virtual = meta.toSeq.flatMap { m =>
+      def cmOf(n: String) = m.columnComments
+        .find(_._1.equalsIgnoreCase(n)).map(_._2).getOrElse("")
+      m.columnAliases.map(a =>
+        (a._1, a._2, "ALIAS", a._3, cmOf(a._1), "", "")) ++
+        m.columnEphemeral.map(e =>
+          (e._1, e._2, "EPHEMERAL", e._3, cmOf(e._1), "", ""))
+    }
+    (physical ++ virtual)
       .toDF("name", "type", "default_type", "default_expression",
         "comment", "codec_expression", "ttl_expression")
   }
@@ -2628,20 +2845,31 @@ object Ddl {
     val colComments = Seq.newBuilder[(String, String)]
     val colMats = Seq.newBuilder[(String, String)]
     val colAggs = Seq.newBuilder[(String, String)]
+    val colAliases = Seq.newBuilder[(String, String, String)]
+    val colEphs = Seq.newBuilder[(String, String, String)]
     val sparkCols = colOnlyDefs.flatMap { d =>
       val t = d.trim
       val sp = t.indexOf(' ') // name, then type (type may contain spaces)
       val (cn, ct0) = (t.substring(0, sp).trim, t.substring(sp + 1).trim)
       // `c Type DEFAULT expr COMMENT '..' CODEC(..)` — the column
       // decorations: DEFAULT drives omitted-column INSERT fill,
-      // MATERIALIZED makes the column computed-only, COMMENT is stored
-      // for DESCRIBE/SHOW CREATE, CODEC is a documented no-op
+      // MATERIALIZED makes the column computed-only, ALIAS computes at
+      // read with no storage, EPHEMERAL exists only inside an INSERT,
+      // COMMENT is stored for DESCRIBE/SHOW CREATE, CODEC is a
+      // documented no-op
       val tail = splitColDefault(cn, ct0)
       val ct = tail.tpe
       tail.default.foreach(e => colDefaults += (cn.replace("`", "") -> e))
       tail.comment.foreach(c => colComments += (cn.replace("`", "") -> c))
       tail.materialized.foreach(e => colMats += (cn.replace("`", "") -> e))
-      if (ct.matches("(?is)^AggregateFunction\\s*\\(.*\\)$")) {
+      if (tail.alias.isDefined || tail.ephemeral.isDefined) {
+        // no physical column: ALIAS/EPHEMERAL live in table metadata
+        tail.alias.foreach(e =>
+          colAliases += ((cn.replace("`", ""), ct, e)))
+        tail.ephemeral.foreach(e =>
+          colEphs += ((cn.replace("`", ""), ct, e)))
+        Seq.empty
+      } else if (ct.matches("(?is)^AggregateFunction\\s*\\(.*\\)$")) {
         // `c AggregateFunction(fn, T)`: the stored partial state —
         // physically the -State combinator's value representation
         // (count/sum: running value; avg: (sum,count) struct; uniq:
@@ -2677,6 +2905,20 @@ object Ddl {
     // error anywhere. Refuse it here, loudly, before the table exists.
     partExpr.foreach(pe =>
       validatePartitionType(spark, name, pe, sparkCols))
+    // ALIAS/EPHEMERAL columns have no storage — they can't feed the
+    // physical layout (ClickHouse refuses them in sorting/partition
+    // keys too). Refuse at CREATE, before the table exists.
+    locally {
+      val virtual = colAliases.result().map(a => (a._1, "ALIAS")) ++
+        colEphs.result().map(e => (e._1, "EPHEMERAL"))
+      virtual.foreach { case (vn, kind) =>
+        val hit = partExpr.exists(pe => identRe(vn).findFirstIn(pe).isDefined) ||
+          orderCols.exists(k => identRe(vn).findFirstIn(k).isDefined)
+        if (hit) throw new IllegalArgumentException(
+          s"PARTITION BY / ORDER BY cannot use $kind column $vn " +
+            "(no storage to lay out)")
+      }
+    }
     cleanOrphanLocation(spark, name)
     val ine = if (ifNotExists) "IF NOT EXISTS " else ""
     val ddl = partExpr match {
@@ -2701,7 +2943,8 @@ object Ddl {
     tables.put(norm,
       TableMeta(partExpr, orderCols, sampleBy, replacingVer, summingCols,
         ttl, collapsing, colDefaults.result(), colComments.result(),
-        tableComment, colMats.result(), aggregating, colAggs.result()))
+        tableComment, colMats.result(), aggregating, colAggs.result(),
+        colAliases.result(), colEphs.result()))
     indexDefs.map(_.trim).foreach {
       case inlineIndexRe(iname, iexpr, itype, igran) =>
         SkipIndexes.add(spark, norm,
@@ -2730,11 +2973,21 @@ object Ddl {
                                    src0: DataFrame): Unit = {
     val bare = name.replace("`", "")
     val full = spark.table(bare).schema
-    val insertCols = insertableFields(spark, name, full).map(_.name)
+    val baseCols = insertableFields(spark, name, full).map(_.name)
+    // fillInsertable's output carries the EPHEMERAL columns after the
+    // insertable set (so MATERIALIZED expressions can read them before
+    // the write drops them); plain positional inserts carry just the
+    // insertable set
+    val ephNames = ephemeralDefs(spark, name).map(_._1)
+    val insertCols =
+      if (ephNames.nonEmpty &&
+          src0.columns.length == baseCols.length + ephNames.length)
+        baseCols ++ ephNames
+      else baseCols
     if (src0.columns.length != insertCols.length)
       throw new IllegalArgumentException(
-        s"INSERT into $bare expects ${insertCols.length} column(s) " +
-          s"(${insertCols.mkString(", ")}), got ${src0.columns.length}")
+        s"INSERT into $bare expects ${baseCols.length} column(s) " +
+          s"(${baseCols.mkString(", ")}), got ${src0.columns.length}")
     // the partition/sort exprs are written against the TARGET column
     // names; rename the source positionally first, then compute the
     // MATERIALIZED columns over the block (always computed at insert,
@@ -2765,20 +3018,24 @@ object Ddl {
     scala.collection.concurrent.TrieMap.empty[String, Object]
 
   /** Compute the table's MATERIALIZED columns over an inserted block
-    * (which holds exactly the insertable columns) and emit the full
-    * non-`_part` column set in table order. Expressions fill in
-    * dependency order — a materialized column may reference other
-    * materialized columns; cycles refuse loudly. No-op for tables
-    * without materialized columns. */
+    * (which holds the insertable columns, plus any EPHEMERAL columns
+    * the source provided) and emit the full non-`_part` column set in
+    * table order — the final select drops the ephemerals. Missing
+    * EPHEMERAL columns fill from their declared defaults first, so a
+    * MATERIALIZED expression may read them on every insert path.
+    * Expressions fill in dependency order — a materialized column may
+    * reference other materialized columns; cycles refuse loudly. No-op
+    * for tables without materialized or ephemeral columns. */
   private def materializeFill(spark: SparkSession, name: String,
       full: org.apache.spark.sql.types.StructType,
       block: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     val mats = tables.get(normalize(spark, name))
       .map(_.columnMaterialized).getOrElse(Nil)
-    if (mats.isEmpty) return block
+    val hasEph = ephemeralDefs(spark, name).nonEmpty
+    if (mats.isEmpty && !hasEph) return block
     def exprOf(n: String) = mats.find(_._1.equalsIgnoreCase(n)).map(_._2)
-    var df = block
+    var df = fillEphemerals(spark, name, block)
     var pending = full.fields
       .filter(f => exprOf(f.name).isDefined).toList
     while (pending.nonEmpty) {
@@ -2904,9 +3161,10 @@ object Ddl {
     val name = distributedTargets.getOrElse(
       name0.replace("`", "").toLowerCase, name0)
     val meta = tables.get(normalize(spark, name))
-    val hasLayout = // materialized columns also need the aligned path
+    val hasLayout = // materialized/ephemeral columns also need the
+                    // aligned path (compute-then-drop before the write)
       meta.exists(t => t.partitionExpr.nonEmpty || t.orderBy.nonEmpty ||
-        t.columnMaterialized.nonEmpty)
+        t.columnMaterialized.nonEmpty || t.columnEphemeral.nonEmpty)
     // `INSERT INTO t (a, b) SELECT ...` — the listed columns take the
     // SELECT's output positionally; every other column gets its
     // declared DEFAULT (else NULL), same contract as the VALUES form
@@ -2971,7 +3229,10 @@ object Ddl {
     val cols = insertableFields(spark, name, spark.table(bare).schema)
       .map(_.name).toIndexedSeq
     def fillFrom(named: DataFrame): DataFrame =
+      // the MV block is the STORED rows — drop the trailing EPHEMERAL
+      // columns fillInsertable threads through for the write path
       fillInsertable(spark, name, named)
+        .select(cols.map(org.apache.spark.sql.functions.col): _*)
     val colListSel = colListSelectRe.findFirstMatchIn(body)
     if (colListSel.isDefined) {
       val mm = colListSel.get
@@ -3412,7 +3673,10 @@ object Engine {
           val cols = fromRe.findFirstMatchIn(s.substring(starAt))
             .map(_.group(1).replace("`", "")).flatMap { bare =>
               val mat = Ddl.materializedCols(spark, bare)
-              if (mat.isEmpty) None
+              // ALIAS tables expand too: the physical schema naturally
+              // excludes aliases, and pre-expanding keeps `*` correct
+              // when the FROM later swaps to the alias-enriched view
+              if (mat.isEmpty && Ddl.aliasDefs(spark, bare).isEmpty) None
               else scala.util.Try(spark.table(bare).schema.fieldNames.toSeq)
                 .toOption.map(_.filterNot(_ == "_part")
                   .filterNot(c => mat(c.toLowerCase)))
@@ -3434,13 +3698,20 @@ object Engine {
   /** `FROM t FINAL` on a Replacing/SummingMergeTree applies the
     * engine's merge on read: the merged frame registers as a temp view
     * and the reference is substituted. On any other table FINAL is a
-    * no-op hint (the Transpiler drops the keyword). */
+    * no-op hint (the Transpiler drops the keyword). The merged frame
+    * carries the table's ALIAS columns when the query names one (the
+    * star was pre-expanded by [[rewriteMaterializedStar]], so `*`
+    * never picks them up). */
   private def rewriteFinal(spark: SparkSession, sql: String): String =
     finalRe.replaceAllIn(sql, m => {
       val kw = m.group(1).toUpperCase
       val bare = m.group(2).replace("`", "")
       val view = "__graft_final_" + bare.replace(".", "_")
-      def sub(df: DataFrame): String = {
+      def sub(df0: DataFrame): String = {
+        val df =
+          if (Ddl.aliasDefs(spark, bare)
+              .exists(a => aliasNameIn(sql, a._1))) Ddl.aliasEnrich(spark, bare, df0)
+          else df0
         df.createOrReplaceTempView(view)
         java.util.regex.Matcher.quoteReplacement(s"$kw $view")
       }
@@ -3459,6 +3730,43 @@ object Engine {
         case _ => m.matched
       }
     })
+
+  /** Identifier-bounded, case-insensitive: does `sql` mention `name`? */
+  private def aliasNameIn(sql: String, name: String): Boolean =
+    ("(?i)(?<![\\w`])" + java.util.regex.Pattern.quote(name) +
+      "(?![\\w`])").r.findFirstIn(sql).isDefined
+
+  private val fromJoinTableRe = "(?i)\\b(FROM|JOIN)\\s+([\\w`.]+)".r
+
+  /** ALIAS columns have no storage — when a query names one, the
+    * table reference swaps to a temp view carrying the alias
+    * expressions ([[Ddl.aliasEnrich]]; Catalyst prunes the unused
+    * ones). Gated on an alias name actually appearing in the text, so
+    * every other query pays nothing. Runs AFTER the star rewrite
+    * (stars pre-expand against the physical schema, which excludes
+    * aliases) and after FINAL (whose merged views enrich themselves). */
+  private def rewriteAliasReads(spark: SparkSession, sql: String): String = {
+    var s = sql
+    fromJoinTableRe.findAllMatchIn(sql).map(_.group(2))
+      .toSeq.distinct.foreach { spelled =>
+        val bare = spelled.replace("`", "")
+        if (!bare.startsWith("__graft_")) {
+          val defs = scala.util.Try(Ddl.aliasDefs(spark, bare))
+            .getOrElse(Nil)
+          if (defs.nonEmpty && defs.exists(a => aliasNameIn(s, a._1))) {
+            val view = "__graft_aliased_" +
+              bare.replace(".", "_").toLowerCase
+            Ddl.aliasEnrich(spark, bare, spark.table(bare))
+              .createOrReplaceTempView(view)
+            s = ("(?i)\\b(FROM|JOIN)\\s+" +
+              java.util.regex.Pattern.quote(spelled) + "(?![\\w`.])").r
+              .replaceAllIn(s, mm => java.util.regex.Matcher
+                .quoteReplacement(s"${mm.group(1).toUpperCase} $view"))
+          }
+        }
+      }
+    s
+  }
 
   private lazy val settingsTimer = {
     val t = new java.util.Timer("graft-settings-timeout", true)
@@ -3761,10 +4069,10 @@ object Engine {
       case _ => ()
     }
     val bare = rewriteAsofJoin(spark, rewriteAnyJoin(spark,
-      rewriteFinal(spark,
+      rewriteAliasReads(spark, rewriteFinal(spark,
         rewriteSample(spark, rewriteMaterializedStar(spark,
           Transpiler.expandStarModifiers(spark,
-            rewriteSystemParts(spark, bare0)))))))
+            rewriteSystemParts(spark, bare0))))))))
     Transpiler.withFillParts(bare) match {
       case Some((inner, prefix, fillKey, from, to, step, interp)) =>
         return graft.operators.WithFill(
@@ -3901,7 +4209,22 @@ object Engine {
           throw new IllegalArgumentException(
             s"cannot insert column $c of $table: it is a MATERIALIZED " +
               "column (always computed, never inserted)"))
-        StructType(cs.map(c => full(full.fieldIndex(c))))
+        val aliases = Ddl.aliasDefs(spark, table)
+        cs.find(c => aliases.exists(_._1.equalsIgnoreCase(c))).foreach(c =>
+          throw new IllegalArgumentException(
+            s"cannot insert column $c of $table: it is an ALIAS column " +
+              "(computed at read, never stored)"))
+        // EPHEMERAL columns have no physical field — type from the
+        // declared CH type (they may be named in any insert list)
+        val ephs = Ddl.ephemeralDefs(spark, table)
+        StructType(cs.map { c =>
+          ephs.find(_._1.equalsIgnoreCase(c)) match {
+            case Some(e) => org.apache.spark.sql.types.StructField(e._1,
+              org.apache.spark.sql.types.DataType.fromDDL(
+                Transpiler.mapTypeNames(e._2)))
+            case None => full(full.fieldIndex(c))
+          }
+        })
       case None => StructType(Ddl.insertableFields(spark, table, full))
     }
   }

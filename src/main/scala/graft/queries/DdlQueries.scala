@@ -358,6 +358,77 @@ object DdlQueries {
       FROM orders WHERE o_orderkey % 4 IN (0, 1)
       GROUP BY 1 ORDER BY st""")),
 
+    // S5e: ALIAS columns — no storage, the expression computes at read
+    // (chained alias-over-alias included); hidden from SELECT * but
+    // usable in WHERE/GROUP BY/aggregates. star_cols pins the exclusion
+    // (3 visible of 3 physical columns, 2 aliases invisible).
+    Q("s27_alias_col", (s, dir) => {
+      ChContext.setup(s, dir)
+      Engine.execute(s, "CREATE DATABASE IF NOT EXISTS graft_t")
+      Engine.execute(s, "DROP TABLE IF EXISTS graft_t.aliq")
+      Engine.execute(s, """
+        CREATE TABLE graft_t.aliq (
+          id Int64, qty Float64, price Float64,
+          gross Float64 ALIAS qty * price,
+          cents Int64 ALIAS toInt64(floor(gross * 100)))
+        ENGINE=MergeTree() ORDER BY (id)""")
+      Engine.execute(s, """
+        INSERT INTO graft_t.aliq
+        SELECT l_orderkey * 10 + l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem WHERE l_orderkey % 5 = 0""")
+      val starCols =
+        Engine.execute(s, "SELECT * FROM graft_t.aliq").columns.length
+      Engine.execute(s, s"""
+        SELECT cents % 7 AS bucket, count() AS n, sum(cents) AS sc,
+               $starCols AS star_cols
+        FROM graft_t.aliq WHERE cents > 100000
+        GROUP BY bucket ORDER BY bucket""")
+    }, Some("""
+      WITH t AS (
+        SELECT CAST(floor(l_quantity * l_extendedprice * 100) AS BIGINT)
+                 AS cents
+        FROM lineitem WHERE l_orderkey % 5 = 0)
+      SELECT CAST(cents % 7 AS BIGINT) AS bucket, count(*) AS n,
+             CAST(sum(cents) AS BIGINT) AS sc, 3 AS star_cols
+      FROM t WHERE cents > 100000
+      GROUP BY 1 ORDER BY bucket""")),
+
+    // S5f: EPHEMERAL columns — insert-time-only inputs: provided
+    // through a column list (or defaulted when omitted), read by
+    // MATERIALIZED/DEFAULT expressions, never stored. The oracle
+    // recomputes both derivations straight from orders.
+    Q("s28_ephemeral_col", (s, dir) => {
+      ChContext.setup(s, dir)
+      Engine.execute(s, "CREATE DATABASE IF NOT EXISTS graft_t")
+      Engine.execute(s, "DROP TABLE IF EXISTS graft_t.ephq")
+      Engine.execute(s, """
+        CREATE TABLE graft_t.ephq (
+          id Int64,
+          raw String EPHEMERAL '',
+          clen Int64 MATERIALIZED length(raw),
+          head String DEFAULT upper(substring(raw, 1, 2)))
+        ENGINE=MergeTree() ORDER BY (id)""")
+      Engine.execute(s, """
+        INSERT INTO graft_t.ephq (id, raw)
+        SELECT o_orderkey, o_orderpriority FROM orders
+        WHERE o_orderkey % 3 = 0""")
+      Engine.execute(s, """
+        INSERT INTO graft_t.ephq (id)
+        SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 1""")
+      Engine.execute(s, """
+        SELECT clen % 5 AS g, count() AS n, sum(clen) AS sc,
+               min(head) AS mh
+        FROM graft_t.ephq GROUP BY g ORDER BY g""")
+    }, Some("""
+      WITH t AS (
+        SELECT o_orderpriority AS raw FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT '' FROM orders WHERE o_orderkey % 3 = 1)
+      SELECT CAST(length(raw) % 5 AS BIGINT) AS g, count(*) AS n,
+             CAST(sum(length(raw)) AS BIGINT) AS sc,
+             min(upper(substring(raw, 1, 2))) AS mh
+      FROM t GROUP BY 1 ORDER BY g""")),
+
     // S4c: schema-changing ALTERs (DROP/RENAME/MODIFY COLUMN) rewrite
     // the table copy-on-write and RENAME TABLE carries the metadata —
     // the oracle is the equivalent transformation straight over parquet

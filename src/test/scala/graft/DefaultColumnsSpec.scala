@@ -85,16 +85,21 @@ class DefaultColumnsSpec extends AnyFunSuite {
       "the DEFAULT must survive the restart")
   }
 
-  test("computed column kinds refuse loudly; empty DEFAULT refuses") {
+  test("computed column kinds parse; empty DEFAULT refuses") {
     exec("CREATE DATABASE IF NOT EXISTS graft_spec")
     exec("DROP TABLE IF EXISTS graft_spec.defbad SYNC")
-    // MATERIALIZED is supported since round 15 (MaterializedColumnSpec);
-    // ALIAS / EPHEMERAL still refuse with a pointer to the alternatives
+    // every ClickHouse computed-column kind is supported now — the
+    // full matrix lives in MaterializedColumnSpec / AliasEphemeralSpec;
+    // here just pin that the decoration scan routes each keyword
     for (kw <- Seq("ALIAS id", "EPHEMERAL")) {
-      val e = intercept[Exception](exec(s"""
-        CREATE TABLE graft_spec.defbad (id Int64, c Int64 $kw)
-        ENGINE=Memory"""))
-      assert(e.getMessage.contains("not supported"), s"$kw: ${e.getMessage}")
+      exec("DROP TABLE IF EXISTS graft_spec.defok SYNC")
+      exec(s"""
+        CREATE TABLE graft_spec.defok (id Int64, c Int64 $kw)
+        ENGINE=Memory""")
+      val de = exec("DESCRIBE graft_spec.defok").collect()
+        .find(_.getString(0) == "c").get
+      assert(de.getString(2) === kw.split(" ").head, de.toString)
+      exec("DROP TABLE graft_spec.defok SYNC")
     }
     // Enum values spelling DEFAULT inside a string never trip the scan
     exec("DROP TABLE IF EXISTS graft_spec.defenum")

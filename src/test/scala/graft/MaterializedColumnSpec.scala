@@ -133,11 +133,6 @@ class MaterializedColumnSpec extends AnyFunSuite {
     exec("ALTER TABLE graft_spec.mata DROP COLUMN m")
     assert(exec("SELECT * FROM graft_spec.mata").columns.toSeq ===
       Seq("id", "seed"))
-    // ALIAS / EPHEMERAL still refuse with a pointer
-    val e2 = intercept[Exception](exec("""
-      CREATE TABLE graft_spec.mata2 (id Int64, a Int64 ALIAS id + 1)
-      ENGINE=Memory"""))
-    assert(e2.getMessage.contains("ALIAS"), e2.getMessage)
     exec("DROP TABLE graft_spec.mata SYNC")
   }
 }
