@@ -135,6 +135,7 @@ object CatalogStore {
         ("columnEphemeral" -> meta.map(_.columnEphemeral.toList.map(p =>
           ("name" -> p._1) ~ ("type" -> p._2) ~ ("expr" -> p._3)))
           .getOrElse(Nil)) ~
+        ("engineSpec" -> meta.flatMap(_.engineSpec)) ~
         ("aggregating" -> meta.exists(_.aggregating)) ~
         ("aggCols" -> meta.map(_.aggCols.toList.map(p =>
           ("name" -> p._1) ~ ("spec" -> p._2))).getOrElse(Nil)) ~
@@ -375,7 +376,8 @@ object CatalogStore {
           for (n <- str(d \ "name"); t <- str(d \ "type");
                e <- str(d \ "expr")) yield (n, t, e))
         case _ => Nil
-      }))
+      },
+      engineSpec = str(j \ "engineSpec")))
     // Nested columns persist physically as dotted parallel arrays —
     // re-register their prefixes so `col.field` access keeps working
     cols.foreach { c =>

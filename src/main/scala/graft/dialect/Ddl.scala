@@ -53,12 +53,20 @@ object Ddl {
                                         // exists only inside an INSERT (expr
                                         // "" = no default)
                                         columnAliases: Seq[(String, String, String)] = Nil,
-                                        columnEphemeral: Seq[(String, String, String)] = Nil)
+                                        columnEphemeral: Seq[(String, String, String)] = Nil,
+                                        // special-purpose engines (Null/
+                                        // Set/Join/Buffer/Merge): the
+                                        // canonical rendered engine tail,
+                                        // e.g. "Join(ANY, LEFT, k)" —
+                                        // parsed on demand by
+                                        // [[SpecialEngines]]
+                                        engineSpec: Option[String] = None)
   private val tables = TrieMap.empty[String, TableMeta]
 
   // durable-catalog accessors (CatalogStore persists/restores this map)
   private[dialect] def metaOf(norm: String): Option[TableMeta] =
     tables.get(norm.toLowerCase)
+  private[dialect] def allMetas: Seq[(String, TableMeta)] = tables.toSeq
   private[dialect] def putMeta(norm: String, m: TableMeta): Unit =
     tables.put(norm.toLowerCase, m)
   private[dialect] def forgetMeta(norm: String): Unit =
@@ -996,6 +1004,9 @@ object Ddl {
       throw new IllegalArgumentException(s"cannot DETACH $bare: no such table")
     }
     val norm = normalize(spark, bare)
+    // Buffer engine: ClickHouse flushes buffers to the destination on
+    // DETACH/shutdown — staged rows must not be parked invisibly
+    SpecialEngines.flushIfBuffer(spark, norm)
     val loc = tableLoc(spark, bare)
     if (!java.nio.file.Files.isRegularFile(loc.resolve("_graft_meta.json")))
       throw new IllegalArgumentException(
@@ -1820,6 +1831,11 @@ object Ddl {
         // compaction hint with no visible result contract: no-op.
         val om = "(?is)^\\s*OPTIMIZE\\s+TABLE\\s+([\\w`.]+)".r
           .findFirstMatchIn(s).get
+        // Buffer engine: OPTIMIZE is the manual flush (the ClickHouse
+        // idiom) — staged rows move to the destination, nothing to merge
+        if (SpecialEngines.flushIfBuffer(
+            spark, normalize(spark, om.group(1))))
+          return spark.emptyDataFrame
         // `OPTIMIZE ... PARTITION p` scopes the merge to one partition
         // (ClickHouse never merges across partitions; at scale this is
         // the difference between rewriting one month and the whole
@@ -2027,6 +2043,7 @@ object Ddl {
       s"INDEX ${ix.name} ${ix.exprKey} TYPE ${SkipIndexes.kindNameOf(ix.kind)}$g"
     }
     val engine = meta match {
+      case Some(m) if m.engineSpec.isDefined => m.engineSpec.get
       case Some(m) if m.replacingVer.isDefined =>
         s"ReplacingMergeTree(${m.replacingVer.get})"
       case Some(m) if m.collapsing.isDefined =>
@@ -2780,6 +2797,9 @@ object Ddl {
       // Log-family engines: unmerged append-only storage — the managed
       // parquet mapping makes them behave exactly like Memory here
       case "log" | "tinylog" | "stripelog" => ()
+      // special-purpose engines: validated + canonicalized below once
+      // the column list is parsed (Join keys must name real columns)
+      case "null" | "set" | "join" | "buffer" | "merge" => ()
       case other => throw new IllegalArgumentException(s"unsupported engine: $other")
     }
     // AggregatingMergeTree: rows carry AggregateFunction(...) partial
@@ -2919,6 +2939,21 @@ object Ddl {
             "(no storage to lay out)")
       }
     }
+    // special-purpose engines (Null/Set/Join/Buffer/Merge): validate
+    // the engine arguments against the parsed column list and render
+    // the canonical spec SHOW CREATE round-trips. These engines carry
+    // no MergeTree layout — ClickHouse refuses ORDER BY/PARTITION BY
+    // on them too.
+    val colNamesForSpec = sparkCols.map(c =>
+      c.trim.split("\\s+").head.replace("`", ""))
+    val engineSpec = SpecialEngines.createSpec(
+      spark, engine, engineArgs, name, colNamesForSpec)
+    if (engineSpec.isDefined &&
+        (partExpr.nonEmpty || orderCols.nonEmpty || sampleBy.nonEmpty ||
+          ttl.nonEmpty))
+      throw new IllegalArgumentException(
+        s"ENGINE=${engineSpec.get} takes no PARTITION BY/ORDER BY/" +
+          "SAMPLE BY/TTL clauses")
     cleanOrphanLocation(spark, name)
     val ine = if (ifNotExists) "IF NOT EXISTS " else ""
     val ddl = partExpr match {
@@ -2944,7 +2979,7 @@ object Ddl {
       TableMeta(partExpr, orderCols, sampleBy, replacingVer, summingCols,
         ttl, collapsing, colDefaults.result(), colComments.result(),
         tableComment, colMats.result(), aggregating, colAggs.result(),
-        colAliases.result(), colEphs.result()))
+        colAliases.result(), colEphs.result(), engineSpec))
     indexDefs.map(_.trim).foreach {
       case inlineIndexRe(iname, iexpr, itype, igran) =>
         SkipIndexes.add(spark, norm,
@@ -2995,7 +3030,17 @@ object Ddl {
     // columns and each other, so they fill in dependency order)
     val src = materializeFill(spark, name, full,
       src0.toDF(insertCols.toIndexedSeq: _*))
-    val df = layoutAligned(spark, name, src)
+    // special-purpose engines hook the funnel here: Null discards the
+    // block AFTER the MV fan-out below sees it, Join(ANY) dedupes by
+    // key, Merge refuses
+    val normName = normalize(spark, name)
+    val src1 = SpecialEngines.interceptAppend(spark, normName, src) match {
+      case Some(d) => d
+      case None => // ENGINE=Null: nothing lands, MVs still fire
+        fireMaterializedViews(spark, bare, src)
+        return
+    }
+    val df = layoutAligned(spark, name, src1)
     // Concurrent INSERTs into one table share the FileOutputCommitter
     // staging dir (_temporary/0) — unserialized, one job's commit
     // deletes the other's staging and the write throws. ClickHouse
@@ -3003,15 +3048,17 @@ object Ddl {
     // the SAME table serialize, different tables stay parallel. The MV
     // fan-out runs outside the lock (its own target takes its own
     // lock), so MV chains cannot deadlock.
-    val lock = appendLocks.getOrElseUpdate(normalize(spark, name), new Object)
+    val lock = appendLocks.getOrElseUpdate(normName, new Object)
     lock.synchronized {
       df.write.mode("append").insertInto(bare)
     }
     fireMaterializedViews(spark, bare, src)
     // per-part projections: each batch appends its own partial aggregate
-    Projections.onInsert(spark, normalize(spark, name), src)
+    Projections.onInsert(spark, normName, src)
     // data-skipping indexes: stat the new files only (never a rescan)
-    SkipIndexes.onInsert(spark, normalize(spark, name))
+    SkipIndexes.onInsert(spark, normName)
+    // Buffer engine: flush to the destination when thresholds pass
+    SpecialEngines.afterAppend(spark, normName)
   }
 
   private val appendLocks =
@@ -3162,9 +3209,12 @@ object Ddl {
       name0.replace("`", "").toLowerCase, name0)
     val meta = tables.get(normalize(spark, name))
     val hasLayout = // materialized/ephemeral columns also need the
-                    // aligned path (compute-then-drop before the write)
+                    // aligned path (compute-then-drop before the write);
+                    // special engines (Null/Set/Join/Buffer/Merge) hook
+                    // appendAligned for discard/dedupe/flush/refusal
       meta.exists(t => t.partitionExpr.nonEmpty || t.orderBy.nonEmpty ||
-        t.columnMaterialized.nonEmpty || t.columnEphemeral.nonEmpty)
+        t.columnMaterialized.nonEmpty || t.columnEphemeral.nonEmpty ||
+        t.engineSpec.nonEmpty)
     // `INSERT INTO t (a, b) SELECT ...` — the listed columns take the
     // SELECT's output positionally; every other column gets its
     // declared DEFAULT (else NULL), same contract as the VALUES form

@@ -338,6 +338,10 @@ object Transpiler {
     // SQL UDFs (CREATE FUNCTION ... AS (x) -> expr) are macros: expand
     // call sites first, so every later rewrite sees plain expressions
     s = UserFunctions.expand(s)
+    // special-purpose engines (Null/Set/Join/Buffer/Merge): joinGet,
+    // merge() expansion, `IN table`, Buffer/Merge read faces — string
+    // rewrites guarded by cheap probes, no-ops for plain queries
+    s = SpecialEngines.rewriteReads(s)
     s = rewriteNamedWindows(s)
     s = rewriteScalarWith(s)
     s = rewriteBracketArrays(s)
@@ -1302,6 +1306,8 @@ object ChContext {
       val norm = s"${if (db.isEmpty) "default" else db}.$t".toLowerCase
       val meta = Ddl.metaOf(norm)
       val engine = meta match {
+        case Some(m) if m.engineSpec.nonEmpty =>
+          m.engineSpec.get.takeWhile(_.isLetter)
         case Some(m) if m.replacingVer.nonEmpty => "ReplacingMergeTree"
         case Some(m) if m.summingCols.nonEmpty => "SummingMergeTree"
         case Some(m) if m.collapsing.exists(_._2.isEmpty) => "CollapsingMergeTree"

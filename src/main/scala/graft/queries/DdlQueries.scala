@@ -881,6 +881,168 @@ object DdlQueries {
              coalesce((SELECT n_name FROM nation
                        WHERE n_nationkey = s_nationkey + 100), 'n/a') AS fallback,
              count(*) AS n
-      FROM supplier GROUP BY 1, 2, 3, 4, 5 ORDER BY nation"""))
+      FROM supplier GROUP BY 1, 2, 3, 4, 5 ORDER BY nation""")),
+
+    // S6a: ENGINE=Null + MV fan-out — the classic ClickHouse ingestion
+    // idiom: INSERT into a schema-only sink, materialized views compute
+    // per-block partials into a SummingMergeTree, the sink stores
+    // nothing. The oracle recomputes the aggregate straight from orders
+    // (block splits cannot show through a summed GROUP BY) and pins the
+    // sink at zero rows.
+    Q("s29_null_mv", (s, dir) => {
+      ChContext.setup(s, dir)
+      Engine.execute(s, "CREATE DATABASE IF NOT EXISTS graft_t")
+      Engine.execute(s, "DROP TABLE IF EXISTS graft_t.nmv")
+      Engine.execute(s, "DROP TABLE IF EXISTS graft_t.nsink")
+      Engine.execute(s, "DROP TABLE IF EXISTS graft_t.nagg")
+      Engine.execute(s,
+        "CREATE TABLE graft_t.nsink (k Int64, cents Int64) ENGINE=Null")
+      Engine.execute(s, """
+        CREATE TABLE graft_t.nagg (g Int64, n Int64, cents Int64)
+        ENGINE=SummingMergeTree() ORDER BY (g)""")
+      Engine.execute(s, """
+        CREATE MATERIALIZED VIEW graft_t.nmv TO graft_t.nagg AS
+        SELECT k % 7 AS g, count() AS n, sum(cents) AS cents
+        FROM graft_t.nsink GROUP BY k % 7""")
+      Engine.execute(s, """
+        INSERT INTO graft_t.nsink
+        SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS Int64)
+        FROM orders WHERE o_orderkey % 2 = 0""")
+      Engine.execute(s, """
+        INSERT INTO graft_t.nsink
+        SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS Int64)
+        FROM orders WHERE o_orderkey % 2 = 1""")
+      Engine.execute(s, """
+        SELECT g, sum(n) AS n, sum(cents) AS cents,
+               (SELECT count() FROM graft_t.nsink) AS sink_rows
+        FROM graft_t.nagg GROUP BY g ORDER BY g""")
+    }, Some("""
+      SELECT CAST(o_orderkey % 7 AS BIGINT) AS g, count(*) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+             CAST(0 AS BIGINT) AS sink_rows
+      FROM orders GROUP BY 1 ORDER BY g""")),
+
+    // S6b: ENGINE=Buffer — staged writes transparently union with the
+    // destination on read; OPTIMIZE is the manual flush. The final
+    // aggregate runs through the buffer face after one flushed and one
+    // still-staged insert, so it covers both sides of the union.
+    Q("s30_buffer", (s, dir) => {
+      ChContext.setup(s, dir)
+      Engine.execute(s, "CREATE DATABASE IF NOT EXISTS graft_t")
+      Engine.execute(s, "DROP TABLE IF EXISTS graft_t.bbuf")
+      Engine.execute(s, "DROP TABLE IF EXISTS graft_t.bdst")
+      Engine.execute(s, """
+        CREATE TABLE graft_t.bdst (k Int64, cents Int64)
+        ENGINE=MergeTree() ORDER BY (k)""")
+      Engine.execute(s, """
+        CREATE TABLE graft_t.bbuf (k Int64, cents Int64)
+        ENGINE=Buffer(graft_t, bdst, 1, 10, 600, 1000, 100000, 10000000, 100000000)""")
+      Engine.execute(s, """
+        INSERT INTO graft_t.bbuf
+        SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS Int64)
+        FROM orders WHERE o_orderkey % 3 = 0""")
+      Engine.execute(s, "OPTIMIZE TABLE graft_t.bbuf") // flush to bdst
+      Engine.execute(s, """
+        INSERT INTO graft_t.bbuf
+        SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS Int64)
+        FROM orders WHERE o_orderkey % 3 = 1""") // stays staged
+      Engine.execute(s, """
+        SELECT k % 11 AS g, count() AS n, sum(cents) AS cents
+        FROM graft_t.bbuf GROUP BY k % 11 ORDER BY g""")
+    }, Some("""
+      SELECT CAST(o_orderkey % 11 AS BIGINT) AS g, count(*) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders WHERE o_orderkey % 3 IN (0, 1)
+      GROUP BY 1 ORDER BY g""")),
+
+    // S6c: ENGINE=Set + `x IN set_table` (the only read path a Set
+    // storage supports) — membership pushes into the orders scan as a
+    // semi-join.
+    Q("s31_set_in", (s, dir) => {
+      ChContext.setup(s, dir)
+      Engine.execute(s, "CREATE DATABASE IF NOT EXISTS graft_t")
+      Engine.execute(s, "DROP TABLE IF EXISTS graft_t.vip")
+      Engine.execute(s, "CREATE TABLE graft_t.vip (k Int64) ENGINE=Set")
+      Engine.execute(s, """
+        INSERT INTO graft_t.vip
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'""")
+      Engine.execute(s, """
+        SELECT o_orderpriority AS pri, count() AS n,
+               CAST(sum(floor(o_totalprice)) AS Int64) AS t
+        FROM orders WHERE o_custkey IN graft_t.vip
+        GROUP BY pri ORDER BY pri""")
+    }, Some("""
+      SELECT o_orderpriority AS pri, count(*) AS n,
+             CAST(sum(floor(o_totalprice)) AS BIGINT) AS t
+      FROM orders WHERE o_custkey IN
+        (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      GROUP BY 1 ORDER BY pri""")),
+
+    // S6d: ENGINE=Join(ANY, LEFT, k) + joinGet point lookups — ANY
+    // ignores re-inserted keys (first write wins), a missing key yields
+    // the value column's type default. Catalyst decorrelates the
+    // lookups into plain left joins (no per-row probe).
+    Q("s32_join_engine", (s, dir) => {
+      ChContext.setup(s, dir)
+      Engine.execute(s, "CREATE DATABASE IF NOT EXISTS graft_t")
+      Engine.execute(s, "DROP TABLE IF EXISTS graft_t.jnat")
+      Engine.execute(s, """
+        CREATE TABLE graft_t.jnat (k Int64, nname String)
+        ENGINE=Join(ANY, LEFT, k)""")
+      Engine.execute(s, """
+        INSERT INTO graft_t.jnat SELECT n_nationkey, n_name FROM nation""")
+      // duplicate-key re-insert: ANY ignores it
+      Engine.execute(s, """
+        INSERT INTO graft_t.jnat
+        SELECT n_nationkey, concat('DUP_', n_name) FROM nation""")
+      Engine.execute(s, """
+        SELECT joinGet('graft_t.jnat', 'nname', s_nationkey) AS nation,
+               joinGet('graft_t.jnat', 'nname', s_nationkey + 100) AS missing,
+               count() AS n
+        FROM supplier GROUP BY nation, missing ORDER BY nation""")
+    }, Some("""
+      SELECT coalesce((SELECT n_name FROM nation
+                       WHERE n_nationkey = s_nationkey), '') AS nation,
+             '' AS missing, count(*) AS n
+      FROM supplier GROUP BY 1, 2 ORDER BY nation""")),
+
+    // S6e: ENGINE=Merge(db, 'regex') — one read-only face over every
+    // member table, re-resolved per query, with the `_table` virtual
+    // column naming each row's origin.
+    Q("s33_merge_engine", (s, dir) => {
+      ChContext.setup(s, dir)
+      Engine.execute(s, "CREATE DATABASE IF NOT EXISTS graft_t")
+      Seq("evm", "ev_a", "ev_b").foreach(t =>
+        Engine.execute(s, s"DROP TABLE IF EXISTS graft_t.$t"))
+      Engine.execute(s,
+        "CREATE TABLE graft_t.ev_a (k Int64, cents Int64) ENGINE=Memory")
+      Engine.execute(s,
+        "CREATE TABLE graft_t.ev_b (k Int64, cents Int64) ENGINE=Memory")
+      Engine.execute(s, """
+        INSERT INTO graft_t.ev_a
+        SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS Int64)
+        FROM orders WHERE o_orderkey % 2 = 0""")
+      Engine.execute(s, """
+        INSERT INTO graft_t.ev_b
+        SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS Int64)
+        FROM orders WHERE o_orderkey % 2 = 1""")
+      Engine.execute(s, """
+        CREATE TABLE graft_t.evm (k Int64, cents Int64)
+        ENGINE=Merge(graft_t, '^ev_[ab]$')""")
+      Engine.execute(s, """
+        SELECT _table AS src, count() AS n, sum(cents) AS cents
+        FROM graft_t.evm GROUP BY _table ORDER BY src""")
+    }, Some("""
+      SELECT src, count(*) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM (SELECT 'ev_a' AS src, o_totalprice FROM orders
+            WHERE o_orderkey % 2 = 0
+            UNION ALL
+            SELECT 'ev_b' AS src, o_totalprice FROM orders
+            WHERE o_orderkey % 2 = 1)
+      GROUP BY 1 ORDER BY src"""))
   )
 }
