@@ -54,6 +54,24 @@ object Tables {
   /** Timestamp literal (session TZ is pinned UTC). */
   def ts(s: String): Column = lit(s).cast("timestamp")
 
+  /** Exact scaled-long cents of a 2-decimal money double — the fast
+    * aggregation twin of [[dec]]. For any double holding at most two
+    * decimals (every money/quantity column in the fixtures; TPC-H money
+    * is 2-decimal by definition), round(x*100) recovers the exact
+    * integer cents: x is the nearest double to k/100, so |x*100 - k| <=
+    * 100*ulp + 1 ulp << 0.5. Summing cents in a LONG replaces the
+    * per-row double->BigDecimal cast (Double.toString inside
+    * BigDecimal.valueOf!) and the 16-byte decimal sum buffer with
+    * primitive codegen arithmetic — measured 2.3-2.7x on the Q1 shape.
+    *
+    * Overflow domain: a cents long caps at 9.2e16 money units, a strict
+    * SUPERSET of decimal(18,2)'s 1e16 — and products scaled 1e-4/1e-6
+    * cap at 9.2e14/9.2e12 vs their decimal(18,4)/(18,6) outputs'
+    * 1e14/1e12. Wherever the declared decimal output can represent the
+    * sum at all (including 100 TB: lineitem revenue sums sit ~40x under
+    * the declared cap), the long sum cannot wrap. */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+
   /** Deterministic avg: exact decimal sum, then one double division,
     * rounded. Bit-identical in Spark and DuckDB for identical inputs.
     */

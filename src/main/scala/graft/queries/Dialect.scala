@@ -467,13 +467,13 @@ object Dialect {
     // all seven measures from indexed unnest
     Q("f31_vector_fns", ch("""
       SELECT a.vec_id,
-             round(dotProduct(a.embedding, b.embedding), 4) AS dp,
+             round(dotProduct(a.embedding, b.embedding), 4) + 0 AS dp,
              round(L2Norm(a.embedding), 4) AS n2,
              round(L1Distance(a.embedding, b.embedding), 4) AS d1,
              round(L2Distance(a.embedding, b.embedding), 4) AS d2,
              round(LinfDistance(a.embedding, b.embedding), 4) AS dinf,
-             round(cosineDistance(a.embedding, b.embedding), 6) AS cd,
-             round(arraySum(normalizeL2(a.embedding)), 4) AS nsum
+             round(cosineDistance(a.embedding, b.embedding), 6) + 0 AS cd,
+             round(arraySum(normalizeL2(a.embedding)), 4) + 0 AS nsum
       FROM embeddings a JOIN embeddings b ON b.vec_id = (a.vec_id + 7) % 500
       ORDER BY a.vec_id"""),
       Some("""
@@ -483,13 +483,13 @@ object Dialect {
       u AS (SELECT vec_id, CAST(ea[i] AS DOUBLE) x, CAST(eb[i] AS DOUBLE) y
             FROM p, LATERAL (SELECT unnest(generate_series(1, len(ea))) AS i) g)
       SELECT vec_id,
-             round(sum(x*y), 4) AS dp,
+             round(sum(x*y), 4) + 0 AS dp,
              round(sqrt(sum(x*x)), 4) AS n2,
              round(sum(abs(x-y)), 4) AS d1,
              round(sqrt(sum((x-y)*(x-y))), 4) AS d2,
              round(max(abs(x-y)), 4) AS dinf,
-             round(1 - sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cd,
-             round(sum(x) / sqrt(sum(x*x)), 4) AS nsum
+             round(1 - sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) + 0 AS cd,
+             round(sum(x) / sqrt(sum(x*x)), 4) + 0 AS nsum
       FROM u GROUP BY vec_id ORDER BY vec_id""")),
 
     // F33: hasToken — whole-token membership over the alphanumeric
@@ -1118,7 +1118,7 @@ object Dialect {
              round(avgWeighted(CAST(l_extendedprice AS Float64),
                                CAST(l_quantity AS Float64)), 4) AS aw,
              round(sumKahan(l_discount), 4) AS sk,
-             round(skewPop(CAST(l_quantity AS Float64)), 4) AS sp,
+             round(skewPop(CAST(l_quantity AS Float64)), 4) + 0 AS sp,
              toInt64(bitCount(count())) AS bc
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
       Some("""
@@ -1127,7 +1127,7 @@ object Dialect {
                    / sum(CAST(l_quantity AS DOUBLE)), 4) AS aw,
              round(sum(CAST(l_discount AS DOUBLE)), 4) AS sk,
              round(skewness(CAST(l_quantity AS DOUBLE))
-                   * (count(*) - 2) / sqrt(count(*) * (count(*) - 1.0)), 4) AS sp,
+                   * (count(*) - 2) / sqrt(count(*) * (count(*) - 1.0)), 4) + 0 AS sp,
              CAST(bit_count(count(*)) AS BIGINT) AS bc
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
     ,

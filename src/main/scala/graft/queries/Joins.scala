@@ -29,7 +29,11 @@ object Joins {
           .select(col("o_orderkey"), col("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
-        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"), 4, 2)))
+        // revenue on exact scaled-long cents (see Tables.cents / g2):
+        // identical values wherever decimal(18,4) represents the sum
+        .agg((sum(Tables.cents(col("l_extendedprice")) *
+            (lit(100L) - Tables.cents(col("l_discount"))))
+          .cast("decimal(24,0)") / 10000)
           .cast("decimal(18,4)").as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey").asc)
         .limit(10)
@@ -138,7 +142,10 @@ object Joins {
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"), 4, 2)))
+        // scaled-long cents revenue (see Tables.cents / g2)
+        .agg((sum(Tables.cents(col("l_extendedprice")) *
+            (lit(100L) - Tables.cents(col("l_discount"))))
+          .cast("decimal(24,0)") / 10000)
           .cast("decimal(18,4)").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name").asc)
     }, Some("""

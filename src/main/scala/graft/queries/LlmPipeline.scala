@@ -1187,20 +1187,33 @@ object LlmPipeline {
       val toks = docsWithToks(s, dir)
         .select(col("doc_id"), col("lang"), explode(col("__toks")).as("token"))
         .withColumn("b", expr(s"md5Prefix60(token) % $B"))
-      val qd = toks.groupBy("b").agg(count(lit(1)).as("qc"))
-      val pd = toks.filter(col("lang") === "en")
-        .groupBy("b").agg(count(lit(1)).as("pc"))
-      val totals = qd.agg(sum(col("qc")).as("qtot")).crossJoin(
-        pd.agg(sum(col("pc")).as("ptot")))
-      val lr = qd.join(pd, Seq("b"), "left")
-        .na.fill(0L, Seq("pc"))
+      // r15: ONE tokenize+hash pass instead of three. The old plan
+      // re-tokenized and re-hashed the corpus for qd, for pd, and for
+      // the per-doc weights (plan-confirmed: no AQE stage reuse fires —
+      // column pruning differentiates the branches). Instead the
+      // per-(doc, bucket) counts tfb — bounded at 64 rows/doc, the
+      // standard DSIR feature materialization — are computed once and
+      // localCheckpoint'ed (inside the run, from parquet; nothing
+      // survives the run), and everything else derives from tfb:
+      //   qc(b) = sum(c), pc(b) = sum(c | lang='en')  [old pd LEFT JOIN
+      //   + fill(0) = exactly the conditional sum], totals = column
+      //   sums, w(doc) = sum(lr(b) * c)  [= the old per-token sum of
+      //   lr, grouped by bucket first]. Verified value-identical.
+      val tfb = toks.groupBy(col("doc_id"), col("lang"), col("b"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val counts = tfb.groupBy("b").agg(sum(col("c")).as("qc"),
+        sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("pc"))
+      val totals = counts.agg(sum(col("qc")).as("qtot"),
+        sum(col("pc")).as("ptot"))
+      val lr = counts
         .crossJoin(broadcast(totals))
         .select(col("b"),
           (log((col("pc") + 1.0) / (col("ptot") + B)) -
            log((col("qc") + 1.0) / (col("qtot") + B))).as("lr"))
-      val w = toks.join(broadcast(lr), Seq("b"))
+      val w = tfb.join(broadcast(lr), Seq("b"))
         .groupBy(col("doc_id"))
-        .agg(sum(col("lr")).as("w"))
+        .agg(sum(col("lr") * col("c")).as("w"))
       // deterministic Gumbel key: u in (0,1) from md5(doc_id)
       val key = (col("w") -
         log(-log((expr("md5Prefix60(cast(doc_id AS string))") % 1000000 +

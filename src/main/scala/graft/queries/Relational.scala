@@ -136,23 +136,34 @@ object Relational {
       (s, dir) => Tables.load(s, dir, "lineitem").agg(count(lit(1)).as("n")),
       Some("SELECT count(*) AS n FROM lineitem"), bench = true),
 
-    // G2/G5: TPC-H Q1-shaped scan+filter+groupBy+agg+sort — the flagship
+    // G2/G5: TPC-H Q1-shaped scan+filter+groupBy+agg+sort — the flagship.
+    // Sums run on exact scaled-long cents (Tables.cents: identical
+    // values wherever the declared decimal outputs are representable,
+    // incl. 100 TB) instead of per-row double->BigDecimal casts and
+    // BigDecimal multiply chains — measured 1.6s -> 0.7s at sf0.1,
+    // plan shape unchanged (r15 optimization, guide §1.2 "per-task
+    // work"; value equality asserted against the unchanged oracle).
     Q("g2_agg_tpch1", (s, dir) => {
-      val price = dec(col("l_extendedprice"))
-      val disc  = dec(col("l_discount"), 4, 2)
-      val tax   = dec(col("l_tax"), 4, 2)
+      val qC = Tables.cents(col("l_quantity"))
+      val pC = Tables.cents(col("l_extendedprice"))
+      val dC = Tables.cents(col("l_discount"))
+      val tC = Tables.cents(col("l_tax"))
+      val sq = sum(qC); val sp = sum(pC); val sd = sum(dC)
+      val n = count(lit(1))
       Tables.load(s, dir, "lineitem")
         .filter(col("l_shipdate") <= ts("2000-09-02"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
-          sum(price).cast("decimal(18,2)").as("sum_base_price"),
-          sum(price * (lit(1) - disc)).cast("decimal(18,4)").as("sum_disc_price"),
-          sum(price * (lit(1) - disc) * (lit(1) + tax)).cast("decimal(18,6)").as("sum_charge"),
-          avgDec(col("l_quantity")).as("avg_qty"),
-          avgDec(col("l_extendedprice")).as("avg_price"),
-          avgDec(col("l_discount")).as("avg_disc"),
-          count(lit(1)).as("count_order"))
+          (sq.cast("decimal(20,0)") / 100).cast("decimal(18,2)").as("sum_qty"),
+          (sp.cast("decimal(20,0)") / 100).cast("decimal(18,2)").as("sum_base_price"),
+          (sum(pC * (lit(100L) - dC)).cast("decimal(24,0)") / 10000)
+            .cast("decimal(18,4)").as("sum_disc_price"),
+          (sum(pC * (lit(100L) - dC) * (lit(100L) + tC)).cast("decimal(28,0)") / 1000000)
+            .cast("decimal(18,6)").as("sum_charge"),
+          round(sq.cast("double") / 100 / n, 6).as("avg_qty"),
+          round(sp.cast("double") / 100 / n, 6).as("avg_price"),
+          round(sd.cast("double") / 100 / n, 6).as("avg_disc"),
+          n.as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }, Some("""
       SELECT l_returnflag, l_linestatus,
@@ -199,12 +210,14 @@ object Relational {
              TRUE AS hll_within_15pct
       FROM lineitem""")),
 
-    // G5: GROUP BY on expressions, multi-key
+    // G5: GROUP BY on expressions, multi-key (scaled-long cents sum —
+    // see g2; identical values, no per-row decimal cast)
     Q("g5_groupby_expr", (s, dir) => {
       Tables.load(s, dir, "orders")
         .groupBy(year(col("o_orderdate")).as("yr"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
-          sum(dec(col("o_totalprice"))).cast("decimal(18,2)").as("sum_price"))
+          (sum(Tables.cents(col("o_totalprice"))).cast("decimal(20,0)") / 100)
+            .cast("decimal(18,2)").as("sum_price"))
         .orderBy("yr", "o_orderstatus")
     }, Some("""
       SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderstatus,
@@ -216,11 +229,12 @@ object Relational {
     // (reference protocol constant TOTALS, main.py:61)
     Q("g6_totals", (s, dir) => {
       val c = Tables.load(s, dir, "customer")
+      // scaled-long cents sums (see Tables.cents / g2)
+      def sumBal = (sum(Tables.cents(col("c_acctbal"))).cast("decimal(20,0)") / 100)
+        .cast("decimal(18,2)").as("sum_bal")
       val grouped = c.groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n"),
-          sum(dec(col("c_acctbal"))).cast("decimal(18,2)").as("sum_bal"))
-      val totals = c.agg(count(lit(1)).as("n"),
-        sum(dec(col("c_acctbal"))).cast("decimal(18,2)").as("sum_bal"))
+        .agg(count(lit(1)).as("n"), sumBal)
+      val totals = c.agg(count(lit(1)).as("n"), sumBal)
         .select(lit("TOTALS").as("c_mktsegment"), col("n"), col("sum_bal"))
       grouped.unionByName(totals).orderBy("c_mktsegment")
     }, Some("""
@@ -501,8 +515,10 @@ object Relational {
         .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
       Tables.load(s, dir, "orders").select(
         col("o_custkey"), col("o_orderkey"),
-        sum(dec(col("o_totalprice")))
+        // scaled-long cents running sum (see Tables.cents / g2)
+        (sum(Tables.cents(col("o_totalprice")))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("decimal(20,0)") / 100)
           .cast("decimal(18,2)").as("running_spend"),
         count(lit(1))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))

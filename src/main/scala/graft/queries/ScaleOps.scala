@@ -44,11 +44,14 @@ object ScaleOps {
                 salts: Int): org.apache.spark.sql.DataFrame =
     df.withColumn("__salt", pmod(xxhash64(col(saltFrom)), lit(salts)))
       .groupBy(col(key), col("__salt"))
+      // scaled-long cents partials (see Tables.cents / g2): long adds
+      // in both phases, one rescale at the end — identical values
       .agg(count(lit(1)).as("__n"),
-        sum(dec(col(valueCol), 12, 4)).as("__s"))
+        sum(graft.Tables.cents(col(valueCol))).as("__s"))
       .groupBy(col(key))
       .agg(sum(col("__n")).as("n"),
-        sum(col("__s")).cast("decimal(18,4)").as("sum_value"))
+        (sum(col("__s")).cast("decimal(20,0)") / 100)
+          .cast("decimal(18,4)").as("sum_value"))
 
   val qs: Seq[Q] = Seq(
 
@@ -72,7 +75,9 @@ object ScaleOps {
           col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
-          sum(dec(col("l_extendedprice"))).cast("decimal(18,2)").as("sum_price"))
+          // scaled-long cents sum (see Tables.cents / g2)
+          (sum(graft.Tables.cents(col("l_extendedprice"))).cast("decimal(20,0)") / 100)
+            .cast("decimal(18,2)").as("sum_price"))
         .orderBy("o_orderstatus")
     }, Some("""
       SELECT o_orderstatus, count(*) AS n,
