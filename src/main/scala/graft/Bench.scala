@@ -79,8 +79,15 @@ object Bench {
     // tuned for the 3M-row fixture generated ~3,300 near-empty splits
     // against the 100M fixture's 200MB files (2 row groups each) — a
     // flat ~6s of pure task-scheduling overhead on EVERY query, which
-    // read as fake super-linear scaling in the 30M->100M decade. Target
-    // ~8 waves x cores; clamp to [2m, 128m].
+    // read as fake super-linear scaling in the 30M->100M decade.
+    // r15 re-measure (DevAb floorSweep, 12-query subset, interleaved
+    // best-of-3): the old ~8-waves target with a 2m clamp floor left
+    // ~102 near-empty tasks per query at the 3M driver scale — 6m
+    // splits ran the subset 13% faster (5.07s vs 5.85s best, medians
+    // agree), 16m was no faster and straggler-prone. Target ~4 waves
+    // x cores, clamp to [6m, 128m] (guide §6: fewer, larger splits;
+    // still data- and core-derived, so the 30M/100M decades and the
+    // driver's low-core rerun keep their proportional split sizes).
     val hitsBytes = {
       val loc = new java.net.URI(spark.table("hits").inputFiles.headOption
         .getOrElse("file:///tmp/graft-warehouse")).getPath
@@ -90,7 +97,7 @@ object Bench {
       size(new java.io.File(loc).getParentFile.getParentFile)
     }
     val splitBytes = math.min(128L << 20,
-      math.max(2L << 20, hitsBytes / (cpus.toInt * 8)))
+      math.max(6L << 20, hitsBytes / (cpus.toInt * 4)))
     // cb queries scan the hits fixture — size their splits to it; the
     // headline queries scan the (small) SF tables, where 2m keeps all
     // cores busy

@@ -46,9 +46,171 @@ object DevAb {
       case "reuse" => reuseCheck(spark, dir)
       case "l34" => l34Variants(spark, dir)
       case "l23" => l23Variants(spark, dir)
+      case "floor" => floorSweep(spark)
+      case "l2parts" => l2Parts(spark, dir)
+      case "l4parts" => l4Parts(spark, dir)
+      case "l4stages" => l4Stages(spark, dir)
       case other => sys.error(s"unknown experiment $other")
     }
     spark.stop()
+  }
+
+  /** Stage-level timing of ONE real l4 run via a SparkListener. */
+  private def l4Stages(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    val stages = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Int)]
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val dur = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
+        stages += ((si.stageId, si.name.take(60), dur, si.numTasks))
+      }
+    }
+    // warm first
+    SparkEntry.all.find(_.name == "l4_ngram_simjoin").get.run(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    SparkEntry.all.find(_.name == "l4_ngram_simjoin").get.run(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    println(f"[devab] l4 run ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    Thread.sleep(1000)
+    stages.sortBy(-_._3).take(12).foreach { case (id, name, dur, nt) =>
+      println(f"[devab] stage $id%4d ${dur}%6d ms tasks=$nt%3d  $name")
+    }
+    spark.sparkContext.removeSparkListener(listener)
+  }
+
+  /** Where does l4's time go? Replicates ngramJaccardPairs stage by
+    * stage with counts. */
+  private def l4Parts(spark: SparkSession, dir: String): Unit = {
+    import graft.functions.TextFns
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val n = 4; val threshold = 0.8
+    var t0 = System.nanoTime()
+    val sp = Tables.spread(docs)
+    println(f"[devab] spread ${(System.nanoTime() - t0) / 1e9}%.2f parts=${sp.rdd.getNumPartitions}")
+    t0 = System.nanoTime()
+    sp.select(col("doc_id").as("id"),
+        TextFns.norm(col("text")).as("nrm"))
+      .write.format("noop").mode("overwrite").save()
+    println(f"[devab] norm_only ${(System.nanoTime() - t0) / 1e9}%.2f")
+    t0 = System.nanoTime()
+    sp.select(col("doc_id").as("id"),
+        split(TextFns.norm(col("text")), "").as("chars"))
+      .write.format("noop").mode("overwrite").save()
+    println(f"[devab] split_chars ${(System.nanoTime() - t0) / 1e9}%.2f")
+    t0 = System.nanoTime()
+    sp.select(col("doc_id").as("id"), col("lang").as("block"),
+        TextFns.charNgrams(TextFns.norm(col("text")), n).as("grams"))
+      .write.format("noop").mode("overwrite").save()
+    println(f"[devab] grams_noop ${(System.nanoTime() - t0) / 1e9}%.2f")
+    t0 = System.nanoTime()
+    val base = sp
+      .select(col("doc_id").as("id"), col("lang").as("block"),
+        TextFns.charNgrams(TextFns.norm(col("text")), n).as("grams"))
+      .localCheckpoint(true)
+    println(f"[devab] base_ckpt ${(System.nanoTime() - t0) / 1e9}%.2f n=${base.count()}")
+    val exploded = base.select(col("id"), col("block"),
+      size(col("grams")).as("sz"), explode(col("grams")).as("g"))
+    val freq = exploded.groupBy(col("g")).agg(count(lit(1)).as("freq"))
+    val ranked = exploded.join(freq, "g")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("freq").asc, col("g").asc)))
+    t0 = System.nanoTime()
+    val prefix = ranked.filter(
+      col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .localCheckpoint(true)
+    println(f"[devab] prefix_ckpt ${(System.nanoTime() - t0) / 1e9}%.2f n=${prefix.count()}")
+    t0 = System.nanoTime()
+    val cands = prefix.as("x").join(prefix.as("y"),
+        col("x.block") === col("y.block") && col("x.g") === col("y.g") &&
+          col("x.id") < col("y.id") &&
+          col("y.sz") >= lit(threshold) * col("x.sz") &&
+          col("x.sz") >= lit(threshold) * col("y.sz"))
+      .select(col("x.block").as("block"), col("x.id").as("a"), col("y.id").as("b"))
+      .distinct().localCheckpoint(true)
+    println(f"[devab] cands_ckpt ${(System.nanoTime() - t0) / 1e9}%.2f n=${cands.count()}")
+    t0 = System.nanoTime()
+    val sets = base.select(col("id"), col("grams"))
+    val fin = cands
+      .join(sets.select(col("id").as("a"), col("grams").as("ga")), "a")
+      .join(sets.select(col("id").as("b"), col("grams").as("gb")), "b")
+      .withColumn("jac", TextFns.jaccard(col("ga"), col("gb")))
+      .filter(col("jac") >= threshold)
+    fin.write.format("noop").mode("overwrite").save()
+    println(f"[devab] verify_noop ${(System.nanoTime() - t0) / 1e9}%.2f")
+  }
+
+  /** Where does l2's time go? Times each pipeline stage separately. */
+  private def l2Parts(spark: SparkSession, dir: String): Unit = {
+    import graft.operators.MinHashLsh
+    import graft.functions.TextFns
+    val docs = Tables.load(spark, dir, "documents")
+    def stage(label: String)(mk: => DataFrame): Unit = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        mk.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[devab] $label best=${ts.min}%.3f all=${ts.map(t => f"$t%.3f").mkString(",")}")
+    }
+    val toks = TextFns.tokens(TextFns.norm(col("text")))
+    val shPlan = Tables.spread(docs).select(col("doc_id").as("id"),
+      TextFns.wordShingles(toks, 3).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    println("[devab] spread-shingles plan:\n" +
+      shPlan.queryExecution.executedPlan.toString.linesIterator
+        .take(12).mkString("\n"))
+    stage("spread_shingles")(shPlan)
+    stage("shingles_only")(docs.select(col("doc_id").as("id"),
+      TextFns.wordShingles(toks, 3).as("shingles"))
+      .filter(size(col("shingles")) > 0))
+    stage("signatures")(MinHashLsh.signatures(docs, "doc_id", "text", 3, 64))
+    stage("cand_pairs")(
+      MinHashLsh.candidatePairs(
+        MinHashLsh.signatures(docs, "doc_id", "text", 3, 64), 16, 4))
+    stage("full_neardup")(
+      MinHashLsh.nearDupPairs(docs, "doc_id", "text", 0.8))
+    val sigs = MinHashLsh.signatures(docs, "doc_id", "text", 3, 64)
+    println("[devab] n_docs=" + docs.count() +
+      " n_sig=" + sigs.count() +
+      " n_cand=" + MinHashLsh.candidatePairs(sigs, 16, 4).count() +
+      " avg_shingles=" + sigs.select(avg(size(col("shingles")))).head.getDouble(0))
+  }
+
+  /** How much of the cb sweep is scan-task scheduling overhead? Times a
+    * representative subset under different maxPartitionBytes (the bench
+    * derives splits as hitsBytes/(cpus*waves); this sweeps waves). */
+  private def floorSweep(spark: SparkSession): Unit = {
+    graft.dialect.HitsFixture.ensureScaled(spark)
+    val byName = SparkEntry.all.map(q => q.name -> q).toMap
+    val subset = Seq("cb19_point_user", "cb00_count", "cb07_adv_group",
+      "cb12_top_phrases", "cb18_user_minute", "cb09_region_wide",
+      "cb33_top_urls", "cb20_url_like", "cb28_referer_domain",
+      "cb35_ip_arith", "cb29_ninety_sums", "cb23_star_scan")
+    val settings = Seq("2m" -> (2L << 20), "6m" -> (6L << 20),
+      "16m" -> (16L << 20))
+    // warmup
+    subset.foreach(n => byName(n).run(spark, "")
+      .write.format("noop").mode("overwrite").save())
+    val totals = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    (1 to 3).foreach { _ =>
+      settings.foreach { case (label, bytes) =>
+        spark.conf.set("spark.sql.files.maxPartitionBytes", bytes.toString)
+        val t0 = System.nanoTime()
+        subset.foreach(n => byName(n).run(spark, "")
+          .write.format("noop").mode("overwrite").save())
+        totals(label) ::= (System.nanoTime() - t0) / 1e9
+      }
+    }
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (2L << 20).toString)
+    settings.foreach { case (label, _) =>
+      val ts = totals(label)
+      println(f"[devab] floor maxPartitionBytes=$label subset_total best=${ts.min}%.2f all=${ts.reverse.map(t => f"$t%.2f").mkString(",")}")
+    }
   }
 
   /** Does AQE stage reuse dedupe the twice-planned tf subtree of l23

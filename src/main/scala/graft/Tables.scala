@@ -77,4 +77,31 @@ object Tables {
     */
   def avgDec(c: Column, scale: Int = 6): Column =
     round(sum(dec(c)).cast("double") / count(lit(1)), scale)
+
+  /** Spread a small/unsplittable input across the cluster before
+    * CPU-heavy per-row work (guide §2.5 "input skew: one huge
+    * unsplittable file — repartition immediately after the read").
+    * The fixture's documents/embeddings tables are single parquet
+    * files with one row group — ONE scan task — so every tokenize/
+    * shingle/hash pipeline above them ran on one core (measured: the
+    * shingle projection alone 7.5 s single-task vs ~0.3 s spread).
+    *
+    * The repartition alone is NOT enough: Catalyst pushes
+    * deterministic filters (and prunes projections) straight through a
+    * round-robin exchange, so a downstream filter on a derived column
+    * — `size(shingles) > 0`, `size(__toks) >= 20` — re-evaluates the
+    * whole tokenize pipeline BELOW the exchange, back on one core
+    * (plan-verified). The eager localCheckpoint is the optimizer
+    * barrier: everything above it computes on the redistributed
+    * partitions, and the materialized input here is just the raw rows.
+    *
+    * Guarded: only fires when the scan has fewer partitions than the
+    * cluster has slots, so a corpus that already arrives in thousands
+    * of files never pays a gratuitous shuffle or materialization. */
+  def spread(df: DataFrame): DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < slots)
+      df.repartition(slots).localCheckpoint(true)
+    else df
+  }
 }

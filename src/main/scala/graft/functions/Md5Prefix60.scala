@@ -35,11 +35,19 @@ case class Md5Prefix60(child: Expression) extends UnaryExpression {
 }
 
 object Md5Prefix60 {
+  /** Per-thread digest instance: getInstance("MD5") allocates a fresh
+    * MessageDigest + provider lookup per call — measurable at millions
+    * of hashes per task (minhash/simhash/substring-dedup all funnel
+    * here). digest() leaves the instance reset for the next call. */
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** Static so generated code can call it (one digest per call; the
-    * JDK MD5 instance is cheap and thread-confined here). */
+    * JDK MD5 instance is thread-confined via the ThreadLocal above). */
   def hash(bytes: Array[Byte]): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val d = md.digest(bytes)
+    val d = md5.get().digest(bytes)
     // first 8 bytes big-endian (matching the hex-string prefix order),
     // shifted down to the leading 60 bits = 15 hex chars
     var v = 0L

@@ -34,12 +34,24 @@ object TextFns {
         i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
       .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
 
-  /** Distinct character n-grams of an already-normalized text. */
-  def charNgrams(normed: Column, n: Int): Column =
-    when(length(normed) >= n,
-      array_distinct(transform(sequence(lit(1), length(normed) - (n - 1)),
-        i => normed.substr(i, lit(n)))))
+  /** Distinct character n-grams of an already-normalized text.
+    *
+    * r15: linear, not quadratic — `substr(normed, i, n)` re-walks the
+    * UTF8 string from position 0 on EVERY call (codepoint addressing),
+    * so a transform over all positions was O(len^2) per document
+    * (measured ~1.5 ms/doc at ~800 chars; the l4 gram stage alone ran
+    * 7.7 s). The text is split into a codepoint array ONCE, bound via
+    * a single-element transform (the only way to "let" a subexpression
+    * inside a lambda — referencing it directly would re-evaluate the
+    * split per element), and each gram is an O(n) slice+concat. */
+  def charNgrams(normed: Column, n: Int): Column = {
+    val grams = element_at(
+      transform(array(split(normed, "")), cs =>
+        transform(sequence(lit(1), length(normed) - (n - 1)),
+          i => concat_ws("", slice(cs, i, lit(n))))), 1)
+    when(length(normed) >= n, array_distinct(grams))
       .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
+  }
 
   /** Exact set Jaccard of two string arrays (both sides must be
     * distinct arrays). */

@@ -216,9 +216,12 @@ object CosineKnn {
               nProbe: Int = 6): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    // localCheckpoint, not persist: consumed eagerly by KMeans.fit AND
+    // lazily by the returned plan; a leaked cache entry would serve
+    // later identical plans from memory (see MinHashLsh.nearDupPairs)
     val c = corpus.select(col(idCol).as("nid"), asDouble(vecCol).as("nv"))
       .withColumn("features", array_to_vector(col("nv")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val km = new KMeans().setK(nLists).setSeed(42L).setMaxIter(10).fit(c)
     val lists = km.transform(c).select(col("nid"), col("nv"),
         col("prediction").as("list"))
@@ -302,9 +305,10 @@ object CosineKnn {
              rerankFactor: Int = 40): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    // localCheckpoint, not persist (see ivfTopK / MinHashLsh)
     val c0 = corpus.select(col(idCol).as("nid"), asDouble(vecCol).as("nv"))
       .withColumn("nn", sqrt(dot("nv", "nv")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val dim = c0.select(size(col("nv"))).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m

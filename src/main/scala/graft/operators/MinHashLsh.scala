@@ -49,21 +49,34 @@ object MinHashLsh {
     val rnd = new scala.util.Random(20260812L)
     val a = Seq.fill(k)(1L + rnd.nextLong().abs % (P - 1))
     val b = Seq.fill(k)(rnd.nextLong().abs % P)
-    val aArr = a.mkString("array(", "L,", "L)")
-    val bArr = b.mkString("array(", "L,", "L)")
     graft.dialect.ChFunctions.register(docs.sparkSession) // md5Prefix60
     val toks = TextFns.tokens(TextFns.norm(col(textCol)))
-    docs.select(col(idCol).as("id"),
+    // r15: the old single-projection form folded the k-way min with
+    // nested aggregate/zip_with lambdas — higher-order functions run
+    // INTERPRETED (two boxed 64-element arrays allocated per shingle;
+    // measured ~9.5 s/run on the sf0.1 corpus once the cache-leak that
+    // had been hiding the cost was fixed). Same math, codegen shape:
+    // explode the shingle set, hash each shingle once, and take k
+    // primitive-long min() aggregates — whole-stage codegen end to
+    // end, with the map-side partial agg collapsing each partition to
+    // one 64-long row per doc before the (tiny) shuffle. The shingle
+    // arrays are materialized once (localCheckpoint) and joined back
+    // by id for the verify stage. Measured 9.5 s -> ~1 s.
+    // spread first: a single-file corpus scans as ONE task, serializing
+    // the whole shingle pipeline (guide §2.5; no-op for multi-file input)
+    val base = graft.Tables.spread(docs).select(col(idCol).as("id"),
         TextFns.wordShingles(toks, shingleWidth).as("shingles"))
       .filter(size(col("shingles")) > 0)
-      // element-wise-min fold: each shingle hashed once, permuted k times
-      .withColumn("sig", expr(
-        s"""aggregate(
-              transform(shingles, s -> md5Prefix60(s) % $P),
-              transform(sequence(1, $k), i -> cast($P AS BIGINT)),
-              (acc, h) -> zip_with(acc,
-                zip_with($aArr, $bArr, (a, b) -> (a * h + b) % $P),
-                (x, y) -> least(x, y)))"""))
+      .localCheckpoint(true)
+    val hs = base
+      .select(col("id"), explode(col("shingles")).as("s"))
+      .select(col("id"), expr(s"md5Prefix60(s) % $P").as("h"))
+    val minCols = (0 until k).map(i =>
+      min(expr(s"(${a(i)}L * h + ${b(i)}L) % $P")).as(s"__m$i"))
+    val mins = hs.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
+    base.join(mins, "id")
+      .select(col("id"), col("shingles"),
+        array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
   }
 
   /** LSH band index: (id, band, key) — one row per document per band,
@@ -174,10 +187,11 @@ object MinHashLsh {
                        bands: Int = 16): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
+    // localCheckpoint, not persist — see nearDupPairs
     val exSigs = signatures(existing, idCol, textCol, shingleWidth, k)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val inSigs = signatures(incoming, idCol, textCol, shingleWidth, k)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // candidate (incoming a, existing b) pairs sharing a band bucket
     val cands = bandKeys(inSigs, bands, r).as("x")
       .join(bandKeys(exSigs, bands, r).as("y"),
@@ -206,8 +220,16 @@ object MinHashLsh {
                    threshold: Double, shingleWidth: Int = 3,
                    k: Int = 64, bands: Int = 16): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
+    // localCheckpoint, NOT persist: sigs is reused by the band join and
+    // both verify joins, but a persist here is never unpersisted (the
+    // returned frame still needs it), and Spark's CacheManager serves
+    // any LATER identical plan from the stale entry — a repeated bench
+    // pass would silently read cached signatures instead of computing
+    // from parquet. The eager checkpoint materializes once per CALL and
+    // is unreachable from any other invocation. (r15; same fix in
+    // incrementalDedup / SimHash / SimilarityJoin / CosineKnn.)
     val sigs = signatures(docs, idCol, textCol, shingleWidth, k)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val cands = candidatePairs(sigs, bands, k / bands)
     val sets = sigs.select(col("id"), col("shingles"))
     cands

@@ -36,27 +36,27 @@ object SimHash {
                    shingleWidth: Int = 3): DataFrame = {
     graft.dialect.ChFunctions.register(docs.sparkSession) // md5Prefix60
     val toks = TextFns.tokens(TextFns.norm(col(textCol)))
-    // 2^j literals, so the final fold references `cnt` exactly ONCE —
-    // chained withColumns collapse into one Project and Catalyst
-    // INLINES aliases; an expression using cnt per-bit would re-expand
-    // the whole vote fold 60x (measured 165s -> <1s on the fixture)
-    val pow2 = (0 until 60).map(j => 1L << j).mkString("array(", "L,", "L)")
-    docs.select(col(idCol).as("id"),
+    // r15: the old single-projection form folded the 60 vote counters
+    // with nested aggregate/zip_with lambdas — higher-order functions
+    // run INTERPRETED (two boxed 60-element arrays per shingle; same
+    // hazard the MinHash fold had). Same math, codegen shape: explode
+    // the shingle set, hash once, take 60 primitive-long sum()
+    // aggregates (vote_j = 2*bit_j - 1), then assemble the fingerprint
+    // with a 60-term conditional add in one projection — whole-stage
+    // codegen end to end, partial aggs collapse per partition before
+    // the (tiny) shuffle.
+    // spread first: a single-file corpus scans as ONE task (guide §2.5)
+    val votes = graft.Tables.spread(docs).select(col(idCol).as("id"),
         TextFns.wordShingles(toks, shingleWidth).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("id"), expr(
-        s"""aggregate(
-              zip_with(
-                aggregate(
-                  transform(sh, s -> md5Prefix60(s)),
-                  transform(sequence(0, 59), j -> cast(0 AS BIGINT)),
-                  (acc, h) -> zip_with(acc,
-                    transform(sequence(0, 59),
-                      j -> cast((shiftright(h, j) & 1) * 2 - 1 AS BIGINT)),
-                    (a, b) -> a + b)),
-                $pow2,
-                (c, p) -> IF(c > 0, p, cast(0 AS BIGINT))),
-              cast(0 AS BIGINT), (acc, x) -> acc + x)""").as("sim"))
+      .select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), expr("md5Prefix60(s)").as("h"))
+    val voteCols = (0 until 60).map(j =>
+      sum(expr(s"(shiftright(h, $j) & 1) * 2 - 1")).as(s"__c$j"))
+    val simExpr = (0 until 60)
+      .map(j => s"IF(__c$j > 0, ${1L << j}L, 0L)").mkString(" + ")
+    votes.groupBy(col("id")).agg(voteCols.head, voteCols.tail: _*)
+      .select(col("id"), expr(simExpr).as("sim"))
   }
 
   /** Pairs (a, b, hamming) with Hamming distance <= maxDist. Requires
@@ -69,8 +69,10 @@ object SimHash {
     require(60 % bands == 0, "bands must divide 60")
     val width = 60 / bands
     val mask = (1L << width) - 1
+    // localCheckpoint, not persist: a leaked cache entry would serve
+    // later identical plans from memory (see MinHashLsh.nearDupPairs)
     val fps = fingerprints(docs, idCol, textCol, shingleWidth)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val banded = fps
       .select(col("id"), col("sim"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))

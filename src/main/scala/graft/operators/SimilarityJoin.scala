@@ -27,12 +27,16 @@ object SimilarityJoin {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int,
                         threshold: Double): DataFrame = {
-    // persisted: reused by the frequency count, both prefix-join sides,
-    // and both verify joins — recomputing the n-gram arrays 5x is the
-    // dominant cost otherwise
-    val base = docs.select(col(idCol).as("id"), col(blockCol).as("block"),
+    // materialized once per call: reused by the frequency count, both
+    // prefix-join sides, and both verify joins — recomputing the n-gram
+    // arrays 5x is the dominant cost otherwise. localCheckpoint, not
+    // persist: a leaked cache entry would serve later identical plans
+    // from memory (see MinHashLsh.nearDupPairs)
+    // spread first: a single-file corpus scans as ONE task (guide §2.5)
+    val base = graft.Tables.spread(docs)
+      .select(col(idCol).as("id"), col(blockCol).as("block"),
         TextFns.charNgrams(TextFns.norm(col(textCol)), n).as("grams"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     val exploded = base.select(col("id"), col("block"),
       size(col("grams")).as("sz"), explode(col("grams")).as("g"))
@@ -43,20 +47,73 @@ object SimilarityJoin {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("freq").asc, col("g").asc)))
 
-    // prefix length m = sz - ceil(t*sz) + 1
+    // prefix length m = sz - ceil(t*sz) + 1. localCheckpoint: the
+    // self-join below references prefix TWICE, and without a barrier
+    // each branch re-runs the explode + frequency join + rank window
+    // over the full gram stream (no AQE stage reuse fires — r15,
+    // plan-verified; same hazard as MinHashLsh/LlmPipeline).
     val prefix = ranked.filter(
       col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .localCheckpoint(true)
 
+    // Two lossless pre-filters on the candidate join (r15 — the
+    // synthetic fixture's tiny 4-gram vocabulary is the prefix
+    // filter's worst case, so every dropped pair matters):
+    //  - size compatibility: jaccard >= t forces t*sz(a) <= sz(b)
+    //    (and symmetrically);
+    //  - PPJoin positional filter (Xiao et al. 2008): a shared prefix
+    //    gram at ranks (rx, ry) bounds the overlap by
+    //    1 + min(sz_a - rx, sz_b - ry); jaccard >= t needs overlap
+    //    >= t/(1+t) * (sz_a + sz_b), so matches whose bound falls
+    //    short cannot certify the pair — and a pair ALL of whose
+    //    shared prefix grams fall short cannot reach t at all.
+    val alpha = ceil(lit(threshold / (1 + threshold)) *
+      (col("x.sz") + col("y.sz")))
     val cands = prefix.as("x").join(prefix.as("y"),
         col("x.block") === col("y.block") && col("x.g") === col("y.g") &&
-          col("x.id") < col("y.id"))
+          col("x.id") < col("y.id") &&
+          col("y.sz") >= lit(threshold) * col("x.sz") &&
+          col("x.sz") >= lit(threshold) * col("y.sz") &&
+          lit(1) + least(col("x.sz") - col("x.rk"),
+            col("y.sz") - col("y.rk")) >= alpha)
       .select(col("x.block").as("block"), col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
 
+    // Spread the pair stream before the verify: AQE coalesces the
+    // distinct's exchange by SHUFFLE BYTES (a ~24-byte pair row), blind
+    // to the interpreted array-intersect each surviving row pays next —
+    // measured: 967k verifies squeezed onto 4 post-coalesce tasks, two
+    // ~23 s straggler stages. spread() re-fans the (tiny) pair rows to
+    // every slot; no-op when the stream is already wide. (r15)
+    val candsWide = graft.Tables.spread(cands)
+
+    // Verify joins: the checkpointed gram table has no catalyst stats,
+    // so AQE cannot see that it is broadcastable and would sort-merge —
+    // shipping the ~KB gram array of BOTH sides through two full
+    // shuffles of the candidate stream (measured: 27 s of l4's 34 s).
+    // Restore the decision AQE lost with measured numbers: rows and
+    // mean gram count are two O(1)-ish jobs on the checkpoint; when
+    // the estimated size fits the (configurable) bound, broadcast —
+    // the guide's "explicit broadcast when you know a side is small".
+    // A 100 TB corpus blows the bound and falls back to the shuffle
+    // join, which is the correct plan at that scale.
     val sets = base.select(col("id"), col("grams"))
-    cands
-      .join(sets.select(col("id").as("a"), col("grams").as("ga")), "a")
-      .join(sets.select(col("id").as("b"), col("grams").as("gb")), "b")
+    val bcBound = docs.sparkSession.conf
+      .get("spark.graft.simjoin.broadcastVerifyBytes", (200L << 20).toString)
+      .toLong
+    val estBytes = {
+      val stats = base.select(count(lit(1)), avg(size(col("grams")))).head
+      val rows = stats.getLong(0)
+      val avgGrams = Option(stats.get(1)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+      (rows * avgGrams * (n + 24)).toLong
+    }
+    def side(tag: String) = {
+      val s = sets.select(col("id").as(tag), col("grams").as(s"g$tag"))
+      if (estBytes <= bcBound) broadcast(s) else s
+    }
+    candsWide
+      .join(side("a"), "a")
+      .join(side("b"), "b")
       .withColumn("jac", TextFns.jaccard(col("ga"), col("gb")))
       .filter(col("jac") >= threshold)
       .select(col("block"), col("a"), col("b"), round(col("jac"), 4).as("jac"))

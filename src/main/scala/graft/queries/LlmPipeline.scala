@@ -28,7 +28,12 @@ object LlmPipeline {
   private val stopDe = Seq("der", "die", "und", "das", "ist")
 
   private def docsWithToks(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val d = Tables.load(s, dir, "documents")
+    // spread BEFORE the tokenize pipeline: the fixture's documents
+    // table is one single-row-group parquet file = one scan task, so
+    // without this every normalize/tokenize/shingle/hash pass above it
+    // ran on one core (r15; Tables.spread is a no-op for multi-file
+    // corpora)
+    val d = Tables.spread(Tables.load(s, dir, "documents"))
     d.withColumn("__norm", TextFns.norm(col("text")))
       .withColumn("__toks", TextFns.tokens(col("__norm")))
   }

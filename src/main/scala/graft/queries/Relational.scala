@@ -398,13 +398,19 @@ object Relational {
       SELECT k, count(*) AS n FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
       GROUP BY k ORDER BY k""")),
 
-    // O1/O3: multi-key ORDER BY + LIMIT => TakeOrderedAndProject top-k
+    // O1/O3: multi-key ORDER BY + LIMIT => TakeOrderedAndProject top-k.
+    // r15: the top-k heap orders by the RAW double (strictly monotonic
+    // with the 2-decimal cast on this data — see Tables.cents — so the
+    // winners and their order are identical) and only the 10 surviving
+    // rows pay the BigDecimal cast, instead of every scanned row.
     Q("o3_topk", (s, dir) => {
       Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+        .limit(10)
         .select(col("l_orderkey"), col("l_linenumber"),
           dec(col("l_extendedprice")).as("price"))
-        .orderBy(col("price").desc, col("l_orderkey").asc, col("l_linenumber").asc)
-        .limit(10)
     }, Some("""
       SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(12,2)) AS price
       FROM lineitem ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 10"""),

@@ -22,8 +22,12 @@ object EventsStreaming {
   def windowedAgg(events: DataFrame, windowLength: String = "1 hour"): DataFrame =
     events
       .groupBy(window(col("ts"), windowLength), col("event_type"))
+      // scaled-long cents sum (see Tables.cents): long adds per row,
+      // one rescale per window group — identical values, and the same
+      // partial-agg state works for the streaming variants
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,4)")).cast("decimal(18,4)").as("sum_value"))
+        (sum(graft.Tables.cents(col("value"))).cast("decimal(20,0)") / 100)
+          .cast("decimal(18,4)").as("sum_value"))
       .select(col("window.start").as("ws"), col("event_type"),
         col("n"), col("sum_value"))
 
