@@ -177,7 +177,7 @@ object DevAb {
     println("[devab] n_docs=" + docs.count() +
       " n_sig=" + sigs.count() +
       " n_cand=" + MinHashLsh.candidatePairs(sigs, 16, 4).count() +
-      " avg_shingles=" + sigs.select(avg(size(col("shingles")))).head.getDouble(0))
+      " avg_shingles=" + sigs.select(avg(size(col("hs")))).head.getDouble(0))
   }
 
   /** How much of the cb sweep is scan-task scheduling overhead? Times a

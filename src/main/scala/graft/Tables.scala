@@ -97,11 +97,30 @@ object Tables {
     *
     * Guarded: only fires when the scan has fewer partitions than the
     * cluster has slots, so a corpus that already arrives in thousands
-    * of files never pays a gratuitous shuffle or materialization. */
+    * of files never pays a gratuitous shuffle or materialization.
+    *
+    * SCAN INPUTS ONLY: the `df.rdd` partition probe finalizes the
+    * adaptive plan, and for a plan that CONTAINS shuffles that means
+    * executing every shuffle stage — after which the checkpoint is a
+    * separate QueryExecution that recomputes them all (the whole
+    * pipeline would run twice; r15 advice). A bare file scan has no
+    * query stages, so the probe only plans. For shuffled streams use
+    * [[fanOut]]. */
   def spread(df: DataFrame): DataFrame = {
     val slots = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < slots)
       df.repartition(slots).localCheckpoint(true)
     else df
   }
+
+  /** Unconditional fan-out + optimizer barrier for a known-small
+    * SHUFFLED stream (e.g. a candidate-pair distinct whose exchange
+    * AQE coalesced by shuffle bytes, blind to expensive downstream
+    * per-row work — guide §2.5). No partition probe: probing a
+    * shuffled plan's partition count executes its stages once and the
+    * checkpoint then recomputes them (see [[spread]]); the repartition
+    * of a tiny stream is cheap enough to pay unconditionally. */
+  def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint(true)
 }

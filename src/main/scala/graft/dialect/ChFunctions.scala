@@ -191,6 +191,9 @@ object ChFunctions {
 
     // custom codegen'd Expression: 60-bit md5 prefix (dedup hot path)
     "md5Prefix60" -> (a => graft.functions.Md5Prefix60(Cast(a.head, BinaryType))),
+    // codegen'd merge-intersect count over sorted distinct long arrays
+    // (similarity-verify hot path — see SortedLongIntersect)
+    "sortedLongIntersect" -> (a => graft.functions.SortedLongIntersect(a(0), a(1))),
 
     // integer hashes: the published ClickHouse algorithms (Hash.h),
     // codegen'd — see graft.functions.IntHash provenance note

@@ -59,6 +59,27 @@ object TextFns {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
+  /** Sorted distinct 60-bit md5 hashes of a distinct string array — the
+    * compact verify-side representation of a gram set: 8 bytes/gram in
+    * shuffles and checkpoints instead of the gram string, and set
+    * operations become codegen'd merges ([[jaccardSorted]]) instead of
+    * interpreted per-call hash sets. Requires
+    * `graft.dialect.ChFunctions.register` on the session (md5Prefix60).
+    * 60-bit collisions would alter a count; at any plausible per-pair
+    * gram cardinality the probability is < 1e-12 and every declared
+    * query is oracle-gated. */
+  def sortedHashes(grams: Column): Column =
+    array_sort(transform(grams, g => call_function("md5Prefix60", g)))
+
+  /** Exact set Jaccard of two SORTED DISTINCT long-hash arrays
+    * ([[sortedHashes]]): |a ∩ b| / (|a| + |b| - |a ∩ b|), the codegen
+    * merge-intersect path. Identical values to [[jaccard]] over the
+    * pre-hash string sets (absent 60-bit collisions — see above). */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    val inter = call_function("sortedLongIntersect", a, b)
+    inter.cast("double") / (size(a) + size(b) - inter).cast("double")
+  }
+
   /** How many tokens of `toks` appear in the wordlist (with
     * multiplicity) — the oracle side uses list_filter/list_contains. */
   def countIn(toks: Column, words: Seq[String]): Column = {

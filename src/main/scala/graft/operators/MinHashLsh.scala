@@ -36,7 +36,18 @@ object MinHashLsh {
 
   private val P = 2147483647L // 2^31 - 1: a_i*h + b_i stays < 2^62
 
-  /** (id, shingles, sig) for each input row; sig is array<bigint>(k).
+  /** One (id, hs, sig) row per distinct id, eagerly localCheckpoint'ed;
+    * `hs` is the SORTED array of distinct 60-bit md5 shingle hashes
+    * (8 bytes/shingle in checkpoint and verify shuffles instead of the
+    * shingle string; exact-verify runs the codegen'd
+    * sortedLongIntersect merge, r16) and sig is array<bigint>(k).
+    *
+    * ID CONTRACT: ids are expected unique (every caller feeds a
+    * primary-key doc_id). Since the aggregate groups by id with no
+    * join-back (r16), duplicate ids degrade DETERMINISTICALLY — their
+    * shingle sets merge into one row whose signature/hs is that of the
+    * union document — rather than cross-producting rows (the r15
+    * join-back shape's failure mode flagged in ADVICE).
     *
     * Docs too short to produce one shingle are EXCLUDED: their fold
     * would return the init sentinel [P,P,..], colliding every short doc
@@ -59,24 +70,39 @@ object MinHashLsh {
     // explode the shingle set, hash each shingle once, and take k
     // primitive-long min() aggregates — whole-stage codegen end to
     // end, with the map-side partial agg collapsing each partition to
-    // one 64-long row per doc before the (tiny) shuffle. The shingle
-    // arrays are materialized once (localCheckpoint) and joined back
-    // by id for the verify stage. Measured 9.5 s -> ~1 s.
+    // one 64-long row per doc before the (tiny) shuffle.
+    //
+    // r16: ONE aggregation builds BOTH the signature and the verify
+    // set. The exploded shingle stream hashes each shingle once with
+    // the codegen'd md5Prefix60 (never an interpreted transform() over
+    // the array — HOF lambdas run interpreted, the r15 lesson), and
+    // the groupBy(id) computes the k min() slots AND
+    // sort_array(collect_set(h0)) — the doc's sorted distinct 60-bit
+    // hash set — in the same pass. That removes the r15 shape's
+    // base-side checkpoint of shingle STRINGS and the base⋈mins join
+    // entirely: signatures() returns the single aggregated frame,
+    // eagerly checkpointed here (from parquet, inside the run; every
+    // caller reuses it without re-checkpointing). Verify joins ship
+    // 8 bytes/shingle and run the codegen'd sortedLongIntersect merge.
+    // Docs too short for one shingle vanish from the explode, which is
+    // exactly the old filter(size > 0) exclusion.
     // spread first: a single-file corpus scans as ONE task, serializing
     // the whole shingle pipeline (guide §2.5; no-op for multi-file input)
-    val base = graft.Tables.spread(docs).select(col(idCol).as("id"),
-        TextFns.wordShingles(toks, shingleWidth).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .localCheckpoint(true)
-    val hs = base
-      .select(col("id"), explode(col("shingles")).as("s"))
-      .select(col("id"), expr(s"md5Prefix60(s) % $P").as("h"))
+    // narrow BEFORE spread: the eager spread checkpoint otherwise
+    // materializes every column of the corpus; only (id, text) feed
+    // this operator (guide §2.3 "project before the exchange")
+    val hs = graft.Tables.spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("id"),
+        explode(TextFns.wordShingles(toks, shingleWidth)).as("s"))
+      .select(col("id"), expr("md5Prefix60(s)").as("h0"))
+      .select(col("id"), col("h0"), expr(s"h0 % $P").as("h"))
     val minCols = (0 until k).map(i =>
       min(expr(s"(${a(i)}L * h + ${b(i)}L) % $P")).as(s"__m$i"))
-    val mins = hs.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
-    base.join(mins, "id")
-      .select(col("id"), col("shingles"),
+    val aggCols = sort_array(collect_set(col("h0"))).as("hs") +: minCols
+    hs.groupBy(col("id")).agg(aggCols.head, aggCols.tail: _*)
+      .select(col("id"), col("hs"),
         array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
+      .localCheckpoint(true)
   }
 
   /** LSH band index: (id, band, key) — one row per document per band,
@@ -187,22 +213,21 @@ object MinHashLsh {
                        bands: Int = 16): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    // localCheckpoint, not persist — see nearDupPairs
+    // signatures() already returns an eagerly checkpointed frame (r16)
     val exSigs = signatures(existing, idCol, textCol, shingleWidth, k)
-      .localCheckpoint(true)
     val inSigs = signatures(incoming, idCol, textCol, shingleWidth, k)
-      .localCheckpoint(true)
     // candidate (incoming a, existing b) pairs sharing a band bucket
     val cands = bandKeys(inSigs, bands, r).as("x")
       .join(bandKeys(exSigs, bands, r).as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
-    // exact-verify candidates only (keyed shingle re-fetch, both sides)
+    // exact-verify candidates only (keyed shingle-hash re-fetch, both
+    // sides; codegen'd merge-intersect — see signatures)
     val verified = cands
-      .join(inSigs.select(col("id").as("a"), col("shingles").as("sa")), "a")
-      .join(exSigs.select(col("id").as("b"), col("shingles").as("sb")), "b")
-      .withColumn("jac", TextFns.jaccard(col("sa"), col("sb")))
+      .join(inSigs.select(col("id").as("a"), col("hs").as("sa")), "a")
+      .join(exSigs.select(col("id").as("b"), col("hs").as("sb")), "b")
+      .withColumn("jac", TextFns.jaccardSorted(col("sa"), col("sb")))
       .filter(col("jac") >= threshold)
     // min-id match per incoming doc, carrying that match's Jaccard
     val best = verified.groupBy(col("a"))
@@ -220,22 +245,20 @@ object MinHashLsh {
                    threshold: Double, shingleWidth: Int = 3,
                    k: Int = 64, bands: Int = 16): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    // localCheckpoint, NOT persist: sigs is reused by the band join and
-    // both verify joins, but a persist here is never unpersisted (the
-    // returned frame still needs it), and Spark's CacheManager serves
-    // any LATER identical plan from the stale entry — a repeated bench
-    // pass would silently read cached signatures instead of computing
-    // from parquet. The eager checkpoint materializes once per CALL and
-    // is unreachable from any other invocation. (r15; same fix in
-    // incrementalDedup / SimHash / SimilarityJoin / CosineKnn.)
+    // sigs is reused by the band join and both verify joins;
+    // signatures() returns it already eagerly localCheckpoint'ed —
+    // NEVER bare-persisted: a persist here is never unpersisted and
+    // Spark's CacheManager would serve any LATER identical plan from
+    // the stale entry (the banned cross-run caching class, r15; same
+    // discipline in incrementalDedup / SimHash / SimilarityJoin /
+    // CosineKnn).
     val sigs = signatures(docs, idCol, textCol, shingleWidth, k)
-      .localCheckpoint(true)
     val cands = candidatePairs(sigs, bands, k / bands)
-    val sets = sigs.select(col("id"), col("shingles"))
+    val sets = sigs.select(col("id"), col("hs"))
     cands
-      .join(sets.select(col("id").as("a"), col("shingles").as("sa")), "a")
-      .join(sets.select(col("id").as("b"), col("shingles").as("sb")), "b")
-      .withColumn("jac", TextFns.jaccard(col("sa"), col("sb")))
+      .join(sets.select(col("id").as("a"), col("hs").as("sa")), "a")
+      .join(sets.select(col("id").as("b"), col("hs").as("sb")), "b")
+      .withColumn("jac", TextFns.jaccardSorted(col("sa"), col("sb")))
       .filter(col("jac") >= threshold)
       .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
   }

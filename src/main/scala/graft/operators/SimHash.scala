@@ -45,8 +45,11 @@ object SimHash {
     // with a 60-term conditional add in one projection — whole-stage
     // codegen end to end, partial aggs collapse per partition before
     // the (tiny) shuffle.
-    // spread first: a single-file corpus scans as ONE task (guide §2.5)
-    val votes = graft.Tables.spread(docs).select(col(idCol).as("id"),
+    // spread first: a single-file corpus scans as ONE task (guide §2.5);
+    // narrowed to (id, text) so the spread checkpoint materializes only
+    // the columns this operator reads (r16, guide §2.3)
+    val votes = graft.Tables.spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("id"),
         TextFns.wordShingles(toks, shingleWidth).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("id"), explode(col("sh")).as("s"))

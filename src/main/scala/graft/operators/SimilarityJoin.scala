@@ -33,27 +33,54 @@ object SimilarityJoin {
     // persist: a leaked cache entry would serve later identical plans
     // from memory (see MinHashLsh.nearDupPairs)
     // spread first: a single-file corpus scans as ONE task (guide §2.5)
-    val base = graft.Tables.spread(docs)
+    //
+    // r16: grams live as SORTED 60-bit md5 HASHES from here on — the
+    // gram string never leaves the map stage. Every downstream key
+    // (frequency groupBy, prefix equi-join) becomes an 8-byte long
+    // instead of an n-char string (guide §2.3 "shuffle keys instead of
+    // payloads"), the checkpoint stores long arrays, and the verify's
+    // set-intersection becomes a codegen'd merge over sorted longs
+    // (sortedLongIntersect) instead of ~1M interpreted
+    // array_intersect/array_union calls — the last interpreted
+    // expression on this path (r15 "not yet" list). The rarity order
+    // changes from (freq, gram-string) to (freq, gram-hash): the
+    // prefix filter only needs SOME fixed global total order, so the
+    // filter stays lossless; verified results are unchanged (exact
+    // verify, oracle-gated — 60-bit collisions would need ~2^30
+    // distinct grams per block to be plausible).
+    graft.dialect.ChFunctions.register(docs.sparkSession) // md5Prefix60
+    // narrowed to the three columns this operator reads, so the spread
+    // checkpoint never materializes the rest (r16, guide §2.3)
+    val base = graft.Tables.spread(
+        docs.select(col(idCol), col(blockCol), col(textCol)))
       .select(col(idCol).as("id"), col(blockCol).as("block"),
-        TextFns.charNgrams(TextFns.norm(col(textCol)), n).as("grams"))
+        TextFns.sortedHashes(
+          TextFns.charNgrams(TextFns.norm(col(textCol)), n)).as("hs"))
       .localCheckpoint(true)
 
     val exploded = base.select(col("id"), col("block"),
-      size(col("grams")).as("sz"), explode(col("grams")).as("g"))
+      size(col("hs")).as("sz"), explode(col("hs")).as("g"))
 
-    // global frequency => deterministic rarity order (freq, gram)
+    // global frequency => deterministic rarity order (freq, gram-hash)
     val freq = exploded.groupBy(col("g")).agg(count(lit(1)).as("freq"))
     val ranked = exploded.join(freq, "g")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("freq").asc, col("g").asc)))
 
-    // prefix length m = sz - ceil(t*sz) + 1. localCheckpoint: the
-    // self-join below references prefix TWICE, and without a barrier
-    // each branch re-runs the explode + frequency join + rank window
-    // over the full gram stream (no AQE stage reuse fires — r15,
-    // plan-verified; same hazard as MinHashLsh/LlmPipeline).
+    // prefix length m = sz - ceil(t*sz) + 1. The epsilon inside ceil
+    // makes the bound EXACT-SAFE: t*sz evaluated in doubles can land
+    // epsilon above the true rational value (0.8*35 = 28.000000000000004)
+    // and ceil then over-prunes a pair sitting exactly at the
+    // threshold, breaking the lossless/recall-1 contract (r16, advice).
+    // 1e-9 is far below the spacing of t*sz values for any
+    // short-decimal threshold, so it can never under-tighten by 1.
+    // localCheckpoint: the self-join below references prefix TWICE,
+    // and without a barrier each branch re-runs the explode +
+    // frequency join + rank window over the full gram stream (no AQE
+    // stage reuse fires — r15, plan-verified; same hazard as
+    // MinHashLsh/LlmPipeline).
     val prefix = ranked.filter(
-      col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      col("rk") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
       .localCheckpoint(true)
 
     // Two lossless pre-filters on the candidate join (r15 — the
@@ -67,8 +94,12 @@ object SimilarityJoin {
     //    >= t/(1+t) * (sz_a + sz_b), so matches whose bound falls
     //    short cannot certify the pair — and a pair ALL of whose
     //    shared prefix grams fall short cannot reach t at all.
+    // same epsilon guard as the prefix filter: t/(1+t)*(sz_a+sz_b) in
+    // doubles rounds up past the exact integer at e.g. t=0.8, sizes
+    // summing 63 (exact 28, fp 28.000000000000004 -> ceil 29), which
+    // silently dropped exact-threshold pairs (r16, advice)
     val alpha = ceil(lit(threshold / (1 + threshold)) *
-      (col("x.sz") + col("y.sz")))
+      (col("x.sz") + col("y.sz")) - lit(1e-9))
     val cands = prefix.as("x").join(prefix.as("y"),
         col("x.block") === col("y.block") && col("x.g") === col("y.g") &&
           col("x.id") < col("y.id") &&
@@ -83,9 +114,12 @@ object SimilarityJoin {
     // distinct's exchange by SHUFFLE BYTES (a ~24-byte pair row), blind
     // to the interpreted array-intersect each surviving row pays next —
     // measured: 967k verifies squeezed onto 4 post-coalesce tasks, two
-    // ~23 s straggler stages. spread() re-fans the (tiny) pair rows to
-    // every slot; no-op when the stream is already wide. (r15)
-    val candsWide = graft.Tables.spread(cands)
+    // ~23 s straggler stages. fanOut (r16): the r15 spread() here
+    // probed the shuffled stream's partition count, which executed the
+    // whole candidate pipeline once BEFORE the checkpoint recomputed
+    // it — the dominant stage ran twice (advice). fanOut repartitions
+    // unconditionally with no probe.
+    val candsWide = graft.Tables.fanOut(cands)
 
     // Verify joins: the checkpointed gram table has no catalyst stats,
     // so AQE cannot see that it is broadcastable and would sort-merge —
@@ -97,24 +131,24 @@ object SimilarityJoin {
     // the guide's "explicit broadcast when you know a side is small".
     // A 100 TB corpus blows the bound and falls back to the shuffle
     // join, which is the correct plan at that scale.
-    val sets = base.select(col("id"), col("grams"))
+    val sets = base.select(col("id"), col("hs"))
     val bcBound = docs.sparkSession.conf
       .get("spark.graft.simjoin.broadcastVerifyBytes", (200L << 20).toString)
       .toLong
     val estBytes = {
-      val stats = base.select(count(lit(1)), avg(size(col("grams")))).head
+      val stats = base.select(count(lit(1)), avg(size(col("hs")))).head
       val rows = stats.getLong(0)
       val avgGrams = Option(stats.get(1)).map(_.asInstanceOf[Double]).getOrElse(0.0)
-      (rows * avgGrams * (n + 24)).toLong
+      (rows * avgGrams * 8 + rows * 32).toLong // 8 B/hash + row overhead
     }
     def side(tag: String) = {
-      val s = sets.select(col("id").as(tag), col("grams").as(s"g$tag"))
+      val s = sets.select(col("id").as(tag), col("hs").as(s"h$tag"))
       if (estBytes <= bcBound) broadcast(s) else s
     }
     candsWide
       .join(side("a"), "a")
       .join(side("b"), "b")
-      .withColumn("jac", TextFns.jaccard(col("ga"), col("gb")))
+      .withColumn("jac", TextFns.jaccardSorted(col("ha"), col("hb")))
       .filter(col("jac") >= threshold)
       .select(col("block"), col("a"), col("b"), round(col("jac"), 4).as("jac"))
   }

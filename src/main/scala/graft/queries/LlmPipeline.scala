@@ -27,13 +27,23 @@ object LlmPipeline {
   private val stopFr = Seq("le", "la", "et", "les", "des")
   private val stopDe = Seq("der", "die", "und", "das", "ist")
 
-  private def docsWithToks(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private def docsWithToks(s: org.apache.spark.sql.SparkSession, dir: String,
+                           fan: Boolean = true) = {
     // spread BEFORE the tokenize pipeline: the fixture's documents
     // table is one single-row-group parquet file = one scan task, so
     // without this every normalize/tokenize/shingle/hash pass above it
     // ran on one core (r15; Tables.spread is a no-op for multi-file
-    // corpora)
-    val d = Tables.spread(Tables.load(s, dir, "documents"))
+    // corpora). fan=false opts a pipeline OUT when its derivation is a
+    // single cheap pass (r16: the repartition + eager materialization
+    // of the whole documents table costs more than it buys there —
+    // l18 regressed 0.42 -> 0.65 s under unconditional spread, driver
+    // r15 artifact).
+    // narrowed to the columns the docsWithToks pipelines actually read
+    // (doc_id, lang, text), so the spread checkpoint never materializes
+    // source/n_chars (r16, guide §2.3)
+    val raw = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val d = if (fan) Tables.spread(raw) else raw
     d.withColumn("__norm", TextFns.norm(col("text")))
       .withColumn("__toks", TextFns.tokens(col("__norm")))
   }
@@ -578,7 +588,9 @@ object LlmPipeline {
     Q("l18_pack_sequences", (s, dir) => {
       val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docsWithToks(s, dir)
+      // fan=false: one cheap tokenize-and-count pass — the spread
+      // materialization was pure overhead here (r16, see docsWithToks)
+      docsWithToks(s, dir, fan = false)
         .select(col("doc_id"), size(col("__toks")).as("n_tokens"))
         .withColumn("shard", pmod(col("doc_id"), lit(8)))
         .withColumn("cum", sum(col("n_tokens")).over(w))
@@ -666,9 +678,17 @@ object LlmPipeline {
     // fits. Output: contaminated doc -> how many benchmark docs and
     // distinct grams it collides with.
     Q("l21_decontaminate", (s, dir) => {
+      // r16: the join/distinct key is the 60-bit md5 HASH of the
+      // 8-gram, not the ~50-byte gram string — the contamination
+      // decision only needs key equality, so shuffle/agg rows shrink
+      // ~6x (guide §2.3 "shuffle keys and metadata instead of
+      // payloads"); countDistinct over the hashes equals countDistinct
+      // over the grams absent 60-bit collisions (oracle-gated).
+      graft.dialect.ChFunctions.register(s) // md5Prefix60
       val sh = docsWithToks(s, dir)
         .select(col("doc_id"),
-          explode(TextFns.wordShingles(col("__toks"), 8)).as("g"))
+          explode(TextFns.wordShingles(col("__toks"), 8)).as("g0"))
+        .select(col("doc_id"), expr("md5Prefix60(g0)").as("g"))
       val bench = sh.filter(pmod(col("doc_id"), lit(7)) === 0)
         .select(col("doc_id").as("bench_id"), col("g"))
       sh.filter(pmod(col("doc_id"), lit(7)) =!= 0)
@@ -722,12 +742,23 @@ object LlmPipeline {
     // orders by the ROUNDED score so cross-engine double ulps can't
     // flip ranks; exact ties break on the term.
     Q("l23_tfidf_topterms", (s, dir) => {
+      // r16: tf is referenced twice (the term-frequency side and, via
+      // dfreq, the document-frequency side) and no AQE stage reuse ever
+      // fires in this codebase (r15, plan-verified) — so the whole
+      // tokenize + explode + groupBy pipeline executed TWICE. The eager
+      // localCheckpoint materializes the per-(doc, term) counts once
+      // per run (from parquet, inside the timed region); df and n are
+      // then vocabulary-sized aggregates OVER tf, and the broadcast
+      // join shape — the skew-safe plan at 100 TB, where a window
+      // partitioned by raw term would bottleneck on stop words — is
+      // unchanged. n_docs from tf is value-identical: split() never
+      // returns an empty array, so every document has >= 1 term row.
       val tf = docsWithToks(s, dir)
         .select(col("doc_id"), explode(col("__toks")).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val n = Tables.load(s, dir, "documents")
-        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      val n = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("term"))
       tf.join(broadcast(dfreq), "term").crossJoin(broadcast(n))

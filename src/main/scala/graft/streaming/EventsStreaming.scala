@@ -22,11 +22,16 @@ object EventsStreaming {
   def windowedAgg(events: DataFrame, windowLength: String = "1 hour"): DataFrame =
     events
       .groupBy(window(col("ts"), windowLength), col("event_type"))
-      // scaled-long cents sum (see Tables.cents): long adds per row,
-      // one rescale per window group — identical values, and the same
-      // partial-agg state works for the streaming variants
+      // scaled-long sum (see Tables.cents): long adds per row, one
+      // rescale per window group — and scaled by 1e4, not 1e2 (r16,
+      // advice): this operator's declared output is decimal(18,4), so
+      // the fast path must preserve FOUR decimals for any valid input;
+      // rounding to cents was a fixture property (2-decimal values),
+      // not the operator contract. Identical values on 2-decimal data,
+      // now also on any 4-decimal input; same partial-agg state works
+      // for the streaming variants.
       .agg(count(lit(1)).as("n"),
-        (sum(graft.Tables.cents(col("value"))).cast("decimal(20,0)") / 100)
+        (sum(round(col("value") * 10000).cast("long")).cast("decimal(22,0)") / 10000)
           .cast("decimal(18,4)").as("sum_value"))
       .select(col("window.start").as("ws"), col("event_type"),
         col("n"), col("sum_value"))

@@ -279,6 +279,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fast === brute)
   }
 
+  test("SimilarityJoin keeps pairs at EXACTLY the Jaccard threshold (ADVICE r15)") {
+    // 28 distinct 4-grams all contained in 35: jac = 28/35 = 0.8
+    // exactly. The double-precision overlap bound t/(1+t)*(28+35)
+    // evaluates to 28.000000000000004, so an unguarded ceil demanded 29
+    // — above the maximum attainable positional bound of 28 — and the
+    // pair was silently dropped; the prefix length ceil(0.8*35) had the
+    // same off-by-one. Both ceils now subtract 1e-9 (exact-safe).
+    val chars = "abcdefghijklmnopqrstuvwxyz0123456789-_" // 38 distinct
+    val docs = Seq((1L, chars.take(31), "en"), (2L, chars, "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = SimilarityJoin.ngramJaccardPairs(docs, "doc_id", "text", "lang", 4, 0.8)
+      .select("a", "b", "jac").as[(Long, Long, Double)].collect().toList
+    assert(out === List((1L, 2L, 0.8)), out)
+  }
+
   test("CosineKnn brute force: parallel vector ranks above orthogonal") {
     val corpus = Seq(
       (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0.9f, 0.1f, 0f, 0f)),
