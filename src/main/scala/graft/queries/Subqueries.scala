@@ -45,6 +45,44 @@ object Subqueries {
         SELECT 0.2 * round(CAST(sum(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6)
         FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)"""
 
+  // ---- Spark-side scaled-long forks (r16, see TpchShapes) ---------
+  // Oracle keeps the original decimal texts; Spark sums exact cents
+  // LONGS and rescales once per group. DOUBLE conversions of long sums
+  // < 2^53 round identically to the old decimal->double casts, so the
+  // admitted row sets and outputs are value-identical (oracle-gated).
+  private val q17spark = """
+    SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0 / 7.0, 4) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (
+        SELECT 0.2 * round(CAST(sum(CAST(round(l2.l_quantity * 100) AS BIGINT)) AS DOUBLE)
+                           / 100.0 / count(*), 6)
+        FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)"""
+
+  private val q18spark = """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+           CAST(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DECIMAL(20,0)) / 100
+                AS DECIMAL(18,2)) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey
+                         HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 20000)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY price DESC, o_orderkey LIMIT 20"""
+
+  private val lateralSpark = """
+    SELECT o_orderkey, t.max_price, t.n_lines
+    FROM orders,
+    LATERAL (SELECT CAST(CAST(max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DECIMAL(14,0)) / 100
+                         AS DECIMAL(12,2)) AS max_price,
+                    count(*) AS n_lines
+             FROM lineitem WHERE l_orderkey = o_orderkey) AS t
+    ORDER BY o_orderkey LIMIT 200"""
+
   private val q4 = """
     SELECT o_orderpriority, count(*) AS order_count
     FROM orders
@@ -110,7 +148,7 @@ object Subqueries {
     // P12 / TPC-H Q17: correlated scalar agg in WHERE. Decorrelates to
     // per-partkey aggregate + join — one pass over lineitem, not one
     // subquery execution per row.
-    Q("p12_scalar_subq_q17", sql("lineitem", "part")(q17), Some(q17), bench = true),
+    Q("p12_scalar_subq_q17", sql("lineitem", "part")(q17spark), Some(q17), bench = true),
 
     // P13 / TPC-H Q4: correlated EXISTS whose inner predicate references
     // the outer row non-equally (l_shipdate > o_orderdate) → left-semi
@@ -123,7 +161,7 @@ object Subqueries {
 
     // P15 / TPC-H Q18: IN over a grouped-HAVING subquery → left-semi
     // join against the aggregated key set.
-    Q("p15_in_having_q18", sql("customer", "orders", "lineitem")(q18), Some(q18)),
+    Q("p15_in_having_q18", sql("customer", "orders", "lineitem")(q18spark), Some(q18)),
 
     // P16 / TPC-H Q21: EXISTS and NOT EXISTS chained on the same fact
     // table with inequality correlation — the hardest decorrelation
@@ -138,6 +176,6 @@ object Subqueries {
     // P19: LATERAL derived table — correlated scalar aggregates exposed
     // as join columns; Catalyst plans it as the same decorrelated
     // aggregate + left outer join as a scalar subquery pair.
-    Q("p17_lateral_subq", sql("orders", "lineitem")(lateral), Some(lateral))
+    Q("p17_lateral_subq", sql("orders", "lineitem")(lateralSpark), Some(lateral))
   )
 }

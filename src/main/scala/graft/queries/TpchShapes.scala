@@ -85,6 +85,88 @@ object TpchShapes {
        OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
        OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)"""
 
+  // ---- Spark-side scaled-long forks (r16) -------------------------
+  // The oracle keeps the original decimal texts above; Spark runs these
+  // value-identical rewrites where every money sum is a LONG over
+  // exact e2/e4 scaled integers (Tables.cents semantics, proven on g2
+  // in r15 §A): round(x*100) recovers exact cents of the 2-decimal
+  // fixtures, v4 = cents_price * (100 - cents_disc) is exactly
+  // 1e4 * price*(1-disc), and the one rescale per GROUP —
+  // CAST(sum AS DECIMAL(24,0)) / 10000 cast back to the DECLARED
+  // decimal type — is exact wherever the declared output is
+  // representable. DOUBLE ratio columns convert the exact long sum
+  // with the same single rounding as the old decimal->double cast
+  // (long sums < 2^53, same domain argument as g2's avg columns).
+  // Schemas (names + types) are byte-identical to the oracle's.
+  private val centsRevenue =
+    """CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))"""
+
+  private val q7spark = s"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(CAST(sum(v4) AS DECIMAL(24,0)) / 10000 AS DECIMAL(18,4)) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             $centsRevenue AS v4
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_3')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year"""
+
+  private val q10spark = s"""
+    SELECT c_custkey, c_name,
+           CAST(CAST(sum($centsRevenue) AS DECIMAL(24,0)) / 10000
+                AS DECIMAL(18,4)) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20"""
+
+  private val q14spark = s"""
+    SELECT round(100.0 *
+             (CAST(sum(CASE WHEN p_type = 'PROMO' THEN $centsRevenue
+                            ELSE 0 END) AS DOUBLE) / 10000.0)
+             / (CAST(sum($centsRevenue) AS DOUBLE) / 10000.0),
+           6) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'"""
+
+  private val q19spark = s"""
+    SELECT CAST(CAST(sum($centsRevenue) AS DECIMAL(24,0)) / 10000
+                AS DECIMAL(18,4)) AS revenue,
+           count(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)"""
+
+  private val q15spark = s"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(CAST(sum($centsRevenue) AS DECIMAL(24,0)) / 10000
+                  AS DECIMAL(18,4)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey"""
+
   private val q13 = """
     SELECT c_count, count(*) AS custdist FROM (
       SELECT c_custkey, count(o_orderkey) AS c_count
@@ -124,11 +206,14 @@ object TpchShapes {
     ORDER BY s_suppkey"""
 
   val qs: Seq[Q] = Seq(
-    Q("j9_volume_q7", sql("supplier", "lineitem", "orders", "customer", "nation")(q7),
+    // Spark runs the scaled-long forks (see centsRevenue above); the
+    // DuckDB oracle keeps the original shared decimal text — results
+    // are value- and schema-identical, gated per round.
+    Q("j9_volume_q7", sql("supplier", "lineitem", "orders", "customer", "nation")(q7spark),
       Some(q7), bench = true),
-    Q("j10_returns_q10", sql("customer", "orders", "lineitem", "nation")(q10), Some(q10)),
-    Q("g17_promo_ratio_q14", sql("lineitem", "part")(q14), Some(q14)),
-    Q("p19_or_of_ands_q19", sql("lineitem", "part")(q19), Some(q19), bench = true),
+    Q("j10_returns_q10", sql("customer", "orders", "lineitem", "nation")(q10spark), Some(q10)),
+    Q("g17_promo_ratio_q14", sql("lineitem", "part")(q14spark), Some(q14)),
+    Q("p19_or_of_ands_q19", sql("lineitem", "part")(q19spark), Some(q19), bench = true),
 
     // Q13: outer-join histogram — customers keep their zero-order rows
     // through an ON-clause residual filter, then a second aggregation
@@ -138,7 +223,7 @@ object TpchShapes {
     // Q15: CTE reused twice (revenue per supplier + its max) with a
     // scalar-subquery equality — exact-decimal revenue so the max
     // comparison is engine-independent.
-    Q("g18_top_supplier_q15", sql("supplier", "lineitem")(q15), Some(q15)),
+    Q("g18_top_supplier_q15", sql("supplier", "lineitem")(q15spark), Some(q15)),
 
     // Q16: count-distinct suppliers per (brand,size) with a NOT IN
     // blocklist — null-aware anti join feeding a distinct aggregate.
