@@ -303,8 +303,6 @@ object CosineKnn {
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, m: Int = 16, ks: Int = 16,
              rerankFactor: Int = 40): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     // localCheckpoint, not persist (see ivfTopK / MinHashLsh)
     val c0 = corpus.select(col(idCol).as("nid"), asDouble(vecCol).as("nv"))
       .withColumn("nn", sqrt(dot("nv", "nv")))
@@ -312,12 +310,28 @@ object CosineKnn {
     val dim = c0.select(size(col("nv"))).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    // per-subspace codebooks (index build — one bounded job per subspace)
+    // Per-subspace codebooks — r16: trained with a driver-side
+    // deterministic k-means++ + Lloyd over a BOUNDED sample instead of
+    // m Spark-ML KMeans fits. The old path launched ~160 tiny Spark
+    // jobs (16 subspaces x 10 iterations) and cost ~15 s/run at ANY
+    // corpus size — pure scheduler/iteration overhead, the single most
+    // expensive path in the engine. Training PQ codebooks on a fixed-
+    // size sample is the standard index-build practice (FAISS trains
+    // on ~max(256, 64*ks) points per centroid); the sample here is
+    // deterministic (top-4096 by xxhash64(id) — one bounded
+    // TakeOrderedAndProject, never an unbounded collect) and the
+    // driver-side Lloyd is O(|sample| * ks * dim * iters) ≈ 10M flops.
+    // The ANN result changes only through codebook quality; the
+    // DECLARED l30 output is the recall gate vs the exact top-k, which
+    // stays well above its 0.6 bound (re-measured at sf0.001/0.01/0.1;
+    // recall asserted in OperatorsSpec).
+    val sampleCap = 4096
+    val sample = c0.select(col("nid"), col("nv"))
+      .orderBy(xxhash64(col("nid")), col("nid")).limit(sampleCap)
+      .collect().map(_.getSeq[Double](1).toArray)
     val codebook = (0 until m).map { j =>
-      val training = c0.select(
-        array_to_vector(expr(s"slice(nv, ${j * sub + 1}, $sub)")).as("features"))
-      new KMeans().setK(ks).setSeed(42L + j).setMaxIter(10).fit(training)
-        .clusterCenters.map(_.toArray)
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      kmeansPP(pts, ks, iters = 10, seed = 42L + j)
     }
     val cb = typedlit(codebook.map(_.toArray).toArray)
     // encode: per subspace, the index of the nearest centroid by L2
@@ -357,5 +371,78 @@ object CosineKnn {
         Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)))
       .filter(col("rn") <= k)
       .select(col("qid"), col("nid"), col("sim"), col("rn"))
+  }
+
+  /** Deterministic k-means++ seeding + Lloyd refinement on the driver
+    * (bounded-sample codebook training for [[pqTopK]]). Ties break on
+    * the lowest index; an emptied cluster keeps its previous center —
+    * fully deterministic for a fixed (points, seed). */
+  private[operators] def kmeansPP(pts: Array[Array[Double]], ks: Int,
+                                  iters: Int, seed: Long): Array[Array[Double]] = {
+    val n = pts.length
+    require(n > 0, "kmeansPP needs a non-empty sample")
+    val d = pts(0).length
+    val rnd = new scala.util.Random(seed)
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    // k-means++ seeding: next center ~ P(x) proportional to D(x)^2
+    val centers = Array.ofDim[Array[Double]](ks)
+    centers(0) = pts(rnd.nextInt(n)).clone()
+    val minD = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < ks) {
+      var sum = 0.0
+      var i = 0
+      while (i < n) {
+        val dd = dist2(pts(i), centers(c - 1))
+        if (dd < minD(i)) minD(i) = dd
+        sum += minD(i); i += 1
+      }
+      var target = rnd.nextDouble() * sum
+      var pick = 0
+      i = 0
+      var acc = 0.0
+      while (i < n) {
+        acc += minD(i)
+        if (acc >= target) { pick = i; i = n } else i += 1
+      }
+      centers(c) = pts(pick).clone()
+      c += 1
+    }
+    // Lloyd iterations
+    val sums = Array.ofDim[Double](ks, d)
+    val counts = Array.ofDim[Int](ks)
+    var it = 0
+    while (it < iters) {
+      java.util.Arrays.fill(counts, 0)
+      sums.foreach(java.util.Arrays.fill(_, 0.0))
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < ks) {
+          val dd = dist2(pts(i), centers(j))
+          if (dd < bestD) { bestD = dd; best = j }
+          j += 1
+        }
+        counts(best) += 1
+        var t = 0
+        while (t < d) { sums(best)(t) += pts(i)(t); t += 1 }
+        i += 1
+      }
+      var j = 0
+      while (j < ks) {
+        if (counts(j) > 0) {
+          var t = 0
+          while (t < d) { centers(j)(t) = sums(j)(t) / counts(j); t += 1 }
+        } // empty cluster: keep previous center (deterministic)
+        j += 1
+      }
+      it += 1
+    }
+    centers
   }
 }
