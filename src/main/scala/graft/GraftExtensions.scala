@@ -14,5 +14,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.dialect.ChFunctions.injectInto(ext)
     ext.injectOptimizerRule(_ => graft.plans.PartitionPruneFromDate)
     ext.injectOptimizerRule(_ => graft.plans.SkipIndexPrune)
+    ext.injectOptimizerRule(_ => graft.plans.UInt64DistinctNarrow)
   }
 }

@@ -1188,6 +1188,10 @@ object ChFunctions {
             .contains(graft.plans.SkipIndexPrune))
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ graft.plans.SkipIndexPrune
+      if (!spark.experimental.extraOptimizations
+            .contains(graft.plans.UInt64DistinctNarrow))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ graft.plans.UInt64DistinctNarrow
     }
   }
 
