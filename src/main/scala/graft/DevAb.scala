@@ -47,6 +47,8 @@ object DevAb {
       case "l34" => l34Variants(spark, dir)
       case "l23" => l23Variants(spark, dir)
       case "floor" => floorSweep(spark)
+      case "floorSmall" => floorSmallSweep(spark)
+      case "phases" => phaseBreakdown(spark, dir)
       case "l2parts" => l2Parts(spark, dir)
       case "l4parts" => l4Parts(spark, dir)
       case "l4stages" => l4Stages(spark, dir)
@@ -210,6 +212,69 @@ object DevAb {
     settings.foreach { case (label, _) =>
       val ts = totals(label)
       println(f"[devab] floor maxPartitionBytes=$label subset_total best=${ts.min}%.2f all=${ts.reverse.map(t => f"$t%.2f").mkString(",")}")
+    }
+  }
+
+  /** r16 verdict item 6: where does the ~0.15 s per-query floor sit?
+    * Splits each near-floor query's wall time into DataFrame
+    * construction (view registration / transpile / analysis),
+    * physical planning, and execution (noop write, incl. AQE rounds
+    * and task waves). */
+  private def phaseBreakdown(spark: SparkSession, dir: String): Unit = {
+    graft.dialect.HitsFixture.ensureScaled(spark)
+    val byName = SparkEntry.all.map(q => q.name -> q).toMap
+    val names = Seq("g1_count", "g13_topk", "b1_cb_filtered_count",
+      "cb00_count", "cb19_point_user", "cb36_pageviews_url", "g5_groupby_expr")
+    names.foreach(n => byName(n).run(spark, dir)
+      .write.format("noop").mode("overwrite").save()) // warm
+    names.foreach { n =>
+      val samples = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        val df = byName(n).run(spark, dir)
+        val t1 = System.nanoTime()
+        df.queryExecution.executedPlan // force analysis+optimize+plan
+        val t2 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val t3 = System.nanoTime()
+        ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
+      }
+      val best = samples.minBy(s => s._1 + s._2 + s._3)
+      println(f"[devab] phases $n construct=${best._1}%.3f plan=${best._2}%.3f exec=${best._3}%.3f " +
+        f"(med total=${samples.map(s => s._1 + s._2 + s._3).sorted.apply(2)}%.3f)")
+    }
+  }
+
+  /** r16 verdict item 8: does the 6 MB split-floor retune cost the
+    * SUB-0.5s cb point queries real parallelism at the 3M fixture?
+    * Interleaved per-query A/B of 2m vs 6m on exactly the queries the
+    * r15 driver artifact regressed. */
+  private def floorSmallSweep(spark: SparkSession): Unit = {
+    graft.dialect.HitsFixture.ensureScaled(spark)
+    val byName = SparkEntry.all.map(q => q.name -> q).toMap
+    val subset = Seq("cb00_count", "cb01_adv_count", "cb06_minmax_date",
+      "cb07_adv_group", "cb19_point_user")
+    val settings = Seq("2m" -> (2L << 20), "6m" -> (6L << 20))
+    subset.foreach(n => byName(n).run(spark, "")
+      .write.format("noop").mode("overwrite").save())
+    val samples = scala.collection.mutable.Map
+      .empty[(String, String), List[Double]].withDefaultValue(Nil)
+    (1 to 5).foreach { _ =>
+      settings.foreach { case (label, bytes) =>
+        spark.conf.set("spark.sql.files.maxPartitionBytes", bytes.toString)
+        subset.foreach { n =>
+          val t0 = System.nanoTime()
+          byName(n).run(spark, "").write.format("noop").mode("overwrite").save()
+          samples((n, label)) ::= (System.nanoTime() - t0) / 1e9
+        }
+      }
+    }
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (2L << 20).toString)
+    subset.foreach { n =>
+      val line = settings.map { case (label, _) =>
+        val ts = samples((n, label))
+        f"$label best=${ts.min}%.3f med=${ts.sorted.apply(ts.size / 2)}%.3f"
+      }.mkString("  ")
+      println(s"[devab] floorSmall $n  $line")
     }
   }
 
