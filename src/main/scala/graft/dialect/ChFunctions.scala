@@ -194,6 +194,9 @@ object ChFunctions {
     // codegen'd merge-intersect count over sorted distinct long arrays
     // (similarity-verify hot path — see SortedLongIntersect)
     "sortedLongIntersect" -> (a => graft.functions.SortedLongIntersect(a(0), a(1))),
+    // codegen'd double-array dot product with zip_with/fold-identical
+    // semantics (similarity-search hot path — see VecDot)
+    "vecDot" -> (a => graft.functions.VecDot(a(0), a(1))),
 
     // integer hashes: the published ClickHouse algorithms (Hash.h),
     // codegen'd — see graft.functions.IntHash provenance note

@@ -24,13 +24,19 @@ import org.apache.spark.sql.expressions.Window
 object CosineKnn {
 
   private def asDouble(c: String) = expr(s"transform($c, x -> cast(x AS DOUBLE))")
-  private def dot(a: String, b: String) = expr(
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 AS DOUBLE), (acc, x) -> acc + x)")
+  // codegen'd dot with semantics identical to the old
+  // aggregate(zip_with(...)) interpreted-HOF spelling (bit-identical
+  // left-to-right fold; see graft.functions.VecDot — r16). Callers must
+  // run reg() first so the session resolves vecDot.
+  private def dot(a: String, b: String) = expr(s"vecDot($a, $b)")
+  private def reg(df: DataFrame): Unit =
+    graft.dialect.ChFunctions.register(df.sparkSession)
 
   /** (qid, nid, sim, rn): top-k neighbors by cosine for each query row.
     * `queries` must be small enough to broadcast. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
+    reg(corpus)
     val c = corpus.select(col(idCol).as("nid"), asDouble(vecCol).as("nv"))
       .withColumn("nn", sqrt(dot("nv", "nv")))
     val q = queries.select(col(idCol).as("qid"), asDouble(vecCol).as("qv"))
@@ -58,16 +64,17 @@ object CosineKnn {
     typedlit(comps.map(_.toArray).toArray)
   }
 
-  /** Sign-LSH bucket id (0 until 2^nPlanes) for each vector. */
+  /** Sign-LSH bucket id (0 until 2^nPlanes) for each vector. The
+    * per-plane dot is the codegen'd vecDot (r16) — the outer fold over
+    * nPlanes scalars stays a (cheap) HOF; the O(dim) inner loops no
+    * longer allocate boxed arrays per plane. */
   private def withBucket(df: DataFrame, vecCol: String,
                          nPlanes: Int, dim: Int): DataFrame =
     df.withColumn("planes", planesLit(nPlanes, dim))
       .withColumn("bucket", expr(
         s"""aggregate(sequence(0, $nPlanes - 1), 0,
               (acc, p) -> acc + CASE WHEN
-                aggregate(zip_with($vecCol, element_at(planes, p + 1),
-                  (x, h) -> cast(x AS DOUBLE) * h),
-                  cast(0 AS DOUBLE), (a, x) -> a + x) > 0
+                vecDot($vecCol, element_at(planes, p + 1)) > 0
               THEN shiftleft(1, p) ELSE 0 END)"""))
       .drop("planes")
 
@@ -86,6 +93,7 @@ object CosineKnn {
     * results are engine-independent. */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, blocks: Int = 8): DataFrame = {
+    reg(corpus)
     val u = corpus.select(col(idCol).as("id"), asDouble(vecCol).as("v"))
       .withColumn("n", sqrt(dot("v", "v")))
       .select(col("id"), expr("transform(v, x -> x / n)").as("u"))
@@ -127,6 +135,7 @@ object CosineKnn {
   def blockTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, corpusBlocks: Int = 8,
                 queryBlocks: Int = 4): DataFrame = {
+    reg(corpus)
     val c = corpus.select(col(idCol).as("nid"), asDouble(vecCol).as("nv"))
       .withColumn("nn", sqrt(dot("nv", "nv")))
       .withColumn("ci", pmod(xxhash64(col("nid")), lit(corpusBlocks)).cast("int"))
@@ -162,6 +171,7 @@ object CosineKnn {
   def lshNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, nPlanes: Int = 8, nTables: Int = 4,
                       dim0: Int = 0): DataFrame = {
+    reg(corpus)
     // dim0=0 derives the dimension from the data: a mismatched constant
     // silently NULLs every plane dot (zip_with pads), collapsing all
     // vectors into bucket 0 — LSH degenerating to a full cross join
@@ -170,15 +180,20 @@ object CosineKnn {
     val u = corpus.select(col(idCol).as("id"), asDouble(vecCol).as("v"))
       .withColumn("n", sqrt(dot("v", "v")))
       .select(col("id"), expr("transform(v, x -> x / n)").as("u"))
+    // per-plane dots codegen'd (vecDot, r16); eager localCheckpoint:
+    // the self-join below references h on BOTH sides and no AQE stage
+    // reuse fires in this codebase, so the normalize + 48-plane bucket
+    // pipeline ran twice per call (materialized from parquet inside the
+    // run — never a bare persist)
     val h = u.withColumn("planes", planesLit(nPlanes * nTables, dim))
       .withColumn("t", explode(expr(s"sequence(0, ${nTables - 1})")))
       .withColumn("bucket", expr(
         s"""aggregate(sequence(0, ${nPlanes - 1}), 0,
               (acc, p) -> acc + CASE WHEN
-                aggregate(zip_with(u, element_at(planes, t * $nPlanes + p + 1),
-                  (x, h) -> x * h), cast(0 AS DOUBLE), (a, x) -> a + x) > 0
+                vecDot(u, element_at(planes, t * $nPlanes + p + 1)) > 0
               THEN shiftleft(1, p) ELSE 0 END)"""))
       .select(col("id"), col("u"), col("t"), col("bucket"))
+      .localCheckpoint(true)
     h.select(col("id").as("a"), col("u").as("ua"), col("t"), col("bucket"))
       .join(h.select(col("id").as("b"), col("u").as("ub"),
         col("t"), col("bucket")), Seq("t", "bucket"))
@@ -194,6 +209,7 @@ object CosineKnn {
     * at scale (BroadcastNestedLoopJoin). */
   def nearDupPairsBruteForce(corpus: DataFrame, idCol: String,
                              vecCol: String, threshold: Double): DataFrame = {
+    reg(corpus)
     val u = corpus.select(col(idCol).as("id"), asDouble(vecCol).as("v"))
       .withColumn("n", sqrt(dot("v", "v")))
       .select(col("id"), expr("transform(v, x -> x / n)").as("u"))
@@ -214,19 +230,38 @@ object CosineKnn {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nLists: Int = 16,
               nProbe: Int = 6): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    // localCheckpoint, not persist: consumed eagerly by KMeans.fit AND
-    // lazily by the returned plan; a leaked cache entry would serve
-    // later identical plans from memory (see MinHashLsh.nearDupPairs)
+    reg(corpus)
+    // localCheckpoint, not persist: consumed eagerly by the sample
+    // collection AND lazily by the returned plan; a leaked cache entry
+    // would serve later identical plans from memory (see
+    // MinHashLsh.nearDupPairs)
     val c = corpus.select(col(idCol).as("nid"), asDouble(vecCol).as("nv"))
-      .withColumn("features", array_to_vector(col("nv")))
       .localCheckpoint(true)
-    val km = new KMeans().setK(nLists).setSeed(42L).setMaxIter(10).fit(c)
-    val lists = km.transform(c).select(col("nid"), col("nv"),
-        col("prediction").as("list"))
+    // r16: coarse quantizer trained like pqTopK's codebooks — a
+    // driver-side deterministic k-means++ over a BOUNDED sample (one
+    // TakeOrderedAndProject) instead of a Spark-ML KMeans.fit's ~10
+    // iteration jobs; list assignment is a codegen'd argmin over the
+    // centroid literal (|c|^2 - 2 x·c ranking — same argmin as L2,
+    // evaluated with vecDot) instead of an ML-transform UDF pass.
+    // The ANN output changes only through quantizer quality; l11's
+    // declared output is the recall gate, re-verified >= 0.6 at all
+    // three SFs with margin (see OperatorsSpec recall test).
+    val sample = c.select(col("nid"), col("nv"))
+      .orderBy(xxhash64(col("nid")), col("nid")).limit(4096)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val centersArr = kmeansPP(sample, nLists, iters = 10, seed = 42L)
+    val centerNorms = centersArr.map(cv => cv.map(x => x * x).sum)
+    val centers = typedlit(centersArr)
+    val lists = c
+      .withColumn("__c", centers)
+      .withColumn("__cn", typedlit(centerNorms))
+      .withColumn("list", expr(
+        s"""element_at(array_sort(
+              transform(sequence(0, ${nLists - 1}), i -> struct(
+                element_at(__cn, i + 1) - 2 * vecDot(nv, element_at(__c, i + 1)) AS d,
+                i AS idx))), 1).idx"""))
+      .select(col("nid"), col("nv"), col("list"))
       .withColumn("nn", sqrt(dot("nv", "nv")))
-    val centers = typedlit(km.clusterCenters.map(_.toArray))
     val q = queries.select(col(idCol).as("qid"), asDouble(vecCol).as("qv"))
       .withColumn("qn", sqrt(dot("qv", "qv")))
       .withColumn("__centers", centers)
@@ -257,6 +292,7 @@ object CosineKnn {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nPlanes: Int = 4,
               dim0: Int = 0, probeDist: Int = 2): DataFrame = {
+    reg(corpus)
     // dim0=0 derives from the data — see lshNearDupPairs
     val dim = if (dim0 > 0) dim0
       else corpus.select(size(asDouble(vecCol))).head.getInt(0)
@@ -303,6 +339,7 @@ object CosineKnn {
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, m: Int = 16, ks: Int = 16,
              rerankFactor: Int = 40): DataFrame = {
+    reg(corpus)
     // localCheckpoint, not persist (see ivfTopK / MinHashLsh)
     val c0 = corpus.select(col(idCol).as("nid"), asDouble(vecCol).as("nv"))
       .withColumn("nn", sqrt(dot("nv", "nv")))

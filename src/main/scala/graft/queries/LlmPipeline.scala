@@ -903,6 +903,7 @@ object LlmPipeline {
     // each copy is an exact sim-1.0 near-dup of its original in the
     // same sign cell — all 500 copies must drop, all originals survive.
     Q("l26_semdedup", (s, dir) => {
+      graft.dialect.ChFunctions.register(s) // vecDot (codegen, r16)
       val e = Tables.load(s, dir, "embeddings")
       val base = e.select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
@@ -913,15 +914,17 @@ object LlmPipeline {
           .otherwise(lit(0))).reduce(_ + _)
       val c = base.unionByName(copies)
         .withColumn("cluster", cluster)
-        .withColumn("n", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+        // vecDot(v, v) = the old aggregate(v, 0D, (a,x) -> a + x*x)
+        // fold, codegen'd (identical left-to-right order)
+        .withColumn("n", expr("sqrt(vecDot(v, v))"))
       val a = c.select(col("cluster"), col("vec_id").as("a_id"),
         col("v").as("a_v"), col("n").as("a_n"))
       val b = c.select(col("cluster"), col("vec_id").as("b_id"),
         col("v").as("b_v"), col("n").as("b_n"))
       val drops = a.join(b, Seq("cluster")).filter(col("a_id") < col("b_id"))
-        .withColumn("sim", round(expr(
-          "aggregate(zip_with(a_v, b_v, (x, y) -> x * y)," +
-            " 0D, (acc, x) -> acc + x)") / (col("a_n") * col("b_n")), 6))
+        // codegen'd per-pair dot (was an interpreted zip_with+fold; r16)
+        .withColumn("sim", round(expr("vecDot(a_v, b_v)")
+          / (col("a_n") * col("b_n")), 6))
         .filter(col("sim") > 0.92)
         .select(col("b_id").as("vec_id")).distinct()
       c.join(drops, Seq("vec_id"), "left_anti")
