@@ -49,6 +49,7 @@ object DevAb {
       case "floor" => floorSweep(spark)
       case "floorSmall" => floorSmallSweep(spark)
       case "phases" => phaseBreakdown(spark, dir)
+      case "l23fan" => l23Fan(spark, dir)
       case "l2parts" => l2Parts(spark, dir)
       case "l4parts" => l4Parts(spark, dir)
       case "l4stages" => l4Stages(spark, dir)
@@ -213,6 +214,40 @@ object DevAb {
       val ts = totals(label)
       println(f"[devab] floor maxPartitionBytes=$label subset_total best=${ts.min}%.2f all=${ts.reverse.map(t => f"$t%.2f").mkString(",")}")
     }
+  }
+
+  /** r16: is spread's eager checkpoint needed for FILTER-FREE tokenize
+    * pipelines (l23 shape), or does a bare repartition parallelize the
+    * tokenize just as well (no filter exists to be pushed below the
+    * round-robin exchange) minus the materialization cost? */
+  private def l23Fan(spark: SparkSession, dir: String): Unit = {
+    import graft.functions.TextFns
+    import org.apache.spark.sql.expressions.Window
+    val slots = spark.sparkContext.defaultParallelism
+    def pipeline(d0: DataFrame): DataFrame = {
+      val d = d0.withColumn("__norm", TextFns.norm(col("text")))
+        .withColumn("__toks", TextFns.tokens(col("__norm")))
+      val tf = d.select(col("doc_id"), explode(col("__toks")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      tf.join(broadcast(dfreq), "term").crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+        .withColumn("rn", row_number().over(w).cast("int"))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("tfidf"), col("rn"))
+        .orderBy("doc_id", "rn")
+    }
+    def raw = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    ab(8,
+      "l23_spread" -> (() => pipeline(Tables.spread(raw))),
+      "l23_repart" -> (() => pipeline(raw.repartition(slots))),
+      "l23_nofan" -> (() => pipeline(raw)))
   }
 
   /** r16 verdict item 6: where does the ~0.15 s per-query floor sit?

@@ -197,6 +197,9 @@ object ChFunctions {
     // codegen'd double-array dot product with zip_with/fold-identical
     // semantics (similarity-search hot path — see VecDot)
     "vecDot" -> (a => graft.functions.VecDot(a(0), a(1))),
+    // unscaled DECIMAL(20,0) mod 2^64 as a raw long (injective on the
+    // UInt64 domain — see DecimalMod64 / plans.UInt64DistinctNarrow)
+    "decimalMod64" -> (a => graft.functions.DecimalMod64(a.head)),
 
     // integer hashes: the published ClickHouse algorithms (Hash.h),
     // codegen'd — see graft.functions.IntHash provenance note

@@ -753,7 +753,13 @@ object LlmPipeline {
       // partitioned by raw term would bottleneck on stop words — is
       // unchanged. n_docs from tf is value-identical: split() never
       // returns an empty array, so every document has >= 1 term row.
-      val tf = docsWithToks(s, dir)
+      // fan=false (r16 DevAb l23fan, interleaved med): no-fan 0.78 s vs
+      // spread 0.89 s vs bare-repartition 0.92 s — a plain tokenize
+      // (no per-token digest) is too cheap to amortize redistributing
+      // the corpus; the partial aggregate below the tf shuffle bounds
+      // the single-task work. Operators with per-token md5 (l34, l35,
+      // minhash/simhash) keep the spread.
+      val tf = docsWithToks(s, dir, fan = false)
         .select(col("doc_id"), explode(col("__toks")).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         .localCheckpoint(true)
