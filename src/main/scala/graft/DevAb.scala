@@ -50,6 +50,7 @@ object DevAb {
       case "floorSmall" => floorSmallSweep(spark)
       case "phases" => phaseBreakdown(spark, dir)
       case "l23fan" => l23Fan(spark, dir)
+      case "opfan" => opFan(spark, dir)
       case "l2parts" => l2Parts(spark, dir)
       case "l4parts" => l4Parts(spark, dir)
       case "l4stages" => l4Stages(spark, dir)
@@ -214,6 +215,29 @@ object DevAb {
       val ts = totals(label)
       println(f"[devab] floor maxPartitionBytes=$label subset_total best=${ts.min}%.2f all=${ts.reverse.map(t => f"$t%.2f").mkString(",")}")
     }
+  }
+
+  /** r16: with the operator map stages now codegen (explode + md5, no
+    * HOF fold), is spread's eager CHECKPOINT still needed, or does a
+    * bare repartition parallelize the map just as well? Pre-
+    * repartitioning the input makes the operators' internal spread a
+    * no-op (partition count >= slots), so variant B measures
+    * repartition-without-checkpoint against A's spread-with-checkpoint
+    * on identical operator code. */
+  private def opFan(spark: SparkSession, dir: String): Unit = {
+    import graft.operators.{MinHashLsh, SimilarityJoin}
+    val slots = spark.sparkContext.defaultParallelism
+    def docs = Tables.load(spark, dir, "documents")
+    ab(6,
+      "l2_spread" -> (() =>
+        MinHashLsh.nearDupPairs(docs, "doc_id", "text", 0.8)),
+      "l2_repart" -> (() =>
+        MinHashLsh.nearDupPairs(docs.repartition(slots), "doc_id", "text", 0.8)))
+    ab(4,
+      "l4_spread" -> (() => SimilarityJoin.ngramJaccardPairs(
+        docs, "doc_id", "text", "lang", 4, 0.8)),
+      "l4_repart" -> (() => SimilarityJoin.ngramJaccardPairs(
+        docs.repartition(slots), "doc_id", "text", "lang", 4, 0.8)))
   }
 
   /** r16: is spread's eager checkpoint needed for FILTER-FREE tokenize

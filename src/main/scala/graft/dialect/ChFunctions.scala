@@ -200,6 +200,9 @@ object ChFunctions {
     // unscaled DECIMAL(20,0) mod 2^64 as a raw long (injective on the
     // UInt64 domain — see DecimalMod64 / plans.UInt64DistinctNarrow)
     "decimalMod64" -> (a => graft.functions.DecimalMod64(a.head)),
+    // float-array dot accumulated in double (pruning score for the
+    // two-phase exact near-dup scan — see VecDotF)
+    "vecDotF" -> (a => graft.functions.VecDotF(a(0), a(1))),
 
     // integer hashes: the published ClickHouse algorithms (Hash.h),
     // codegen'd — see graft.functions.IntHash provenance note

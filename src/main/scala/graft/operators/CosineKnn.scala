@@ -94,23 +94,46 @@ object CosineKnn {
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, blocks: Int = 8): DataFrame = {
     reg(corpus)
+    // normalized unit vectors, materialized ONCE per call (r16: the
+    // frame feeds both join sides AND the exact re-verify — it used to
+    // recompute per reference; eager localCheckpoint, never persist)
     val u = corpus.select(col(idCol).as("id"), asDouble(vecCol).as("v"))
       .withColumn("n", sqrt(dot("v", "v")))
       .select(col("id"), expr("transform(v, x -> x / n)").as("u"))
       .withColumn("blk", pmod(xxhash64(col("id")), lit(blocks)).cast("int"))
+      .localCheckpoint(true)
+    // r16 two-phase scan (guide §8 "decide with small rows, move big
+    // rows once"): the O(n²) block-pair SCORING pass carries float32
+    // copies of the unit vectors — every join output row copies both
+    // sides, so halving the vector bytes halves the dominant cost. The
+    // float score is a PRUNE only: products/sums carry double
+    // precision, so |approx − exact| ≤ Σ|x||y|·2^-23 ≤ 1.2e-7 for unit
+    // vectors, and pruning at threshold − 1e-3 (≈8000× that bound, and
+    // wider than the round(,6) boundary slack) can never drop a true
+    // pair. Survivors — a tiny set — re-fetch the exact doubles by id
+    // and recompute the EXACT rounded similarity, so emitted rows are
+    // bit-identical to the single-phase plan.
+    val uf = u.select(col("id"), col("blk"),
+      expr("transform(u, x -> cast(x AS FLOAT))").as("f"))
     // a row in block k is the LEFT side of tasks (k, j>=k) and the
     // RIGHT side of tasks (i<=k, k)
-    val lhs = u.withColumn("pj", explode(expr(s"sequence(blk, ${blocks - 1})")))
-      .select(col("id").as("ia"), col("u").as("ua"),
+    val lhs = uf.withColumn("pj", explode(expr(s"sequence(blk, ${blocks - 1})")))
+      .select(col("id").as("ia"), col("f").as("fa"),
         col("blk").as("pi"), col("pj"))
-    val rhs = u.withColumn("pi", explode(expr("sequence(0, blk)")))
-      .select(col("id").as("ib"), col("u").as("ub"),
+    val rhs = uf.withColumn("pi", explode(expr("sequence(0, blk)")))
+      .select(col("id").as("ib"), col("f").as("fb"),
         col("pi"), col("blk").as("pj"))
-    lhs.join(rhs, Seq("pi", "pj"))
+    val cands = lhs.join(rhs, Seq("pi", "pj"))
       // same-block pairs meet twice (both orders): keep one; cross-block
       // pairs meet exactly once in whichever order the blocks fell
       .filter(col("pi") =!= col("pj") || col("ia") < col("ib"))
       .filter(col("ia") =!= col("ib"))
+      .filter(expr("vecDotF(fa, fb)") >= threshold - 1e-3)
+      .select(col("ia"), col("ib"))
+    val sets = u.select(col("id"), col("u"))
+    cands
+      .join(sets.select(col("id").as("ia"), col("u").as("ua")), "ia")
+      .join(sets.select(col("id").as("ib"), col("u").as("ub")), "ib")
       .withColumn("sim", round(dot("ua", "ub"), 6))
       .filter(col("sim") >= threshold)
       .select(least(col("ia"), col("ib")).as("a"),
@@ -177,14 +200,20 @@ object CosineKnn {
     // vectors into bucket 0 — LSH degenerating to a full cross join
     val dim = if (dim0 > 0) dim0
       else corpus.select(size(asDouble(vecCol))).head.getInt(0)
+    // normalized vectors materialized ONCE (bucket pipeline + both
+    // rerank re-fetches; eager localCheckpoint, never a bare persist)
     val u = corpus.select(col(idCol).as("id"), asDouble(vecCol).as("v"))
       .withColumn("n", sqrt(dot("v", "v")))
       .select(col("id"), expr("transform(v, x -> x / n)").as("u"))
-    // per-plane dots codegen'd (vecDot, r16); eager localCheckpoint:
-    // the self-join below references h on BOTH sides and no AQE stage
-    // reuse fires in this codebase, so the normalize + 48-plane bucket
-    // pipeline ran twice per call (materialized from parquet inside the
-    // run — never a bare persist)
+      .localCheckpoint(true)
+    // r16 restructure (guide §8 "decide with small rows"): the bucket
+    // index carries ONLY (id, t, bucket) — the old shape shipped both
+    // sides' double vectors through the (t, bucket) self-join AND the
+    // candidate dedup shuffle (~1 KB per candidate row). Candidates
+    // dedup as bare id pairs; the exact rerank re-fetches vectors by
+    // id once per DISTINCT pair. Per-plane dots codegen'd (vecDot);
+    // h checkpointed because the self-join references it twice and no
+    // AQE stage reuse fires in this codebase.
     val h = u.withColumn("planes", planesLit(nPlanes * nTables, dim))
       .withColumn("t", explode(expr(s"sequence(0, ${nTables - 1})")))
       .withColumn("bucket", expr(
@@ -192,13 +221,16 @@ object CosineKnn {
               (acc, p) -> acc + CASE WHEN
                 vecDot(u, element_at(planes, t * $nPlanes + p + 1)) > 0
               THEN shiftleft(1, p) ELSE 0 END)"""))
-      .select(col("id"), col("u"), col("t"), col("bucket"))
+      .select(col("id"), col("t"), col("bucket"))
       .localCheckpoint(true)
-    h.select(col("id").as("a"), col("u").as("ua"), col("t"), col("bucket"))
-      .join(h.select(col("id").as("b"), col("u").as("ub"),
-        col("t"), col("bucket")), Seq("t", "bucket"))
+    val cands = h.select(col("id").as("a"), col("t"), col("bucket"))
+      .join(h.select(col("id").as("b"), col("t"), col("bucket")),
+        Seq("t", "bucket"))
       .filter(col("a") < col("b"))
       .dropDuplicates("a", "b") // collided in >1 table
+    cands
+      .join(u.select(col("id").as("a"), col("u").as("ua")), "a")
+      .join(u.select(col("id").as("b"), col("u").as("ub")), "b")
       .withColumn("sim", round(dot("ua", "ub"), 6))
       .filter(col("sim") >= threshold)
       .select(col("a"), col("b"), col("sim"))
