@@ -87,10 +87,17 @@ object ChFunctions {
       LambdaFunction(f(Cast(x, DoubleType), Cast(y, DoubleType)), Seq(x, y)))
   }
 
+  // r16: dot-shaped folds run the codegen'd VecDot instead of the
+  // interpreted ArrayAggregate/ZipWith lambdas. Bit-identical: VecDot's
+  // loop is the same left-to-right (0 + x0*y0) + x1*y1 + ... fold over
+  // the double-cast elements, with the same null/length-mismatch
+  // semantics as the zip_with spelling (see graft.functions.VecDot).
+  private def castD(a: Expression): Expression =
+    Cast(a, ArrayType(DoubleType))
   private def dotProduct(a: Expression, b: Expression): Expression =
-    vecFold(vecZip(a, b, Multiply(_, _)), identity)
+    graft.functions.VecDot(castD(a), castD(b))
   private def l2Norm(a: Expression): Expression =
-    Sqrt(vecFold(a, x => Multiply(x, x)))
+    Sqrt(graft.functions.VecDot(castD(a), castD(a)))
 
   /** Fold a user lambda over an array with ArrayAggregate. The analyzer
     * only accepts user-written lambdas when the registered builder's
@@ -583,7 +590,8 @@ object ChFunctions {
     "arrayDotProduct" -> (a => dotProduct(a(0), a(1))),
     "L1Norm" -> (a => vecFold(a.head, Abs(_))),
     "L2Norm" -> (a => l2Norm(a.head)),
-    "L2SquaredNorm" -> (a => vecFold(a.head, x => Multiply(x, x))),
+    "L2SquaredNorm" -> (a =>
+      graft.functions.VecDot(castD(a.head), castD(a.head))),
     "LinfNorm" -> (a => vecFold(a.head, Abs(_), useMax = true)),
     "L1Distance" -> (a => vecFold(vecZip(a(0), a(1),
       (x, y) => Abs(Subtract(x, y))), identity)),

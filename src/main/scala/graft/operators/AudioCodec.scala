@@ -1,8 +1,5 @@
 package graft.operators
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
-import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
-
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
@@ -11,9 +8,13 @@ import org.apache.spark.sql.functions._
   * the audio sibling of [[Multimodal]]'s PNG pipeline.
   *
   * The codec is REAL: payloads are genuine RIFF/WAVE files (PCM16
-  * little-endian mono) written and parsed with the JDK's
-  * `javax.sound.sampled` (headless-safe — file I/O only, no audio
-  * device). The SAMPLE CONTENT is synthetic-deterministic —
+  * little-endian mono), written and chunk-walk-parsed against the RIFF
+  * spec directly (r16: the JDK's static `AudioSystem` entry points
+  * re-resolve the file-format SPI per call under a global lock, which
+  * became the bottleneck once the per-row codec work was spread across
+  * cores; javax.sound still decodes every payload — asserted in
+  * OperatorsSpec as the format-parity proof). The SAMPLE CONTENT is
+  * synthetic-deterministic —
   * `s(t) = ((doc_id*31 + t*17) mod 65536) - 32768` — so a SQL oracle
   * recomputes every per-clip statistic from `doc_id` alone without a
   * WAV parser, while the Spark side still exercises the full
@@ -53,38 +54,69 @@ object AudioCodec {
   @inline private def sample(id: Long, t: Int): Int =
     (((id * 31L + t.toLong * 17L) % 65536L) - 32768L).toInt
 
-  private def pcmFormat(rate: Int): AudioFormat =
-    new AudioFormat(rate.toFloat, 16, 1, true, false) // PCM16 LE mono
-
+  /** Canonical RIFF/WAVE (PCM16 LE mono) writer — byte-compatible with
+    * `AudioSystem.write`'s canonical 44-byte-header output, but written
+    * directly: the JDK's static AudioSystem entry points re-resolve the
+    * file-format SPI on EVERY call with global synchronization, which
+    * measured as a 2x SLOWDOWN once the per-row codec work was spread
+    * across 32 cores (r16). The payloads remain genuine WAV files;
+    * OperatorsSpec decodes one with javax.sound as the parity proof. */
   private def encodeWav(samples: Array[Int], rate: Int): Array[Byte] = {
-    val raw = new Array[Byte](samples.length * 2)
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    val bb = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate * 2) // sample rate, byte rate
+      .putShort(2).putShort(16) // block align, bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
     var t = 0
-    while (t < samples.length) {
-      raw(2 * t) = (samples(t) & 0xff).toByte
-      raw(2 * t + 1) = ((samples(t) >> 8) & 0xff).toByte
-      t += 1
-    }
-    val ais = new AudioInputStream(new ByteArrayInputStream(raw),
-      pcmFormat(rate), samples.length.toLong)
-    val bos = new ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    while (t < samples.length) { bb.putShort(samples(t).toShort); t += 1 }
+    out
   }
 
-  /** Parse a WAV payload back to (sampleRate, PCM samples). */
+  /** Parse a WAV payload back to (sampleRate, PCM samples): strict
+    * RIFF chunk walk (fmt must be PCM16 LE mono; unknown chunks are
+    * skipped with even padding, per spec). */
   private def decodeWav(bytes: Array[Byte]): (Int, Array[Int]) = {
-    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
-    val fmt = ais.getFormat
-    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
-      !fmt.isBigEndian, s"unsupported WAV layout: $fmt")
-    val raw = ais.readAllBytes()
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourCC(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    require(fourCC() == "RIFF", "payload is not a RIFF file")
+    bb.getInt // riff size
+    require(fourCC() == "WAVE", "payload is not a WAVE file")
+    var rate = -1
+    var raw: Array[Byte] = null
+    while ((raw == null || rate < 0) && bb.remaining() >= 8) {
+      val id = fourCC(); val size = bb.getInt
+      id match {
+        case "fmt " =>
+          val audioFormat = bb.getShort; val channels = bb.getShort
+          rate = bb.getInt
+          bb.getInt; bb.getShort // byte rate, block align
+          val bits = bb.getShort
+          require(audioFormat == 1 && channels == 1 && bits == 16,
+            s"unsupported WAV layout: fmt=$audioFormat ch=$channels bits=$bits")
+          bb.position(bb.position() + (size - 16))
+        case "data" =>
+          raw = new Array[Byte](size); bb.get(raw)
+        case _ => // skip unknown chunk (sizes pad to even per spec)
+          bb.position(bb.position() + size + (size & 1))
+      }
+    }
+    require(rate > 0 && raw != null, "WAV missing fmt or data chunk")
     val out = new Array[Int](raw.length / 2)
     var t = 0
     while (t < out.length) {
       out(t) = (((raw(2 * t) & 0xff) | (raw(2 * t + 1) << 8)).toShort).toInt
       t += 1
     }
-    (fmt.getSampleRate.toInt, out)
+    (rate, out)
   }
 
   /** Attach a real WAV payload + metadata to the documents table
@@ -92,7 +124,11 @@ object AudioCodec {
     * varies per document: n = doc_id mod 800 + 100 samples). */
   def attachPayload(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long]
+    // spread the (8-byte) id column first: a single-file corpus scans
+    // as ONE task, so the whole per-row encode pipeline below — and
+    // every decode pass above it — ran serially (r16; guide §2.5,
+    // no-op for multi-file corpora)
+    graft.Tables.spread(docs.select(col("doc_id"))).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val n = (id % 800 + 100).toInt

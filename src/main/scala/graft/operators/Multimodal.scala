@@ -69,7 +69,11 @@ object Multimodal {
     * document, bytes are a true lossless encoding of the pixels). */
   def attachPayload(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), col("lang"))
+    // spread the narrow input first: a single-file corpus scans as ONE
+    // task, serializing the whole per-row PNG encode (and the decode
+    // passes above) on one core (r16; guide §2.5, no-op for
+    // multi-file corpora)
+    graft.Tables.spread(docs.select(col("doc_id"), col("lang")))
       .as[(Long, String)]
       .mapPartitions { rows =>
         ImageIO.setUseCache(false) // per-partition init: no temp-file cache

@@ -41,10 +41,24 @@ object QualityClassifier {
     val nrm = new Normalizer().setInputCol("rawF").setOutputCol("bow").setP(1.0)
     val asm = new VectorAssembler()
       .setInputCols((numericCols :+ "bow").toArray).setOutputCol("features")
+    // r16: featurization is referenced by BOTH the fit (train split)
+    // and the scoring transform (holdout split) — without a barrier
+    // the tokenize + hashing pipeline executed once per reference (no
+    // AQE stage reuse fires in this codebase). Eager localCheckpoint,
+    // never persist (honesty invariant). The train split additionally
+    // coalesces toward ~50k rows/partition (floor 1): every LBFGS
+    // iteration is a treeAggregate JOB over the split, and 50
+    // iterations x 32 near-empty tasks of a ~1k-row sample was pure
+    // scheduler overhead; a 100 TB-scale labeled sample still fans out.
     val feats = asm.transform(nrm.transform(tf.transform(labeled)))
+      .localCheckpoint(true)
+    val train = feats.filter(col("is_train"))
+    val trainParts = math.max(1, math.min(
+      docs.sparkSession.sparkContext.defaultParallelism,
+      (train.count() / 50000L).toInt))
     val model = new LogisticRegression().setMaxIter(50).setRegParam(0.001)
       .setLabelCol("label").setFeaturesCol("features")
-      .fit(feats.filter(col("is_train")))
+      .fit(train.coalesce(trainParts))
     model.transform(feats.filter(!col("is_train")))
       .select(col("id"), col("label"), col("prediction"))
   }

@@ -436,6 +436,10 @@ object LlmPipeline {
             4).as("len_prior"))
         .withColumn("quality", round(lit(0.4) * col("ttr") +
           lit(0.4) * col("stop_ratio") + lit(0.2) * col("len_prior"), 4))
+        // r16: referenced by the percentile cut AND the extremes
+        // filter feeding the classifier — tokenize once, not three
+        // times (eager checkpoint inside the run)
+        .localCheckpoint(true)
       val cuts = scored.agg(expr("percentile(quality, 0.25)"),
         expr("percentile(quality, 0.75)")).head
       val (q25, q75) = (cuts.getDouble(0), cuts.getDouble(1))

@@ -331,12 +331,22 @@ object Relational {
     // (integer order key on both sides: floor first — Spark truncates
     // double->long casts, DuckDB rounds)
     Q("w3_range_frame", (s, dir) => {
-      val w = Window.partitionBy(col("o_orderstatus"))
+      // r16: Spark evaluates a SLIDING range frame by re-scanning the
+      // whole frame for EVERY row (no aggregate retraction) — measured
+      // 5.4 s on 15k rows. The count over [v-10000, v+10000] is
+      // rewritten as the difference of two UNBOUNDED-PRECEDING frames,
+      // which Spark processes incrementally (the upper bound only
+      // advances): #(k <= v+10000) - #(k <= v-10001). Integer keys, so
+      // the identity is exact and the output is value-identical to the
+      // oracle's sliding-frame text; both windows share the same
+      // partition/order spec = still ONE window shuffle.
+      def w0 = Window.partitionBy(col("o_orderstatus"))
         .orderBy(floor(col("o_totalprice")).cast("long").asc)
-        .rangeBetween(-10000L, 10000L)
+      val hi = w0.rangeBetween(Window.unboundedPreceding, 10000L)
+      val lo = w0.rangeBetween(Window.unboundedPreceding, -10001L)
       Tables.load(s, dir, "orders").select(
         col("o_orderkey"), col("o_orderstatus"),
-        count(lit(1)).over(w).as("n_near"))
+        (count(lit(1)).over(hi) - count(lit(1)).over(lo)).as("n_near"))
         .orderBy("o_orderkey")
     }, Some("""
       SELECT o_orderkey, o_orderstatus,

@@ -172,6 +172,15 @@ class OperatorsSpec extends AnyFunSuite {
     hdr.foreach { b =>
       assert(new String(b.take(4), "US-ASCII") === "RIFF")
       assert(new String(b.slice(8, 12), "US-ASCII") === "WAVE")
+      // format-parity proof: the JDK's own WAV reader decodes the
+      // payload our direct RIFF writer produced (r16 — the hot path
+      // no longer goes through AudioSystem's SPI lookup)
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val fmt = ais.getFormat
+      assert(fmt.getSampleRate === 8000f && fmt.getChannels === 1 &&
+        fmt.getSampleSizeInBits === 16 && !fmt.isBigEndian)
+      assert(ais.readAllBytes().length === (b.length - 44))
     }
     // decoded stats equal a direct recomputation of the sample formula
     def s(id: Long, t: Int): Long = (id * 31 + t.toLong * 17) % 65536 - 32768
